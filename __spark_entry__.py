@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
+every declared operator from SURVEY.md §2 (+ LLM extensions) as
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives each one a DuckDB
+ANSI-SQL twin (omitted for approximate/sketch operators, which get
+rows-only checks). Implementations live in ``data_pipeline_stripe_spark``.
 """
 
 from __future__ import annotations
@@ -13,26 +13,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_pipeline_stripe_spark.queries import registry as _registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: daily top-10 groups by
+    purchase count (the reference's top10.py report, rebuilt as a single
+    windowed plan)."""
+    from data_pipeline_stripe_spark.queries import REGISTRY
+
+    return REGISTRY["top10_event_types_daily"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented query/operator (SURVEY.md §2)."""
+    import data_pipeline_stripe_spark.queries  # noqa: F401  (populates REGISTRY)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-executable ANSI SQL twin for each SQL-expressible query."""
+    import data_pipeline_stripe_spark.queries  # noqa: F401
+
+    return _registry.oracle_queries()

@@ -1,0 +1,246 @@
+"""Deduplication operators over a text corpus.
+
+Four families, each a pure DataFrame transform (input: ``df(id_col,
+text_col)``), all JVM-side (no Python UDFs), all shuffle-bounded:
+
+- **exact**: sha256 over normalized text, one groupBy. O(n) + 1 shuffle.
+- **MinHash + LSH**: shingle → 16 md5-min signatures → 4 banded keys →
+  bucket self-join. Candidate generation touches only colliding buckets,
+  which is what makes near-dedup feasible at 100 TB (the exhaustive
+  pairwise alternative is O(n²)).
+- **SimHash**: 16-bit parity fingerprint; near-dups share all-but-k bits.
+- **exact n-gram Jaccard**: inverted-index self-join on shingles — the
+  verification pass for LSH candidates, also usable standalone.
+
+Determinism note: hashes are md5/sha256 of UTF-8 strings, and MinHash
+"permutations" are the lexicographic MIN of md5 over salted shingles —
+reproducible in any engine with md5 (this is how the DuckDB oracle checks
+these operators bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text_expr, shingles_expr, tokens_expr
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by sha256 of normalized text.
+
+    Returns (text_hash, canonical_doc_id, n_copies): one row per distinct
+    normalized text; canonical id is the MIN id (deterministic winner).
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.sha2(normalized_text_expr(text_col), 256).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) pairs, distinct — the inverted-index input."""
+    tokens = tokens_expr(text_col)
+    return (
+        df.select(F.col(id_col), tokens.alias("_t"))
+        .filter(F.size("_t") >= 3)
+        .select(F.col(id_col), F.explode(shingles_expr(F.col("_t"))).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: mh_h = MIN(md5('<h>:' || shingle)).
+
+    One shuffle (the groupBy); the h "hash functions" are computed as h
+    aggregate columns over the same exploded shingles, so there is no
+    ×h row blow-up.
+    """
+    sh = _distinct_shingles(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"mh_{h}")
+        for h in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _band_key(sig_cols: list[str], band: int) -> Column:
+    lo = band * ROWS_PER_BAND
+    return F.md5(F.concat(*[F.col(c) for c in sig_cols[lo:lo + ROWS_PER_BAND]]))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, scored by estimated
+    Jaccard (fraction of matching signature slots), filtered to
+    ``>= threshold``. Returns (doc_a, doc_b, est_jaccard).
+
+    Scale shape: signatures are one narrow row per doc; the band explode
+    is ×N_BANDS; the self-join shuffles on band key and only colliding
+    buckets produce pairs. Skewed buckets (boilerplate texts) would be the
+    hot spot at 100 TB — AQE skew-join handles moderate skew, and a bucket
+    size cap is the documented escape hatch.
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
+    bands = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(c) for c in sig_cols]).alias("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), _band_key(sig_cols, b).alias("band_key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(matches / F.lit(float(N_HASHES)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n_bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct unigram tokens.
+
+    Bit h is the sign of Σ_tokens (±1), where +1 iff hex digit h of
+    md5(token) has its high bit set. Returns (id, simhash) with the
+    fingerprint as a '0'/'1' string (cross-engine-stable; near-dup pairs
+    = low Hamming distance, see ``simhash_near_dup_pairs``).
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+        .distinct()
+    )
+    high = list("89abcdef")
+    sums = [
+        F.sum(
+            F.when(F.substring(F.md5("tok"), h + 1, 1).isin(high), 1).otherwise(-1)
+        ).alias(f"s_{h}")
+        for h in range(n_bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    bits = [F.when(F.col(f"s_{h}") > 0, "1").otherwise("0") for h in range(n_bits)]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Blocking: pairs must agree on one of the two 8-bit halves (pigeonhole:
+    any pair within Hamming<=2 of a 16-bit code agrees on at least one
+    half only when the 2 flips land in one half — with max_hamming<=1 the
+    guarantee is exact; for 2 it is a high-recall heuristic). This keeps
+    the self-join keyed instead of O(n²).
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    halves = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("L:"), F.substring("simhash", 1, 8)),
+                F.concat(F.lit("R:"), F.substring("simhash", 9, 8)),
+            )
+        ).alias("block"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("a.simhash"), ""),
+                F.split(F.col("b.simhash"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard similarity over distinct 3-token shingle sets, via an
+    inverted-index self-join (shuffle on shingle, count intersections,
+    join per-doc set sizes). Returns (doc_a, doc_b, jaccard >= threshold).
+
+    This is the exact-verification counterpart to ``minhash_lsh_pairs``;
+    at 100 TB run it only on LSH candidates (compose the two operators).
+    """
+    sh = _distinct_shingles(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; IVF-style centroid
+bucketing is the scale path (search only the probed bucket instead of the
+full corpus — at 100 TB the bucket assignment is a broadcast join against
+a small centroid table, and the per-bucket search reuses the same top-k
+kernel).
+
+All vector math happens JVM-side on array<double> via zip_with/aggregate —
+no Python boundary. (A Pandas-UDF/numpy variant is a fair alternative; the
+built-in lambda form keeps whole-stage codegen and needs no Arrow hop.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right dot product (deterministic FP association order —
+    matches DuckDB's list_inner_product for the oracle)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` (small) is broadcast against the corpus — the corpus is
+    never shuffled; ranking happens in one window per query. Ties broken
+    on rounded similarity then neighbor id (fully deterministic).
+    Returns (query_id, neighbor_id, similarity, rank).
+    """
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                        _as_double(vec_col).alias("cv"))
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(vec_col).alias("qv"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    pairs = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("similarity"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroid_id_col: str = "centroid_id") -> DataFrame:
+    """IVF bucket assignment: each vector goes to its max-cosine centroid
+    (ties → smallest centroid id). Centroids are broadcast; one pass over
+    the corpus, no shuffle of the vectors themselves.
+    Returns (vec_id, cluster_id, similarity).
+    """
+    corpus = emb.select(F.col(id_col), _as_double(vec_col).alias("cv"))
+    cents = centroids.select(F.col(centroid_id_col).alias("cluster_id"),
+                             _as_double(vec_col).alias("qv"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    scored = corpus.join(F.broadcast(cents)).select(
+        id_col, "cluster_id", sim.alias("similarity")
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("similarity").desc(), F.col("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cluster_id", "similarity")
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-bucketed approximate top-k: assign corpus and queries to
+    centroid buckets, then run exact top-k only within each query's
+    bucket (1 probe). Recall < 1.0 by construction; that is the accepted
+    trade at scale. Returns (query_id, neighbor_id, similarity, rank)."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    corpus = (
+        emb.join(assign.select(id_col, "cluster_id"), id_col)
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col("cluster_id"), _as_double(vec_col).alias("cv"))
+    )
+    qs = (
+        queries.join(assign.select(id_col, "cluster_id"), id_col)
+        .select(F.col(id_col).alias("query_id"),
+                F.col("cluster_id"), _as_double(vec_col).alias("qv"))
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    pairs = (
+        corpus.join(F.broadcast(qs), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("similarity"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (upper triangle), exact.
+
+    Brute force O(n²) — the correctness baseline. At scale, compose with
+    ``ivf_assign`` and compare only within buckets (same pattern as the
+    LSH/Jaccard pair in dedup.py). Returns (id_a, id_b, similarity).
+    """
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )

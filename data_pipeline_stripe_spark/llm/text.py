@@ -1,0 +1,113 @@
+"""Text analysis operators: stats, quality scoring, language ID, token
+counting, fingerprinting. All native column expressions (JVM-side,
+whole-stage-codegen'd) — per-row text math is exactly the workload where a
+Python UDF would cost 10-100× at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text_expr, tokens_expr
+
+# Tiny per-language stopword lists used by the n-gram language heuristic.
+# Deliberately small and SQL-reproducible.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "los", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+# A BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
+# non-space symbol — a public, deterministic approximation of subword
+# pre-tokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, distinct tokens,
+    type-token ratio, mean token length."""
+    tokens = tokens_expr(text_col)
+    d = df.select(F.col(id_col), F.col(text_col), tokens.alias("_t"))
+    n_tokens = F.size("_t").cast("long")
+    n_unique = F.size(F.array_distinct("_t")).cast("long")
+    sum_len = F.aggregate("_t", F.lit(0), lambda acc, x: acc + F.length(x))
+    return d.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        F.round(n_unique / n_tokens, 4).alias("ttr"),
+        F.round(sum_len / n_tokens, 4).alias("mean_token_len"),
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Token counts: whitespace tokens and BPE-ish regex tokens."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic. Scores each language by counting
+    tokens from its stopword list; predicts the max-scoring language
+    (fixed priority order breaks ties), 'und' if all scores are zero."""
+    tokens = tokens_expr(normalized_text_expr(text_col))
+    d = df.select(F.col(id_col), tokens.alias("_t"))
+
+    def _in(sw: list[str]):
+        # Single-parameter lambda on purpose: F.filter treats a 2-parameter
+        # function as (element, index).
+        return lambda x: x.isin(sw)
+
+    scores = {
+        lang: F.size(F.filter("_t", _in(sw))) for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    predicted = F.when(best == 0, "und")
+    for lang in STOPWORDS:  # insertion order = tie priority
+        predicted = predicted.when(scores[lang] == best, lang)
+    out = d.select(F.col(id_col), predicted.alias("predicted_lang"),
+                   *[scores[lang].cast("long").alias(f"score_{lang}")
+                     for lang in STOPWORDS])
+    return out
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Composite document quality in [0,1]: length saturation (tokens/50),
+    lexical diversity (type-token ratio), char-length saturation
+    (chars/200). Weights 0.3/0.4/0.3; is_quality at 0.6."""
+    tokens = tokens_expr(text_col)
+    d = df.select(F.col(id_col), F.col(text_col), tokens.alias("_t"))
+    n_tokens = F.size("_t")
+    ttr = F.size(F.array_distinct("_t")) / n_tokens
+    len_sat = F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+    char_sat = F.least(F.lit(1.0), F.length(text_col) / F.lit(200.0))
+    score = F.round(0.3 * len_sat + 0.4 * ttr + 0.3 * char_sat, 4)
+    return d.select(
+        F.col(id_col),
+        score.alias("quality"),
+        (score >= 0.6).alias("is_quality"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact identity).
+    SimHash (fuzzy identity) lives in dedup.simhash_fingerprints."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text_expr(text_col)).alias("md5_fp"),
+        F.sha2(normalized_text_expr(text_col), 256).alias("sha256_fp"),
+    )

@@ -1,0 +1,19 @@
+"""Declared query registry: every operator of SURVEY.md §2 as a named query.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+ANSI-SQL oracle twin that DuckDB runs over the same parquet tables. The
+driver hash-compares both at sf0.01 (row count + schema + order-insensitive
+value hash, columns sorted by name) — so every computed column is aliased
+identically on both sides, doubles are rounded on both sides, and
+timestamps are rendered to strings on both sides.
+"""
+
+from .registry import REGISTRY, Query, query  # noqa: F401
+
+# Importing the modules populates REGISTRY via the @query decorator.
+from . import relational  # noqa: E402,F401
+from . import stripe  # noqa: E402,F401
+from . import llm_text  # noqa: E402,F401
+from . import llm_similarity  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "Query", "query"]

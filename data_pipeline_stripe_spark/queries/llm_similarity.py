@@ -1,0 +1,105 @@
+"""Similarity-search queries over the embeddings table (array<float>).
+
+Oracle parity notes: both engines compute on array<double> with identical
+left-to-right dot products (Spark aggregate/zip_with vs DuckDB
+list_inner_product) and the identical cosine formula
+dot/sqrt(dot_aa*dot_bb); similarities are rounded to 6 decimals BEFORE
+ranking/filtering so tie-breaks are reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import similarity
+from ..sources import load_table
+from .registry import query
+
+_COS = (
+    "list_inner_product(a.v, b.v) / "
+    "sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v))"
+)
+
+
+@query(
+    "embedding_topk_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS}, 6) AS similarity
+        FROM e a JOIN e b ON a.vec_id < 8 AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: exact top-5 cosine neighbors for query vectors
+    (vec_id < 8). Queries broadcast; corpus never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "embedding_ivf_assign",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < 4),
+    scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               ROUND(list_inner_product(c.cv, e.v)
+                     / sqrt(list_inner_product(c.cv, c.cv)
+                            * list_inner_product(e.v, e.v)), 6) AS similarity
+        FROM e CROSS JOIN cents c
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY similarity DESC, cluster_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, cluster_id, similarity FROM ranked WHERE rn = 1
+    """,
+)
+def embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: IVF bucket assignment — every vector to its
+    max-cosine centroid (centroids = vec_id < 4, broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.ivf_assign(emb, cents)
+
+
+@query(
+    "embedding_cosine_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS}, 6) AS similarity
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND({_COS}, 6) >= 0.45
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-embedding: exact cosine near-duplicate pairs (threshold 0.45,
+    upper triangle). Brute-force baseline; compose with ivf_assign for
+    the bucketed variant at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+@query("embedding_ivf_topk", oracle=None)  # approximate: recall<1 vs exact oracle
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: IVF-bucketed approximate top-k (1 probe). Approximate by
+    construction, so no SQL oracle — the unit test checks recall against
+    the brute-force baseline instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), cents, k=5)

@@ -1,0 +1,262 @@
+"""LLM text-pipeline queries: dedup, text analysis, fingerprints.
+
+Oracle twins reproduce the operators in DuckDB SQL bit-for-bit: the
+tokenization (regex whitespace split of trimmed text), shingling
+(1-indexed 3-token windows) and hashing (md5/sha256 of UTF-8) are all
+engine-agnostic by construction. Several oracles are generated
+programmatically (16 MinHash aggregate columns, 16 SimHash bit sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup, multimodal, text as llm_text
+from ..sources import load_table
+from .registry import query
+
+# Shared SQL fragments (DuckDB dialect) -------------------------------------
+
+_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES_CTE = rf"""
+    docs AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    sh0 AS (SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]) AS shingle
+            FROM docs WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+_N_HASHES = dedup.N_HASHES
+_N_BANDS = dedup.N_BANDS
+_RPB = dedup.ROWS_PER_BAND
+
+_SIG_AGGS = ",\n           ".join(
+    f"MIN(md5('{h}:' || shingle)) AS mh_{h}" for h in range(_N_HASHES)
+)
+_BAND_SELECTS = "\n        UNION ALL\n".join(
+    "        SELECT doc_id, {b} AS band_id, md5({cat}) AS band_key FROM sig".format(
+        b=b,
+        cat=" || ".join(f"mh_{h}" for h in range(b * _RPB, (b + 1) * _RPB)),
+    )
+    for b in range(_N_BANDS)
+)
+_EST_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh_{h} = sb.mh_{h} THEN 1 ELSE 0 END" for h in range(_N_HASHES)
+)
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup groups via sha256 of normalized text; deterministic
+    canonical winner (min doc_id). One groupBy shuffle at any scale."""
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_SIG_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(({_EST_MATCHES}) / {float(_N_HASHES)}, 4) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ROUND(({_EST_MATCHES}) / {float(_N_HASHES)}, 4) >= 0.5
+    """,
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash(16 md5-min hashes) + LSH(4 bands × 4 rows) near-dup
+    candidate pairs, scored by estimated Jaccard >= 0.5. Banded bucket
+    join — never O(n²)."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    """,
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-exact: 3-gram shingle Jaccard via inverted-index self-join —
+    the exact verifier for the LSH candidates."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS = "".join(
+    "CASE WHEN SUM(CASE WHEN substring(md5(tok), {p}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+    "THEN '1' ELSE '0' END || ".format(p=h + 1)
+    for h in range(16)
+).rstrip(" |")
+
+
+@query(
+    "doc_simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    )
+    SELECT doc_id, {_SIMHASH_BITS} AS simhash
+    FROM tok GROUP BY doc_id
+    """,
+)
+def doc_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-fuzzy: 16-bit SimHash fingerprints (md5-parity bits over distinct
+    tokens). Near-dup pair extraction (Hamming<=k with half-block keying)
+    is dedup.simhash_near_dup_pairs."""
+    return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_tokens,
+           ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr,
+           ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t), 4) AS mean_token_len
+    FROM (SELECT doc_id, text, {_TOKENS} AS t FROM documents)
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-document text statistics, all JVM-side expressions."""
+    return llm_text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: whitespace + BPE-ish regex token counting."""
+    return llm_text.bpe_ish_token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(sw: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in sw)
+    return f"len(list_filter(t, x -> x IN ({lst})))"
+
+
+_LANG_SCORES = {
+    lang: _lang_score_sql(sw) for lang, sw in llm_text.STOPWORDS.items()
+}
+_BEST = "greatest({})".format(", ".join(_LANG_SCORES.values()))
+_PRED = "CASE WHEN {best} = 0 THEN 'und' {whens} END".format(
+    best=_BEST,
+    whens=" ".join(
+        f"WHEN {score} = {_BEST} THEN '{lang}'"
+        for lang, score in _LANG_SCORES.items()
+    ),
+)
+
+
+@query(
+    "doc_language_id",
+    oracle=f"""
+    SELECT doc_id, {_PRED} AS predicted_lang,
+           {", ".join(f"CAST({s} AS BIGINT) AS score_{lang}" for lang, s in _LANG_SCORES.items())}
+    FROM (SELECT doc_id, string_split_regex(trim(lower(trim(text))), '\\s+') AS t
+          FROM documents)
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: stopword-vote language heuristic with deterministic tie order."""
+    return llm_text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(0.3 * least(1.0, len(t) / 50.0)
+                 + 0.4 * (len(list_distinct(t)) / CAST(len(t) AS DOUBLE))
+                 + 0.3 * least(1.0, length(text) / 200.0), 4) AS quality,
+           (ROUND(0.3 * least(1.0, len(t) / 50.0)
+                 + 0.4 * (len(list_distinct(t)) / CAST(len(t) AS DOUBLE))
+                 + 0.3 * least(1.0, length(text) / 200.0), 4) >= 0.6) AS is_quality
+    FROM (SELECT doc_id, text, {_TOKENS} AS t FROM documents)
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: composite quality score (length saturation + lexical diversity)."""
+    return llm_text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS md5_fp,
+           sha256(lower(trim(text))) AS sha256_fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: content fingerprints (md5 + sha256 of normalized text)."""
+    return llm_text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "multimodal_image_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 1024 + 1 AS BIGINT) AS width,
+           CAST((strlen(text) * 7) % 768 + 1 AS BIGINT) AS height,
+           CAST((strlen(text) % 1024 + 1) * ((strlen(text) * 7) % 768 + 1) AS BIGINT)
+               AS n_pixels
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: multimodal plumbing — binary payload column + typed metadata +
+    Arrow-batched mapInPandas feature extraction. The decode step uses the
+    deterministic fake decoder (real decode is a documented stub; no media
+    libs in this container); the Spark-side batch flow is real."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs)
+    return multimodal.extract_image_features(media, decoder="fake")

@@ -1,0 +1,709 @@
+"""Relational operator queries (SURVEY.md §2.3–§2.9) over the driver tables.
+
+Each query exercises one or more operators from the reference's inventory,
+re-expressed idiomatically: broadcast joins for dims, window functions
+instead of aggregate-then-self-join, single-pass plans. Oracle twins are
+DuckDB SQL; every computed column is aliased identically on both sides and
+doubles are rounded on both sides so value hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources import load_table
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# A2-family: multi-aggregate grouped scan (TPC-H Q1 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate scan — the A2 pattern (reference
+    platform_usage.py:118-181) generalized to 8 aggregates in ONE pass.
+    Filter + pruned columns push down to the parquet scan; partial
+    aggregation happens map-side before the single shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1+J2 (broadcast dim joins) + A1 (count) — star join.
+# ---------------------------------------------------------------------------
+@query(
+    "star_join_revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation  n ON s.s_nationkey = n.n_nationkey
+    JOIN region  r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def star_join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ chained small dims (reference J1/J2: top10.py:227-236) with
+    explicit broadcast of every dim — no shuffle of the fact for the joins,
+    only for the final small aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left-outer join with missing keys (J1 null path, FIXTURES.md events).
+# ---------------------------------------------------------------------------
+@query(
+    "left_join_missing_dim",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(c.c_custkey) AS BIGINT) AS n_matched
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY COALESCE(c.c_mktsegment, 'UNKNOWN')
+    """,
+)
+def left_join_missing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi left-outer join preserving unmatched fact rows (reference
+    J1, top10.py:227-230: events ⟕ resources keeps events whose
+    resourceId has no resource). Dim side broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("c_custkey").alias("n_matched"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8: expression join with differing column names.
+# ---------------------------------------------------------------------------
+@query(
+    "expression_join_nation_region",
+    oracle="""
+    SELECT n.n_name AS nation_name, r.r_name AS region_name,
+           CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers,
+           ROUND(SUM(COALESCE(c.c_acctbal, 0)), 2) AS total_acctbal
+    FROM nation n
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def expression_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression join on differently-named keys (reference J8,
+    royalties.py:298: joined.countryCode == countries.CountryCode)."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "left")
+        .join(cust, cust.c_nationkey == nat.n_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (engine completeness beyond reference's left-only set).
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS. Not used by the reference (its P7 RDD
+    null-filter after left join *emulates* inner/semi, royalties.py:306);
+    declared explicitly here."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: top-K per group via dense_rank (ties kept) — the top10 spine.
+# ---------------------------------------------------------------------------
+@query(
+    "topk_parts_per_brand",
+    oracle="""
+    WITH counts AS (
+        SELECT p.p_brand AS brand, l.l_partkey AS part_key,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_partkey
+    ), ranked AS (
+        SELECT brand, part_key, cnt,
+               CAST(DENSE_RANK() OVER (PARTITION BY brand ORDER BY cnt DESC) AS BIGINT) AS position
+        FROM counts
+    )
+    SELECT brand, part_key, cnt, position FROM ranked WHERE position <= 5
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group with dense_rank and ties KEPT — the reference's W1
+    semantic (top10.py:247-251: a "top 10" may exceed 10 rows on ties).
+    One shuffle for the count, one for the window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    counts = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("part_key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("brand").orderBy(F.col("cnt").desc())
+    return (
+        counts.withColumn("position", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("position") <= 5)
+        .select("brand", "part_key", "cnt", "position")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window running sum (frame-bounded) — extends reference's default-frame-only
+# window usage.
+# ---------------------------------------------------------------------------
+@query(
+    "running_order_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def running_order_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum over an explicit ROWS frame with a deterministic
+    ordering (orderdate, orderkey tiebreak)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag/lead: sessionization (gap > 30 min starts a new session).
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag() + gap threshold — the standard batch
+    pattern (streaming twin: session_window in streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
+    new_session = F.when(
+        prev_ms.isNull() | ((F.unix_millis(F.col("ts")) - prev_ms) > 1800000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: distinct; A4: deterministic dedup (row_number == 1).
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_event_days",
+    oracle="SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events",
+)
+def distinct_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct() on a derived column (reference A3, top10.py:260 — there
+    it feeds a driver loop; here it IS the result, the loop is gone)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day")).distinct()
+
+
+@query(
+    "dedup_latest_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping a DETERMINISTIC winner (latest ts, then highest
+    event_id). The reference's dropDuplicates (A4, top10.py:252) keeps an
+    arbitrary row; at scale an arbitrary winner is irreproducible, so the
+    engine's dedup is window-based."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@query(
+    "distinct_subset_lineitem",
+    oracle="SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_subset_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a column subset, projected to that subset — the
+    deterministic core of reference A4 (platform_usage.py:225-229)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_returnflag", "l_linestatus").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Rollup / grouping sets (generalizes A2's six hand-built granularities).
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — the relational-complete form of the reference's six
+    hand-enumerated grouping granularities (A2, platform_usage.py:118-181):
+    one shuffle computes every level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact + approximate distinct counts (X6).
+# ---------------------------------------------------------------------------
+@query(
+    "count_distinct_users_per_type",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def count_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("approx_distinct_users_per_type", oracle=None)  # HLL sketch: rows-only check
+def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for X6;
+    sketch values are engine-specific so there is no SQL oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (absent from the reference; §2.7 completeness).
+# ---------------------------------------------------------------------------
+@query(
+    "union_distinct_keys",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    UNION
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return cust.union(orders).distinct()
+
+
+@query(
+    "except_customers_without_orders",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — set-difference twin of the anti join."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return cust.exceptAll(orders).distinct()
+
+
+@query(
+    "intersect_event_users_customers",
+    oracle="""
+    SELECT user_id AS key FROM events
+    INTERSECT
+    SELECT c_custkey AS key FROM customer
+    """,
+)
+def intersect_event_users_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    return ev.intersect(cust)
+
+
+# ---------------------------------------------------------------------------
+# O1-O3: global top-K via ORDER BY + LIMIT (deterministic tiebreak).
+# ---------------------------------------------------------------------------
+@query(
+    "global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark plans ORDER BY+LIMIT as TakeOrderedAndProject —
+    per-partition top-K then a K-sized merge on the driver, no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/F5: conditional expressions.
+# ---------------------------------------------------------------------------
+@query(
+    "conditional_order_classes",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 'fulfilled'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'partial' END AS status_class,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END), 2)
+               AS big_order_total
+    FROM orders GROUP BY 1
+    """,
+)
+def conditional_order_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.when/otherwise chains (reference P6, royalties.py:231-233)."""
+    o = load_table(spark, sf_dir, "orders")
+    status_class = (
+        F.when(F.col("o_orderstatus") == "F", "fulfilled")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+    )
+    big = F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice")).otherwise(0.0)
+    return (
+        o.groupBy(status_class.alias("status_class"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(big), 2).alias("big_order_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1: ISO-string substring extraction (date / month / tz offset).
+# ---------------------------------------------------------------------------
+@query(
+    "substring_time_parts",
+    oracle="""
+    SELECT SUBSTRING(iso, 1, 10) AS day, SUBSTRING(iso, 1, 7) AS month,
+           SUBSTRING(iso, 20, 6) AS tz_offset,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS iso FROM events)
+    GROUP BY 1, 2, 3
+    """,
+)
+def substring_time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's F1 idiom: 1-indexed SUBSTRING over ISO-8601 strings
+    — chars 1-10 date (top10.py:184-185), 1-7 month
+    (platform_usage.py:76-77), 20-25 offset (platform_usage.py:80-81)."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+00:00"))
+    return (
+        ev.select(iso.alias("iso"))
+        .select(
+            F.substring("iso", 1, 10).alias("day"),
+            F.substring("iso", 1, 7).alias("month"),
+            F.substring("iso", 20, 6).alias("tz_offset"),
+        )
+        .groupBy("day", "month", "tz_offset")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2: regex zero-pad normalization ("3.5" → "3.05").
+# ---------------------------------------------------------------------------
+@query(
+    "regex_normalize_dotted_ids",
+    # DuckDB's RE2 lacks lookahead, so the oracle uses the capture-group
+    # equivalent of the reference's `\.(?=\d)` → `.0`.
+    oracle=r"""
+    SELECT p_partkey, dotted,
+           regexp_replace(dotted, '\.(\d)', '.0\1') AS normalized
+    FROM (SELECT p_partkey,
+                 CAST(p_size AS VARCHAR) || '.' || CAST(p_partkey % 10 AS VARCHAR) AS dotted
+          FROM part)
+    """,
+)
+def regex_normalize_dotted_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-pad normalization of dotted ids (reference F2,
+    top10.py:79-81 / royalties.py:88-90: regexp_replace(categoryId,
+    r'\\.(?=\\d)', '.0')). Spark's Java regex supports the original
+    lookahead form; used verbatim here."""
+    p = load_table(spark, sf_dir, "part")
+    dotted = F.concat(
+        F.col("p_size").cast("string"), F.lit("."), (F.col("p_partkey") % 10).cast("string")
+    )
+    return p.select(
+        "p_partkey",
+        dotted.alias("dotted"),
+        F.regexp_replace(dotted, r"\.(?=\d)", ".0").alias("normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3: format_number fidelity (string output with thousands separators).
+# ---------------------------------------------------------------------------
+@query(
+    "format_number_prices",
+    # DuckDB's format() rejects thousands separators on floats, so the
+    # oracle rebuilds the grouped string from rounded cents.
+    oracle="""
+    SELECT o_orderkey,
+           format('{:,}', CAST(c AS BIGINT) // 100) || '.' ||
+           lpad(CAST(CAST(c AS BIGINT) % 100 AS VARCHAR), 2, '0') AS price_s
+    FROM (SELECT o_orderkey, round(o_totalprice * 100) AS c
+          FROM orders WHERE o_orderkey <= 200)
+    """,
+)
+def format_number_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_number(x, 2) — the reference's string-money quirk
+    (royalties.py:232). Kept as a declared fidelity operator; canonical
+    pipelines use numeric round() instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey", F.format_number("o_totalprice", 2).alias("price_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (engine completeness; oracle via conditional aggregation).
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_quantity_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_quantity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q2 + U1: SQL surface over temp views with a registered Python UDF.
+# ---------------------------------------------------------------------------
+@query(
+    "sql_udf_usage_percent",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, SUM(value) AS type_value FROM events GROUP BY event_type
+    ), total AS (SELECT SUM(value) AS total_value FROM events)
+    SELECT event_type, ROUND(type_value / total_value * 100, 4) AS usage_pct
+    FROM per_type, total
+    """,
+)
+def sql_udf_usage_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one UDF (U1, platform_usage.py:104-107:
+    usage_percent(a,b) = a/b*100, DoubleType) registered and called
+    through spark.sql over temp views (Q1/Q2 surface,
+    platform_usage.py:202-221). Division semantics: null on null input;
+    b=0 yields null in the engine (documented deviation from the
+    reference's ZeroDivisionError)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+
+    def usage_percent(a, b):
+        if a is None or b is None or b == 0:
+            return None
+        return a / b * 100.0
+
+    spark.udf.register("usage_percent", usage_percent, T.DoubleType())
+    return spark.sql(
+        """
+        WITH per_type AS (
+            SELECT event_type, SUM(value) AS type_value FROM events_v GROUP BY event_type
+        ), total AS (SELECT SUM(value) AS total_value FROM events_v)
+        SELECT event_type, ROUND(usage_percent(type_value, total_value), 4) AS usage_pct
+        FROM per_type CROSS JOIN total
+        """
+    )

@@ -1,0 +1,207 @@
+"""The three reference report pipelines, re-expressed over the driver tables.
+
+Mapping (FIXTURES.md §7): `events(ts, event_type, user_id, value)` plays the
+Stripe events fact; `part`/`nation`/`region` play the resource/category/
+country dims; `lineitem × orders` plays the royalties fact math.
+
+Each query is the idiomatic single-pass rewrite of its reference pipeline:
+- top10: dense_rank top-K per (day, group), ties kept      (top10.py)
+- platform_usage: ONE window pass instead of six agg+self-join rounds
+  (platform_usage.py:118-187)
+- royalties: broadcast rate join instead of an RDD closure map
+  (royalties.py:238-254,306)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "top10_event_types_daily",
+    oracle="""
+    WITH counts AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS purchases
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT day, event_type, purchases,
+               CAST(DENSE_RANK() OVER (
+                   PARTITION BY day ORDER BY purchases DESC) AS BIGINT) AS position
+        FROM counts
+    )
+    SELECT position, day, event_type, purchases
+    FROM ranked WHERE position <= 10
+    """,
+)
+def top10_event_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference report 1 (top10.py): daily top-10 per group by purchase
+    count, dense_rank with ties kept (top10.py:247-251), schema
+    position|date|group|count (top10.py:10-24). The reference's per-date
+    driver loop + re-executed DAG (top10.py:260-278) collapses into one
+    plan; the date becomes a partition column at write time."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("purchases"))
+    )
+    w = W.partitionBy("day").orderBy(F.col("purchases").desc())
+    return (
+        counts.withColumn("position", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("position") <= 10)
+        .select("position", "day", "event_type", "purchases")
+    )
+
+
+@query(
+    "platform_usage_monthly",
+    oracle="""
+    WITH base AS (
+        SELECT strftime(ts, '%Y-%m') AS month, event_type, user_id, value
+        FROM events
+    ), per_key AS (
+        SELECT month, event_type,
+               SUM(value) AS usage_value,
+               SUM(SUM(value)) OVER (PARTITION BY month) AS month_value
+        FROM base GROUP BY month, event_type
+    )
+    SELECT month, event_type,
+           ROUND(usage_value, 2) AS usage_value,
+           ROUND(usage_value / month_value * 100, 4) AS usage_pct
+    FROM per_key
+    """,
+)
+def platform_usage_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference report 2 (platform_usage.py): per-(month, group) usage as
+    a percentage of the month total. The reference computes each
+    granularity with groupBy + self-join back onto events — six shuffles
+    over the full fact (platform_usage.py:118-187) — and runs a Python UDF
+    for the division (:104-107). Here: ONE grouped aggregation, a window
+    over the (tiny) aggregate for the month total, native division."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = (
+        ev.select(F.date_format("ts", "yyyy-MM").alias("month"), "event_type", "value")
+        .groupBy("month", "event_type")
+        .agg(F.sum("value").alias("usage_value"))
+    )
+    w = W.partitionBy("month")
+    return per_key.select(
+        "month",
+        "event_type",
+        F.round(F.col("usage_value"), 2).alias("usage_value"),
+        F.round(F.col("usage_value") / F.sum("usage_value").over(w) * 100, 4).alias(
+            "usage_pct"
+        ),
+    )
+
+
+@query(
+    "platform_usage_by_user_bucket",
+    oracle="""
+    WITH base AS (
+        SELECT strftime(ts, '%Y-%m') AS month,
+               CAST(user_id % 4 AS BIGINT) AS user_bucket,
+               event_type, value
+        FROM events
+    ), per_key AS (
+        SELECT month, user_bucket, event_type,
+               SUM(value) AS usage_value,
+               SUM(SUM(value)) OVER (PARTITION BY month, user_bucket) AS bucket_value
+        FROM base GROUP BY month, user_bucket, event_type
+    )
+    SELECT month, user_bucket, event_type,
+           ROUND(usage_value / bucket_value * 100, 4) AS usage_pct
+    FROM per_key
+    """,
+)
+def platform_usage_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second usage granularity (by countryCode /
+    timeZone, platform_usage.py:143-187) — same single-pass window
+    pattern over a different partition key (user bucket plays the
+    timezone)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            (F.col("user_id") % 4).cast("long").alias("user_bucket"),
+            "event_type",
+            "value",
+        )
+        .groupBy("month", "user_bucket", "event_type")
+        .agg(F.sum("value").alias("usage_value"))
+    )
+    w = W.partitionBy("month", "user_bucket")
+    return per_key.select(
+        "month",
+        "user_bucket",
+        "event_type",
+        F.round(F.col("usage_value") / F.sum("usage_value").over(w) * 100, 4).alias(
+            "usage_pct"
+        ),
+    )
+
+
+@query(
+    "royalties_monthly_usd",
+    oracle="""
+    WITH rates(region_name, rate) AS (
+        VALUES ('AFRICA', 1.10), ('AMERICA', 1.00), ('ASIA', 0.90),
+               ('EUROPE', 1.20)
+    )
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           n.n_name AS provider,
+           ROUND(SUM(CASE WHEN l.l_returnflag = 'R' THEN 0.0
+                          ELSE l.l_extendedprice * (1 - l.l_discount) * l.l_tax
+                     END * r2.rate), 2) AS royalty_usd
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN rates r2   ON r.r_name = r2.region_name
+    GROUP BY 1, 2
+    """,
+)
+def royalties_monthly_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference report 3 (royalties.py): monthly royalties per provider,
+    currency-normalized. Semantics mapped onto the driver tables:
+    promotion ⇒ zero amount (royalties.py:231: promotion == "false"
+    check) plays as returnflag 'R'; the category percent (royalties.py:232)
+    plays as l_tax; the exchange-rate dict captured in an RDD closure
+    (royalties.py:210-214,306) becomes a broadcast-joined rates dim —
+    currencies missing from rates drop via the inner join, which is the
+    declared semantics of the reference's None-filter (royalties.py:306).
+    No JVM→Python hop anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region"))
+    rates = F.broadcast(
+        spark.createDataFrame(
+            [("AFRICA", 1.10), ("AMERICA", 1.00), ("ASIA", 0.90), ("EUROPE", 1.20)],
+            "region_name string, rate double",
+        )
+    )
+    amount = (
+        F.when(F.col("l_returnflag") == "R", F.lit(0.0))
+        .otherwise(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .join(rates, reg.r_name == rates.region_name)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.col("n_name").alias("provider"),
+        )
+        .agg(F.round(F.sum(amount * F.col("rate")), 2).alias("royalty_usd"))
+    )
