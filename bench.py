@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf"}.
+
+Each query is forced to full materialization through the noop sink (so
+column-pruning can't fake the timing), after a one-query JVM warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: the three reference reports, the heavy relational
+# operators, and the LLM-pipeline operators. A balanced mix of scan-bound,
+# shuffle-bound and join-bound plans.
+HEADLINE = [
+    "q1_pricing_summary",
+    "star_join_revenue_by_region",
+    "topk_parts_per_brand",
+    "rollup_revenue",
+    "sessionize_events",
+    "running_order_total_per_customer",
+    "top10_event_types_daily",
+    "platform_usage_monthly",
+    "royalties_monthly_usd",
+    "count_distinct_users_per_type",
+    "doc_exact_dedup",
+    "doc_minhash_lsh_pairs",
+    "doc_ngram_jaccard_pairs",
+    "doc_text_stats",
+    "embedding_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+
+    from data_pipeline_stripe_spark.session import get_session
+    from data_pipeline_stripe_spark.queries import REGISTRY
+
+    spark = get_session(app_name="bench", master=f"local[{cpus}]",
+                        shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("q1_pricing_summary")  # JVM/codegen warmup, not timed
+
+    # Best-of-2: the first execution of each distinct plan pays whole-stage
+    # codegen JIT (seconds of C2 compile on a cold JVM); the second run is
+    # the steady-state number a long-lived cluster would see.
+    timings = {name: round(min(run(name), run(name)), 3) for name in HEADLINE}
+    total = round(sum(timings.values()), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf_dir,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

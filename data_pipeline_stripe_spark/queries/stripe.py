@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..sources import load_table
+from ..sources.readers import inline_dim
 from .registry import query
 
 
@@ -184,7 +185,8 @@ def royalties_monthly_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = F.broadcast(load_table(spark, sf_dir, "nation"))
     reg = F.broadcast(load_table(spark, sf_dir, "region"))
     rates = F.broadcast(
-        spark.createDataFrame(
+        inline_dim(
+            spark,
             [("AFRICA", 1.10), ("AMERICA", 1.00), ("ASIA", 0.90), ("EUROPE", 1.20)],
             "region_name string, rate double",
         )

@@ -24,6 +24,11 @@ from pyspark.sql import types as T
 
 from ..schemas import EVENTS_RAW_SCHEMA, TABLE_NAMES, TESTDATA_SCHEMAS
 
+# Tables large enough that an under-parallelized scan starves the CPUs;
+# dimensions stay unsplit (they broadcast anyway).
+FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+_NEEDS_REBALANCE: dict[tuple, bool] = {}
+
 
 def read_events_json(spark: SparkSession, path_glob: str,
                      schema: T.StructType = EVENTS_RAW_SCHEMA) -> DataFrame:
@@ -57,6 +62,32 @@ def read_dim_rows(spark: SparkSession, rows: Iterable[Mapping[str, Any]],
     return spark.createDataFrame(ordered, schema)
 
 
+def inline_dim(spark: SparkSession, rows: list[tuple], columns: str) -> DataFrame:
+    """Tiny literal dimension as a pure-JVM VALUES relation.
+
+    ``spark.createDataFrame(local_rows)`` routes through a Python RDD
+    (parallelize → Python workers just to emit a handful of rows — seconds
+    of overhead on a wide local master); a SQL VALUES table stays entirely
+    in the JVM and costs nothing. ``columns`` is e.g. "name string, rate double".
+    """
+    col_defs = [c.strip().split()[0] for c in columns.split(",")]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    values = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    df = spark.sql(f"SELECT * FROM VALUES {values} AS t({', '.join(col_defs)})")
+    casts = [F.col(c.strip().split()[0]).cast(" ".join(c.strip().split()[1:])).alias(c.strip().split()[0])
+             for c in columns.split(",")]
+    return df.select(*casts)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver test table (TESTDATA.md) as a DataFrame.
 
@@ -72,6 +103,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in FACT_TABLES:
+        # The test fixtures are single-row-group files, so Spark scans them
+        # as ONE partition and every map-side stage runs on one core. A
+        # production layout (many files / row groups) wouldn't need this;
+        # here we rebalance fact tables up to the session's parallelism.
+        # The probe result is memoized — static files don't change.
+        target = spark.sparkContext.defaultParallelism
+        key = (id(spark), sf_dir, name)
+        if key not in _NEEDS_REBALANCE:
+            _NEEDS_REBALANCE[key] = df.rdd.getNumPartitions() < max(2, target // 2)
+        if _NEEDS_REBALANCE[key]:
+            df = df.repartition(target)
     return df
 
 
