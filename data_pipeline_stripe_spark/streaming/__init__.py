@@ -1,0 +1,13 @@
+from .events import (
+    read_event_stream,
+    windowed_event_counts,
+    sessionized_event_counts,
+    run_to_memory,
+)
+
+__all__ = [
+    "read_event_stream",
+    "windowed_event_counts",
+    "sessionized_event_counts",
+    "run_to_memory",
+]

@@ -1,0 +1,91 @@
+"""Structured Streaming over the events source.
+
+The reference has NO streaming analytics (SURVEY.md §2.11): its ingest is
+event-driven (HTTP → Cloud Function → blob, process.py) but every report
+is a batch re-scan. This module is the §7 stretch goal: the same events
+schema consumed incrementally with watermarked event-time windows — the
+shape a real 100 TB/day pipeline uses so each report touches only new
+data. The batch queries in queries/stripe.py stay the semantic source of
+truth; these aggregations mirror them.
+
+Local testing: parquet-directory source + memory sink driven to
+completion with processAllAvailable() (synchronous, deterministic).
+In production the source line changes to kafka/kinesis; nothing else does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The driver test tables store ts as TIMESTAMP(NANOS), which the streaming
+# parquet reader also rejects — the stream schema takes epoch-nanos long
+# and converts, same as sources.load_table.
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """Incremental parquet-directory source with an explicit schema."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts per event_type with a watermark
+    bounding state for late data — the streaming twin of
+    top10_event_types_daily's per-day counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def sessionized_event_counts(events: DataFrame, gap: str = "30 minutes",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming twin of
+    the batch lag()-based sessionize_events query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id", "n_events",
+        )
+    )
+
+
+def run_to_memory(agg: DataFrame, query_name: str,
+                  output_mode: str = "append") -> None:
+    """Drive a streaming aggregation to completion into an in-memory table
+    (local test harness). Results land in ``SELECT * FROM {query_name}``."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory").queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

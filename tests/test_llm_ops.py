@@ -1,0 +1,118 @@
+"""Unit tests for the LLM-pipeline operators on planted-duplicate corpora
+and the driver's embeddings table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_stripe_spark.llm import dedup, multimodal, similarity
+from data_pipeline_stripe_spark.llm import text as llm_text
+from data_pipeline_stripe_spark.sources import load_table
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = " ".join(WORDS * 2)                      # 40 tokens
+    near = " ".join(WORDS * 2).replace("kappa", "KAPPA-X", 1)  # 1 token differs
+    other = " ".join(reversed(WORDS))               # same vocab, different order
+    exact = base
+    return spark.createDataFrame(
+        [(0, base), (1, near), (2, other), (3, exact)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups(spark, corpus):
+    groups = {r.canonical_doc_id: r.n_copies
+              for r in dedup.exact_dedup_groups(corpus).collect()}
+    assert groups[0] == 2          # doc 3 collapses onto doc 0
+    assert groups[1] == 1 and groups[2] == 1
+    assert 3 not in groups         # min-id wins
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, corpus):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0   # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5   # near dup
+    # reversed-order doc shares almost no 3-shingles with the others
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, corpus):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.1).collect()}
+    assert pairs[(0, 3)] == 1.0
+    # doc1 changed 1 token of 40 (dup'd words → 20 distinct shingles hit);
+    # jaccard must be high but < 1
+    assert 0.5 <= pairs[(0, 1)] < 1.0
+
+
+def test_simhash_identical_docs_same_fingerprint(spark, corpus):
+    fps = {r.doc_id: r.simhash
+           for r in dedup.simhash_fingerprints(corpus).collect()}
+    assert fps[0] == fps[3]
+    assert set(fps[0]) <= {"0", "1"} and len(fps[0]) == 16
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_dup_pairs(corpus, max_hamming=16).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+def test_text_stats_and_quality(spark, corpus):
+    stats = {r.doc_id: r for r in llm_text.text_stats(corpus).collect()}
+    assert stats[0].n_tokens == 40 and stats[0].n_unique_tokens == 20
+    assert stats[0].ttr == 0.5
+    q = {r.doc_id: r for r in llm_text.quality_score(corpus).collect()}
+    assert 0.0 <= q[0].quality <= 1.0
+
+
+def test_language_id_votes(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog is a pet"),
+         (2, "el gato y la casa es de los dos"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    langs = {r.doc_id: r.predicted_lang for r in llm_text.language_id(docs).collect()}
+    assert langs == {1: "en", 2: "es", 3: "und"}
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.similarity))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r[0] for r in rs] == [1, 2, 3, 4]
+        sims = [r[1] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_is_valid_approximation(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=4)
+    approx = similarity.ivf_topk(emb, queries, cents, k=4)
+    exact_best = {r.query_id: r.similarity for r in exact.collect() if r.rank == 1}
+    for r in approx.collect():
+        # approximate sims can never beat the exact best for that query
+        assert r.similarity <= exact_best[r.query_id] + 1e-9
+
+
+def test_multimodal_plumbing_and_stub(spark, corpus):
+    media = multimodal.attach_binary_payload(corpus)
+    feats = {r.doc_id: r for r in
+             multimodal.extract_image_features(media, decoder="fake").collect()}
+    for doc_id, r in feats.items():
+        assert r.n_pixels == r.width * r.height
+        assert r.width == r.n_bytes % 1024 + 1
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"bytes")

