@@ -117,6 +117,52 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
     )
 
 
+def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Same semantics as ``brute_force_topk``, implemented as an
+    Arrow-batched ``mapInPandas`` numpy kernel: the (small) query matrix is
+    a broadcast variable; each corpus partition streams through a single
+    matrix-matrix product. This is the pattern for vector math too wide
+    for expression codegen — per-batch BLAS instead of per-row Python.
+    Returns (query_id, neighbor_id, similarity, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()  # queries are small
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ mat.T  # (batch, n_queries)
+            n, m = sims.shape
+            yield pd.DataFrame({
+                "query_id": np.tile(ids, n),
+                "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
+                "similarity": np.round(sims.reshape(-1), 6),
+            })
+
+    pairs = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, similarity double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:

@@ -1,0 +1,62 @@
+"""As-of join (point-in-time join): for each left row, the most recent
+right row with right.time <= left.time within the same key.
+
+Spark has no native as-of join. The scalable composition used here is the
+union trick: tag both sides, union them, and run ONE window pass per key
+ordered by time — ``last_value(payload, ignorenulls)`` carries the latest
+right-side payload forward onto every left row. Cost: one shuffle of
+(left+right), no per-key cross product, no O(n·m) filter-join — this is
+the shape that survives 100× data (the alternative join-filter-rank
+explodes on hot keys).
+
+A ``pd.merge_asof``-per-group ``applyInPandas`` variant would also work
+(guide's suggestion); the union form keeps everything JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
+              right_time: str, payload: list[str],
+              suffix: str = "_asof") -> DataFrame:
+    """Returns ``left`` with ``<payload><suffix>`` columns: values from the
+    latest ``right`` row at-or-before the left row's time (per ``on`` key).
+    Ties at equal time: the right row wins (<= semantics); among multiple
+    right rows at the same time the last in (time, payload) order wins —
+    deterministic."""
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+    )
+    # right rows sort BEFORE left rows at equal time → <= join semantics;
+    # payload columns break ties among same-time right rows.
+    w = (
+        W.partitionBy("_k")
+        .orderBy("_t", "_is_left", *[F.col(f"_p_{c}") for c in payload])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        "*",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *lcols, *[f"{c}{suffix}" for c in payload]
+    )

@@ -93,6 +93,19 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.45)
 
 
+@query("embedding_topk_cosine_pandas", oracle=None)  # float-sum order differs
+def embedding_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 alternative implementation: the same exact top-5 search as
+    embedding_topk_cosine, as an Arrow-batched numpy matrix kernel
+    (mapInPandas). No SQL oracle — BLAS summation order differs from the
+    sequential-loop oracle at the last ulp; the unit test instead asserts
+    neighbor-set equality against the JVM implementation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_pandas(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    )
+
+
 @query("embedding_ivf_topk", oracle=None)  # approximate: recall<1 vs exact oracle
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: IVF-bucketed approximate top-k (1 probe). Approximate by

@@ -707,3 +707,100 @@ def sql_udf_usage_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_type CROSS JOIN total
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (generalizes rollup/cube; SQL surface).
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the exact relational form of the
+    reference's six hand-enumerated aggregation granularities
+    (platform_usage.py:118-181), via the SQL surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated) per group.
+# ---------------------------------------------------------------------------
+@query(
+    "percentiles_price_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the same linear
+    interpolation definition). The approximate scale path is
+    percentile_approx — see approx_percentiles_price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+@query("approx_percentiles_price", oracle=None)  # sketch-based: rows-only
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL-ish sketch) — the 100 TB path where exact
+    percentile's full sort per group is not affordable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join — no native Spark primitive; union+window
+# composition (operators/asof.py).
+# ---------------------------------------------------------------------------
+@query(
+    "asof_last_order_before_event",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime((SELECT max(o.o_orderdate) FROM orders o
+                     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts),
+                    '%Y-%m-%d') AS last_order_date
+    FROM events e
+    """,
+)
+def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the most recent order (same user)
+    at-or-before its timestamp. One shuffle of events+orders via the
+    tagged-union window composition — no per-key cross product."""
+    from ..operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = asof_join(ev, orders, on="user_id", left_time="ts",
+                    right_time="o_orderdate", payload=["o_orderdate"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("o_orderdate_asof", "yyyy-MM-dd").alias("last_order_date"),
+    )

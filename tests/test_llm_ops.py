@@ -107,6 +107,21 @@ def test_ivf_topk_is_valid_approximation(spark, sf_dir):
         assert r.similarity <= exact_best[r.query_id] + 1e-9
 
 
+def test_pandas_kernel_matches_jvm_topk(spark, sf_dir):
+    """The Arrow/numpy kernel must return the same neighbor sets as the
+    JVM expression implementation (similarities can differ in the last
+    ulp, so compare ids + rounded sims, not bits)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    jvm = similarity.brute_force_topk(emb, queries, k=5)
+    arrow = similarity.brute_force_topk_pandas(emb, queries, k=5)
+    j = {(r.query_id, r.rank): (r.neighbor_id, round(r.similarity, 5))
+         for r in jvm.collect()}
+    a = {(r.query_id, r.rank): (r.neighbor_id, round(r.similarity, 5))
+         for r in arrow.collect()}
+    assert j == a
+
+
 def test_multimodal_plumbing_and_stub(spark, corpus):
     media = multimodal.attach_binary_payload(corpus)
     feats = {r.doc_id: r for r in

@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the properties that make these queries
+survive a 100× scale-up — predicate pushdown into the parquet scan,
+column pruning, broadcast joins for dims, no Python boundary in hot
+paths. Plans regress silently; these tests make them load-bearing."""
+
+import pytest
+
+from data_pipeline_stripe_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: 7 needed columns, not all 11
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "star_join_revenue_by_region")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_royalties_has_no_python_boundary(spark, sf_dir):
+    """The reference converts currencies in an RDD map (royalties.py:306)
+    — every row through a Python worker. The rebuild must stay JVM-side."""
+    plan = plan_of(spark, sf_dir, "royalties_monthly_usd")
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_usage_report_is_single_pass(spark, sf_dir):
+    """One grouped agg + one window over the aggregate — not the
+    reference's six shuffles of the full fact (platform_usage.py:118-187).
+    Exchanges: fact repartition (test-env rebalance) + agg + window."""
+    plan = plan_of(spark, sf_dir, "platform_usage_monthly")
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 3, f"expected <=3 shuffles, plan has {n_exchanges}"
+
+
+def test_topk_uses_single_window_no_self_join(spark, sf_dir):
+    """top10's count-then-join-back (top10.py:242-244) must be a window,
+    so the plan has no join at all."""
+    plan = plan_of(spark, sf_dir, "top10_event_types_daily")
+    assert "Join" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "global_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_signature_plan_is_one_aggregation(spark, sf_dir):
+    """16 hash functions = 16 agg columns over one explode, not 16 passes:
+    exactly one pair of partial/final HashAggregate for the signatures."""
+    from data_pipeline_stripe_spark.llm import dedup
+    from data_pipeline_stripe_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = dedup.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    # partial + final (ObjectHashAggregate for min over strings)
+    assert plan.count("Aggregate") in (2, 3)
+    assert "Generate explode" in plan or "Generate" in plan

@@ -1,0 +1,77 @@
+"""Source-layer tests: the distributed readers that replace the
+reference's driver-side ingest loops (SURVEY.md §2.1)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_pipeline_stripe_spark.schemas import COUNTRIES_SCHEMA, EVENTS_RAW_SCHEMA
+from data_pipeline_stripe_spark.sources import (
+    read_dim_csv,
+    read_dim_rows,
+    read_events_json,
+)
+from data_pipeline_stripe_spark.sources.readers import inline_dim
+
+
+def test_events_json_blob_scan(spark, tmp_path):
+    """S1: one-JSON-object-per-file blobs (the reference's GCS layout,
+    process.py:54) read as ONE distributed scan with an explicit schema —
+    not a driver download loop (top10.py:147-153)."""
+    blob_dir = tmp_path / "events"
+    blob_dir.mkdir()
+    for i in range(5):
+        (blob_dir / f"event-{i}.json").write_text(json.dumps({
+            "eventId": f"ev-{i}", "eventTime": "2024-01-01T10:00:00+01:00",
+            "processTime": "2024-01-01T10:00:01", "resourceId": f"r{i % 2}",
+            "useId": "typo-key",   # producer quirk: process.py:43 writes 'useId'
+            "countryCode": "US", "duration": 10 * i, "itemPrice": "9.99",
+        }))
+    df = read_events_json(spark, f"{blob_dir}/*.json")
+    assert df.schema == EVENTS_RAW_SCHEMA
+    rows = df.collect()
+    assert len(rows) == 5
+    # the 'useId' typo means userId is null in real data — documented,
+    # reproduced, not "fixed" (SURVEY.md §1.2)
+    assert all(r.userId is None for r in rows)
+    assert {r.resourceId for r in rows} == {"r0", "r1"}
+
+
+def test_dim_csv_with_declared_schema(spark, tmp_path):
+    """S4: header CSV with an explicit schema (no inferSchema extra scan,
+    unlike royalties.py:66-68)."""
+    p = tmp_path / "countries.csv"
+    p.write_text("CountryCode,Code,Country\nUS,USD,United States\nFR,EUR,France\n")
+    df = read_dim_csv(spark, str(p), COUNTRIES_SCHEMA)
+    assert df.schema == COUNTRIES_SCHEMA
+    assert {r.Code for r in df.collect()} == {"USD", "EUR"}
+
+
+def test_dim_rows_from_payload(spark):
+    """S3/S5: REST-payload dimension with declared schema; missing keys
+    become nulls instead of inference surprises."""
+    df = read_dim_rows(
+        spark,
+        [{"CountryCode": "US", "Code": "USD", "Country": "United States"},
+         {"CountryCode": "XX", "Code": "ZZZ"}],   # Country missing → null
+        COUNTRIES_SCHEMA,
+    )
+    rows = {r.CountryCode: r for r in df.collect()}
+    assert rows["US"].Country == "United States"
+    assert rows["XX"].Country is None
+
+
+def test_inline_dim_is_jvm_only(spark):
+    df = inline_dim(spark, [("USD", 1.0), ("EUR", 1.1), (None, None)],
+                    "code string, rate double")
+    assert [f.name for f in df.schema.fields] == ["code", "rate"]
+    rows = {r.code: r.rate for r in df.collect()}
+    assert rows["EUR"] == 1.1 and rows[None] is None
+    # pure-JVM plan: a literal LocalRelation, no RDD scan node
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan and "ExistingRDD" not in plan
+
+
+def test_quoting_in_inline_dim(spark):
+    df = inline_dim(spark, [("O'Brien", 1)], "name string, n int")
+    assert df.collect()[0].name == "O'Brien"
