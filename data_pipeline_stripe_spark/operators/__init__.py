@@ -3,5 +3,6 @@ DataFrame ops (preference order per the build spec: composition first,
 Pandas UDF second, mapPartitions last)."""
 
 from .asof import asof_join
+from .skew import salted_join, two_phase_agg
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "salted_join", "two_phase_agg"]

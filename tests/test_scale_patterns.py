@@ -1,0 +1,57 @@
+"""Scale-pattern tests: bucketed co-located joins, salted skew joins,
+two-phase aggregation — correctness plus the plan property each exists for."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_stripe_spark.operators import salted_join, two_phase_agg
+from data_pipeline_stripe_spark.sources import load_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # skew: pretend one orderkey is hot by joining on a low-cardinality col
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    salted = salted_join(li, orders, on="l_orderkey", n_salts=8).agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_two_phase_agg_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {r.l_returnflag: round(r.s, 2) for r in
+              li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()}
+    salted = {r.l_returnflag: round(r.l_quantity_sum, 2) for r in
+              two_phase_agg(li, "l_returnflag", "l_quantity", "sum").collect()}
+    assert direct == salted
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
+    """bucketBy co-location: two tables bucketed on the join key join
+    without any Exchange — the 100 TB answer to repeated big-big joins
+    (guide: Partitioning & shuffle). Uses the default ./spark-warehouse
+    (warehouse.dir is a static conf); tables are dropped after."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite") \
+        .saveAsTable("li_bucketed")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite") \
+        .saveAsTable("orders_bucketed")
+    lb = spark.table("li_bucketed")
+    ob = spark.table("orders_bucketed")
+    # disable broadcast so the co-location is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
