@@ -12,6 +12,7 @@ from .registry import REGISTRY, Query, query  # noqa: F401
 
 # Importing the modules populates REGISTRY via the @query decorator.
 from . import relational  # noqa: E402,F401
+from . import relational2  # noqa: E402,F401
 from . import stripe  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401

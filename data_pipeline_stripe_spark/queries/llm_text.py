@@ -241,6 +241,40 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_dedup_corpus",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dup_pairs p WHERE p.doc_b = d.doc_id)
+    """,
+)
+def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2 composed end-to-end: the deduplicated corpus — every doc
+    survives unless it is a near-duplicate (3-shingle Jaccard >= 0.5) of a
+    lower-id doc. Pair generation is the inverted-index join; the removal
+    is an anti join. At 100 TB the pair stage swaps to minhash_lsh_pairs
+    + exact verification of candidates only (same composition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return docs.join(
+        pairs, docs.doc_id == pairs.doc_b, "left_anti"
+    ).select("doc_id", "lang", "source")
+
+
+@query(
     "multimodal_image_features",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,

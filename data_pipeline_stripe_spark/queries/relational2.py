@@ -1,0 +1,175 @@
+"""Second relational batch: semi-structured JSON props, time functions,
+ntile, multi-column statistics, unpivot, and batch session windows.
+
+The reference parses JSON in driver Python before Spark ever sees it
+(top10.py:153); here semi-structured parsing is an engine operator
+(get_json_object / from_json) so it distributes and prunes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+               AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum
+    FROM events GROUP BY 1
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props parsing as an engine operator. The reference
+    does json.loads on the driver (top10.py:153); from_json/get_json_object
+    runs distributed and participates in pruning."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))["k"]
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+    )
+
+
+@query(
+    "date_trunc_weekly_activity",
+    oracle="""
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+           CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def date_trunc_weekly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed time functions (the canonical alternative to the reference's
+    ISO-string substring slicing, F1): date_trunc + day-of-week. Spark's
+    dayofweek is 1-based Sunday-first; normalized to DuckDB's 0-based."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week_start"),
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        )
+        .groupBy("week_start", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ntile_customer_quartiles",
+    oracle="""
+    SELECT CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)
+               AS quartile,
+           c_custkey, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window function with a fully deterministic ordering."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+@query(
+    "stats_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 3) AS price_stddev,
+           ROUND(avg(l_quantity), 4) AS qty_avg,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev + Pearson correlation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 3).alias("price_stddev"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_avg"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+    )
+
+
+@query(
+    "unpivot_price_components",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, comp, ROUND(val, 2) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'price' AS comp, l_extendedprice AS val
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey <= 100
+    )
+    """,
+)
+def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) via stack — the inverse of pivot."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'price', l_extendedprice, 'discount', l_discount, "
+            "'tax', l_tax) AS (comp, raw_val)"
+        ),
+    ).select("l_orderkey", "l_linenumber", "comp", F.round("raw_val", 2).alias("val"))
+
+
+@query(
+    "session_window_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in BATCH mode (gap-merged event-time
+    sessions) — the declarative form of the lag/cumsum construction the
+    oracle uses; also the exact batch twin of
+    streaming.sessionized_event_counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end_s"),
+            "n_events",
+        )
+    )
