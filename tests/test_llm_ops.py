@@ -107,6 +107,37 @@ def test_ivf_topk_is_valid_approximation(spark, sf_dir):
         assert r.similarity <= exact_best[r.query_id] + 1e-9
 
 
+def test_dedup_is_idempotent(spark, sf_dir):
+    """Property: deduplicating an already-deduplicated corpus removes
+    nothing, and the deduplicated corpus contains no qualifying pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.join(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+        docs.doc_id == F.col("doc_b"), "left_anti",
+    ).select("doc_id", "text")
+    n1 = survivors.count()
+    again = survivors.join(
+        dedup.ngram_jaccard_pairs(survivors, threshold=0.5),
+        survivors.doc_id == F.col("doc_b"), "left_anti",
+    )
+    assert again.count() == n1
+    assert dedup.ngram_jaccard_pairs(survivors, threshold=0.5).count() == 0
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """Property: for every LSH candidate pair, the 16-slot estimate is
+    within 0.35 of the exact shingle Jaccard (coarse but unbiased)."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert est, "no candidate pairs found (planted near-dups exist)"
+    for pair, e in est.items():
+        assert pair in exact, f"LSH pair {pair} has low exact jaccard"
+        assert abs(e - exact[pair]) <= 0.35
+
+
 def test_pandas_kernel_matches_jvm_topk(spark, sf_dir):
     """The Arrow/numpy kernel must return the same neighbor sets as the
     JVM expression implementation (similarities can differ in the last

@@ -58,6 +58,41 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+# Queries where a Python stage is the point (Arrow-batched kernels) or an
+# O(n²) pair scan is the documented baseline semantics.
+PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
+             "multimodal_image_features"}
+NONEQUI_OK = {
+    # documented O(n²) brute-force baselines / pair scans
+    "embedding_topk_cosine", "embedding_cosine_near_dup",
+    "embedding_topk_cosine_pandas",
+    # broadcast-TINY crosses: a 1-row scalar total / a 4-row centroid table
+    # against the fact — nested-loop over a broadcast handful is the right
+    # plan (the small side is O(1), not a second fact)
+    "sql_udf_usage_percent", "embedding_ivf_assign", "embedding_ivf_topk",
+}
+
+
+def test_registry_sweep_no_accidental_cartesian_or_python(spark, sf_dir):
+    """Every declared query: no CartesianProduct ever, no shuffle-based
+    nested-loop join, and no Python evaluation outside the declared
+    Arrow-kernel queries. This is the 100 TB smell test run over the
+    whole surface."""
+    problems = []
+    for name, q in REGISTRY.items():
+        plan = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in NONEQUI_OK:
+            problems.append(f"{name}: BroadcastNestedLoopJoin")
+        if name not in PYTHON_OK and (
+            "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+        ):
+            problems.append(f"{name}: Python boundary")
+    assert not problems, problems
+
+
 def test_minhash_signature_plan_is_one_aggregation(spark, sf_dir):
     """16 hash functions = 16 agg columns over one explode, not 16 passes:
     exactly one pair of partial/final HashAggregate for the signatures."""
