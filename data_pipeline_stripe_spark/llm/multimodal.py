@@ -65,6 +65,65 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
     )
 
 
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+])
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10,
+                        decoder: str = "fake") -> DataFrame:
+    """Frame sampling for video payloads — one output row per sampled
+    frame (1→N flatMap shape via mapInPandas). The fake decoder treats
+    every ``every_n`` bytes of the payload as one 'frame'; a real decoder
+    (ffmpeg/opencv — not in this image) would replace only the inner
+    function, the batch flow is identical."""
+    if decoder != "fake":  # pragma: no cover
+        raise NotImplementedError(
+            "video decode requires ffmpeg/opencv, not present in this "
+            "environment; use decoder='fake' for plumbing tests")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i, off in enumerate(range(0, len(raw), every_n)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(raw[off:off + every_n])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  decoder: str = "fake") -> DataFrame:
+    """Image resize — payload-in/payload-out transform. Fake decoder
+    truncates/pads bytes to width*height (deterministic); a real one
+    would decode, resample, re-encode. Schema and flow are the real
+    contract."""
+    if decoder != "fake":  # pragma: no cover
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, not present in this "
+            "environment; use decoder='fake' for plumbing tests")
+    n = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(
+                lambda p: bytes(p)[:n].ljust(n, b"\0"))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "payload": resized,
+                "n_bytes": n,
+            })
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas`` — the pattern for any per-media-file Python work

@@ -6,7 +6,7 @@ Python UDF would cost 10-100× at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text_expr, tokens_expr
@@ -110,4 +110,30 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.md5(normalized_text_expr(text_col)).alias("md5_fp"),
         F.sha2(normalized_text_expr(text_col), 256).alias("sha256_fp"),
+    )
+
+
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_BASE = 31
+
+
+def rolling_hash_expr(col: Column | str) -> Column:
+    """Polynomial rolling hash over the character stream:
+    h = Σ ascii(c_i)·B^(n-i) mod P, folded left. Pure integer arithmetic,
+    so any engine reproduces it exactly (the DuckDB oracle uses
+    list_reduce over the same char stream)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_HASH_BASE + F.ascii(x)) % ROLLING_HASH_MOD,
+    )
+
+
+def rolling_hash_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Per-document rolling-hash fingerprint of the normalized text."""
+    return df.select(
+        F.col(id_col),
+        rolling_hash_expr(normalized_text_expr(text_col)).alias("rolling_fp"),
     )

@@ -241,6 +241,24 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0, list_transform(string_split(lower(trim(text)), ''),
+                                              x -> CAST(ascii(x) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: polynomial rolling-hash document fingerprint — exact integer
+    arithmetic folded left over the char stream, reproduced bit-for-bit
+    by the oracle's list_reduce."""
+    return llm_text.rolling_hash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_dedup_corpus",
     oracle=f"""
     WITH {_SHINGLES_CTE},

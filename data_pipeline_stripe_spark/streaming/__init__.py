@@ -2,6 +2,7 @@ from .events import (
     read_event_stream,
     windowed_event_counts,
     sessionized_event_counts,
+    stateful_running_totals,
     run_to_memory,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "read_event_stream",
     "windowed_event_counts",
     "sessionized_event_counts",
+    "stateful_running_totals",
     "run_to_memory",
 ]

@@ -77,6 +77,43 @@ def sessionized_event_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per
+    event_type, running (n_events, total_value) carried in explicit
+    GroupState across micro-batches — the escape hatch for operators the
+    built-in windowed aggregations can't express (custom eviction,
+    session models, CDC reconciliation). Emits the updated totals for
+    every key touched in a batch."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame({
+            "event_type": [key[0]], "n_events": [n], "total_value": [round(v, 2)]
+        })
+
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                outputMode="update",
+                                timeoutConf="NoTimeout")
+    )
+
+
 def run_to_memory(agg: DataFrame, query_name: str,
                   output_mode: str = "append") -> None:
     """Drive a streaming aggregation to completion into an in-memory table

@@ -75,3 +75,18 @@ def test_inline_dim_is_jvm_only(spark):
 def test_quoting_in_inline_dim(spark):
     df = inline_dim(spark, [("O'Brien", 1)], "name string, n int")
     assert df.collect()[0].name == "O'Brien"
+
+
+def test_lakehouse_stubs_raise_cleanly(spark):
+    """Delta/Iceberg jars are not in this image; the connectors must say
+    so explicitly instead of failing deep in the DataSource resolver."""
+    import pytest as _pytest
+
+    from data_pipeline_stripe_spark.sources import lakehouse
+
+    if not lakehouse.delta_available():
+        with _pytest.raises(NotImplementedError, match="delta-spark"):
+            lakehouse.read_delta(spark, "/nope")
+    if not lakehouse.iceberg_available(spark):
+        with _pytest.raises(NotImplementedError, match="iceberg"):
+            lakehouse.read_iceberg(spark, "cat.db.t")

@@ -40,6 +40,48 @@ def test_windowed_counts_match_batch(spark, sf_dir, stream_dir):
     assert s == b
 
 
+def test_stateful_running_totals(spark, sf_dir, stream_dir):
+    """The applyInPandasWithState operator's final per-key state must
+    equal the batch groupBy totals once the stream drains."""
+    stream = streaming.read_event_stream(spark, stream_dir)
+    out = streaming.stateful_running_totals(stream)
+    streaming.run_to_memory(out, "running_totals", output_mode="update")
+    # update mode emits one row per key per batch; the LAST emission per
+    # key is the final state
+    final = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT event_type, n_events, total_value FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+            "         ORDER BY n_events DESC) AS rn FROM running_totals"
+            ") WHERE rn = 1").collect()
+    }
+    batch = {
+        r.event_type: (r.n, round(r.v, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_multimodal_frame_sampling_and_resize(spark, sf_dir):
+    from data_pipeline_stripe_spark.llm import multimodal
+    from data_pipeline_stripe_spark.sources import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents").limit(20)
+    media = multimodal.attach_binary_payload(docs)
+    frames = multimodal.sample_video_frames(media, every_n=50)
+    per_doc = {r.doc_id: r.cnt for r in
+               frames.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {r.doc_id: r.n_bytes for r in media.collect()}
+    for doc_id, cnt in per_doc.items():
+        assert cnt == -(-sizes[doc_id] // 50)   # ceil(n_bytes / 50)
+    resized = multimodal.resize_images(media, 16, 8).collect()
+    assert all(len(bytes(r.payload)) == 128 and r.n_bytes == 128 for r in resized)
+
+
 def test_session_windows_smoke(spark, stream_dir):
     stream = streaming.read_event_stream(spark, stream_dir)
     agg = streaming.sessionized_event_counts(stream, gap="30 minutes")
