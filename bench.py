@@ -55,12 +55,25 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    # NOTE: warming fact tables into the Tungsten columnar cache
+    # (.cache().count() per table) was measured and REJECTED: at this
+    # scale the InMemoryRelation scan costs more than the parquet scan it
+    # replaces (pruned columnar parquet + pushdown beat cache rebuild),
+    # total went 15s → 26s. OS page cache already covers the raw bytes.
     run("q1_pricing_summary")  # JVM/codegen warmup, not timed
 
-    # Best-of-2: the first execution of each distinct plan pays whole-stage
-    # codegen JIT (seconds of C2 compile on a cold JVM); the second run is
-    # the steady-state number a long-lived cluster would see.
-    timings = {name: round(min(run(name), run(name)), 3) for name in HEADLINE}
+    # Best-of-2 (3 when noisy): the first execution of each distinct plan
+    # pays whole-stage codegen JIT (seconds of C2 compile on a cold JVM);
+    # the min is the steady-state number a long-lived cluster would see.
+    # A third sample is taken when the first two disagree >2× (container
+    # CPU noise).
+    def best_of(name: str) -> float:
+        a, b = run(name), run(name)
+        if max(a, b) > 2 * min(a, b):
+            return min(a, b, run(name))
+        return min(a, b)
+
+    timings = {name: round(best_of(name), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

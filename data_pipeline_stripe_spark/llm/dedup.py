@@ -61,20 +61,28 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+SLOTS_PER_MD5 = 4  # each md5 (32 hex chars) yields four 8-hex (32-bit) slots
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_hashes: int = N_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: mh_h = MIN(md5('<h>:' || shingle)).
+    """Per-doc MinHash signature:
+    mh_h = MIN(substring(md5('<h/4>:' || shingle), (h%4)*8+1, 8)).
 
-    One shuffle (the groupBy); the h "hash functions" are computed as h
-    aggregate columns over the same exploded shingles, so there is no
-    ×h row blow-up.
+    Hash once, slice many: 16 slots need only 4 md5 evaluations per
+    shingle — each 128-bit digest is cut into four independent 32-bit
+    (8-hex) slots, and the lexicographic MIN of a fixed-width hex slice
+    is the MIN of the 32-bit value. One shuffle (the groupBy); the slots
+    are aggregate columns over the same exploded shingles, so there is
+    no ×h row blow-up.
     """
     sh = _distinct_shingles(df, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"mh_{h}")
-        for h in range(n_hashes)
-    ]
+    aggs = []
+    for h in range(n_hashes):
+        g, off = divmod(h, SLOTS_PER_MD5)
+        digest = F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle")))
+        aggs.append(F.min(F.substring(digest, off * 8 + 1, 8)).alias(f"mh_{h}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 

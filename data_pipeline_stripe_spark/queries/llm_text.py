@@ -33,7 +33,10 @@ _N_BANDS = dedup.N_BANDS
 _RPB = dedup.ROWS_PER_BAND
 
 _SIG_AGGS = ",\n           ".join(
-    f"MIN(md5('{h}:' || shingle)) AS mh_{h}" for h in range(_N_HASHES)
+    "MIN(substring(md5('{g}:' || shingle), {start}, 8)) AS mh_{h}".format(
+        g=h // dedup.SLOTS_PER_MD5, start=(h % dedup.SLOTS_PER_MD5) * 8 + 1, h=h
+    )
+    for h in range(_N_HASHES)
 )
 _BAND_SELECTS = "\n        UNION ALL\n".join(
     "        SELECT doc_id, {b} AS band_id, md5({cat}) AS band_key FROM sig".format(
