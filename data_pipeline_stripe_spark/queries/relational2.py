@@ -134,6 +134,79 @@ def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_cooccurring_events",
+    oracle="""
+    WITH e AS (SELECT event_id, ts, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM e a JOIN e b
+      ON a.event_id < b.event_id
+     AND abs(CAST(floor(epoch(a.ts)) AS BIGINT)
+             - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 60
+    GROUP BY 1, 2
+    """,
+)
+def range_join_cooccurring_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: event pairs within 60 seconds of each other, counted
+    per type pair. Implemented with the bucketized equi-join
+    (operators/range_join.py) — a keyed shuffle, not the O(n²)
+    nested-loop Spark would plan for the raw inequality."""
+    from ..operators import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"),
+                  F.col("event_type").alias("type_a"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"),
+                  F.col("event_type").alias("type_b"))
+    return (
+        range_join(a, b, "ts_a", "ts_b", 60)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "collect_set_event_types_per_user",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def collect_set_event_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set rendered to a sorted joined string (array outputs are
+    kept out of oracle-compared results; ordering inside a set is
+    engine-arbitrary, sorting makes it canonical)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "max_by_latest_event_value",
+    oracle="""
+    SELECT event_type,
+           CAST(max_by(event_id, event_id) AS BIGINT) AS latest_event_id,
+           ROUND(max_by(value, event_id), 2) AS latest_value
+    FROM events GROUP BY event_type
+    """,
+)
+def max_by_latest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg-max aggregation with a UNIQUE ordering column
+    (event_id) — arbitrary tie-breaks don't survive oracle comparison or
+    cluster retries, so the engine always arg-maxes on a key."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", "event_id").alias("latest_event_id"),
+        F.round(F.max_by("value", "event_id"), 2).alias("latest_value"),
+    )
+
+
+@query(
     "session_window_batch",
     oracle="""
     WITH flagged AS (

@@ -1,0 +1,71 @@
+"""Property-based spot checks (SURVEY.md §5.4) — hypothesis generates
+small corpora/frames; each property runs a handful of Spark jobs, so
+example counts are kept low and deadlines disabled."""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_pipeline_stripe_spark.llm import dedup
+from data_pipeline_stripe_spark.operators import range_join
+
+WORD = st.sampled_from(
+    ["spark", "table", "join", "scan", "row", "batch", "merge", "sort",
+     "key", "hash", "window", "agg"]
+)
+DOC = st.lists(WORD, min_size=3, max_size=12).map(" ".join)
+
+_SETTINGS = settings(max_examples=5, deadline=None,
+                     suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=12))
+@_SETTINGS
+def test_exact_dedup_partitions_the_corpus(spark, docs):
+    """Σ n_copies == corpus size and canonical ids are distinct corpus
+    members — for ANY corpus."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    groups = dedup.exact_dedup_groups(df).collect()
+    assert sum(g.n_copies for g in groups) == len(docs)
+    canon_ids = [g.canonical_doc_id for g in groups]
+    assert len(set(canon_ids)) == len(canon_ids)
+    assert set(canon_ids) <= set(range(len(docs)))
+
+
+@given(docs=st.lists(DOC, min_size=2, max_size=10))
+@_SETTINGS
+def test_jaccard_pairs_are_symmetric_bounded(spark, docs):
+    """Every reported Jaccard is in (0, 1] and doc_a < doc_b — for ANY
+    corpus (threshold 0 returns all intersecting pairs)."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.0001).collect()
+    for p in pairs:
+        assert 0 < p.jaccard <= 1.0
+        assert p.doc_a < p.doc_b
+
+
+@given(
+    times=st.lists(st.integers(min_value=0, max_value=5000), min_size=1,
+                   max_size=30),
+    window=st.sampled_from([30, 60, 300]),
+)
+@_SETTINGS
+def test_bucketized_range_join_equals_naive(spark, times, window):
+    """The bucketized range join returns EXACTLY the naive O(n²) pair set
+    — for ANY point set and window."""
+    rows = [(i, t) for i, t in enumerate(times)]
+    a = spark.createDataFrame(rows, "id_a long, s_a long").select(
+        "id_a", F.timestamp_seconds("s_a").alias("ts_a"))
+    b = spark.createDataFrame(rows, "id_b long, s_b long").select(
+        "id_b", F.timestamp_seconds("s_b").alias("ts_b"))
+    got = {(r.id_a, r.id_b) for r in
+           range_join(a, b, "ts_a", "ts_b", window).collect()}
+    expected = {
+        (i, j)
+        for i, ti in enumerate(times)
+        for j, tj in enumerate(times)
+        if abs(ti - tj) <= window
+    }
+    assert got == expected
