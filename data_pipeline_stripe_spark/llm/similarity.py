@@ -163,6 +163,25 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def kmeans_step(emb: DataFrame, centroids: DataFrame,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                centroid_id_col: str = "centroid_id") -> DataFrame:
+    """One Lloyd iteration, exploded to scalar rows: assign every vector
+    to its max-cosine centroid (ivf_assign), then emit the updated
+    centroid coordinates as (cluster_id, pos, c) = per-dimension means.
+    Iterative algorithms on Spark are a driver loop over exactly this
+    step (each iteration: one broadcast + two shuffles); returning
+    scalar rows keeps the result engine-comparable."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col, centroid_id_col)
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    return (
+        v.join(assign.select(id_col, "cluster_id"), id_col)
+        .select("cluster_id", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("cluster_id", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:

@@ -113,6 +113,45 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf = in-doc count,
+    idf = ln(N / df_t)), ranked on the rounded score with a term-string
+    tie-break so the ranking is engine-reproducible. All JVM-side: one
+    explode, two grouped aggregations, one broadcast-sized doc-frequency
+    join, one window."""
+    from pyspark.sql.window import Window as W
+
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()  # one scalar action; the corpus count
+    docfreq = (
+        tok.distinct().groupBy("term").agg(F.count("*").alias("df_t"))
+    )
+    scored = tf.join(docfreq, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 6)
+        .alias("tfidf"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def deterministic_sample(df: DataFrame, fraction_hex: str = "2000",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Reproducible sampling: keep rows whose md5(id) prefix falls below a
+    hex threshold ("2000" of "10000" ≈ 12.5%). Unlike df.sample, the
+    selection is a pure function of the id — stable across retries,
+    engines and cluster layouts (df.sample re-rolls per task attempt)."""
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, len(fraction_hex))
+    return df.filter(key < fraction_hex)
+
+
 ROLLING_HASH_MOD = 1_000_000_007
 ROLLING_HASH_BASE = 31
 

@@ -106,6 +106,45 @@ def embedding_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_kmeans_step",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < 4),
+    scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               ROUND(list_inner_product(c.cv, e.v)
+                     / sqrt(list_inner_product(c.cv, c.cv)
+                            * list_inner_product(e.v, e.v)), 6) AS sim
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cluster_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    exploded AS (
+        SELECT a.cluster_id, generate_subscripts(e.v, 1) AS pos,
+               unnest(e.v) AS val
+        FROM e JOIN assign a ON e.vec_id = a.vec_id
+    )
+    SELECT cluster_id, CAST(pos AS BIGINT) AS pos, ROUND(AVG(val), 6) AS c
+    FROM exploded GROUP BY 1, 2
+    """,
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-iterative: one Lloyd (k-means) iteration — broadcast centroid
+    assignment + per-dimension mean, exploded to scalar rows. An
+    iterative clustering run is a driver loop over this step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.kmeans_step(emb, cents)
+
+
 @query("embedding_ivf_topk", oracle=None)  # approximate: recall<1 vs exact oracle
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: IVF-bucketed approximate top-k (1 probe). Approximate by

@@ -244,6 +244,77 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_tfidf_top_terms",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df_t
+              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term,
+               ROUND(tf * ln(n_docs * 1.0 / df_t), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: TF-IDF top-3 terms per doc — explode, two grouped aggs, a
+    doc-frequency join, one window; ranked on the rounded score with a
+    term tie-break for engine-reproducible ordering."""
+    return llm_text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "doc_deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+    """,
+)
+def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~12.5% sample keyed on md5(doc_id) — stable across
+    retries/engines, unlike df.sample's per-task-attempt randomness."""
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_text.deterministic_sample(docs).select("doc_id", "lang", "source")
+
+
+@query(
+    "doc_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: first 20 docs per language in md5-shuffled
+    order — a deterministic per-stratum shuffle + take."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
     "doc_rolling_hash",
     oracle="""
     SELECT doc_id,

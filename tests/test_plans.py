@@ -70,6 +70,7 @@ NONEQUI_OK = {
     # against the fact — nested-loop over a broadcast handful is the right
     # plan (the small side is O(1), not a second fact)
     "sql_udf_usage_percent", "embedding_ivf_assign", "embedding_ivf_topk",
+    "embedding_kmeans_step",
 }
 
 
