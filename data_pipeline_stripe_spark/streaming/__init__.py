@@ -3,6 +3,7 @@ from .events import (
     windowed_event_counts,
     sessionized_event_counts,
     stateful_running_totals,
+    write_partitioned_exactly_once,
     run_to_memory,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "windowed_event_counts",
     "sessionized_event_counts",
     "stateful_running_totals",
+    "write_partitioned_exactly_once",
     "run_to_memory",
 ]

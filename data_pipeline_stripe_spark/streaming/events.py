@@ -114,6 +114,38 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def write_partitioned_exactly_once(agg: DataFrame, out_dir: str,
+                                   partition_col: str) -> None:
+    """Exactly-once file sink via foreachBatch: each micro-batch
+    dynamically overwrites ONLY the partitions it touches, so replaying a
+    batch after a failure rewrites the same partitions to the same
+    content instead of appending duplicates. This is the idempotent-sink
+    pattern for aggregation outputs (complete/update modes) that plain
+    file sinks (append-only) can't express. Drives the stream to
+    completion (availableNow)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.sparkSession.conf
+            .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        )
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
 def run_to_memory(agg: DataFrame, query_name: str,
                   output_mode: str = "append") -> None:
     """Drive a streaming aggregation to completion into an in-memory table

@@ -82,6 +82,31 @@ def test_multimodal_frame_sampling_and_resize(spark, sf_dir):
     assert all(len(bytes(r.payload)) == 128 and r.n_bytes == 128 for r in resized)
 
 
+def test_foreachbatch_sink_is_idempotent(spark, stream_dir, tmp_path):
+    """Running the same finite stream into the exactly-once sink twice
+    yields identical on-disk content (replay rewrites, never appends)."""
+    out = str(tmp_path / "agg_out")
+
+    def run_once(name):
+        stream = streaming.read_event_stream(spark, stream_dir)
+        agg = (
+            stream.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        )
+        streaming.write_partitioned_exactly_once(agg, out, "event_type")
+        return sorted(
+            (r.event_type, r.n, r.v)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    import shutil
+
+    first = run_once("a")
+    shutil.rmtree(f"{out}/_checkpoint")   # force full replay
+    second = run_once("b")
+    assert first == second and len(first) == 5
+
+
 def test_session_windows_smoke(spark, stream_dir):
     stream = streaming.read_event_stream(spark, stream_dir)
     agg = streaming.sessionized_event_counts(stream, gap="30 minutes")
