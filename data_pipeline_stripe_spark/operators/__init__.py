@@ -3,7 +3,11 @@ DataFrame ops (preference order per the build spec: composition first,
 Pandas UDF second, mapPartitions last)."""
 
 from .asof import asof_join
+from .grouped import zscore_per_group_native, zscore_per_group_pandas
 from .range_join import range_join
 from .skew import salted_join, two_phase_agg
 
-__all__ = ["asof_join", "range_join", "salted_join", "two_phase_agg"]
+__all__ = [
+    "asof_join", "range_join", "salted_join", "two_phase_agg",
+    "zscore_per_group_native", "zscore_per_group_pandas",
+]

@@ -32,6 +32,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # The driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
     # reader rejects; read as long and convert (sources.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime bloom-filter join pruning: build a bloom filter from the
+    # filtered build side and push it into the probe-side scan — at 100 TB
+    # this skips most of the fact scan for selective joins.
+    # (spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled is
+    # deliberately NOT set: with it on, this Spark build hangs planning
+    # even a trivial range().count() in local mode — reproduced and
+    # bisected to that single conf.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

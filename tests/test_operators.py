@@ -27,6 +27,25 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out.columns == ["id", "key", "t", "v_asof"]
 
 
+def test_zscore_grouped_map_matches_native_window(spark):
+    """applyInPandas grouped-map and the JVM window form must agree
+    (pandas std ddof=1 == stddev_samp)."""
+    from data_pipeline_stripe_spark.operators import (
+        zscore_per_group_native,
+        zscore_per_group_pandas,
+    )
+    from data_pipeline_stripe_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    native = {(r.event_type, r.value): r.zscore for r in
+              zscore_per_group_native(ev, "event_type", "value").collect()}
+    pandas_ = {(r.event_type, r.value): r.zscore for r in
+               zscore_per_group_pandas(ev, "event_type", "value").collect()}
+    assert set(native) == set(pandas_)
+    for k, v in native.items():
+        assert abs(v - pandas_[k]) <= 1e-5
+
+
 def test_asof_join_tie_on_equal_right_times(spark):
     left = spark.createDataFrame([(1, "k", datetime(2024, 1, 2))],
                                  "id long, key string, t timestamp")
