@@ -142,6 +142,49 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     )
 
 
+def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.5,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Sparse TF-IDF cosine similarity between documents, via the
+    inverted index: dot(a,b) = Σ_terms w_a·w_b computed by a self-join on
+    term (only co-occurring terms contribute — the sparse structure the
+    dense embedding kernel can't exploit), normalized by per-doc norms.
+    Returns (doc_a, doc_b, cosine >= threshold). Same scale shape as
+    ngram_jaccard_pairs: keyed shuffle on term, no O(n²)."""
+    from pyspark.sql.window import Window as W  # noqa: F401  (parity w/ tfidf)
+
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    docfreq = tok.distinct().groupBy("term").agg(F.count("*").alias("df_t"))
+    w = tf.join(docfreq, "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))).alias("w"),
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    a = w.select(F.col(id_col).alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 4)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def deterministic_sample(df: DataFrame, fraction_hex: str = "2000",
                          id_col: str = "doc_id") -> DataFrame:
     """Reproducible sampling: keep rows whose md5(id) prefix falls below a

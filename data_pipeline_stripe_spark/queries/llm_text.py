@@ -274,6 +274,42 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_tfidf_cosine_pairs",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df_t
+              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, tf.term, tf * ln(n_docs * 1.0 / df_t) AS w
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dot / (na.norm * nb.norm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE ROUND(dot / (na.norm * nb.norm), 4) >= 0.9
+    """,
+)
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-sparse: TF-IDF cosine document similarity through the inverted
+    index (co-occurring terms only) — the sparse-vector counterpart to
+    the dense embedding search."""
+    return llm_text.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"),
+                                       threshold=0.9)
+
+
+@query(
     "doc_deterministic_sample",
     oracle="""
     SELECT doc_id, lang, source FROM documents
