@@ -114,6 +114,37 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame,
+                               attribution_window: str = "30 minutes",
+                               watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase joins the same user's
+    clicks in the preceding attribution window. Watermarks on BOTH sides
+    + the event-time range condition let Spark bound the join state (a
+    stream-stream join without them accumulates forever).
+    Works identically on batch DataFrames (the test pins that parity)."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts"
+    )
+
+
 def write_partitioned_exactly_once(agg: DataFrame, out_dir: str,
                                    partition_col: str) -> None:
     """Exactly-once file sink via foreachBatch: each micro-batch

@@ -82,6 +82,27 @@ def test_multimodal_frame_sampling_and_resize(spark, sf_dir):
     assert all(len(bytes(r.payload)) == 128 and r.n_bytes == 128 for r in resized)
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, stream_dir):
+    """The watermarked stream-stream attribution join must produce the
+    same pair set as the identical join on static DataFrames."""
+    s1 = streaming.read_event_stream(spark, stream_dir)
+    s2 = streaming.read_event_stream(spark, stream_dir)
+    joined = streaming.purchase_click_attribution(
+        s1.filter(F.col("event_type") == "purchase"),
+        s2.filter(F.col("event_type") == "click"),
+    )
+    streaming.run_to_memory(joined, "attribution", output_mode="append")
+    got = {(r.purchase_id, r.click_id)
+           for r in spark.sql("SELECT * FROM attribution").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    batch = streaming.purchase_click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    expected = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == expected and len(expected) > 0
+
+
 def test_foreachbatch_sink_is_idempotent(spark, stream_dir, tmp_path):
     """Running the same finite stream into the exactly-once sink twice
     yields identical on-disk content (replay rewrites, never appends)."""
