@@ -147,11 +147,12 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_ivf_topk", oracle=None)  # approximate: recall<1 vs exact oracle
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: IVF-bucketed approximate top-k (1 probe). Approximate by
-    construction, so no SQL oracle — the unit test checks recall against
-    the brute-force baseline instead."""
+    """X3: IVF-bucketed approximate top-k with 2 probes per query.
+    Approximate by construction, so no SQL oracle — the unit test checks
+    validity against the brute-force baseline instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), cents, k=5)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), cents,
+                               k=5, n_probes=2)

@@ -357,6 +357,42 @@ def max_by_latest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lead_lag_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           (epoch_ms(LEAD(o_orderdate) OVER wo) - epoch_ms(o_orderdate))
+               // 86400000 AS days_to_next,
+           strftime(FIRST_VALUE(o_orderdate) OVER wf, '%Y-%m-%d') AS first_orderdate
+    FROM orders
+    WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead (offset function, frameless window) + first_value (explicit
+    full-partition frame): days until each customer's next order and
+    their first order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # o_orderdate is TIMESTAMP_NTZ from parquet; unix_millis needs an
+    # instant — cast under the UTC session so wall time == epoch time.
+    ts = F.col("o_orderdate").cast("timestamp")
+    next_ms = F.unix_millis(F.lead(ts).over(wo))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.floor((next_ms - F.unix_millis(ts)) / 86400000)
+        .cast("long").alias("days_to_next"),
+        F.date_format(F.first_value("o_orderdate").over(wf), "yyyy-MM-dd")
+        .alias("first_orderdate"),
+    )
+
+
+@query(
     "session_window_batch",
     oracle="""
     WITH flagged AS (

@@ -88,6 +88,33 @@ def inline_dim(spark: SparkSession, rows: list[tuple], columns: str) -> DataFram
     return df.select(*casts)
 
 
+def typed_events(raw: DataFrame) -> DataFrame:
+    """Type the stringly-typed reference events at the boundary
+    (SURVEY.md §1.3): ISO-8601-with-offset strings → TimestampType
+    (normalized to UTC instants), itemPrice string → Decimal(12,2).
+    Downstream operators then use typed semantics instead of substring
+    slicing and implicit string arithmetic (reference royalties.py:232).
+    Unparseable values become NULL (to_timestamp/try semantics), never
+    exceptions mid-pipeline."""
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ssXXX"
+    # try_* variants: ANSI mode (Spark 4 default) makes plain
+    # to_timestamp/cast THROW on malformed input; the boundary policy is
+    # NULL, never a mid-pipeline exception.
+    return raw.select(
+        "eventId",
+        F.try_to_timestamp("eventTime", F.lit(ts_fmt)).alias("eventTime"),
+        F.coalesce(
+            F.try_to_timestamp("processTime", F.lit(ts_fmt)),
+            F.try_to_timestamp("processTime", F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        ).alias("processTime"),
+        "resourceId",
+        "userId",
+        "countryCode",
+        "duration",
+        F.expr("try_cast(itemPrice AS decimal(12,2))").alias("itemPrice"),
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver test table (TESTDATA.md) as a DataFrame.
 

@@ -77,6 +77,30 @@ def test_quoting_in_inline_dim(spark):
     assert df.collect()[0].name == "O'Brien"
 
 
+def test_typed_events_boundary(spark):
+    """Stringly-typed raw events become typed at the boundary: offset
+    timestamps normalize to UTC instants, itemPrice becomes decimal,
+    junk becomes NULL (not an exception)."""
+    from datetime import datetime
+
+    from data_pipeline_stripe_spark.schemas import EVENTS_RAW_SCHEMA
+    from data_pipeline_stripe_spark.sources import typed_events
+
+    raw = spark.createDataFrame(
+        [("e1", "2024-01-05T10:00:00+01:00", "2024-01-05T10:00:02",
+          "r1", None, "US", 30, "19.99"),
+         ("e2", "not-a-time", "2024-01-05T11:00:00",
+          "r2", None, "FR", 10, "oops")],
+        EVENTS_RAW_SCHEMA,
+    )
+    rows = {r.eventId: r for r in typed_events(raw).collect()}
+    # +01:00 offset → 09:00 UTC instant
+    assert rows["e1"].eventTime == datetime(2024, 1, 5, 9, 0, 0)
+    assert str(rows["e1"].itemPrice) == "19.99"
+    assert rows["e2"].eventTime is None and rows["e2"].itemPrice is None
+    assert rows["e2"].processTime == datetime(2024, 1, 5, 11, 0, 0)
+
+
 def test_lakehouse_stubs_raise_cleanly(spark):
     """Delta/Iceberg jars are not in this image; the connectors must say
     so explicitly instead of failing deep in the DataSource resolver."""
