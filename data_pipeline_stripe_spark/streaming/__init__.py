@@ -3,6 +3,7 @@ from .events import (
     windowed_event_counts,
     sessionized_event_counts,
     stateful_running_totals,
+    dedup_event_stream,
     purchase_click_attribution,
     write_partitioned_exactly_once,
     run_to_memory,
@@ -13,6 +14,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionized_event_counts",
     "stateful_running_totals",
+    "dedup_event_stream",
     "purchase_click_attribution",
     "write_partitioned_exactly_once",
     "run_to_memory",

@@ -114,6 +114,17 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
+    keeps state only for the watermark horizon, so at-least-once sources
+    (replayed blobs, Kafka redeliveries) collapse to exactly-once rows
+    with BOUNDED state — the streaming twin of llm.dedup exact dedup.
+    (Plain dropDuplicates on a stream accumulates ids forever.)"""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame,
                                attribution_window: str = "30 minutes",
                                watermark: str = "1 hour") -> DataFrame:

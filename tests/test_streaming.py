@@ -82,6 +82,23 @@ def test_multimodal_frame_sampling_and_resize(spark, sf_dir):
     assert all(len(bytes(r.payload)) == 128 and r.n_bytes == 128 for r in resized)
 
 
+def test_stream_dedup_collapses_replayed_input(spark, sf_dir, tmp_path):
+    """An at-least-once source (the same blob delivered twice) must
+    collapse to exactly-once rows through the watermarked streaming
+    dedup."""
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")  # replay
+    stream = streaming.read_event_stream(spark, str(d))
+    deduped = streaming.dedup_event_stream(stream)
+    streaming.run_to_memory(deduped, "dedup_out", output_mode="append")
+    n_unique = spark.sql("SELECT COUNT(DISTINCT event_id) FROM dedup_out").collect()[0][0]
+    n_rows = spark.sql("SELECT COUNT(*) FROM dedup_out").collect()[0][0]
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n_rows == n_unique == n_batch
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, stream_dir):
     """The watermarked stream-stream attribution join must produce the
     same pair set as the identical join on static DataFrames."""
