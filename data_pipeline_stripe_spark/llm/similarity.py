@@ -84,6 +84,28 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     )
 
 
+def ivf_probe_assign(emb: DataFrame, centroids: DataFrame, n_probes: int = 1,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     centroid_id_col: str = "centroid_id") -> DataFrame:
+    """Multi-probe IVF assignment: each vector goes to its ``n_probes``
+    highest-cosine centroid buckets (ties → smallest centroid id).
+    Centroids broadcast, one pass over the corpus. Returns
+    (vec_id, cluster_id) — up to n_probes rows per vector."""
+    corpus = emb.select(F.col(id_col), _as_double(vec_col).alias("cv"))
+    cents = centroids.select(F.col(centroid_id_col).alias("cluster_id"),
+                             _as_double(vec_col).alias("qv"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    scored = corpus.join(F.broadcast(cents)).select(
+        id_col, "cluster_id", sim.alias("c_sim")
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probes)
+        .select(id_col, "cluster_id")
+    )
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 5, n_probes: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
@@ -197,9 +219,11 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
                           vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (upper triangle), exact.
 
-    Brute force O(n²) — the correctness baseline. At scale, compose with
-    ``ivf_assign`` and compare only within buckets (same pattern as the
-    LSH/Jaccard pair in dedup.py). Returns (id_a, id_b, similarity).
+    Brute force O(n²) — the TEST ORACLE only (a nested-loop join over the
+    corpus does not scale). The canonical operator is
+    ``cosine_near_dup_bucketed``; this one exists so tests can assert the
+    bucketed result is a subset of the exact pairs and measure recall.
+    Returns (id_a, id_b, similarity).
     """
     v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
@@ -207,6 +231,44 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+def cosine_near_dup_bucketed(emb: DataFrame, centroids: DataFrame,
+                             threshold: float = 0.45, n_probes: int = 2,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via IVF bucketing — the scale
+    path (replaces the brute-force O(n²) upper-triangle join).
+
+    Plan shape: multi-probe centroid assignment (centroids broadcast, one
+    corpus pass) → keyed self-join on ``cluster_id`` (only within-bucket
+    pairs are generated; bucket size ~ n/k, so candidate volume is
+    n²/k·p² instead of n²) → exact cosine on the surviving pairs after
+    re-attaching vectors with two id-keyed joins. No nested-loop join
+    anywhere in the plan. Approximate by construction: a pair whose two
+    vectors share none of their probed buckets is missed — recall rises
+    with ``n_probes`` (and with centroid count at fixed bucket size, use
+    k ≈ √n). Deterministic given fixed centroids, so an SQL oracle can
+    mirror it exactly. Returns (id_a, id_b, similarity).
+    """
+    probes = ivf_probe_assign(emb, centroids, n_probes, id_col, vec_col)
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("similarity"))
         .filter(F.col("similarity") >= threshold)
     )
