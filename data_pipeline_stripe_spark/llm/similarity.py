@@ -219,11 +219,11 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
                           vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (upper triangle), exact.
 
-    Brute force O(n²) — the TEST ORACLE only (a nested-loop join over the
-    corpus does not scale). The canonical operator is
-    ``cosine_near_dup_bucketed``; this one exists so tests can assert the
-    bucketed result is a subset of the exact pairs and measure recall.
-    Returns (id_a, id_b, similarity).
+    Brute force O(n²) — correct at any corpus size but quadratic cost, so
+    it is the small-corpus baseline and the verification reference (the
+    subset/recall test measures ``cosine_near_dup_bucketed`` against it).
+    At 100 TB use ``cosine_near_dup_bucketed``. Returns
+    (id_a, id_b, similarity).
     """
     v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
@@ -252,7 +252,9 @@ def cosine_near_dup_bucketed(emb: DataFrame, centroids: DataFrame,
     vectors share none of their probed buckets is missed — recall rises
     with ``n_probes`` (and with centroid count at fixed bucket size, use
     k ≈ √n). Deterministic given fixed centroids, so an SQL oracle can
-    mirror it exactly. Returns (id_a, id_b, similarity).
+    mirror it exactly; recall vs ``cosine_near_dup_pairs`` is asserted by
+    tests/test_llm_ops.py::test_cosine_near_dup_bucketed_subset_and_recall.
+    Returns (id_a, id_b, similarity).
     """
     probes = ivf_probe_assign(emb, centroids, n_probes, id_col, vec_col)
     a, b = probes.alias("a"), probes.alias("b")

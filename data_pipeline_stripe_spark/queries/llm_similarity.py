@@ -77,6 +77,27 @@ def embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_cosine_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS}, 6) AS similarity
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND({_COS}, 6) >= 0.45
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-embedding, EXACT semantics: every pair with cosine >= 0.45
+    (upper triangle), via the brute-force O(n²) upper-triangle join. The
+    oracle is an independent exact SQL twin, so the hash check verifies
+    the stated semantics (all qualifying pairs), not an approximation.
+    This is the small-scale baseline and the verification reference; the
+    100 TB path is ``embedding_cosine_near_dup_bucketed`` below."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+@query(
+    "embedding_cosine_near_dup_bucketed",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < 4),
@@ -108,15 +129,18 @@ def embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * list_inner_product(eb.v, eb.v)), 6) >= 0.45
     """,
 )
-def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2-embedding: cosine near-duplicate pairs (threshold 0.45, upper
-    triangle) via IVF bucketing — the canonical scale path: multi-probe
-    centroid assignment (centroids = vec_id < 4, broadcast, 2 probes),
-    within-bucket keyed self-join, exact cosine on candidates. The oracle
-    mirrors the bucketing exactly (it is deterministic); the unit test
-    additionally checks the result against the brute-force baseline
-    (subset + recall). Measured recall vs exact on the fixtures:
-    1.0 / 0.93 / 0.96 at sf0.001 / 0.01 / 0.1."""
+def embedding_cosine_near_dup_bucketed(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """X2-embedding, APPROXIMATE scale path: cosine near-dup pairs
+    (threshold 0.45) via IVF bucketing — multi-probe centroid assignment
+    (centroids = vec_id < 4, broadcast, 2 probes), within-bucket keyed
+    self-join, exact cosine on candidates. Approximate by construction: a
+    pair sharing none of its probed buckets is missed. The SQL oracle
+    mirrors the (deterministic) bucketing, so the hash check verifies the
+    transcription, not the recall; recall vs the exact baseline is
+    asserted independently by
+    tests/test_llm_ops.py::test_cosine_near_dup_bucketed_subset_and_recall
+    (bucketed ⊆ exact, recall >= 0.9)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("centroid_id"), "embedding"

@@ -107,6 +107,31 @@ def test_ivf_topk_is_valid_approximation(spark, sf_dir):
         assert r.similarity <= exact_best[r.query_id] + 1e-9
 
 
+def test_cosine_near_dup_bucketed_subset_and_recall(spark, sf_dir):
+    """The IVF-bucketed near-dup result must be a subset of the exact
+    brute-force pairs (identical similarity values on shared pairs) with
+    recall >= 0.9 — the independent check the mirrored SQL oracle cannot
+    provide (it only verifies the bucketing transcription)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    exact = {
+        (r.id_a, r.id_b): r.similarity
+        for r in similarity.cosine_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.similarity
+        for r in similarity.cosine_near_dup_bucketed(
+            emb, cents, threshold=0.45, n_probes=2).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, sim in bucketed.items():
+        assert sim == exact[pair]  # exact cosine on candidates, not approx
+    assert exact, "fixture has no near-dup pairs at threshold 0.45"
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9 ({len(bucketed)}/{len(exact)})"
+
+
 def test_dedup_is_idempotent(spark, sf_dir):
     """Property: deduplicating an already-deduplicated corpus removes
     nothing, and the deduplicated corpus contains no qualifying pair."""

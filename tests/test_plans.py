@@ -63,14 +63,15 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
              "multimodal_image_features"}
 NONEQUI_OK = {
-    # documented O(n²) brute-force baselines / pair scans
+    # documented O(n²) brute-force baselines / pair scans (exact
+    # semantics; the scale paths are the bucketed variants)
     "embedding_topk_cosine", "embedding_cosine_near_dup",
     "embedding_topk_cosine_pandas",
     # broadcast-TINY crosses: a 1-row scalar total / a 4-row centroid table
     # against the fact — nested-loop over a broadcast handful is the right
     # plan (the small side is O(1), not a second fact)
     "sql_udf_usage_percent", "embedding_ivf_assign", "embedding_ivf_topk",
-    "embedding_kmeans_step",
+    "embedding_kmeans_step", "embedding_cosine_near_dup_bucketed",
 }
 
 
@@ -92,6 +93,24 @@ def test_registry_sweep_no_accidental_cartesian_or_python(spark, sf_dir):
         ):
             problems.append(f"{name}: Python boundary")
     assert not problems, problems
+
+
+def test_near_dup_bucketed_pair_join_is_keyed(spark, sf_dir):
+    """The bucketed near-dup's candidate generation must be a hash/merge
+    join keyed on cluster_id; the only nested-loop allowed is the corpus ×
+    broadcast-centroid cross (4 rows). A regression back to the O(n²)
+    pair scan would show up as a second nested-loop / cartesian."""
+    plan = plan_of(spark, sf_dir, "embedding_cosine_near_dup_bucketed")
+    assert "CartesianProduct" not in plan
+    # the probe assignment (corpus × broadcast centroids) appears once per
+    # side of the self-join — two BNLJs, both against the 4-row broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    keyed = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+            or "BroadcastHashJoin" in l) and "cluster_id" in l
+    ]
+    assert keyed, "no keyed join on cluster_id found in plan"
 
 
 def test_minhash_signature_plan_is_one_aggregation(spark, sf_dir):
