@@ -34,34 +34,52 @@ def _with_time_parts(events: DataFrame) -> DataFrame:
     )
 
 
-def _usage_by(events_parts: DataFrame, dim: str) -> DataFrame:
-    """Usage % of each (month, dim, resource) within its (month, dim)
-    group — the reference's usage_percent_total(a, b) = a/b*100
-    (platform_usage.py:104-107,202-221) with a = per-resource duration,
-    b = per-group total."""
-    per_resource = (
+def _usage_by(events_parts: DataFrame, dim: str, relative_name: str) -> DataFrame:
+    """One usage report at (month, dim, resourceId) grain with the
+    reference's three measures (platform_usage.py:202-221):
+
+    - ``usagePercentTotal``: the resource's whole-month share —
+      totalDurationResource(month, resource) / totalDurationAll(month),
+      computed as window sums over the aggregate (the reference's
+      usage_percent_total_udf at :104-107 with the :118-141 denominators).
+    - ``<relative_name>`` (usagePercentRelativeCountry / ...Tz): the
+      resource's share within its (month, dim) group (:143-187).
+    - ``totalDurationInSec``: totalDurationResource at (month, resource)
+      grain (:208,219) — repeated across the dim values of that resource,
+      exactly as the reference emits it.
+
+    Still one shuffle of the fact (the finest-grain groupBy); all three
+    denominators are window sums over the small aggregate."""
+    per_key = (
         events_parts.groupBy("month", dim, "resourceId")
-        .agg(F.sum("duration").alias("resource_duration"))
+        .agg(F.sum("duration").alias("group_resource_duration"))
     )
-    w = W.partitionBy("month", dim)
-    return per_resource.select(
+    dur_resource = F.sum("group_resource_duration").over(
+        W.partitionBy("month", "resourceId")
+    )
+    dur_all = F.sum("group_resource_duration").over(W.partitionBy("month"))
+    dur_group = F.sum("group_resource_duration").over(W.partitionBy("month", dim))
+    return per_key.select(
         "month",
         dim,
         "resourceId",
-        "resource_duration",
+        F.round(dur_resource / dur_all * 100, 4).alias("usagePercentTotal"),
         F.round(
-            F.col("resource_duration") / F.sum("resource_duration").over(w) * 100, 4
-        ).alias("usage_percent"),
+            F.col("group_resource_duration") / dur_group * 100, 4
+        ).alias(relative_name),
+        dur_resource.alias("totalDurationInSec"),
     )
 
 
 def usage_report(events: DataFrame) -> dict[str, DataFrame]:
     """Returns {"country": df, "timezone": df} — the two reports the
-    reference writes to country/ and timezone/ (platform_usage.py:234-239)."""
+    reference writes to country/ and timezone/ (platform_usage.py:234-239),
+    with the reference's output schema (month, dim, resourceId,
+    usagePercentTotal, usagePercentRelative*, totalDurationInSec)."""
     parts = _with_time_parts(events)
     return {
-        "country": _usage_by(parts, "countryCode"),
-        "timezone": _usage_by(parts, "timeZone"),
+        "country": _usage_by(parts, "countryCode", "usagePercentRelativeCountry"),
+        "timezone": _usage_by(parts, "timeZone", "usagePercentRelativeTz"),
     }
 
 

@@ -113,19 +113,27 @@ def platform_usage_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per_key AS (
         SELECT month, user_bucket, event_type,
                SUM(value) AS usage_value,
-               SUM(SUM(value)) OVER (PARTITION BY month, user_bucket) AS bucket_value
+               SUM(SUM(value)) OVER (PARTITION BY month, user_bucket) AS bucket_value,
+               SUM(SUM(value)) OVER (PARTITION BY month, event_type) AS type_value,
+               SUM(SUM(value)) OVER (PARTITION BY month) AS month_value
         FROM base GROUP BY month, user_bucket, event_type
     )
     SELECT month, user_bucket, event_type,
-           ROUND(usage_value / bucket_value * 100, 4) AS usage_pct
+           ROUND(usage_value / bucket_value * 100, 4) AS usage_pct,
+           ROUND(type_value / month_value * 100, 4) AS usage_pct_total,
+           ROUND(type_value, 2) AS total_value
     FROM per_key
     """,
 )
 def platform_usage_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's second usage granularity (by countryCode /
-    timeZone, platform_usage.py:143-187) — same single-pass window
-    pattern over a different partition key (user bucket plays the
-    timezone)."""
+    """The reference's full usage report row (platform_usage.py:202-221):
+    the group-relative percent (usagePercentRelativeCountry/Tz, :143-187),
+    the whole-month share of the resource (usagePercentTotal, :118-141)
+    and the resource's month total (totalDurationInSec, :208,219) — here
+    with event_type playing the resource and the user bucket playing the
+    country/timezone. One fact shuffle (finest-grain groupBy); all three
+    denominators are window sums over the small aggregate, not the
+    reference's six agg+self-join rounds."""
     ev = load_table(spark, sf_dir, "events")
     per_key = (
         ev.select(
@@ -137,14 +145,16 @@ def platform_usage_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("month", "user_bucket", "event_type")
         .agg(F.sum("value").alias("usage_value"))
     )
-    w = W.partitionBy("month", "user_bucket")
+    bucket_value = F.sum("usage_value").over(W.partitionBy("month", "user_bucket"))
+    type_value = F.sum("usage_value").over(W.partitionBy("month", "event_type"))
+    month_value = F.sum("usage_value").over(W.partitionBy("month"))
     return per_key.select(
         "month",
         "user_bucket",
         "event_type",
-        F.round(F.col("usage_value") / F.sum("usage_value").over(w) * 100, 4).alias(
-            "usage_pct"
-        ),
+        F.round(F.col("usage_value") / bucket_value * 100, 4).alias("usage_pct"),
+        F.round(type_value / month_value * 100, 4).alias("usage_pct_total"),
+        F.round(type_value, 2).alias("total_value"),
     )
 
 

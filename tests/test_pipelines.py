@@ -120,26 +120,39 @@ def test_usage_percentages_single_pass(spark):
     ])
     reports = usage_report(ev)
     country = {
-        (r.month, r.countryCode, r.resourceId): r.usage_percent
+        (r.month, r.countryCode, r.resourceId):
+            (r.usagePercentRelativeCountry, r.usagePercentTotal,
+             r.totalDurationInSec)
         for r in reports["country"].collect()
     }
-    assert country[("2024-01", "US", "r1")] == 75.0
-    assert country[("2024-01", "US", "r2")] == 25.0
-    assert country[("2024-01", "FR", "r1")] == 100.0
-    assert country[("2024-02", "US", "r1")] == 100.0
+    # month 2024-01: r1 = 30(US)+5(FR) = 35 of 45 total; r2 = 10 of 45
+    assert country[("2024-01", "US", "r1")] == (75.0, 77.7778, 35)
+    assert country[("2024-01", "US", "r2")] == (25.0, 22.2222, 10)
+    assert country[("2024-01", "FR", "r1")] == (100.0, 77.7778, 35)
+    assert country[("2024-02", "US", "r1")] == (100.0, 100.0, 7)
     tz = {
-        (r.month, r.timeZone, r.resourceId): r.usage_percent
+        (r.month, r.timeZone, r.resourceId): r.usagePercentRelativeTz
         for r in reports["timezone"].collect()
     }
     assert tz[("2024-01", "+01:00", "r1")] == 75.0
     assert tz[("2024-01", "-05:00", "r1")] == 100.0
-    # invariant: percentages sum to 100 within every group
+    # invariant: relative percentages sum to 100 within every group
     from pyspark.sql import functions as F
     sums = (
         reports["country"].groupBy("month", "countryCode")
-        .agg(F.round(F.sum("usage_percent"), 2).alias("s")).collect()
+        .agg(F.round(F.sum("usagePercentRelativeCountry"), 2).alias("s"))
+        .collect()
     )
     assert all(abs(r.s - 100.0) < 0.02 for r in sums)
+    # invariant: usagePercentTotal sums to 100 over distinct resources
+    totals = (
+        reports["country"].select("month", "resourceId", "usagePercentTotal")
+        .distinct()
+        .groupBy("month")
+        .agg(F.round(F.sum("usagePercentTotal"), 2).alias("s"))
+        .collect()
+    )
+    assert all(abs(r.s - 100.0) < 0.02 for r in totals)
 
 
 def test_royalties_conversion_and_drop_paths(spark, dims):
