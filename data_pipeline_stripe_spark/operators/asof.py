@@ -15,8 +15,9 @@ A ``pd.merge_asof``-per-group ``applyInPandas`` variant would also work
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 
@@ -27,36 +28,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
     latest ``right`` row at-or-before the left row's time (per ``on`` key).
     Ties at equal time: the right row wins (<= semantics); among multiple
     right rows at the same time the last in (time, payload) order wins —
-    deterministic."""
+    deterministic.
+
+    The payload travels as ONE struct column and the window carries
+    ``last(struct, ignorenulls)`` — the whole latest right ROW. Carrying
+    each column separately would stitch fields from *different* right rows
+    whenever the latest row has NULL fields (last(ignorenulls) would reach
+    further back per column)."""
     lcols = left.columns
+    p_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(p_type).alias("_p"),
     )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("_p"),
     )
     # right rows sort BEFORE left rows at equal time → <= join semantics;
-    # payload columns break ties among same-time right rows.
+    # the struct's field order breaks ties among same-time right rows
+    # (field-wise comparison == the old per-column ordering).
     w = (
         W.partitionBy("_k")
-        .orderBy("_t", "_is_left", *[F.col(f"_p_{c}") for c in payload])
+        .orderBy("_t", "_is_left", F.col("_p"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload
-        ],
+        "*", F.last("_p", ignorenulls=True).over(w).alias("_last_p")
     )
     return carried.filter(F.col("_is_left") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in payload]
+        *lcols,
+        *[F.col(f"_last_p.{c}").alias(f"{c}{suffix}") for c in payload],
     )

@@ -21,10 +21,13 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     of one straggler.
 
     The salt is derived from a hash of the full left row (not rand()) so
-    the operator stays deterministic and retry-safe.
+    the operator stays deterministic and retry-safe. pmod, not abs(...)%n:
+    abs(Long.MIN_VALUE) stays negative on the JVM, and a negative salt
+    would match no replicated right-side salt — silently dropping the row
+    from an inner join.
     """
     left_cols = left.columns
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left_cols])) % n_salts)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left_cols]), F.lit(n_salts))
     l = left.withColumn("_salt", salt.cast("int"))
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -45,7 +48,7 @@ def two_phase_agg(df: DataFrame, key: str, value: str, agg: str = "sum",
     if agg not in fns:
         raise ValueError(f"unsupported agg {agg!r}; have {sorted(fns)}")
     fn = fns[agg]
-    salt = (F.abs(F.xxhash64(F.col(key), F.col(value))) % n_salts).cast("int")
+    salt = F.pmod(F.xxhash64(F.col(key), F.col(value)), F.lit(n_salts)).cast("int")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

@@ -27,6 +27,54 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out.columns == ["id", "key", "t", "v_asof"]
 
 
+def test_asof_join_null_payload_fields_come_from_one_row(spark):
+    """The latest right row wins AS A WHOLE, even when some of its payload
+    fields are NULL — a per-column last(ignorenulls) would stitch the NULL
+    field from an older row (the bug this pins)."""
+    left = spark.createDataFrame([(1, "k", datetime(2024, 1, 20))],
+                                 "id long, key string, t timestamp")
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 1, 5), 1.0, "old"),
+         ("k", datetime(2024, 1, 15), 2.0, None)],  # latest: v2 is NULL
+        "key string, rt timestamp, v1 double, v2 string",
+    )
+    out = asof_join(left, right, on="key", left_time="t", right_time="rt",
+                    payload=["v1", "v2"]).collect()[0]
+    assert out.v1_asof == 2.0
+    assert out.v2_asof is None  # NOT "old" stitched from the older row
+
+
+def test_salted_join_and_two_phase_agg_lose_no_rows(spark):
+    """Salting only changes the physical key distribution. The salt is
+    pmod(xxhash64), never abs()%n — abs(Long.MIN_VALUE) is negative on the
+    JVM, and a negative salt matches no replicated right salt (silent row
+    drop from an inner join); pinned here at the boundary value."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import salted_join, two_phase_agg
+
+    boundary = spark.sql(
+        f"SELECT pmod(CAST({-2**63} AS BIGINT), 16) AS s"
+    ).collect()[0].s
+    assert 0 <= boundary < 16
+
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame(
+        [(str(i), i * 10) for i in range(7)], "k string, w long"
+    )
+    out = salted_join(left, right, on="k", n_salts=16)
+    assert out.count() == 1000  # every left row survives the inner join
+    plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
+    assert {(r.k, r.v, r.w) for r in out.collect()} == plain
+
+    agg = {r.k: r.v_sum for r in two_phase_agg(left, "k", "v").collect()}
+    exact = {r.k: r.s for r in
+             left.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert agg == exact
+
+
 def test_zscore_grouped_map_matches_native_window(spark):
     """applyInPandas grouped-map and the JVM window form must agree
     (pandas std ddof=1 == stddev_samp)."""
