@@ -7,9 +7,14 @@ join events⟕resources⟕categories (227-236), count per (date, resource)
 driver loop issuing f-string SQL + one CSV write per date (260-278).
 
 Rebuild:
-- counts come from groupBy on (date, categoryId, resourceId) — no
-  count-then-self-join, no post-join dedup (the reference needed A4 only
-  because J3 re-multiplied rows).
+- counts come from groupBy (date, resourceId) on the RAW events, BEFORE
+  the dim joins — exactly the reference's count grain (top10.py:239-241).
+  Counting after the joins would multiply events (and inflate counts)
+  whenever a dim key is duplicated; pre-join counts make the count immune
+  to dim duplication, and the post-join dedup on (date, categoryId,
+  resourceId) (reference A4, top10.py:252) handles the ranked rows.
+- the count-then-self-join becomes count-then-broadcast-dim-join: the
+  fact shuffles once on (date, resourceId) and never joins itself.
 - dims are broadcast (they are REST/Firestore-sized).
 - the per-date loop is a single partitionBy("date") CSV write.
 - dense_rank ties are KEPT (a "top 10" may exceed 10 rows) — that is the
@@ -56,18 +61,21 @@ def top10_report(events: DataFrame, resources: DataFrame,
         )
     )
     counts = (
-        ev.join(res, "resourceId", "left")          # J1 top10.py:227-230
+        ev.groupBy("date", "resourceId")
+        .agg(F.count("*").alias("purchases"))       # A1 top10.py:239-241 (pre-join)
+    )
+    enriched = (
+        counts.join(res, "resourceId", "left")      # J1 top10.py:227-230
         .join(cat, "categoryId", "left")            # J2 top10.py:233-236
-        .groupBy("date", "categoryId", "categoryName", "resourceId", "resourceName")
-        .agg(F.count("*").alias("purchases"))       # A1 top10.py:239-241
+        .dropDuplicates(["date", "categoryId", "resourceId"])  # A4 :252
     )
     w = W.partitionBy("date", "categoryId").orderBy(F.col("purchases").desc())
     return (
-        counts.withColumn("position", F.dense_rank().over(w))  # W1 :247-250
-        .filter(F.col("position") <= k)                        # P4 :251
+        enriched.withColumn("position", F.dense_rank().over(w))  # W1 :247-250
+        .filter(F.col("position") <= k)                          # P4 :251
         .select("position", "date", "categoryId", "categoryName",
                 "resourceId", "resourceName", "purchases")
-        .orderBy("date", "categoryId", "position")             # O1 :253
+        .orderBy("date", "categoryId", "position")               # O1 :253
     )
 
 

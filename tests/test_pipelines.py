@@ -91,6 +91,25 @@ def test_top10_dense_rank_ties_and_null_paths(spark, dims):
     assert len(rows) == 6
 
 
+def test_top10_duplicate_dim_key_does_not_inflate_counts(spark, dims):
+    """Counts are computed on raw events BEFORE the dim joins (reference
+    top10.py:239-241). A duplicated resource row — plausible after the
+    '3.5'→'3.05' id normalization collides with a literal id — must not
+    multiply events into a higher purchase count."""
+    _, categories, _, _ = dims
+    dup_resources = spark.createDataFrame(
+        [("r1", "Res One", "3.5", "p1", "false"),
+         ("r1", "Res One (dup)", "3.5", "p1", "false")],  # duplicate key
+        RESOURCES_SCHEMA,
+    )
+    ev = _events(spark, (
+        [{"processTime": "2024-01-01T10:00:00", "resourceId": "r1"}] * 3
+    ))
+    out = top10_report(ev, dup_resources, categories).collect()
+    assert len(out) == 1  # deduped on (date, categoryId, resourceId)
+    assert out[0].purchases == 3  # not 6
+
+
 def test_top10_partitioned_csv_sink(spark, dims, tmp_path):
     resources, categories, _, _ = dims
     ev = _events(spark, [
