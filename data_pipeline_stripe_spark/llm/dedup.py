@@ -22,12 +22,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.text import normalized_text_expr, shingles_expr, tokens_expr
 
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# Hot-key caps, ON by default — the quadratic-blowup guards at 100 TB.
+# An LSH bucket of d docs yields d² candidate pairs ON ONE SHUFFLE KEY;
+# a corpus-common shingle does the same to the inverted index. Both caps
+# drop only keys past the limit (boilerplate clusters / stop-shingles),
+# are deterministic, and are mirrored in the DuckDB oracles.
+MAX_BUCKET_SIZE = 64
+MAX_SHINGLE_DOC_FREQ = 128
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
@@ -92,33 +101,56 @@ def _band_key(sig_cols: list[str], band: int) -> Column:
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text",
-                      threshold: float = 0.5) -> DataFrame:
+                      text_col: str = "text", threshold: float = 0.5,
+                      max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                      signatures: DataFrame | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, scored by estimated
     Jaccard (fraction of matching signature slots), filtered to
     ``>= threshold``. Returns (doc_a, doc_b, est_jaccard).
 
     Scale shape: signatures are one narrow row per doc; the band explode
     is ×N_BANDS; the self-join shuffles on band key and only colliding
-    buckets produce pairs. Skewed buckets (boilerplate texts) would be the
-    hot spot at 100 TB — AQE skew-join handles moderate skew, and a bucket
-    size cap is the documented escape hatch.
+    buckets produce pairs. Two guards make this survive 100 TB:
+
+    - **Bucket cap (default on).** A bucket of d docs is d² pairs on ONE
+      key — a boilerplate-heavy bucket is a straggler that AQE cannot
+      split (the pairs are genuinely on one key). Buckets larger than
+      ``max_bucket_size`` are dropped whole: a >cap bucket is a
+      near-identical boilerplate cluster, which is ``exact_dedup_groups``'s
+      job, not pairwise scoring's. The count is a window over the same
+      (band_id, band_key) partitioning the join shuffles on anyway.
+    - **Ids-only shuffle.** Band rows carry (id, band_id, band_key) — not
+      the 16-slot signature array ×N_BANDS copies. Signatures are
+      re-attached to the few SURVIVING pairs by two id-keyed joins.
+
+    The signature subtree feeds several plan branches and Catalyst does
+    not common-subexpression-eliminate across them — at 100 TB,
+    materialize ``minhash_signatures`` once (persist or write to a table)
+    and pass it via ``signatures``; the declarative recompute is fine at
+    test scale.
     """
-    sig = minhash_signatures(df, id_col, text_col)
+    sig = (signatures if signatures is not None
+           else minhash_signatures(df, id_col, text_col))
     sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
     bands = sig.select(
         F.col(id_col),
-        F.array(*[F.col(c) for c in sig_cols]).alias("sig"),
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band_id"), _band_key(sig_cols, b).alias("band_key"))
                 for b in range(N_BANDS)
             ])
         ).alias("band"),
-    ).select(id_col, "sig", "band.band_id", "band.band_key")
+    ).select(id_col, "band.band_id", "band.band_key")
+    if max_bucket_size is not None:
+        wb = W.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("_bucket_size", F.count("*").over(wb))
+            .filter(F.col("_bucket_size") <= max_bucket_size)
+            .drop("_bucket_size")
+        )
 
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -128,11 +160,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_arr = F.array(*[F.col(c) for c in sig_cols])
+    sa = sig.select(F.col(id_col).alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), sig_arr.alias("sig_b"))
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -140,7 +173,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         )
     )
     return (
-        pairs.withColumn("est_jaccard", F.round(matches / F.lit(float(N_HASHES)), 4))
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(N_HASHES)), 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -218,16 +252,35 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text",
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard similarity over distinct 3-token shingle sets, via an
+                        text_col: str = "text", threshold: float = 0.5,
+                        max_doc_freq: int | None = MAX_SHINGLE_DOC_FREQ
+                        ) -> DataFrame:
+    """Jaccard similarity over distinct 3-token shingle sets, via an
     inverted-index self-join (shuffle on shingle, count intersections,
     join per-doc set sizes). Returns (doc_a, doc_b, jaccard >= threshold).
+
+    **Document-frequency cap (default on):** a shingle appearing in d
+    docs contributes d² index pairs on ONE shuffle key — a corpus-common
+    shingle ("all rights reserved") is the quadratic hot key at 100 TB,
+    and carries no discriminative signal. Shingles with document
+    frequency > ``max_doc_freq`` are dropped from the index BEFORE both
+    the intersection counts and the per-doc set sizes, so the result is
+    the exact Jaccard over the capped shingle universe (deterministic,
+    oracle-mirrorable); with the cap off (None) it is the exact full
+    Jaccard. The DF count is a window over the same shingle partitioning
+    the self-join shuffles on anyway.
 
     This is the exact-verification counterpart to ``minhash_lsh_pairs``;
     at 100 TB run it only on LSH candidates (compose the two operators).
     """
     sh = _distinct_shingles(df, id_col, text_col)
+    if max_doc_freq is not None:
+        wdf = W.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(wdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -74,8 +74,14 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_SIG_AGGS}
         FROM sh GROUP BY doc_id
     ),
-    bands AS (
+    bands0 AS (
 {_BAND_SELECTS}
+    ),
+    bands AS (
+        SELECT doc_id, band_id, band_key FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bsz
+            FROM bands0
+        ) WHERE bsz <= {dedup.MAX_BUCKET_SIZE}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -94,7 +100,9 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash(16 md5-min hashes) + LSH(4 bands × 4 rows) near-dup
     candidate pairs, scored by estimated Jaccard >= 0.5. Banded bucket
-    join — never O(n²)."""
+    join — never O(n²); buckets larger than MAX_BUCKET_SIZE are dropped
+    (hot-key guard, mirrored in the oracle), and the band shuffle carries
+    ids only (signatures re-attached to surviving pairs)."""
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -102,10 +110,15 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+        ) WHERE df <= {dedup.MAX_SHINGLE_DOC_FREQ}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -118,7 +131,9 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2-exact: 3-gram shingle Jaccard via inverted-index self-join —
-    the exact verifier for the LSH candidates."""
+    the exact verifier for the LSH candidates. Shingles with document
+    frequency > MAX_SHINGLE_DOC_FREQ are dropped from the index (hot-key
+    guard, mirrored in the oracle)."""
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -372,10 +387,15 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_dedup_corpus",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+        ) WHERE df <= {dedup.MAX_SHINGLE_DOC_FREQ}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     dup_pairs AS (

@@ -107,6 +107,61 @@ def test_ivf_topk_is_valid_approximation(spark, sf_dir):
         assert r.similarity <= exact_best[r.query_id] + 1e-9
 
 
+_BOILER = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+           "eiusmod tempor incididunt ut labore et dolore magna aliqua")
+_TAIL = "quick brown fox jumps over the lazy dog again and once more today"
+
+
+@pytest.fixture(scope="module")
+def hot_key_corpus(spark):
+    """20 docs sharing a 19-token boilerplate prefix (the planted hot key)
+    + a genuine near-dup pair (100, 101) with non-boilerplate overlap."""
+    rows = [(i, f"{_BOILER} unique{i}a unique{i}b") for i in range(20)]
+    rows += [(100, _TAIL), (101, _TAIL.replace("today", "tonight"))]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_doc_freq_cap_kills_boilerplate_pair_blowup(spark, hot_key_corpus):
+    """Without the cap, the shared boilerplate makes every one of the 190
+    doc pairs a 'near-dup' (quadratic blowup on the hot shingles). With
+    the cap, boilerplate shingles (df=20) leave the index and only the
+    genuinely-overlapping pair survives."""
+    uncapped = dedup.ngram_jaccard_pairs(hot_key_corpus, max_doc_freq=None)
+    assert uncapped.count() >= 190
+    capped = {(r.doc_a, r.doc_b) for r in
+              dedup.ngram_jaccard_pairs(hot_key_corpus, max_doc_freq=10).collect()}
+    assert capped == {(100, 101)}
+
+
+def test_lsh_precomputed_signatures_give_identical_pairs(spark, corpus):
+    """The scale path materializes minhash_signatures once and passes it
+    in; results must be identical to the self-contained form."""
+    sig = dedup.minhash_signatures(corpus).persist()
+    try:
+        with_sig = {(r.doc_a, r.doc_b, r.est_jaccard) for r in
+                    dedup.minhash_lsh_pairs(corpus, signatures=sig).collect()}
+        without = {(r.doc_a, r.doc_b, r.est_jaccard) for r in
+                   dedup.minhash_lsh_pairs(corpus).collect()}
+        assert with_sig == without
+    finally:
+        sig.unpersist()
+
+
+def test_lsh_bucket_cap_drops_boilerplate_cluster(spark):
+    """An LSH bucket of d near-identical docs is d² pairs on one shuffle
+    key. With the cap, the oversize bucket is dropped whole (that cluster
+    is exact-dedup's job); a small genuine near-dup pair still collides in
+    its own (size-2) bucket and survives."""
+    rows = [(i, _BOILER) for i in range(20)]          # identical boilerplate
+    rows += [(100, _TAIL), (101, _TAIL.replace("today", "tonight"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    no_cap = dedup.minhash_lsh_pairs(docs, max_bucket_size=None).count()
+    assert no_cap >= 190
+    capped = {(r.doc_a, r.doc_b) for r in
+              dedup.minhash_lsh_pairs(docs, max_bucket_size=5).collect()}
+    assert capped == {(100, 101)}
+
+
 def test_cosine_near_dup_bucketed_subset_and_recall(spark, sf_dir):
     """The IVF-bucketed near-dup result must be a subset of the exact
     brute-force pairs (identical similarity values on shared pairs) with
