@@ -8,19 +8,76 @@ identically on both sides, doubles are rounded on both sides, and
 timestamps are rendered to strings on both sides.
 """
 
+import os
+import re
+
 from .registry import REGISTRY, Query, query  # noqa: F401
 
 # Importing the modules populates REGISTRY via the @query decorator.
-#
-# Order matters: the driver's correctness gate checks the first 50 registry
-# entries, so the LLM-extension queries (doc_* / embedding_* / multimodal_*)
-# are registered FIRST to guarantee they fall inside the window; the
-# relational/stripe entries pushed past 50 were all hash-verified green in
-# round 1 (CORRECTNESS_r01.json).
 from . import llm_text  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
 from . import stripe  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "Query", "query"]
+# ---------------------------------------------------------------------------
+# Correctness-window rotation policy
+#
+# The driver's per-round gate hash-checks only the FIRST `_WINDOW` registry
+# entries, and the registry holds more than that. Two rules keep every query
+# covered:
+#
+# 1. `PRIORITY_THIS_ROUND` lists the queries whose implementation changed in
+#    the current round — they are pinned to the head of the registry, so a
+#    change is always gated the round it lands. Update this list whenever a
+#    query's code changes.
+# 2. Everything else rotates by `len(registry) - _WINDOW` positions per
+#    round (round number = latest CORRECTNESS_r{N}.json present + 1), so
+#    any two consecutive rounds jointly cover the full registry — no query
+#    goes more than one round without re-verification.
+# ---------------------------------------------------------------------------
+
+_WINDOW = 50
+
+PRIORITY_THIS_ROUND = [
+    # round 3: near-dup semantics split, usage-report schema, dedup caps,
+    # asof struct carry, q5 rename
+    "embedding_cosine_near_dup",
+    "embedding_cosine_near_dup_bucketed",
+    "platform_usage_by_user_bucket",
+    "platform_usage_monthly",
+    "doc_minhash_lsh_pairs",
+    "doc_ngram_jaccard_pairs",
+    "doc_dedup_corpus",
+    "asof_last_order_before_event",
+    "q5_supplier_customer_by_nation",
+]
+
+
+def _round_number() -> int:
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo_root)
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _apply_rotation() -> None:
+    names = list(REGISTRY)
+    pinned = [n for n in PRIORITY_THIS_ROUND if n in REGISTRY]
+    rest = [n for n in names if n not in pinned]
+    step = max(1, len(names) - _WINDOW)
+    offset = (_round_number() * step) % len(rest) if rest else 0
+    order = pinned + rest[offset:] + rest[:offset]
+    reordered = {n: REGISTRY[n] for n in order}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
+
+
+_apply_rotation()
+
+__all__ = ["REGISTRY", "Query", "query", "PRIORITY_THIS_ROUND"]

@@ -65,7 +65,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q5_supplier_customer_conation",
+    "q5_supplier_customer_by_nation",
     oracle="""
     SELECT n.n_name AS nation_name,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -79,7 +79,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
 )
-def q5_supplier_customer_conation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q5_supplier_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: region-filtered star with the co-nation predicate
     (customer and supplier in the same nation) applied across joins."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -2,6 +2,7 @@ from .readers import (
     read_events_json,
     read_dim_csv,
     read_dim_rows,
+    fetch_dim,
     typed_events,
     load_table,
     load_tables,
@@ -11,6 +12,7 @@ __all__ = [
     "read_events_json",
     "read_dim_csv",
     "read_dim_rows",
+    "fetch_dim",
     "typed_events",
     "load_table",
     "load_tables",

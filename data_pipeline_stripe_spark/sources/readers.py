@@ -62,6 +62,28 @@ def read_dim_rows(spark: SparkSession, rows: Iterable[Mapping[str, Any]],
     return spark.createDataFrame(ordered, schema)
 
 
+def fetch_dim(spark: SparkSession, url: str, schema: T.StructType,
+              content_key: str = "content", timeout: float = 10.0) -> DataFrame:
+    """Thin REST-dimension fetch: GET ``url``, parse the JSON payload, and
+    build a typed dimension via ``read_dim_rows``.
+
+    Replaces the reference's ``requests.get(url).json()["content"]`` +
+    inferred-schema createDataFrame (top10.py:35-59, royalties.py:44-63).
+    A small dimension legitimately arrives through the driver — it gets
+    broadcast anyway; what must NOT happen on the driver is the fact-table
+    ingest (see ``read_events_json``). Accepts ``http(s)://`` and, for
+    tests / local fixtures, ``file://`` URLs. The payload may be a bare
+    JSON list of objects or wrapped as ``{content_key: [...]}``.
+    """
+    import json as _json
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        data = _json.loads(resp.read().decode("utf-8"))
+    rows = data[content_key] if isinstance(data, Mapping) else data
+    return read_dim_rows(spark, rows, schema)
+
+
 def inline_dim(spark: SparkSession, rows: list[tuple], columns: str) -> DataFrame:
     """Tiny literal dimension as a pure-JVM VALUES relation.
 

@@ -101,16 +101,51 @@ def test_typed_events_boundary(spark):
     assert rows["e2"].processTime == datetime(2024, 1, 5, 11, 0, 0)
 
 
-def test_lakehouse_stubs_raise_cleanly(spark):
-    """Delta/Iceberg jars are not in this image; the connectors must say
-    so explicitly instead of failing deep in the DataSource resolver."""
-    import pytest as _pytest
+def test_fetch_dim_file_url_feeds_top10_pipeline(spark, tmp_path):
+    """The REST-dimension adapter (reference top10.py:35-59): GET → JSON
+    payload → typed dimension. Injected here via a file:// URL; the result
+    drives the top10 report exactly like a live categories endpoint."""
+    import json
 
-    from data_pipeline_stripe_spark.sources import lakehouse
+    from data_pipeline_stripe_spark.pipelines import top10_report
+    from data_pipeline_stripe_spark.schemas import (
+        CATEGORIES_SCHEMA,
+        EVENTS_RAW_SCHEMA,
+        RESOURCES_SCHEMA,
+    )
+    from data_pipeline_stripe_spark.sources import fetch_dim
 
-    if not lakehouse.delta_available():
-        with _pytest.raises(NotImplementedError, match="delta-spark"):
-            lakehouse.read_delta(spark, "/nope")
-    if not lakehouse.iceberg_available(spark):
-        with _pytest.raises(NotImplementedError, match="iceberg"):
-            lakehouse.read_iceberg(spark, "cat.db.t")
+    payload = {"content": [
+        {"tenant": "t", "id": "3.5", "name": "Cat A", "percent": "10"},
+        {"tenant": "t", "id": "7", "name": "Cat B", "percent": "20"},
+    ]}
+    path = tmp_path / "categories.json"
+    path.write_text(json.dumps(payload))
+    cats = fetch_dim(spark, path.as_uri(), CATEGORIES_SCHEMA)
+    assert cats.schema == CATEGORIES_SCHEMA
+    assert cats.count() == 2
+
+    resources = spark.createDataFrame(
+        [("r1", "Res One", "3.5", "p1", "false")], RESOURCES_SCHEMA)
+    ev = spark.createDataFrame(
+        [("e1", None, "2024-01-01T10:00:00", "r1", None, None, None, None)],
+        EVENTS_RAW_SCHEMA)
+    out = top10_report(ev, resources, cats).collect()
+    assert len(out) == 1 and out[0].categoryName == "Cat A"
+
+
+def test_fetch_dim_accepts_bare_list_payload(spark, tmp_path):
+    import json
+
+    from pyspark.sql import types as T
+
+    from data_pipeline_stripe_spark.sources import fetch_dim
+
+    path = tmp_path / "rates.json"
+    path.write_text(json.dumps([{"code": "USD", "rate": 1.0}]))
+    schema = T.StructType([
+        T.StructField("code", T.StringType()),
+        T.StructField("rate", T.DoubleType()),
+    ])
+    rows = fetch_dim(spark, path.as_uri(), schema).collect()
+    assert rows == [("USD", 1.0)]
