@@ -62,16 +62,14 @@ def main() -> None:
     # total went 15s → 26s. OS page cache already covers the raw bytes.
     run("q1_pricing_summary")  # JVM/codegen warmup, not timed
 
-    # Best-of-2 (3 when noisy): the first execution of each distinct plan
-    # pays whole-stage codegen JIT (seconds of C2 compile on a cold JVM);
-    # the min is the steady-state number a long-lived cluster would see.
-    # A third sample is taken when the first two disagree >2× (container
-    # CPU noise).
+    # Best-of-3: the first execution of each distinct plan pays
+    # whole-stage codegen JIT (seconds of C2 compile on a cold JVM) and
+    # the container CPU is co-tenant-noisy; the min of three is the
+    # steady-state number a long-lived cluster would see. Round-over-round
+    # deltas are tabulated by tools/bench_diff.py into BENCH_DIFF.md so
+    # noise and regression stay distinguishable.
     def best_of(name: str) -> float:
-        a, b = run(name), run(name)
-        if max(a, b) > 2 * min(a, b):
-            return min(a, b, run(name))
-        return min(a, b)
+        return min(run(name) for _ in range(3))
 
     timings = {name: round(best_of(name), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)

@@ -17,6 +17,16 @@ Rebuild:
   format_number string quirk is available as format_number_prices in the
   query registry but canonical output is typed (SURVEY.md §7.2 decision).
 - no JVM→Python hop anywhere.
+
+Output-grain decision (declared deviation): the reference's final select
+(royalties.py:309-313) emits one row PER EVENT — month/providerId/
+resourceId/amount with no aggregation, i.e. a converted per-event ledger
+despite the script's own "monthly royalties per provider" purpose
+(readme + the once-per-month scheduler note at royalties.py:320). The
+rebuild implements the documented intent: SUM to (date, providerId).
+The per-event ledger is `converted` just before the groupBy — callers
+wanting the reference's literal row grain can stop there; the monthly
+aggregate is what the report sink writes.
 """
 
 from __future__ import annotations
