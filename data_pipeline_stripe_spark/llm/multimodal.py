@@ -1,17 +1,31 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — binary payload columns, typed
-metadata structs, Arrow-batched ``mapInPandas`` feature extraction with a
-stable output schema and partition-preserving batch flow. The actual media
-*decode* is stubbed: the container has no image/audio libraries, so
-``decode_image_batch`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is selected (used by tests and the oracle).
+The Spark-side plumbing — binary payload columns, typed metadata structs,
+Arrow-batched ``mapInPandas`` feature extraction with a stable output
+schema and partition-preserving batch flow — is real and tested, and so is
+decode for every self-describing format parseable without media libraries:
+
+- **BMP** (24-bit uncompressed BI_RGB): full pixel decode/encode,
+  struct + numpy (``decode_bmp_pixels`` / ``encode_bmp``).
+- **WAV** (PCM16): full sample decode/encode via a hand-rolled RIFF chunk
+  walk (``decode_wav`` / ``encode_wav_pcm16``); tests cross-check against
+  the stdlib ``wave`` module.
+- **PNG / GIF / JPEG**: header parse for dimensions
+  (``decode_image_real`` dispatches on magic bytes).
+
+Compressed *pixel* decode (PNG IDAT, JPEG entropy, video codecs) would
+need PIL/opencv/ffmpeg, which this container lacks — those payloads get
+correct dimensions from the header parse and a clear ``ValueError``
+(never a wrong answer) from the pixel-level APIs. The deterministic fake
+decoder remains for opaque test fixtures whose payloads are not media.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,12 +71,174 @@ def decode_image_fake(payload: bytes) -> tuple[int, int]:
     return (n % 1024 + 1, (n * 7) % 768 + 1)
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
-    """Real decode — STUB. Would use PIL/opencv (not in this container)."""
-    raise NotImplementedError(
-        "media decode requires an image library not present in this "
-        "environment; use decoder='fake' for plumbing tests"
+def sniff_media_format(payload: bytes) -> str:
+    """Identify a media payload by magic bytes. Cheap enough to run as the
+    first step of any decode mapInPandas batch; rows route to the right
+    parser without trusting metadata."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real image dimension decode — pure struct parsing, no media libs.
+
+    BMP/PNG/GIF/JPEG all carry their dimensions in self-describing
+    headers; this reads them exactly the way PIL's format sniffers do.
+    Reference parity: the reference treats media as opaque blobs and never
+    decodes (SURVEY.md §2.10 extension); this is the training-data-
+    pipeline extension surface.
+    """
+    kind = sniff_media_format(payload)
+    if kind == "bmp":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return (w, abs(h))  # negative height = top-down row order
+    if kind == "png":
+        # 8-byte signature, then IHDR chunk: len(4) type(4) width height
+        w, h = struct.unpack_from(">II", payload, 16)
+        return (w, h)
+    if kind == "gif":
+        # logical screen descriptor straight after the 6-byte version tag
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return (w, h)
+    if kind == "jpeg":
+        return _jpeg_dimensions(payload)
+    raise ValueError(
+        f"unsupported image format {kind!r} (magic {payload[:4]!r}); "
+        "real decode covers bmp/png/gif/jpeg headers"
     )
+
+
+# SOF markers that carry frame dimensions; C4/C8/CC look like SOFs but are
+# DHT/JPG-extension/DAC tables.
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """Walk JPEG marker segments to the first start-of-frame."""
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone RSTn/TEM
+            i += 2
+            continue
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        if marker in _JPEG_SOF:
+            h, w = struct.unpack_from(">HH", payload, i + 5)
+            return (w, h)
+        i += 2 + seg_len
+    raise ValueError("corrupt JPEG: no SOF marker found")
+
+
+# -- BMP: full pixel encode/decode (24-bit uncompressed BI_RGB) -------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a standard bottom-up 24-bit
+    BI_RGB .bmp — BITMAPFILEHEADER + BITMAPINFOHEADER + 4-byte-aligned
+    BGR rows. Any conformant viewer/decoder opens the output."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    padded = np.zeros((h, row_size), dtype=np.uint8)
+    padded[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + dib + padded.tobytes()
+
+
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Full BMP pixel decode → (h, w, 3) uint8 RGB. Handles row padding,
+    bottom-up and top-down row order; rejects anything but 24-bit
+    uncompressed BI_RGB with a clear error (never a silently wrong
+    answer)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BI_RGB supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(h_raw)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8, count=row_size * h, offset=data_off)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:  # bottom-up (the common case)
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+# -- WAV: full PCM16 encode/decode via RIFF chunk walk ----------------------
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int,
+                     n_channels: int = 1) -> bytes:
+    """Encode int16 samples (frame-interleaved if multi-channel) as a
+    canonical RIFF/WAVE PCM file."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Full WAV decode → (sample_rate, n_channels, n_frames, rms).
+
+    Hand-rolled RIFF chunk walk (chunks are [4-byte id][4-byte size][data],
+    word-aligned), so extra chunks (LIST/INFO/fact) are skipped correctly
+    rather than assumed absent. PCM16 only; rejects compressed codecs.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        chunk = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        i += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 supported (format={audio_format}, bits={bits})"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    n_frames = len(samples) // n_channels
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) \
+        if len(samples) else 0.0
+    return (sample_rate, n_channels, n_frames, rms)
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType([
@@ -122,6 +298,70 @@ def resize_images(media: DataFrame, width: int, height: int,
             })
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+IMAGE_PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def extract_image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel-level feature extraction: full BMP decode per payload
+    inside an Arrow-batched ``mapInPandas`` — dimensions from the header,
+    per-channel means from the actual pixel array. The scale shape is the
+    same as any per-media Python work: payloads stream through executors
+    in Arrow batches, nothing touches the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in IMAGE_PIXEL_STATS_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = decode_bmp_pixels(bytes(payload))
+                h, w, _ = rgb.shape
+                means = rgb.reshape(-1, 3).mean(axis=0)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, IMAGE_PIXEL_STATS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: full WAV PCM16 decode per payload —
+    format fields from the RIFF chunk walk, RMS amplitude from the actual
+    samples. Same Arrow-batched flow as the image path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, frames, rms = decode_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_frames"].append(frames)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame:

@@ -16,6 +16,7 @@ from .registry import REGISTRY, Query, query  # noqa: F401
 # Importing the modules populates REGISTRY via the @query decorator.
 from . import llm_text  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
+from . import llm_multimodal  # noqa: E402,F401
 from . import stripe  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
@@ -51,6 +52,9 @@ PRIORITY_THIS_ROUND = [
     "doc_dedup_corpus",
     "asof_last_order_before_event",
     "q5_supplier_customer_by_nation",
+    # round 3 (cont.): real media decode round-trips
+    "multimodal_bmp_roundtrip",
+    "multimodal_wav_roundtrip",
 ]
 
 

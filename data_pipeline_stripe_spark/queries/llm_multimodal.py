@@ -1,0 +1,130 @@
+"""Multimodal real-decode queries: encode→decode round-trips gated by an
+arithmetic oracle.
+
+The payloads are REAL media bytes — standard 24-bit BMP files and
+RIFF/WAVE PCM16 files — built deterministically from ``doc_id`` inside an
+Arrow-batched ``mapInPandas`` stage, then decoded by the real parsers in
+``llm.multimodal`` (full pixel / full sample decode, no media libraries).
+Because every encoding parameter is a pure function of ``doc_id``, DuckDB
+can verify the decoded output with plain arithmetic — the oracle never
+decodes anything, so a hash match proves the encoder and decoder agree
+with an *independent* computation of the ground truth, not with each
+other.
+
+Reference parity: the reference pipelines treat attachments as opaque
+blobs and never decode (SURVEY.md §2.10); this is the training-data
+extension surface (multimodal columns) the rebuild adds on top.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..llm import multimodal
+from ..sources import load_table
+from .registry import query
+
+_MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """One real BMP per doc: width/height/solid-RGB are functions of
+    doc_id (w = id%31+1, h = id%17+1, rgb = (id, 3id, 7id) mod 256), so
+    the decoded stats are arithmetically predictable. Width varies over
+    1..31 → every row-padding remainder (w*3 mod 4) is exercised."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 31 + 1, i % 17 + 1
+                rgb = np.full((h, w, 3), 0, dtype=np.uint8)
+                rgb[:, :, 0] = i % 256
+                rgb[:, :, 1] = (i * 3) % 256
+                rgb[:, :, 2] = (i * 7) % 256
+                ids.append(i)
+                payloads.append(multimodal.encode_bmp(rgb))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """One real WAV per doc: rate/channels/frames are functions of doc_id;
+    samples are a ±amp square wave with amp = 100 + id%900, whose RMS is
+    exactly amp — arithmetically checkable without decoding."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 * (i % 3 + 1)
+                channels = i % 2 + 1
+                frames = 50 + i % 50
+                amp = 100 + i % 900
+                n = frames * channels
+                samples = np.where(
+                    np.arange(n) % 2 == 0, amp, -amp
+                ).astype(np.int16)
+                ids.append(i)
+                payloads.append(
+                    multimodal.encode_wav_pcm16(samples, rate, channels))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+
+
+@query(
+    "multimodal_bmp_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(doc_id % 31 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 17 + 1 AS BIGINT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 real image decode: encode a standard 24-bit BMP per document,
+    then full-pixel-decode it back (header parse + padded-row numpy
+    slicing, llm/multimodal.py) and emit dimensions + per-channel means.
+    The oracle computes the expected values from doc_id arithmetic alone —
+    an independent ground truth the decode must reproduce. Solid-color
+    means are exact integers, so the double compare is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_bmp_media(docs)
+    return multimodal.extract_image_pixel_stats(media)
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS n_channels,
+           CAST(50 + doc_id % 50 AS BIGINT) AS n_frames,
+           CAST(100 + doc_id % 900 AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 real audio decode: encode a RIFF/WAVE PCM16 file per document,
+    then decode it back via the RIFF chunk walk (llm/multimodal.py) and
+    emit format fields + RMS over the actual samples. A ±amp square wave
+    has RMS exactly amp (a double-exact integer), so the oracle is pure
+    doc_id arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_wav_media(docs)
+    return multimodal.extract_audio_features(media)

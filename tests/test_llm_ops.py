@@ -240,5 +240,5 @@ def test_multimodal_plumbing_and_stub(spark, corpus):
     for doc_id, r in feats.items():
         assert r.n_pixels == r.width * r.height
         assert r.width == r.n_bytes % 1024 + 1
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"bytes")
+    with pytest.raises(ValueError, match="unsupported image format"):
+        multimodal.decode_image_real(b"bytes")  # not a known magic

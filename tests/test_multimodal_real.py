@@ -1,0 +1,170 @@
+"""Real media decode: BMP/WAV full decode round-trips (random data, every
+padding case), PNG/GIF/JPEG header parses on handcrafted valid files, WAV
+cross-checked against the stdlib ``wave`` module, and strict-error paths.
+The registry round-trip queries are covered by the oracle gate; these
+tests pin the decoders themselves."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from data_pipeline_stripe_spark.llm import multimodal as mm
+
+rng = np.random.default_rng(42)
+
+
+# -- BMP --------------------------------------------------------------------
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (3, 2), (4, 4), (5, 1),
+                                 (31, 17), (64, 48)])
+def test_bmp_roundtrip_random_pixels(w, h):
+    # w covers every row-padding remainder (w*3 % 4 in {0,1,2,3})
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = mm.encode_bmp(img)
+    assert mm.sniff_media_format(payload) == "bmp"
+    assert mm.decode_image_real(payload) == (w, h)
+    np.testing.assert_array_equal(mm.decode_bmp_pixels(payload), img)
+
+
+def test_bmp_file_size_field_is_consistent():
+    payload = mm.encode_bmp(rng.integers(0, 256, (5, 7, 3), dtype=np.uint8))
+    declared = struct.unpack_from("<I", payload, 2)[0]
+    assert declared == len(payload)
+
+
+def test_bmp_top_down_row_order():
+    img = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    payload = bytearray(mm.encode_bmp(img[::-1]))  # encode flipped...
+    struct.pack_into("<i", payload, 22, -4)        # ...then declare top-down
+    np.testing.assert_array_equal(mm.decode_bmp_pixels(bytes(payload)), img)
+
+
+def test_bmp_rejects_unsupported_depth():
+    payload = bytearray(mm.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    struct.pack_into("<H", payload, 28, 8)  # claim 8-bit
+    with pytest.raises(ValueError, match="24-bit"):
+        mm.decode_bmp_pixels(bytes(payload))
+
+
+# -- WAV --------------------------------------------------------------------
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_roundtrip_vs_stdlib(channels):
+    frames = 480
+    samples = rng.integers(-30000, 30000, frames * channels).astype(np.int16)
+    payload = mm.encode_wav_pcm16(samples, 16000, channels)
+    assert mm.sniff_media_format(payload) == "wav"
+
+    # our encoder's output must be readable by the independent stdlib parser
+    with wave.open(io.BytesIO(payload)) as wf:
+        assert (wf.getframerate(), wf.getnchannels(), wf.getnframes(),
+                wf.getsampwidth()) == (16000, channels, frames, 2)
+
+    rate, ch, n_frames, rms = mm.decode_wav(payload)
+    assert (rate, ch, n_frames) == (16000, channels, frames)
+    expected = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert rms == pytest.approx(expected)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    samples = np.array([100, -100, 100, -100], dtype=np.int16)
+    payload = mm.encode_wav_pcm16(samples, 8000, 1)
+    # splice a LIST chunk (odd size → padded) between fmt and data
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    spliced = (spliced[:4]
+               + struct.pack("<I", len(spliced) - 8) + spliced[8:])
+    rate, ch, n_frames, rms = mm.decode_wav(spliced)
+    assert (rate, ch, n_frames, rms) == (8000, 1, 4, 100.0)
+
+
+def test_wav_rejects_non_pcm():
+    payload = bytearray(mm.encode_wav_pcm16(
+        np.zeros(4, dtype=np.int16), 8000, 1))
+    fmt_at = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", payload, fmt_at, 3)  # IEEE float format tag
+    with pytest.raises(ValueError, match="PCM16"):
+        mm.decode_wav(bytes(payload))
+
+
+def test_wav_rejects_truncated():
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        mm.decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+# -- PNG / GIF / JPEG header parses ----------------------------------------
+
+def _make_png(w: int, h: int) -> bytes:
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    # one filter byte (0=None) per row + raw RGB pixels, zlib-compressed
+    raw = b"".join(b"\0" + b"\x10\x20\x30" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_gif(w: int, h: int) -> bytes:
+    return (b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+            + b"\x3b")  # no global color table, trailer
+
+
+def _make_jpeg(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\0" * 9
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\0" * 65
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11)
+            + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("maker,kind", [
+    (_make_png, "png"), (_make_gif, "gif"), (_make_jpeg, "jpeg"),
+])
+def test_header_dimension_parse(maker, kind):
+    payload = maker(640, 480)
+    assert mm.sniff_media_format(payload) == kind
+    assert mm.decode_image_real(payload) == (640, 480)
+
+
+def test_jpeg_walk_skips_restart_markers():
+    # RST markers are standalone (no length field); the walk must not
+    # misread the following bytes as a segment length
+    payload = _make_jpeg(12, 34)
+    spliced = payload[:2] + b"\xff\xd0\xff\xd1" + payload[2:]
+    assert mm.decode_image_real(spliced) == (12, 34)
+
+
+def test_jpeg_without_sof_rejected():
+    with pytest.raises(ValueError, match="no SOF"):
+        mm.decode_image_real(b"\xff\xd8\xff\xd9")
+
+
+def test_unknown_format_rejected():
+    with pytest.raises(ValueError, match="unsupported image format"):
+        mm.decode_image_real(b"\x00\x01\x02\x03 not media")
+
+
+# -- Spark round-trip queries (small slice; oracle gate runs the full set) --
+
+def test_roundtrip_queries_match_arithmetic(spark, sf_dir):
+    from data_pipeline_stripe_spark.queries import REGISTRY
+
+    img = REGISTRY["multimodal_bmp_roundtrip"].fn(spark, sf_dir)
+    for r in img.collect():
+        i = r.doc_id
+        assert (r.width, r.height) == (i % 31 + 1, i % 17 + 1)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            i % 256, (i * 3) % 256, (i * 7) % 256)
+
+    wav = REGISTRY["multimodal_wav_roundtrip"].fn(spark, sf_dir)
+    for r in wav.collect():
+        i = r.doc_id
+        assert (r.sample_rate, r.n_channels, r.n_frames, r.rms) == (
+            8000 * (i % 3 + 1), i % 2 + 1, 50 + i % 50, 100 + i % 900)

@@ -61,7 +61,10 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 # Queries where a Python stage is the point (Arrow-batched kernels) or an
 # O(n²) pair scan is the documented baseline semantics.
 PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
-             "multimodal_image_features"}
+             "multimodal_image_features",
+             # real encode/decode round-trips: the Arrow-batched Python
+             # stage IS the operator under test
+             "multimodal_bmp_roundtrip", "multimodal_wav_roundtrip"}
 NONEQUI_OK = {
     # documented O(n²) brute-force baselines / pair scans (exact
     # semantics; the scale paths are the bucketed variants)
