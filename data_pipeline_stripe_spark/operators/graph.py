@@ -1,0 +1,86 @@
+"""Distributed connected components via iterative min-label propagation.
+
+The missing step between near-duplicate *pairs* and a deduplicated
+*corpus*: pairwise candidates (LSH / Jaccard / SimHash) form a graph whose
+connected components are the duplicate clusters — dedup keeps one
+representative per component. Removing "any doc that pairs with a
+lower-id doc" (an anti-join on pairs) is NOT the same thing: with chain
+duplicates A~B~C but A!~C it removes both B and C even though C's only
+cheaper twin (B) was itself removed. Component labeling makes the cluster
+structure explicit and the keep-set principled (min id per component).
+
+Algorithm: every vertex starts labeled with its own id; each round, every
+vertex takes the min of its label and its neighbors' labels; converged
+when no label changes. That is O(component diameter) rounds, each round
+one shuffle (an aggregate over edges) + one id-keyed join. Duplicate
+clusters are near-cliques (diameter ≲ 3), so this converges in a handful
+of rounds at any corpus size; for general graphs with long chains the
+alternating small-star/large-star variant (Kiveris et al., "Connected
+Components in MapReduce") halves the exponent, same building blocks.
+
+Iterative-plan hygiene, which is what makes this survive a real cluster:
+
+- each round ends in an **eager localCheckpoint**, truncating lineage —
+  without it the plan doubles every round and Catalyst re-optimizes an
+  exponentially growing tree (on a YARN/K8s cluster with an HA
+  requirement, swap for ``checkpoint()`` against the checkpoint dir);
+- the **convergence probe is an aggregate count**, the only driver-side
+  data movement in the loop (no ``collect()`` of vertices ever);
+- edges are canonicalized once and **reused every round** — the loop
+  shuffles only (vertex, label) pairs, never the text/payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 30) -> DataFrame:
+    """Label every vertex of the undirected graph given by ``pairs`` with
+    the MIN vertex id of its connected component.
+
+    Returns (vertex, component) for every vertex that appears in at least
+    one pair; callers left-join and coalesce to give isolated rows their
+    own id. Deterministic; raises if ``max_iter`` rounds don't converge
+    (max_iter bounds the component diameter, not the component size).
+    """
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.vertex)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.vertex == nbr_min.u, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", "component"),
+                ).alias("component"),
+                F.col("component").alias("_old"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )

@@ -52,9 +52,10 @@ PRIORITY_THIS_ROUND = [
     "doc_dedup_corpus",
     "asof_last_order_before_event",
     "q5_supplier_customer_by_nation",
-    # round 3 (cont.): real media decode round-trips
+    # round 3 (cont.): real media decode round-trips, dup clustering
     "multimodal_bmp_roundtrip",
     "multimodal_wav_roundtrip",
+    "doc_near_dup_clusters",
 ]
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup, multimodal, text as llm_text
+from ..operators.graph import connected_components
 from ..sources import load_table
 from .registry import query
 
@@ -420,6 +421,62 @@ def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         pairs, docs.doc_id == pairs.doc_b, "left_anti"
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "doc_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+        ) WHERE df <= {dedup.MAX_SHINGLE_DOC_FREQ}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+        UNION SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2: duplicate CLUSTERS — transitive closure of the near-dup
+    pair graph via iterative min-label propagation
+    (operators/graph.py:connected_components). Every doc gets the min
+    doc_id of its component (its own id if isolated); dedup-at-scale
+    keeps one representative per cluster. The oracle computes the same
+    closure with a recursive CTE — a genuinely independent algorithm
+    (semi-naive Datalog evaluation vs distributed label propagation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return docs.join(comp, docs.doc_id == comp.vertex, "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("component", "doc_id").cast("long").alias("cluster_id"),
+    )
 
 
 @query(

@@ -105,3 +105,53 @@ def test_asof_join_tie_on_equal_right_times(spark):
                     payload=["v"])
     # deterministic winner among same-time right rows: max payload
     assert out.collect()[0].v_asof == 9.0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A path graph needs multiple propagation rounds (diameter 4); two
+    extra components check labels don't bleed across."""
+    from data_pipeline_stripe_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),    # chain: all -> 1
+         (10, 11),                           # pair: -> 10
+         (20, 21), (21, 22), (20, 22)],      # triangle: -> 20
+        "src long, dst long",
+    )
+    got = {r.vertex: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graph vs an in-test union-find — independent algorithm."""
+    import random
+
+    from data_pipeline_stripe_spark.operators.graph import connected_components
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    vertices = {v for e in edges for v in e}
+    expected = {}
+    for v in vertices:
+        root = find(v)
+        expected.setdefault(root, set()).add(v)
+    want = {v: min(members) for members in expected.values() for v in members}
+
+    pairs = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.component
+           for r in connected_components(pairs).collect()}
+    assert got == want
