@@ -1,0 +1,87 @@
+"""Token-budget shard packing via a distributed two-phase prefix sum.
+
+Training pipelines shard a corpus into files of ~N tokens each, in a
+deterministic document order. The defining computation is a GLOBAL
+running sum of token counts — and the naive Spark spelling,
+``SUM(w) OVER (ORDER BY k)`` with no partition clause, plans as an
+``Exchange SinglePartition``: every row through ONE task. Fine at 60k
+rows, dead at 100 TB.
+
+The scale shape used here is the classic two-phase scan:
+
+1. range-bucket rows by the order key (monotonic bucketing, so bucket
+   order == key order);
+2. per-bucket totals → a B-row frame; the running OFFSET of each bucket
+   is a window over those B rows (the only single-partition exchange
+   left, and it carries B rows, not the corpus);
+3. broadcast the offsets back and finish with a window PARTITIONED BY
+   bucket — each bucket's cumsum runs in its own task.
+
+Result is bit-identical to the naive global window (the oracle states it
+as one). Bucketing here divides the key's [min, max] span into equal
+ranges (two tiny agg jobs); for arbitrarily skewed or non-numeric keys,
+swap step 1 for sampled range boundaries exactly as Spark's
+RangePartitioner does — steps 2–3 are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def global_running_sum(df: DataFrame, order_col: str, weight_col: str,
+                       n_buckets: int = 256,
+                       out_col: str = "running_total") -> DataFrame:
+    """Exact inclusive prefix sum of ``weight_col`` over rows ordered by
+    ``order_col`` (a numeric key, unique per row), without ever shuffling
+    the full dataset to one partition."""
+    lo, hi = df.agg(
+        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    ).first()
+    if lo is None:  # empty input: keep the schema, add the column
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    span = max((hi - lo + 1.0) / n_buckets, 1.0)
+    bucketed = df.withColumn(
+        "_bucket",
+        F.least(
+            F.floor((F.col(order_col) - F.lit(lo)) / F.lit(span)),
+            F.lit(n_buckets - 1),
+        ).cast("long"),
+    )
+    # B-row frame of bucket totals; running offset = sum of PRIOR buckets.
+    per_bucket = bucketed.groupBy("_bucket").agg(
+        F.sum(weight_col).alias("_bucket_total")
+    )
+    woff = W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bucket",
+        F.coalesce(F.sum("_bucket_total").over(woff), F.lit(0)).alias("_offset"),
+    )
+    win = W.partitionBy("_bucket").orderBy(order_col) \
+           .rowsBetween(W.unboundedPreceding, 0)
+    return (
+        bucketed.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, F.col("_offset") + F.sum(weight_col).over(win))
+        .drop("_bucket", "_offset")
+    )
+
+
+def assign_token_shards(df: DataFrame, order_col: str, weight_col: str,
+                        target_weight: int,
+                        n_buckets: int = 256) -> DataFrame:
+    """Assign each row the id of the ~``target_weight``-token shard it
+    starts in: shard_id = (prefix_sum_before_this_row) div target.
+    Documents are never split; a shard overshoots by at most one document
+    (standard packing behavior). Deterministic given the order key."""
+    cum = global_running_sum(df, order_col, weight_col, n_buckets,
+                             out_col="_cum")
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.floor((F.col("_cum") - F.col(weight_col))
+                    / F.lit(float(target_weight))).cast("long"),
+        )
+        .drop("_cum")
+    )

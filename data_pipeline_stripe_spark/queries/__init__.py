@@ -56,6 +56,7 @@ PRIORITY_THIS_ROUND = [
     "multimodal_bmp_roundtrip",
     "multimodal_wav_roundtrip",
     "doc_near_dup_clusters",
+    "doc_token_shards",
 ]
 
 

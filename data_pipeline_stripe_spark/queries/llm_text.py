@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup, multimodal, text as llm_text
+from ..operators import packing
 from ..operators.graph import connected_components
 from ..sources import load_table
 from .registry import query
@@ -194,6 +195,40 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: whitespace + BPE-ish regex token counting."""
     return llm_text.bpe_ish_token_count(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_token_shards",
+    oracle=r"""
+    WITH w AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0)
+                AS BIGINT) AS shard_id
+    FROM w
+    """,
+)
+def doc_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+packing: assign every document to a ~2000-token training shard
+    in doc_id order — a global prefix sum done as the two-phase scan
+    (operators/packing.py): range-bucket, B-row offset window, per-bucket
+    windows. The oracle states the SAME result as the naive single-window
+    cumsum, proving the distributed decomposition exact; the Spark plan's
+    only single-partition exchange carries the 256 bucket totals, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = llm_text.bpe_ish_token_count(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bpe_tokens").alias("n_tokens"),
+    )
+    return packing.assign_token_shards(
+        weighted, "doc_id", "n_tokens", target_weight=2000
+    ).select("doc_id", "n_tokens", "shard_id")
 
 
 def _lang_score_sql(sw: list[str]) -> str:

@@ -155,3 +155,62 @@ def test_connected_components_matches_union_find(spark):
     got = {r.vertex: r.component
            for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    """The two-phase prefix sum must be bit-identical to the naive
+    single-partition window, on sparse non-contiguous keys."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from data_pipeline_stripe_spark.operators.packing import global_running_sum
+
+    rnd = random.Random(11)
+    keys = rnd.sample(range(0, 100_000), 500)
+    rows = [(k, rnd.randrange(1, 500)) for k in keys]
+    df = spark.createDataFrame(rows, "k long, w long")
+
+    naive_w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    naive = {r.k: r.c for r in
+             df.withColumn("c", F.sum("w").over(naive_w)).collect()}
+    got = {r.k: r.running_total for r in
+           global_running_sum(df, "k", "w", n_buckets=16).collect()}
+    assert got == naive
+
+
+def test_global_running_sum_plan_has_no_fact_wide_single_partition(spark):
+    """The single-partition exchange must carry only the B bucket totals;
+    the corpus-wide window is partitioned by bucket."""
+    from data_pipeline_stripe_spark.operators.packing import global_running_sum
+    from data_pipeline_stripe_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    from pyspark.sql import functions as F
+    weighted = docs.select("doc_id", F.length("text").alias("w"))
+    plan = (global_running_sum(weighted, "doc_id", "w")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(_bucket" in plan
+
+
+def test_assign_token_shards_boundaries(spark):
+    """Shards fill to the target without splitting documents: each row's
+    shard is its starting offset div target."""
+    from data_pipeline_stripe_spark.operators.packing import assign_token_shards
+
+    rows = [(1, 900), (2, 900), (3, 900), (4, 2500), (5, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {r.doc_id: r.shard_id for r in
+           assign_token_shards(df, "doc_id", "n", 1000).collect()}
+    # starts: 0, 900, 1800, 2700, 5200 -> shards 0, 0, 1, 2, 5
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 5}
+
+
+def test_global_running_sum_empty_input(spark):
+    from data_pipeline_stripe_spark.operators.packing import global_running_sum
+
+    df = spark.createDataFrame([], "k long, w long")
+    out = global_running_sum(df, "k", "w")
+    assert out.count() == 0 and "running_total" in out.columns
