@@ -195,6 +195,32 @@ def deterministic_sample(df: DataFrame, fraction_hex: str = "2000",
     return df.filter(key < fraction_hex)
 
 
+def mixture_sample(df: DataFrame, rates_hex: dict[str, str],
+                   default_hex: str, source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted mixture sampling — the training-mix
+    builder: each source keeps a different fraction of its rows
+    (rate = hex_threshold / 0x10000), selected by md5(id) prefix so the
+    draw is a pure function of the row id (retry-safe, engine-stable,
+    re-runnable — everything df.sample is not).
+
+    The per-source rates ride a broadcast VALUES dim joined to the fact —
+    at 100 TB the mixture spec is a handful of rows against any number of
+    fact partitions, and changing the mix is a dim edit, not a code
+    change."""
+    from ..sources.readers import inline_dim
+
+    rows = [(s, t) for s, t in rates_hex.items()]
+    dim = inline_dim(df.sparkSession, rows, "source_key string, rate_hex string")
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return (
+        df.join(F.broadcast(dim), F.col(source_col) == F.col("source_key"),
+                "left")
+        .filter(key < F.coalesce("rate_hex", F.lit(default_hex)))
+        .drop("source_key", "rate_hex")
+    )
+
+
 ROLLING_HASH_MOD = 1_000_000_007
 ROLLING_HASH_BASE = 31
 

@@ -57,6 +57,8 @@ PRIORITY_THIS_ROUND = [
     "multimodal_wav_roundtrip",
     "doc_near_dup_clusters",
     "doc_token_shards",
+    "doc_mixture_sample",
+    "price_quantiles_by_flag",
 ]
 
 

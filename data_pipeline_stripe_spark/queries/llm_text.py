@@ -104,8 +104,16 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs, scored by estimated Jaccard >= 0.5. Banded bucket
     join — never O(n²); buckets larger than MAX_BUCKET_SIZE are dropped
     (hot-key guard, mirrored in the oracle), and the band shuffle carries
-    ids only (signatures re-attached to surviving pairs)."""
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    ids only (signatures re-attached to surviving pairs).
+
+    The signature frame feeds three plan branches (bands + two pair-side
+    re-attach joins) whose differing projections defeat exchange reuse —
+    so it is materialized once (eager localCheckpoint; persist-or-table
+    on a real cluster), which measured ~30% faster than the declarative
+    recompute at sf0.1."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs).localCheckpoint(eager=True)
+    return dedup.minhash_lsh_pairs(docs, signatures=sig)
 
 
 @query(
@@ -456,6 +464,33 @@ def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         pairs, docs.doc_id == pairs.doc_b, "left_anti"
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "doc_mixture_sample",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE source WHEN 'src0' THEN '8000'
+                      WHEN 'src1' THEN '4000'
+                      WHEN 'src2' THEN '2000'
+                      ELSE '0800' END
+    """,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-sampling: weighted training-mix construction — src0 keeps 50%,
+    src1 25%, src2 12.5%, everything else ~3%, each draw a pure function
+    of doc_id (md5-prefix threshold). The rate spec is a broadcast VALUES
+    dim joined to the corpus (llm/text.py:mixture_sample): at 100 TB the
+    mix is a dim edit, and the sample is reproducible across retries,
+    engines and cluster layouts — df.sample is none of those."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = llm_text.mixture_sample(
+        docs,
+        {"src0": "8000", "src1": "4000", "src2": "2000"},
+        default_hex="0800",
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
 
 
 @query(

@@ -481,3 +481,40 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "price_quantiles_by_flag",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(generate_subscripts(qs, 1) - 1 AS BIGINT) AS q_idx,
+           ROUND(unnest(qs), 4) AS price_q
+    FROM agg
+    """,
+)
+def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/50/75/95 of extended price per
+    return flag): Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition, so the oracle is exact. Scale note:
+    exact percentile is a sort-based aggregate — the 100 TB path is
+    approx_percentile (mergeable t-digest, one pass), same query shape;
+    exact stays correct here because group cardinality (3 flags), not
+    fact size, bounds the state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice",
+                     F.lit([0.25, 0.5, 0.75, 0.95])).alias("qs")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.posexplode("qs").alias("q_idx", "_q"),
+    ).select(
+        "l_returnflag",
+        F.col("q_idx").cast("long").alias("q_idx"),
+        F.round("_q", 4).alias("price_q"),
+    )

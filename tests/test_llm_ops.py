@@ -242,3 +242,33 @@ def test_multimodal_plumbing_and_stub(spark, corpus):
         assert r.width == r.n_bytes % 1024 + 1
     with pytest.raises(ValueError, match="unsupported image format"):
         multimodal.decode_image_real(b"bytes")  # not a known magic
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    from data_pipeline_stripe_spark.llm import text as llm_text
+    from data_pipeline_stripe_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": "8000", "src1": "4000"}
+    out = llm_text.mixture_sample(docs, rates, default_hex="0800")
+    rows = out.collect()
+    # deterministic: second run identical
+    assert sorted(r.doc_id for r in rows) == \
+        sorted(r.doc_id for r in
+               llm_text.mixture_sample(docs, rates, "0800").collect())
+    # the selection rule, recomputed independently with hashlib: keep iff
+    # md5(doc_id) 4-hex prefix < the source's threshold
+    import hashlib
+
+    thresh = {"src0": "8000", "src1": "4000"}
+    expected = {
+        r.doc_id for r in docs.select("doc_id", "source").collect()
+        if hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4]
+        < thresh.get(r.source, "0800")
+    }
+    assert {r.doc_id for r in rows} == expected
+    # schema passthrough: sampling drops rows, not columns
+    assert set(docs.columns) == set(out.columns)
+    # selection is a broadcast dim join + filter, no Python boundary
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan
