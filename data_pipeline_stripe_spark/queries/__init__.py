@@ -20,6 +20,7 @@ from . import llm_multimodal  # noqa: E402,F401
 from . import stripe  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import relational3  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation policy
@@ -59,6 +60,16 @@ PRIORITY_THIS_ROUND = [
     "doc_token_shards",
     "doc_mixture_sample",
     "price_quantiles_by_flag",
+    # round 3 (cont.): remaining TPC-H shape family (relational3.py)
+    "q7_nation_trade_flow",
+    "q8_market_share",
+    "q9_product_line_profit",
+    "q10_returned_item_ranking",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_dormant_high_balance",
 ]
 
 

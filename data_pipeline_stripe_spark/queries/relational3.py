@@ -1,0 +1,445 @@
+"""Third relational batch: the remaining classic TPC-H query shapes,
+adapted to the reduced testdata schema (no partsupp / shipmode /
+commit-receipt dates / phone), so a user of the reference engine has the
+full decision-support query family available.
+
+Shapes covered here: nation-pair trade flow (Q7), market share (Q8),
+product-line profit (Q9), returned-item ranking (Q10), late-shipment
+priority split (Q12), promo revenue share (Q14), large-volume customers
+(Q18), disjunctive-predicate revenue (Q19), dormant high-balance
+customers (Q22). Each declares its DuckDB oracle twin; every computed
+column is aliased identically on both sides.
+
+Scale notes common to the batch: lineitem⋈orders is the one genuine
+fact-fact shuffle (sort-merge on the order key); nation/region/part/
+supplier ride broadcasts, and selective dim predicates are applied
+before the broadcast so the hash table ships pre-filtered. customer is
+broadcast to match the repo convention at test SFs — on a real 100 TB
+cluster it would exceed the broadcast threshold and AQE would pick the
+shuffle join from runtime stats (same declarative plan either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q7_nation_trade_flow",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year. The two-nation filter lands on the broadcast supplier/customer
+    sides before the fact join, so the fact-fact shuffle only carries
+    rows that can still qualify for one direction of the pair."""
+    nations = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    sup_n = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup_n, li.l_suppkey == sup_n.s_suppkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of revenue from
+    ASIA-region customers, by order year — the case-sum / total-sum
+    ratio computed in ONE grouped aggregate (the reference pattern of a
+    second self-join for the denominator is rewritten away)."""
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    cust_asia = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup_n = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = _revenue()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+        .join(sup_n, li.l_suppkey == sup_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_line_profit",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in this schema, so profit omits
+    supply cost): revenue on a product-name pattern, by supplier nation
+    and ship year. The LIKE filter prunes the part broadcast before the
+    fact join; no orders join is needed — Catalyst never sees one.
+
+    The group sums reach ~2e10, where a double's ulp is ~4e-6 and
+    summation-order error can straddle a cent boundary (observed: .49
+    vs .50 across engines). So each line's revenue is quantized to
+    integer cents FIRST — the per-row double math is operand-order
+    identical in both engines, hence bitwise identical, and the BIGINT
+    sum is exact and order-independent."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    sup_n = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation_name"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.round(_revenue() * 100).cast("long")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup_n, li.l_suppkey == sup_n.s_suppkey)
+        .groupBy("nation_name", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(rev_cents) / 100.0, 2).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_item_ranking",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           n.n_name AS nation_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns in a
+    one-year window. Both selective predicates (return flag, date range)
+    push to the fact scans; the final top-20 is a
+    TakeOrderedAndProject, not a full sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust_n = F.broadcast(
+        load_table(spark, sf_dir, "customer").join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "nation_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+    GROUP BY 1
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted (this schema has no ship mode or
+    commit/receipt dates): lines shipped more than a year after the
+    order, split into high/low priority counts per ship year. The
+    lateness predicate compares two fact columns, so it runs as a
+    post-join filter — the join itself stays a plain equi sort-merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+           AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percent of one ship-month's revenue from PROMO
+    parts — conditional-sum ratio in a single ungrouped aggregate, date
+    range pushed to the lineitem scan, part broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    rev = _revenue()
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS qty
+        FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(b.qty, 2) AS sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customers, largest first. The HAVING aggregate reduces
+    lineitem to ~1% of its orders BEFORE any join — at 100 TB that
+    reduction is the plan: AQE sees the small post-agg side at runtime
+    and turns the orders join into a broadcast without a hint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = F.broadcast(load_table(spark, sf_dir, "customer"))
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-branch disjunction mixing part
+    and lineitem predicates. Catalyst extracts the common-to-all-branches
+    conjuncts (brand ∈ {1,2,3}, size ≥ 1, quantity ≤ 30) and pushes them
+    below the join as scan filters; the full disjunction evaluates on
+    the joined rows inside codegen — no UDF, no per-branch union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 20) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 25) & qty.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q22_dormant_high_balance",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2)
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, adapted (no phone column → grouped by nation):
+    above-average-balance customers with no order since mid-1999. The
+    scalar AVG subquery becomes a 1-row broadcast cross join; NOT EXISTS
+    becomes a left-anti join against the date-filtered orders. The avg
+    is rounded to cents on BOTH sides so engine summation order can't
+    flip a boundary row."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -75,6 +75,8 @@ NONEQUI_OK = {
     # plan (the small side is O(1), not a second fact)
     "sql_udf_usage_percent", "embedding_ivf_assign", "embedding_ivf_topk",
     "embedding_kmeans_step", "embedding_cosine_near_dup_bucketed",
+    # q22's scalar-AVG subquery: 1-row broadcast cross against customer
+    "q22_dormant_high_balance",
 }
 
 
@@ -96,6 +98,30 @@ def test_registry_sweep_no_accidental_cartesian_or_python(spark, sf_dir):
         ):
             problems.append(f"{name}: Python boundary")
     assert not problems, problems
+
+
+def test_q19_pushes_common_disjunct_conjuncts(spark, sf_dir):
+    """The 3-branch disjunction shares brand/size/quantity bounds across
+    branches; Catalyst must extract them into scan-level filters so the
+    join sees pre-filtered inputs (at 100 TB this is most of the win)."""
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed), "quantity bound not pushed"
+    assert any("p_brand" in l for l in pushed), "brand set not pushed"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_orders_largest_first_without_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_dims_broadcast_fact_join_keyed(spark, sf_dir):
+    """Nation-pair flow: supplier/customer (joined to nation, filtered to
+    the pair) broadcast; the only shuffle join is lineitem⋈orders."""
+    plan = plan_of(spark, sf_dir, "q7_nation_trade_flow")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1
 
 
 def test_near_dup_bucketed_pair_join_is_keyed(spark, sf_dir):
