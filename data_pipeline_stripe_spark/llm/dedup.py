@@ -181,18 +181,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text", n_bits: int = 16) -> DataFrame:
-    """16-bit SimHash over distinct unigram tokens.
+                         text_col: str = "text", n_bits: int = 16,
+                         features: str = "tokens") -> DataFrame:
+    """SimHash over distinct text features (n_bits <= 32).
 
-    Bit h is the sign of Σ_tokens (±1), where +1 iff hex digit h of
-    md5(token) has its high bit set. Returns (id, simhash) with the
-    fingerprint as a '0'/'1' string (cross-engine-stable; near-dup pairs
-    = low Hamming distance, see ``simhash_near_dup_pairs``).
+    Bit h is the sign of Σ_features (±1), where +1 iff hex digit h of
+    md5(feature) has its high bit set. ``features`` picks the feature
+    set: 'tokens' (distinct unigrams — cheap, profile-grade) or
+    'shingles' (distinct 3-token windows — the discriminative choice for
+    near-dup detection: unigram sign-sums are dominated by the corpus'
+    shared vocabulary, so unrelated documents collide; shingle sets are
+    what actually separates documents, matching the MinHash/Jaccard
+    feature space). Returns (id, simhash) as a '0'/'1' string
+    (cross-engine-stable; near-dup pairs = low Hamming distance, see
+    ``simhash_near_dup_pairs``).
     """
-    tok = (
-        df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
-        .distinct()
-    )
+    if features == "shingles":
+        tok = _distinct_shingles(df, id_col, text_col).withColumnRenamed(
+            "shingle", "tok"
+        )
+    else:
+        tok = (
+            df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+            .distinct()
+        )
     high = list("89abcdef")
     sums = [
         F.sum(
@@ -207,23 +219,27 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
-                           max_hamming: int = 2) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+                           max_hamming: int = 2,
+                           n_bits: int = 32) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming, over
+    32-bit shingle-feature fingerprints.
 
-    Blocking: pairs must agree on one of the two 8-bit halves (pigeonhole:
-    any pair within Hamming<=2 of a 16-bit code agrees on at least one
-    half only when the 2 flips land in one half — with max_hamming<=1 the
+    Blocking: pairs must agree on one of the two 16-bit halves
+    (pigeonhole: any pair within Hamming<=2 agrees on at least one half
+    only when the flips land in one half — with max_hamming<=1 the
     guarantee is exact; for 2 it is a high-recall heuristic). This keeps
-    the self-join keyed instead of O(n²).
+    the self-join keyed (hash join on the half key) instead of O(n²).
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    half = n_bits // 2
+    fp = simhash_fingerprints(df, id_col, text_col, n_bits=n_bits,
+                              features="shingles")
     halves = fp.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
             F.array(
-                F.concat(F.lit("L:"), F.substring("simhash", 1, 8)),
-                F.concat(F.lit("R:"), F.substring("simhash", 9, 8)),
+                F.concat(F.lit("L:"), F.substring("simhash", 1, half)),
+                F.concat(F.lit("R:"), F.substring("simhash", half + 1, half)),
             )
         ).alias("block"),
     )

@@ -221,6 +221,39 @@ def mixture_sample(df: DataFrame, rates_hex: dict[str, str],
     )
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter of
+    a training-data pipeline: each document becomes ceil(n/stride) chunks
+    of up to `chunk_tokens` whitespace tokens, consecutive chunks sharing
+    `overlap` tokens (stride = chunk_tokens - overlap).
+
+    Pure array expressions (split → sequence of starts → posexplode →
+    slice): no shuffle at all — chunking is embarrassingly parallel and
+    stays inside whole-stage codegen, so at 100 TB it runs at scan speed.
+    Returns (id, chunk_id, n_tokens, chunk_text); chunk_id is the 0-based
+    window ordinal, deterministic for any partitioning.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("_t"),
+                  F.posexplode(starts).alias("chunk_id", "_start"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.size("_t") - F.col("_start") + 1, F.lit(chunk_tokens))
+            .cast("long").alias("n_tokens"),
+            F.array_join(F.slice("_t", F.col("_start"), chunk_tokens), " ")
+            .alias("chunk_text"),
+        )
+    )
+
+
 ROLLING_HASH_MOD = 1_000_000_007
 ROLLING_HASH_BASE = 31
 

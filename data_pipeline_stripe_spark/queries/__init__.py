@@ -70,6 +70,9 @@ PRIORITY_THIS_ROUND = [
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q22_dormant_high_balance",
+    # round 3 (cont.): chunking + simhash pair extraction
+    "doc_chunks",
+    "doc_simhash_near_dup",
 ]
 
 

@@ -172,6 +172,50 @@ def doc_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+_SIMHASH32_SHINGLE_BITS = "".join(
+    "CASE WHEN SUM(CASE WHEN substring(md5(shingle), {p}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+    "THEN '1' ELSE '0' END || ".format(p=h + 1)
+    for h in range(32)
+).rstrip(" |")
+
+_HAMMING_32 = " + ".join(
+    f"CASE WHEN substring(a.simhash, {i}, 1) <> substring(b.simhash, {i}, 1) "
+    "THEN 1 ELSE 0 END"
+    for i in range(1, 33)
+)
+
+
+@query(
+    "doc_simhash_near_dup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    fp AS (
+        SELECT doc_id, {_SIMHASH32_SHINGLE_BITS} AS simhash
+        FROM sh GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_HAMMING_32} AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+     AND (substring(a.simhash, 1, 16) = substring(b.simhash, 1, 16)
+          OR substring(a.simhash, 17, 16) = substring(b.simhash, 17, 16))
+    WHERE {_HAMMING_32} <= 2
+    """,
+)
+def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-fuzzy pairs: SimHash near-duplicates at Hamming distance <= 2
+    over 32-bit shingle-feature fingerprints (unigram fingerprints don't
+    separate this corpus — the shared vocabulary dominates the sign-sums;
+    shingle features match the Jaccard/MinHash feature space). The Spark
+    side blocks on the two 16-bit halves (pigeonhole keying: the
+    self-join is a hash join on the half key, never O(n²)); the oracle
+    mirrors that blocking explicitly (half-agreement OR) so both engines
+    declare the same pair set, including the documented miss case of one
+    flip in each half."""
+    pairs = dedup.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
 @query(
     "doc_text_stats",
     oracle=f"""
@@ -491,6 +535,30 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_hex="0800",
     )
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    ch AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS start
+        FROM docs
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(least(len(t) - start + 1, 64) AS BIGINT) AS n_tokens,
+           array_to_string(t[start : start + 63], ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-chunking: overlapping 64-token context windows with 16-token
+    overlap (stride 48) — shuffle-free array expressions; see
+    llm/text.py:chunk_documents."""
+    return llm_text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
 
 
 @query(

@@ -56,8 +56,51 @@ def test_simhash_identical_docs_same_fingerprint(spark, corpus):
     assert fps[0] == fps[3]
     assert set(fps[0]) <= {"0", "1"} and len(fps[0]) == 16
     pairs = {(r.doc_a, r.doc_b): r.hamming
-             for r in dedup.simhash_near_dup_pairs(corpus, max_hamming=16).collect()}
+             for r in dedup.simhash_near_dup_pairs(corpus, max_hamming=32).collect()}
     assert pairs[(0, 3)] == 0
+
+
+def test_simhash_shingle_pairs_separate_planted_dups(spark, sf_dir):
+    """On the driver corpus (planted near-dups at shingle-Jaccard ≈0.99,
+    background <0.1), shingle-feature 32-bit SimHash at Hamming<=2 must
+    recover mostly-planted pairs — and crucially stay SMALL (the unigram
+    variant drowns in tens of thousands of vocabulary collisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(docs).collect()
+    assert 0 < len(pairs) < 100
+    planted = {(r.doc_a, r.doc_b)
+               for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    # precision against exact Jaccard: most simhash pairs are real dups
+    assert len(found & planted) / len(found) >= 0.8
+
+
+def test_chunk_documents_coverage_and_overlap(spark, corpus):
+    chunks = llm_text.chunk_documents(
+        corpus, chunk_tokens=16, overlap=4
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    for doc_id, doc_chunks in by_doc.items():
+        toks = texts[doc_id].split()
+        stride = 12
+        # chunk count = number of stride starts within the doc
+        assert len(doc_chunks) == (len(toks) + stride - 1) // stride
+        for cid, r in doc_chunks.items():
+            start = cid * stride
+            expect = toks[start:start + 16]
+            assert r.chunk_text.split() == expect
+            assert r.n_tokens == len(expect)
+        # consecutive chunks overlap by exactly 4 tokens (except the tail)
+        full = [c for c in sorted(doc_chunks) if doc_chunks[c].n_tokens == 16]
+        for cid in full[:-1]:
+            a = doc_chunks[cid].chunk_text.split()
+            b = doc_chunks[cid + 1].chunk_text.split()
+            assert a[-4:] == b[:4]
+    with pytest.raises(ValueError):
+        llm_text.chunk_documents(corpus, chunk_tokens=8, overlap=8)
 
 
 def test_text_stats_and_quality(spark, corpus):
