@@ -35,6 +35,9 @@ HEADLINE = [
     "doc_ngram_jaccard_pairs",
     "doc_text_stats",
     "embedding_topk_cosine",
+    # round 3 additions: deep multi-join (Q9) and agg-then-join (Q18)
+    "q9_product_line_profit",
+    "q18_large_volume_customers",
 ]
 
 
