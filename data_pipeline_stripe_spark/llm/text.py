@@ -102,6 +102,74 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# PII patterns — RE2-compatible (no lookaround/backreferences) so the
+# DuckDB oracle evaluates the IDENTICAL pattern strings. Replacement order
+# matters: URLs first (they may contain '@' and digit runs), then emails,
+# then standalone digit runs.
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUM = r"\d{6,}"
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII redaction — the compliance pass of a training-data pipeline:
+    URLs → <URL>, emails → <EMAIL>, 6+-digit runs (phone/account/SSN-like)
+    → <NUM>, with per-document redaction counts for audit sampling.
+
+    Pure regexp_replace/regexp_count expressions: stays in whole-stage
+    codegen, no shuffle, runs at scan speed at any scale. Patterns are
+    RE2-safe so any engine (and the DuckDB oracle) reproduces the output
+    byte-for-byte."""
+    t = F.col(text_col)
+    n_urls = F.regexp_count(t, F.lit(PII_URL)).cast("long")
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL)).cast("long")
+    step1 = F.regexp_replace(t, PII_URL, "<URL>")
+    step2 = F.regexp_replace(step1, PII_EMAIL, "<EMAIL>")
+    n_nums = F.regexp_count(step2, F.lit(PII_NUM)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(step2, PII_NUM, "<NUM>").alias("clean_text"),
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+        n_nums.alias("n_nums"),
+    )
+
+
+# Curation policy thresholds (shared with the oracle SQL via these names).
+CURATION_MIN_TOKENS = 10
+CURATION_MAX_TOKENS = 100_000
+CURATION_MIN_TTR = 0.2
+CURATION_LANGS = ("en", "es", "fr", "de")
+
+
+def curation_verdict(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     lang_col: str = "lang") -> DataFrame:
+    """Keep/drop verdict with the FIRST failing rule named — the
+    filter-with-audit-trail shape every corpus curation run needs (a bare
+    boolean can't tell you why 40% of a crawl vanished). Rules, in order:
+    too_short, too_long, low_diversity (type-token ratio), bad_lang.
+    Expression-only: evaluates in the scan stage; the downstream
+    groupBy(reason) profile is a 5-row aggregate."""
+    tokens = tokens_expr(text_col)
+    d = df.select(F.col(id_col), F.col(lang_col), tokens.alias("_t"))
+    n = F.size("_t")
+    ttr = F.size(F.array_distinct("_t")) / n
+    reason = (
+        F.when(n < CURATION_MIN_TOKENS, "too_short")
+        .when(n > CURATION_MAX_TOKENS, "too_long")
+        .when(F.round(ttr, 4) < CURATION_MIN_TTR, "low_diversity")
+        .when(~F.col(lang_col).isin(*CURATION_LANGS), "bad_lang")
+        .otherwise("ok")
+    )
+    return d.select(
+        F.col(id_col),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of normalized text (exact identity).

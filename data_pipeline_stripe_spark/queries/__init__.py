@@ -70,9 +70,11 @@ PRIORITY_THIS_ROUND = [
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q22_dormant_high_balance",
-    # round 3 (cont.): chunking + simhash pair extraction
+    # round 3 (cont.): chunking + simhash pair extraction + curation
     "doc_chunks",
     "doc_simhash_near_dup",
+    "doc_pii_redact",
+    "doc_curation_verdict",
 ]
 
 

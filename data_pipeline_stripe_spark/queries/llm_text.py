@@ -562,6 +562,63 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{llm_text.PII_URL}', '<URL>', 'g'),
+                   '{llm_text.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{llm_text.PII_NUM}', '<NUM>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{llm_text.PII_URL}'))
+                AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '{llm_text.PII_EMAIL}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(
+                    regexp_replace(text, '{llm_text.PII_URL}', '<URL>', 'g'),
+                    '{llm_text.PII_EMAIL}', '<EMAIL>', 'g'),
+                '{llm_text.PII_NUM}')) AS BIGINT) AS n_nums
+    FROM documents
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-compliance: PII redaction (URL/email/6+-digit runs → typed
+    placeholder tokens) with per-document audit counts. This corpus is
+    PII-free, so the oracle here checks byte-parity of the RE2-safe regex
+    pipeline; behavior on planted PII is pinned by
+    tests/test_llm_ops.py::test_pii_redact_planted."""
+    return llm_text.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_curation_verdict",
+    oracle=f"""
+    SELECT doc_id, (reason = 'ok') AS keep, reason
+    FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) < {llm_text.CURATION_MIN_TOKENS}
+                        THEN 'too_short'
+                    WHEN len(t) > {llm_text.CURATION_MAX_TOKENS}
+                        THEN 'too_long'
+                    WHEN ROUND(len(list_distinct(t)) * 1.0 / len(t), 4)
+                         < {llm_text.CURATION_MIN_TTR} THEN 'low_diversity'
+                    WHEN lang NOT IN ('en', 'es', 'fr', 'de')
+                        THEN 'bad_lang'
+                    ELSE 'ok' END AS reason
+        FROM (SELECT doc_id, lang, {_TOKENS} AS t FROM documents)
+    )
+    """,
+)
+def doc_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4-curation: keep/drop verdict with the first failing rule named
+    (too_short / too_long / low_diversity / bad_lang) — the
+    filter-with-audit-trail every corpus run needs. Expression-only,
+    evaluates in the scan stage."""
+    return llm_text.curation_verdict(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_near_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},

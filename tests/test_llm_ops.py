@@ -287,6 +287,39 @@ def test_multimodal_plumbing_and_stub(spark, corpus):
         multimodal.decode_image_real(b"bytes")  # not a known magic
 
 
+def test_pii_redact_planted(spark):
+    rows = [
+        (0, "mail me at alice.smith+x@example.co.uk or visit "
+            "https://example.com/a?b=1 room 12345"),
+        (1, "account 123456789 phone 555123456 ok"),
+        (2, "no pii here, just words and the number 42"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in llm_text.pii_redact(df).collect()}
+    assert out[0].clean_text == "mail me at <EMAIL> or visit <URL> room 12345"
+    assert (out[0].n_emails, out[0].n_urls, out[0].n_nums) == (1, 1, 0)
+    assert out[1].clean_text == "account <NUM> phone <NUM> ok"
+    assert out[1].n_nums == 2
+    assert out[2].clean_text == rows[2][1]
+    assert (out[2].n_emails, out[2].n_urls, out[2].n_nums) == (0, 0, 0)
+
+
+def test_curation_verdict_rules_in_order(spark):
+    long_text = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (0, "tiny doc", "en"),                      # 2 tokens -> too_short
+        (1, "a a a a a a a a a a a b", "en"),       # ttr 2/12 -> low_diversity
+        (2, long_text, "zh"),                       # -> bad_lang
+        (3, long_text, "en"),                       # -> ok
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in llm_text.curation_verdict(df).collect()}
+    assert out[0].reason == "too_short" and not out[0].keep
+    assert out[1].reason == "low_diversity"
+    assert out[2].reason == "bad_lang"
+    assert out[3].reason == "ok" and out[3].keep
+
+
 def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     from data_pipeline_stripe_spark.llm import text as llm_text
     from data_pipeline_stripe_spark.sources import load_table
