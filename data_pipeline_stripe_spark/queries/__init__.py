@@ -32,11 +32,16 @@ from . import relational3  # noqa: E402,F401
 # 1. `PRIORITY_THIS_ROUND` lists the queries whose implementation changed in
 #    the current round — they are pinned to the head of the registry, so a
 #    change is always gated the round it lands. Update this list whenever a
-#    query's code changes.
-# 2. Everything else rotates by `len(registry) - _WINDOW` positions per
-#    round (round number = latest CORRECTNESS_r{N}.json present + 1), so
-#    any two consecutive rounds jointly cover the full registry — no query
-#    goes more than one round without re-verification.
+#    query's code changes (and prune entries from prior rounds: every pin
+#    costs one rotating slot).
+# 2. Everything else rotates by exactly the number of visible rotating
+#    slots, `_WINDOW - len(pinned)`, per round (round number = latest
+#    CORRECTNESS_r{N}.json present + 1), so consecutive rounds tile the
+#    unpinned queries contiguously: full re-verification of the rest every
+#    ceil(len(rest) / (_WINDOW - len(pinned))) rounds, with no query
+#    starved. The invariant that matters is rule 1 — changed code is
+#    always gated the same round; unchanged code re-verifies on the tile
+#    cadence.
 # ---------------------------------------------------------------------------
 
 _WINDOW = 50
@@ -94,7 +99,7 @@ def _apply_rotation() -> None:
     names = list(REGISTRY)
     pinned = [n for n in PRIORITY_THIS_ROUND if n in REGISTRY]
     rest = [n for n in names if n not in pinned]
-    step = max(1, len(names) - _WINDOW)
+    step = max(1, _WINDOW - len(pinned))
     offset = (_round_number() * step) % len(rest) if rest else 0
     order = pinned + rest[offset:] + rest[:offset]
     reordered = {n: REGISTRY[n] for n in order}

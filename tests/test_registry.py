@@ -22,15 +22,22 @@ def test_priority_queries_inside_correctness_window():
         assert name in window, f"{name!r} fell outside the driver window"
 
 
-def test_consecutive_rounds_cover_full_registry():
-    """The rotation step guarantees any two consecutive rounds jointly
-    cover every non-pinned query."""
+def test_rotation_tiles_full_registry_without_starvation():
+    """The rotation step equals the number of visible rotating slots
+    (WINDOW - pinned), so consecutive rounds tile the non-pinned queries
+    contiguously: within ceil(len(rest)/slots) rounds every query has
+    re-entered the window, from ANY starting round (no starvation)."""
+    import math
+
     names = list(REGISTRY)
     pinned = [n for n in PRIORITY_THIS_ROUND if n in REGISTRY]
     rest = [n for n in names if n not in pinned]
-    step = max(1, len(names) - WINDOW)
     slots = WINDOW - len(pinned)
-    for r in range(10):  # any round r and r+1
-        a = {rest[(r * step + i) % len(rest)] for i in range(slots)}
-        b = {rest[((r + 1) * step + i) % len(rest)] for i in range(slots)}
-        assert a | b == set(rest), f"rounds {r},{r + 1} leave gaps"
+    assert slots >= 1, "pinned list exceeds the driver window"
+    step = max(1, slots)
+    k = math.ceil(len(rest) / slots)
+    for start in range(10):
+        seen = set()
+        for r in range(start, start + k):
+            seen |= {rest[(r * step + i) % len(rest)] for i in range(slots)}
+        assert seen == set(rest), f"rounds {start}..{start + k - 1} leave gaps"
