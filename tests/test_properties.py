@@ -69,3 +69,32 @@ def test_bucketized_range_join_equals_naive(spark, times, window):
         if abs(ti - tj) <= window
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(st.lists(WORD, min_size=1, max_size=60).map(" ".join),
+                  min_size=1, max_size=6),
+    chunk=st.sampled_from([4, 8, 16]),
+    overlap=st.sampled_from([0, 1, 3]),
+)
+@_SETTINGS
+def test_chunking_reconstructs_token_stream(spark, docs, chunk, overlap):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0) and
+    concatenating must rebuild the original token stream exactly — for
+    ANY document, chunk size and overlap. Also: every chunk except the
+    last is full-size... (the last may be shorter, never empty)."""
+    from data_pipeline_stripe_spark.llm import text as llm_text
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    rows = llm_text.chunk_documents(df, chunk_tokens=chunk,
+                                    overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, doc_text in enumerate(docs):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        rebuilt = chunks[0].chunk_text.split()
+        for c in chunks[1:]:
+            rebuilt += c.chunk_text.split()[overlap:]
+        assert rebuilt == doc_text.split()
+        assert all(c.n_tokens >= 1 for c in chunks)
