@@ -80,6 +80,8 @@ PRIORITY_THIS_ROUND = [
     "doc_simhash_near_dup",
     "doc_pii_redact",
     "doc_curation_verdict",
+    "q6_forecast_revenue_delta",
+    "q15_top_supplier",
 ]
 
 

@@ -33,6 +33,78 @@ def _revenue() -> F.Column:
 
 
 @query(
+    "q6_forecast_revenue_delta",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-sum — every predicate pushes
+    to the parquet scan (date range, discount band, quantity cap), one
+    ungrouped aggregate, no join, no wide shuffle. At 100 TB this is the
+    query that proves pushdown works: the scan should read 4 columns and
+    skip row groups on l_shipdate min/max."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue_delta"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving MAX quarterly revenue —
+    the max-of-an-aggregate subquery, kept tie-preserving. Rewritten as
+    one grouped agg + a whole-frame max window over the per-supplier
+    aggregate: the window input is |suppliers| rows (the agg output),
+    never the fact, so the single-partition window is O(dims) at any
+    fact scale."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_rev"))
+        .withColumn("max_rev", F.max("total_rev").over(W.partitionBy()))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+    )
+    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        rev.join(sup, rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
     "q7_nation_trade_flow",
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
