@@ -116,6 +116,18 @@ def test_q18_orders_largest_first_without_full_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q6_pushes_every_predicate_and_prunes(spark, sf_dir):
+    """Q6 is the pushdown proof: all three predicates (ship-date range,
+    discount band, quantity cap) must reach the parquet scan, and the
+    scan must read only the 4 referenced columns."""
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue_delta")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
 def test_q7_dims_broadcast_fact_join_keyed(spark, sf_dir):
     """Nation-pair flow: supplier/customer (joined to nation, filtered to
     the pair) broadcast; the only shuffle join is lineitem⋈orders."""
