@@ -82,6 +82,7 @@ PRIORITY_THIS_ROUND = [
     "doc_curation_verdict",
     "q6_forecast_revenue_delta",
     "q15_top_supplier",
+    "q21_exclusive_late_supplier",
 ]
 
 

@@ -474,6 +474,75 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q21_exclusive_late_supplier",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+    late AS (
+        SELECT DISTINCT li.l_orderkey, li.l_suppkey
+        FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        WHERE li.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+    ),
+    multi AS (
+        SELECT l_orderkey FROM li GROUP BY 1
+        HAVING COUNT(DISTINCT l_suppkey) > 1
+    ),
+    others_late AS (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey
+        FROM late a JOIN late b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN multi ON late.l_orderkey = multi.l_orderkey
+    LEFT JOIN others_late ol ON late.l_orderkey = ol.l_orderkey
+                            AND late.l_suppkey = ol.l_suppkey
+    JOIN supplier s ON late.l_suppkey = s.s_suppkey
+    WHERE ol.l_orderkey IS NULL
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted (lateness = shipped >1 year after order):
+    suppliers who were the ONLY late supplier in a multi-supplier order.
+    The classic EXISTS/NOT-EXISTS pair is rewritten: "no other supplier
+    late in O" ≡ "O has exactly one late (order,supplier) pair", so the
+    plan is one count over `late` + two left-semi joins — the oracle's
+    quadratic others_late self-join never happens on the Spark side (on
+    a skewed order it would be d² rows; the count is always linear)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    solo = (
+        late.groupBy("l_orderkey").agg(F.count("*").alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("l_orderkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        late.join(solo, "l_orderkey", "semi")
+        .join(multi, "l_orderkey", "semi")
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@query(
     "q22_dormant_high_balance",
     oracle="""
     SELECT n.n_name AS nation_name,
