@@ -83,6 +83,11 @@ PRIORITY_THIS_ROUND = [
     "q6_forecast_revenue_delta",
     "q15_top_supplier",
     "q21_exclusive_late_supplier",
+    # round 3 (cont.): partsupp-derived TPC-H shapes
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q16_supplier_variety",
+    "q20_excess_bolt_suppliers",
 ]
 
 

@@ -10,6 +10,14 @@ priority split (Q12), promo revenue share (Q14), large-volume customers
 customers (Q22). Each declares its DuckDB oracle twin; every computed
 column is aliased identically on both sides.
 
+The four shapes whose originals need `partsupp` (Q2, Q11, Q16, Q20)
+derive the part-supplier relation from lineitem instead: the distinct
+(l_partkey, l_suppkey) pairs are the observed supply edges, and the
+minimum observed unit price MIN(l_extendedprice / l_quantity) stands in
+for ps_supplycost. Per-row double division is operand-identical across
+engines (bitwise-equal IEEE result) and MIN is order-independent, so
+the derived costs are oracle-exact without quantization.
+
 Scale notes common to the batch: lineitem⋈orders is the one genuine
 fact-fact shuffle (sort-merge on the order key); nation/region/part/
 supplier ride broadcasts, and selective dim predicates are applied
@@ -583,4 +591,248 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    sup_r AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    ),
+    cand AS (
+        SELECT p.p_partkey, ps.cost,
+               s.s_name, s.s_acctbal, s.n_name,
+               MIN(ps.cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+        FROM ps
+        JOIN part p ON ps.l_partkey = p.p_partkey AND p.p_size = 15
+        JOIN sup_r s ON ps.l_suppkey = s.s_suppkey
+    )
+    SELECT ROUND(s_acctbal, 2) AS acctbal, s_name,
+           n_name AS nation_name, p_partkey,
+           ROUND(cost, 4) AS unit_cost
+    FROM cand WHERE cost = min_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted (no partsupp): for every size-15 part,
+    the ASIA-region supplier(s) offering the minimum derived unit cost,
+    ties kept. The correlated MIN subquery of the original is one
+    per-part min window over the CANDIDATE set — the window input is the
+    post-filter agg output (|qualifying part-supplier edges|), never the
+    fact, so the two fact passes of the classic plan collapse to one
+    groupBy shuffle plus broadcast joins."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey")
+    )
+    reg = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    sup_r = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(sup_r, ps.l_suppkey == sup_r.s_suppkey)
+        .withColumn("min_cost", F.min("cost").over(W.partitionBy("p_partkey")))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            "p_partkey",
+            F.round("cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q11_important_part_value",
+    oracle="""
+    WITH v AS (
+        SELECT l.l_partkey AS p_partkey,
+               SUM(CAST(ROUND(l.l_quantity * l.l_extendedprice * 100)
+                        AS BIGINT)) AS cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+                       AND n.n_name = 'NATION_5'
+        GROUP BY 1
+    )
+    SELECT p_partkey, ROUND(cents / 100.0, 2) AS part_value
+    FROM v WHERE cents > (SELECT SUM(cents) * 0.001 FROM v)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted (value = shipped quantity x price in
+    place of availqty x supplycost): parts whose NATION_5-supplied value
+    exceeds 0.1% of the nation total. The scalar-total subquery is a
+    second aggregate OVER THE GROUPED OUTPUT (|parts| rows, not the
+    fact) broadcast back as a 1-row cross join. Values are quantized to
+    integer cents per row (the group sums straddle cent boundaries at
+    double precision, see q9), so both the group sums and the grand
+    total are exact and order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup_n = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_5"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cents = F.round(F.col("l_quantity") * F.col("l_extendedprice") * 100).cast("long")
+    v = (
+        li.join(sup_n, li.l_suppkey == sup_n.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    threshold = v.agg((F.sum("cents") * 0.001).alias("threshold"))
+    return (
+        v.join(F.broadcast(threshold))
+        .filter(F.col("cents") > F.col("threshold"))
+        .select("p_partkey", F.round(F.col("cents") / 100.0, 2).alias("part_value"))
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON pr.l_partkey = p.p_partkey
+    WHERE pr.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%9')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape, adapted: distinct supplier count per (brand,
+    type, size) over the observed supply edges, excluding a
+    name-patterned supplier blocklist (the original's complaints
+    filter). The part filter rides the broadcast BEFORE the distinct,
+    so the dedup shuffle carries only qualifying edges; the blocklist
+    is a broadcast anti join; the final countDistinct re-shuffles only
+    the deduped edge set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blocked = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%9"))
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+    )
+    return (
+        pairs.join(blocked, pairs.l_suppkey == blocked.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_bolt_suppliers",
+    oracle="""
+    WITH q AS (
+        SELECT l.l_suppkey, l.l_partkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+                   AND p.p_name LIKE '%bolt%'
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1, 2 HAVING SUM(l.l_quantity) > 30
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+    FROM q
+    JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+                   AND n.n_name LIKE 'NATION_1%'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q20_excess_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (shipped volume stands in for availqty):
+    suppliers in the NATION_1* nations who moved more than 30 units of
+    some bolt part during 1998, with how many such parts each carried.
+    The nested-IN chain of the original is a HAVING aggregate at
+    (supplier, part) grain — the date + part-name predicates reduce the
+    fact before its single shuffle, and the supplier/nation probe is a
+    broadcast join against the tiny post-HAVING set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    sup_n = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name").like("NATION_1%")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+    )
+    excess = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+    )
+    return (
+        excess.join(sup_n, excess.l_suppkey == sup_n.s_suppkey)
+        .groupBy("s_suppkey", "s_name", "nation_name")
+        .agg(F.count("*").cast("long").alias("n_excess_parts"))
     )
