@@ -346,3 +346,104 @@ def rolling_hash_fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         rolling_hash_expr(normalized_text_expr(text_col)).alias("rolling_fp"),
     )
+
+
+# Decontamination gram width: 8-token shingles (the common 8-/13-gram
+# eval-overlap rule, sized down to this corpus's 10-99-token documents).
+DECONTAM_WIDTH = 8
+
+
+def decontamination(df: DataFrame, eval_mod: int = 20,
+                    width: int = DECONTAM_WIDTH, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Eval-set decontamination — the train/test overlap audit every
+    training-data pipeline needs before a benchmark claim: flags train
+    documents sharing any width-token shingle with the held-out eval
+    split (here: ids divisible by `eval_mod`), with per-document matched
+    and total gram counts.
+
+    Scale shape: the eval split's distinct grams are assumed benchmark-
+    sized and ride a broadcast, so the train side is ONE explode + one
+    broadcast hash probe + one groupBy — no fact-fact shuffle. The
+    explode is width-deduped per document first (array_distinct before
+    explode), so a repetitive document can't amplify its gram count."""
+    from ..functions.text import shingles_expr, tokens_expr
+
+    d = df.select(F.col(id_col), tokens_expr(text_col).alias("_t")).filter(
+        F.size("_t") >= width
+    )
+    grams = d.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(F.col("_t"), width))).alias(
+            "gram"
+        ),
+    )
+    is_eval = F.col(id_col) % eval_mod == 0
+    eval_grams = (
+        grams.filter(is_eval).select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+            .alias("n_matched"),
+        )
+        .select(
+            F.col(id_col),
+            "n_matched",
+            "n_grams",
+            F.round(F.col("n_matched") / F.col("n_grams"), 4)
+            .alias("contamination"),
+            (F.col("n_matched") > 0).alias("contaminated"),
+        )
+    )
+
+
+# Repetition thresholds (shared with the oracle SQL via these names).
+REPETITION_BIGRAM_FRAC = 0.2
+REPETITION_TOP_TOKEN_RATIO = 0.2
+
+
+def repetition_score(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition audit (the Gopher-style quality rule):
+    fraction of duplicate token bigrams and the share of the most
+    frequent single token, flagging documents where either exceeds 0.2.
+
+    The bigram stats are pure array expressions (no shuffle); the top-
+    token share is the one part that must see per-token counts, computed
+    distributed via explode + two grouped aggregations — never an
+    O(tokens x distinct-tokens) per-row loop, so a pathological 100k-
+    token document costs |tokens| shuffled rows, not 1e10 comparisons."""
+    from ..functions.text import shingles_expr, tokens_expr
+
+    d = df.select(F.col(id_col), tokens_expr(text_col).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    n_bigrams = F.size("_t") - 1
+    n_uniq = F.size(F.array_distinct(shingles_expr(F.col("_t"), 2)))
+    bi = d.select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.round(1 - n_uniq / n_bigrams, 4).alias("dup_bigram_frac"),
+    )
+    tok = d.select(F.col(id_col), F.explode("_t").alias("tok"))
+    top = (
+        tok.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_token_ratio"))
+    )
+    return bi.join(top, id_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_bigram_frac",
+        "top_token_ratio",
+        (
+            (F.col("dup_bigram_frac") > REPETITION_BIGRAM_FRAC)
+            | (F.col("top_token_ratio") > REPETITION_TOP_TOKEN_RATIO)
+        ).alias("repetitive"),
+    )

@@ -88,6 +88,9 @@ PRIORITY_THIS_ROUND = [
     "q11_important_part_value",
     "q16_supplier_variety",
     "q20_excess_bolt_suppliers",
+    # round 3 (cont.): decontamination + repetition audits
+    "doc_decontaminate",
+    "doc_repetition_score",
 ]
 
 

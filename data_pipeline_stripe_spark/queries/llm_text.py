@@ -694,3 +694,67 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs)
     return multimodal.extract_image_features(media, decoder="fake")
+
+
+@query(
+    "doc_decontaminate",
+    oracle=r"""
+    WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest([array_to_string(t[i:i+7], ' ')
+                          for i in range(1, len(t) - 6)]) AS gram
+           FROM docs WHERE len(t) >= 8),
+    g AS (SELECT DISTINCT doc_id, gram FROM g0),
+    eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    train AS (SELECT g.doc_id, g.gram,
+                     CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM g LEFT JOIN eval_g e ON g.gram = e.gram
+              WHERE g.doc_id % 20 <> 0)
+    SELECT doc_id,
+           CAST(SUM(hit) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(hit) / COUNT(*), 4) AS contamination,
+           SUM(hit) > 0 AS contaminated
+    FROM train GROUP BY 1
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: train/eval decontamination — 8-token-shingle overlap between
+    the train split and the held-out eval split (doc_id % 20 == 0), per
+    train document. The eval gram set is benchmark-sized and broadcast;
+    the train side is one explode + broadcast probe + groupBy (llm/
+    text.py:decontamination). The near-dup planted pairs make the
+    expected hits nonzero: an eval doc's 99%-similar partner shares
+    nearly all its 8-grams."""
+    return llm_text.decontamination(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_repetition_score",
+    oracle=r"""
+    WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+    bi AS (SELECT doc_id,
+                  CAST(len(t) AS BIGINT) AS n_tokens,
+                  ROUND(1 - len(list_distinct([t[i] || ' ' || t[i+1]
+                                               for i in range(1, len(t))]))
+                          / (len(t) - 1), 4) AS dup_bigram_frac
+           FROM docs),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM docs),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    top AS (SELECT doc_id, ROUND(MAX(c) / SUM(c), 4) AS top_token_ratio
+            FROM cnt GROUP BY 1)
+    SELECT bi.doc_id, bi.n_tokens, bi.dup_bigram_frac, top.top_token_ratio,
+           (bi.dup_bigram_frac > 0.2 OR top.top_token_ratio > 0.2)
+               AS repetitive
+    FROM bi JOIN top ON bi.doc_id = top.doc_id
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: within-document repetition audit (Gopher-style rule):
+    duplicate-bigram fraction (pure array expressions, no shuffle) and
+    top-token share (explode + two grouped aggs — the distributed path,
+    so a pathological document costs |tokens| rows, not a per-row
+    quadratic loop). Flags docs exceeding 0.2 on either measure."""
+    return llm_text.repetition_score(load_table(spark, sf_dir, "documents"))

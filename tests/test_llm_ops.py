@@ -348,3 +348,52 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
     # selection is a broadcast dim join + filter, no Python boundary
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    # eval doc 0 (id % 20 == 0); train doc 21 copies an 8-gram run from
+    # it, train doc 22 shares no 8-gram (different vocabulary order).
+    eval_text = " ".join(WORDS)                       # 20 tokens
+    leak = "x1 x2 " + " ".join(WORDS[:8]) + " x3 x4"  # 8-token overlap run
+    clean = " ".join(reversed(WORDS))
+    df = spark.createDataFrame(
+        [(0, eval_text), (21, leak), (22, clean)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm_text.decontamination(df).collect()}
+    assert set(out) == {21, 22}                # eval doc never emitted
+    assert out[21].contaminated and out[21].n_matched == 1
+    assert not out[22].contaminated and out[22].n_matched == 0
+    assert out[21].n_grams == 5                # 12 tokens -> 5 distinct 8-grams
+    assert out[21].contamination == 0.2
+
+
+def test_decontamination_dedupes_repeated_grams(spark):
+    # A train doc repeating the leaked gram 3x still counts it ONCE
+    # (array_distinct before explode caps amplification).
+    eval_text = " ".join(WORDS[:8])
+    rep = " ".join(WORDS[:8] * 3)  # the eval 8-gram occurs at 3 offsets
+    df = spark.createDataFrame(
+        [(0, eval_text), (1, rep)], "doc_id long, text string"
+    )
+    row = llm_text.decontamination(df).collect()[0]
+    assert row.doc_id == 1 and row.contaminated
+    # 24 tokens -> 17 windows but only 8 DISTINCT grams (cyclic repeats)
+    assert row.n_grams == 8 and row.n_matched == 1
+
+
+def test_repetition_score_exact_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # all-dup bigrams, one token
+            (2, " ".join(WORDS)),                # 20 distinct tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm_text.repetition_score(df).collect()}
+    # doc 1: 3 bigrams all "spam spam" -> 1 distinct -> frac 1 - 1/3
+    assert out[1].dup_bigram_frac == pytest.approx(0.6667)
+    assert out[1].top_token_ratio == 1.0 and out[1].repetitive
+    assert out[2].dup_bigram_frac == 0.0
+    assert out[2].top_token_ratio == pytest.approx(0.05)
+    assert not out[2].repetitive
