@@ -77,6 +77,9 @@ NONEQUI_OK = {
     "embedding_kmeans_step", "embedding_cosine_near_dup_bucketed",
     # q22's scalar-AVG subquery: 1-row broadcast cross against customer
     "q22_dormant_high_balance",
+    # q11's scalar-total subquery: 1-row broadcast cross against the
+    # per-part aggregate output (|parts| rows, not the fact)
+    "q11_important_part_value",
 }
 
 
