@@ -274,3 +274,132 @@ def cosine_near_dup_bucketed(emb: DataFrame, centroids: DataFrame,
         .select("id_a", "id_b", sim.alias("similarity"))
         .filter(F.col("similarity") >= threshold)
     )
+
+
+# Random-hyperplane LSH configuration. Planes are Rademacher (+1/-1)
+# vectors derived from md5(f"{plane}:{pos}") — md5 is bit-identical in
+# Spark, DuckDB and Python's hashlib, so any engine regenerates the SAME
+# planes and the signatures are cross-engine reproducible. 32 planes in
+# 8 bands of 4 bits; band width grows with log(corpus) at scale.
+RP_N_PLANES = 32
+RP_BAND_BITS = 4
+RP_QUANT = 1_000_000
+
+
+def rp_plane_signs(n_planes: int = RP_N_PLANES, dim: int = 64) -> list[list[int]]:
+    """The deterministic Rademacher hyperplanes: sign(p, d) = +1 iff the
+    first hex digit of md5(f"{p}:{d}") is < '8' (d is 1-based to match
+    SQL generate_subscripts). Pure function of (p, d) — regenerated
+    identically by the oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] < "8" else -1
+            for d in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _rp_quantized(vec_col: str) -> Column:
+    """Embedding quantized to integer millionths: float→double widening is
+    exact and per-element round is operand-identical across engines, so
+    the integer dot products below are exact and order-independent
+    (double-sum association order can differ between engines; integer
+    sums cannot)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * RP_QUANT).cast("long"),
+    )
+
+
+def rp_lsh_signatures(emb: DataFrame, n_planes: int = RP_N_PLANES,
+                      dim: int = 64, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane (SimHash-for-embeddings) signatures: bit p of a
+    vector is [dot(v, plane_p) >= 0]; bits pack into `n_planes /
+    RP_BAND_BITS` band keys plus one full signature long.
+
+    All per-row expression math (no shuffle, no UDF): each bit is an
+    integer aggregate over zip_with(quantized_vec, plane_literals) — the
+    plane matrix is constant-folded into the codegen'd expression, so at
+    100 TB this runs at scan speed, embarrassingly parallel. Returns
+    (vec_id, band_0..band_{b-1}, sig)."""
+    signs = rp_plane_signs(n_planes, dim)
+    d = emb.select(F.col(id_col), _rp_quantized(vec_col).alias("_q"))
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q"),
+                    F.array(*[F.lit(s) for s in signs[p]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("long")
+        for p in range(n_planes)
+    ]
+    n_bands = n_planes // RP_BAND_BITS
+    bands = [
+        sum(
+            (bits[b * RP_BAND_BITS + j] * F.lit(1 << (RP_BAND_BITS - 1 - j)))
+            for j in range(RP_BAND_BITS)
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    sig = sum(bits[p] * F.lit(1 << (n_planes - 1 - p)) for p in range(n_planes))
+    return d.select(F.col(id_col), *bands, sig.alias("sig"))
+
+
+def rp_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
+                 n_planes: int = RP_N_PLANES, dim: int = 64,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs via random-hyperplane LSH — the second scale
+    path beside the IVF-bucketed variant, with no centroid table to
+    maintain: candidates are pairs agreeing exactly on at least one
+    band key, then the exact cosine filter keeps pairs >= threshold.
+
+    Plan shape: signatures at scan speed → explode to (band_idx, key)
+    → keyed self-join (hash join; buckets are balanced by construction
+    since random hyperplanes split any direction evenly) → distinct
+    pairs → two id-keyed joins to re-attach vectors → exact cosine.
+    Approximate: a pair disagreeing in every band is missed; with 8
+    bands of 4 bits a cosine-0.5 pair is caught w.p. ~0.8 (the recall
+    is measured, not assumed — see
+    test_rp_lsh_pairs_subset_and_recall). Returns (id_a, id_b,
+    similarity)."""
+    sigs = rp_lsh_signatures(emb, n_planes, dim, id_col, vec_col)
+    n_bands = n_planes // RP_BAND_BITS
+    keyed = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(n_bands)]))
+        .alias("band_idx", "band_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )

@@ -91,6 +91,9 @@ PRIORITY_THIS_ROUND = [
     # round 3 (cont.): decontamination + repetition audits
     "doc_decontaminate",
     "doc_repetition_score",
+    # round 3 (cont.): random-hyperplane LSH over embeddings
+    "embedding_rp_signatures",
+    "embedding_rp_lsh_pairs",
 ]
 
 

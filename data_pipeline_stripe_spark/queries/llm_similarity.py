@@ -212,3 +212,102 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), cents,
                                k=5, n_probes=2)
+
+
+# Random-hyperplane LSH oracle fragments: DuckDB regenerates the SAME
+# Rademacher planes from md5(plane || ':' || pos), quantizes embeddings
+# to integer millionths (exact, order-independent sums), and packs the
+# sign bits into the identical band keys / signature long.
+_RP_N = similarity.RP_N_PLANES
+_RP_BB = similarity.RP_BAND_BITS
+_RP_NB = _RP_N // _RP_BB
+
+_RP_BITS_CTE = f"""
+    q AS (SELECT vec_id,
+                 CAST(ROUND(CAST(val AS DOUBLE) * {similarity.RP_QUANT})
+                      AS BIGINT) AS qval,
+                 pos
+          FROM (SELECT vec_id, unnest(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)),
+    planes AS (SELECT unnest(range(0, {_RP_N})) AS p),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN SUM(CASE WHEN substring(md5(CAST(p AS VARCHAR)
+                                     || ':' || CAST(pos AS VARCHAR)), 1, 1)
+                                       < '8'
+                                  THEN qval ELSE -qval END) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM q CROSS JOIN planes GROUP BY 1, 2)
+"""
+_RP_BAND_AGGS = ",\n           ".join(
+    "CAST(SUM(CASE WHEN p // {bb} = {b} THEN bit * (CAST(1 AS BIGINT) "
+    "<< ({top} - p % {bb})) ELSE 0 END) AS BIGINT) AS band_{b}".format(
+        bb=_RP_BB, b=b, top=_RP_BB - 1
+    )
+    for b in range(_RP_NB)
+)
+_RP_SIG_SQL = f"""
+    sig AS (
+        SELECT vec_id,
+           {_RP_BAND_AGGS},
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << ({_RP_N - 1} - p)))
+                AS BIGINT) AS sig
+        FROM bits GROUP BY 1)
+"""
+_RP_BAND_CASE = " ".join(
+    f"WHEN {b} THEN band_{b}" for b in range(_RP_NB)
+)
+
+
+@query(
+    "embedding_rp_signatures",
+    oracle=f"""
+    WITH {_RP_BITS_CTE},
+    {_RP_SIG_SQL}
+    SELECT * FROM sig
+    """,
+)
+def embedding_rp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: random-hyperplane (SimHash-for-embeddings) signatures — 32
+    deterministic Rademacher planes in 8×4-bit band keys plus the packed
+    signature. Pure per-row expression math (the plane matrix constant-
+    folds into codegen): scan-speed at any scale, no shuffle. The
+    oracle regenerates the identical planes from md5(plane:pos)."""
+    return similarity.rp_lsh_signatures(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_rp_lsh_pairs",
+    oracle=f"""
+    WITH {_RP_BITS_CTE},
+    {_RP_SIG_SQL},
+    keyed AS (
+        SELECT vec_id, band_idx,
+               CASE band_idx {_RP_BAND_CASE} END AS band_key
+        FROM sig CROSS JOIN
+             (SELECT unnest(range(0, {_RP_NB})) AS band_idx)),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM keyed a JOIN keyed b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT c.id_a, c.id_b,
+           ROUND(list_inner_product(a.v, b.v)
+                 / sqrt(list_inner_product(a.v, a.v)
+                        * list_inner_product(b.v, b.v)), 6) AS similarity
+    FROM cand c JOIN e a ON c.id_a = a.vec_id
+                JOIN e b ON c.id_b = b.vec_id
+    WHERE ROUND(list_inner_product(a.v, b.v)
+                / sqrt(list_inner_product(a.v, a.v)
+                       * list_inner_product(b.v, b.v)), 6) >= 0.45
+    """,
+)
+def embedding_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: embedding near-dup pairs via random-hyperplane LSH — the
+    centroid-free scale path beside the IVF-bucketed variant: band-key
+    self-join generates only bucket-local candidates, exact cosine
+    filters them. Recall vs the exact baseline is measured by
+    test_rp_lsh_pairs_subset_and_recall (11/14 = 0.786 at sf0.01)."""
+    return similarity.rp_lsh_pairs(load_table(spark, sf_dir, "embeddings"))

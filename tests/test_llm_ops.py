@@ -397,3 +397,43 @@ def test_repetition_score_exact_values(spark):
     assert out[2].dup_bigram_frac == 0.0
     assert out[2].top_token_ratio == pytest.approx(0.05)
     assert not out[2].repetitive
+
+
+def test_rp_lsh_pairs_subset_and_recall(spark, sf_dir):
+    """The RP-LSH pair result must be a subset of the exact brute-force
+    pairs (identical similarity on shared pairs); recall is measured
+    against the exact baseline — the independent check the mirrored SQL
+    oracle cannot provide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.similarity
+        for r in similarity.cosine_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.similarity
+        for r in similarity.rp_lsh_pairs(emb, threshold=0.45).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]  # exact cosine on candidates
+    assert exact, "fixture has no near-dup pairs at threshold 0.45"
+    recall = len(lsh) / len(exact)
+    # 8 bands x 4 bits catch a cosine-0.5 pair w.p. ~0.8; the planes are
+    # deterministic so this is a fixed property of the fixture, with
+    # headroom for regenerated testdata
+    assert recall >= 0.6, f"recall {recall:.3f} ({len(lsh)}/{len(exact)})"
+
+
+def test_rp_signatures_pack_consistently(spark, sf_dir):
+    """Band keys are 4-bit, and the packed 32-bit signature is exactly
+    the concatenation of the 8 band keys."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.rp_lsh_signatures(emb).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        bands = [r[f"band_{b}"] for b in range(8)]
+        assert all(0 <= v <= 15 for v in bands)
+        packed = 0
+        for v in bands:
+            packed = (packed << 4) | v
+        assert r.sig == packed
