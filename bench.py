@@ -38,6 +38,10 @@ HEADLINE = [
     # round 3 additions: deep multi-join (Q9) and agg-then-join (Q18)
     "q9_product_line_profit",
     "q18_large_volume_customers",
+    # round 3 (cont.): supply-edge agg + per-part min window (Q2) and
+    # expression-signature LSH over embeddings
+    "q2_min_cost_supplier",
+    "embedding_rp_lsh_pairs",
 ]
 
 

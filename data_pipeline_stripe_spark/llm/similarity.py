@@ -265,10 +265,19 @@ def cosine_near_dup_bucketed(emb: DataFrame, centroids: DataFrame,
                 F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Per-VECTOR self-dots, computed once (n rows) instead of once per
+    # candidate pair: sqrt(na*nb) multiplies the identical doubles, so
+    # the rounded cosine is bit-for-bit unchanged — only the per-pair
+    # work drops from 3 dots to 1.
     v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    v = v.withColumn("n2", dot(F.col("v"), F.col("v")))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  F.col("n2").alias("na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  F.col("n2").alias("nb"))
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 6
+    )
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("similarity"))
@@ -321,37 +330,37 @@ def rp_lsh_signatures(emb: DataFrame, n_planes: int = RP_N_PLANES,
     vector is [dot(v, plane_p) >= 0]; bits pack into `n_planes /
     RP_BAND_BITS` band keys plus one full signature long.
 
-    All per-row expression math (no shuffle, no UDF): each bit is an
-    integer aggregate over zip_with(quantized_vec, plane_literals) — the
-    plane matrix is constant-folded into the codegen'd expression, so at
-    100 TB this runs at scan speed, embarrassingly parallel. Returns
+    All per-row expression math (no shuffle, no UDF), built as ONE SQL
+    expression with the whole plane matrix as a single nested-array
+    literal: per-plane Column objects would mean n_planes × dim py4j
+    literal round-trips (~4 s of driver time for 32×64) and a
+    2000-node expression tree; the transform-over-planes form is a
+    handful of expressions the driver ships once. At 100 TB this runs
+    at scan speed, embarrassingly parallel. Returns
     (vec_id, band_0..band_{b-1}, sig)."""
     signs = rp_plane_signs(n_planes, dim)
-    d = emb.select(F.col(id_col), _rp_quantized(vec_col).alias("_q"))
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col("_q"),
-                    F.array(*[F.lit(s) for s in signs[p]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            >= 0
-        ).cast("long")
-        for p in range(n_planes)
-    ]
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(str(v) for v in row) + ")" for row in signs
+    ) + ")"
+    bits_sql = (
+        f"transform({planes_sql}, p -> CASE WHEN aggregate("
+        "zip_with(_q, p, (x, y) -> x * CAST(y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x) >= 0 "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    d = (
+        emb.select(F.col(id_col), _rp_quantized(vec_col).alias("_q"))
+        .withColumn("_bits", F.expr(bits_sql))
+    )
     n_bands = n_planes // RP_BAND_BITS
+    fold = "aggregate({arr}, CAST(0 AS BIGINT), (a, x) -> a * 2 + x)"
     bands = [
-        sum(
-            (bits[b * RP_BAND_BITS + j] * F.lit(1 << (RP_BAND_BITS - 1 - j)))
-            for j in range(RP_BAND_BITS)
-        ).alias(f"band_{b}")
+        F.expr(fold.format(
+            arr=f"slice(_bits, {b * RP_BAND_BITS + 1}, {RP_BAND_BITS})"
+        )).alias(f"band_{b}")
         for b in range(n_bands)
     ]
-    sig = sum(bits[p] * F.lit(1 << (n_planes - 1 - p)) for p in range(n_planes))
+    sig = F.expr(fold.format(arr="_bits"))
     return d.select(F.col(id_col), *bands, sig.alias("sig"))
 
 
@@ -394,10 +403,19 @@ def rp_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Per-VECTOR self-dots, computed once (n rows) instead of once per
+    # candidate pair: sqrt(na*nb) multiplies the identical doubles, so
+    # the rounded cosine is bit-for-bit unchanged — only the per-pair
+    # work drops from 3 dots to 1.
     v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    v = v.withColumn("n2", dot(F.col("v"), F.col("v")))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  F.col("n2").alias("na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  F.col("n2").alias("nb"))
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 6
+    )
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("similarity"))

@@ -168,3 +168,23 @@ def test_minhash_signature_plan_is_one_aggregation(spark, sf_dir):
     # partial + final (ObjectHashAggregate for min over strings)
     assert plan.count("Aggregate") in (2, 3)
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_rp_signatures_run_at_scan_speed(spark, sf_dir):
+    """The 32-plane signature is pure per-row expression math: no join,
+    no Python boundary, and no shuffle beyond load_table's test-env
+    single-row-group rebalance — the plane matrix must constant-fold
+    into the expression, not arrive via a join."""
+    plan = plan_of(spark, sf_dir, "embedding_rp_signatures")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_rp_pairs_candidates_are_hash_joined(spark, sf_dir):
+    """Candidate generation must be an equi join on the band keys —
+    never a nested-loop pair scan."""
+    plan = plan_of(spark, sf_dir, "embedding_rp_lsh_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
