@@ -94,6 +94,8 @@ PRIORITY_THIS_ROUND = [
     # round 3 (cont.): random-hyperplane LSH over embeddings
     "embedding_rp_signatures",
     "embedding_rp_lsh_pairs",
+    # round 3 (cont.): per-source corpus card
+    "doc_corpus_stats",
 ]
 
 

@@ -758,3 +758,54 @@ def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a pathological document costs |tokens| rows, not a per-row
     quadratic loop). Flags docs exceeding 0.2 on either measure."""
     return llm_text.repetition_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_corpus_stats",
+    oracle=r"""
+    WITH d AS (
+        SELECT source, lang,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               n_chars,
+               sha256(lower(trim(text))) AS h
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_tok), 4) AS avg_tokens,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / COUNT(*), 4) AS en_share
+    FROM d GROUP BY 1
+    """,
+)
+def doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the corpus card — per-source document/token/char totals, mean
+    length, distinct-text count and language share: the first report any
+    training-mix decision reads. One grouped aggregation over expression
+    columns (token count, normalized-text hash) — a single shuffle at
+    |sources| output grain at any corpus size."""
+    from ..functions.text import normalized_text_expr, tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(tokens_expr("text")).alias("n_tok"),
+        "n_chars",
+        F.sha2(normalized_text_expr("text"), 256).alias("h"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("en_share"),
+    )
