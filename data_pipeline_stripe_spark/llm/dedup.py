@@ -321,3 +321,74 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# Winnowing (MOSS-style) passage fingerprinting: k-token grams hashed,
+# then the minimum gram hash selected from every w-wide window — the
+# guarantee is that any shared passage of >= k + w - 1 tokens yields at
+# least one shared selected fingerprint, at ~2/(w+1) the index density
+# of indexing every gram.
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 3
+WINNOW_MAX_FP_DOC_FREQ = 20
+
+
+def winnowing_fingerprints(df: DataFrame, k: int = WINNOW_K,
+                           w: int = WINNOW_W, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Distinct winnowing fingerprints per document: md5 over each
+    k-token gram, window-min selection over every w consecutive gram
+    hashes (lexicographic min — engine-identical on md5 hex), distinct.
+    Pure array expressions until the final explode: selection runs at
+    scan speed; the output index is ~2/(w+1) of the gram count.
+    Returns (id, fp)."""
+    toks = tokens_expr(text_col)
+    d = df.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= k + w - 1
+    )
+    gh = F.transform(shingles_expr(F.col("_t"), k), lambda s: F.md5(s))
+    d = d.select(F.col(id_col), gh.alias("_gh"))
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("_gh") - (w - 1)),
+        lambda i: F.array_min(F.slice("_gh", i, w)),
+    )
+    return d.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def shared_passage_pairs(df: DataFrame, min_shared: int = WINNOW_MIN_SHARED,
+                         max_fp_doc_freq: int | None = WINNOW_MAX_FP_DOC_FREQ,
+                         k: int = WINNOW_K, w: int = WINNOW_W,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Substring-level near-dup detection ("deduplicating training data"
+    at passage grain, where document-level Jaccard stays low): document
+    pairs sharing >= min_shared winnowing fingerprints — i.e. repeated
+    passages of >= k + w - 1 tokens, boilerplate headers, quoted blocks.
+
+    Scale shape matches ngram_jaccard_pairs: inverted-index self-join
+    keyed on fingerprint with the same document-frequency cap (default
+    on) so a corpus-common passage cannot become a d² hot key; the
+    winnowing selection has already thinned the index ~2/(w+1)×.
+    Returns (doc_a, doc_b, n_shared)."""
+    fp = winnowing_fingerprints(df, k, w, id_col, text_col)
+    if max_fp_doc_freq is not None:
+        wdf = W.partitionBy("fp")
+        fp = (
+            fp.withColumn("_df", F.count("*").over(wdf))
+            .filter(F.col("_df") <= max_fp_doc_freq)
+            .drop("_df")
+        )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

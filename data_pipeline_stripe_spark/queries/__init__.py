@@ -94,8 +94,9 @@ PRIORITY_THIS_ROUND = [
     # round 3 (cont.): random-hyperplane LSH over embeddings
     "embedding_rp_signatures",
     "embedding_rp_lsh_pairs",
-    # round 3 (cont.): per-source corpus card
+    # round 3 (cont.): per-source corpus card + winnowing passages
     "doc_corpus_stats",
+    "doc_shared_passages",
 ]
 
 

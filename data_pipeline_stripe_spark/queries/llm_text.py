@@ -809,3 +809,36 @@ def doc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("en_share"),
     )
+
+
+@query(
+    "doc_shared_passages",
+    oracle=r"""
+    WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    gh AS (SELECT doc_id,
+                  [md5(array_to_string(t[i:i+4], ' '))
+                   for i in range(1, len(t) - 3)] AS g
+           FROM docs WHERE len(t) >= 8),
+    fp0 AS (SELECT doc_id,
+                   unnest(list_distinct([list_aggregate(g[i:i+3], 'min')
+                                         for i in range(1, len(g) - 2)])) AS fp
+            FROM gh),
+    fp AS (SELECT doc_id, fp FROM (
+               SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS dfreq
+               FROM fp0)
+           WHERE dfreq <= 20)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def doc_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 at passage grain: winnowing (MOSS) fingerprint pairs — any
+    shared run of >= 8 tokens (5-token grams, window 4) guarantees a
+    shared selected fingerprint, so repeated passages surface even when
+    document-level Jaccard stays low. Inverted-index self-join with the
+    standard document-frequency cap (llm/dedup.py:shared_passage_pairs);
+    selection thins the index ~2/(w+1)x before the shuffle."""
+    return dedup.shared_passage_pairs(load_table(spark, sf_dir, "documents"))

@@ -437,3 +437,29 @@ def test_rp_signatures_pack_consistently(spark, sf_dir):
         for v in bands:
             packed = (packed << 4) | v
         assert r.sig == packed
+
+
+def test_shared_passage_pairs_winnowing_guarantee(spark):
+    """A single shared run of k+w-1 = 8 tokens must yield >= 1 shared
+    fingerprint (the winnowing guarantee); a long shared passage clears
+    min_shared even when the rest of the docs are disjoint; docs with
+    no shared passage produce nothing."""
+    passage = " ".join(WORDS[:12])                      # 12-token passage
+    a = passage + " " + " ".join(f"a{i}" for i in range(20))
+    b = " ".join(f"b{i}" for i in range(20)) + " " + passage
+    c = " ".join(f"c{i}" for i in range(30))            # disjoint
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.n_shared
+             for r in dedup.shared_passage_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs)
+    # guarantee floor: an exactly-8-token shared run still fingerprints
+    short_b = " ".join(f"d{i}" for i in range(10)) + " " + " ".join(WORDS[:8])
+    short_a = " ".join(WORDS[:8]) + " " + " ".join(f"e{i}" for i in range(10))
+    df2 = spark.createDataFrame(
+        [(1, short_a), (2, short_b)], "doc_id long, text string"
+    )
+    got = dedup.shared_passage_pairs(df2, min_shared=1).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
