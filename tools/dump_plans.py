@@ -86,6 +86,11 @@ SHOWCASE = [
      "Train/eval 8-gram overlap: eval grams broadcast, train side is "
      "one explode + broadcast hash probe + one groupBy — no fact-fact "
      "shuffle at any corpus size."),
+    ("doc_shared_passages",
+     "Winnowing passage dedup: gram hashing + window-min selection are "
+     "array expressions at scan speed; the pair join is the capped "
+     "inverted-index self-join keyed on fingerprint — same scale shape "
+     "as the shingle-Jaccard pairs at ~2/(w+1) the index density."),
 ]
 
 
