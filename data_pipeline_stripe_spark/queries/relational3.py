@@ -618,7 +618,7 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ROUND(s_acctbal, 2) AS acctbal, s_name,
            n_name AS nation_name, p_partkey,
-           ROUND(cost, 4) AS unit_cost
+           FLOOR(cost * 10000) / 10000 AS unit_cost
     FROM cand WHERE cost = min_cost
     """,
 )
@@ -629,7 +629,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part min window over the CANDIDATE set — the window input is the
     post-filter agg output (|qualifying part-supplier edges|), never the
     fact, so the two fact passes of the classic plan collapse to one
-    groupBy shuffle plus broadcast joins."""
+    groupBy shuffle plus broadcast joins.
+
+    unit_cost is TRUNCATED to 4 decimals (floor(x*1e4)/1e4), not
+    rounded: a quotient landing half-ulp under a .00005 boundary rounds
+    differently in Spark (HALF_UP on the shortest-decimal repr) vs
+    DuckDB (round on the binary double) — observed at sf0.1 on
+    2155.70874999...; floor has no tie semantics, so it is bitwise
+    identical across engines on the identical input double."""
     from pyspark.sql.window import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -663,7 +670,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.col("n_name").alias("nation_name"),
             "p_partkey",
-            F.round("cost", 4).alias("unit_cost"),
+            (F.floor(F.col("cost") * 10000) / 10000).alias("unit_cost"),
         )
     )
 
