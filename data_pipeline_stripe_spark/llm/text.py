@@ -447,3 +447,46 @@ def repetition_score(df: DataFrame, id_col: str = "doc_id",
             | (F.col("top_token_ratio") > REPETITION_TOP_TOKEN_RATIO)
         ).alias("repetitive"),
     )
+
+
+def lm_unigram_score(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model score per document — the CCNet-style
+    quality signal: mean negative log probability of the document's
+    tokens under the corpus unigram distribution (add-one smoothed).
+    Low = typical text, high = rare-token noise; curation buckets on
+    this the way CCNet buckets on wikipedia-LM perplexity.
+
+    Scale shape: token explode → one grouped count for the vocabulary
+    (broadcast back — |vocab| rows, not |tokens|) → per-doc mean of
+    -ln((c_t + 1) / (N + V)). Two shuffles at token grain, output at
+    document grain; no Python, no per-row loops.
+
+    Oracle-parity: each token's nll is floor-quantized to integer
+    micro-nats BEFORE averaging (a double AVG would sum in
+    engine/partition order; the integer sum is exact and
+    order-independent), and the displayed mean is floor-truncated, not
+    rounded (see q2's unit_cost for the ROUND half-ulp trap)."""
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c_t"))
+    totals = vocab.agg(
+        F.sum("c_t").alias("n_total"), F.count("*").alias("v_size")
+    )
+    nll_micro = F.floor(
+        -F.log((F.col("c_t") + 1) / (F.col("n_total") + F.col("v_size")))
+        * 1000000
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(totals))
+        .select(F.col(id_col), nll_micro.alias("_m"))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(
+                    F.sum("_m") / (F.count("*") * 1000000.0) * 10000
+                ) / 10000
+            ).alias("mean_nll"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )

@@ -97,6 +97,9 @@ PRIORITY_THIS_ROUND = [
     # round 3 (cont.): per-source corpus card + winnowing passages
     "doc_corpus_stats",
     "doc_shared_passages",
+    # round 3 (cont.): LM quality score + cross-source dup matrix
+    "doc_lm_score",
+    "doc_cross_source_dups",
 ]
 
 

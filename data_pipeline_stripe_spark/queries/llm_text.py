@@ -842,3 +842,80 @@ def doc_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard document-frequency cap (llm/dedup.py:shared_passage_pairs);
     selection thins the index ~2/(w+1)x before the shuffle."""
     return dedup.shared_passage_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_lm_score",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c_t FROM tok GROUP BY 1),
+    totals AS (SELECT SUM(c_t) AS n_total, COUNT(*) AS v_size FROM vocab),
+    scored AS (
+        SELECT t.doc_id,
+               FLOOR(-ln((v.c_t + 1) / (tt.n_total + tt.v_size))
+                     * 1000000) AS m
+        FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt
+    )
+    SELECT doc_id,
+           FLOOR(SUM(m) / (COUNT(*) * 1000000.0) * 10000) / 10000
+               AS mean_nll,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY 1
+    """,
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus-unigram LM score (CCNet-style quality signal) — mean
+    negative log probability of each document's tokens under the
+    add-one-smoothed corpus unigram distribution. Vocabulary counts
+    broadcast back over the token stream; per-token nll floor-quantized
+    to integer micro-nats so the per-doc mean is exact and
+    order-independent (llm/text.py:lm_unigram_score)."""
+    return llm_text.lm_unigram_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_cross_source_dups",
+    oracle=rf"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    )
+    SELECT da.source AS source_a, db.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def doc_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 provenance view: near-duplicate pair counts by (source_a,
+    source_b) — the contamination matrix that tells you WHICH feeds
+    duplicate each other (same-source pairs = re-crawls; cross-source
+    pairs = syndication). Reuses the exact Jaccard pair operator, then
+    two broadcast id→source joins and a |sources|² aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("source_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

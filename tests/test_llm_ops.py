@@ -463,3 +463,18 @@ def test_shared_passage_pairs_winnowing_guarantee(spark):
     )
     got = dedup.shared_passage_pairs(df2, min_shared=1).collect()
     assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+
+
+def test_lm_unigram_score_ranks_rare_tokens_higher(spark):
+    """A document of corpus-rare tokens must score a higher mean nll
+    than one made of the corpus's most common tokens."""
+    common = "the " * 30
+    rare = "zyzzyva qwertian plugh xyzzy"
+    filler = [(i, "the cat and the dog and the bird") for i in range(10)]
+    df = spark.createDataFrame(
+        filler + [(100, common.strip()), (101, rare)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm_text.lm_unigram_score(df).collect()}
+    assert out[101].mean_nll > out[100].mean_nll
+    assert out[101].n_tokens == 4 and out[100].n_tokens == 30
