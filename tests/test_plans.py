@@ -80,6 +80,9 @@ NONEQUI_OK = {
     # q11's scalar-total subquery: 1-row broadcast cross against the
     # per-part aggregate output (|parts| rows, not the fact)
     "q11_important_part_value",
+    # LM score's corpus totals: a 1-row (N, V) aggregate broadcast over
+    # the token stream — same scalar-subquery class as q11/q22
+    "doc_lm_score",
 }
 
 
