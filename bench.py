@@ -42,6 +42,9 @@ HEADLINE = [
     # expression-signature LSH over embeddings
     "q2_min_cost_supplier",
     "embedding_rp_lsh_pairs",
+    # round 3 (cont.): winnowing passage dedup + corpus-LM scoring
+    "doc_shared_passages",
+    "doc_lm_score",
 ]
 
 
