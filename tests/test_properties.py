@@ -98,3 +98,25 @@ def test_chunking_reconstructs_token_stream(spark, docs, chunk, overlap):
             rebuilt += c.chunk_text.split()[overlap:]
         assert rebuilt == doc_text.split()
         assert all(c.n_tokens >= 1 for c in chunks)
+
+
+@given(
+    prefix=st.lists(WORD, min_size=0, max_size=10),
+    passage=st.lists(WORD, min_size=8, max_size=14),
+    suffix=st.lists(WORD, min_size=0, max_size=10),
+)
+@_SETTINGS
+def test_winnowing_guarantee_any_shared_8_token_run(spark, prefix, passage,
+                                                    suffix):
+    """For ANY two documents sharing a contiguous run of >= k + w - 1 = 8
+    tokens, winnowing selects at least one common fingerprint, so the
+    pair surfaces at min_shared=1 — the MOSS selection guarantee."""
+    a = " ".join(prefix + passage)
+    b = " ".join(passage + suffix)
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    pairs = dedup.shared_passage_pairs(
+        df, min_shared=1, max_fp_doc_freq=None
+    ).collect()
+    assert any(p.doc_a == 1 and p.doc_b == 2 for p in pairs)
