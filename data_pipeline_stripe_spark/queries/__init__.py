@@ -100,6 +100,7 @@ PRIORITY_THIS_ROUND = [
     # round 3 (cont.): LM quality score + cross-source dup matrix
     "doc_lm_score",
     "doc_cross_source_dups",
+    "doc_dedup_best_quality",
 ]
 
 

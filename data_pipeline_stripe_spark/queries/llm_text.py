@@ -919,3 +919,100 @@ def doc_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
+
+
+_QUALITY_SQL = f"""
+    SELECT doc_id,
+           ROUND(0.3 * least(1.0, len(t) / 50.0)
+                 + 0.4 * (len(list_distinct(t)) / CAST(len(t) AS DOUBLE))
+                 + 0.3 * least(1.0, length(text) / 200.0), 4) AS quality
+    FROM (SELECT doc_id, text, {_TOKENS} AS t FROM documents)
+"""
+
+
+@query(
+    "doc_dedup_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+        ) WHERE df <= {dedup.MAX_SHINGLE_DOC_FREQ}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+        UNION SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u
+    ),
+    clusters AS (
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    qual AS ({_QUALITY_SQL}),
+    ranked AS (
+        SELECT cl.cluster_id, cl.doc_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY q.quality DESC, cl.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+        FROM clusters cl JOIN qual q ON cl.doc_id = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def doc_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2+X4 composition — quality-aware dedup: within each near-dup
+    cluster keep the HIGHEST-quality member (rounded quality desc, min
+    doc_id tie-break), not the arbitrary min-id winner — the curation
+    policy that dedups a crawl without preferentially keeping the
+    worst copy. Cluster assignment reuses connected components over the
+    capped Jaccard pairs; the winner is one row_number window over the
+    (|docs|-row) cluster/quality join."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    clusters = docs.join(comp, docs.doc_id == comp.vertex, "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("component", "doc_id").cast("long").alias("cluster_id"),
+    )
+    q = llm_text.quality_score(docs).select("doc_id", "quality")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wc = W.partitionBy("cluster_id")
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality",
+            "n_members",
+        )
+    )
