@@ -101,6 +101,7 @@ PRIORITY_THIS_ROUND = [
     "doc_lm_score",
     "doc_cross_source_dups",
     "doc_dedup_best_quality",
+    "doc_edit_distance_pairs",
 ]
 
 

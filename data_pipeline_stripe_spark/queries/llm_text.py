@@ -1016,3 +1016,62 @@ def doc_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@query(
+    "doc_edit_distance_pairs",
+    oracle=rf"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           FLOOR((1.0 - levenshtein(da.text, db.text)
+                  / greatest(length(da.text), length(db.text))) * 10000)
+               / 10000 AS char_sim
+    FROM cand c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+    """,
+)
+def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 character-level verify stage: exact Levenshtein distance and
+    normalized character similarity for the shingle-Jaccard candidate
+    pairs — the final adjudication a near-dup pipeline runs on its
+    (tiny) candidate set, NEVER on the full corpus (edit distance is
+    O(len²) per pair; the candidate set is O(dups), so the quadratic
+    cost is bounded by the blocking stages before it). Both engines
+    implement the classic DP, so values are integer-exact; char_sim is
+    floor-truncated (quotient display rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+    ta = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("_tb"))
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        cand.join(F.broadcast(ta), "doc_a")
+        .join(F.broadcast(tb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_distance"),
+            (
+                F.floor(
+                    (1.0 - lev / F.greatest(F.length("_ta"), F.length("_tb")))
+                    * 10000
+                ) / 10000
+            ).alias("char_sim"),
+        )
+    )
