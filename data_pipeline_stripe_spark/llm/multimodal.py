@@ -98,19 +98,23 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
     pipeline extension surface.
     """
     kind = sniff_media_format(payload)
-    if kind == "bmp":
-        w, h = struct.unpack_from("<ii", payload, 18)
-        return (w, abs(h))  # negative height = top-down row order
-    if kind == "png":
-        # 8-byte signature, then IHDR chunk: len(4) type(4) width height
-        w, h = struct.unpack_from(">II", payload, 16)
-        return (w, h)
-    if kind == "gif":
-        # logical screen descriptor straight after the 6-byte version tag
-        w, h = struct.unpack_from("<HH", payload, 6)
-        return (w, h)
-    if kind == "jpeg":
-        return _jpeg_dimensions(payload)
+    try:
+        if kind == "bmp":
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return (w, abs(h))  # negative height = top-down row order
+        if kind == "png":
+            # 8-byte signature, then IHDR chunk: len(4) type(4) width height
+            w, h = struct.unpack_from(">II", payload, 16)
+            return (w, h)
+        if kind == "gif":
+            # logical screen descriptor straight after the 6-byte version tag
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return (w, h)
+        if kind == "jpeg":
+            return _jpeg_dimensions(payload)
+    except struct.error:
+        raise ValueError(f"truncated {kind} header ({len(payload)} bytes)") \
+            from None
     raise ValueError(
         f"unsupported image format {kind!r} (magic {payload[:4]!r}); "
         "real decode covers bmp/png/gif/jpeg headers"
@@ -169,10 +173,14 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     answer)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
-    data_off = struct.unpack_from("<I", payload, 10)[0]
-    w, h_raw = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    compression = struct.unpack_from("<I", payload, 30)[0]
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h_raw = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error:
+        raise ValueError(f"truncated BMP header ({len(payload)} bytes)") \
+            from None
     if bpp != 24 or compression != 0:
         raise ValueError(
             f"only 24-bit uncompressed BI_RGB supported (bpp={bpp}, "
@@ -223,7 +231,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         size = struct.unpack_from("<I", payload, i + 4)[0]
         chunk = payload[i + 8:i + 8 + size]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+            try:
+                fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+            except struct.error:
+                raise ValueError(
+                    f"truncated WAV fmt chunk ({len(chunk)} bytes)"
+                ) from None
         elif cid == b"data":
             data = chunk
         i += 8 + size + (size & 1)  # chunks are 2-byte aligned

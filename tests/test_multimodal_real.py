@@ -168,3 +168,33 @@ def test_roundtrip_queries_match_arithmetic(spark, sf_dir):
         i = r.doc_id
         assert (r.sample_rate, r.n_channels, r.n_frames, r.rms) == (
             8000 * (i % 3 + 1), i % 2 + 1, 50 + i % 50, 100 + i % 900)
+
+
+# -- error-contract fuzz: decoders NEVER leak a foreign exception -----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_MAGIC = st.sampled_from([
+    b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"\xff\xd8",
+    b"RIFF", b""
+])
+_FUZZ = settings(max_examples=80, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(magic=_MAGIC, tail=st.binary(max_size=64))
+@_FUZZ
+def test_decoders_raise_only_valueerror_on_garbage(magic, tail):
+    """For ANY payload — truncated headers, corrupt bodies, random bytes
+    after a valid magic — every decoder either returns a result or
+    raises ValueError. A struct.error / IndexError escaping here would
+    kill a 100 TB mapInPandas batch with an undiagnosable traceback;
+    a silently wrong answer would be worse (the contract the docstrings
+    promise: 'a clear error, never a silently wrong answer')."""
+    payload = magic + tail
+    for fn in (mm.decode_image_real, mm.decode_bmp_pixels, mm.decode_wav):
+        try:
+            fn(payload)
+        except ValueError:
+            pass
