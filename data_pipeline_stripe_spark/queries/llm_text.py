@@ -880,10 +880,15 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_cross_source_dups",
     oracle=rf"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+        ) WHERE df <= {dedup.MAX_SHINGLE_DOC_FREQ}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -907,7 +912,7 @@ def doc_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = syndication). Reuses the exact Jaccard pair operator, then
     two broadcast id→source joins and a |sources|² aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"),
                     F.col("source").alias("source_a"))
@@ -1022,10 +1027,15 @@ def doc_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_edit_distance_pairs",
     oracle=rf"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+        ) WHERE df <= {dedup.MAX_SHINGLE_DOC_FREQ}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     cand AS (
@@ -1054,7 +1064,7 @@ def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     implement the classic DP, so values are integer-exact; char_sim is
     floor-truncated (quotient display rule)."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+    cand = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     ta = docs.select(F.col("doc_id").alias("doc_a"),
                      F.col("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("doc_b"),
