@@ -458,7 +458,8 @@ def lm_unigram_score(df: DataFrame, id_col: str = "doc_id",
     this the way CCNet buckets on wikipedia-LM perplexity.
 
     Scale shape: token explode → one grouped count for the vocabulary
-    (broadcast back — |vocab| rows, not |tokens|) → per-doc mean of
+    (joined back at |vocab| grain; AQE broadcasts it when small) →
+    per-doc mean of
     -ln((c_t + 1) / (N + V)). Two shuffles at token grain, output at
     document grain; no Python, no per-row loops.
 
@@ -476,8 +477,12 @@ def lm_unigram_score(df: DataFrame, id_col: str = "doc_id",
         -F.log((F.col("c_t") + 1) / (F.col("n_total") + F.col("v_size")))
         * 1000000
     )
+    # vocab joins WITHOUT a broadcast hint: a web-scale vocabulary is
+    # heavy-tailed and can exceed any broadcast threshold — AQE picks
+    # broadcast when the aggregate turns out small, shuffle-hash when it
+    # doesn't. Only the 1-row totals is force-broadcast.
     return (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .join(F.broadcast(totals))
         .select(F.col(id_col), nll_micro.alias("_m"))
         .groupBy(id_col)

@@ -870,7 +870,8 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: corpus-unigram LM score (CCNet-style quality signal) — mean
     negative log probability of each document's tokens under the
     add-one-smoothed corpus unigram distribution. Vocabulary counts
-    broadcast back over the token stream; per-token nll floor-quantized
+    join back over the token stream (AQE broadcasts when small);
+    per-token nll floor-quantized
     to integer micro-nats so the per-doc mean is exact and
     order-independent (llm/text.py:lm_unigram_score)."""
     return llm_text.lm_unigram_score(load_table(spark, sf_dir, "documents"))
