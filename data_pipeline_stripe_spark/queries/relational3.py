@@ -689,18 +689,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT p_partkey, ROUND(cents / 100.0, 2) AS part_value
-    FROM v WHERE cents > (SELECT SUM(cents) * 0.001 FROM v)
+    FROM v WHERE cents > (SELECT SUM(cents) * 3.0 / COUNT(*) FROM v)
     """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape, adapted (value = shipped quantity x price in
     place of availqty x supplycost): parts whose NATION_5-supplied value
-    exceeds 0.1% of the nation total. The scalar-total subquery is a
-    second aggregate OVER THE GROUPED OUTPUT (|parts| rows, not the
-    fact) broadcast back as a 1-row cross join. Values are quantized to
-    integer cents per row (the group sums straddle cent boundaries at
-    double precision, see q9), so both the group sums and the grand
-    total are exact and order-independent."""
+    exceeds 3x the average part value. The spec's fixed fraction-of-
+    total threshold scales as 1/SF (TPC-H itself divides it by SF) and
+    empties out at 10x the parts — the average-relative threshold is
+    scale-invariant. The scalar subquery is a second aggregate OVER THE
+    GROUPED OUTPUT (|parts| rows, not the fact) broadcast back as a
+    1-row cross join; written SUM*3.0/COUNT (exact integer sum, one
+    identical double division) rather than AVG, whose running-mean
+    implementations are summation-order-dependent. Values are quantized
+    to integer cents per row (see q9), so the group sums and the total
+    are exact and order-independent."""
     li = load_table(spark, sf_dir, "lineitem")
     sup_n = F.broadcast(
         load_table(spark, sf_dir, "supplier")
@@ -720,7 +724,9 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(cents).alias("cents"))
     )
-    threshold = v.agg((F.sum("cents") * 0.001).alias("threshold"))
+    threshold = v.agg(
+        (F.sum("cents") * 3.0 / F.count("*")).alias("threshold")
+    )
     return (
         v.join(F.broadcast(threshold))
         .filter(F.col("cents") > F.col("threshold"))
