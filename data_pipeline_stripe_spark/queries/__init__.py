@@ -102,6 +102,9 @@ PRIORITY_THIS_ROUND = [
     "doc_cross_source_dups",
     "doc_dedup_best_quality",
     "doc_edit_distance_pairs",
+    # round 3 (cont.): de-degenerated set-difference gates
+    "anti_join_customers_without_orders",
+    "except_customers_without_orders",
 ]
 
 

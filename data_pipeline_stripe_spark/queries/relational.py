@@ -184,15 +184,21 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "anti_join_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     """,
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS."""
+    """LEFT ANTI join = NOT EXISTS. Restricted to orders since 1999 so
+    the result is non-empty at every SF (every customer has SOME order
+    in this data; a 0-row vs 0-row compare gates nothing)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -475,12 +481,18 @@ def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey AS key FROM customer
     EXCEPT
     SELECT o_custkey AS key FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
     """,
 )
 def except_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — set-difference twin of the anti join."""
+    """EXCEPT (distinct) — set-difference twin of the anti join, on the
+    same 1999+ order restriction (non-empty at every SF)."""
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("key"))
+    )
     return cust.exceptAll(orders).distinct()
 
 
