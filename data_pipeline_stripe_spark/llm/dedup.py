@@ -59,6 +59,20 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _cap_hot_keys(df: DataFrame, key_cols: list[str], limit: int) -> DataFrame:
+    """Drop every row of any key whose group exceeds ``limit`` rows — the
+    shared hot-key guard of all inverted-index joins here (a key held by
+    d rows contributes d² join pairs on ONE shuffle key). The count is a
+    window over the same partitioning the downstream self-join shuffles
+    on, so the guard adds no extra exchange."""
+    wk = W.partitionBy(*key_cols)
+    return (
+        df.withColumn("_grp_n", F.count("*").over(wk))
+        .filter(F.col("_grp_n") <= limit)
+        .drop("_grp_n")
+    )
+
+
 def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, shingle) pairs, distinct — the inverted-index input."""
     tokens = tokens_expr(text_col)
@@ -142,12 +156,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
     if max_bucket_size is not None:
-        wb = W.partitionBy("band_id", "band_key")
-        bands = (
-            bands.withColumn("_bucket_size", F.count("*").over(wb))
-            .filter(F.col("_bucket_size") <= max_bucket_size)
-            .drop("_bucket_size")
-        )
+        bands = _cap_hot_keys(bands, ["band_id", "band_key"], max_bucket_size)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -291,12 +300,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     sh = _distinct_shingles(df, id_col, text_col)
     if max_doc_freq is not None:
-        wdf = W.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count("*").over(wdf))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
+        sh = _cap_hot_keys(sh, ["shingle"], max_doc_freq)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -375,12 +379,7 @@ def shared_passage_pairs(df: DataFrame, min_shared: int = WINNOW_MIN_SHARED,
     Returns (doc_a, doc_b, n_shared)."""
     fp = winnowing_fingerprints(df, k, w, id_col, text_col)
     if max_fp_doc_freq is not None:
-        wdf = W.partitionBy("fp")
-        fp = (
-            fp.withColumn("_df", F.count("*").over(wdf))
-            .filter(F.col("_df") <= max_fp_doc_freq)
-            .drop("_df")
-        )
+        fp = _cap_hot_keys(fp, ["fp"], max_fp_doc_freq)
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))

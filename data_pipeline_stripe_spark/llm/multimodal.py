@@ -133,6 +133,12 @@ def _jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; skip them or the walk desyncs on conformant files.
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -229,6 +235,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
     while i + 8 <= n:
         cid = payload[i:i + 4]
         size = struct.unpack_from("<I", payload, i + 4)[0]
+        if i + 8 + size > n:
+            # A declared size past the payload end means a truncated
+            # transfer; slicing would silently decode PARTIAL audio
+            # (wrong n_frames/rms), breaking the no-wrong-answer
+            # contract.
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{n - i - 8} remain"
+            )
         chunk = payload[i + 8:i + 8 + size]
         if cid == b"fmt ":
             try:
@@ -246,6 +261,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"only PCM16 supported (format={audio_format}, bits={bits})"
+        )
+    if len(data) % 2:
+        raise ValueError(
+            f"corrupt PCM16 data chunk: odd byte length {len(data)}"
         )
     samples = np.frombuffer(data, dtype="<i2")
     n_frames = len(samples) // n_channels

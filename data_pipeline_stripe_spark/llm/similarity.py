@@ -214,6 +214,32 @@ def kmeans_step(emb: DataFrame, centroids: DataFrame,
     )
 
 
+def _attach_exact_cosine(cand: DataFrame, emb: DataFrame, threshold: float,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """Re-attach vectors to (id_a, id_b) candidate pairs and keep pairs
+    with exact rounded cosine >= threshold — the shared tail of every
+    blocked near-dup path (IVF-bucketed, RP-LSH).
+
+    Per-VECTOR self-dots are computed once (n rows) instead of once per
+    candidate pair: sqrt(na*nb) multiplies the identical doubles, so the
+    rounded cosine is bit-for-bit unchanged — only the per-pair work
+    drops from 3 dots to 1."""
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    v = v.withColumn("n2", dot(F.col("v"), F.col("v")))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  F.col("n2").alias("na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  F.col("n2").alias("nb"))
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.45,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
@@ -265,24 +291,7 @@ def cosine_near_dup_bucketed(emb: DataFrame, centroids: DataFrame,
                 F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Per-VECTOR self-dots, computed once (n rows) instead of once per
-    # candidate pair: sqrt(na*nb) multiplies the identical doubles, so
-    # the rounded cosine is bit-for-bit unchanged — only the per-pair
-    # work drops from 3 dots to 1.
-    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    v = v.withColumn("n2", dot(F.col("v"), F.col("v")))
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                  F.col("n2").alias("na"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                  F.col("n2").alias("nb"))
-    sim = F.round(
-        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 6
-    )
-    return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", sim.alias("similarity"))
-        .filter(F.col("similarity") >= threshold)
-    )
+    return _attach_exact_cosine(cand, emb, threshold, id_col, vec_col)
 
 
 # Random-hyperplane LSH configuration. Planes are Rademacher (+1/-1)
@@ -403,21 +412,4 @@ def rp_lsh_pairs(emb: DataFrame, threshold: float = 0.45,
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Per-VECTOR self-dots, computed once (n rows) instead of once per
-    # candidate pair: sqrt(na*nb) multiplies the identical doubles, so
-    # the rounded cosine is bit-for-bit unchanged — only the per-pair
-    # work drops from 3 dots to 1.
-    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    v = v.withColumn("n2", dot(F.col("v"), F.col("v")))
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                  F.col("n2").alias("na"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                  F.col("n2").alias("nb"))
-    sim = F.round(
-        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb")), 6
-    )
-    return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", sim.alias("similarity"))
-        .filter(F.col("similarity") >= threshold)
-    )
+    return _attach_exact_cosine(cand, emb, threshold, id_col, vec_col)

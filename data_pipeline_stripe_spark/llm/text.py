@@ -123,8 +123,11 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
     byte-for-byte."""
     t = F.col(text_col)
     n_urls = F.regexp_count(t, F.lit(PII_URL)).cast("long")
-    n_emails = F.regexp_count(t, F.lit(PII_EMAIL)).cast("long")
     step1 = F.regexp_replace(t, PII_URL, "<URL>")
+    # Each count runs on the text the corresponding replace sees, so the
+    # audit numbers equal the substitutions actually made (an email
+    # inside a URL is consumed by the URL pass and must not count).
+    n_emails = F.regexp_count(step1, F.lit(PII_EMAIL)).cast("long")
     step2 = F.regexp_replace(step1, PII_EMAIL, "<EMAIL>")
     n_nums = F.regexp_count(step2, F.lit(PII_NUM)).cast("long")
     return df.select(

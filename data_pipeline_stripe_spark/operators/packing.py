@@ -40,15 +40,26 @@ def global_running_sum(df: DataFrame, order_col: str, weight_col: str,
     lo, hi = df.agg(
         F.min(order_col).cast("double"), F.max(order_col).cast("double")
     ).first()
-    if lo is None:  # empty input: keep the schema, add the column
-        return df.withColumn(out_col, F.lit(None).cast("double"))
+    if lo is None:
+        if df.isEmpty():  # keep the schema, add the column
+            return df.withColumn(out_col, F.lit(None).cast("double"))
+        lo = hi = 0.0  # all keys NULL: everything lands in bucket 0
     span = max((hi - lo + 1.0) / n_buckets, 1.0)
+    # NULL keys go to bucket 0 EXPLICITLY: the naive global window sorts
+    # nulls first (asc default), and the per-bucket window below does the
+    # same within bucket 0 — whereas least(NULL, b) would return b (least
+    # skips nulls on the JVM) and silently shove every NULL-key row into
+    # the LAST bucket.
     bucketed = df.withColumn(
         "_bucket",
-        F.least(
-            F.floor((F.col(order_col) - F.lit(lo)) / F.lit(span)),
-            F.lit(n_buckets - 1),
-        ).cast("long"),
+        F.when(F.col(order_col).isNull(), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(order_col) - F.lit(lo)) / F.lit(span)),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("long"),
     )
     # B-row frame of bucket totals; running offset = sum of PRIOR buckets.
     per_bucket = bucketed.groupBy("_bucket").agg(

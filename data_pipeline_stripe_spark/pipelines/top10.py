@@ -47,18 +47,30 @@ def top10_report(events: DataFrame, resources: DataFrame,
         F.substring("processTime", 1, 10).alias("date"),  # top10.py:184-185
         F.col("resourceId"),
     )
+    # Dims deduped DETERMINISTICALLY on their key before the join: a
+    # duplicate dim key (plausible after the '3.5'→'3.05' normalization
+    # collides with a literal id) would otherwise make the later
+    # dropDuplicates pick an arbitrary surviving name — run-over-run
+    # flapping output. min(struct(...)) keeps the lexicographically
+    # smallest payload, all fields from the SAME source row.
     res = F.broadcast(
         resources.select(
             F.col("id").alias("resourceId"),
             F.col("name").alias("resourceName"),
             normalize_category_id(F.col("categoryId")).alias("categoryId"),
         )
+        .groupBy("resourceId")
+        .agg(F.min(F.struct("resourceName", "categoryId")).alias("_s"))
+        .select("resourceId", F.col("_s.resourceName").alias("resourceName"),
+                F.col("_s.categoryId").alias("categoryId"))
     )
     cat = F.broadcast(
         categories.select(
             normalize_category_id(F.col("id")).alias("categoryId"),
             F.col("name").alias("categoryName"),
         )
+        .groupBy("categoryId")
+        .agg(F.min("categoryName").alias("categoryName"))
     )
     counts = (
         ev.groupBy("date", "resourceId")

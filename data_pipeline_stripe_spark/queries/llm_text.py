@@ -572,8 +572,9 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                '{llm_text.PII_NUM}', '<NUM>', 'g') AS clean_text,
            CAST(len(regexp_extract_all(text, '{llm_text.PII_URL}'))
                 AS BIGINT) AS n_urls,
-           CAST(len(regexp_extract_all(text, '{llm_text.PII_EMAIL}'))
-                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(text, '{llm_text.PII_URL}', '<URL>', 'g'),
+                '{llm_text.PII_EMAIL}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(
                 regexp_replace(
                     regexp_replace(text, '{llm_text.PII_URL}', '<URL>', 'g'),

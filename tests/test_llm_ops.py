@@ -304,6 +304,19 @@ def test_pii_redact_planted(spark):
     assert (out[2].n_emails, out[2].n_urls, out[2].n_nums) == (0, 0, 0)
 
 
+def test_pii_redact_counts_match_substitutions(spark):
+    """An email-looking token inside a URL is consumed by the URL pass;
+    the email audit count must reflect the substitutions actually made,
+    not matches against the original text."""
+    df = spark.createDataFrame(
+        [(0, "see https://x.com/a@b.com for details")],
+        "doc_id long, text string",
+    )
+    r = llm_text.pii_redact(df).collect()[0]
+    assert r.clean_text == "see <URL> for details"
+    assert r.n_urls == 1 and r.n_emails == 0
+
+
 def test_curation_verdict_rules_in_order(spark):
     long_text = " ".join(f"w{i}" for i in range(20))
     rows = [

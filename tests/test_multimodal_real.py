@@ -198,3 +198,31 @@ def test_decoders_raise_only_valueerror_on_garbage(magic, tail):
             fn(payload)
         except ValueError:
             pass
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """ITU T.81 allows any number of 0xFF fill bytes before a marker;
+    the segment walk must skip them, not desync."""
+    sof = (b"\xff\xc0" + struct.pack(">H", 11)
+           + b"\x08" + struct.pack(">HH", 48, 64) + b"\x01\x01\x11\x00")
+    plain = b"\xff\xd8" + sof
+    padded = b"\xff\xd8" + b"\xff\xff" + sof  # fill bytes before SOF
+    assert mm.decode_image_real(plain) == (64, 48)
+    assert mm.decode_image_real(padded) == (64, 48)
+
+
+def test_wav_truncated_data_chunk_raises_not_wrong_answer():
+    """A data chunk whose declared size overruns the payload must raise,
+    never silently decode partial audio."""
+    full = mm.encode_wav_pcm16(np.arange(1000, dtype=np.int16), 16000)
+    truncated = full[: len(full) - 500]
+    with pytest.raises(ValueError, match="truncated WAV"):
+        mm.decode_wav(truncated)
+    # odd-length PCM16 data chunk: typed error, not a numpy message
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+            + b"data" + struct.pack("<I", 3) + b"\x01\x02\x03")
+    odd = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="odd byte length"):
+        mm.decode_wav(odd)

@@ -214,3 +214,29 @@ def test_global_running_sum_empty_input(spark):
     df = spark.createDataFrame([], "k long, w long")
     out = global_running_sum(df, "k", "w")
     assert out.count() == 0 and "running_total" in out.columns
+
+
+def test_global_running_sum_null_keys_sort_first(spark):
+    """NULL order keys must match the naive global window (nulls first),
+    not be silently bucketed last (least() skips nulls on the JVM)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from data_pipeline_stripe_spark.operators.packing import global_running_sum
+
+    rows = [(None, 5), (10, 1), (20, 2), (None, 7), (30, 3)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    naive_w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    naive = sorted(
+        r.c for r in df.withColumn("c", F.sum("w").over(naive_w)).collect()
+    )
+    got = sorted(
+        r.running_total
+        for r in global_running_sum(df, "k", "w", n_buckets=4).collect()
+    )
+    assert got == naive
+    # all-NULL keys: still an exact prefix sum, not a NULL column
+    all_null = spark.createDataFrame([(None, 2), (None, 3)], "k long, w long")
+    totals = sorted(r.running_total
+                    for r in global_running_sum(all_null, "k", "w").collect())
+    assert totals == [2, 5]
