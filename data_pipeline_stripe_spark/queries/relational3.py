@@ -166,10 +166,14 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
+           FLOOR(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                          THEN CAST(ROUND(l.l_extendedprice
+                                          * (1 - l.l_discount) * 100)
+                               AS BIGINT)
                           ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+                 / SUM(CAST(ROUND(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100) AS BIGINT))
+                 * 10000) / 10000 AS mkt_share
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -184,7 +188,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' share of revenue from
     ASIA-region customers, by order year — the case-sum / total-sum
     ratio computed in ONE grouped aggregate (the reference pattern of a
-    second self-join for the denominator is rewritten away)."""
+    second self-join for the denominator is rewritten away). Revenue is
+    quantized to integer cents per row (order-independent sums, see q9)
+    and the ratio floor-truncated (the ROUND-quotient trap, see q2), so
+    the value is engine-exact at any SF."""
     nat = F.broadcast(load_table(spark, sf_dir, "nation"))
     reg = F.broadcast(
         load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -202,17 +209,22 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    rev = _revenue()
+    rev_cents = F.round(_revenue() * 100).cast("long")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
         .join(sup_n, li.l_suppkey == sup_n.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_3", rev_cents)
+                        .otherwise(F.lit(0).cast("long"))
+                    )
+                    / F.sum(rev_cents)
+                    * 10000
+                ) / 10000
             ).alias("mkt_share")
         )
     )
@@ -359,10 +371,14 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue_share",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
+    SELECT FLOOR(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN CAST(ROUND(l.l_extendedprice
+                                                  * (1 - l.l_discount) * 100)
+                                       AS BIGINT)
                                   ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 / SUM(CAST(ROUND(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100) AS BIGINT))
+                 * 10000) / 10000
            AS promo_revenue_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -373,7 +389,8 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: percent of one ship-month's revenue from PROMO
     parts — conditional-sum ratio in a single ungrouped aggregate, date
-    range pushed to the lineitem scan, part broadcast."""
+    range pushed to the lineitem scan, part broadcast. Same numeric
+    policy as q8: integer-cent sums, floor-truncated ratio."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
@@ -381,15 +398,20 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = F.broadcast(
         load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     )
-    rev = _revenue()
+    rev_cents = F.round(_revenue() * 100).cast("long")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
+            (
+                F.floor(
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev_cents)
+                        .otherwise(F.lit(0).cast("long"))
+                    )
+                    / F.sum(rev_cents)
+                    * 10000
+                ) / 10000
             ).alias("promo_revenue_pct")
         )
     )
