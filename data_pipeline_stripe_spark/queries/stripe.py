@@ -133,7 +133,15 @@ def platform_usage_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame
     with event_type playing the resource and the user bucket playing the
     country/timezone. One fact shuffle (finest-grain groupBy); all three
     denominators are window sums over the small aggregate, not the
-    reference's six agg+self-join rounds."""
+    reference's six agg+self-join rounds.
+
+    Numeric policy note: the percents here ROUND ratios of raw double
+    sums — kept deliberately because the columns mirror the reference's
+    output semantics (usagePercent* are plain value/total*100). The
+    residual cross-engine risk (summation order + round boundary, see
+    q2/q8) is accepted for this reference-parity surface and covered
+    empirically by the gate at three SFs; engine-exact variants of the
+    pattern live in q8/q14 (integer-cent sums, floor truncation)."""
     ev = load_table(spark, sf_dir, "events")
     per_key = (
         ev.select(
