@@ -137,21 +137,40 @@ def typed_events(raw: DataFrame) -> DataFrame:
     )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zoned TimestampType across the
+    physical layouts the fixtures have shipped with:
+
+    - parquet TIMESTAMP(NANOS) read under ``nanosAsLong`` → epoch-nanos
+      LongType → floor-truncate to microseconds (matches DuckDB ns→us);
+    - parquet timestamp[us] without timezone → TIMESTAMP_NTZ → reinterpret
+      the wall clock in the session zone (pinned UTC), which is exactly how
+      DuckDB reads the same file (naive TIMESTAMP).
+
+    Every downstream operator sees one type regardless of fixture vintage.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(dt, T.TimestampType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver test table (TESTDATA.md) as a DataFrame.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
-    LongType and is converted here to a proper TimestampType (microsecond,
-    floor-truncated — matching DuckDB's ns→us cast).
+    ``events.ts`` arrives as either epoch-nanos LongType (older fixtures,
+    via ``spark.sql.legacy.parquet.nanosAsLong``) or TIMESTAMP_NTZ (current
+    fixtures, timestamp[us]); ``normalize_event_ts`` maps both to the same
+    session-zoned TimestampType.
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     if name in FACT_TABLES:
         # The test fixtures are single-row-group files, so Spark scans them
         # as ONE partition and every map-side stage runs on one core. A

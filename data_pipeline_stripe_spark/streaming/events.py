@@ -19,29 +19,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The driver test tables store ts as TIMESTAMP(NANOS), which the streaming
-# parquet reader also rejects — the stream schema takes epoch-nanos long
-# and converts, same as sources.load_table.
-EVENTS_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 1) -> DataFrame:
-    """Incremental parquet-directory source with an explicit schema."""
+    """Incremental parquet-directory source with an explicit schema.
+
+    The ``ts`` physical type has varied across fixture vintages
+    (TIMESTAMP(NANOS) → epoch-nanos long under ``nanosAsLong``; current
+    files are timestamp[us] → TIMESTAMP_NTZ), so the stream schema is
+    probed from the existing files with a batch read — a streaming source
+    needs an explicit schema anyway — and ``normalize_event_ts`` maps
+    either layout to session-zoned TimestampType, same as the batch path.
+    """
+    from ..sources.readers import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(stream)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
