@@ -294,6 +294,111 @@ def cosine_near_dup_bucketed(emb: DataFrame, centroids: DataFrame,
     return _attach_exact_cosine(cand, emb, threshold, id_col, vec_col)
 
 
+# Symmetric int8 quantization levels: |q| <= 127, one double scale per
+# vector. Halves-to-even vs halves-away ambiguity is avoided entirely by
+# defining the quantizer as floor(x/scale + 0.5) — floor of a double is
+# exact and identical in every engine (see NOTES_r3: never ROUND a raw
+# quotient).
+INT8_LEVELS = 127
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i/scale + 0.5). A 100 TB ANN corpus shuffles and stores
+    4× fewer vector bytes (int8 vs float32) at <1% cosine error; the
+    scale column rides along for dequantization. Zero vectors get
+    scale 0 and an all-zero qvec (no division). Pure per-row expression
+    math — scan speed, no shuffle, no Python. Returns
+    (vec_id, scale, qvec array<long>)."""
+    v = _as_double(vec_col)
+    d = emb.select(F.col(id_col), v.alias("_v"))
+    amax = F.array_max(F.transform(F.col("_v"), F.abs))
+    d = d.withColumn("_s", amax / INT8_LEVELS)
+    q = F.when(
+        F.col("_s") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(F.col("_v"),
+                    lambda x: F.floor(x / F.col("_s") + F.lit(0.5)))
+    )
+    # scale is floor-truncated for display (never ROUND a raw quotient:
+    # the half-ulp boundary renders differently across engines — q2 trap)
+    return d.select(F.col(id_col),
+                    (F.floor(F.col("_s") * 1e9) / 1e9).alias("scale"),
+                    q.alias("qvec"))
+
+
+def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Top-k cosine neighbors on int8-quantized vectors — the
+    shuffle-light ANN variant: per-vector scales cancel out of the cosine
+    (dot(qa*sa, qb*sb) / (|qa|sa · |qb|sb) = dot(qa,qb)/(|qa||qb|)), so
+    similarity is a pure INTEGER dot product over 8-bit codes —
+    order-independent, exactly reproducible in any engine, and 4× less
+    data through the broadcast than the float path. Max |dot| =
+    127²·dim ≈ 1e6 at dim 64 — no overflow headroom concerns until
+    dim ≈ 5e14. Ranking mirrors brute_force_topk (rounded sim desc,
+    neighbor id). Returns (query_id, neighbor_id, similarity, rank)."""
+    qz = quantize_int8(emb, id_col, vec_col)
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    corpus = qz.select(F.col(id_col).alias("neighbor_id"),
+                       F.col("qvec").alias("cq"))
+    qs = qz.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
+    )
+    num = idot(F.col("qq"), F.col("cq"))
+    den = F.sqrt((idot(F.col("qq"), F.col("qq"))
+                  * idot(F.col("cq"), F.col("cq"))).cast("double"))
+    sim = F.when(den == 0.0, F.lit(0.0)).otherwise(
+        F.round(num.cast("double") / den, 6)
+    )
+    pairs = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("similarity"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def semantic_dedup(emb: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.45, n_probes: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication over embeddings: bucketed
+    near-dup pairs (IVF multi-probe — no O(n²) stage) → connected
+    components of the pair graph → keep exactly one representative (the
+    min id) per semantic cluster. This is the embedding twin of
+    doc_near_dup_clusters/doc_dedup_corpus: near-dup PAIRS alone
+    over-delete chains (A~B~C with A≁C); component labeling makes the
+    keep-set principled. Returns (vec_id, cluster_id, keep) for every
+    corpus vector — isolated vectors are their own cluster and kept."""
+    from ..operators.graph import connected_components
+
+    pairs = cosine_near_dup_bucketed(emb, centroids, threshold, n_probes,
+                                     id_col, vec_col)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    base = emb.select(F.col(id_col))
+    return (
+        base.join(comp, base[id_col] == comp.vertex, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).cast("long")
+            .alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 # Random-hyperplane LSH configuration. Planes are Rademacher (+1/-1)
 # vectors derived from md5(f"{plane}:{pos}") — md5 is bit-identical in
 # Spark, DuckDB and Python's hashlib, so any engine regenerates the SAME

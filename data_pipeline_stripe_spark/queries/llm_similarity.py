@@ -96,10 +96,10 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.45)
 
 
-@query(
-    "embedding_cosine_near_dup_bucketed",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# IVF-bucketed near-dup pair CTEs, shared by the bucketed pair query and
+# the semantic-dedup clustering built on top of it.
+_IVF_PAIRS_CTE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < 4),
     scored AS (
         SELECT e.vec_id, c.cluster_id,
@@ -118,15 +118,25 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM probes a JOIN probes b
           ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ),
+    dup_pairs AS (
+        SELECT id_a, id_b,
+               ROUND(list_inner_product(ea.v, eb.v)
+                     / sqrt(list_inner_product(ea.v, ea.v)
+                            * list_inner_product(eb.v, eb.v)), 6) AS similarity
+        FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+        WHERE ROUND(list_inner_product(ea.v, eb.v)
+                    / sqrt(list_inner_product(ea.v, ea.v)
+                           * list_inner_product(eb.v, eb.v)), 6) >= 0.45
     )
-    SELECT id_a, id_b,
-           ROUND(list_inner_product(ea.v, eb.v)
-                 / sqrt(list_inner_product(ea.v, ea.v)
-                        * list_inner_product(eb.v, eb.v)), 6) AS similarity
-    FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
-    WHERE ROUND(list_inner_product(ea.v, eb.v)
-                / sqrt(list_inner_product(ea.v, ea.v)
-                       * list_inner_product(eb.v, eb.v)), 6) >= 0.45
+"""
+
+
+@query(
+    "embedding_cosine_near_dup_bucketed",
+    oracle=f"""
+    WITH {_IVF_PAIRS_CTE}
+    SELECT id_a, id_b, similarity FROM dup_pairs
     """,
 )
 def embedding_cosine_near_dup_bucketed(spark: SparkSession,
@@ -311,3 +321,130 @@ def embedding_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters them. Recall vs the exact baseline is measured by
     test_rp_lsh_pairs_subset_and_recall (11/14 = 0.786 at sf0.01)."""
     return similarity.rp_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_IVF_PAIRS_CTE},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM dup_pairs
+        UNION SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ),
+    comp AS (
+        SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u
+    )
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           CAST(COALESCE(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+           e.vec_id = COALESCE(c.cluster_id, e.vec_id) AS keep
+    FROM e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-embedding, SemDeDup-style: semantic dedup of the embedding
+    corpus — IVF-bucketed near-dup pairs (threshold 0.45, 2 probes, no
+    O(n²) stage) → connected components (operators/graph.py, iterative
+    min-label propagation) → keep = one representative (min vec_id) per
+    semantic cluster. The oracle computes the identical closure with a
+    recursive CTE — an independent algorithm (semi-naive Datalog vs
+    distributed label propagation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.semantic_dedup(emb, cents, threshold=0.45, n_probes=2)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x)))
+                   / {similarity.INT8_LEVELS} AS raw_scale
+        FROM e
+    )
+    SELECT vec_id,
+           FLOOR(raw_scale * 1e9) / 1e9 AS scale,
+           CASE WHEN raw_scale = 0
+                THEN array_to_string(list_transform(v, x -> 0), ',')
+                ELSE array_to_string(
+                    list_transform(
+                        v, x -> CAST(FLOOR(x / raw_scale + 0.5) AS BIGINT)),
+                    ',')
+           END AS qvec_str
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-storage: symmetric int8 quantization of the embedding column —
+    4× fewer vector bytes through every ANN shuffle/broadcast at 100 TB.
+    Codes defined as floor(x/scale + 0.5) (exact in any engine; never
+    ROUND a raw quotient), scale floor-truncated for display. The array
+    is rendered to a CSV string on both sides so the hash compare sees a
+    scalar."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = similarity.quantize_int8(emb)
+    return qz.select(
+        "vec_id", "scale",
+        F.concat_ws(",", F.col("qvec")).alias("qvec_str"),
+    )
+
+
+@query(
+    "embedding_quantized_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x)))
+                   / {similarity.INT8_LEVELS} AS raw_scale
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id,
+               CASE WHEN raw_scale = 0
+                    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(
+                        v, x -> CAST(FLOOR(x / raw_scale + 0.5) AS BIGINT))
+               END AS qv
+        FROM s
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CASE WHEN list_inner_product(a.qv, a.qv)
+                         * list_inner_product(b.qv, b.qv) = 0 THEN 0.0
+                    ELSE ROUND(
+                        list_inner_product(a.qv, b.qv)
+                        / sqrt(CAST(list_inner_product(a.qv, a.qv)
+                               * list_inner_product(b.qv, b.qv) AS DOUBLE)),
+                        6)
+               END AS similarity
+        FROM q a JOIN q b ON a.vec_id < 8 AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact-on-codes top-5 cosine over int8-quantized vectors — the
+    per-vector scales cancel out of the cosine, so similarity is a pure
+    INTEGER dot product on 8-bit codes: order-independent, bit-exact in
+    any engine, 4× less data moved than the float path. The unit test
+    measures neighbor-set agreement vs the float-exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    )

@@ -491,3 +491,74 @@ def test_lm_unigram_score_ranks_rare_tokens_higher(spark):
     out = {r.doc_id: r for r in llm_text.lm_unigram_score(df).collect()}
     assert out[101].mean_nll > out[100].mean_nll
     assert out[101].n_tokens == 4 and out[100].n_tokens == 30
+
+
+def test_quantize_int8_error_bound_and_range(spark, sf_dir):
+    """Quantization property: every code is in [-127, 127] and the
+    dequantized value q*scale is within scale/2 + display-truncation of
+    the original (the defining bound of floor(x/s + 0.5))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = similarity.quantize_int8(emb)
+    joined = emb.join(qz, "vec_id").select("vec_id", "embedding", "scale", "qvec")
+    bad = joined.filter(
+        F.exists("qvec", lambda q: (q > 127) | (q < -127))
+    ).count()
+    assert bad == 0
+    r = joined.filter(F.col("scale") > 0).select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    "qvec",
+                    lambda x, q: F.abs(x - q * F.col("scale")),
+                )
+            )
+        ).alias("max_err"),
+        F.max("scale").alias("max_scale"),
+    ).collect()[0]
+    # scale is floor-truncated at 1e-9 for display, so allow that slack
+    assert r.max_err <= r.max_scale / 2 + 1e-9 * 128
+
+
+def test_quantized_topk_agrees_with_float_exact(spark, sf_dir):
+    """int8-quantized top-5 must broadly agree with the float-exact
+    top-5: >= 80% neighbor overlap across the query set (int8 keeps
+    ~1e-2 cosine fidelity; rank swaps happen only inside near-ties)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {}
+    for r in similarity.brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in similarity.quantized_topk(emb, queries, k=5).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(quant) == set(exact)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.8, f"neighbor overlap {hits}/{total} < 0.8"
+
+
+def test_semantic_dedup_clusters_are_consistent(spark, sf_dir):
+    """SemDeDup keep-set properties: exactly one keeper per cluster, the
+    keeper is the min vec_id of its cluster, every corpus vector appears
+    exactly once, and the clusters are unions of the bucketed near-dup
+    pairs (both endpoints of every pair share a cluster)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    out = similarity.semantic_dedup(emb, cents, threshold=0.45,
+                                    n_probes=2).collect()
+    assert len(out) == emb.count()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.vec_id for m in members)
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1 and keepers[0].vec_id == cid
+    label = {r.vec_id: r.cluster_id for r in out}
+    pairs = similarity.cosine_near_dup_bucketed(
+        emb, cents, threshold=0.45, n_probes=2).collect()
+    assert pairs, "fixture has no near-dup pairs at threshold 0.45"
+    for p in pairs:
+        assert label[p.id_a] == label[p.id_b]
