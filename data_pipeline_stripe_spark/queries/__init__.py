@@ -47,64 +47,32 @@ from . import relational3  # noqa: E402,F401
 _WINDOW = 50
 
 PRIORITY_THIS_ROUND = [
-    # round 3: near-dup semantics split, usage-report schema, dedup caps,
-    # asof struct carry, q5 rename
-    "embedding_cosine_near_dup",
-    "embedding_cosine_near_dup_bucketed",
+    # round 4: int8 quantization + quantized top-k + semantic dedup
+    # (landed after the r3 gate ran, so first gated this round)
+    "embedding_quantize_int8",
+    "embedding_quantized_topk",
+    "embedding_semantic_dedup",
+    # round 4: the events ts loader changed (timestamp[us] fixture layout,
+    # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",
     "platform_usage_monthly",
-    "doc_minhash_lsh_pairs",
-    "doc_ngram_jaccard_pairs",
-    "doc_dedup_corpus",
     "asof_last_order_before_event",
-    "q5_supplier_customer_by_nation",
-    # round 3 (cont.): real media decode round-trips, dup clustering
-    "multimodal_bmp_roundtrip",
-    "multimodal_wav_roundtrip",
-    "doc_near_dup_clusters",
-    "doc_token_shards",
-    "doc_mixture_sample",
-    "price_quantiles_by_flag",
-    # round 3 (cont.): remaining TPC-H shape family (relational3.py)
-    "q7_nation_trade_flow",
-    "q8_market_share",
-    "q9_product_line_profit",
-    "q10_returned_item_ranking",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q22_dormant_high_balance",
-    # round 3 (cont.): chunking + simhash pair extraction + curation
-    "doc_chunks",
-    "doc_simhash_near_dup",
-    "doc_pii_redact",
-    "doc_curation_verdict",
-    "q6_forecast_revenue_delta",
-    "q15_top_supplier",
-    "q21_exclusive_late_supplier",
-    # round 3 (cont.): partsupp-derived TPC-H shapes
-    "q2_min_cost_supplier",
-    "q11_important_part_value",
-    "q16_supplier_variety",
-    "q20_excess_bolt_suppliers",
-    # round 3 (cont.): decontamination + repetition audits
-    "doc_decontaminate",
-    "doc_repetition_score",
-    # round 3 (cont.): random-hyperplane LSH over embeddings
-    "embedding_rp_signatures",
-    "embedding_rp_lsh_pairs",
-    # round 3 (cont.): per-source corpus card + winnowing passages
-    "doc_corpus_stats",
-    "doc_shared_passages",
-    # round 3 (cont.): LM quality score + cross-source dup matrix
-    "doc_lm_score",
-    "doc_cross_source_dups",
-    "doc_dedup_best_quality",
-    "doc_edit_distance_pairs",
-    # round 3 (cont.): de-degenerated set-difference gates
-    "anti_join_customers_without_orders",
-    "except_customers_without_orders",
+    "top10_event_types_daily",
+    "left_join_missing_dim",
+    "sessionize_events",
+    "distinct_event_days",
+    "dedup_latest_event_per_user_type",
+    "count_distinct_users_per_type",
+    "approx_distinct_users_per_type",
+    "intersect_event_users_customers",
+    "substring_time_parts",
+    "sql_udf_usage_percent",
+    "json_props_extract",
+    "date_trunc_weekly_activity",
+    "range_join_cooccurring_events",
+    "collect_set_event_types_per_user",
+    "max_by_latest_event_value",
+    "session_window_batch",
 ]
 
 

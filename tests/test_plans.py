@@ -70,6 +70,10 @@ NONEQUI_OK = {
     # semantics; the scale paths are the bucketed variants)
     "embedding_topk_cosine", "embedding_cosine_near_dup",
     "embedding_topk_cosine_pandas",
+    # quantized brute-force top-k: same broadcast-queries-vs-corpus shape
+    # as embedding_topk_cosine, on int8 codes (the scale paths stay the
+    # IVF / RP-LSH variants)
+    "embedding_quantized_topk",
     # broadcast-TINY crosses: a 1-row scalar total / a 4-row centroid table
     # against the fact — nested-loop over a broadcast handful is the right
     # plan (the small side is O(1), not a second fact)
