@@ -406,6 +406,71 @@ def decontamination(df: DataFrame, eval_mod: int = 20,
     )
 
 
+def decontamination_bloom(df: DataFrame, eval_mod: int = 20,
+                          width: int = DECONTAM_WIDTH,
+                          m_bits: int = 1 << 20, k: int = 4,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Eval-set decontamination, Bloom-prefiltered — same EXACT result
+    as :func:`decontamination` (same schema, same rows), different
+    physical plan for the web-scale regime where the eval gram set is
+    too large to broadcast as strings.
+
+    Three stages, none of which ships the full train gram stream to a
+    join: (1) the eval split's distinct grams fold into a constant-size
+    Bloom bitmap (one bit_or agg, output <= m_bits/64 rows);
+    (2) every train gram is tested scan-side against the broadcast
+    bitmap — survivors are true matches plus ~FP-rate of the rest;
+    (3) only the survivors pay the exact keyed semi-join against the
+    eval grams, which removes the false positives, so the final counts
+    are exact. Total-gram counts come straight off the train stream
+    (one grouped agg) and never touch a join.
+
+    Exactness does NOT depend on filter geometry — a deliberately
+    undersized bitmap only grows the verify join's input, never changes
+    the result (pinned by test_decontamination_bloom_exact_under_fp).
+    """
+    from ..functions.text import shingles_expr, tokens_expr
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    d = df.select(F.col(id_col), tokens_expr(text_col).alias("_t")).filter(
+        F.size("_t") >= width
+    )
+    grams = d.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(F.col("_t"), width))).alias(
+            "gram"
+        ),
+    )
+    is_eval = F.col(id_col) % eval_mod == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    train_grams = grams.filter(~is_eval)
+
+    bitmap = bloom_build(eval_grams, "gram", m_bits, k)
+    candidates = bloom_probe(train_grams, "gram", bitmap, m_bits, k)
+    hits = candidates.join(eval_grams, "gram", "left_semi")
+
+    totals = train_grams.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    matched = hits.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_matched")
+    )
+    return (
+        totals.join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_matched", F.lit(0)).cast("long")
+            .alias("n_matched"),
+            "n_grams",
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("contamination"),
+            (F.coalesce("n_matched", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # Repetition thresholds (shared with the oracle SQL via these names).
 REPETITION_BIGRAM_FRAC = 0.2
 REPETITION_TOP_TOKEN_RATIO = 0.2

@@ -52,6 +52,7 @@ PRIORITY_THIS_ROUND = [
     "embedding_quantize_int8",
     "embedding_quantized_topk",
     "embedding_semantic_dedup",
+    "doc_decontaminate_bloom",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

@@ -732,6 +732,44 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_decontaminate_bloom",
+    oracle=r"""
+    WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest([array_to_string(t[i:i+7], ' ')
+                          for i in range(1, len(t) - 6)]) AS gram
+           FROM docs WHERE len(t) >= 8),
+    g AS (SELECT DISTINCT doc_id, gram FROM g0),
+    eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    train AS (SELECT g.doc_id, g.gram,
+                     CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM g LEFT JOIN eval_g e ON g.gram = e.gram
+              WHERE g.doc_id % 20 <> 0)
+    SELECT doc_id,
+           CAST(SUM(hit) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(hit) / COUNT(*), 4) AS contamination,
+           SUM(hit) > 0 AS contaminated
+    FROM train GROUP BY 1
+    """,
+)
+def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: decontamination via a Bloom-bitmap prefilter + exact verify —
+    the web-scale plan for the same logical op as doc_decontaminate
+    (identical oracle: the Bloom stage admits false positives, the exact
+    semi-join removes them, so the RESULT is exact; only the plan
+    differs). The eval gram set folds into a constant-size bitmap
+    (operators/bloom.py) tested scan-side inside codegen; only Bloom
+    survivors pay the keyed join. At this fixture scale both plans are
+    cheap — the point is the bitmap stays 128 KiB when the eval split's
+    gram set is 10 GB of strings no broadcast could hold."""
+    return llm_text.decontamination_bloom(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@query(
     "doc_repetition_score",
     oracle=r"""
     WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -562,3 +562,76 @@ def test_semantic_dedup_clusters_are_consistent(spark, sf_dir):
     assert pairs, "fixture has no near-dup pairs at threshold 0.45"
     for p in pairs:
         assert label[p.id_a] == label[p.id_b]
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter + Bloom-prefiltered decontamination
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from data_pipeline_stripe_spark.operators.bloom import (
+        bloom_build, bloom_probe,
+    )
+    members = spark.range(0, 200).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("key")
+    )
+    bitmap = bloom_build(members, "key", m_bits=1 << 12, k=4)
+    # bitmap stays word-bounded regardless of key count
+    assert bitmap.count() <= (1 << 12) // 64
+    # every member passes (no false negatives — the Bloom invariant)
+    assert bloom_probe(members, "key", bitmap, 1 << 12, 4).count() == 200
+    # non-members: 4096 bits / 200*4 set bits -> FP rate well under 50%;
+    # assert a loose bound so the test is immune to hash luck
+    others = spark.range(10_000, 11_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("key")
+    )
+    fp = bloom_probe(others, "key", bitmap, 1 << 12, 4).count()
+    assert fp < 500
+
+
+def test_bloom_probe_is_scan_side(spark):
+    # The probe plan must not shuffle the probe stream: no Exchange
+    # between the scan and the filter — only the 1-row bitmap broadcast.
+    from data_pipeline_stripe_spark.operators.bloom import (
+        bloom_build, bloom_probe,
+    )
+    members = spark.range(0, 50).select(F.col("id").cast("string").alias("key"))
+    probe = spark.range(0, 1000).select(F.col("id").cast("string").alias("key"))
+    out = bloom_probe(probe, "key", bloom_build(members, "key"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only join is the broadcast of the single bitmap row
+    assert plan.count("Join") == plan.count("BroadcastNestedLoopJoin")
+
+
+def test_decontamination_bloom_matches_exact(spark):
+    eval_text = " ".join(WORDS)
+    leak = "x1 x2 " + " ".join(WORDS[:8]) + " x3 x4"
+    clean = " ".join(reversed(WORDS))
+    df = spark.createDataFrame(
+        [(0, eval_text), (21, leak), (22, clean)],
+        "doc_id long, text string",
+    )
+    exact = {tuple(r) for r in llm_text.decontamination(df).collect()}
+    bloomed = {tuple(r) for r in llm_text.decontamination_bloom(df).collect()}
+    assert bloomed == exact
+
+
+def test_decontamination_bloom_exact_under_fp(spark):
+    # A deliberately tiny bitmap (64 bits, k=2) forces a high false-
+    # positive rate; the exact verify join must erase every FP so the
+    # output is STILL identical to the broadcast-exact implementation.
+    eval_text = " ".join(WORDS)
+    leak = "x1 x2 " + " ".join(WORDS[:8]) + " x3 x4"
+    clean = " ".join(reversed(WORDS))
+    noisy = " ".join(f"n{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, eval_text), (21, leak), (22, clean), (23, noisy)],
+        "doc_id long, text string",
+    )
+    exact = {tuple(r) for r in llm_text.decontamination(df).collect()}
+    bloomed = {
+        tuple(r)
+        for r in llm_text.decontamination_bloom(df, m_bits=64, k=2).collect()
+    }
+    assert bloomed == exact

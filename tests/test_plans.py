@@ -87,6 +87,10 @@ NONEQUI_OK = {
     # LM score's corpus totals: a 1-row (N, V) aggregate broadcast over
     # the token stream — same scalar-subquery class as q11/q22
     "doc_lm_score",
+    # Bloom decontamination: the folded bitmap is ONE map row broadcast
+    # over the train gram stream (scan-side membership test) — the same
+    # 1-row-cross class; the exact verify join stays a hash join
+    "doc_decontaminate_bloom",
 }
 
 
