@@ -219,8 +219,10 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
-    """Full WAV decode → (sample_rate, n_channels, n_frames, rms).
+def decode_wav_samples(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Full WAV decode → (sample_rate, n_channels, int16 sample array,
+    frame-interleaved). The raw-sample twin of :func:`decode_wav` for
+    callers doing their own signal math (windowed features).
 
     Hand-rolled RIFF chunk walk (chunks are [4-byte id][4-byte size][data],
     word-aligned), so extra chunks (LIST/INFO/fact) are skipped correctly
@@ -267,6 +269,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
             f"corrupt PCM16 data chunk: odd byte length {len(data)}"
         )
     samples = np.frombuffer(data, dtype="<i2")
+    return (sample_rate, n_channels, samples)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Full WAV decode → (sample_rate, n_channels, n_frames, rms)."""
+    sample_rate, n_channels, samples = decode_wav_samples(payload)
     n_frames = len(samples) // n_channels
     rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) \
         if len(samples) else 0.0
@@ -394,6 +402,63 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("window_idx", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("n_zero_cross", T.LongType()),
+])
+
+
+def extract_audio_windows(media: DataFrame, window: int = 32) -> DataFrame:
+    """Windowed audio features over REAL decoded PCM16 samples — the
+    speech-pipeline primitive (VAD/energy gating runs on exactly these):
+    per non-overlapping `window`-frame window, the integer sum of squared
+    samples, its RMS, and the strict zero-crossing count (s_j * s_{j+1}
+    < 0 within the window). Mono payloads only (callers downmix first);
+    the trailing partial window is dropped — every emitted window is
+    full-width, so window stats are comparable.
+
+    1→N flatMap shape via Arrow-batched mapInPandas; the per-window math
+    is vectorized numpy (reshape + row-reduce), never a per-sample
+    Python loop. sum_sq and n_zero_cross are exact integers; rms is
+    floor-truncated at 1e-6 so downstream hash compares are engine-proof
+    (never ROUND a raw irrational — the q2 trap)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_WINDOWS_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, n_channels, samples = decode_wav_samples(bytes(payload))
+                if n_channels != 1:
+                    raise ValueError(
+                        f"extract_audio_windows is mono-only, got "
+                        f"{n_channels} channels for doc {doc_id}"
+                    )
+                n_win = len(samples) // window
+                if n_win == 0:
+                    continue
+                s = samples[: n_win * window].astype(np.int64)
+                win = s.reshape(n_win, window)
+                sum_sq = (win * win).sum(axis=1)
+                rms = np.floor(np.sqrt(sum_sq / window) * 1e6) / 1e6
+                cross = ((win[:, :-1] * win[:, 1:]) < 0).sum(axis=1)
+                out["doc_id"].extend([int(doc_id)] * n_win)
+                out["window_idx"].extend(range(n_win))
+                out["sum_sq"].extend(int(x) for x in sum_sq)
+                out["rms"].extend(float(x) for x in rms)
+                out["n_zero_cross"].extend(int(x) for x in cross)
+            dtypes = {"doc_id": "int64", "window_idx": "int64",
+                      "sum_sq": "int64", "rms": "float64",
+                      "n_zero_cross": "int64"}
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=dtypes[k]) for k, v in out.items()}
+            )
+
+    return media.mapInPandas(batches, AUDIO_WINDOWS_SCHEMA)
 
 
 def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame:

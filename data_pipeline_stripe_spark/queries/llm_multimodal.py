@@ -128,3 +128,63 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_wav_media(docs)
     return multimodal.extract_audio_features(media)
+
+
+def synthesize_wav_signal_media(docs: DataFrame) -> DataFrame:
+    """One mono WAV per doc whose samples follow an integer formula of
+    (doc_id, sample index): s_j = ((j * (doc_id + 3)) % 251) - 125,
+    frames = 80 + doc_id % 40. Every decoded sample is predictable by
+    arithmetic alone, so windowed features can be verified without the
+    oracle ever touching audio bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = 80 + i % 40
+                j = np.arange(frames, dtype=np.int64)
+                samples = ((j * (i + 3)) % 251 - 125).astype(np.int16)
+                ids.append(i)
+                payloads.append(
+                    multimodal.encode_wav_pcm16(samples, 16000, 1))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH d AS (SELECT doc_id, 80 + doc_id % 40 AS frames FROM documents),
+    s AS (SELECT doc_id, j,
+                 ((j * (doc_id + 3)) % 251) - 125 AS s,
+                 (((j + 1) * (doc_id + 3)) % 251) - 125 AS s_next,
+                 j // 32 AS window_idx,
+                 frames
+          FROM d, unnest(range(0, frames)) AS t(j))
+    SELECT doc_id,
+           window_idx,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           FLOOR(SQRT(SUM(s * s) / 32.0) * 1e6) / 1e6 AS rms,
+           CAST(SUM(CASE WHEN j % 32 < 31 AND s * s_next < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+    FROM s
+    WHERE window_idx < frames // 32
+    GROUP BY doc_id, window_idx
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 real audio signal processing: encode a mono PCM16 WAV whose
+    samples are an integer formula of (doc_id, j), real-decode it
+    (RIFF chunk walk → sample array), then emit per-32-frame-window
+    energy (integer sum of squares), RMS, and strict zero-crossing
+    counts — the VAD/energy-gating primitive of a speech data pipeline.
+    The oracle regenerates the same samples arithmetically and windows
+    them in SQL: a hash match proves encoder, decoder, and the
+    vectorized window math agree with an independent ground truth.
+    sum_sq/n_zero_cross are exact integers; rms is floor-truncated at
+    1e-6 on both sides (identical IEEE sqrt input ⇒ identical double)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_wav_signal_media(docs)
+    return multimodal.extract_audio_windows(media, window=32)

@@ -226,3 +226,43 @@ def test_wav_truncated_data_chunk_raises_not_wrong_answer():
     odd = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="odd byte length"):
         mm.decode_wav(odd)
+
+
+def test_audio_windows_known_values(spark):
+    # 64 samples: first 32 alternate +-100 (energy 32*100^2, 31 strict
+    # crossings); next 32 are the constant 7 (no crossings); a 65th
+    # sample would start a partial window and must be dropped.
+    samples = np.empty(65, dtype=np.int16)
+    samples[:32] = np.where(np.arange(32) % 2 == 0, 100, -100)
+    samples[32:64] = 7
+    samples[64] = 9999
+    payload = mm.encode_wav_pcm16(samples, 16000, 1)
+    media = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    )
+    rows = {r.window_idx: r
+            for r in mm.extract_audio_windows(media, window=32).collect()}
+    assert set(rows) == {0, 1}                       # partial window dropped
+    assert rows[0].sum_sq == 32 * 100 * 100
+    assert rows[0].n_zero_cross == 31
+    assert rows[0].rms == 100.0                      # exact: sqrt(10000)
+    assert rows[1].sum_sq == 32 * 49
+    assert rows[1].n_zero_cross == 0
+    assert rows[1].rms == 7.0
+
+
+def test_audio_windows_rejects_stereo(spark):
+    stereo = mm.encode_wav_pcm16(np.arange(64, dtype=np.int16), 16000, 2)
+    media = spark.createDataFrame(
+        [(1, stereo)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="mono-only"):
+        mm.extract_audio_windows(media).collect()
+
+
+def test_decode_wav_samples_roundtrip():
+    samples = np.array([3, -5, 0, 32767, -32768], dtype=np.int16)
+    rate, ch, decoded = mm.decode_wav_samples(
+        mm.encode_wav_pcm16(samples, 8000, 1))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(decoded, samples)

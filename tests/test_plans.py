@@ -64,7 +64,8 @@ PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
              "multimodal_image_features",
              # real encode/decode round-trips: the Arrow-batched Python
              # stage IS the operator under test
-             "multimodal_bmp_roundtrip", "multimodal_wav_roundtrip"}
+             "multimodal_bmp_roundtrip", "multimodal_wav_roundtrip",
+             "multimodal_audio_windows"}
 NONEQUI_OK = {
     # documented O(n²) brute-force baselines / pair scans (exact
     # semantics; the scale paths are the bucketed variants)
