@@ -54,6 +54,7 @@ PRIORITY_THIS_ROUND = [
     "embedding_semantic_dedup",
     "doc_decontaminate_bloom",
     "multimodal_audio_windows",
+    "multimodal_image_resize",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

@@ -130,6 +130,68 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_audio_features(media)
 
 
+def synthesize_bmp_grid_media(docs: DataFrame) -> DataFrame:
+    """One real BMP per doc with PER-PIXEL structure (unlike the solid
+    fill of synthesize_bmp_media): channel c of pixel (y, x) is
+    (doc_id + 3x + 5y + 11c) % 256, w = id%31+1, h = id%17+1 — so any
+    pixel of any crop/resample is predictable by arithmetic alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 31 + 1, i % 17 + 1
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                rgb = ((i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+                ids.append(i)
+                payloads.append(multimodal.encode_bmp(rgb))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 31 + 1 AS w,
+                      doc_id % 17 + 1 AS h
+               FROM documents),
+    grid AS (SELECT doc_id, w, h, x, y,
+                    (x * w) // 8 AS sx,
+                    (y * h) // 8 AS sy
+             FROM d, unnest(range(0, 8)) AS tx(x),
+                     unnest(range(0, 8)) AS ty(y)),
+    px AS (SELECT doc_id,
+                  (doc_id + 3 * sx + 5 * sy) % 256 AS r,
+                  (doc_id + 3 * sx + 5 * sy + 11) % 256 AS g,
+                  (doc_id + 3 * sx + 5 * sy + 22) % 256 AS b
+           FROM grid)
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           SUM(r) / 64.0 AS mean_r,
+           SUM(g) / 64.0 AS mean_g,
+           SUM(b) / 64.0 AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 real image resize: encode a gradient BMP per document (pixel
+    values a formula of doc_id, x, y, channel), real-decode it,
+    nearest-neighbor-resample to 8×8 (floor(dst·src/8) index mapping),
+    re-encode to BMP, then real-decode AGAIN for per-channel means — the
+    whole decode→resize→encode→decode chain is under test. The oracle
+    replays the integer index mapping and pixel formula in SQL and never
+    touches image bytes. Means are integer sums / 64 (power of two), so
+    the doubles are exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_bmp_grid_media(docs)
+    resized = multimodal.resize_bmp_images(media, width=8, height=8)
+    return multimodal.extract_image_pixel_stats(resized)
+
+
 def synthesize_wav_signal_media(docs: DataFrame) -> DataFrame:
     """One mono WAV per doc whose samples follow an integer formula of
     (doc_id, sample index): s_j = ((j * (doc_id + 3)) % 251) - 125,

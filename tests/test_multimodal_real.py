@@ -266,3 +266,23 @@ def test_decode_wav_samples_roundtrip():
         mm.encode_wav_pcm16(samples, 8000, 1))
     assert (rate, ch) == (8000, 1)
     assert np.array_equal(decoded, samples)
+
+
+def test_resize_bmp_nearest_neighbor_known_mapping(spark):
+    # 2x2 source with distinct corners; 4x4 NN upscale must replicate
+    # each source pixel into a 2x2 block (src = (dst * 2) // 4).
+    src = np.array([[[10, 10, 10], [20, 20, 20]],
+                    [[30, 30, 30], [40, 40, 40]]], dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(7, mm.encode_bmp(src))], "doc_id long, payload binary"
+    )
+    out = mm.resize_bmp_images(media, width=4, height=4).collect()[0]
+    up = mm.decode_bmp_pixels(bytes(out.payload))
+    assert up.shape == (4, 4, 3)
+    expect = np.repeat(np.repeat(src, 2, axis=0), 2, axis=1)
+    assert np.array_equal(up, expect)
+    # downscale 2x2 -> 1x1 keeps the top-left pixel (floor mapping)
+    down = mm.decode_bmp_pixels(bytes(
+        mm.resize_bmp_images(media, width=1, height=1)
+        .collect()[0].payload))
+    assert np.array_equal(down, src[:1, :1])

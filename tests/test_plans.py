@@ -65,7 +65,7 @@ PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
              # real encode/decode round-trips: the Arrow-batched Python
              # stage IS the operator under test
              "multimodal_bmp_roundtrip", "multimodal_wav_roundtrip",
-             "multimodal_audio_windows"}
+             "multimodal_audio_windows", "multimodal_image_resize"}
 NONEQUI_OK = {
     # documented O(n²) brute-force baselines / pair scans (exact
     # semantics; the scale paths are the bucketed variants)
