@@ -55,6 +55,9 @@ PRIORITY_THIS_ROUND = [
     "doc_decontaminate_bloom",
     "multimodal_audio_windows",
     "multimodal_image_resize",
+    "pivot_status_revenue_by_priority",
+    "unpivot_nation_balance_metrics",
+    "corr_qty_price_by_flag",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

@@ -871,3 +871,160 @@ def q20_excess_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name", "nation_name")
         .agg(F.count("*").cast("long").alias("n_excess_parts"))
     )
+
+
+@query(
+    "pivot_status_revenue_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS rev_f_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS rev_o_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS rev_p_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_revenue_by_priority(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order revenue by priority × status, statuses
+    as columns. The value list is declared explicitly — an open-ended
+    ``pivot(col)`` runs an extra distinct-values job over the fact and
+    breaks schema stability at scale; with values pinned the plan is ONE
+    grouped aggregation (each pivot cell a conditional sum), identical
+    to the oracle's CASE sums. Revenue in integer cents (per-row
+    ROUND(×100) is engine-exact, integer sums order-independent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = (
+        orders.withColumn("_cents", cents)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.coalesce(F.sum("_cents"), F.lit(0)).cast("long"))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).cast("long").alias("rev_f_cents"),
+        F.coalesce("O", F.lit(0)).cast("long").alias("rev_o_cents"),
+        F.coalesce("P", F.lit(0)).cast("long").alias("rev_p_cents"),
+    )
+
+
+@query(
+    "unpivot_nation_balance_metrics",
+    oracle="""
+    WITH agg AS (
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS total_acctbal_cents,
+               CAST(MAX(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS max_acctbal_cents
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name)
+    SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM agg
+    UNION ALL
+    SELECT n_name, 'total_acctbal_cents', total_acctbal_cents FROM agg
+    UNION ALL
+    SELECT n_name, 'max_acctbal_cents', max_acctbal_cents FROM agg
+    """,
+)
+def unpivot_nation_balance_metrics(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): per-nation customer-balance aggregate melted
+    into (n_name, metric, value) rows — the metric-catalog shape
+    feeding generic dashboards. ``DataFrame.unpivot`` is a zero-shuffle
+    1→N projection over the aggregate output (the only exchange is the
+    groupBy before it); the oracle is the classic UNION ALL."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    agg = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .withColumn("_cents", cents)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("_cents").cast("long").alias("total_acctbal_cents"),
+            F.max("_cents").cast("long").alias("max_acctbal_cents"),
+        )
+    )
+    return agg.unpivot(
+        ["n_name"],
+        ["n_customers", "total_acctbal_cents", "max_acctbal_cents"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "corr_qty_price_by_flag",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(l_quantity AS HUGEINT)) AS sq,
+               SUM(CAST(l_quantity AS HUGEINT)
+                   * CAST(l_quantity AS HUGEINT)) AS sqq,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sp,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS spp,
+               SUM(CAST(l_quantity AS HUGEINT)
+                   * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sqp
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           FLOOR(CAST(n * sqp - sq * sp AS DOUBLE)
+                 / (SQRT(CAST(n * sqq - sq * sq AS DOUBLE))
+                    * SQRT(CAST(n * spp - sp * sp AS DOUBLE))) * 1e6)
+               / 1e6 AS corr_qty_price,
+           FLOOR(CAST(n * sqq - sq * sq AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) * 1e6) / 1e6 AS var_qty
+    FROM m
+    """,
+)
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + sample variance per return flag — computed from
+    EXACT integer moment sums, not the built-in ``corr``/``var_samp``
+    (whose streaming float accumulation is summation-order-dependent and
+    can't hash-match across engines). Quantities are integral doubles →
+    bigint; prices → integer cents; the six moments accumulate in
+    decimal(38,0) (HUGEINT on the oracle side) so they are exact at any
+    SF, and the closed-form corr/variance is evaluated with the same
+    final double expression on both sides, floor-truncated at 1e-6.
+    One map-side-combinable aggregation; scale shape identical to Q1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long").cast("decimal(38,0)")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long") \
+        .cast("decimal(38,0)")
+    m = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum(q).cast("decimal(38,0)").alias("sq"),
+            F.sum(q * q).cast("decimal(38,0)").alias("sqq"),
+            F.sum(p).cast("decimal(38,0)").alias("sp"),
+            F.sum(p * p).cast("decimal(38,0)").alias("spp"),
+            F.sum(q * p).cast("decimal(38,0)").alias("sqp"),
+        )
+    )
+    num = (F.col("n") * F.col("sqp") - F.col("sq") * F.col("sp")) \
+        .cast("double")
+    den = (
+        F.sqrt((F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+               .cast("double"))
+        * F.sqrt((F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+                 .cast("double"))
+    )
+    var_qty = (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")) \
+        .cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (F.floor(num / den * 1e6) / 1e6).alias("corr_qty_price"),
+        (F.floor(var_qty * 1e6) / 1e6).alias("var_qty"),
+    )
