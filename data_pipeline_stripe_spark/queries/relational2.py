@@ -518,3 +518,110 @@ def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_idx").cast("long").alias("q_idx"),
         F.round("_q", 4).alias("price_q"),
     )
+
+
+@query(
+    "udaf_weighted_avg_price_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(l_quantity AS HUGEINT)) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS HUGEINT)) AS DOUBLE)
+                 * 1e4) / 1e4 AS weighted_avg_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_price_by_flag(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF — the UDAF
+    extension point the reference lacks (SURVEY §2.10: 'No UDAF'): a
+    quantity-weighted mean unit price per return flag, Arrow-batched so
+    each group's columns arrive as one numpy-backed Series, never
+    row-at-a-time. The kernel accumulates in int64 (cents × integral
+    quantities — exact; sums < 2^53 through sf1 so the final
+    int→double cast is lossless) and divides once, making the double
+    deterministic; both sides floor-truncate at 1e-4 for display.
+
+    Scale note: GROUPED_AGG ships each group through Arrow whole — fine
+    at dozens-of-groups grain like this; for high-cardinality or
+    giant groups prefer expression moments (corr_qty_price_by_flag)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module's `from __future__
+    # import annotations` stringifies hints, so signature inference
+    # can't see Series -> scalar.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_avg_cents(cents: pd.Series, qty: pd.Series) -> float:
+        num = int((cents.astype("int64") * qty.astype("int64")).sum())
+        den = int(qty.astype("int64").sum())
+        return float(num) / float(den)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            .alias("_cents"),
+            F.col("l_quantity").cast("long").alias("_qty"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            (F.floor(weighted_avg_cents("_cents", "_qty") * 1e4) / 1e4)
+            .alias("weighted_avg_cents")
+        )
+    )
+
+
+@query(
+    "udtf_top_bigrams",
+    oracle=r"""
+    WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents WHERE doc_id % 100 = 0),
+    bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+           FROM docs, unnest(range(1, len(t))) AS ti(i)
+           WHERE len(t) >= 2),
+    cnt AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bi GROUP BY 1, 2),
+    ranked AS (SELECT doc_id, bigram, n,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, bigram) AS rk
+               FROM cnt)
+    SELECT doc_id, bigram, n, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): a table function emitting each
+    document's top-3 token bigrams (count desc, bigram asc tiebreak —
+    fully deterministic), invoked through SQL with LATERAL correlation —
+    the 1→N extension point for per-row expansion logic too imperative
+    for expressions. Restricted to doc_id % 100 == 0 (non-degenerate
+    but small: the UDTF is an API-surface proof, and per-row Python is
+    the documented slow path — the distributed twin of this exact logic
+    is doc_repetition_score's explode + grouped count)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string, n bigint, rank int")
+    class TopBigrams:
+        def eval(self, text: str):
+            toks = text.strip().split()
+            counts: dict[str, int] = {}
+            for a, b in zip(toks, toks[1:]):
+                bg = f"{a} {b}"
+                counts[bg] = counts.get(bg, 0) + 1
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            for i, (bg, n) in enumerate(top):
+                yield bg, n, i + 1
+
+    spark.udtf.register("top_bigrams", TopBigrams)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 100 == 0).createOrReplaceTempView(
+        "docs_sample_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.bigram, t.n, t.rank
+        FROM docs_sample_v d, LATERAL top_bigrams(d.text) t
+        """
+    )

@@ -65,7 +65,9 @@ PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
              # real encode/decode round-trips: the Arrow-batched Python
              # stage IS the operator under test
              "multimodal_bmp_roundtrip", "multimodal_wav_roundtrip",
-             "multimodal_audio_windows", "multimodal_image_resize"}
+             "multimodal_audio_windows", "multimodal_image_resize",
+             # UDAF/UDTF surface proofs: the Python stage IS the operator
+             "udaf_weighted_avg_price_by_flag", "udtf_top_bigrams"}
 NONEQUI_OK = {
     # documented O(n²) brute-force baselines / pair scans (exact
     # semantics; the scale paths are the bucketed variants)
