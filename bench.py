@@ -45,6 +45,10 @@ HEADLINE = [
     # round 3 (cont.): winnowing passage dedup + corpus-LM scoring
     "doc_shared_passages",
     "doc_lm_score",
+    # round 4 additions: scan-side Bloom decontamination and the
+    # real-decode windowed audio kernel (Arrow-batched Python path)
+    "doc_decontaminate_bloom",
+    "multimodal_audio_windows",
 ]
 
 

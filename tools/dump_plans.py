@@ -91,6 +91,20 @@ SHOWCASE = [
      "array expressions at scan speed; the pair join is the capped "
      "inverted-index self-join keyed on fingerprint — same scale shape "
      "as the shingle-Jaccard pairs at ~2/(w+1) the index density."),
+    ("doc_decontaminate_bloom",
+     "Bloom-prefiltered decontamination: the eval gram set folds into "
+     "one map row (<= m/64 entries) broadcast over the train stream; "
+     "membership is a scan-side forall inside codegen, and only Bloom "
+     "survivors reach the exact verify semi-join — the plan for when "
+     "the eval grams outgrow a string broadcast."),
+    ("corr_qty_price_by_flag",
+     "Correlation from exact decimal(38,0) moment sums in ONE "
+     "map-side-combinable aggregation — no second pass, no "
+     "order-dependent float accumulation; the closed form evaluates "
+     "on the 3-row aggregate output."),
+    ("pivot_status_revenue_by_priority",
+     "Pivot with pinned values: one grouped aggregation of conditional "
+     "sums — no distinct-values pre-job, stable output schema."),
 ]
 
 
