@@ -189,6 +189,80 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def incremental_minhash_pairs(df: DataFrame, new_pred: Column,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.5,
+                              max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                              ) -> DataFrame:
+    """Near-dup pairs restricted to those touching a NEW document — the
+    daily-ingest shape: a fresh batch (rows matching ``new_pred``) is
+    checked against the full corpus (new-vs-old and new-vs-new) without
+    ever re-scoring old-vs-old pairs. Same output contract as
+    :func:`minhash_lsh_pairs` (doc_a < doc_b, est_jaccard >= threshold),
+    just the pair set filtered by construction, not post-hoc.
+
+    Scale shape: the probe side of the band join is ONLY the new batch's
+    band rows — daily-batch-sized, typically broadcastable — so the cost
+    per ingest is O(new × bucket-mates), not O(corpus²). The corpus band
+    index is recomputed declaratively here; in production it is the
+    persisted LSH index table this join would read as-is (the band/cap
+    pipeline is identical, so the persisted index stays valid)."""
+    sig = minhash_signatures(df, id_col, text_col)
+    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
+    is_new = df.select(
+        F.col(id_col), new_pred.alias("_is_new")
+    )
+    bands = sig.join(is_new, id_col).select(
+        F.col(id_col),
+        F.col("_is_new"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"),
+                         _band_key(sig_cols, b).alias("band_key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("band"),
+    ).select(id_col, "_is_new", "band.band_id", "band.band_key")
+    if max_bucket_size is not None:
+        bands = _cap_hot_keys(bands, ["band_id", "band_key"],
+                              max_bucket_size)
+
+    new_bands = bands.filter(F.col("_is_new"))
+    a, b = new_bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_arr = F.array(*[F.col(c) for c in sig_cols])
+    sa = sig.select(F.col(id_col).alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), sig_arr.alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard",
+                    F.round(matches / F.lit(float(N_HASHES)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n_bits: int = 16,
                          features: str = "tokens") -> DataFrame:

@@ -53,6 +53,54 @@ _EST_MATCHES = " + ".join(
 
 
 @query(
+    "doc_incremental_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_SIG_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands0 AS (
+{_BAND_SELECTS}
+    ),
+    bands AS (
+        SELECT doc_id, band_id, band_key FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bsz
+            FROM bands0
+        ) WHERE bsz <= {dedup.MAX_BUCKET_SIZE}
+    ),
+    cand AS (
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                        GREATEST(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id <> b.doc_id
+        WHERE a.doc_id % 5 = 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(({_EST_MATCHES}) / {float(_N_HASHES)}, 4) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ROUND(({_EST_MATCHES}) / {float(_N_HASHES)}, 4) >= 0.5
+    """,
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: incremental near-dup detection — the daily-ingest pattern:
+    only pairs touching the NEW batch (here doc_id % 5 == 4 stands in
+    for today's arrivals) are generated and scored; old-vs-old pairs
+    never exist in the plan. The probe side of the band join is just the
+    new batch's band rows (batch-sized, broadcastable at real scale), so
+    ingest cost is O(new × bucket-mates) against a persisted LSH index,
+    not O(corpus²) — see llm/dedup.py:incremental_minhash_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_minhash_pairs(
+        docs, F.col("doc_id") % 5 == 4
+    )
+
+
+@query(
     "doc_exact_dedup",
     oracle="""
     SELECT sha256(lower(trim(text))) AS text_hash,

@@ -635,3 +635,25 @@ def test_decontamination_bloom_exact_under_fp(spark):
         for r in llm_text.decontamination_bloom(df, m_bits=64, k=2).collect()
     }
     assert bloomed == exact
+
+
+def test_incremental_dedup_only_new_touching_pairs(spark):
+    # docs 0,1 are near-identical "old" corpus; doc 4 (new: id%5==4) is
+    # a near-copy of 0. The incremental pass must find (0,4) and (1,4)
+    # but NEVER the old-old pair (0,1) — which the full pass does find.
+    base = " ".join(WORDS * 3)
+    df = spark.createDataFrame(
+        [(0, base),
+         (1, base.replace("kappa", "KAPPA-X", 1)),
+         (2, " ".join(reversed(WORDS))),
+         (4, base.replace("zeta", "ZETA-Y", 1))],
+        "doc_id long, text string",
+    )
+    full = {(r.doc_a, r.doc_b)
+            for r in dedup.minhash_lsh_pairs(df).collect()}
+    inc = {(r.doc_a, r.doc_b)
+           for r in dedup.incremental_minhash_pairs(
+               df, F.col("doc_id") % 5 == 4).collect()}
+    assert (0, 1) in full
+    assert inc == {p for p in full if 4 in p}
+    assert (0, 4) in inc and (1, 4) in inc
