@@ -1,0 +1,56 @@
+"""MERGE INTO (upsert) semantics as a pure DataFrame transform.
+
+The reference stack (and any lakehouse user) expresses incremental
+corrections as ``MERGE INTO base USING updates ON key WHEN MATCHED THEN
+UPDATE WHEN NOT MATCHED THEN INSERT``. Without table-format jars the
+TRANSFORM half of merge is still fully expressible: one full-outer join
+on the key plus per-column conditional selection. The write half is the
+caller's partition-overwrite (write the merged frame back with dynamic
+partition overwrite); this module produces the exact merged rows.
+
+Scale shape: ONE keyed join — sort-merge on the merge key, or broadcast
+when the update batch is small (the common daily-corrections case; AQE
+decides from runtime stats). No window, no second pass; row count =
+|base ∪ updates by key|, computed without a distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame,
+                 key: str) -> DataFrame:
+    """Upsert ``updates`` into ``base`` on ``key`` (both sides must share
+    the same schema; one row per key on each side — enforce upstream,
+    like MERGE itself, which raises on duplicate matches).
+
+    WHEN MATCHED → the update row wins (full-row update);
+    WHEN NOT MATCHED → the update row inserts;
+    base rows without an update pass through unchanged. Also emits a
+    ``merge_action`` column ('updated' | 'inserted' | 'kept') so callers
+    can audit the batch — drop it before writing if unwanted."""
+    cols = base.columns
+    if updates.columns != cols:
+        raise ValueError(
+            f"merge_upsert needs identical schemas, got {cols} vs "
+            f"{updates.columns}"
+        )
+    b = base.alias("b")
+    u = updates.alias("u")
+    joined = b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer")
+    has_update = F.col(f"u.{key}").isNotNull()
+    has_base = F.col(f"b.{key}").isNotNull()
+    picked = [
+        F.when(has_update, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    action = (
+        F.when(has_update & has_base, F.lit("updated"))
+        .when(has_update, F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("merge_action")
+    )
+    return joined.select(*picked, action)

@@ -61,6 +61,7 @@ PRIORITY_THIS_ROUND = [
     "udaf_weighted_avg_price_by_flag",
     "udtf_top_bigrams",
     "doc_incremental_dedup",
+    "merge_upsert_customers",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

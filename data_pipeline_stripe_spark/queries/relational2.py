@@ -625,3 +625,61 @@ def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_sample_v d, LATERAL top_bigrams(d.text) t
         """
     )
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+               c_nationkey, ROUND(c_acctbal, 2), 'MACHINERY'
+        FROM customer WHERE c_custkey % 11 = 0
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE ROUND(b.c_acctbal, 2) END AS c_acctbal,
+           COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+           CASE WHEN u.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+                THEN 'updated'
+                WHEN u.c_custkey IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS merge_action
+    FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) as a DataFrame transform — the incremental-
+    corrections primitive every lakehouse user has and plain parquet
+    lacks (see README's lakehouse note): a deterministic update batch
+    (every 7th customer gets +100 balance; every 11th spawns a NEW-
+    prefixed insert under a shifted key) full-outer-merged into the base
+    on the key, with a merge_action audit column. One keyed join, AQE
+    free to broadcast the (small) batch — operators/merge.py. Balances
+    are rounded to cents on BOTH sides before compare (per-row ROUND is
+    engine-exact; the +100 arithmetic stays in doubles)."""
+    from ..operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    # normalize cents on both branches so base/update doubles render
+    # identically in the oracle's COALESCE
+    base = cust.withColumn("c_acctbal", F.round("c_acctbal", 2))
+    updates = (
+        base.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+        .unionByName(
+            base.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string"))
+                .alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                F.lit("MACHINERY").alias("c_mktsegment"),
+            )
+        )
+    )
+    return merge_upsert(base, updates, "c_custkey")

@@ -240,3 +240,35 @@ def test_global_running_sum_null_keys_sort_first(spark):
     totals = sorted(r.running_total
                     for r in global_running_sum(all_null, "k", "w").collect())
     assert totals == [2, 5]
+
+
+def test_merge_upsert_actions_and_rows(spark):
+    from data_pipeline_stripe_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    out = {r.k: r for r in merge_upsert(base, updates, "k").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].merge_action == "kept" and out[1].v == 10.0
+    assert out[2].merge_action == "updated" and out[2].name == "b2" \
+        and out[2].v == 99.0
+    assert out[3].merge_action == "kept"
+    assert out[4].merge_action == "inserted" and out[4].v == 40.0
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    from data_pipeline_stripe_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k long, name string")
+    upd = spark.createDataFrame([(1,)], "k long")
+    try:
+        merge_upsert(base, upd, "k")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
