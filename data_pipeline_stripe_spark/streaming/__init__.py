@@ -3,6 +3,7 @@ from .events import (
     windowed_event_counts,
     sessionized_event_counts,
     stateful_running_totals,
+    enrich_with_dim,
     dedup_event_stream,
     purchase_click_attribution,
     write_partitioned_exactly_once,
@@ -14,6 +15,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionized_event_counts",
     "stateful_running_totals",
+    "enrich_with_dim",
     "dedup_event_stream",
     "purchase_click_attribution",
     "write_partitioned_exactly_once",

@@ -112,6 +112,21 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    on: str = "event_type") -> DataFrame:
+    """Stream-static join: each micro-batch of the stream is enriched
+    against a STATIC dimension (broadcast — the dim is read once per
+    batch, never stateful, no watermark required; Spark re-plans the
+    static side per micro-batch so a reloaded dim table is picked up).
+    This is the standard lookup-enrichment shape — the streaming twin of
+    the batch pipelines' broadcast dim joins; left join keeps events
+    whose key has no dim row (same missing-dim semantics as
+    left_join_missing_dim)."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def dedup_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
     keeps state only for the watermark horizon, so at-least-once sources

@@ -152,3 +152,29 @@ def test_session_windows_smoke(spark, stream_dir):
     rows = spark.sql("SELECT * FROM sess_counts").collect()
     assert len(rows) > 0
     assert all(r.session_end > r.session_start and r.n_events > 0 for r in rows)
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, stream_dir):
+    """Stream-static broadcast-dim join: the drained stream's enriched
+    rows must equal the same left join run in batch, including events
+    whose key has no dim row (null category)."""
+    dim = spark.createDataFrame(
+        [("purchase", "commerce"), ("click", "engagement"),
+         ("view", "engagement")],
+        "event_type string, category string",
+    )
+    stream = streaming.read_event_stream(spark, stream_dir)
+    enriched = streaming.enrich_with_dim(stream, dim).select(
+        "event_id", "event_type", "category"
+    )
+    streaming.run_to_memory(enriched, "enriched_events",
+                            output_mode="append")
+    out = spark.sql("SELECT * FROM enriched_events")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), "event_type", "left")
+        .select("event_id", "event_type", "category")
+    )
+    b = {(r.event_id, r.event_type, r.category) for r in batch.collect()}
+    s = {(r.event_id, r.event_type, r.category) for r in out.collect()}
+    assert s == b and len(s) == batch.count()
