@@ -62,6 +62,7 @@ PRIORITY_THIS_ROUND = [
     "udtf_top_bigrams",
     "doc_incremental_dedup",
     "merge_upsert_customers",
+    "percent_rank_supplier_balance",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

@@ -683,3 +683,45 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(base, updates, "c_custkey")
+
+
+@query(
+    "percent_rank_supplier_balance",
+    oracle="""
+    SELECT s_suppkey, n_nationkey AS nation_key,
+           FLOOR(PERCENT_RANK() OVER (
+               PARTITION BY n_nationkey
+               ORDER BY ROUND(s_acctbal * 100), s_suppkey) * 1e6) / 1e6
+               AS balance_pct_rank,
+           FLOOR(CUME_DIST() OVER (
+               PARTITION BY n_nationkey
+               ORDER BY ROUND(s_acctbal * 100), s_suppkey) * 1e6) / 1e6
+               AS balance_cume_dist
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def percent_rank_supplier_balance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank + cume_dist) —
+    rounding out the window surface beyond rank/dense_rank/ntile/lag/
+    lead/first_value. Ordering is on integer cents with a key tiebreak
+    so ranks are fully deterministic; both ratios are exact small
+    rationals ((rank-1)/(n-1), cum/n) evaluated identically by both
+    engines, floor-truncated for display. One shuffle on the partition
+    key; same WindowExec shape as every ranking query here."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = W.partitionBy("n_nationkey").orderBy(
+        F.round(F.col("s_acctbal") * 100), F.col("s_suppkey")
+    )
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "s_suppkey",
+            F.col("n_nationkey").alias("nation_key"),
+            (F.floor(F.percent_rank().over(w) * 1e6) / 1e6)
+            .alias("balance_pct_rank"),
+            (F.floor(F.cume_dist().over(w) * 1e6) / 1e6)
+            .alias("balance_cume_dist"),
+        )
+    )

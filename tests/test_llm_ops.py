@@ -657,3 +657,27 @@ def test_incremental_dedup_only_new_touching_pairs(spark):
     assert (0, 1) in full
     assert inc == {p for p in full if 4 in p}
     assert (0, 4) in inc and (1, 4) in inc
+
+
+def test_bloom_bitmap_survives_persistence(spark, tmp_path):
+    # the bitmap is an ordinary DataFrame: write it as parquet, read it
+    # back, probe with the reloaded copy — same survivors (the persisted
+    # LSH/Bloom index claim in SCALING.md rests on this round-trip).
+    from data_pipeline_stripe_spark.operators.bloom import (
+        bloom_build, bloom_probe,
+    )
+    members = spark.range(0, 100).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("key")
+    )
+    probe = spark.range(0, 2000).select(
+        F.concat(F.lit("m-"), (F.col("id") * 7).cast("long")).alias("key")
+    )
+    bitmap = bloom_build(members, "key")
+    live = {r.key for r in bloom_probe(probe, "key", bitmap).collect()}
+    path = str(tmp_path / "bloom_index")
+    bitmap.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    persisted = {r.key
+                 for r in bloom_probe(probe, "key", reloaded).collect()}
+    assert persisted == live
+    assert {f"m-{i*7}" for i in range(15) if i*7 < 100} <= live
