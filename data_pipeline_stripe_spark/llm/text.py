@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.text import normalized_text_expr, tokens_expr
 
@@ -467,6 +468,87 @@ def decontamination_bloom(df: DataFrame, eval_mod: int = 20,
                 F.coalesce("n_matched", F.lit(0)) / F.col("n_grams"), 4
             ).alias("contamination"),
             (F.coalesce("n_matched", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def bpe_merge_step(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """ONE merge step of byte-pair-encoding vocabulary induction,
+    distributed: find the corpus's most frequent adjacent token pair
+    (count desc, pair asc tiebreak — deterministic), then apply the
+    classic left-to-right non-overlapping merge to every document.
+    Returns per-doc (id, pair, n_tokens_before, n_tokens_after,
+    seq_md5) — the md5 of the merged sequence pins the exact merge
+    semantics, not just the counts. Driver-loop the step for a full
+    vocab build (same pattern as the k-means step).
+
+    The left-to-right fold is reformulated so it needs NO sequential
+    scan: for a pair (a,b) with a != b, adjacent matches can never
+    overlap (an overlap would need a == b), so every match merges; for
+    a == b, matches overlap exactly within runs of the repeated token,
+    and left-to-right resolves to merging at EVEN offsets from the run
+    start. Both cases are window expressions (lead/lag + gaps-and-
+    islands run ids), so the whole step is two shuffles (the pair count
+    and the per-doc regroup) on any corpus size; the 1-row top pair
+    rides a broadcast cross."""
+    from ..functions.text import tokens_expr
+
+    toks = (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.posexplode("_t").alias("pos", "tok"),
+        )
+    )
+    wd = W.partitionBy(id_col).orderBy("pos")
+    with_next = toks.withColumn("nxt", F.lead("tok").over(wd))
+    top_pair = (
+        with_next.filter(F.col("nxt").isNotNull())
+        .groupBy(F.concat_ws(" ", "tok", "nxt").alias("pair"))
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("pair"))
+        .limit(1)
+        .select("pair")
+    )
+    t = with_next.join(F.broadcast(top_pair))
+    pa = F.split("pair", " ")[0]
+    pb = F.split("pair", " ")[1]
+    change = F.when(
+        F.lag("tok").over(wd).isNull()
+        | (F.col("tok") != F.lag("tok").over(wd)), 1
+    ).otherwise(0)
+    t = t.withColumn("_run", F.sum(change).over(
+        wd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    t = t.withColumn(
+        "_run_start",
+        F.min("pos").over(W.partitionBy(id_col, "_run")),
+    )
+    match = (F.col("tok") == pa) & (F.col("nxt") == pb)
+    merge_here = match & (
+        (pa != pb) | ((F.col("pos") - F.col("_run_start")) % 2 == 0)
+    )
+    t = t.withColumn("_merge", merge_here)
+    t = t.withColumn(
+        "_consumed", F.coalesce(F.lag("_merge").over(wd), F.lit(False))
+    )
+    new_tok = F.when(F.col("_merge"), F.concat(pa, pb)).otherwise(
+        F.col("tok")
+    )
+    t = t.withColumn("_n_before", F.count("*").over(W.partitionBy(id_col)))
+    kept = t.filter(~F.col("_consumed")).withColumn("_new_tok", new_tok)
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "_new_tok")))
+    return (
+        kept.groupBy(id_col, "pair")
+        .agg(
+            F.first("_n_before").cast("long").alias("n_tokens_before"),
+            F.count("*").cast("long").alias("n_tokens_after"),
+            F.md5(
+                F.array_join(
+                    F.transform(ordered, lambda s: s["_new_tok"]), " "
+                )
+            ).alias("seq_md5"),
         )
     )
 

@@ -63,6 +63,8 @@ PRIORITY_THIS_ROUND = [
     "doc_incremental_dedup",
     "merge_upsert_customers",
     "percent_rank_supplier_balance",
+    "event_training_sequences",
+    "doc_bpe_merge_step",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

@@ -53,6 +53,73 @@ _EST_MATCHES = " + ".join(
 
 
 @query(
+    "doc_bpe_merge_step",
+    oracle=r"""
+    WITH toks0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+    toks AS (
+        SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        FROM toks0, unnest(range(1, len(t) + 1)) AS ti(i)),
+    wn AS (
+        SELECT *, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM toks),
+    top_pair AS (
+        SELECT tok || ' ' || nxt AS pair
+        FROM wn WHERE nxt IS NOT NULL
+        GROUP BY 1 ORDER BY COUNT(*) DESC, pair LIMIT 1),
+    chg AS (
+        SELECT w.*, p.pair,
+               string_split(p.pair, ' ')[1] AS pa,
+               string_split(p.pair, ' ')[2] AS pb,
+               CASE WHEN LAG(tok) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) IS NULL
+                         OR tok <> LAG(tok) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos)
+                    THEN 1 ELSE 0 END AS is_change
+        FROM wn w CROSS JOIN top_pair p),
+    runs AS (
+        SELECT *, SUM(is_change) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM chg),
+    marked AS (
+        SELECT *,
+               (tok = pa AND nxt IS NOT NULL AND nxt = pb
+                AND (pa <> pb
+                     OR (pos - MIN(pos) OVER (PARTITION BY doc_id, run_id))
+                        % 2 = 0)) AS do_merge
+        FROM runs),
+    consumed AS (
+        SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY doc_id
+                                               ORDER BY pos),
+                           FALSE) AS is_consumed,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_before
+        FROM marked)
+    SELECT doc_id, pair,
+           CAST(MIN(n_before) AS BIGINT) AS n_tokens_before,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens_after,
+           md5(STRING_AGG(CASE WHEN do_merge THEN pa || pb ELSE tok END,
+                          ' ' ORDER BY pos)) AS seq_md5
+    FROM consumed WHERE NOT is_consumed
+    GROUP BY doc_id, pair
+    """,
+)
+def doc_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: one distributed BPE vocabulary-induction step — corpus-wide
+    most-frequent adjacent pair (deterministic tiebreak) applied as the
+    classic left-to-right non-overlapping merge to every document, with
+    the sequential fold reformulated as window expressions (non-overlap
+    is automatic for a != b; for a == b left-to-right resolves to even
+    offsets within repeated-token runs). seq_md5 pins exact merge
+    output. Two shuffles total; the 1-row top pair is a broadcast
+    cross. Driver-loop the step for a full vocab build (k-means-step
+    pattern) — see llm/text.py:bpe_merge_step."""
+    return llm_text.bpe_merge_step(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_incremental_dedup",
     oracle=f"""
     WITH {_SHINGLES_CTE},

@@ -816,3 +816,65 @@ def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.date_format("o_orderdate_asof", "yyyy-MM-dd").alias("last_order_date"),
     )
+
+
+@query(
+    "event_training_sequences",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           STRING_AGG(event_type, ' ' ORDER BY ts, event_id) AS sequence
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def event_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral training sequences: each user session (30-min gap
+    rule, same sessionization as sessionize_events) becomes one ordered
+    event-type sequence string — the events→sequence-corpus bridge a
+    behavior-model pipeline trains on. Ordering is fully deterministic
+    ((ts, event_id) — event_id unique), made shuffle-safe by sorting
+    INSIDE the aggregate: array_sort over collect_list of (ts, event_id,
+    type) structs, then project + join. Two window passes + one grouped
+    agg, all on the same user_id partitioning, so the fact shuffles
+    once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
+    new_session = F.when(
+        prev_ms.isNull()
+        | ((F.unix_millis(F.col("ts")) - prev_ms) > 1800000), 1
+    ).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_idx",
+                    F.sum("new_session").over(run).cast("long"))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["event_type"]), " "
+            ).alias("sequence"),
+        )
+    )

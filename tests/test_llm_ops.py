@@ -681,3 +681,36 @@ def test_bloom_bitmap_survives_persistence(spark, tmp_path):
                  for r in bloom_probe(probe, "key", reloaded).collect()}
     assert persisted == live
     assert {f"m-{i*7}" for i in range(15) if i*7 < 100} <= live
+
+
+def test_bpe_merge_step_classic_semantics(spark):
+    # corpus where the top pair is ("x","x") — the overlapping-run case:
+    # left-to-right BPE on "x x x" merges the FIRST two only ("xx x"),
+    # and "x x x x" becomes "xx xx". Doc 3's pair count can't win.
+    df = spark.createDataFrame(
+        [(1, "x x x"), (2, "x x x x"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in llm_text.bpe_merge_step(df).collect()}
+    import hashlib
+    assert rows[1].pair == "x x"
+    assert (rows[1].n_tokens_before, rows[1].n_tokens_after) == (3, 2)
+    assert rows[1].seq_md5 == hashlib.md5(b"xx x").hexdigest()
+    assert (rows[2].n_tokens_before, rows[2].n_tokens_after) == (4, 2)
+    assert rows[2].seq_md5 == hashlib.md5(b"xx xx").hexdigest()
+    assert (rows[3].n_tokens_before, rows[3].n_tokens_after) == (2, 2)
+    assert rows[3].seq_md5 == hashlib.md5(b"a b").hexdigest()
+
+
+def test_bpe_merge_step_distinct_pair(spark):
+    # top pair with a != b: every match merges, consumed tokens drop,
+    # and an immediately repeated pattern merges at both sites.
+    df = spark.createDataFrame(
+        [(1, "p q p q r"), (2, "p q z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in llm_text.bpe_merge_step(df).collect()}
+    import hashlib
+    assert rows[1].pair == "p q"
+    assert rows[1].seq_md5 == hashlib.md5(b"pq pq r").hexdigest()
+    assert rows[2].seq_md5 == hashlib.md5(b"pq z").hexdigest()

@@ -94,6 +94,9 @@ NONEQUI_OK = {
     # over the train gram stream (scan-side membership test) — the same
     # 1-row-cross class; the exact verify join stays a hash join
     "doc_decontaminate_bloom",
+    # BPE merge step: the corpus's 1-row top pair broadcast over the
+    # token stream — same scalar-subquery class
+    "doc_bpe_merge_step",
 }
 
 
