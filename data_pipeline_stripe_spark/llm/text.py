@@ -472,35 +472,18 @@ def decontamination_bloom(df: DataFrame, eval_mod: int = 20,
     )
 
 
-def bpe_merge_step(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
-    """ONE merge step of byte-pair-encoding vocabulary induction,
-    distributed: find the corpus's most frequent adjacent token pair
-    (count desc, pair asc tiebreak — deterministic), then apply the
-    classic left-to-right non-overlapping merge to every document.
-    Returns per-doc (id, pair, n_tokens_before, n_tokens_after,
-    seq_md5) — the md5 of the merged sequence pins the exact merge
-    semantics, not just the counts. Driver-loop the step for a full
-    vocab build (same pattern as the k-means step).
-
-    The left-to-right fold is reformulated so it needs NO sequential
-    scan: for a pair (a,b) with a != b, adjacent matches can never
-    overlap (an overlap would need a == b), so every match merges; for
-    a == b, matches overlap exactly within runs of the repeated token,
-    and left-to-right resolves to merging at EVEN offsets from the run
-    start. Both cases are window expressions (lead/lag + gaps-and-
-    islands run ids), so the whole step is two shuffles (the pair count
-    and the per-doc regroup) on any corpus size; the 1-row top pair
-    rides a broadcast cross."""
+def _bpe_merged_rows(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Shared core of the BPE step: per kept token-position row after
+    applying the corpus top-pair merge — columns (id, pair, pos,
+    _new_tok, _n_before). See bpe_merge_step for the semantics and the
+    window reformulation of the left-to-right fold."""
     from ..functions.text import tokens_expr
 
     toks = (
         df.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
         .filter(F.size("_t") >= 2)
-        .select(
-            F.col(id_col),
-            F.posexplode("_t").alias("pos", "tok"),
-        )
+        .select(F.col(id_col), F.posexplode("_t").alias("pos", "tok"))
     )
     wd = W.partitionBy(id_col).orderBy("pos")
     with_next = toks.withColumn("nxt", F.lead("tok").over(wd))
@@ -522,8 +505,7 @@ def bpe_merge_step(df: DataFrame, id_col: str = "doc_id",
     t = t.withColumn("_run", F.sum(change).over(
         wd.rowsBetween(W.unboundedPreceding, W.currentRow)))
     t = t.withColumn(
-        "_run_start",
-        F.min("pos").over(W.partitionBy(id_col, "_run")),
+        "_run_start", F.min("pos").over(W.partitionBy(id_col, "_run"))
     )
     match = (F.col("tok") == pa) & (F.col("nxt") == pb)
     merge_here = match & (
@@ -537,7 +519,30 @@ def bpe_merge_step(df: DataFrame, id_col: str = "doc_id",
         F.col("tok")
     )
     t = t.withColumn("_n_before", F.count("*").over(W.partitionBy(id_col)))
-    kept = t.filter(~F.col("_consumed")).withColumn("_new_tok", new_tok)
+    return t.filter(~F.col("_consumed")).withColumn("_new_tok", new_tok)
+
+
+def bpe_merge_step(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """ONE merge step of byte-pair-encoding vocabulary induction,
+    distributed: find the corpus's most frequent adjacent token pair
+    (count desc, pair asc tiebreak — deterministic), then apply the
+    classic left-to-right non-overlapping merge to every document.
+    Returns per-doc (id, pair, n_tokens_before, n_tokens_after,
+    seq_md5) — the md5 of the merged sequence pins the exact merge
+    semantics, not just the counts. Driver-loop the step for a full
+    vocab build (same pattern as the k-means step).
+
+    The left-to-right fold is reformulated so it needs NO sequential
+    scan: for a pair (a,b) with a != b, adjacent matches can never
+    overlap (an overlap would need a == b), so every match merges; for
+    a == b, matches overlap exactly within runs of the repeated token,
+    and left-to-right resolves to merging at EVEN offsets from the run
+    start. Both cases are window expressions (lead/lag + gaps-and-
+    islands run ids), so the whole step is two shuffles (the pair count
+    and the per-doc regroup) on any corpus size; the 1-row top pair
+    rides a broadcast cross."""
+    kept = _bpe_merged_rows(df, id_col, text_col)
     ordered = F.array_sort(F.collect_list(F.struct("pos", "_new_tok")))
     return (
         kept.groupBy(id_col, "pair")
@@ -550,6 +555,33 @@ def bpe_merge_step(df: DataFrame, id_col: str = "doc_id",
                 )
             ).alias("seq_md5"),
         )
+    )
+
+
+def bpe_apply_step(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Apply one BPE merge step and return the corpus with ``text_col``
+    REPLACED by the merged token sequence (plus the chosen ``pair``) —
+    the loopable form of :func:`bpe_merge_step` for a full vocabulary
+    build: re-invoke on the output N times, collecting each round's
+    1-row pair (the merge table). Merged tokens are joined with a space,
+    so the output feeds straight back in.
+
+    NOTE on the merged-token encoding: a merge concatenates the two
+    tokens WITHOUT a separator (classic BPE string form); on corpora
+    where that concatenation could collide with an existing token, use
+    an out-of-alphabet joiner in ``new_tok`` — the fixture vocabulary
+    has no such collisions."""
+    kept = _bpe_merged_rows(df, id_col, text_col)
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "_new_tok")))
+    return (
+        kept.groupBy(id_col, "pair")
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s["_new_tok"]), " "
+            ).alias(text_col)
+        )
+        .select(id_col, text_col, "pair")
     )
 
 

@@ -714,3 +714,49 @@ def test_bpe_merge_step_distinct_pair(spark):
     assert rows[1].pair == "p q"
     assert rows[1].seq_md5 == hashlib.md5(b"pq pq r").hexdigest()
     assert rows[2].seq_md5 == hashlib.md5(b"pq z").hexdigest()
+
+
+def test_bpe_vocab_build_loop_matches_python_reference(spark):
+    # Three driver-looped merge steps must equal an independently
+    # implemented sequential BPE (greedy left-to-right merge of the
+    # globally most frequent pair, count desc / pair asc tiebreak).
+    corpus = {
+        1: "a b a b c d",
+        2: "a b c d c d",
+        3: "b a a b a b",
+    }
+
+    def py_bpe_step(docs):
+        from collections import Counter
+        counts = Counter()
+        for t in docs.values():
+            toks = t.split()
+            counts.update(f"{x} {y}" for x, y in zip(toks, toks[1:]))
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = pair.split(" ")
+        out = {}
+        for k, t in docs.items():
+            toks, res, i = t.split(), [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(toks[i])
+                    i += 1
+            out[k] = " ".join(res)
+        return pair, out
+
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    expect = dict(corpus)
+    for _ in range(3):
+        out = llm_text.bpe_apply_step(df).collect()
+        pair_expect, expect = py_bpe_step(expect)
+        got = {r.doc_id: r.text for r in out}
+        assert {r.pair for r in out} == {pair_expect}
+        assert got == expect
+        df = spark.createDataFrame(
+            [(k, v) for k, v in got.items()], "doc_id long, text string"
+        )
