@@ -84,6 +84,53 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     )
 
 
+def hard_negatives(emb: DataFrame, queries: DataFrame,
+                   centroids: DataFrame, k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    most-similar corpus vectors that sit in a DIFFERENT semantic bucket
+    (IVF cluster) than the query — similar enough to be hard, different
+    enough to be negatives. Same-cluster vectors (the likely positives)
+    are excluded BEFORE ranking, so every returned row is a negative.
+
+    Shape: cluster assignment is one broadcast-centroid pass per side;
+    similarity is the broadcast-queries brute-force kernel at test
+    scale (swap in ivf_topk's probe path for a 100 TB corpus — the
+    cluster filter composes unchanged). Returns
+    (query_id, neighbor_id, query_cluster, neighbor_cluster,
+    similarity, rank)."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("cluster_id")
+    )
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                        _as_double(vec_col).alias("cv"))
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(vec_col).alias("qv"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    pairs = (
+        corpus.join(F.broadcast(qs),
+                    F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("similarity"))
+    )
+    qa = assign.select(F.col(id_col).alias("query_id"),
+                       F.col("cluster_id").alias("query_cluster"))
+    na = assign.select(F.col(id_col).alias("neighbor_id"),
+                       F.col("cluster_id").alias("neighbor_cluster"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.join(F.broadcast(qa), "query_id")
+        .join(na, "neighbor_id")
+        .filter(F.col("neighbor_cluster") != F.col("query_cluster"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "query_cluster",
+                "neighbor_cluster", "similarity", "rank")
+    )
+
+
 def ivf_probe_assign(emb: DataFrame, centroids: DataFrame, n_probes: int = 1,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      centroid_id_col: str = "centroid_id") -> DataFrame:

@@ -65,6 +65,7 @@ PRIORITY_THIS_ROUND = [
     "percent_rank_supplier_balance",
     "event_training_sequences",
     "doc_bpe_merge_step",
+    "embedding_hard_negatives",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

@@ -448,3 +448,60 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5
     )
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < 4),
+    scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               ROUND(list_inner_product(c.cv, e.v)
+                     / sqrt(list_inner_product(c.cv, c.cv)
+                            * list_inner_product(e.v, e.v)), 6) AS csim
+        FROM e CROSS JOIN cents c),
+    assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY csim DESC, cluster_id) AS rn
+            FROM scored) WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS}, 6) AS similarity
+        FROM e a JOIN e b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+    tagged AS (
+        SELECT p.query_id, p.neighbor_id,
+               qa.cluster_id AS query_cluster,
+               na.cluster_id AS neighbor_cluster,
+               p.similarity
+        FROM pairs p
+        JOIN assign qa ON qa.vec_id = p.query_id
+        JOIN assign na ON na.vec_id = p.neighbor_id
+        WHERE qa.cluster_id <> na.cluster_id),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
+        FROM tagged)
+    SELECT query_id, neighbor_id, query_cluster, neighbor_cluster,
+           similarity, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: hard-negative mining for contrastive training — per query
+    (vec_id < 8), the 5 most-similar vectors assigned to a DIFFERENT
+    IVF cluster (centroids = vec_id < 4): similar enough to be hard,
+    different bucket so they are negatives, with same-cluster likely-
+    positives excluded before ranking. Cluster assignment and the query
+    set ride broadcasts; at 100 TB the similarity kernel swaps to the
+    IVF probe path and the cluster filter composes unchanged
+    (llm/similarity.py:hard_negatives)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 8), cents, k=5
+    )

@@ -760,3 +760,25 @@ def test_bpe_vocab_build_loop_matches_python_reference(spark):
         df = spark.createDataFrame(
             [(k, v) for k, v in got.items()], "doc_id long, text string"
         )
+
+
+def test_hard_negatives_excludes_same_cluster(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 8), cents, k=5
+    ).collect()
+    assert out, "expected nonempty hard-negative set"
+    # no returned neighbor shares the query's cluster, ranks are 1..k
+    # dense per query, and similarities are non-increasing in rank
+    by_q = {}
+    for r in out:
+        assert r.neighbor_cluster != r.query_cluster
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.similarity for r in rows]
+        assert sims == sorted(sims, reverse=True)

@@ -77,6 +77,9 @@ NONEQUI_OK = {
     # as embedding_topk_cosine, on int8 codes (the scale paths stay the
     # IVF / RP-LSH variants)
     "embedding_quantized_topk",
+    # hard negatives: brute-force broadcast-queries kernel + the 4-row
+    # centroid cross for assignment — both documented shapes above
+    "embedding_hard_negatives",
     # broadcast-TINY crosses: a 1-row scalar total / a 4-row centroid table
     # against the fact — nested-loop over a broadcast handful is the right
     # plan (the small side is O(1), not a second fact)
