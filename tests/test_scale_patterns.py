@@ -55,3 +55,46 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Writing day-partitioned parquet and filtering on the partition
+    column must prune at planning time: the scan's PartitionFilters
+    carries the predicate and only the matching partition's rows are
+    read — the data-skipping pattern every 100 TB event store relies
+    on."""
+    from pyspark.sql import functions as F
+    from data_pipeline_stripe_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(out)
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    target = sorted(days)[0]
+    back = spark.read.parquet(out).filter(F.col("day") == target)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and target not in plan.split(
+        "PushedFilters"
+    )[-1]
+    assert f"(day = {target})" in plan or "isnotnull(day" in plan
+    expect = ev.filter(F.col("day") == target).count()
+    assert back.count() == expect > 0
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema reads the union schema with nulls for the old
+    batch — the accreting-fields reality of any long-lived corpus."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(d + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(d + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
