@@ -98,3 +98,35 @@ def test_merge_schema_evolution_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score", "batch"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_parquet_aggregate_pushdown_footer_stats(spark, sf_dir):
+    """COUNT/MIN/MAX with no filter can be answered from parquet footer
+    statistics — with the v2 source and aggregatePushDown the scan shows
+    PushedAggregation and reads no row data. 100 TB corpus-card queries
+    (row counts, min/max bounds) become metadata reads."""
+    from pyspark.sql import functions as F
+
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        agg = df.agg(F.count("*").alias("n"),
+                     F.max("o_totalprice").alias("mx"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*)" in plan \
+            or "PushedAggregation" in plan
+        row = agg.collect()[0]
+        # cross-check against the plain v1 scan
+        spark.conf.set("spark.sql.sources.useV1SourceList", "parquet")
+        plain = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+            F.count("*").alias("n"), F.max("o_totalprice").alias("mx")
+        ).collect()[0]
+        assert (row.n, row.mx) == (plain.n, plain.mx)
+    finally:
+        if old_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
