@@ -105,6 +105,19 @@ SHOWCASE = [
     ("pivot_status_revenue_by_priority",
      "Pivot with pinned values: one grouped aggregation of conditional "
      "sums — no distinct-values pre-job, stable output schema."),
+    ("doc_bpe_merge_step",
+     "Distributed BPE merge step: the sequential left-to-right fold "
+     "reformulated as window expressions (run-parity rule), so one "
+     "vocab-induction step is two shuffles at any corpus size; the "
+     "1-row top pair is a broadcast cross."),
+    ("doc_incremental_dedup",
+     "Incremental near-dup: the band join probes ONLY the new batch's "
+     "band rows against the corpus index — old-vs-old pairs never "
+     "exist in the plan; daily ingest cost is O(new x bucket-mates)."),
+    ("merge_upsert_customers",
+     "MERGE upsert: one keyed full-outer join computes exact "
+     "update/insert/keep semantics with an audit column — no window, "
+     "no second pass; AQE free to broadcast the small batch."),
 ]
 
 
