@@ -66,6 +66,7 @@ PRIORITY_THIS_ROUND = [
     "event_training_sequences",
     "doc_bpe_merge_step",
     "embedding_hard_negatives",
+    "doc_curation_funnel",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

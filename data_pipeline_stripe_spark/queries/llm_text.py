@@ -53,6 +53,120 @@ _EST_MATCHES = " + ".join(
 
 
 @query(
+    "doc_curation_funnel",
+    oracle=rf"""
+    WITH curated AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   CASE WHEN len(t) < {llm_text.CURATION_MIN_TOKENS}
+                            THEN 'too_short'
+                        WHEN len(t) > {llm_text.CURATION_MAX_TOKENS}
+                            THEN 'too_long'
+                        WHEN ROUND(len(list_distinct(t)) * 1.0 / len(t), 4)
+                             < {llm_text.CURATION_MIN_TTR}
+                            THEN 'low_diversity'
+                        WHEN lang NOT IN ('en', 'es', 'fr', 'de')
+                            THEN 'bad_lang'
+                        ELSE 'ok' END AS reason
+            FROM (SELECT doc_id, lang, text, {_TOKENS} AS t FROM documents)
+        ) WHERE reason = 'ok'),
+    {_SHINGLES_CTE},
+    shc AS (
+        SELECT doc_id, shingle FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh
+        ) WHERE df <= {dedup.MAX_SHINGLE_DOC_FREQ}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shc a JOIN shc b ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4)
+              >= 0.5
+    ),
+    canon AS (
+        SELECT c.doc_id FROM curated c
+        WHERE NOT EXISTS (SELECT 1 FROM dup_pairs p
+                          WHERE p.doc_b = c.doc_id)),
+    docs2 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+    g0 AS (SELECT doc_id,
+                  unnest([array_to_string(t[i:i+7], ' ')
+                          for i in range(1, len(t) - 6)]) AS gram
+           FROM docs2 WHERE len(t) >= 8),
+    g AS (SELECT DISTINCT doc_id, gram FROM g0),
+    eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM g
+        JOIN eval_g e ON g.gram = e.gram
+        WHERE g.doc_id % 20 <> 0),
+    clean AS (
+        SELECT c.doc_id FROM canon c
+        WHERE c.doc_id % 20 <> 0
+          AND c.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT 1 AS stage_order, 'raw' AS stage,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL
+    SELECT 2, 'curated', CAST((SELECT COUNT(*) FROM curated) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'deduped', CAST((SELECT COUNT(*) FROM canon) AS BIGINT)
+    UNION ALL
+    SELECT 4, 'train_clean', CAST((SELECT COUNT(*) FROM clean) AS BIGINT)
+    """,
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 end-to-end composition proof: the corpus-curation FUNNEL —
+    raw → curation keep → near-dup dedup survivors → train_clean (eval
+    split held out, contaminated train docs dropped) — as ONE query
+    chaining the engine's verbs (curation_verdict, shingle-Jaccard
+    near-dup removal, decontamination), with per-stage survivor counts:
+    the where-did-my-crawl-go report every corpus run starts from. Each
+    stage is the same operator the standalone queries gate (the dedup
+    stage is doc_dedup_corpus's removal rule), so the funnel's counts
+    are cross-checked against independently verified pieces. The
+    fixture's planted duplicates are NEAR-dups (no byte-identical
+    texts survive to this grain), which is why the dedup stage is the
+    near-dup rule, not the exact-hash one."""
+    docs = load_table(spark, sf_dir, "documents")
+    verdict = llm_text.curation_verdict(docs)
+    kept_ids = verdict.filter(F.col("keep")).select("doc_id")
+    curated = docs.join(kept_ids, "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    canon = curated.join(
+        pairs, curated.doc_id == pairs.doc_b, "left_anti"
+    ).select("doc_id")
+    flagged = (
+        llm_text.decontamination(docs)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = (
+        canon.filter(F.col("doc_id") % 20 != 0)
+        .join(flagged, "doc_id", "left_anti")
+    )
+
+    def stage(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", docs)
+        .unionByName(stage(2, "curated", curated))
+        .unionByName(stage(3, "deduped", canon))
+        .unionByName(stage(4, "train_clean", clean))
+    )
+
+
+@query(
     "doc_bpe_merge_step",
     oracle=r"""
     WITH toks0 AS (
