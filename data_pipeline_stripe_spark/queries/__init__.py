@@ -67,6 +67,8 @@ PRIORITY_THIS_ROUND = [
     "doc_bpe_merge_step",
     "embedding_hard_negatives",
     "doc_curation_funnel",
+    "doc_pmi_pairs",
+    "doc_top_quality_per_source",
     # round 4: the events ts loader changed (timestamp[us] fixture layout,
     # also after the r3 gate) — every events-consuming query re-gates now
     "platform_usage_by_user_bucket",

@@ -1354,3 +1354,128 @@ def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("char_sim"),
         )
     )
+
+
+@query(
+    "doc_pmi_pairs",
+    oracle=r"""
+    WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
+            FROM docs, unnest(range(1, len(t) + 1)) AS ti(i)),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    co AS (
+        SELECT a.w AS w_a, b.w AS w_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id
+         AND b.pos - a.pos BETWEEN 1 AND 2
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT w_a, w_b, c_ab,
+               FLOOR(CAST(t.n AS DOUBLE) * c_ab
+                     / (ua.c * CAST(ub.c AS DOUBLE)) * 1e6) / 1e6
+                   AS pmi_ratio
+        FROM co
+        JOIN uni ua ON ua.w = w_a
+        JOIN uni ub ON ub.w = w_b
+        CROSS JOIN tot t
+        WHERE c_ab >= 50)
+    SELECT w_a, w_b, c_ab, pmi_ratio FROM scored
+    ORDER BY pmi_ratio DESC, w_a, w_b LIMIT 25
+    """,
+)
+def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus statistics: skip-gram co-occurrence counts (forward
+    window of 2) and the PMI ratio N·c(a,b)/(c(a)·c(b)) — the
+    word2vec-style association table an embedding pipeline builds from
+    the corpus. The ratio is the engine-exact part (integer counts,
+    one double division, floor-truncated); PMI itself is ln(ratio),
+    left to the consumer because libm ln is NOT bit-identical across
+    engines. Pair counts are one map-side-combinable aggregation over
+    a position self-join keyed on doc_id; unigram counts and the
+    corpus total ride broadcasts; top-25 with full tiebreak
+    (ratio desc, then both words) is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens_expr
+
+    tok = (
+        docs.select(F.col("doc_id"), tokens_expr("text").alias("_t"))
+        .select(F.col("doc_id"), F.posexplode("_t").alias("pos", "w"))
+    )
+    uni = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = tok.agg(F.count("*").cast("long").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).between(1, 2),
+        )
+        .groupBy(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 50)
+    )
+    ua = uni.select(F.col("w").alias("w_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w_b"), F.col("c").alias("c_b"))
+    ratio = (
+        F.col("n").cast("double") * F.col("c_ab")
+        / (F.col("c_a") * F.col("c_b").cast("double"))
+    )
+    return (
+        co.join(F.broadcast(ua), "w_a")
+        .join(F.broadcast(ub), "w_b")
+        .join(F.broadcast(tot))
+        .select(
+            "w_a", "w_b", "c_ab",
+            (F.floor(ratio * 1e6) / 1e6).alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "w_a", "w_b")
+        .limit(25)
+    )
+
+
+@query(
+    "doc_top_quality_per_source",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id, source,
+               ROUND(0.3 * least(1.0, len(t) / 50.0)
+                     + 0.4 * (len(list_distinct(t)) / CAST(len(t) AS DOUBLE))
+                     + 0.3 * least(1.0, length(text) / 200.0), 4)
+                   AS quality
+        FROM (SELECT doc_id, source, text,
+                     string_split_regex(trim(text), '\s+') AS t
+              FROM documents)),
+    ranked AS (
+        SELECT doc_id, source, quality,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+        FROM q)
+    SELECT doc_id, source, quality, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def doc_top_quality_per_source(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X4 balanced selection: the top-10 highest-quality documents per
+    source — the keep-the-best-N-per-domain rule that stops one crawl
+    domain from dominating a mixture. Quality is the same composite as
+    quality_score; ranking is one window per source with a full
+    tiebreak (quality desc, doc_id) so the cut is deterministic.
+    WindowGroupLimit prunes per-partition before the shuffle — the
+    same top-k shape as topk_parts_per_brand."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = llm_text.quality_score(docs).select("doc_id", "quality")
+    d = docs.select("doc_id", "source").join(q, "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "source", "quality", "rank")
+    )

@@ -100,6 +100,10 @@ NONEQUI_OK = {
     # BPE merge step: the corpus's 1-row top pair broadcast over the
     # token stream — same scalar-subquery class
     "doc_bpe_merge_step",
+    # PMI ratio: the 1-row corpus token total broadcast over the pair
+    # counts — same scalar-subquery class (pair generation itself is a
+    # doc_id-keyed sort-merge join)
+    "doc_pmi_pairs",
 }
 
 
