@@ -782,3 +782,27 @@ def test_hard_negatives_excludes_same_cluster(spark, sf_dir):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         sims = [r.similarity for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_bloom_random_keysets_never_false_negative(spark):
+    """Randomized (seeded) member sets across bitmap geometries: a
+    member NEVER fails the probe — the invariant exactness of the
+    decontamination verify stage rests on."""
+    import random
+
+    from data_pipeline_stripe_spark.operators.bloom import (
+        bloom_build, bloom_probe,
+    )
+
+    for seed, m_bits, k in ((3, 1 << 10, 2), (11, 1 << 14, 4),
+                            (42, 64, 3)):
+        rng = random.Random(seed)
+        keys = [f"k{rng.randint(0, 10_000)}" for _ in range(150)]
+        members = spark.createDataFrame([(x,) for x in keys], "key string")
+        bitmap = bloom_build(members.distinct(), "key", m_bits, k)
+        survived = {
+            r.key
+            for r in bloom_probe(members.distinct(), "key", bitmap,
+                                 m_bits, k).collect()
+        }
+        assert survived == set(keys)

@@ -272,3 +272,32 @@ def test_merge_upsert_rejects_schema_mismatch(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_merge_upsert_random_matches_dict_semantics(spark):
+    """Randomized (seeded) merge inputs vs the dict-update reference:
+    for any base/update key sets, merged rows == {**base, **updates}
+    and actions classify exactly."""
+    import random
+
+    from data_pipeline_stripe_spark.operators.merge import merge_upsert
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        base_keys = rng.sample(range(100), rng.randint(5, 30))
+        upd_keys = rng.sample(range(100), rng.randint(5, 30))
+        base = {k: (k, f"b{k}", float(rng.randint(0, 50))) for k in base_keys}
+        upd = {k: (k, f"u{k}", float(rng.randint(51, 99))) for k in upd_keys}
+        out = merge_upsert(
+            spark.createDataFrame(list(base.values()),
+                                  "k long, name string, v double"),
+            spark.createDataFrame(list(upd.values()),
+                                  "k long, name string, v double"),
+            "k",
+        ).collect()
+        expect = {**base, **upd}
+        assert {r.k: (r.k, r.name, r.v) for r in out} == expect
+        for r in out:
+            want = ("updated" if r.k in base and r.k in upd
+                    else "inserted" if r.k in upd else "kept")
+            assert r.merge_action == want
