@@ -113,8 +113,14 @@ def hard_negatives(emb: DataFrame, queries: DataFrame,
                     F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("similarity"))
     )
-    qa = assign.select(F.col(id_col).alias("query_id"),
-                       F.col("cluster_id").alias("query_cluster"))
+    # Query clusters are assigned from the queries frame itself (one
+    # more broadcast-centroid pass), NOT by joining the corpus-side
+    # assignment — an inner join on query_id would silently drop any
+    # query whose id is absent from ``emb``.
+    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("cluster_id").alias("query_cluster"),
+    )
     na = assign.select(F.col(id_col).alias("neighbor_id"),
                        F.col("cluster_id").alias("neighbor_cluster"))
     w = W.partitionBy("query_id").orderBy(

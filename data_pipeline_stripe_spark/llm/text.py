@@ -571,10 +571,17 @@ def bpe_apply_step(df: DataFrame, id_col: str = "doc_id",
     tokens WITHOUT a separator (classic BPE string form); on corpora
     where that concatenation could collide with an existing token, use
     an out-of-alphabet joiner in ``new_tok`` — the fixture vocabulary
-    has no such collisions."""
+    has no such collisions.
+
+    Documents with fewer than 2 tokens (nothing to merge) pass through
+    with their token sequence unchanged and a NULL ``pair`` — without
+    this the loop would silently shed any document that shrinks to one
+    token, breaking the feeds-straight-back-in contract."""
+    from ..functions.text import tokens_expr
+
     kept = _bpe_merged_rows(df, id_col, text_col)
     ordered = F.array_sort(F.collect_list(F.struct("pos", "_new_tok")))
-    return (
+    merged = (
         kept.groupBy(id_col, "pair")
         .agg(
             F.array_join(
@@ -583,6 +590,16 @@ def bpe_apply_step(df: DataFrame, id_col: str = "doc_id",
         )
         .select(id_col, text_col, "pair")
     )
+    short = (
+        df.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
+        .filter(F.size("_t") < 2)
+        .select(
+            F.col(id_col),
+            F.array_join("_t", " ").alias(text_col),
+            F.lit(None).cast("string").alias("pair"),
+        )
+    )
+    return merged.unionByName(short)
 
 
 # Repetition thresholds (shared with the oracle SQL via these names).

@@ -77,18 +77,29 @@ def bloom_probe(df: DataFrame, key_col: str, bitmap: DataFrame,
     map lookups. The probe stream itself never shuffles, explodes, or
     re-groups: at 100 TB the filter runs at scan speed inside codegen
     and only survivors reach whatever keyed join follows."""
+    # The internal position/bitmap columns must not shadow caller columns
+    # (withColumn would silently REPLACE an existing "_ps", then drop()
+    # would delete the caller's column). Derive names that provably don't
+    # collide with the probe schema instead of reserving fixed ones.
+    taken = set(df.columns)
+    ps_col, bm_col = "_ps", "_bm"
+    while ps_col in taken:
+        ps_col += "_"
+    while bm_col in taken or bm_col == ps_col:
+        bm_col += "_"
     one_row = bitmap.groupBy().agg(
         F.map_from_entries(
             F.collect_list(F.struct("word_idx", "bits"))
-        ).alias("_bm")
+        ).alias(bm_col)
     )
     member = F.expr(
-        "forall(_ps, p -> (coalesce(element_at(_bm, cast(p / 64 as bigint)),"
-        " 0L) & shiftleft(1L, cast(p % 64 as int))) != 0)"
+        f"forall({ps_col}, p -> (coalesce(element_at({bm_col},"
+        " cast(p / 64 as bigint)), 0L)"
+        " & shiftleft(1L, cast(p % 64 as int))) != 0)"
     )
     return (
-        df.withColumn("_ps", _positions(F.col(key_col), m_bits, k))
+        df.withColumn(ps_col, _positions(F.col(key_col), m_bits, k))
         .join(F.broadcast(one_row))
         .filter(member)
-        .drop("_ps", "_bm")
+        .drop(ps_col, bm_col)
     )

@@ -37,18 +37,31 @@ def merge_upsert(base: DataFrame, updates: DataFrame,
             f"merge_upsert needs identical schemas, got {cols} vs "
             f"{updates.columns}"
         )
-    b = base.alias("b")
-    u = updates.alias("u")
+    # Side presence is tracked with literal flags, not key nullness: a
+    # NULL merge key never matches the equality join, so keying presence
+    # off u.<key>.isNotNull() would let a NULL-key update row collapse
+    # into an all-NULL "kept" row. With the flag it is detected as an
+    # update row whose key is NULL, and — like MERGE itself — rejected,
+    # lazily via raise_error so no extra validation job runs.
+    b = base.withColumn("_b_present", F.lit(True)).alias("b")
+    u = updates.withColumn("_u_present", F.lit(True)).alias("u")
     joined = b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer")
-    has_update = F.col(f"u.{key}").isNotNull()
-    has_base = F.col(f"b.{key}").isNotNull()
+    has_update = F.coalesce(F.col("u._u_present"), F.lit(False))
+    has_base = F.coalesce(F.col("b._b_present"), F.lit(False))
     picked = [
         F.when(has_update, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}"))
         .alias(c)
         for c in cols
     ]
     action = (
-        F.when(has_update & has_base, F.lit("updated"))
+        F.when(
+            has_update & F.col(f"u.{key}").isNull(),
+            F.raise_error(F.lit(
+                "merge_upsert: NULL merge key in updates — MERGE requires "
+                "non-NULL keys"
+            )),
+        )
+        .when(has_update & has_base, F.lit("updated"))
         .when(has_update, F.lit("inserted"))
         .otherwise(F.lit("kept"))
         .alias("merge_action")

@@ -47,49 +47,14 @@ from . import relational3  # noqa: E402,F401
 _WINDOW = 50
 
 PRIORITY_THIS_ROUND = [
-    # round 4: int8 quantization + quantized top-k + semantic dedup
-    # (landed after the r3 gate ran, so first gated this round)
-    "embedding_quantize_int8",
-    "embedding_quantized_topk",
-    "embedding_semantic_dedup",
-    "doc_decontaminate_bloom",
-    "multimodal_audio_windows",
-    "multimodal_image_resize",
-    "pivot_status_revenue_by_priority",
-    "unpivot_nation_balance_metrics",
-    "corr_qty_price_by_flag",
-    "udaf_weighted_avg_price_by_flag",
-    "udtf_top_bigrams",
-    "doc_incremental_dedup",
-    "merge_upsert_customers",
-    "percent_rank_supplier_balance",
-    "event_training_sequences",
-    "doc_bpe_merge_step",
-    "embedding_hard_negatives",
-    "doc_curation_funnel",
-    "doc_pmi_pairs",
-    "doc_top_quality_per_source",
-    # round 4: the events ts loader changed (timestamp[us] fixture layout,
-    # also after the r3 gate) — every events-consuming query re-gates now
-    "platform_usage_by_user_bucket",
-    "platform_usage_monthly",
-    "asof_last_order_before_event",
-    "top10_event_types_daily",
-    "left_join_missing_dim",
-    "sessionize_events",
-    "distinct_event_days",
-    "dedup_latest_event_per_user_type",
-    "count_distinct_users_per_type",
-    "approx_distinct_users_per_type",
-    "intersect_event_users_customers",
-    "substring_time_parts",
-    "sql_udf_usage_percent",
-    "json_props_extract",
-    "date_trunc_weekly_activity",
-    "range_join_cooccurring_events",
-    "collect_set_event_types_per_user",
-    "max_by_latest_event_value",
-    "session_window_batch",
+    # round 5 pins: queries whose implementation changed this round; all
+    # r4 pins pruned per the rotation policy (gated green in
+    # CORRECTNESS_r04.json, code untouched since).
+    "merge_upsert_customers",      # NULL-key guard via presence flags
+    "doc_decontaminate_bloom",     # bloom_probe collision-free temp names
+    "embedding_hard_negatives",    # query-side cluster assignment
+    "udtf_top_bigrams",            # NULL-text guard in eval
+    "doc_bpe_merge_step",          # bpe_apply_step short-doc union (shared core)
 ]
 
 

@@ -605,6 +605,8 @@ def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="bigram string, n bigint, rank int")
     class TopBigrams:
         def eval(self, text: str):
+            if text is None:  # NULL text ⇒ no bigrams (matches the oracle)
+                return
             toks = text.strip().split()
             counts: dict[str, int] = {}
             for a, b in zip(toks, toks[1:]):

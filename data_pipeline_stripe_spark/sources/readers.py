@@ -15,6 +15,8 @@ explicit schema, and callers broadcast-join them.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterable, Mapping
 from typing import Any
 
@@ -176,11 +178,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # as ONE partition and every map-side stage runs on one core. A
         # production layout (many files / row groups) wouldn't need this;
         # here we rebalance fact tables up to the session's parallelism.
-        # The probe result is memoized — static files don't change.
+        # The probe counts parquet files on disk (no Spark job, no ``.rdd``
+        # plan materialization) and memoizes by path — static files don't
+        # change, and the key has no session identity to go stale.
         target = spark.sparkContext.defaultParallelism
-        key = (id(spark), sf_dir, name)
+        key = (sf_dir, name)
         if key not in _NEEDS_REBALANCE:
-            _NEEDS_REBALANCE[key] = df.rdd.getNumPartitions() < max(2, target // 2)
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.isdir(path):
+                n_files = sum(
+                    1 for f in os.listdir(path) if f.endswith(".parquet")
+                )
+            else:
+                n_files = 1
+            _NEEDS_REBALANCE[key] = n_files < max(2, target // 2)
         if _NEEDS_REBALANCE[key]:
             df = df.repartition(target)
     return df
