@@ -21,6 +21,7 @@ from . import stripe  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
+from . import io_roundtrip  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation policy
@@ -55,6 +56,11 @@ PRIORITY_THIS_ROUND = [
     "embedding_hard_negatives",    # query-side cluster assignment
     "udtf_top_bigrams",            # NULL-text guard in eval
     "doc_bpe_merge_step",          # bpe_apply_step short-doc union (shared core)
+    # round 5: new S1/K1-K3 source/sink round-trip queries
+    "events_json_blob_agg",
+    "top10_csv_roundtrip",
+    "usage_parquet_roundtrip",
+    "royalties_json_roundtrip",
 ]
 
 
