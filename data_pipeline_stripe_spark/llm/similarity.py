@@ -204,13 +204,24 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
 
 def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            quant: int | None = None) -> DataFrame:
     """Same semantics as ``brute_force_topk``, implemented as an
     Arrow-batched ``mapInPandas`` numpy kernel: the (small) query matrix is
     a broadcast variable; each corpus partition streams through a single
     matrix-matrix product. This is the pattern for vector math too wide
     for expression codegen — per-batch BLAS instead of per-row Python.
-    Returns (query_id, neighbor_id, similarity, rank)."""
+    Returns (query_id, neighbor_id, similarity, rank).
+
+    ``quant`` selects the determinism mode. None → float64 BLAS: fastest,
+    but summation order inside the matmul makes the last ulp (and a
+    similarity sitting on a round boundary) platform-dependent, so there
+    is no cross-engine oracle. An integer (e.g. ``RP_QUANT``) → vectors
+    quantize to integer ``1/quant``-ths and the dot products run as int64
+    matmuls: every partial is an integer below 2^53, so the result is
+    EXACT and order-independent — bit-identical to any other engine that
+    quantizes the same way (the RP-LSH signature trick applied to the
+    dense kernel), at the cost of the non-BLAS integer matmul path."""
     import numpy as np
     import pandas as pd
 
@@ -218,17 +229,35 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
     q_rows = queries.select(id_col, vec_col).collect()  # queries are small
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    if quant is None:
+        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q_norms = None
+    else:
+        # Half-away-from-zero, matching Spark F.round / DuckDB ROUND
+        # (np.round is half-even).
+        q_mat = (np.sign(q_mat)
+                 * np.floor(np.abs(q_mat) * quant + 0.5)).astype(np.int64)
+        q_norms = (q_mat * q_mat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
 
     def score(batches):
-        ids, mat = bc.value
+        ids, mat, qn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            c /= np.linalg.norm(c, axis=1, keepdims=True)
-            sims = c @ mat.T  # (batch, n_queries)
+            if quant is None:
+                c /= np.linalg.norm(c, axis=1, keepdims=True)
+                sims = c @ mat.T  # (batch, n_queries)
+            else:
+                ci = (np.sign(c)
+                      * np.floor(np.abs(c) * quant + 0.5)).astype(np.int64)
+                cn = (ci * ci).sum(axis=1)
+                dots = ci @ mat.T  # int64: exact, order-independent
+                sims = dots / np.sqrt(
+                    cn[:, None].astype(np.float64)
+                    * qn[None, :].astype(np.float64)
+                )
             n, m = sims.shape
             yield pd.DataFrame({
                 "query_id": np.tile(ids, n),

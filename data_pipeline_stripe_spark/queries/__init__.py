@@ -61,6 +61,9 @@ PRIORITY_THIS_ROUND = [
     "top10_csv_roundtrip",
     "usage_parquet_roundtrip",
     "royalties_json_roundtrip",
+    # round 5: rows-only → oracle-backed (transcription / quantized kernel)
+    "embedding_ivf_topk",
+    "embedding_topk_cosine_pandas",
 ]
 
 

@@ -159,16 +159,49 @@ def embedding_cosine_near_dup_bucketed(spark: SparkSession,
                                                n_probes=2)
 
 
-@query("embedding_topk_cosine_pandas", oracle=None)  # float-sum order differs
+_QCOS = (
+    "list_inner_product(a.q, b.q) / "
+    "sqrt(list_inner_product(a.q, a.q) * list_inner_product(b.q, b.q))"
+)
+
+
+@query(
+    "embedding_topk_cosine_pandas",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> ROUND(x * {similarity.RP_QUANT})) AS q
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_QCOS}, 6) AS similarity
+        FROM e a JOIN e b ON a.vec_id < 8 AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, similarity, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def embedding_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 alternative implementation: the same exact top-5 search as
+    """X3 alternative implementation: the same top-5 search as
     embedding_topk_cosine, as an Arrow-batched numpy matrix kernel
-    (mapInPandas). No SQL oracle — BLAS summation order differs from the
-    sequential-loop oracle at the last ulp; the unit test instead asserts
-    neighbor-set equality against the JVM implementation."""
+    (mapInPandas) — run in integer-quantized mode (millionths), where
+    every dot-product partial is an integer below 2^53, so the kernel is
+    exact and summation-order-independent and a cross-engine oracle CAN
+    hash-check it (the float64-BLAS mode keeps no oracle: its last ulp
+    depends on matmul blocking order). The oracle quantizes identically
+    in SQL. Neighbor-set equality with the JVM exact baseline remains
+    separately asserted in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk_pandas(
-        emb, emb.filter(F.col("vec_id") < 8), k=5
+        emb, emb.filter(F.col("vec_id") < 8), k=5,
+        quant=similarity.RP_QUANT,
     )
 
 
@@ -211,11 +244,59 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_step(emb, cents)
 
 
-@query("embedding_ivf_topk", oracle=None)  # approximate: recall<1 vs exact oracle
+@query(
+    "embedding_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < 4),
+    scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               ROUND(list_inner_product(c.cv, e.v)
+                     / sqrt(list_inner_product(c.cv, c.cv)
+                            * list_inner_product(e.v, e.v)), 6) AS c_sim
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_sim DESC, cluster_id) AS rn
+            FROM scored) WHERE rn = 1
+    ),
+    qprobes AS (
+        SELECT vec_id AS query_id, cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_sim DESC, cluster_id) AS rn
+            FROM scored WHERE vec_id < 8) WHERE rn <= 2
+    ),
+    pairs AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_inner_product(eq.v, en.v)
+                     / sqrt(list_inner_product(eq.v, eq.v)
+                            * list_inner_product(en.v, en.v)), 6) AS similarity
+        FROM qprobes p
+        JOIN assign a ON p.cluster_id = a.cluster_id
+        JOIN e eq ON eq.vec_id = p.query_id
+        JOIN e en ON en.vec_id = a.vec_id
+        WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, similarity, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: IVF-bucketed approximate top-k with 2 probes per query.
-    Approximate by construction, so no SQL oracle — the unit test checks
-    validity against the brute-force baseline instead."""
+    Approximate vs the EXACT baseline (recall < 1 by construction), but
+    fully deterministic given the fixed centroids — so the oracle mirrors
+    the bucketing itself (corpus argmax assignment, 2 query probes,
+    exact cosine on candidates), the same transcription-check pattern as
+    embedding_cosine_near_dup_bucketed. Recall vs the exact baseline is
+    asserted independently in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
