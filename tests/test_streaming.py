@@ -178,3 +178,97 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, stream_dir):
     b = {(r.event_id, r.event_type, r.category) for r in batch.collect()}
     s = {(r.event_id, r.event_type, r.category) for r in out.collect()}
     assert s == b and len(s) == batch.count()
+
+
+@pytest.fixture(scope="module")
+def multi_batch_dir(tmp_path_factory, sf_dir):
+    """Events split into 4 time-ordered parquet files with ascending
+    mtimes, so the file source (maxFilesPerTrigger=1, oldest-first)
+    replays them as 4 separate micro-batches — state genuinely crosses
+    batch boundaries, unlike the single-file stream_dir fixture."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_multibatch")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.sort_by("ts")
+    n = tbl.num_rows
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    now = time.time()
+    for i in range(4):
+        path = str(d / f"part-{i:04d}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (now + i, now + i))  # force oldest-first order
+    return str(d)
+
+
+def test_stateful_totals_carry_state_across_micro_batches(
+        spark, sf_dir, multi_batch_dir):
+    """Batch parity for applyInPandasWithState where the state MUST
+    survive micro-batch boundaries: the stream arrives as 4 time-ordered
+    files consumed one per trigger, so a key's totals only match the
+    batch groupBy if GroupState accumulated across all 4 batches."""
+    stream = streaming.read_event_stream(spark, multi_batch_dir,
+                                         max_files_per_trigger=1)
+    out = streaming.stateful_running_totals(stream)
+    streaming.run_to_memory(out, "running_totals_mb", output_mode="update")
+    emissions = spark.sql("SELECT * FROM running_totals_mb")
+    # every key appears in each of the 4 batches at this fixture size —
+    # multiple emissions per key prove the operator really ran
+    # incrementally, not in one collapsed batch
+    per_key = {
+        r.event_type: r.n
+        for r in emissions.groupBy("event_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert per_key and all(n > 1 for n in per_key.values())
+    final = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT event_type, n_events, total_value FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+            "         ORDER BY n_events DESC) AS rn FROM running_totals_mb"
+            ") WHERE rn = 1").collect()
+    }
+    batch = {
+        r.event_type: (r.n, round(r.v, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_attribution_full_row_parity_across_micro_batches(
+        spark, sf_dir, multi_batch_dir):
+    """Stream-stream attribution over 4 micro-batches must reproduce the
+    batch twin ROW FOR ROW (ids, user and both timestamps) — join state
+    buffered from earlier batches has to pair with purchases arriving
+    later, and the watermark must not evict anything still inside the
+    30-minute attribution window."""
+    s1 = streaming.read_event_stream(spark, multi_batch_dir,
+                                     max_files_per_trigger=1)
+    s2 = streaming.read_event_stream(spark, multi_batch_dir,
+                                     max_files_per_trigger=1)
+    joined = streaming.purchase_click_attribution(
+        s1.filter(F.col("event_type") == "purchase"),
+        s2.filter(F.col("event_type") == "click"),
+    )
+    streaming.run_to_memory(joined, "attribution_mb", output_mode="append")
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.p_ts, r.c_ts)
+        for r in spark.sql("SELECT * FROM attribution_mb").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = streaming.purchase_click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    expected = {
+        (r.purchase_id, r.click_id, r.user_id, r.p_ts, r.c_ts)
+        for r in batch.collect()
+    }
+    assert got == expected and len(expected) > 0
