@@ -10,14 +10,20 @@ decode for every self-describing format parseable without media libraries:
 - **WAV** (PCM16): full sample decode/encode via a hand-rolled RIFF chunk
   walk (``decode_wav`` / ``encode_wav_pcm16``); tests cross-check against
   the stdlib ``wave`` module.
-- **PNG / GIF / JPEG**: header parse for dimensions
+- **GIF (incl. animated)**: full frame decode/encode — a hand-rolled
+  GIF89a LZW codec (variable-width codes, CLEAR/EOI, 4096-entry table
+  reset) plus the container block walk (``encode_gif`` /
+  ``decode_gif_frames``); ``sample_video_frames`` builds on it as the
+  real multi-frame (video-class) sampling path.
+- **PNG / JPEG**: header parse for dimensions
   (``decode_image_real`` dispatches on magic bytes).
 
-Compressed *pixel* decode (PNG IDAT, JPEG entropy, video codecs) would
-need PIL/opencv/ffmpeg, which this container lacks — those payloads get
-correct dimensions from the header parse and a clear ``ValueError``
-(never a wrong answer) from the pixel-level APIs. The deterministic fake
-decoder remains for opaque test fixtures whose payloads are not media.
+Compressed *pixel* decode for PNG IDAT / JPEG entropy / true video
+codecs (mp4/webm) would need PIL/opencv/ffmpeg, which this container
+lacks — those payloads get correct dimensions from the header parse and
+a clear ``ValueError`` (never a wrong answer) from the pixel-level APIs.
+The deterministic fake decoder remains for opaque test fixtures whose
+payloads are not media.
 """
 
 from __future__ import annotations
@@ -288,17 +294,243 @@ FRAME_SAMPLE_SCHEMA = T.StructType([
 ])
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 10,
-                        decoder: str = "fake") -> DataFrame:
-    """Frame sampling for video payloads — one output row per sampled
-    frame (1→N flatMap shape via mapInPandas). The fake decoder treats
-    every ``every_n`` bytes of the payload as one 'frame'; a real decoder
-    (ffmpeg/opencv — not in this image) would replace only the inner
-    function, the batch flow is identical."""
-    if decoder != "fake":  # pragma: no cover
-        raise NotImplementedError(
-            "video decode requires ffmpeg/opencv, not present in this "
-            "environment; use decoder='fake' for plumbing tests")
+# -- GIF (animated): real LZW codec + block-structure walk ------------------
+#
+# Animated GIF is the one multi-frame video-class container decodable
+# without media libraries: palette frames, LZW-compressed index streams,
+# everything struct-parseable. The codec below implements GIF89a LZW
+# (variable code width mcs+1..12 bits, LSB-first packing, CLEAR/EOI,
+# table reset at 4096) and the container walk (logical screen descriptor,
+# global color table, extension skip, image descriptors, sub-block
+# stitching). Encoder and decoder grow code width on the same schedule
+# (after the insert that makes code 2^width assignable), the standard
+# giflib behavior.
+
+
+def _lzw_encode(indices: "np.ndarray | bytes", min_code_size: int) -> bytes:
+    """GIF-flavor LZW over palette indices (each < 2**min_code_size)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    buf = b""
+    for k in bytes(bytearray(int(i) for i in indices)):
+        cand = buf + bytes([k])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        # The decoder's insert for this entry happens only after it reads
+        # the NEXT code, so its table lags ours by one — grow the width
+        # one insert AFTER the power-of-two boundary, not at it.
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = bytes([k])
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of ``_lzw_encode``; handles the cScSc (code == next_code)
+    case and in-stream table resets. Raises ValueError on corrupt input."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = clear + 2
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerate a missing EOI
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = clear + 2
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(frames: list[np.ndarray], palette: np.ndarray) -> bytes:
+    """Animated GIF89a from palette-index frames.
+
+    ``frames``: uint8 arrays (h, w) of indices into ``palette`` (n, 3)
+    uint8 RGB, n a power of two in 2..256. Full-frame images, one global
+    color table, no interlace/transparency — the subset
+    ``decode_gif_frames`` walks back."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    n = len(palette)
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette size must be a power of two >= 2")
+    depth = (n - 1).bit_length()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    # GCT present | color resolution (depth-1) | GCT size field (depth-1)
+    out.append(0x80 | ((depth - 1) << 4) | (depth - 1))
+    out += b"\x00\x00"  # background index, aspect
+    for r, g, b in palette:
+        out += bytes((int(r), int(g), int(b)))
+    mcs = max(2, depth)
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        out.append(0x2C)  # image descriptor
+        out += struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0)     # no local color table, not interlaced
+        out.append(mcs)
+        data = _lzw_encode(fr.ravel(), mcs)
+        for off in range(0, len(data), 255):
+            chunk = data[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)     # block terminator
+    out.append(0x3B)      # trailer
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[int, int, np.ndarray, list[np.ndarray]]:
+    """Walk a GIF payload into (width, height, palette, frames): real
+    LZW decode of every image block. Extensions (GCE, comments, app
+    blocks) are skipped structurally; interlaced images and local color
+    tables are rejected with a typed error rather than a wrong answer."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    gct_n = 2 << (packed & 0x07)
+    palette = np.frombuffer(
+        payload[pos:pos + 3 * gct_n], dtype=np.uint8
+    ).reshape(gct_n, 3).copy()
+    pos += 3 * gct_n
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
+            pos += 8
+            ipacked = payload[pos]
+            pos += 1
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise ValueError("partial-frame GIF images unsupported")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                pos += 1
+                data += payload[pos:pos + ln]
+                pos += ln
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(bytes(data), mcs), dtype=np.uint8)
+            if len(idx) < fw * fh:
+                raise ValueError("truncated GIF frame data")
+            frames.append(idx[: fw * fh].reshape(fh, fw))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    return w, h, palette, frames
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling over animated-GIF video payloads — one output
+    row per sampled frame (1→N flatMap shape via mapInPandas): each
+    payload is block-walked and LZW-decoded (``decode_gif_frames``),
+    every ``every_n``-th frame is palette-expanded to RGB and re-encoded
+    as a standalone 24-bit BMP, so downstream image operators consume
+    frames like any other image payload. For payload formats that need
+    ffmpeg/opencv (mp4/webm — not in this container) the decode raises a
+    typed ValueError; byte-level chunking without decode lives under its
+    honest name, ``sample_payload_chunks``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, palette, frames = decode_gif_frames(bytes(payload))
+                for fi in range(0, len(frames), every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["frame_bytes"].append(
+                        encode_bmp(palette[frames[fi]]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def sample_payload_chunks(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Byte-level payload chunking (NO decode): every ``every_n`` bytes
+    of the opaque payload becomes one row. The generic 1→N flatMap
+    plumbing for payloads the container can't decode — honestly named so
+    nothing implies video semantics."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -64,6 +64,8 @@ PRIORITY_THIS_ROUND = [
     # round 5: rows-only → oracle-backed (transcription / quantized kernel)
     "embedding_ivf_topk",
     "embedding_topk_cosine_pandas",
+    # round 5: real animated-GIF frame sampling
+    "multimodal_video_frame_sample",
 ]
 
 

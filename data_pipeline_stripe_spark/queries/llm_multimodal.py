@@ -250,3 +250,94 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_wav_signal_media(docs)
     return multimodal.extract_audio_windows(media, window=32)
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """One real animated GIF per doc: 8×6 frames, n_frames = 4 + id%5,
+    a 4-color global palette with color c = ((37c+11), (59c+23),
+    (83c+47)) mod 256, and pixel (x, y) of frame f holding palette index
+    (doc_id + f + x + 2y) % 4 — every pixel of every frame predictable
+    by arithmetic alone, so frame extraction can be verified without the
+    oracle ever touching GIF bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = np.arange(4)
+        palette = np.stack([(37 * c + 11) % 256, (59 * c + 23) % 256,
+                            (83 * c + 47) % 256], axis=1).astype(np.uint8)
+        y, x = np.ogrid[0:6, 0:8]
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = [((i + f + x + 2 * y) % 4).astype(np.uint8)
+                          for f in range(4 + i % 5)]
+                ids.append(i)
+                payloads.append(multimodal.encode_gif(frames, palette))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+
+
+_FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("r_sum", T.LongType()),
+    T.StructField("g_sum", T.LongType()),
+    T.StructField("b_sum", T.LongType()),
+])
+
+
+@query(
+    "multimodal_video_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n_frames FROM documents),
+    f AS (SELECT doc_id, fi
+          FROM d, unnest(range(0, n_frames)) AS t(fi)
+          WHERE fi % 2 = 0),
+    px AS (SELECT doc_id, fi, (doc_id + fi + x + 2 * y) % 4 AS c
+           FROM f, unnest(range(0, 8)) AS tx(x),
+                   unnest(range(0, 6)) AS ty(y))
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(8 AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           CAST(SUM((37 * c + 11) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((59 * c + 23) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((83 * c + 47) % 256) AS BIGINT) AS b_sum
+    FROM px GROUP BY doc_id, fi
+    """,
+)
+def multimodal_video_frame_sample(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """X5 real video-class decode: encode an animated GIF per document
+    (LZW-compressed palette frames, llm/multimodal.py), block-walk and
+    LZW-decode it back, sample every 2nd frame, re-encode each sampled
+    frame as a standalone BMP (sample_video_frames), then BMP-decode the
+    frames AGAIN for per-channel integer sums — the whole
+    GIF-encode → LZW-decode → frame-sample → BMP-encode → BMP-decode
+    chain is under test against an oracle that replays the pixel formula
+    arithmetically and never touches media bytes. All outputs are exact
+    integers."""
+
+    def frame_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height",
+                                   "r_sum", "g_sum", "b_sum")}
+            for doc_id, fi, fb in zip(pdf["doc_id"], pdf["frame_idx"],
+                                      pdf["frame_bytes"]):
+                rgb = multimodal.decode_bmp_pixels(bytes(fb)).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(int(fi))
+                out["height"].append(rgb.shape[0])
+                out["width"].append(rgb.shape[1])
+                out["r_sum"].append(int(rgb[:, :, 0].sum()))
+                out["g_sum"].append(int(rgb[:, :, 1].sum()))
+                out["b_sum"].append(int(rgb[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_gif_media(docs)
+    frames = multimodal.sample_video_frames(media, every_n=2)
+    return frames.mapInPandas(frame_stats, _FRAME_STATS_SCHEMA)

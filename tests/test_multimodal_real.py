@@ -286,3 +286,73 @@ def test_resize_bmp_nearest_neighbor_known_mapping(spark):
         mm.resize_bmp_images(media, width=1, height=1)
         .collect()[0].payload))
     assert np.array_equal(down, src[:1, :1])
+
+
+# -- GIF (animated): LZW codec + frame walk ---------------------------------
+
+@pytest.mark.parametrize("n_colors,w,h,nf", [(2, 3, 3, 1), (4, 8, 6, 5),
+                                             (16, 50, 40, 3), (256, 64, 64, 2)])
+def test_gif_roundtrip_random_frames(n_colors, w, h, nf):
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    frames = [rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+              for _ in range(nf)]
+    gif = mm.encode_gif(frames, pal)
+    assert mm.sniff_media_format(gif) == "gif"
+    assert mm.decode_image_real(gif) == (w, h)
+    dw, dh, dpal, dframes = mm.decode_gif_frames(gif)
+    assert (dw, dh) == (w, h) and len(dframes) == nf
+    np.testing.assert_array_equal(dpal[:n_colors], pal)
+    for a, b in zip(frames, dframes):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gif_lzw_table_reset_on_large_frame():
+    # 60k pixels of 2-color noise exhausts the 4096-entry LZW table
+    # several times; the in-stream CLEAR/reset path must round-trip.
+    frame = rng.integers(0, 2, (200, 300), dtype=np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    _, _, _, frames = mm.decode_gif_frames(mm.encode_gif([frame], pal))
+    np.testing.assert_array_equal(frames[0], frame)
+
+
+def test_gif_lzw_repetitive_input_cscsc_case():
+    # long runs drive the decoder through code == next_code (cScSc)
+    frame = np.tile(np.array([0, 0, 0, 1, 1, 0, 0, 1], dtype=np.uint8),
+                    (64, 16))
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    _, _, _, frames = mm.decode_gif_frames(mm.encode_gif([frame], pal))
+    np.testing.assert_array_equal(frames[0], frame)
+
+
+def test_gif_extension_blocks_are_skipped():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    frame = rng.integers(0, 2, (4, 5), dtype=np.uint8)
+    gif = bytearray(mm.encode_gif([frame], pal))
+    # splice a Graphic Control Extension before the image descriptor
+    idesc = gif.index(0x2C)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x0A, 0x00, 0x00, 0x00])
+    gif[idesc:idesc] = gce
+    _, _, _, frames = mm.decode_gif_frames(bytes(gif))
+    np.testing.assert_array_equal(frames[0], frame)
+
+
+def test_gif_rejects_interlace_and_non_gif():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    gif = bytearray(mm.encode_gif(
+        [np.zeros((2, 2), dtype=np.uint8)], pal))
+    idesc = gif.index(0x2C)
+    gif[idesc + 9] |= 0x40  # set interlace flag
+    with pytest.raises(ValueError, match="interlaced"):
+        mm.decode_gif_frames(bytes(gif))
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm.decode_gif_frames(b"RIFFxxxxWAVE")
+
+
+def test_gif_encode_validates_palette_and_frame_shape():
+    with pytest.raises(ValueError, match="power of two"):
+        mm.encode_gif([np.zeros((2, 2), dtype=np.uint8)],
+                      np.zeros((3, 3), dtype=np.uint8))
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    with pytest.raises(ValueError, match="share the logical screen"):
+        mm.encode_gif([np.zeros((2, 2), dtype=np.uint8),
+                       np.zeros((3, 2), dtype=np.uint8)], pal)

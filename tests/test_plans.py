@@ -66,6 +66,7 @@ PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
              # stage IS the operator under test
              "multimodal_bmp_roundtrip", "multimodal_wav_roundtrip",
              "multimodal_audio_windows", "multimodal_image_resize",
+             "multimodal_video_frame_sample",
              # UDAF/UDTF surface proofs: the Python stage IS the operator
              "udaf_weighted_avg_price_by_flag", "udtf_top_bigrams"}
 NONEQUI_OK = {

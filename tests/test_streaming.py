@@ -72,7 +72,7 @@ def test_multimodal_frame_sampling_and_resize(spark, sf_dir):
 
     docs = lt(spark, sf_dir, "documents").limit(20)
     media = multimodal.attach_binary_payload(docs)
-    frames = multimodal.sample_video_frames(media, every_n=50)
+    frames = multimodal.sample_payload_chunks(media, every_n=50)
     per_doc = {r.doc_id: r.cnt for r in
                frames.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
     sizes = {r.doc_id: r.n_bytes for r in media.collect()}
