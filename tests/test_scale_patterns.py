@@ -130,3 +130,49 @@ def test_parquet_aggregate_pushdown_footer_stats(spark, sf_dir):
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushDown", "false")
+
+
+def test_hot_key_caps_fire_on_boilerplate_cluster(spark):
+    """The skewed-corpus shape (tools/make_skewed_fixture.py, benched in
+    tools/bench_skew.py): a boilerplate cluster larger than the caps.
+    Pins that (a) the LSH bucket cap and the shingle document-frequency
+    cap actually CHANGE the candidate set there — dropping the
+    cluster's quadratic pairs whole — and (b) pairs between normal
+    docs survive unaffected, so the cap only removes the blowup."""
+    from data_pipeline_stripe_spark.llm import dedup
+
+    template = ("all rights reserved this page is part of the site "
+                "archive and may not be reproduced without permission "
+                "of the publisher")
+    rows = []
+    # 100 byte-identical boilerplate docs: identical shingle sets means
+    # identical signatures, so every LSH band has one 100-doc bucket
+    # (> the 64 cap) and every template shingle has df=100 (> the cap)
+    for i in range(100):
+        rows.append((i, template))
+    # 2 exact-duplicate normal docs: a legitimate pair the caps must keep
+    normal = "quick brown fox jumps over the lazy dog again and again"
+    rows.append((1000, normal))
+    rows.append((1001, normal))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket_size=64)
+    uncapped = dedup.minhash_lsh_pairs(docs, max_bucket_size=None)
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    uncapped_pairs = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    # the cap drops every >64-doc bucket whole: the cluster's C(100,2)
+    # quadratic pair set disappears entirely...
+    assert not any(a < 1000 and b < 1000 for a, b in capped_pairs)
+    assert sum(
+        1 for a, b in uncapped_pairs if a < 1000 and b < 1000) == 4950
+    # ...but keeps the normal near-dup pair
+    assert (1000, 1001) in capped_pairs
+    assert len(capped_pairs) < len(uncapped_pairs)
+
+    jc = dedup.ngram_jaccard_pairs(docs, max_doc_freq=64)
+    ju = dedup.ngram_jaccard_pairs(docs, max_doc_freq=None)
+    jc_pairs = {(r.doc_a, r.doc_b) for r in jc.collect()}
+    ju_pairs = {(r.doc_a, r.doc_b) for r in ju.collect()}
+    assert not any(a < 1000 and b < 1000 for a, b in jc_pairs)
+    assert sum(1 for a, b in ju_pairs if a < 1000 and b < 1000) == 4950
+    assert (1000, 1001) in jc_pairs
