@@ -88,12 +88,52 @@ def main() -> None:
     timings = {name: round(best_of(name), 3) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
 
+    # Partitioned sink timings (compute + write, one job per report) —
+    # the rebuild's headline claim vs the reference's per-value driver
+    # loops (top10.py:260-278 CSV, platform_usage.py:234-239 parquet,
+    # royalties.py:317 JSONL). Kept OUT of `value` so the headline total
+    # stays comparable across rounds; tabulated in BENCH_DIFF.md §sinks.
+    import shutil
+
+    from data_pipeline_stripe_spark.pipelines.platform_usage import (
+        write_usage_parquet,
+    )
+    from data_pipeline_stripe_spark.pipelines.royalties import (
+        write_royalties_json,
+    )
+    from data_pipeline_stripe_spark.pipelines.top10 import write_top10_csv
+
+    sink_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_sinks"
+    )
+    shutil.rmtree(sink_root, ignore_errors=True)
+
+    def timed_sink(fn) -> float:
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 3)
+
+    top10 = REGISTRY["top10_event_types_daily"].fn(
+        spark, sf_dir).withColumnRenamed("day", "date")
+    usage = REGISTRY["platform_usage_monthly"].fn(spark, sf_dir)
+    royal = REGISTRY["royalties_monthly_usd"].fn(spark, sf_dir)
+    sinks = {
+        "write_top10_csv_partitioned": timed_sink(
+            lambda: write_top10_csv(top10, f"{sink_root}/top10")),
+        "write_usage_parquet_partitioned": timed_sink(
+            lambda: write_usage_parquet({"monthly": usage},
+                                        f"{sink_root}/usage")),
+        "write_royalties_jsonl": timed_sink(
+            lambda: write_royalties_json(royal, f"{sink_root}/royalties")),
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sinks": sinks,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf_dir,
     }))
     spark.stop()
