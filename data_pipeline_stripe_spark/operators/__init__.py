@@ -5,6 +5,7 @@ Pandas UDF second, mapPartitions last)."""
 from .asof import asof_join
 from .grouped import zscore_per_group_native, zscore_per_group_pandas
 from .range_join import range_join
+from .scd import scd2_from_changes
 from .skew import salted_join, two_phase_agg
 
 __all__ = [

@@ -66,6 +66,10 @@ PRIORITY_THIS_ROUND = [
     "embedding_topk_cosine_pandas",
     # round 5: real animated-GIF frame sampling
     "multimodal_video_frame_sample",
+    # round 5: new operators — PQ-ADC top-k, SCD2 history, MERGE write half
+    "embedding_pq_topk",
+    "scd2_customer_priority_history",
+    "merge_upsert_write_roundtrip",
 ]
 
 

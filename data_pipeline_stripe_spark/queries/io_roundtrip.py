@@ -235,3 +235,75 @@ def royalties_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_royalties_json(report, out)
     back = spark.read.schema(_ROYALTIES_JSON_SCHEMA).json(out)
     return back.select("month", "provider", "royalty_usd")
+
+
+@query(
+    "merge_upsert_write_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               ROUND(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM customer
+    ), upd AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        FROM base WHERE c_custkey % 7 = 0 AND c_nationkey < 10
+        UNION ALL
+        SELECT c_custkey + 10000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+               c_nationkey, c_acctbal, 'MACHINERY'
+        FROM base WHERE c_custkey % 11 = 0 AND c_nationkey < 10
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+           COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+    FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert_write_roundtrip(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The MERGE story's write half (README lakehouse note): the base
+    table lives partitioned by nation on disk; an update batch touching
+    ONLY nations < 10 merges in (operators/merge.py) and is written back
+    with DYNAMIC partition overwrite — only the dirty nations' partition
+    directories are rewritten, the other partitions keep the bytes of
+    the original write. The returned frame re-reads the whole table, so
+    a hash match against the merged-state oracle proves the two writes
+    composed into exactly the upserted table — the incremental-upsert
+    layout plain parquet supports without table-format jars."""
+    from ..operators.merge import merge_upsert
+
+    out = _scratch(sf_dir, "merge_upsert_write_roundtrip")
+    base = load_table(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", F.round("c_acctbal", 2)
+    )
+    base.write.mode("overwrite").partitionBy("c_nationkey").parquet(out)
+    dirty = F.col("c_nationkey") < 10
+    updates = (
+        base.filter((F.col("c_custkey") % 7 == 0) & dirty)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+        .unionByName(
+            base.filter((F.col("c_custkey") % 11 == 0) & dirty).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string"))
+                .alias("c_name"),
+                "c_nationkey",
+                "c_acctbal",
+                F.lit("MACHINERY").alias("c_mktsegment"),
+            )
+        )
+    )
+    merged = merge_upsert(base, updates, "c_custkey").drop("merge_action")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.filter(dirty).write.mode("overwrite").partitionBy(
+            "c_nationkey").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    back = spark.read.parquet(out)
+    return back.select(
+        "c_custkey", "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_acctbal", "c_mktsegment",
+    )

@@ -586,3 +586,57 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(
         emb, emb.filter(F.col("vec_id") < 8), cents, k=5
     )
+
+
+@query(
+    "embedding_pq_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                          x -> CAST(ROUND(x / sqrt(list_inner_product(
+                                   embedding::DOUBLE[], embedding::DOUBLE[]))
+                               * 1000000) AS BIGINT)) AS qv
+               FROM embeddings),
+    sub AS (SELECT vec_id, m, qv[m*16+1 : (m+1)*16] AS sv
+            FROM e, unnest(range(0, 4)) AS t(m)),
+    cents AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16),
+    dist AS (SELECT s.vec_id, s.m, c.cid,
+                    CAST(list_inner_product(s.sv, s.sv)
+                         - 2 * list_inner_product(s.sv, c.cv)
+                         + list_inner_product(c.cv, c.cv) AS BIGINT) AS d
+             FROM sub s JOIN cents c ON s.m = c.m),
+    codes AS (SELECT vec_id, m, cid AS code FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+                 FROM dist) WHERE rn = 1),
+    adc AS (SELECT qd.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   CAST(SUM(qd.d) AS BIGINT) AS approx_dist
+            FROM codes x JOIN dist qd ON qd.m = x.m AND qd.cid = x.code
+            WHERE qd.vec_id < 8 AND qd.vec_id <> x.vec_id
+            GROUP BY 1, 2),
+    ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rank
+               FROM adc)
+    SELECT query_id, neighbor_id, approx_dist, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 compression tier: product-quantization (4 subspaces × 16-dim,
+    codebooks = the vec_id < 16 vectors' subvectors) + asymmetric
+    distance top-5 for queries vec_id < 8. The corpus is scanned as
+    4 codes per vector; each query's subspace-distance LUT folds into
+    one map row riding a broadcast cross, so scoring is map lookups +
+    an integer add — the memory/bandwidth story for 10B-vector ANN.
+    All arithmetic is integer-quantized millionths (exact, order-free),
+    so the SQL oracle reproduces ranks bit-for-bit. Approximation
+    quality vs the exact baseline is asserted separately in
+    tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), cents, k=5
+    )

@@ -727,3 +727,62 @@ def percent_rank_supplier_balance(spark: SparkSession,
             .alias("balance_cume_dist"),
         )
     )
+
+
+@query(
+    "scd2_customer_priority_history",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ), kept AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey
+        FROM c WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current
+    FROM kept
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_customer_priority_history(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension (operators/scd.py) with each
+    customer's order stream as the change log and o_orderpriority as the
+    tracked attribute: one row per consecutive-distinct priority with
+    [valid_from, valid_to) validity, version number, and is_current —
+    the warehouse history operator the reference's snapshot re-reads
+    can't express (reference top10.py:87-114 loses history each run).
+    One shuffle: every window shares the (custkey → orderdate, orderkey)
+    partitioning. Validity bounds render as date strings on both
+    engines; the DuckDB twin splits lag-filter and lead-interval into
+    two CTEs (window calls cannot nest there)."""
+    from ..operators.scd import scd2_from_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate",
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+    )
+    scd = scd2_from_changes(changes, key="custkey", ts="o_orderdate",
+                            attrs=["priority"], tiebreak="o_orderkey")
+    return scd.select(
+        "custkey",
+        "priority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "version",
+        "is_current",
+    )

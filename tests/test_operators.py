@@ -301,3 +301,33 @@ def test_merge_upsert_random_matches_dict_semantics(spark):
             want = ("updated" if r.k in base and r.k in upd
                     else "inserted" if r.k in upd else "kept")
             assert r.merge_action == want
+
+
+def test_scd2_collapses_repeats_and_handles_null_attrs(spark):
+    from data_pipeline_stripe_spark.operators.scd import scd2_from_changes
+
+    rows = [
+        # key 1: A, A (repeat collapses), B, B, A again (new version)
+        (1, "2024-01-01", "A", 1),
+        (1, "2024-01-02", "A", 2),
+        (1, "2024-01-03", "B", 3),
+        (1, "2024-01-05", "B", 4),
+        (1, "2024-01-09", "A", 5),
+        # key 2: NULL first (kept), NULL repeat (collapsed), then C
+        (2, "2024-01-01", None, 6),
+        (2, "2024-01-02", None, 7),
+        (2, "2024-01-03", "C", 8),
+    ]
+    changes = spark.createDataFrame(
+        rows, "k long, ts string, attr string, tb long")
+    out = {(r.k, r.version): (r.attr, r.valid_from, r.valid_to, r.is_current)
+           for r in scd2_from_changes(
+               changes, key="k", ts="ts", attrs=["attr"], tiebreak="tb"
+           ).collect()}
+    assert out == {
+        (1, 1): ("A", "2024-01-01", "2024-01-03", False),
+        (1, 2): ("B", "2024-01-03", "2024-01-09", False),
+        (1, 3): ("A", "2024-01-09", None, True),
+        (2, 1): (None, "2024-01-01", "2024-01-03", False),
+        (2, 2): ("C", "2024-01-03", None, True),
+    }

@@ -86,6 +86,9 @@ NONEQUI_OK = {
     # plan (the small side is O(1), not a second fact)
     "sql_udf_usage_percent", "embedding_ivf_assign", "embedding_ivf_topk",
     "embedding_kmeans_step", "embedding_cosine_near_dup_bucketed",
+    # PQ-ADC: the per-query LUT maps (8 rows) ride a broadcast cross
+    # against the corpus codes — same broadcast-tiny class
+    "embedding_pq_topk",
     # q22's scalar-AVG subquery: 1-row broadcast cross against customer
     "q22_dormant_high_balance",
     # q11's scalar-total subquery: 1-row broadcast cross against the
