@@ -70,6 +70,9 @@ PRIORITY_THIS_ROUND = [
     "embedding_pq_topk",
     "scd2_customer_priority_history",
     "merge_upsert_write_roundtrip",
+    # round 5: funnel conversion + column profiling
+    "funnel_signup_click_purchase",
+    "profile_orders_columns",
 ]
 
 

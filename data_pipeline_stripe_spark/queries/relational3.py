@@ -1028,3 +1028,138 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(num / den * 1e6) / 1e6).alias("corr_qty_price"),
         (F.floor(var_qty * 1e6) / 1e6).alias("var_qty"),
     )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_order,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 'click', CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM s3
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (the product-analytics staple): users
+    who signed up, then clicked strictly AFTER their first signup, then
+    purchased strictly after that first qualifying click — per-step
+    reach counts. The sequential mins are three grouped aggregations all
+    keyed on user_id, so after the first shuffle the stage joins are
+    co-partitioned (no re-exchange of the event stream per step); the
+    step frames are tiny and union at the end. At 100 TB this is the
+    shape to prefer over per-user collect_list sorting: the events fact
+    is scanned once per step filter (each pushed to the scan) and never
+    materialized per-user."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"),
+            F.lit(order).cast("long").alias("step_order"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        step(s1, "signup", 1)
+        .unionByName(step(s2, "click", 2))
+        .unionByName(step(s3, "purchase", 3))
+    )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiling (the audit every ingest pipeline
+    runs before training): per column — row count, non-null count,
+    distinct count, min/max rendered to strings. ONE pass over the fact:
+    all four columns' moments are aggregate expressions in a single
+    groupBy().agg() (not one scan per column — the oracle's UNION ALL is
+    the transcription, not the plan), then the 1-row frame unpivots
+    driver-side-free via expression select + union of 1-row frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    frames = [
+        one.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"{c}__nn").alias("n_non_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
