@@ -118,6 +118,20 @@ SHOWCASE = [
      "MERGE upsert: one keyed full-outer join computes exact "
      "update/insert/keep semantics with an audit column — no window, "
      "no second pass; AQE free to broadcast the small batch."),
+    ("embedding_pq_topk",
+     "Product quantization + ADC: codes from a broadcast-codebook "
+     "min-struct agg; each query's distance LUT folds into ONE map row "
+     "riding a broadcast cross — scoring is 4 map lookups + an integer "
+     "add per corpus vector, never a float dot product."),
+    ("scd2_customer_priority_history",
+     "SCD2 history in ONE exchange: consecutive-duplicate collapse and "
+     "the validity lead share the same (custkey -> orderdate, orderkey) "
+     "window partitioning."),
+    ("funnel_signup_click_purchase",
+     "Ordered funnel: three user-keyed grouped aggs — after the first "
+     "shuffle the step joins are co-partitioned; the events fact is "
+     "scanned per step with the event_type filter pushed down, never "
+     "materialized per-user."),
 ]
 
 
