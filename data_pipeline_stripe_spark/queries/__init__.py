@@ -73,6 +73,9 @@ PRIORITY_THIS_ROUND = [
     # round 5: funnel conversion + column profiling
     "funnel_signup_click_purchase",
     "profile_orders_columns",
+    # round 5: skew operators now in the gate
+    "salted_join_user_segments",
+    "two_phase_agg_value_by_type",
 ]
 
 

@@ -1163,3 +1163,68 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+@query(
+    "salted_join_user_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_join_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join (operators/skew.py) in the correctness gate:
+    events ⋈ customer on user_id with a 16-way deterministic salt —
+    the hot key's rows spread over 16 reducers, the dim replicates ×16,
+    and the result is EXACTLY the plain join (the oracle is the plain
+    SQL join; a salt bug shows as a hash mismatch, the exact failure
+    mode pmod-vs-abs once caused). Values aggregate as integer cents.
+    Wall-clock evidence on a genuinely hot key lives in BENCH_DIFF.md
+    §skew; this query pins the semantics."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        salted_join(ev, dim, on="user_id", n_salts=16)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "two_phase_agg_value_by_type",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents_sum
+    FROM events GROUP BY 1
+    """,
+)
+def two_phase_agg_value_by_type(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation in the gate: per-type value sums
+    computed as 16 salted partials then refolded (operators/skew.py) —
+    the shape for keys whose partial state itself overflows one reducer.
+    Values are quantized to integer cents BEFORE the salted split, so
+    the two-phase regroup is exactly associative and the oracle is the
+    plain one-pass SUM."""
+    from ..operators.skew import two_phase_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return two_phase_agg(ev, key="event_type", value="value_cents",
+                         agg="sum")
