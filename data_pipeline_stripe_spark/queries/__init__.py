@@ -76,6 +76,9 @@ PRIORITY_THIS_ROUND = [
     # round 5: skew operators now in the gate
     "salted_join_user_segments",
     "two_phase_agg_value_by_type",
+    # round 5: RANGE-frame rolling window + reproducible split
+    "rolling_7day_revenue",
+    "doc_train_val_test_split",
 ]
 
 

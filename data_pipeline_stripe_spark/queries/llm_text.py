@@ -1479,3 +1479,51 @@ def doc_top_quality_per_source(spark: SparkSession,
         .filter(F.col("rank") <= 10)
         .select("doc_id", "source", "quality", "rank")
     )
+
+
+@query(
+    "doc_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN CAST(CONCAT('0x', substring(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST(CONCAT('0x', substring(
+                             md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM assigned GROUP BY split
+    """,
+)
+def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) — the split
+    every training pipeline needs to be REPRODUCIBLE and
+    leakage-auditable: membership is a pure function of doc_id
+    (md5 hex → int mod 100), so re-running on a changed corpus keeps
+    every unchanged document in its split, and the same rule is
+    re-derivable in any engine (the oracle recomputes it in SQL).
+    Scan-shaped: no shuffle before the 3-row rollup; at 100 TB the
+    assignment rides the scan and the split becomes a partition
+    column at write time."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 100
+    )
+    assigned = docs.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -1228,3 +1228,47 @@ def two_phase_agg_value_by_type(spark: SparkSession,
     )
     return two_phase_agg(ev, key="event_type", value="value_cents",
                          agg="sum")
+
+
+@query(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_num,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT order_day, day_cents,
+           SUM(day_cents) OVER (
+               ORDER BY day_num
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d_cents
+    FROM daily
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RANGE-frame window: per-day order revenue plus the
+    trailing 7-day sum — the frame is a VALUE range over integer day
+    numbers (missing days genuinely absent from the window), not a row
+    count, so gaps in the calendar are handled correctly. Revenue is
+    quantized to integer cents before any summing (exact at every
+    scale); one shuffle for the daily rollup, and the window runs over
+    the tiny daily aggregate."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01").cast("date"))
+            .cast("long").alias("day_num"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("day_cents"))
+    )
+    w = W.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "order_day", "day_cents",
+        F.sum("day_cents").over(w).alias("rolling_7d_cents"),
+    )
