@@ -84,3 +84,41 @@ def connected_components(pairs: DataFrame, src: str = "src",
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)"
     )
+
+
+def pagerank_step(edges: DataFrame, ranks: DataFrame,
+                  src: str = "src", dst: str = "dst",
+                  node_col: str = "node",
+                  rank_col: str = "rank_micros") -> DataFrame:
+    """One PageRank iteration in integer micro-units — loopable the same
+    way as the k-means and BPE steps (driver loop over a deterministic
+    step). Ranks are BIGINT millionths; each edge (u, v) contributes
+    ``rank(u) div outdeg(u)`` and the damped update is
+    ``150000 + (85 * Σcontrib) div 100`` — all integer arithmetic, so
+    iterations are bit-identical on any engine and any partitioning
+    (float PageRank sums are association-order-dependent; quantization
+    at 1e-6 costs less error per step than double rounding does at web
+    scale).
+
+    Shape: two keyed joins + one grouped sum per iteration — the edge
+    list shuffles on src (degree + rank attach) then dst (the sum);
+    ranks stay one narrow row per node. Dangling nodes (no in-edges)
+    receive the base rank via the left join against the node list."""
+    deg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
+    contrib = (
+        edges.join(deg, src)
+        .join(ranks, F.col(src) == F.col(node_col))
+        .select(F.col(dst).alias("_to"),
+                F.expr(f"{rank_col} div _deg").alias("_c"))
+    )
+    summed = contrib.groupBy("_to").agg(F.sum("_c").alias("_s"))
+    return (
+        ranks.select(node_col)
+        .join(summed, F.col(node_col) == F.col("_to"), "left")
+        .select(
+            node_col,
+            (F.lit(150000)
+             + F.expr("85 * coalesce(_s, 0L) div 100"))
+            .cast("long").alias(rank_col),
+        )
+    )

@@ -79,6 +79,9 @@ PRIORITY_THIS_ROUND = [
     # round 5: RANGE-frame rolling window + reproducible split
     "rolling_7day_revenue",
     "doc_train_val_test_split",
+    # round 5: attribution batch twin + integer PageRank step
+    "purchase_click_attribution_batch",
+    "graph_pagerank_step",
 ]
 
 

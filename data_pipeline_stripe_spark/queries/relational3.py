@@ -1272,3 +1272,95 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_day", "day_cents",
         F.sum("day_cents").over(w).alias("rolling_7d_cents"),
     )
+
+
+@query(
+    "purchase_click_attribution_batch",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def purchase_click_attribution_batch(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The stream-stream attribution join's BATCH twin in the hash gate:
+    the same purchase_click_attribution operator (streaming/events.py)
+    runs identically on static frames — each purchase joined to the same
+    user's clicks in the preceding 30-minute window. Gate coverage here
+    plus the multi-micro-batch streaming parity test pins both halves of
+    the equivalence. Equi on user_id with the time range as join
+    residual — a keyed sort-merge join, never a nested loop; timestamps
+    render to strings for cross-engine hashing."""
+    from ..streaming.events import purchase_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    joined = purchase_click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    return joined.select(
+        "purchase_id", "click_id", "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"),
+    )
+
+
+@query(
+    "graph_pagerank_step",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src,
+                        l.l_suppkey + 1000000 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    contrib AS (
+        SELECT e.dst AS node, CAST(1000000 // d.d AS BIGINT) AS c
+        FROM edges e JOIN deg d ON e.src = d.src
+    ),
+    summed AS (SELECT node, SUM(c) AS s FROM contrib GROUP BY 1)
+    SELECT n.node,
+           CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+               AS rank_micros
+    FROM nodes n LEFT JOIN summed s ON n.node = s.node
+    """,
+)
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank iteration (operators/graph.py) over the bipartite
+    customer→supplier purchase graph (edges = distinct order lineage,
+    supplier ids offset to avoid key collision), starting from uniform
+    rank 1.0. Integer micro-unit arithmetic end to end, so the loopable
+    step is bit-identical across engines and partitionings — the
+    iterative-algorithm pattern shared with the k-means and BPE steps
+    (driver loop over a deterministic step). Two keyed shuffles per
+    iteration."""
+    from ..operators.graph import pagerank_step
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks0 = nodes.withColumn("rank_micros", F.lit(1000000).cast("long"))
+    return pagerank_step(edges, ranks0)

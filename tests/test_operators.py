@@ -331,3 +331,28 @@ def test_scd2_collapses_repeats_and_handles_null_attrs(spark):
         (2, 1): (None, "2024-01-01", "2024-01-03", False),
         (2, 2): ("C", "2024-01-03", None, True),
     }
+
+
+def test_pagerank_step_known_values_and_looping(spark):
+    from data_pipeline_stripe_spark.operators.graph import pagerank_step
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "node string")
+    from pyspark.sql import functions as F
+
+    r0 = nodes.withColumn("rank_micros", F.lit(1000000).cast("long"))
+    r1 = {r.node: r.rank_micros
+          for r in pagerank_step(edges, r0).collect()}
+    # a: no in-edges -> base 150000
+    # b: a's contribution 1000000 div 2 = 500000 -> 150000 + 425000
+    # c: 500000 (a) + 1000000 (b) -> 150000 + (85*1500000) div 100
+    assert r1 == {"a": 150000, "b": 575000, "c": 1425000}
+    # loopable: feeding the output back in is deterministic and exact
+    r2a = pagerank_step(edges, pagerank_step(edges, r0)).collect()
+    r2b = pagerank_step(edges, pagerank_step(edges, r0)).collect()
+    assert sorted(map(tuple, r2a)) == sorted(map(tuple, r2b))
+    r2 = dict(map(tuple, r2a))
+    # b now receives 150000 div 2 = 75000 from a
+    assert r2["b"] == 150000 + (85 * 75000) // 100
