@@ -21,6 +21,7 @@ from . import stripe  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
+from . import relational4  # noqa: E402,F401
 from . import io_roundtrip  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
@@ -82,6 +83,13 @@ PRIORITY_THIS_ROUND = [
     # round 5: attribution batch twin + integer PageRank step
     "purchase_click_attribution_batch",
     "graph_pagerank_step",
+    # round 5 (cont.): window frame bounds, lateral explode, sequence
+    # statistics, deterministic reservoir, fixed-weight classifier
+    "window_bounds_cume_dist",
+    "posexplode_doc_words",
+    "event_transition_matrix",
+    "events_reservoir_per_user",
+    "doc_quality_classifier",
 ]
 
 

@@ -1527,3 +1527,71 @@ def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query(
+    "doc_quality_classifier",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id,
+               GREATEST(CAST(len(t) AS BIGINT), 1) AS n_words,
+               CAST(len(list_filter(t,
+                    w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+                   AS n_stop,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents)),
+    scored AS (
+        SELECT doc_id, n_words,
+               n_distinct * 1000000 // n_words AS distinct_ratio_micro,
+               n_stop * 1000000 // n_words AS stop_ratio_micro,
+               3 * (n_distinct * 1000000 // n_words)
+                 + (n_stop * 1000000 // n_words)
+                 + 500 * LEAST(n_words, 100) - 2000000 AS logit_micro
+        FROM feats)
+    SELECT doc_id, n_words, distinct_ratio_micro, stop_ratio_micro,
+           logit_micro, logit_micro > 0 AS label
+    FROM scored
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier — the shape of a fastText /
+    logistic quality filter (the curation step between heuristic scoring
+    and an LLM judge): hand-set integer weights over lexical features
+    (distinct-word ratio, stopword ratio, capped length), scored at scan
+    speed with NO Python. The logit stays in integer millionths —
+    `div` throughout — so the decision boundary is bit-identical in any
+    engine (a float sigmoid would disagree in the last ulp across
+    engines; the sigmoid is monotone, so thresholding the logit IS
+    thresholding the probability). Swapping trained weights in changes
+    the literals, not the plan. Scan-shaped: zero exchanges; at 100 TB
+    this runs as a map over the corpus scan with the filter pushed into
+    the same stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.expr(r"split(trim(text), '\\s+')").alias("t"),
+    ).select(
+        "doc_id",
+        F.greatest(F.expr("cast(size(t) as bigint)"), F.lit(1).cast("long"))
+        .alias("n_words"),
+        F.expr("cast(size(filter(t, "
+               "w -> w IN ('the', 'a', 'of', 'and', 'to'))) as bigint)")
+        .alias("n_stop"),
+        F.expr("cast(size(array_distinct(t)) as bigint)").alias("n_distinct"),
+    )
+    scored = feats.select(
+        "doc_id",
+        "n_words",
+        F.expr("n_distinct * 1000000 div n_words").alias("distinct_ratio_micro"),
+        F.expr("n_stop * 1000000 div n_words").alias("stop_ratio_micro"),
+        F.expr(
+            "3 * (n_distinct * 1000000 div n_words)"
+            " + (n_stop * 1000000 div n_words)"
+            " + 500 * least(n_words, 100) - 2000000"
+        ).alias("logit_micro"),
+    )
+    return scored.select(
+        "doc_id", "n_words", "distinct_ratio_micro", "stop_ratio_micro",
+        "logit_micro", (F.col("logit_micro") > 0).alias("label"),
+    )

@@ -1,0 +1,163 @@
+"""Fourth batch: window frame bounds (first/last_value, cume_dist),
+lateral posexplode, sequence-transition statistics, deterministic per-key
+reservoir sampling, and a fixed-weight integer quality classifier.
+
+These extend the declared surface past the reference's report queries
+(reference top10.py / platform_usage.py / royalties.py) toward the
+sequence/sampling operators a training-data pipeline runs at scale: a
+Markov transition matrix over event streams, a per-key deterministic
+sample, and a linear quality model — each one shuffle on its natural key
+and exact in integer arithmetic so the DuckDB oracle is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources import load_table
+from .registry import query
+
+
+@query(
+    "window_bounds_cume_dist",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER wd, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING), 2) AS last_price,
+           ROUND(CUME_DIST() OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice), 6) AS price_cd
+    FROM orders
+    WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_bounds_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-bound window functions the earlier batches don't touch:
+    first_value (default growing frame), last_value (explicit
+    unbounded-following frame — the classic trap: the default frame makes
+    last_value degenerate to the current row), and cume_dist (peer-aware
+    tie handling, identical definition in Spark and DuckDB). Two sorts
+    share ONE hash partitioning on o_custkey — a single exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    wd = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = wd.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wp = W.partitionBy("o_custkey").orderBy("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(wd), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.round(F.cume_dist().over(wp), 6).alias("price_cd"),
+    )
+
+
+@query(
+    "posexplode_doc_words",
+    oracle="""
+    SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, words[t.pos + 1] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id % 10 = 0),
+         UNNEST(range(len(words))) AS t(pos)
+    """,
+)
+def posexplode_doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral position-preserving explode (generator expression): every
+    word of every 10th document with its 0-based position — the
+    tokenize-with-offsets primitive sequence labeling needs. Runs inside
+    the scan stage (generators are codegen'd, no shuffle at all); the
+    oracle's lateral UNNEST(range(len)) is the same lateral join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), agg AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_micro
+    FROM agg
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (the sequence-statistics pass a behavioral-training pipeline runs
+    before building next-event models): lead() pairs consecutive events
+    per user, one grouped count, and the row-normalized probability in
+    integer millionths (`div`) so cross-engine equality is exact. Shape:
+    one exchange on user_id for the lead, one on (from, to) for the
+    count — the transition matrix itself is tiny (|types|^2) so the
+    normalizing window is broadcast-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    agg = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wn = W.partitionBy("from_type")
+    return agg.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div sum(n) over (partition by from_type)")
+        .cast("long")
+        .alias("p_micro"),
+    )
+
+
+@query(
+    "events_reservoir_per_user",
+    oracle="""
+    SELECT user_id, event_id, samp_rank FROM (
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS BIGINT) AS samp_rank
+        FROM events
+    ) WHERE samp_rank <= 3
+    """,
+)
+def events_reservoir_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir sample: k=3 events per user,
+    chosen by ranking on md5(event_id) — a seeded shuffle that is
+    reproducible across engines, partitionings, and re-runs (true
+    reservoir sampling is order-dependent; hashing the id gives the same
+    uniform draw with none of the nondeterminism). One exchange on
+    user_id; the rank+filter prunes to 3·|users| rows before anything
+    downstream. 100 TB shape: this is how you cut a per-user eval slice
+    out of a full event log without a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("samp_rank"),
+        )
+        .filter(F.col("samp_rank") <= 3)
+    )
