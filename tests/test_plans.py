@@ -216,3 +216,39 @@ def test_rp_pairs_candidates_are_hash_joined(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_quality_classifier_is_scan_shaped(spark, sf_dir):
+    """The classifier must score at scan speed: pure expression math,
+    no join (weights are literals, not a weights table), no Python."""
+    plan = plan_of(spark, sf_dir, "doc_quality_classifier")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 1  # load_table test-env rebalance only
+
+
+def test_posexplode_runs_in_scan_stage(spark, sf_dir):
+    """Lateral explode is a Generate inside the scan stage — no shuffle,
+    no join (the oracle's lateral UNNEST is a correlated join; Spark's
+    generator must not be)."""
+    plan = plan_of(spark, sf_dir, "posexplode_doc_words")
+    assert "Generate" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_window_bounds_single_partitioning(spark, sf_dir):
+    """first/last_value and cume_dist use two sort orders but ONE hash
+    partitioning on o_custkey — the plan must not re-exchange between
+    the window groups."""
+    plan = plan_of(spark, sf_dir, "window_bounds_cume_dist")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_reservoir_prunes_before_shuffle(spark, sf_dir):
+    """rank<=3 must push a WindowGroupLimit below the exchange so each
+    map task forwards at most 3 rows per user, not the whole log."""
+    plan = plan_of(spark, sf_dir, "events_reservoir_per_user")
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
