@@ -747,3 +747,59 @@ def extract_image_features(media: DataFrame, decoder: str = "fake") -> DataFrame
             })
 
     return media.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def ahash64(rgb: np.ndarray) -> tuple[int, int]:
+    """The pure aHash kernel: (hi, lo) 32-bit halves of the 64-bit
+    average-hash of an (h, w, 3) uint8 array. Invariant to uniform
+    brightness shifts (threshold is the image's own mean) and to
+    NN-upscaling by integer factors (the 8×8 resample lands on the same
+    source pixels)."""
+    px = rgb.astype(np.int64)
+    h, w, _ = px.shape
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(8, dtype=np.int64) * w) // 8
+    small = px[np.ix_(ys, xs)]
+    gray = (small[:, :, 0] * 299 + small[:, :, 1] * 587
+            + small[:, :, 2] * 114) // 1000
+    mean = int(gray.sum()) // 64
+    bits = (gray.reshape(-1) > mean).astype(np.int64)
+    powers = np.int64(1) << np.arange(32, dtype=np.int64)
+    return int((bits[32:] * powers).sum()), int((bits[:32] * powers).sum())
+
+
+IMAGE_AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ahash_hi", T.LongType()),
+    T.StructField("ahash_lo", T.LongType()),
+])
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the standard
+    near-duplicate-image fingerprint: full BMP decode, integer ITU-R
+    luma ``(299 R + 587 G + 114 B) div 1000``, nearest-neighbor
+    downsample to 8×8 (same floor index mapping as resize_bmp_images),
+    floor-mean threshold, then the 64 brightness bits packed row-major
+    into two 32-bit halves (hi = bits 32..63) so the value stays exact
+    in a signed BIGINT on any engine. Every step is integer arithmetic —
+    two images share an aHash iff their 8×8 luma threshold patterns
+    match, and the whole fingerprint is replayable in SQL. Per-image
+    work is vectorized numpy inside Arrow batches; grouping by the hash
+    afterwards is an ordinary shuffle on two longs, which is what makes
+    image dedup at 100 TB a hash-groupBy, not a pairwise compare."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hi, lo = ahash64(decode_bmp_pixels(bytes(payload)))
+                ids.append(int(doc_id))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"doc_id": ids, "ahash_hi": his,
+                                "ahash_lo": los})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, IMAGE_AHASH_SCHEMA
+    )

@@ -90,6 +90,7 @@ PRIORITY_THIS_ROUND = [
     "event_transition_matrix",
     "events_reservoir_per_user",
     "doc_quality_classifier",
+    "multimodal_image_ahash_dedup",
 ]
 
 

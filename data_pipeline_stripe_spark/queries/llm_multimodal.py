@@ -341,3 +341,88 @@ def multimodal_video_frame_sample(spark: SparkSession,
     media = synthesize_gif_media(docs)
     frames = multimodal.sample_video_frames(media, every_n=2)
     return frames.mapInPandas(frame_stats, _FRAME_STATS_SCHEMA)
+
+
+def synthesize_bmp_cluster_media(docs: DataFrame) -> DataFrame:
+    """One real 16×16 BMP per doc whose CONTENT depends only on
+    k = doc_id % 16 — 16 distinct images, each repeated across the
+    corpus, so perceptual-hash dedup has genuine duplicate clusters to
+    find. Pixel (y, x, c) = (7k + (3+k%5)x + (5+k%3)y + 11c) % 256 —
+    the SLOPES vary with k (a constant offset alone would be erased by
+    the hash's mean-threshold, collapsing every cluster to one
+    fingerprint), predictable by arithmetic alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                k = i % 16
+                y, x, c = np.ogrid[0:16, 0:16, 0:3]
+                rgb = ((7 * k + (3 + k % 5) * x + (5 + k % 3) * y
+                        + 11 * c) % 256).astype(np.uint8)
+                ids.append(i)
+                payloads.append(multimodal.encode_bmp(rgb))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+
+
+@query(
+    "multimodal_image_ahash_dedup",
+    oracle="""
+    WITH ks AS (SELECT DISTINCT doc_id % 16 AS k FROM documents),
+    grid AS (SELECT k, x, y, y * 8 + x AS idx,
+                    (x * 16) // 8 AS sx,
+                    (y * 16) // 8 AS sy
+             FROM ks, unnest(range(0, 8)) AS tx(x),
+                      unnest(range(0, 8)) AS ty(y)),
+    px AS (SELECT k, idx,
+                  (((7 * k + (3 + k % 5) * sx + (5 + k % 3) * sy) % 256) * 299
+                   + ((7 * k + (3 + k % 5) * sx + (5 + k % 3) * sy + 11) % 256) * 587
+                   + ((7 * k + (3 + k % 5) * sx + (5 + k % 3) * sy + 22) % 256) * 114)
+                  // 1000 AS gray
+           FROM grid),
+    m AS (SELECT k, SUM(gray) // 64 AS mean_gray FROM px GROUP BY k),
+    bits AS (SELECT px.k, idx,
+                    CASE WHEN gray > mean_gray THEN 1 ELSE 0 END AS b
+             FROM px JOIN m ON px.k = m.k),
+    hashes AS (SELECT k,
+                      SUM(CASE WHEN idx >= 32
+                               THEN CAST(b AS BIGINT) << (idx - 32)
+                               ELSE 0 END) AS ahash_hi,
+                      SUM(CASE WHEN idx < 32
+                               THEN CAST(b AS BIGINT) << idx
+                               ELSE 0 END) AS ahash_lo
+               FROM bits GROUP BY k)
+    SELECT CAST(ahash_hi AS BIGINT) AS ahash_hi,
+           CAST(ahash_lo AS BIGINT) AS ahash_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM (SELECT doc_id, doc_id % 16 AS k FROM documents) d
+    JOIN hashes ON d.k = hashes.k
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_image_ahash_dedup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual average-hash — the
+    image-side twin of doc_exact_dedup: encode a real BMP per document
+    (content a function of doc_id % 16, so the corpus genuinely contains
+    16 duplicate clusters), REAL-decode and fingerprint each image
+    (llm/multimodal.py:image_ahash — luma → 8×8 NN → threshold bits),
+    then dedup is one groupBy on the 64-bit hash. The oracle replays
+    luma/resample/threshold/bit-packing arithmetically in SQL and never
+    touches image bytes, so a hash match proves the whole
+    decode→fingerprint→group chain against an independent ground truth.
+    100 TB shape: per-image work streams through Arrow batches; the
+    dedup shuffle carries (two longs per image), never pixels."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_bmp_cluster_media(docs)
+    hashes = multimodal.image_ahash(media)
+    from pyspark.sql import functions as F
+
+    return hashes.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count("*").alias("n_images"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

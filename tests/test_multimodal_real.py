@@ -356,3 +356,32 @@ def test_gif_encode_validates_palette_and_frame_shape():
     with pytest.raises(ValueError, match="share the logical screen"):
         mm.encode_gif([np.zeros((2, 2), dtype=np.uint8),
                        np.zeros((3, 2), dtype=np.uint8)], pal)
+
+
+def test_ahash_brightness_shift_invariant():
+    """The perceptual property: a uniform brightness shift moves every
+    gray AND the mean by the same amount, so the threshold pattern — and
+    the hash — is unchanged."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(40, 160, size=(16, 16, 3), dtype=np.uint8)
+    shifted = (rgb.astype(np.int64) + 50).astype(np.uint8)  # no clipping
+    assert mm.ahash64(rgb) == mm.ahash64(shifted)
+
+
+def test_ahash_nn_upscale_invariant():
+    """2× NN upscale maps the 8×8 sample grid onto the same source
+    pixels, so the fingerprint survives resolution changes."""
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    up = rgb.repeat(2, axis=0).repeat(2, axis=1)
+    assert mm.ahash64(rgb) == mm.ahash64(up)
+
+
+def test_ahash_distinguishes_structure():
+    y, x, _ = np.ogrid[0:16, 0:16, 0:3]
+    horiz = ((x * 16) % 256 * np.ones((16, 16, 3))).astype(np.uint8)
+    vert = ((y * 16) % 256 * np.ones((16, 16, 3))).astype(np.uint8)
+    assert mm.ahash64(horiz) != mm.ahash64(vert)
+    # and the packed halves are non-negative signed-long-safe values
+    hi, lo = mm.ahash64(horiz)
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
