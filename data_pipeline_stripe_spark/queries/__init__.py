@@ -91,6 +91,8 @@ PRIORITY_THIS_ROUND = [
     "events_reservoir_per_user",
     "doc_quality_classifier",
     "multimodal_image_ahash_dedup",
+    "events_value_outliers",
+    "full_outer_customer_event_users",
 ]
 
 

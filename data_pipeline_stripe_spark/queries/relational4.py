@@ -161,3 +161,92 @@ def events_reservoir_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("samp_rank") <= 3)
     )
+
+
+@query(
+    "events_value_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS s,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)
+                   * CAST(ROUND(value * 100) AS BIGINT)) OVER w AS q2,
+               COUNT(*) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type, x AS value_cents
+    FROM q
+    WHERE (CAST(n AS HUGEINT) * x - CAST(s AS HUGEINT))
+          * (CAST(n AS HUGEINT) * x - CAST(s AS HUGEINT))
+          > 9 * (CAST(n AS HUGEINT) * CAST(q2 AS HUGEINT)
+                 - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3σ outlier detection WITHOUT floats — the statistical
+    quality gate a telemetry/training pipeline runs before aggregating:
+    quantize values to integer cents, then flag x iff
+    (n·x − S)² > 9·(n·Q − S²), which is algebra for |z| > 3 with
+    z² = (x−μ)²/σ²_pop — every term an integer (S, Q, n are the group's
+    sum, sum-of-squares, count), so the cut is bit-identical across
+    engines and partitionings (a float mean/stddev pipeline flags
+    borderline points differently per association order). The squares
+    run in decimal(38,0) — exact to 1e38, i.e. to ~1e9 rows per group
+    at cent precision. One exchange (the per-type window); group
+    moments are two sums, trivially partial-aggregable at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("event_type")
+    q = ev.select(
+        "event_id", "event_type", x.alias("x"),
+    ).select(
+        "event_id", "event_type", "x",
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q2"),
+        F.count("*").over(w).alias("n"),
+    )
+    lhs = "cast(cast(n as decimal(38,0)) * x - s as decimal(38,0))"
+    rhs = ("9 * (cast(n as decimal(38,0)) * cast(q2 as decimal(38,0))"
+           " - cast(s as decimal(38,0)) * cast(s as decimal(38,0)))")
+    return (
+        q.filter(F.expr(f"{lhs} * {lhs} > {rhs}"))
+        .select("event_id", "event_type", F.col("x").alias("value_cents"))
+    )
+
+
+@query(
+    "full_outer_customer_event_users",
+    oracle="""
+    WITH ev AS (SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY 1)
+    SELECT COALESCE(ev.user_id, c.c_custkey) AS ukey,
+           ev.user_id IS NOT NULL AS has_events,
+           c.c_custkey IS NOT NULL AS is_customer,
+           CAST(COALESCE(ev.n_ev, 0) AS BIGINT) AS n_events,
+           ROUND(c.c_acctbal, 2) AS acctbal
+    FROM ev FULL OUTER JOIN customer c ON ev.user_id = c.c_custkey
+    """,
+)
+def full_outer_customer_event_users(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type the other declared queries
+    don't exercise (left/semi/anti/expression/range/as-of are covered):
+    event users vs the customer dimension, keeping unmatched rows from
+    BOTH sides with presence flags — the reconciliation shape of an
+    identity-stitching audit. Pre-aggregating events to one row per
+    user before the join keeps the shuffled build side minimal; full
+    outer forces a sort-merge (broadcast can't preserve the unmatched
+    stream side), which is the correct plan at any scale."""
+    ev = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_ev")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    j = ev.join(cust, ev.user_id == cust.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce("user_id", "c_custkey").alias("ukey"),
+        F.col("user_id").isNotNull().alias("has_events"),
+        F.col("c_custkey").isNotNull().alias("is_customer"),
+        F.coalesce("n_ev", F.lit(0)).cast("long").alias("n_events"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
