@@ -729,3 +729,56 @@ def pq_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroids_from_rows(rows: DataFrame) -> DataFrame:
+    """Reassemble kmeans_step's scalar output (cluster_id, pos, c) into a
+    centroid table (centroid_id, embedding) so the next iteration can
+    consume it — collect_list over a sorted (pos, c) struct keeps the
+    dimension order exact regardless of partitioning."""
+    return (
+        rows.groupBy(F.col("cluster_id").alias("centroid_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "centroid_id",
+            F.expr("transform(pc, x -> x.c)").alias("embedding"),
+        )
+    )
+
+
+def kmeans_train(emb: DataFrame, centroids: DataFrame, max_iter: int = 20,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> tuple[DataFrame, int]:
+    """Full Lloyd's algorithm: drive kmeans_step until the rounded-1e-6
+    centroid table stops changing — an EXACT fixpoint test (coordinates
+    are quantized by the step's round(·, 6), assignment is deterministic
+    with full tiebreaks, and Lloyd's monotone objective guarantees the
+    quantized iterates eventually repeat). Iterative-plan hygiene as in
+    operators/graph.py: eager localCheckpoint per round so the broadcast
+    centroid table is materialized, not an ever-deepening plan; the
+    convergence probe is one join+count of changed coordinates (k·dim
+    rows — trivially small next to the corpus). Returns (centroids,
+    n_iters_run)."""
+    cents = centroids.localCheckpoint(eager=True)
+    for it in range(1, max_iter + 1):
+        rows = kmeans_step(emb, cents, id_col, vec_col)
+        new_cents = centroids_from_rows(rows).localCheckpoint(eager=True)
+        old = cents.select(
+            F.col("centroid_id"),
+            F.posexplode(_as_double("embedding")).alias("pos0", "oc"),
+        )
+        new = new_cents.select(
+            F.col("centroid_id"),
+            F.posexplode("embedding").alias("pos0", "nc"),
+        )
+        changed = (
+            old.join(new, ["centroid_id", "pos0"], "full_outer")
+            .filter(
+                ~F.col("oc").eqNullSafe(F.round(F.col("nc"), 6))
+            )
+            .count()
+        )
+        cents = new_cents
+        if changed == 0:
+            return cents, it
+    return cents, max_iter

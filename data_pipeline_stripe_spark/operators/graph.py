@@ -122,3 +122,47 @@ def pagerank_step(edges: DataFrame, ranks: DataFrame,
             .cast("long").alias(rank_col),
         )
     )
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             max_iter: int = 30, tol_micros: int = 16) -> DataFrame:
+    """Full PageRank: drive pagerank_step until the largest per-node
+    change is ≤ ``tol_micros``. Floor division makes each step
+    bit-identical on any engine, but it also means the iterates can
+    settle into a ±few-micro limit cycle instead of an exact fixpoint
+    (the damping contraction bounds the cycle amplitude by roughly
+    1/(1−d) ≈ 7 micros), so convergence is a small integer tolerance —
+    still a deterministic test, because the iterate SEQUENCE is
+    deterministic. Same iterative-plan hygiene as connected_components:
+    eager localCheckpoint per round truncates lineage (the plan would
+    double per iteration otherwise), the convergence probe is one
+    aggregate max, and the edge list is checkpointed once and reused —
+    each round shuffles only (node, rank) pairs. Returns
+    (node, rank_micros); raises if max_iter rounds don't converge."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn(
+        "rank_micros", F.lit(1000000).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        new_ranks = pagerank_step(e, ranks).localCheckpoint(eager=True)
+        max_delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.max(F.abs(
+                F.col("n.rank_micros") - F.col("o.rank_micros")
+            )).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if max_delta is not None and max_delta <= tol_micros:
+            return ranks
+    raise RuntimeError(
+        f"pagerank did not converge to within {tol_micros} micros "
+        f"in {max_iter} rounds"
+    )

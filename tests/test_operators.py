@@ -356,3 +356,55 @@ def test_pagerank_step_known_values_and_looping(spark):
     r2 = dict(map(tuple, r2a))
     # b now receives 150000 div 2 = 75000 from a
     assert r2["b"] == 150000 + (85 * 75000) // 100
+
+
+def test_pagerank_full_loop_reaches_exact_fixpoint(spark):
+    from pyspark.sql import functions as F
+    from data_pipeline_stripe_spark.operators.graph import (
+        pagerank, pagerank_step)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 2), (4, 1)], "src long, dst long"
+    )
+    ranks = pagerank(edges)
+    got = {r["node"]: r["rank_micros"] for r in ranks.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # converged: one more step moves every rank by at most tol_micros
+    again = {r["node"]: r["rank_micros"]
+             for r in pagerank_step(edges, ranks).collect()}
+    assert all(abs(again[n] - got[n]) <= 16 for n in got)
+    # dangling node 4 (no in-edges) sits at the base rank
+    assert got[4] == 150000
+    # node 2 has two in-edges (1 and half of 3) -> highest rank
+    assert got[2] == max(got.values())
+
+
+def test_kmeans_train_converges_and_matches_manual_loop(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from data_pipeline_stripe_spark.llm.similarity import (
+        centroids_from_rows, kmeans_step, kmeans_train)
+
+    rng = np.random.default_rng(3)
+    base = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    vecs = [(i, (base[i % 3] + rng.normal(0, 0.5, 4)).tolist())
+            for i in range(30)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents0 = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+
+    trained, n_iters = kmeans_train(emb, cents0, max_iter=15)
+    assert 1 <= n_iters <= 15
+    # fixpoint: one more step reproduces the same rounded coordinates
+    again = centroids_from_rows(kmeans_step(emb, trained))
+    t = {(r["centroid_id"], i): round(v, 6)
+         for r in trained.collect()
+         for i, v in enumerate(r["embedding"])}
+    a = {(r["centroid_id"], i): round(v, 6)
+         for r in again.collect()
+         for i, v in enumerate(r["embedding"])}
+    assert t == a
+    # 3 well-separated clusters of 10 -> each centroid near a base axis
+    for r in trained.collect():
+        v = np.array(r["embedding"])
+        assert v.max() > 8.0 and sorted(v)[-2] < 1.5
