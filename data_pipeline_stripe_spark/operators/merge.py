@@ -67,3 +67,69 @@ def merge_upsert(base: DataFrame, updates: DataFrame,
         .alias("merge_action")
     )
     return joined.select(*picked, action)
+
+
+def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
+              seq: str = "seq", op: str = "op") -> DataFrame:
+    """Apply a CDC change stream (upserts AND deletes) to a base table —
+    the APPLY CHANGES half of a lakehouse ingest that merge_upsert's
+    update-only contract can't express. ``changes`` carries the base
+    schema plus ``op`` ('U' upsert | 'D' delete) and a ``seq`` ordering
+    column (unique per key — enforce upstream; ties would make
+    latest-wins ambiguous on any engine).
+
+    Semantics: per key, only the HIGHEST-seq change matters (latest
+    wins); a final 'U' upserts the row, a final 'D' removes the key even
+    if it was never in base (delete-of-absent is a no-op, as in MERGE
+    ... WHEN MATCHED THEN DELETE). Base rows with no change pass
+    through. Emits ``cdc_action`` ('upserted' | 'kept') on surviving
+    rows; deleted keys simply vanish. NULL change keys raise lazily, as
+    in merge_upsert.
+
+    Scale shape: one window over the change BATCH (small side) to take
+    latest-per-key, then the same single full-outer keyed join as
+    merge_upsert — the base table is never windowed or scanned twice."""
+    from pyspark.sql.window import Window as W
+
+    cols = base.columns
+    extra = [c for c in changes.columns if c not in (*cols, seq, op)]
+    missing = ({*cols, seq, op}) - set(changes.columns)
+    if extra or missing:
+        raise ValueError(
+            f"apply_cdc: changes must be base columns plus ({seq}, {op}), "
+            f"got {changes.columns}"
+        )
+    w = W.partitionBy(key).orderBy(F.col(seq).desc())
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq)
+    )
+    b = base.withColumn("_b_present", F.lit(True)).alias("b")
+    c = last.withColumn("_c_present", F.lit(True)).alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    has_change = F.coalesce(F.col("c._c_present"), F.lit(False))
+    has_base = F.coalesce(F.col("b._b_present"), F.lit(False))
+    picked = [
+        F.when(has_change, F.col(f"c.{col}")).otherwise(F.col(f"b.{col}"))
+        .alias(col)
+        for col in cols
+    ]
+    action = (
+        F.when(
+            has_change & F.col(f"c.{key}").isNull(),
+            F.raise_error(F.lit(
+                "apply_cdc: NULL key in changes — CDC requires non-NULL keys"
+            )),
+        )
+        .when(has_change, F.lit("upserted"))
+        .otherwise(F.lit("kept"))
+        .alias("cdc_action")
+    )
+    return (
+        joined.filter(
+            ~(has_change & (F.col(f"c.{op}") == F.lit("D")))
+            | (has_change & F.col(f"c.{key}").isNull())
+        )
+        .select(*picked, action)
+    )

@@ -93,6 +93,7 @@ PRIORITY_THIS_ROUND = [
     "multimodal_image_ahash_dedup",
     "events_value_outliers",
     "full_outer_customer_event_users",
+    "cdc_apply_order_status",
 ]
 
 

@@ -250,3 +250,65 @@ def full_outer_customer_event_users(spark: SparkSession,
         F.coalesce("n_ev", F.lit(0)).cast("long").alias("n_events"),
         F.round("c_acctbal", 2).alias("acctbal"),
     )
+
+
+@query(
+    "cdc_apply_order_status",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 2 AS seq, 'D' AS op
+        FROM orders WHERE o_orderkey % 14 = 0
+    ), last AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                         ORDER BY seq DESC) AS rn
+            FROM changes) WHERE rn = 1
+    )
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           ROUND(CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+                      ELSE b.o_totalprice END, 2) AS totalprice,
+           CASE WHEN c.o_orderkey IS NOT NULL THEN 'upserted'
+                ELSE 'kept' END AS cdc_action
+    FROM orders b FULL OUTER JOIN last c ON b.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def cdc_apply_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES with deletes (operators/merge.py:apply_cdc) —
+    the ingest primitive merge_upsert can't express: a change stream
+    with two generations (seq 1 upserts status 'U1' on every 7th order;
+    seq 2 deletes every 14th) folds latest-wins per key, then applies
+    to the base in ONE full-outer keyed join — every 14th order
+    vanishes, every other 7th carries the upserted status, the rest
+    pass through. The oracle replays latest-wins + apply in SQL rather
+    than transcribing the expected output, so the semantics themselves
+    are cross-checked. Scale: the window runs over the change BATCH
+    only; the base is touched exactly once."""
+    from ..operators.merge import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    c1 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U1"))
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    c2 = (
+        orders.filter(F.col("o_orderkey") % 14 == 0)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("D"))
+    )
+    final = apply_cdc(orders, c1.unionByName(c2), "o_orderkey")
+    return final.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "cdc_action",
+    )

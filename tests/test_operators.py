@@ -408,3 +408,32 @@ def test_kmeans_train_converges_and_matches_manual_loop(spark):
     for r in trained.collect():
         v = np.array(r["embedding"])
         assert v.max() > 8.0 and sorted(v)[-2] < 1.5
+
+
+def test_apply_cdc_semantics(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from data_pipeline_stripe_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "b1", 1, "U"),   # superseded by seq 2 delete
+         (2, "b2", 2, "D"),
+         (3, "c1", 5, "U"),   # latest-wins upsert
+         (3, "c0", 1, "U"),
+         (4, "d0", 1, "U"),   # insert of new key
+         (9, "x", 1, "D")],   # delete-of-absent: no-op
+        "k long, v string, seq long, op string")
+    got = {(r["k"], r["v"], r["cdc_action"])
+           for r in apply_cdc(base, changes, "k").collect()}
+    assert got == {(1, "a", "kept"), (3, "c1", "upserted"),
+                   (4, "d0", "upserted")}
+
+    bad = spark.createDataFrame(
+        [(None, "z", 1, "U")], "k long, v string, seq long, op string")
+    with pytest.raises(Exception, match="NULL key"):
+        apply_cdc(base, bad, "k").collect()
+
+    with pytest.raises(ValueError, match="base columns plus"):
+        apply_cdc(base, base, "k")
