@@ -49,6 +49,10 @@ HEADLINE = [
     # real-decode windowed audio kernel (Arrow-batched Python path)
     "doc_decontaminate_bloom",
     "multimodal_audio_windows",
+    # round 5 additions: perceptual-hash image dedup (encode+decode+
+    # fingerprint per image) and the integer 3-sigma outlier window
+    "multimodal_image_ahash_dedup",
+    "events_value_outliers",
 ]
 
 

@@ -94,6 +94,8 @@ PRIORITY_THIS_ROUND = [
     "events_value_outliers",
     "full_outer_customer_event_users",
     "cdc_apply_order_status",
+    "cohort_retention_matrix",
+    "doc_duplicate_spans",
 ]
 
 

@@ -1595,3 +1595,95 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "distinct_ratio_micro", "stop_ratio_micro",
         "logit_micro", (F.col("logit_micro") > 0).alias("label"),
     )
+
+
+@query(
+    "doc_duplicate_spans",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+    g AS (SELECT doc_id, CAST(r.pos AS BIGINT) AS pos,
+                 md5(array_to_string(t[r.pos + 1:r.pos + 8], ' ')) AS gh
+          FROM d, UNNEST(range(len(t) - 7)) AS r(pos)
+          WHERE len(t) >= 8),
+    freq AS (SELECT gh FROM g GROUP BY gh
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, pos FROM g JOIN freq USING (gh)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                         OR pos > LAG(pos) OVER w + 8 THEN 1 ELSE 0
+               END AS new_span
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), numbered AS (
+        SELECT doc_id, pos,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_id
+        FROM flagged
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM numbered GROUP BY doc_id, span_id
+    """,
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection at span grain — the
+    remove-duplicated-passages operator of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" (doc-level dedup keeps
+    boilerplate that repeats INSIDE otherwise-unique pages; this finds
+    the repeated token ranges themselves): hash every 8-token gram with
+    its position, keep grams seen in ≥2 distinct documents, then merge
+    overlapping/adjacent hits per document into maximal [start, end)
+    token spans via the lag-gap → cumulative-sum interval merge (same-
+    length spans make end monotone in start, so one lag suffices — no
+    running max needed). Returns (doc_id, span_start, span_end,
+    n_grams). Scale shape: gram hashing rides the scan (generator +
+    expression); the document-frequency filter is one groupBy on the
+    gram hash (ids only, never text); the merge is one window per doc.
+    The suffix-array construction of the paper is the single-machine
+    formulation — gram-hash grouping is its shuffle-native equivalent,
+    trading the exact minimal length for a fixed gram width."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "doc_id",
+            F.expr(r"split(trim(text), '\\s+')").alias("t"),
+        )
+        .filter(F.expr("size(t) >= 8"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(
+                "transform(sequence(0, size(t) - 8),"
+                " i -> md5(concat_ws(' ', slice(t, i + 1, 8))))"
+            )).alias("pos0", "gh"),
+        )
+        .select("doc_id", F.col("pos0").cast("long").alias("pos"), "gh")
+    )
+    freq = g.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    ).filter(F.col("dfreq") >= 2)
+    dup = g.join(freq.select("gh"), "gh").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + 8),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return numbered.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + 8).alias("span_end"),
+        F.count("*").alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")

@@ -312,3 +312,54 @@ def cdc_apply_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("totalprice"),
         "cdc_action",
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY 1
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day_s,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    WHERE day_offset <= 14
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the D0/D1/…/D14 matrix): each user joins the
+    cohort of their FIRST event day; the cell (cohort, offset) counts
+    users active exactly `offset` days later. Two exchanges — one
+    groupBy(user) for first-day (an agg, not a window: the per-user min
+    combines map-side), then the distinct+count on (cohort, offset).
+    The user-keyed join of activity back to cohorts co-partitions with
+    the first agg, so at 100 TB the whole thing is two shuffles of
+    (user, date) pairs, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 14)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_users")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day_s"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_users",
+    )
