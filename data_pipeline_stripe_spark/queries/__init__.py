@@ -96,6 +96,8 @@ PRIORITY_THIS_ROUND = [
     "cdc_apply_order_status",
     "cohort_retention_matrix",
     "doc_duplicate_spans",
+    "abc_parts_by_brand_revenue",
+    "orders_nested_lines_export",
 ]
 
 

@@ -363,3 +363,114 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("long").alias("day_offset"),
         "n_users",
     )
+
+
+@query(
+    "abc_parts_by_brand_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand, l.l_partkey,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS rev_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT p_brand, l_partkey, rev_cents,
+               SUM(rev_cents) OVER (PARTITION BY p_brand
+                   ORDER BY rev_cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents,
+               SUM(rev_cents) OVER (PARTITION BY p_brand) AS tot_cents
+        FROM rev
+    )
+    SELECT p_brand, l_partkey, rev_cents,
+           CASE WHEN cum_cents * 100 <= tot_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= tot_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def abc_parts_by_brand_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification per brand: rank each brand's parts by
+    revenue, then class A = parts inside the first 80% of cumulative
+    revenue, B to 95%, C the tail — the inventory-analytics operator
+    behind keep-the-head curation cuts. Revenue is integer cents and
+    the thresholds are cross-multiplied (cum·100 ≤ tot·80), so the
+    class boundary needs NO division and is bit-identical across
+    engines. One shuffle for the (brand, part) agg, one partitioning
+    on brand shared by BOTH windows (running + total); per-brand group
+    state keeps the global-sort trap out — a single global ABC would
+    need the two-phase prefix sum (operators/packing.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(pt.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(
+            F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("rev_cents"))
+    )
+    wrun = (
+        W.partitionBy("p_brand")
+        .orderBy(F.col("rev_cents").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand", "l_partkey", "rev_cents",
+        F.sum("rev_cents").over(wrun).alias("cum_cents"),
+        F.sum("rev_cents").over(wtot).alias("tot_cents"),
+    )
+    return ranked.select(
+        "p_brand", "l_partkey", "rev_cents",
+        F.when(F.col("cum_cents") * 100 <= F.col("tot_cents") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("tot_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "orders_nested_lines_export",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           string_agg(
+               l_linenumber || ':' || l_partkey || ':'
+               || CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS VARCHAR),
+               '|' ORDER BY l_linenumber || ':' || l_partkey || ':'
+               || CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS VARCHAR))
+               AS lines_export
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def orders_nested_lines_export(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Denormalize-to-nested export: collapse each order's line items
+    into ONE deterministic string (sorted 'line:part:qty_cents' fields)
+    — the shape of a document/JSON export feed, rendered as a canonical
+    string so two engines can hash-compare it (raw to_json differs in
+    key order and float formatting across engines; a sorted canonical
+    join does not). One shuffle on the order key; collect_list is safe
+    because group size is the per-order line count (≤7 in TPC-H shape),
+    bounded by the schema, not the data volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.concat_ws(
+        ":",
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.round(F.col("l_quantity") * 100).cast("long"),
+    )
+    return (
+        li.select("l_orderkey", s.alias("s"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.array_join(F.array_sort(F.collect_list("s")), "|")
+            .alias("lines_export"),
+        )
+    )
