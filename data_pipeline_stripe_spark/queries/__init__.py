@@ -98,6 +98,7 @@ PRIORITY_THIS_ROUND = [
     "doc_duplicate_spans",
     "abc_parts_by_brand_revenue",
     "orders_nested_lines_export",
+    "events_sliding_hourly_counts",
 ]
 
 

@@ -474,3 +474,43 @@ def orders_nested_lines_export(spark: SparkSession,
             .alias("lines_export"),
         )
     )
+
+
+@query(
+    "events_sliding_hourly_counts",
+    oracle="""
+    SELECT strftime(make_timestamp(
+               ((epoch_ms(ts) // 900000) - t.i) * 900000 * 1000),
+               '%Y-%m-%d %H:%M:%S') AS win_start_s,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, UNNEST(range(4)) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_hourly_counts(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SLIDING window aggregation in batch (1 h window, 15 min slide):
+    F.window's generator replicates each event into window/slide = 4
+    overlapping buckets, then one grouped count per (window, type) —
+    the moving-rate surface behind alerting dashboards, and the batch
+    twin of a sliding streaming aggregation. The oracle derives the
+    same 4 window starts arithmetically (floor-to-slide minus i slides;
+    every event lands in exactly window/slide slide-aligned windows).
+    Scale: replication happens scan-side (a Generate, no shuffle), the
+    count combines map-side, and output cardinality is bounded by
+    (time-range/slide)·|types|, not by event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
