@@ -213,3 +213,43 @@ def run_to_memory(agg: DataFrame, query_name: str,
     )
     q.processAllAvailable()
     q.stop()
+
+
+def merge_stream_into_table(changes: DataFrame, table_dir: str, key: str,
+                            seq: str = "seq", op: str = "op") -> None:
+    """Continuous MERGE: apply a CDC change STREAM to a parquet table via
+    foreachBatch — the streaming half of operators/merge.py:apply_cdc,
+    i.e. the upsert/delete ingest loop a lakehouse sink runs per
+    micro-batch. Each batch reads the current table state, folds the
+    batch's changes (latest-wins within the batch; across batches the
+    arrival order IS the seq order the source must guarantee), and
+    rewrites the table. The merged frame is eagerly localCheckpoint-ed
+    BEFORE the overwrite so the write never scans the files it is
+    replacing. On a real cluster the rewrite step becomes the table
+    format's transactional commit (Delta/Iceberg MERGE) or dynamic
+    partition overwrite of only the dirty partitions
+    (operators/merge.py + pipelines' partitioned sinks) — the batch
+    loop here is identical. Drives the stream to completion
+    (availableNow)."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.merge import apply_cdc
+
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(table_dir)
+        merged = (
+            apply_cdc(base, batch_df, key, seq=seq, op=op)
+            .drop("cdc_action")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(table_dir)
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{table_dir}_checkpoint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

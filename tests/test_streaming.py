@@ -272,3 +272,68 @@ def test_attribution_full_row_parity_across_micro_batches(
         for r in batch.collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_cdc_merge_matches_one_shot_apply(spark, tmp_path):
+    """Continuous MERGE parity: a CDC stream applied batch-by-batch
+    (foreachBatch + apply_cdc + table rewrite) must land on exactly the
+    state of applying ALL changes at once — upserts, latest-wins
+    supersedes, and deletes included. Three time-ordered change files
+    arrive as three micro-batches (ascending seq across batches, which
+    is the ordering contract a CDC source provides)."""
+    import os
+    import time
+
+    from data_pipeline_stripe_spark.operators.merge import apply_cdc
+    from data_pipeline_stripe_spark.streaming.events import (
+        merge_stream_into_table)
+
+    table_dir = str(tmp_path / "state_table")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(20)], "k long, v string, w long"
+    )
+    base.write.parquet(table_dir)
+
+    batches = [
+        # batch 0: upsert evens 0..8, delete k=1
+        [(k, f"b0_{k}", k, 100 + k, "U") for k in range(0, 10, 2)]
+        + [(1, "x", 0, 109, "D")],
+        # batch 1: supersede k=0 twice within the batch (latest wins),
+        # insert new keys 30/31, delete k=2 (upserted in batch 0)
+        [(0, "b1_first", 0, 200, "U"), (0, "b1_last", 0, 201, "U"),
+         (30, "new30", 0, 202, "U"), (31, "new31", 0, 203, "U"),
+         (2, "x", 0, 204, "D")],
+        # batch 2: delete a never-seen key (no-op) and re-insert k=1
+        [(99, "x", 0, 300, "D"), (1, "back", 1, 301, "U")],
+    ]
+    stream_dir = tmp_path / "changes"
+    stream_dir.mkdir()
+    now = time.time()
+    schema = "k long, v string, w long, seq long, op string"
+    for i, rows in enumerate(batches):
+        p = str(stream_dir / f"chg-{i:04d}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(p)
+        os.utime(p, (now + i, now + i))
+
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir / "*"))
+    )
+    merge_stream_into_table(changes, table_dir, "k")
+
+    got = {(r.k, r.v, r.w)
+           for r in spark.read.parquet(table_dir).collect()}
+    all_changes = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema)
+    want = {(r.k, r.v, r.w)
+            for r in apply_cdc(base, all_changes, "k").drop(
+                "cdc_action").collect()}
+    assert got == want
+    # spot-check the interesting keys
+    by_k = {k: (v, w) for k, v, w in got}
+    assert by_k[0] == ("b1_last", 0)      # latest-wins across batches
+    assert by_k[1] == ("back", 1)         # deleted then re-inserted
+    assert 2 not in by_k and 99 not in by_k
+    assert by_k[30] == ("new30", 0)
