@@ -67,6 +67,9 @@ PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
              "multimodal_bmp_roundtrip", "multimodal_wav_roundtrip",
              "multimodal_audio_windows", "multimodal_image_resize",
              "multimodal_video_frame_sample",
+             # perceptual-hash dedup: the Arrow-batched decode+fingerprint
+             # kernel IS the operator; the dedup groupBy shuffles two longs
+             "multimodal_image_ahash_dedup",
              # UDAF/UDTF surface proofs: the Python stage IS the operator
              "udaf_weighted_avg_price_by_flag", "udtf_top_bigrams"}
 NONEQUI_OK = {
