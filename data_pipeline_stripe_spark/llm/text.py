@@ -694,3 +694,125 @@ def lm_unigram_score(df: DataFrame, id_col: str = "doc_id",
             F.count("*").cast("long").alias("n_tokens"),
         )
     )
+
+
+def duplicate_spans(df: DataFrame, gram: int = 8,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", re-shaped for shuffle):
+    hash every ``gram``-token window with its position, keep grams seen
+    in ≥2 distinct documents, merge overlapping/adjacent hits per doc
+    into maximal [start, end) token spans (lag-gap → cumsum interval
+    merge; same-length spans make the end monotone in start, so one lag
+    suffices). Returns (id, span_start, span_end, n_grams). Gram hashing
+    rides the scan; the document-frequency filter is one ids-only
+    groupBy; the merge is one window per doc."""
+    g = (
+        df.select(
+            F.col(id_col),
+            F.expr(rf"split(trim({text_col}), '\\s+')").alias("t"),
+        )
+        .filter(F.expr(f"size(t) >= {gram}"))
+        .select(
+            id_col,
+            F.posexplode(F.expr(
+                f"transform(sequence(0, size(t) - {gram}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {gram}))))"
+            )).alias("pos0", "gh"),
+        )
+        .select(id_col, F.col("pos0").cast("long").alias("pos"), "gh")
+    )
+    freq = g.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("dfreq")
+    ).filter(F.col("dfreq") >= 2)
+    dup = g.join(freq.select("gh"), "gh").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + gram),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return numbered.groupBy(id_col, "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + gram).alias("span_end"),
+        F.count("*").alias("n_grams"),
+    ).select(id_col, "span_start", "span_end", "n_grams")
+
+
+def remove_duplicate_spans(df: DataFrame, gram: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The rewrite half of exact-substring dedup: drop every token that
+    falls inside a duplicated span and reassemble the document. Spans
+    collapse to a small per-doc array (an equi join on the id — the
+    range predicate runs as an array `exists` against the handful of
+    spans, never a non-equi join), tokens outside all spans re-join in
+    position order via an array_sort (collect_list alone does NOT
+    preserve order across partitions). Returns
+    (id, n_total, n_kept, n_removed, clean_md5) — the md5 stands in
+    for the rewritten text so comparisons stay narrow; callers wanting
+    the text itself take `clean_text` before the final select. A doc
+    whose every token sits in duplicated spans still appears, with
+    n_kept = 0 and a NULL clean_md5 — silently dropping fully-removed
+    docs would make the operator lossy in exactly the wrong place."""
+    spans = duplicate_spans(df, gram, id_col, text_col)
+    sp_arr = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))
+        ).alias("spans")
+    )
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.expr(rf"split(trim({text_col}), '\\s+')").alias("t"),
+        )
+        .select(
+            id_col,
+            F.expr("cast(size(t) as bigint)").alias("n_total"),
+            F.posexplode("t").alias("pos0", "w"),
+        )
+        .select(id_col, "n_total",
+                F.col("pos0").cast("long").alias("pos"), "w")
+    )
+    kept = (
+        toks.join(sp_arr, id_col, "left")
+        .filter(
+            F.col("spans").isNull()
+            | ~F.expr("exists(spans, x -> pos >= x.s AND pos < x.e)")
+        )
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(F.concat_ws(" ", F.expr(
+            "transform(array_sort(collect_list(struct(pos, w))),"
+            " x -> x.w)"
+        ))).alias("clean_md5"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.expr(
+            rf"cast(size(split(trim({text_col}), '\\s+')) as bigint)"
+        ).alias("n_total"),
+    )
+    return (
+        totals.join(agg, id_col, "left")
+        .select(
+            id_col, "n_total",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            (F.col("n_total")
+             - F.coalesce("n_kept", F.lit(0).cast("long")))
+            .alias("n_removed"),
+            "clean_md5",
+        )
+    )

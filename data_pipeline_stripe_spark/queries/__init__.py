@@ -99,6 +99,7 @@ PRIORITY_THIS_ROUND = [
     "abc_parts_by_brand_revenue",
     "orders_nested_lines_export",
     "events_sliding_hourly_counts",
+    "doc_substring_removed",
 ]
 
 

@@ -1645,45 +1645,74 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The suffix-array construction of the paper is the single-machine
     formulation — gram-hash grouping is its shuffle-native equivalent,
     trading the exact minimal length for a fixed gram width."""
-    from pyspark.sql.window import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
-    g = (
-        docs.select(
-            "doc_id",
-            F.expr(r"split(trim(text), '\\s+')").alias("t"),
-        )
-        .filter(F.expr("size(t) >= 8"))
-        .select(
-            "doc_id",
-            F.posexplode(F.expr(
-                "transform(sequence(0, size(t) - 8),"
-                " i -> md5(concat_ws(' ', slice(t, i + 1, 8))))"
-            )).alias("pos0", "gh"),
-        )
-        .select("doc_id", F.col("pos0").cast("long").alias("pos"), "gh")
+    return llm_text.duplicate_spans(docs, gram=8)
+
+
+@query(
+    "doc_substring_removed",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+    g AS (SELECT doc_id, CAST(r.pos AS BIGINT) AS pos,
+                 md5(array_to_string(t[r.pos + 1:r.pos + 8], ' ')) AS gh
+          FROM d, UNNEST(range(len(t) - 7)) AS r(pos)
+          WHERE len(t) >= 8),
+    freq AS (SELECT gh FROM g GROUP BY gh
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, pos FROM g JOIN freq USING (gh)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN LAG(pos) OVER w IS NULL
+                         OR pos > LAG(pos) OVER w + 8 THEN 1 ELSE 0
+               END AS new_span
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), numbered AS (
+        SELECT doc_id, pos,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_id
+        FROM flagged
+    ), spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+        FROM numbered GROUP BY doc_id, span_id
+    ), sp_arr AS (
+        SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+        FROM spans GROUP BY doc_id
+    ), tok AS (
+        SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_total,
+               CAST(r.pos AS BIGINT) AS pos, t[r.pos + 1] AS w
+        FROM d, UNNEST(range(len(t))) AS r(pos)
+    ), kept AS (
+        SELECT tok.doc_id, n_total, pos, w
+        FROM tok LEFT JOIN sp_arr ON tok.doc_id = sp_arr.doc_id
+        WHERE spans IS NULL
+              OR len(list_filter(spans,
+                     x -> pos >= x.s AND pos < x.e)) = 0
     )
-    freq = g.groupBy("gh").agg(
-        F.countDistinct("doc_id").alias("dfreq")
-    ).filter(F.col("dfreq") >= 2)
-    dup = g.join(freq.select("gh"), "gh").select("doc_id", "pos")
-    w = W.partitionBy("doc_id").orderBy("pos")
-    flagged = dup.withColumn(
-        "new_span",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") > F.lag("pos").over(w) + 8),
-            1,
-        ).otherwise(0),
+    , agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+        FROM kept GROUP BY doc_id
     )
-    numbered = flagged.withColumn(
-        "span_id",
-        F.sum("new_span").over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    return numbered.groupBy("doc_id", "span_id").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + 8).alias("span_end"),
-        F.count("*").alias("n_grams"),
-    ).select("doc_id", "span_start", "span_end", "n_grams")
+    SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_total,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           CAST(len(t) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_removed,
+           agg.clean_md5
+    FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def doc_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE half of exact-substring dedup
+    (llm/text.py:remove_duplicate_spans): every token inside a
+    cross-document duplicated span is dropped and the document
+    reassembled in position order — returned as (n_total, n_kept,
+    n_removed, md5 of the cleaned text) so the whole
+    detect→merge→rewrite chain is hash-gated, not just the span list.
+    The span array joins back by doc_id (equi join); the containment
+    test is an `exists` over the per-doc span handful, never a range
+    join against the token stream. Docs under the gram width carry no
+    spans and pass through intact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_text.remove_duplicate_spans(docs, gram=8)
