@@ -816,3 +816,34 @@ def remove_duplicate_spans(df: DataFrame, gram: int = 8,
             "clean_md5",
         )
     )
+
+
+def bpe_train(df: DataFrame, n_merges: int, id_col: str = "doc_id",
+              text_col: str = "text") -> tuple[DataFrame, list[str]]:
+    """Full BPE vocabulary induction: drive :func:`bpe_apply_step` for
+    ``n_merges`` rounds, collecting each round's winning pair — the
+    merge TABLE a tokenizer ships. Same iterative-plan hygiene as
+    kmeans_train / pagerank: each round's corpus is eagerly
+    localCheckpoint-ed (the merge plan would nest N window stages deep
+    otherwise) and the only driver-side data is the 1-row winning pair
+    per round. Stops early when no mergeable pair remains (every doc
+    down to one token). Returns (final corpus, merge list in order).
+
+    Scale: each round is two shuffles regardless of corpus size; N
+    rounds cost N× one step — the classic trade of distributed BPE
+    (per-round global synchronization) against the sequential
+    formulation that cannot distribute at all."""
+    corpus = df.select(id_col, text_col).localCheckpoint(eager=True)
+    merges: list[str] = []
+    for _ in range(n_merges):
+        stepped = bpe_apply_step(corpus, id_col, text_col)
+        stepped = stepped.localCheckpoint(eager=True)
+        pair_row = (
+            stepped.filter(F.col("pair").isNotNull())
+            .select("pair").limit(1).collect()
+        )
+        if not pair_row:
+            break
+        merges.append(pair_row[0]["pair"])
+        corpus = stepped.select(id_col, text_col)
+    return corpus, merges

@@ -862,3 +862,47 @@ def test_pq_codes_shape_and_range(spark, sf_dir):
     for r in codes:
         for j in range(4):
             assert 0 <= r[f"code_{j}"] < 16
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """Full vocab build: N driver-looped distributed steps must equal an
+    independent sequential BPE (greedy most-frequent pair, count desc /
+    pair asc tiebreak, left-to-right non-overlapping merges) run on the
+    same corpus — merge table AND final sequences."""
+    from collections import Counter
+
+    from data_pipeline_stripe_spark.llm.text import bpe_train
+
+    docs = [(0, "a b a b c"), (1, "a b a b a b"), (2, "c c c c"), (3, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_corpus, got_merges = bpe_train(df, n_merges=3)
+    got = {r["doc_id"]: r["text"] for r in got_corpus.collect()}
+
+    seqs = {i: t.split() for i, t in docs}
+    want_merges = []
+    for _ in range(3):
+        counts = Counter()
+        for s in seqs.values():
+            i = 0
+            while i < len(s) - 1:
+                counts[(s[i], s[i + 1])] += 1
+                # count overlapping occurrences the same way the
+                # distributed step does: every adjacent position
+                i += 1
+        if not counts:
+            break
+        best = min(counts.items(),
+                   key=lambda kv: (-kv[1], kv[0]))[0]
+        want_merges.append(f"{best[0]} {best[1]}")
+        for k, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[k] = out
+    assert got_merges == want_merges
+    assert got == {i: " ".join(s) for i, s in seqs.items()}
