@@ -100,6 +100,7 @@ PRIORITY_THIS_ROUND = [
     "orders_nested_lines_export",
     "events_sliding_hourly_counts",
     "doc_substring_removed",
+    "pydatasource_rates_by_code",
 ]
 
 

@@ -307,3 +307,40 @@ def merge_upsert_write_roundtrip(spark: SparkSession,
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
         "c_acctbal", "c_mktsegment",
     )
+
+
+@query(
+    "pydatasource_rates_by_code",
+    oracle="""
+    SELECT 'C' || CAST(i % 7 AS VARCHAR) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(500000 + (i * i) % 1000000) AS BIGINT)
+               AS sum_rate_micros,
+           CAST(MIN(i) AS BIGINT) AS min_row_id
+    FROM (SELECT unnest(range(1000)) AS i)
+    GROUP BY 1
+    """,
+)
+def pydatasource_rates_by_code(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """S3 modernized: the dim arrives through a CUSTOM Python DataSource
+    (sources/pydatasource.py, Spark 4 API) — 8 shards read as 8
+    executor-side partitions with shard pruning pushed down, where the
+    reference downloads the whole dim on the driver
+    (royalties.py:145-176). Rows are a pure integer function of the
+    row id, so the oracle re-derives the scan from range() arithmetic:
+    a hash match proves the source's partition/read protocol delivers
+    exactly the declared rows. The aggregate is an ordinary grouped
+    count/sum over the scan."""
+    from ..sources import pydatasource
+
+    pydatasource.register(spark)
+    dim = (
+        spark.read.format("sharded_dim")
+        .option("shards", 8).option("rows_per_shard", 125).load()
+    )
+    return dim.groupBy("code").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rate_micros").alias("sum_rate_micros"),
+        F.min("row_id").alias("min_row_id"),
+    )

@@ -149,3 +149,41 @@ def test_fetch_dim_accepts_bare_list_payload(spark, tmp_path):
     ])
     rows = fetch_dim(spark, path.as_uri(), schema).collect()
     assert rows == [("USD", 1.0)]
+
+
+def test_pydatasource_partitions_and_pruning(spark):
+    """The custom Python DataSource: one executor-side partition per
+    shard; EqualTo/In on shard_id prune partitions BEFORE tasks launch;
+    non-shard filters are reported unsupported and re-applied by Spark
+    above the scan (correctness never depends on the pushdown)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    base = (
+        spark.read.format("sharded_dim")
+        .option("shards", 6).option("rows_per_shard", 50).load()
+    )
+    assert base.count() == 300
+    assert base.select(F.spark_partition_id()).distinct().count() == 6
+
+    one = base.filter(F.col("shard_id") == 2)
+    assert one.select(F.spark_partition_id()).distinct().count() == 1
+    assert one.count() == 50
+    assert {r.row_id for r in one.collect()} == set(range(100, 150))
+
+    two = base.filter(F.col("shard_id").isin(1, 4))
+    assert two.select(F.spark_partition_id()).distinct().count() == 2
+
+    # residual (unsupported) filter re-applied above the scan: shard 1
+    # rows 50..99 have rate 500000+row² in [502500, 509801] — all cut;
+    # shard 4 rows 200..249 are all ≥ 540000 — all kept
+    resid = base.filter(
+        F.col("shard_id").isin(1, 4) & (F.col("rate_micros") > 520000))
+    got = {r.shard_id: r["count"] for r in
+           resid.groupBy("shard_id").count().collect()}
+    assert got == {4: 50}
+
+    # registration is idempotent on a shared session
+    pydatasource.register(spark)
