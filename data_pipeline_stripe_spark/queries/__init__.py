@@ -22,6 +22,7 @@ from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
+from . import relational5  # noqa: E402,F401
 from . import io_roundtrip  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
@@ -101,6 +102,20 @@ PRIORITY_THIS_ROUND = [
     "events_sliding_hourly_counts",
     "doc_substring_removed",
     "pydatasource_rates_by_code",
+    # round 5 (cont.): temporal/graph batch — SCD2 point-in-time join,
+    # incremental view maintenance, degree-ordered triangle counting
+    "scd2_pit_lineitem_priority",
+    "ivm_merge_revenue_by_month",
+    "triangle_count_copurchase",
+    # round 5 (cont.): Z-order clustering key, sequence-pattern regex,
+    # time-weighted average, daily gap-fill with forward fill
+    "zorder_key_orders",
+    "event_pattern_funnel_regex",
+    "timeweighted_avg_value_per_user",
+    "gapfill_user_daily_values",
+    # round 5 (cont.): ORC sink round-trip + full PNG codec round-trip
+    "usage_orc_roundtrip",
+    "multimodal_png_roundtrip",
 ]
 
 

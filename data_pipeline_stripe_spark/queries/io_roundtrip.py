@@ -344,3 +344,40 @@ def pydatasource_rates_by_code(spark: SparkSession,
         F.sum("rate_micros").alias("sum_rate_micros"),
         F.min("row_id").alias("min_row_id"),
     )
+
+
+@query(
+    "usage_orc_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT strftime(ts, '%Y-%m') AS month, event_type, user_id, value
+        FROM events
+    ), per_key AS (
+        SELECT month, event_type,
+               SUM(value) AS usage_value,
+               SUM(SUM(value)) OVER (PARTITION BY month) AS month_value
+        FROM base GROUP BY month, event_type
+    )
+    SELECT month, event_type,
+           ROUND(usage_value, 2) AS usage_value,
+           ROUND(usage_value / month_value * 100, 4) AS usage_pct
+    FROM per_key
+    """,
+)
+def usage_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second columnar format: the same usage report written through
+    a month-partitioned ORC sink (Spark-native, no extra packages) and
+    read back. ORC round-trips doubles bit-exactly like parquet, so the
+    oracle is shared with the parquet twin; a hash match proves the
+    engine's source/sink surface isn't parquet-only — a user switching
+    lake formats keeps every query."""
+    out = _scratch(sf_dir, "usage_orc_roundtrip")
+    report = platform_usage_monthly(spark, sf_dir)
+    report.write.mode("overwrite").partitionBy("month").orc(out)
+    back = spark.read.orc(out)
+    return back.select(
+        F.col("month").cast("string").alias("month"),
+        "event_type",
+        "usage_value",
+        "usage_pct",
+    )

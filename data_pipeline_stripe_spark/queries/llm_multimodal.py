@@ -426,3 +426,62 @@ def multimodal_image_ahash_dedup(spark: SparkSession,
         F.count("*").alias("n_images"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """One real PNG per doc with PER-PIXEL structure: channel c of pixel
+    (y, x) is (doc_id + 3x + 5y + 11c) % 256, w = id%29+2, h = id%13+2.
+    h ≥ 2 and the encoder's y%5 filter cycle mean most images contain a
+    Sub/Up row, and any image with h ≥ 5 exercises Average and Paeth too
+    — decode can't pass by handling filter 0 alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = i % 29 + 2, i % 13 + 2
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                rgb = ((i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+                ids.append(i)
+                payloads.append(multimodal.encode_png(rgb))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, _MEDIA_SCHEMA)
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      doc_id % 29 + 2 AS w,
+                      doc_id % 13 + 2 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h,
+                  (doc_id + 3 * x + 5 * y) % 256 AS r,
+                  (doc_id + 3 * x + 5 * y + 11) % 256 AS g,
+                  (doc_id + 3 * x + 5 * y + 22) % 256 AS b
+           FROM d, unnest(range(0, d.w)) AS tx(x),
+                   unnest(range(0, d.h)) AS ty(y))
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           SUM(r) / (MAX(w) * MAX(h) * 1.0) AS mean_r,
+           SUM(g) / (MAX(w) * MAX(h) * 1.0) AS mean_g,
+           SUM(b) / (MAX(w) * MAX(h) * 1.0) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 real compressed-image decode: encode a spec-conformant PNG per
+    document (zlib IDAT, CRC-checked chunks, scanline filters cycling
+    through all five types), then full-pixel-decode it back
+    (llm/multimodal.py — chunk walk, inflate, unfilter) and emit
+    dimensions + per-channel means. The oracle recomputes the means from
+    doc_id arithmetic via a lateral pixel grid — it never touches PNG —
+    so a hash match proves deflate→inflate→unfilter reproduces every
+    pixel. Per-pixel sums are exact integers; the final division is the
+    same double op on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_png_media(docs)
+    return multimodal.extract_image_pixel_stats(media)

@@ -385,3 +385,70 @@ def test_ahash_distinguishes_structure():
     # and the packed halves are non-negative signed-long-safe values
     hi, lo = mm.ahash64(horiz)
     assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+# -- PNG codec ---------------------------------------------------------------
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (31, 7), (8, 23), (5, 5)])
+def test_png_roundtrip_random_pixels(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    back = mm.decode_png_pixels(mm.encode_png(img))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+def test_png_encoder_cycles_all_five_filters():
+    """h ≥ 5 output must contain filter bytes 0..4 — the decoder is being
+    tested against every filter type, not just None."""
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    payload = mm.encode_png(img)
+    # IDAT body: skip sig(8) + IHDR chunk(12+13); chunk = len tag body crc
+    (ln,) = struct.unpack_from(">I", payload, 33)
+    raw = zlib.decompress(payload[41:41 + ln])
+    stride = 4 * 3
+    filters = {raw[y * (stride + 1)] for y in range(6)}
+    assert filters == {0, 1, 2, 3, 4}
+    assert (mm.decode_png_pixels(payload) == img).all()
+
+
+def test_png_crc_corruption_raises():
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    payload = bytearray(mm.encode_png(img))
+    payload[50] ^= 0xFF  # somewhere inside IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png_pixels(bytes(payload))
+
+
+def test_png_rejects_unsupported_color_type():
+    # hand-build a grayscale (color type 0) IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+               + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+               + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truecolor"):
+        mm.decode_png_pixels(payload)
+
+
+def test_png_rgba_alpha_dropped():
+    """Color type 6 (RGBA) decodes; the alpha plane is dropped."""
+    h, w = 4, 3
+    rgba = np.arange(h * w * 4, dtype=np.uint8).reshape(h, w * 4)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+               + mm._png_chunk(b"IDAT", zlib.compress(raw))
+               + mm._png_chunk(b"IEND", b""))
+    out = mm.decode_png_pixels(payload)
+    assert out.shape == (h, w, 3)
+    assert (out == rgba.reshape(h, w, 4)[:, :, :3]).all()
+
+
+def test_png_wrong_idat_length_raises():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+               + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+               + mm._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT length"):
+        mm.decode_png_pixels(payload)

@@ -65,6 +65,7 @@ PYTHON_OK = {"sql_udf_usage_percent", "embedding_topk_cosine_pandas",
              # real encode/decode round-trips: the Arrow-batched Python
              # stage IS the operator under test
              "multimodal_bmp_roundtrip", "multimodal_wav_roundtrip",
+             "multimodal_png_roundtrip",
              "multimodal_audio_windows", "multimodal_image_resize",
              "multimodal_video_frame_sample",
              # perceptual-hash dedup: the Arrow-batched decode+fingerprint
@@ -111,6 +112,13 @@ NONEQUI_OK = {
     # counts — same scalar-subquery class (pair generation itself is a
     # doc_id-keyed sort-merge join)
     "doc_pmi_pairs",
+    # triangle count summary: three 1-row aggregates (nodes, edges,
+    # triangles) crossed into the single output row — the wedge joins
+    # themselves are keyed hash joins
+    "triangle_count_copurchase",
+    # gap-fill grid bounds: the 1-row (min_day, max_day) aggregate
+    # broadcast over the per-user day grid — scalar-subquery class
+    "gapfill_user_daily_values",
 }
 
 
