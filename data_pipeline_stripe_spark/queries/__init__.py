@@ -56,7 +56,11 @@ PRIORITY_THIS_ROUND = [
     "merge_upsert_customers",      # NULL-key guard via presence flags
     "doc_decontaminate_bloom",     # bloom_probe collision-free temp names
     "embedding_hard_negatives",    # query-side cluster assignment
-    "udtf_top_bigrams",            # NULL-text guard in eval
+    # (udtf_top_bigrams was pinned here for its NULL-text guard; unpinned
+    # late in the round to keep ≥1 rotating slot once the continuation
+    # queries filled the window — the guard is pytest-covered
+    # (test_llm_ops) and the query was hash-green in this round's full
+    # sf0.001/sf0.01 differentials.)
     "doc_bpe_merge_step",          # bpe_apply_step short-doc union (shared core)
     # round 5: new S1/K1-K3 source/sink round-trip queries
     "events_json_blob_agg",
@@ -116,6 +120,9 @@ PRIORITY_THIS_ROUND = [
     # round 5 (cont.): ORC sink round-trip + full PNG codec round-trip
     "usage_orc_roundtrip",
     "multimodal_png_roundtrip",
+    # round 5 (cont.): k-hop BFS reachability + winsorized robust stats
+    "graph_bfs_3hop",
+    "winsorized_value_stats",
 ]
 
 

@@ -451,3 +451,107 @@ def gapfill_user_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         F.last("day_cents", ignorenulls=True).over(wff).alias("filled_cents"),
     )
+
+
+@query(
+    "graph_bfs_3hop",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), walk(kind, id, dist) AS (
+        SELECT 'C', CAST(1 AS BIGINT), 0
+        UNION
+        SELECT CASE WHEN w.kind = 'C' THEN 'S' ELSE 'C' END,
+               CASE WHEN w.kind = 'C' THEN e.s ELSE e.c END,
+               w.dist + 1
+        FROM walk w JOIN e ON (w.kind = 'C' AND e.c = w.id)
+                           OR (w.kind = 'S' AND e.s = w.id)
+        WHERE w.dist < 3
+    )
+    SELECT kind, id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY kind, id
+    """,
+)
+def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS reachability (k=3) from customer 1 over the bipartite
+    customer—supplier purchase graph: the frontier-expansion loop every
+    distributed graph engine runs. Each hop is ONE keyed join of the
+    (small) frontier against the edge list plus an anti-join against the
+    visited set — never a transitive-closure blowup; the frontier is
+    broadcast-size by construction and layers guarantee minimal
+    distances, matching the oracle's recursive-CTE MIN(dist). At 100 TB
+    the edge list shuffles once (partitioned by join side) and each
+    iteration reuses it; the loop unrolls in the driver exactly like
+    pagerank_loop (operators/graph.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    seed = spark.createDataFrame([("C", 1, 0)], "kind string, id long, dist long")
+    visited, frontier = seed, seed
+    for step in range(1, 4):
+        from_c = frontier.filter(F.col("kind") == "C").join(
+            edges, F.col("id") == F.col("c")
+        ).select(F.lit("S").alias("kind"), F.col("s").alias("id"),
+                 F.lit(step).cast("long").alias("dist"))
+        from_s = frontier.filter(F.col("kind") == "S").join(
+            edges, F.col("id") == F.col("s")
+        ).select(F.lit("C").alias("kind"), F.col("c").alias("id"),
+                 F.lit(step).cast("long").alias("dist"))
+        expanded = from_c.unionByName(from_s).distinct()
+        frontier = expanded.join(visited, ["kind", "id"], "left_anti")
+        visited = visited.unionByName(frontier)
+    return visited
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(LEAST(GREATEST(e.value, p.p05), p.p95) * 100)
+               AS BIGINT)) AS winsorized_cents,
+           CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-statistics cleaning step (clip to the
+    exact per-group [p05, p95] band) that keeps a hot sensor or a fat-
+    finger payment from dominating a mean. Shape: one small per-type
+    percentile aggregate broadcast back onto the stream (keyed join, no
+    second full shuffle), clip at scan speed, then integer-cent sums so
+    the result is association-order-free. Both engines compute the same
+    linearly-interpolated exact percentile; the approximate twin at
+    100 TB swaps in percentile_approx exactly as approx_percentiles_price
+    documents."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(p), "event_type").withColumn(
+        "w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("w") * 100).cast("long"))
+         .alias("winsorized_cents"),
+        F.sum(F.when((F.col("value") < F.col("p05"))
+                     | (F.col("value") > F.col("p95")), 1).otherwise(0))
+         .cast("long").alias("n_clipped"),
+    )

@@ -337,3 +337,85 @@ def test_streaming_cdc_merge_matches_one_shot_apply(spark, tmp_path):
     assert by_k[1] == ("back", 1)         # deleted then re-inserted
     assert 2 not in by_k and 99 not in by_k
     assert by_k[30] == ("new30", 0)
+
+
+@pytest.fixture(scope="module")
+def late_data_dir(tmp_path_factory):
+    """Three hand-built micro-batch files for watermark EVICTION
+    semantics: batch 0 has two 09:xx clicks plus a 12:00 row; batch 1's
+    12:10 row runs under watermark 11:00 (watermark updates lag one
+    batch), finalizing and EVICTING the 09:00 window; batch 2 replays a
+    LATE 09:40 click — its window is behind the committed watermark, so
+    it must be dropped, not re-opened. (A late row landing in the SAME
+    batch the watermark first passes its window is still merged before
+    eviction — that is why the late replay arrives two batches after the
+    watermark-advancing row.)"""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_late")
+
+    def rows(specs, start_id):
+        return pd.DataFrame({
+            "event_id": range(start_id, start_id + len(specs)),
+            "ts": pd.to_datetime([t for t, _ in specs]),
+            "user_id": [1] * len(specs),
+            "event_type": [ty for _, ty in specs],
+            "value": [1.0] * len(specs),
+            "props": ["{}"] * len(specs),
+        })
+
+    b0 = rows([("2024-01-05 09:10:00", "click"),
+               ("2024-01-05 09:20:00", "click"),
+               ("2024-01-05 12:00:00", "view")], 0)
+    b1 = rows([("2024-01-05 12:10:00", "view")], 10)
+    b2 = rows([("2024-01-05 09:40:00", "click"),     # LATE: behind watermark
+               ("2024-01-05 12:30:00", "view")], 20)
+    now = time.time()
+    for i, df in enumerate([b0, b1, b2]):
+        path = str(d / f"part-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(df), path)
+        os.utime(path, (now + i, now + i))
+    return str(d)
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, late_data_dir):
+    """The semantics every parity test skips: a row BEHIND the watermark
+    must be dropped, and an unfinalized window must be withheld. Append
+    mode, 1-hour watermark: the 09:00 window finalizes with 2 clicks —
+    the replayed 09:40 click arrives after the window was evicted and is
+    counted in numRowsDroppedByWatermark, not the output; the 12:xx
+    windows never finalize on a finite stream → absent from append
+    output. A batch aggregate over the same rows would count 3 clicks —
+    asserting the difference proves eviction rather than restating
+    parity."""
+    stream = streaming.read_event_stream(spark, late_data_dir,
+                                         max_files_per_trigger=1)
+    agg = streaming.windowed_event_counts(stream, window="1 hour",
+                                          watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("late_win_counts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for pr in q.recentProgress for so in pr["stateOperators"]
+    )
+    out = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM late_win_counts").collect()
+    }
+    assert out == {("2024-01-05 09:00:00", "click"): 2}
+    assert dropped == 1
+    # the batch twin over ALL rows counts the late click — 3, not 2
+    batch = (
+        spark.read.parquet(late_data_dir)
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert batch == 3
