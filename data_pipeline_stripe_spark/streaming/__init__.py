@@ -2,6 +2,7 @@ from .events import (
     read_event_stream,
     windowed_event_counts,
     sessionized_event_counts,
+    sessionize_with_timeout,
     stateful_running_totals,
     enrich_with_dim,
     dedup_event_stream,
@@ -14,6 +15,7 @@ __all__ = [
     "read_event_stream",
     "windowed_event_counts",
     "sessionized_event_counts",
+    "sessionize_with_timeout",
     "stateful_running_totals",
     "enrich_with_dim",
     "dedup_event_stream",

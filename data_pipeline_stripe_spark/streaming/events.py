@@ -112,6 +112,80 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_with_timeout(events: DataFrame, gap_minutes: int = 30,
+                            watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME TIMEOUT state eviction —
+    the custom-stateful-operator pattern built-in session_window cannot
+    generalize (per-session custom payloads, conditional closes). Per
+    user: events extend the open session while gaps stay ≤ gap_minutes;
+    a larger in-batch gap closes and emits the session immediately; the
+    OPEN session is parked in GroupState with
+    setTimeoutTimestamp(last_ts + gap), so when the WATERMARK passes
+    that instant Spark calls back with hasTimedOut and the session
+    closes with no further data — bounded state, deterministic closes,
+    no key ever lingers past watermark + gap. Emits closed sessions
+    only (append semantics)."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+    gap_ms = gap_minutes * 60 * 1000
+
+    def to_ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def row(uid, start_ms, last_ms, n) -> "pd.DataFrame":
+        return pd.DataFrame({
+            "user_id": [uid],
+            "session_start": [pd.Timestamp(start_ms, unit="ms")],
+            "session_end": [pd.Timestamp(last_ms, unit="ms")],
+            "n_events": [n],
+        })
+
+    def update(key, pdfs, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield row(uid, start_ms, last_ms, n)
+            return
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        ts_ms = sorted(
+            to_ms(t) for pdf in pdfs for t in pdf["ts"] if t is not None
+        )
+        for t in ts_ms:
+            if start_ms is None:
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms <= gap_ms:
+                last_ms, n = t, n + 1
+            else:
+                yield row(uid, start_ms, last_ms, n)
+                start_ms, last_ms, n = t, t, 1
+        state.update((start_ms, last_ms, n))
+        # close via watermark: fire when event time last_ms + gap passes.
+        # A timeout must sit ABOVE the current watermark (late stragglers
+        # could otherwise set one in the past) — clamp up by 1 ms.
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                outputMode="append",
+                                timeoutConf="EventTimeTimeout")
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame,
                     on: str = "event_type") -> DataFrame:
     """Stream-static join: each micro-batch of the stream is enriched

@@ -120,3 +120,36 @@ def test_winnowing_guarantee_any_shared_8_token_run(spark, prefix, passage,
         df, min_shared=1, max_fp_doc_freq=None
     ).collect()
     assert any(p.doc_a == 1 and p.doc_b == 2 for p in pairs)
+
+
+@given(x=st.integers(0, 65535), y=st.integers(0, 65535))
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_is_invertible(x, y):
+    """The Morton key is a bijection on 16-bit pairs: deinterleaving the
+    even/odd bits recovers (x, y) exactly — no two (custkey, day) cells
+    share a z-value, which is what makes z-range file skipping sound.
+    Pure-Python twin of the generated SQL in queries/relational5.py."""
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (rx, ry) == (x, y)
+    assert 0 <= z < 2 ** 32
+
+
+@given(w=st.integers(1, 20), h=st.integers(1, 20),
+       seed=st.integers(0, 2 ** 31))
+@settings(max_examples=25, deadline=None)
+def test_png_codec_roundtrip_any_shape(w, h, seed):
+    """encode_png → decode_png_pixels is the identity for ANY uint8 RGB
+    array — every width (all cumsum lane layouts), every height (all
+    five filter types via the y%5 cycle)."""
+    import numpy as np
+
+    from data_pipeline_stripe_spark.llm import multimodal as mm
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    assert (mm.decode_png_pixels(mm.encode_png(img)) == img).all()

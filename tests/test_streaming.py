@@ -419,3 +419,60 @@ def test_watermark_drops_late_rows_in_append_mode(spark, late_data_dir):
         .count()
     )
     assert batch == 3
+
+
+def test_timeout_sessionization_matches_batch_closed_sessions(
+        spark, sf_dir, multi_batch_dir):
+    """EventTimeTimeout sessionization: once the stream drains, the
+    emitted (closed) sessions must be exactly the batch gap-sessions
+    EXCEPT each user's final session when the watermark never reached
+    its close instant. Non-final sessions close either on an in-batch
+    gap or when the user's next event arrives in a later batch; final
+    sessions close only via the state timeout — so this asserts both
+    mechanisms, against an independently computed batch twin (all
+    arithmetic in floored milliseconds, matching the operator)."""
+    from pyspark.sql.window import Window as W
+
+    gap_min, wm_delay_ms = 30, 60_000
+    gap_ms = gap_min * 60 * 1000
+    stream = streaming.read_event_stream(spark, multi_batch_dir,
+                                         max_files_per_trigger=1)
+    out = streaming.sessionize_with_timeout(stream, gap_minutes=gap_min,
+                                            watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("timeout_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, int(r.session_start.timestamp() * 1000),
+         int(r.session_end.timestamp() * 1000), r.n_events)
+        for r in spark.sql("SELECT * FROM timeout_sessions").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 1000").alias("ts_ms"))
+    w = W.partitionBy("user_id").orderBy("ts_ms")
+    prev = F.lag("ts_ms").over(w)
+    sid = F.sum(
+        F.when(prev.isNull() | ((F.col("ts_ms") - prev) > gap_ms), 1)
+        .otherwise(0)
+    ).over(w)
+    sessions = (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_ms").alias("start_ms"), F.max("ts_ms").alias("end_ms"),
+             F.count("*").alias("n"))
+        .withColumn("last_sid",
+                    F.max("sid").over(W.partitionBy("user_id")))
+    )
+    wm_final_ms = (
+        ev.agg(F.max("ts_ms")).collect()[0][0] - wm_delay_ms
+    )
+    expected = {
+        (r.user_id, r.start_ms, r.end_ms, r.n)
+        for r in sessions.collect()
+        if r.sid < r.last_sid or r.end_ms + gap_ms < wm_final_ms
+    }
+    assert got == expected
+    assert got, "fixture produced no closed sessions"

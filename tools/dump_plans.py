@@ -132,6 +132,28 @@ SHOWCASE = [
      "shuffle the step joins are co-partitioned; the events fact is "
      "scanned per step with the event_type filter pushed down, never "
      "materialized per-user."),
+    ("scd2_pit_lineitem_priority",
+     "Point-in-time join as union-window as-of: the fact-fact "
+     "lineitem-orders join is the one inherent sort-merge; the SCD2 "
+     "version lookup costs ONE more exchange (facts+versions on "
+     "custkey) — no interval-join fan-out operator anywhere."),
+    ("triangle_count_copurchase",
+     "Degree-ordered triangle counting: every wedge/closure join is a "
+     "keyed hash join (SortMergeJoin/BroadcastHashJoin); the only "
+     "nested-loop is the final 1-row summary cross."),
+    ("zorder_key_orders",
+     "The Z-order key is pure projection arithmetic at scan speed — "
+     "no Join, no shuffle beyond the test-fixture round-robin "
+     "rebalance: one Project over the FileScan."),
+    ("gapfill_user_daily_values",
+     "Gap-fill: 1-row bounds broadcast (scalar-subquery class), "
+     "bounded per-user day explode, left join and forward-fill window "
+     "sharing one user_id partitioning."),
+    ("winsorized_value_stats",
+     "Winsorize: the per-type percentile aggregate is broadcast back "
+     "onto the events scan (BroadcastHashJoin) — the clip runs inside "
+     "codegen; no full shuffle of the fact on the 5-key type column "
+     "(which would be skew-prone)."),
 ]
 
 
