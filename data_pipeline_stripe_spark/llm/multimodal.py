@@ -275,9 +275,9 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        if pos + 12 + length > len(payload):  # body + CRC must both fit
             raise ValueError(f"truncated {tag!r} chunk")
+        body = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if crc != zlib.crc32(tag + body):
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
@@ -298,7 +298,12 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
         )
     ch = 3 if color == 2 else 4
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # typed-error policy: a foreign exception escaping a mapInPandas
+        # batch is undiagnosable at scale
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from None
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"IDAT length {len(raw)} != expected {h * (stride + 1)}")

@@ -193,11 +193,33 @@ def test_decoders_raise_only_valueerror_on_garbage(magic, tail):
     a silently wrong answer would be worse (the contract the docstrings
     promise: 'a clear error, never a silently wrong answer')."""
     payload = magic + tail
-    for fn in (mm.decode_image_real, mm.decode_bmp_pixels, mm.decode_wav):
+    for fn in (mm.decode_image_real, mm.decode_bmp_pixels, mm.decode_wav,
+               mm.decode_png_pixels):
         try:
             fn(payload)
         except ValueError:
             pass
+
+
+@given(flip=st.integers(8, 200), bit=st.integers(0, 7))
+@settings(max_examples=40, deadline=None)
+def test_png_any_single_bitflip_raises_not_wrong_pixels(flip, bit):
+    """Flip ANY single bit past the signature of a valid PNG: the decoder
+    must either raise ValueError (CRC/zlib/structure catch it) or — if
+    the flip landed in a bit the decode doesn't depend on — reproduce
+    the original pixels. It must never return DIFFERENT pixels: CRC
+    verification is the integrity contract."""
+    import numpy as np
+
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    payload = bytearray(mm.encode_png(img))
+    idx = 8 + (flip % (len(payload) - 8))
+    payload[idx] ^= 1 << bit
+    try:
+        out = mm.decode_png_pixels(bytes(payload))
+        assert (out == img).all()
+    except ValueError:
+        pass
 
 
 def test_jpeg_fill_bytes_before_markers_are_skipped():

@@ -437,3 +437,75 @@ def test_apply_cdc_semantics(spark):
 
     with pytest.raises(ValueError, match="base columns plus"):
         apply_cdc(base, base, "k")
+
+
+def test_bfs_3hop_matches_python_bfs(spark):
+    """graph_bfs_3hop vs an independent pure-Python BFS over the same
+    edge list — a third implementation besides the Spark frontier loop
+    and the DuckDB recursive CTE, covering layered min-distances and
+    the bipartite alternation."""
+    import collections
+
+    import duckdb
+
+    from data_pipeline_stripe_spark.queries.relational5 import graph_bfs_3hop
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        SELECT DISTINCT o.o_custkey, l.l_suppkey
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+    """).fetchall()
+    adj = collections.defaultdict(set)
+    for c, s in edges:
+        adj[("C", c)].add(("S", s))
+        adj[("S", s)].add(("C", c))
+    dist = {("C", 1): 0}
+    frontier = [("C", 1)]
+    for d in range(1, 4):
+        nxt = []
+        for node in frontier:
+            for nb in adj[node]:
+                if nb not in dist:
+                    dist[nb] = d
+                    nxt.append(nb)
+        frontier = nxt
+    got = {(r.kind, r.id): r.dist
+           for r in graph_bfs_3hop(spark, sf_dir).collect()}
+    assert got == {(k, i): d for (k, i), d in dist.items()}
+
+
+def test_ivm_partial_merge_is_split_invariant(spark):
+    """The IVM contract: merging partial aggregates gives the same view
+    for ANY split of the input — here 2-way by date and 3-way by key
+    hash, both equal to the full recompute."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.sources import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partial(df):
+        return df.groupBy(month).agg(F.sum(cents).alias("c"),
+                                     F.count("*").alias("n"))
+
+    def merge(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return {
+            r.month: (r.c, r.n)
+            for r in out.groupBy("month")
+            .agg(F.sum("c").alias("c"), F.sum("n").alias("n")).collect()
+        }
+
+    full = {r.month: (r.c, r.n) for r in partial(orders).collect()}
+    h = F.crc32(F.col("o_orderkey").cast("string")) % 3
+    three_way = merge([partial(orders.filter(h == i)) for i in range(3)])
+    split = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    two_way = merge([partial(orders.filter(split)),
+                     partial(orders.filter(~split))])
+    assert three_way == full and two_way == full
