@@ -590,9 +590,21 @@ def decode_gif_frames(
     """Walk a GIF payload into (width, height, palette, frames): real
     LZW decode of every image block. Extensions (GCE, comments, app
     blocks) are skipped structurally; interlaced images and local color
-    tables are rejected with a typed error rather than a wrong answer."""
+    tables are rejected with a typed error rather than a wrong answer.
+    Truncated structures (header fields, block walks, LZW streams) are
+    converted to ValueError per the typed-error policy — a struct.error
+    or IndexError escaping a mapInPandas batch is undiagnosable."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _walk_gif(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated GIF structure: {e}") from None
+
+
+def _walk_gif(
+    payload: bytes,
+) -> tuple[int, int, np.ndarray, list[np.ndarray]]:
     w, h = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
     pos = 13

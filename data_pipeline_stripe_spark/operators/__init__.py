@@ -6,9 +6,11 @@ from .asof import asof_join
 from .grouped import zscore_per_group_native, zscore_per_group_pandas
 from .range_join import range_join
 from .scd import scd2_from_changes
+from .sketches import hll_merge_partials, hll_partials, hll_rollup
 from .skew import salted_join, two_phase_agg
 
 __all__ = [
     "asof_join", "range_join", "salted_join", "two_phase_agg",
     "zscore_per_group_native", "zscore_per_group_pandas",
+    "hll_partials", "hll_rollup", "hll_merge_partials",
 ]

@@ -194,7 +194,7 @@ def test_decoders_raise_only_valueerror_on_garbage(magic, tail):
     promise: 'a clear error, never a silently wrong answer')."""
     payload = magic + tail
     for fn in (mm.decode_image_real, mm.decode_bmp_pixels, mm.decode_wav,
-               mm.decode_png_pixels):
+               mm.decode_png_pixels, mm.decode_gif_frames):
         try:
             fn(payload)
         except ValueError:
