@@ -476,3 +476,50 @@ def test_timeout_sessionization_matches_batch_closed_sessions(
     }
     assert got == expected
     assert got, "fixture produced no closed sessions"
+
+
+def test_state_recovers_across_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Crash-recovery semantics the micro-batch tests can't show: drain
+    half the input under one streaming QUERY PROCESS, stop it, add the
+    rest, and start a NEW query from the same checkpoint — the
+    aggregation must resume from the persisted state store AND the
+    persisted source offsets (phase 2 reads only the new file, yet its
+    complete-mode output covers both halves). Either losing state
+    (undercount) or losing offsets (double count) breaks the equality
+    with the batch aggregate. Memory sinks don't support checkpoint
+    recovery, so this runs through the foreachBatch parquet sink."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    n = tbl.num_rows
+    half = str(src / "part-0000.parquet")
+    pq.write_table(tbl.slice(0, n // 2), half)
+    os.utime(half, (time.time() - 10, time.time() - 10))
+
+    def run():
+        stream = streaming.read_event_stream(spark, str(src))
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        streaming.write_partitioned_exactly_once(agg, out, "event_type")
+        return {r.event_type: (r.n, r.v)
+                for r in spark.read.parquet(out).collect()}
+
+    phase1 = run()
+    assert sum(v[0] for v in phase1.values()) == n // 2  # half drained
+
+    pq.write_table(tbl.slice(n // 2, n - n // 2), str(src / "part-0001.parquet"))
+    phase2 = run()
+    batch = {
+        r.event_type: (r.n, round(r.v, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert phase2 == batch
