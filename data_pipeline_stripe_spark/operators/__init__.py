@@ -4,6 +4,7 @@ Pandas UDF second, mapPartitions last)."""
 
 from .asof import asof_join
 from .grouped import zscore_per_group_native, zscore_per_group_pandas
+from .layout import compact_small_files, write_clustered
 from .range_join import range_join
 from .scd import scd2_from_changes
 from .sketches import hll_merge_partials, hll_partials, hll_rollup
@@ -13,4 +14,5 @@ __all__ = [
     "asof_join", "range_join", "salted_join", "two_phase_agg",
     "zscore_per_group_native", "zscore_per_group_pandas",
     "hll_partials", "hll_rollup", "hll_merge_partials",
+    "write_clustered", "compact_small_files",
 ]

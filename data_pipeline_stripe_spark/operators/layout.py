@@ -1,0 +1,56 @@
+"""Physical data layout: clustered writes and small-file compaction.
+
+The write-side half of the data-skipping story. `zorder_key_orders`
+computes the clustering KEY; `write_clustered` is what a 100 TB table
+maintenance job does with it: range-partition the rows on the key so
+every output file owns a DISJOINT key span, and sort within each file so
+parquet row-group min/max footers are tight. A reader's key-range
+predicate then prunes whole files from the footer stats alone — the
+engine-level equivalent of Delta/Iceberg OPTIMIZE ZORDER, with no table
+format required (tests/test_scale_patterns.py reads the footers back
+and pins the disjointness).
+
+`compact_small_files` is the other maintenance verb: streaming ingest
+(foreachBatch, per-trigger writes) accretes thousands of tiny files
+whose per-file open/footer cost dominates scans at scale; compaction
+rewrites a directory to size-targeted files. Both are plain DataFrame
+jobs — distributed, restartable, no driver-side file juggling
+(reference top10.py:260-278 writes per-day files in a driver loop).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_clustered(df: DataFrame, out_dir: str, cluster_cols: list[str],
+                    n_files: int) -> None:
+    """Write ``df`` as ``n_files`` parquet files with DISJOINT ranges of
+    ``cluster_cols``: repartitionByRange gives non-overlapping spans
+    (range exchange with sampled bounds), sortWithinPartitions makes
+    row-group stats tight inside each file."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite").parquet(out_dir)
+    )
+
+
+def compact_small_files(spark: SparkSession, in_dir: str, out_dir: str,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Rewrite a parquet directory into ceil(total_bytes / target)
+    files. Returns the output file count. Row content is preserved
+    exactly; ordering is not (compaction is a layout operation, not a
+    query). Source bytes are measured from the directory listing — no
+    data read happens on the driver."""
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(in_dir)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    n = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(in_dir).repartition(n).write.mode(
+        "overwrite").parquet(out_dir)
+    return n

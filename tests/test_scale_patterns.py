@@ -214,3 +214,76 @@ def test_zorder_key_clusters_both_dimensions(spark, sf_dir):
     # date-sorted layout smears the customer range across every chunk of
     # the date range; z-sorted touches a fraction of them
     assert z_touched < date_touched / 2, (z_touched, date_touched)
+
+
+def test_clustered_write_produces_disjoint_tight_footers(spark, sf_dir,
+                                                         tmp_path):
+    """The write half of the Z-order story (operators/layout.py): after
+    write_clustered on the Morton key, every parquet file owns a
+    DISJOINT zkey span and the per-file footer [min, max] spans are
+    tight — so a zkey-range predicate can prune whole files from
+    footers alone. A round-robin write of the same rows smears the full
+    key range across every file (no file prunable, ever)."""
+    import pyarrow.parquet as pq
+
+    from data_pipeline_stripe_spark.operators import write_clustered
+    from data_pipeline_stripe_spark.queries.relational5 import _Z_SPARK
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", F.expr(f"CAST({_Z_SPARK} AS BIGINT)").alias("zkey"))
+    cl, rr = str(tmp_path / "clustered"), str(tmp_path / "roundrobin")
+    write_clustered(orders, cl, ["zkey"], n_files=8)
+    orders.repartition(8).write.parquet(rr)
+
+    def file_spans(d):
+        spans = []
+        for e in sorted(os.listdir(d)):
+            if not e.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f"{d}/{e}").metadata
+            zi = next(i for i in range(md.num_columns)
+                      if md.row_group(0).column(i).path_in_schema == "zkey")
+            mins = [md.row_group(g).column(zi).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(zi).statistics.max
+                    for g in range(md.num_row_groups)]
+            spans.append((min(mins), max(maxs)))
+        return sorted(spans)
+
+    import os
+
+    cl_spans, rr_spans = file_spans(cl), file_spans(rr)
+    assert len(cl_spans) == 8
+    # disjoint: each file's min exceeds the previous file's max
+    assert all(b[0] > a[1] for a, b in zip(cl_spans, cl_spans[1:]))
+    # round-robin files all span ~the whole range — none prunable
+    lo = min(s[0] for s in rr_spans)
+    hi = max(s[1] for s in rr_spans)
+    assert all(s[1] - s[0] > 0.9 * (hi - lo) for s in rr_spans)
+    # same rows either way
+    assert (spark.read.parquet(cl).count()
+            == spark.read.parquet(rr).count() == orders.count())
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """compact_small_files: a directory of many tiny files (the
+    streaming-ingest residue) compacts to the size-targeted count with
+    the exact same row multiset."""
+    from data_pipeline_stripe_spark.operators import compact_small_files
+
+    src, dst = str(tmp_path / "tiny"), str(tmp_path / "compact")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    orders.repartition(40).write.parquet(src)
+    import os
+
+    n_in = sum(1 for e in os.listdir(src) if e.endswith(".parquet"))
+    total = sum(e.stat().st_size for e in os.scandir(src)
+                if e.name.endswith(".parquet"))
+    n_out = compact_small_files(spark, src, dst,
+                                target_file_bytes=total // 3 + 1)
+    files_out = sum(1 for e in os.listdir(dst) if e.endswith(".parquet"))
+    assert n_in == 40 and files_out == n_out <= 4
+    a = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
+    b = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
+    assert a == b
