@@ -26,6 +26,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -107,7 +108,80 @@ def register(spark) -> None:
     implements pushFilters() while the conf is off (a loud failure, not
     a silent no-pushdown fallback)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(ShardedDimDataSource)
-    except Exception:
+    for source in (ShardedDimDataSource, EventFeedDataSource):
+        try:
+            spark.dataSource.register(source)
+        except Exception:
+            pass
+
+
+# -- Streaming Python DataSource: executor-side micro-batch feed ------------
+
+class FeedSlice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _feed_row(i: int):
+    """Row i of the feed as a pure integer function — the oracle for any
+    drained prefix is re-derivable from range(n) in any engine."""
+    return (
+        i,
+        i % 50,
+        ("signup", "click", "view", "purchase", "error")[i % 5],
+        (i * i) % 1_000_000,
+    )
+
+
+class EventFeedStreamReader(DataSourceStreamReader):
+    """Spark-4 streaming Python DataSource (the FULL executor-side API,
+    not SimpleDataSourceStreamReader's driver-side convenience path):
+    the driver only tracks integer offsets; each micro-batch's offset
+    range splits into ``splits_per_batch`` InputPartitions whose rows
+    are generated INSIDE executor tasks. ``max_rows`` bounds the feed so
+    a test can drain it; a real feed (kafka-like HTTP cursor, queue)
+    replaces ``latestOffset`` with a cursor probe and ``read`` with a
+    per-slice fetch — offsets, partitioning, and recovery semantics
+    (restart replays [committed, latest)) are exactly what this class
+    exercises."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.splits = int(options.get("splits_per_batch", 4))
+        self._offset = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._offset = min(self._offset + self.rows_per_batch, self.max_rows)
+        return {"index": self._offset}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["index"]), int(end["index"])
+        n = max(1, self.splits)
+        step = max(1, -(-(e - s) // n))
+        return [FeedSlice(lo, min(lo + step, e))
+                for lo in range(s, e, step)] or [FeedSlice(s, s)]
+
+    def read(self, partition: FeedSlice):
+        for i in range(partition.start, partition.end):
+            yield _feed_row(i)
+
+    def commit(self, end: dict) -> None:
         pass
+
+
+class EventFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "event_feed"
+
+    def schema(self) -> str:
+        return ("event_id bigint, user_id bigint, event_type string, "
+                "value_micros bigint")
+
+    def streamReader(self, schema) -> EventFeedStreamReader:
+        return EventFeedStreamReader(self.options)
