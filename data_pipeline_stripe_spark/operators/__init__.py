@@ -9,10 +9,12 @@ from .range_join import range_join
 from .scd import scd2_from_changes
 from .sketches import hll_merge_partials, hll_partials, hll_rollup
 from .skew import salted_join, two_phase_agg
+from .zorder import z_cover, z_interleave, z_rectangle_filter
 
 __all__ = [
     "asof_join", "range_join", "salted_join", "two_phase_agg",
     "zscore_per_group_native", "zscore_per_group_pandas",
     "hll_partials", "hll_rollup", "hll_merge_partials",
     "write_clustered", "compact_small_files",
+    "z_interleave", "z_cover", "z_rectangle_filter",
 ]

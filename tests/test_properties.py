@@ -153,3 +153,42 @@ def test_png_codec_roundtrip_any_shape(w, h, seed):
     img = np.random.default_rng(seed).integers(
         0, 256, (h, w, 3), dtype=np.uint8)
     assert (mm.decode_png_pixels(mm.encode_png(img)) == img).all()
+
+
+@given(x_lo=st.integers(0, 65535), x_w=st.integers(0, 2000),
+       y_lo=st.integers(0, 65535), y_w=st.integers(0, 2000),
+       budget=st.sampled_from([8, 32, 64, 100000]))
+@settings(max_examples=40, deadline=None)
+def test_z_cover_is_sound_and_exact_at_full_budget(x_lo, x_w, y_lo, y_w,
+                                                   budget):
+    """z_cover soundness: every point of the rectangle has its z-value
+    inside some interval, at ANY budget. Exactness at unbounded budget:
+    every z in the cover decodes back INTO the rectangle (no
+    overshoot). Checked on the rectangle's corners/edges plus a sample
+    grid, and interval bounds decode-checked directly."""
+    from data_pipeline_stripe_spark.operators.zorder import (
+        z_cover, z_interleave)
+
+    x_hi, y_hi = min(x_lo + x_w, 65535), min(y_lo + y_w, 65535)
+    ranges = z_cover(x_lo, x_hi, y_lo, y_hi, max_ranges=budget)
+    assert all(a[1] < b[0] for a, b in zip(ranges, ranges[1:]))
+
+    def covered(z):
+        return any(lo <= z <= hi for lo, hi in ranges)
+
+    xs = {x_lo, x_hi, (x_lo + x_hi) // 2}
+    ys = {y_lo, y_hi, (y_lo + y_hi) // 2}
+    for x in xs:
+        for y in ys:
+            assert covered(z_interleave(x, y)), (x, y)
+    if budget == 100000:
+        # exact cover: interval endpoints decode into the rectangle
+        def decode(z):
+            x = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+            y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+            return x, y
+
+        for lo, hi in ranges:
+            for z in (lo, hi):
+                x, y = decode(z)
+                assert x_lo <= x <= x_hi and y_lo <= y <= y_hi, (z, x, y)

@@ -287,3 +287,63 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     a = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
     b = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_z_rectangle_filter_prunes_clustered_files_exactly(spark, tmp_path):
+    """The full Z-order loop: key (relational5), clustered write
+    (layout), and now the READ — a (custkey × date) rectangle
+    decomposed into z-intervals (operators/zorder.py). Three pins:
+    (1) the z-filtered result equals the naive two-column filter
+    row-for-row (the residual keeps semantics exact at any cover
+    budget); (2) the z-intervals intersect only a minority of the
+    clustered files' footer spans — the I/O the layout saves;
+    (3) the interval disjunction reaches the parquet scan as pushed
+    filters, so the pruning happens at scan level, not post-hoc."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_stripe_spark.operators import (
+        write_clustered, z_cover, z_rectangle_filter)
+    from data_pipeline_stripe_spark.queries.relational5 import _Z_SPARK
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.expr(f"CAST({_Z_SPARK} AS BIGINT)").alias("zkey"),
+        F.expr("CAST(datediff(CAST(o_orderdate AS DATE), "
+               "DATE'1995-01-01') AS BIGINT)").alias("day_num"),
+    )
+    d = str(tmp_path / "zclustered")
+    write_clustered(orders, d, ["zkey"], n_files=16)
+    back = spark.read.parquet(d)
+
+    # rectangle: 1996 (days 365..730) × custkeys 100..140
+    x_lo, x_hi, y_lo, y_hi = 365, 730, 100, 140
+    pred = z_rectangle_filter(
+        "zkey", F.col("day_num"), F.col("o_custkey"),
+        x_lo, x_hi, y_lo, y_hi, max_ranges=64)
+    got = sorted(r.o_orderkey for r in back.filter(pred).collect())
+    naive = sorted(
+        r.o_orderkey for r in back.filter(
+            F.col("day_num").between(x_lo, x_hi)
+            & F.col("o_custkey").between(y_lo, y_hi)).collect())
+    assert got == naive and len(got) > 0
+
+    ranges = z_cover(x_lo, x_hi, y_lo, y_hi, max_ranges=64)
+    spans = []
+    for e in os.listdir(d):
+        if e.endswith(".parquet"):
+            md = pq.ParquetFile(f"{d}/{e}").metadata
+            zi = next(i for i in range(md.num_columns)
+                      if md.row_group(0).column(i).path_in_schema == "zkey")
+            stats = [md.row_group(g).column(zi).statistics
+                     for g in range(md.num_row_groups)]
+            spans.append((min(s.min for s in stats),
+                          max(s.max for s in stats)))
+    hit = [s for s in spans
+           if any(lo <= s[1] and hi >= s[0] for lo, hi in ranges)]
+    assert len(hit) < len(spans) / 2, (len(hit), len(spans))
+
+    plan = back.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "zkey" in pushed
