@@ -43,12 +43,17 @@ def compact_small_files(spark: SparkSession, in_dir: str, out_dir: str,
     """Rewrite a parquet directory into ceil(total_bytes / target)
     files. Returns the output file count. Row content is preserved
     exactly; ordering is not (compaction is a layout operation, not a
-    query). Source bytes are measured from the directory listing — no
-    data read happens on the driver."""
+    query). Source bytes are measured from a recursive directory walk
+    (streaming sinks write partitioned subdirectories) — no data read
+    happens on the driver. Note: partition-column VALUES survive (they
+    come back as ordinary columns on read) but the directory layout is
+    flattened; re-partition the output with write.partitionBy if the
+    layout must be preserved."""
     total = sum(
-        e.stat().st_size
-        for e in os.scandir(in_dir)
-        if e.is_file() and e.name.endswith(".parquet")
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(in_dir)
+        for f in files
+        if f.endswith(".parquet")
     )
     n = max(1, -(-total // target_file_bytes))
     spark.read.parquet(in_dir).repartition(n).write.mode(

@@ -53,6 +53,17 @@ def z_cover(x_lo: int, x_hi: int, y_lo: int, y_hi: int,
     allows full descent; otherwise partial cells are included whole."""
     if x_lo > x_hi or y_lo > y_hi:
         return []
+    limit = (1 << bits) - 1
+    if x_lo < 0 or y_lo < 0 or x_hi > limit or y_hi > limit:
+        # The z-key encodes MASKED coordinates (e.g. custkey & 65535 in
+        # relational5._Z_SPARK): bounds outside [0, 2^bits) cannot be
+        # expressed as z-intervals and silently clamping would either
+        # drop rows (aliased residues) or scan everything. The caller
+        # must bucket/mask its dimension into the key domain first.
+        raise ValueError(
+            f"rectangle [{x_lo},{x_hi}]x[{y_lo},{y_hi}] outside the "
+            f"{bits}-bit z-domain [0,{limit}] — mask or bucket the "
+            "dimension to the key domain before decomposing")
     out: list[tuple[int, int]] = []
     queue: deque[tuple[int, int, int]] = deque([(0, 0, 0)])  # depth, xp, yp
     while queue:
@@ -70,6 +81,8 @@ def z_cover(x_lo: int, x_hi: int, y_lo: int, y_hi: int,
             for dy in (0, 1):
                 for dx in (0, 1):
                     queue.append((d + 1, xp * 2 + dx, yp * 2 + dy))
+    if not out:
+        return []
     out.sort()
     merged = [out[0]]
     for lo, hi in out[1:]:

@@ -492,6 +492,11 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # materialize ONCE: the unrolled loop references edges twice per
+        # hop, and without truncation each reference re-executes the
+        # lineitem⋈orders build (same convention as pagerank_loop /
+        # kmeans_train in operators/graph.py)
+        .localCheckpoint(eager=True)
     )
     seed = spark.createDataFrame([("C", 1, 0)], "kind string, id long, dist long")
     visited, frontier = seed, seed
@@ -505,8 +510,11 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit("C").alias("kind"), F.col("c").alias("id"),
                  F.lit(step).cast("long").alias("dist"))
         expanded = from_c.unionByName(from_s).distinct()
-        frontier = expanded.join(visited, ["kind", "id"], "left_anti")
-        visited = visited.unionByName(frontier)
+        # truncate lineage per hop: otherwise frontier/visited nest the
+        # previous hops' joins three deep in the final plan
+        frontier = expanded.join(visited, ["kind", "id"], "left_anti") \
+            .localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     return visited
 
 

@@ -142,12 +142,22 @@ class EventFeedStreamReader(DataSourceStreamReader):
     are generated INSIDE executor tasks. ``max_rows`` bounds the feed so
     a test can drain it; a real feed (kafka-like HTTP cursor, queue)
     replaces ``latestOffset`` with a cursor probe and ``read`` with a
-    per-slice fetch — offsets, partitioning, and recovery semantics
-    (restart replays [committed, latest)) are exactly what this class
-    exercises."""
+    per-slice fetch.
+
+    Recovery contract: by default ``latestOffset`` reports the feed's
+    true end (``max_rows``) — like a Kafka log-end probe, it is a pure
+    function of the external feed, so a restarted query resumes at the
+    CHECKPOINTED offset and plans exactly [committed, end): no replay,
+    no backward offsets. Setting ``rows_per_batch`` turns on in-run
+    PACING (the offset advances per trigger from a per-instance
+    counter) purely to demonstrate multi-batch execution; pacing state
+    does not survive a restart — the first post-restart latestOffset
+    can sit below the committed offset, which Spark's offset log would
+    reject — so paced mode is for bounded in-run demonstrations and
+    tests only (the Python API has no ReadLimit to pace safely)."""
 
     def __init__(self, options):
-        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.rows_per_batch = int(options.get("rows_per_batch", 0))
         self.max_rows = int(options.get("max_rows", 1000))
         self.splits = int(options.get("splits_per_batch", 4))
         self._offset = 0
@@ -156,6 +166,8 @@ class EventFeedStreamReader(DataSourceStreamReader):
         return {"index": 0}
 
     def latestOffset(self) -> dict:
+        if self.rows_per_batch <= 0:
+            return {"index": self.max_rows}
         self._offset = min(self._offset + self.rows_per_batch, self.max_rows)
         return {"index": self._offset}
 

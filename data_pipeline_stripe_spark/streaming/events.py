@@ -124,7 +124,16 @@ def sessionize_with_timeout(events: DataFrame, gap_minutes: int = 30,
     that instant Spark calls back with hasTimedOut and the session
     closes with no further data — bounded state, deterministic closes,
     no key ever lingers past watermark + gap. Emits closed sessions
-    only (append semantics)."""
+    only (append semantics).
+
+    Out-of-order policy: a late event (still above the watermark) that
+    precedes the open session WIDENS it (start_ms = min, last_ms = max
+    — bounds never regress, the timeout stays monotone). Events late
+    enough to belong to an earlier, separate session therefore merge
+    into the open one; exact out-of-order sessionization would have to
+    buffer every event until the watermark passes it, which is the
+    built-in session_window's job (session_window_batch) — this
+    operator trades that buffering for O(1) state per key."""
     import pandas as pd
 
     out_schema = T.StructType([
@@ -166,10 +175,21 @@ def sessionize_with_timeout(events: DataFrame, gap_minutes: int = 30,
             if start_ms is None:
                 start_ms, last_ms, n = t, t, 1
             elif t - last_ms <= gap_ms:
-                last_ms, n = t, n + 1
+                # within gap — includes OUT-OF-ORDER events still above
+                # the watermark (t may precede the open session): widen
+                # the session bounds instead of rewinding them, so
+                # session_end never regresses and the timeout stays
+                # monotone
+                start_ms = min(start_ms, t)
+                last_ms = max(last_ms, t)
+                n += 1
             else:
                 yield row(uid, start_ms, last_ms, n)
                 start_ms, last_ms, n = t, t, 1
+        if start_ms is None:
+            # a batch of only null-ts rows with no prior state: nothing
+            # to park, and None arithmetic below would kill the query
+            return
         state.update((start_ms, last_ms, n))
         # close via watermark: fire when event time last_ms + gap passes.
         # A timeout must sit ABOVE the current watermark (late stragglers

@@ -619,3 +619,41 @@ def test_pit_asof_matches_interval_join_on_same_day_versions(spark):
     assert got[(1, "2024-01-09 00:00:00")] is None
     assert got[(1, "2024-01-10 00:00:00")] == "A"
     assert got[(1, "2024-01-20 00:00:00")] == "C"
+
+
+def test_z_cover_rejects_out_of_domain_rectangles():
+    """Bounds outside the masked 16-bit key domain must raise loudly —
+    clamping would silently drop aliased residues (custkey & 65535)."""
+    import pytest as _pytest
+
+    from data_pipeline_stripe_spark.operators import z_cover
+
+    assert z_cover(10, 5, 0, 1) == []  # empty rect is fine
+    with _pytest.raises(ValueError, match="z-domain"):
+        z_cover(0, 10, 70000, 70040)
+    with _pytest.raises(ValueError, match="z-domain"):
+        z_cover(-10, -1, 0, 5)
+
+
+def test_compaction_sizes_partitioned_directories_recursively(spark,
+                                                              sf_dir,
+                                                              tmp_path):
+    """The motivating input for compaction is streaming-sink residue,
+    which is PARTITIONED (subdirectories) — sizing must walk
+    recursively, not just the top level (a zero total would silently
+    collapse everything into one file)."""
+    from data_pipeline_stripe_spark.operators import compact_small_files
+    from data_pipeline_stripe_spark.sources import load_table
+
+    src, dst = str(tmp_path / "part_src"), str(tmp_path / "part_dst")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ev.repartition(8).write.partitionBy("event_type").parquet(src)
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet"))
+    n = compact_small_files(spark, src, dst, target_file_bytes=total // 4 + 1)
+    assert n >= 4  # recursive sizing saw the partitioned bytes
+    assert spark.read.parquet(dst).count() == ev.count()

@@ -245,3 +245,28 @@ def test_python_streaming_datasource_drains_to_exact_feed(spark):
     # micro-batching really happened: 500 rows at 64/batch needs 8 triggers
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches >= 8
+
+
+def test_python_streaming_datasource_unpaced_mode_single_batch(spark):
+    """Default (restart-safe) mode: latestOffset reports the feed's true
+    end like a log-end probe, so the whole bounded feed drains in ONE
+    availableNow batch with the same exact totals."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("event_feed")
+        .option("max_rows", 300).load()
+    )
+    agg = stream.groupBy().agg(F.count("*").alias("n"),
+                               F.sum("value_micros").alias("v"))
+    q = (
+        agg.writeStream.format("memory").queryName("feed_unpaced")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    r = spark.sql("SELECT * FROM feed_unpaced").collect()[0]
+    assert (r.n, r.v) == (300, sum((i * i) % 1_000_000 for i in range(300)))
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 1

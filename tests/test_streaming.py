@@ -523,3 +523,52 @@ def test_state_recovers_across_checkpoint_restart(spark, sf_dir, tmp_path):
         .collect()
     }
     assert phase2 == batch
+
+
+def test_timeout_sessionization_widens_on_out_of_order_event(
+        spark, tmp_path):
+    """Cross-batch out-of-order handling: a late-but-above-watermark
+    event that PRECEDES the open session must widen its bounds
+    (start=min, end=max), never rewind session_end below session_start
+    or regress the timeout. Batch 1 opens (10:00); batch 2 delivers
+    09:45 (widen) then 13:00 (gap → close). The closed session must be
+    (09:45, 10:00, 2 events)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ooo"
+    d.mkdir()
+
+    def write(i, specs):
+        df = pd.DataFrame({
+            "event_id": range(i * 10, i * 10 + len(specs)),
+            "ts": pd.to_datetime([t for t in specs]),
+            "user_id": [1] * len(specs),
+            "event_type": ["click"] * len(specs),
+            "value": [1.0] * len(specs),
+            "props": ["{}"] * len(specs),
+        })
+        p = str(d / f"part-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(df), p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    write(0, ["2024-01-05 10:00:00"])
+    write(1, ["2024-01-05 09:45:00", "2024-01-05 13:00:00"])
+
+    stream = streaming.read_event_stream(spark, str(d),
+                                         max_files_per_trigger=1)
+    out = streaming.sessionize_with_timeout(stream, gap_minutes=30,
+                                            watermark="6 hours")
+    q = (
+        out.writeStream.format("memory").queryName("ooo_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = [(r.user_id, str(r.session_start), str(r.session_end),
+             r.n_events)
+            for r in spark.sql("SELECT * FROM ooo_sessions").collect()]
+    assert rows == [(1, "2024-01-05 09:45:00", "2024-01-05 10:00:00", 2)]
