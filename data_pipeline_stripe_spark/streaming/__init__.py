@@ -8,6 +8,7 @@ from .events import (
     dedup_event_stream,
     purchase_click_attribution,
     write_partitioned_exactly_once,
+    merge_stream_into_table,
     run_to_memory,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "dedup_event_stream",
     "purchase_click_attribution",
     "write_partitioned_exactly_once",
+    "merge_stream_into_table",
     "run_to_memory",
 ]

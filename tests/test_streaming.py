@@ -572,3 +572,51 @@ def test_timeout_sessionization_widens_on_out_of_order_event(
              r.n_events)
             for r in spark.sql("SELECT * FROM ooo_sessions").collect()]
     assert rows == [(1, "2024-01-05 09:45:00", "2024-01-05 10:00:00", 2)]
+
+
+def test_feed_source_to_cdc_merge_table_end_to_end(spark, tmp_path):
+    """Full ingest pipeline across the session's components: the custom
+    streaming Python DataSource feeds change rows into the continuous
+    CDC merge sink across FOUR sequential ingest runs sharing one
+    checkpoint (the feed's end grows between runs — the daily-ingest
+    shape), so each run resumes at the committed offset and applies
+    only its new slice. The final parquet table must equal a sequential
+    Python application of every change: upserts latest-wins per key,
+    deletes remove keys, untouched base keys survive. (availableNow
+    snapshots latestOffset once per run — NOTES trap — so incremental
+    ingest is expressed as runs, not paced batches.)"""
+    from data_pipeline_stripe_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    table = str(tmp_path / "cdc_table")
+    spark.createDataFrame(
+        [(k, -1) for k in range(37)], "k long, value_micros long"
+    ).coalesce(1).write.parquet(table)
+
+    for feed_end in (120, 240, 360, 480):
+        feed = (
+            spark.readStream.format("event_feed")
+            .option("max_rows", feed_end)
+            .load()
+            .select(
+                (F.col("event_id") % 37).alias("k"),
+                F.col("value_micros"),
+                F.when(F.col("event_type") == "error", "D").otherwise("U")
+                 .alias("op"),
+                F.col("event_id").alias("seq"),
+            )
+        )
+        streaming.merge_stream_into_table(feed, table, key="k")
+
+    got = {r.k: r.value_micros
+           for r in spark.read.parquet(table).collect()}
+    expect = {k: -1 for k in range(37)}
+    for i in range(480):
+        k = i % 37
+        op = "D" if ("signup", "click", "view", "purchase", "error")[i % 5] \
+            == "error" else "U"
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = (i * i) % 1_000_000
+    assert got == expect
