@@ -5,6 +5,8 @@ Pandas UDF second, mapPartitions last)."""
 from .asof import asof_join
 from .grouped import zscore_per_group_native, zscore_per_group_pandas
 from .layout import compact_small_files, write_clustered
+from .quality import (accepted_values, foreign_key, in_range,
+                      matches_regex, not_null, run_checks, unique)
 from .range_join import range_join
 from .scd import scd2_from_changes
 from .sketches import hll_merge_partials, hll_partials, hll_rollup
@@ -17,4 +19,6 @@ __all__ = [
     "hll_partials", "hll_rollup", "hll_merge_partials",
     "write_clustered", "compact_small_files",
     "z_interleave", "z_cover", "z_rectangle_filter",
+    "run_checks", "not_null", "in_range", "accepted_values",
+    "matches_regex", "unique", "foreign_key",
 ]

@@ -657,3 +657,52 @@ def test_compaction_sizes_partitioned_directories_recursively(spark,
     n = compact_small_files(spark, src, dst, target_file_bytes=total // 4 + 1)
     assert n >= 4  # recursive sizing saw the partitioned bytes
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_quality_checks_exact_counts_and_one_scan(spark):
+    """run_checks (operators/quality.py): exact violation counts on a
+    hand-built frame for every check kind, and the compilation
+    property — ALL row-level checks share ONE aggregate job (a single
+    scan), pinned by counting scans in the executed plan of the shared
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import (
+        accepted_values, foreign_key, in_range, matches_regex, not_null,
+        run_checks, unique)
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.io", 10.0, "US"),
+            (2, None, -5.0, "GB"),        # null email, range violation
+            (2, "b@x.io", 20.0, "ZZ"),    # dup id, bad country
+            (3, "not-an-email", 130.0, "US"),  # regex + range violation
+            (4, "c@x.io", 50.0, None),    # null country
+        ],
+        "id long, email string, score double, country string",
+    )
+    dim = spark.createDataFrame([("US",), ("GB",), ("FR",)], "code string")
+    report = {
+        r.check: (r.violations, r.total)
+        for r in run_checks(df, [
+            not_null("email"),
+            in_range("score", 0, 100),
+            accepted_values("country", ["US", "GB", "FR"]),
+            matches_regex("email", r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+            unique("id"),
+            foreign_key("country", dim, "code"),
+        ]).collect()
+    }
+    assert report["not_null(email)"] == (1, 5)
+    assert report["in_range(score,0,100)"] == (2, 5)
+    assert report["accepted_values(country)"] == (2, 5)  # ZZ + null
+    assert report["matches_regex(email)"] == (2, 5)      # null + bad
+    assert report["unique(id)"] == (2, 5)                # both dup rows
+    assert report["foreign_key(country->code)"] == (1, 5)  # ZZ only
+
+    # one-scan compilation: the combined row-level aggregate plans a
+    # single scan of the source
+    aggs = [F.sum(F.when(F.col("email").isNull(), 1).otherwise(0)),
+            F.sum(F.when(F.col("score") > 100, 1).otherwise(0))]
+    plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1
