@@ -4,7 +4,7 @@ Pandas UDF second, mapPartitions last)."""
 
 from .asof import asof_join
 from .grouped import zscore_per_group_native, zscore_per_group_pandas
-from .layout import compact_small_files, write_clustered
+from .layout import compact_small_files, vacuum_partitions, write_clustered
 from .quality import (accepted_values, foreign_key, in_range,
                       matches_regex, not_null, run_checks, unique)
 from .range_join import range_join
@@ -17,7 +17,7 @@ __all__ = [
     "asof_join", "range_join", "salted_join", "two_phase_agg",
     "zscore_per_group_native", "zscore_per_group_pandas",
     "hll_partials", "hll_rollup", "hll_merge_partials",
-    "write_clustered", "compact_small_files",
+    "write_clustered", "compact_small_files", "vacuum_partitions",
     "z_interleave", "z_cover", "z_rectangle_filter",
     "run_checks", "not_null", "in_range", "accepted_values",
     "matches_regex", "unique", "foreign_key",

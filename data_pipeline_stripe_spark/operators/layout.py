@@ -59,3 +59,30 @@ def compact_small_files(spark: SparkSession, in_dir: str, out_dir: str,
     spark.read.parquet(in_dir).repartition(n).write.mode(
         "overwrite").parquet(out_dir)
     return n
+
+
+def vacuum_partitions(table_dir: str, partition_col: str,
+                      keep) -> list[str]:
+    """Retention for a directory-partitioned table: delete the partition
+    directories whose value fails ``keep`` (a predicate on the decoded
+    partition value). Purely a listing + directory delete — no Spark
+    job, no data read; readers see the surviving partitions atomically
+    per directory. Returns the deleted partition values (sorted).
+
+    This is the poor-man's ``VACUUM``/retention of a lakehouse table:
+    at 100 TB, expiring old days must be O(partitions-to-delete), never
+    a rewrite of survivors. Values are compared as the STRING spelled in
+    the directory name (partition-type inference is the repo's known
+    trap) — pass a predicate over strings."""
+    import shutil
+    from urllib.parse import unquote
+
+    prefix = f"{partition_col}="
+    deleted = []
+    for e in sorted(os.scandir(table_dir), key=lambda e: e.name):
+        if e.is_dir() and e.name.startswith(prefix):
+            value = unquote(e.name[len(prefix):])
+            if not keep(value):
+                shutil.rmtree(e.path)
+                deleted.append(value)
+    return deleted

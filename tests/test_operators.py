@@ -706,3 +706,32 @@ def test_quality_checks_exact_counts_and_one_scan(spark):
             F.sum(F.when(F.col("score") > 100, 1).otherwise(0))]
     plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") == 1
+
+
+def test_vacuum_partitions_retention(spark, sf_dir, tmp_path):
+    """vacuum_partitions: expiring old day-partitions deletes exactly
+    those directories (O(deleted), no survivor rewrite) and subsequent
+    reads return precisely the retained rows."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import vacuum_partitions
+    from data_pipeline_stripe_spark.sources import load_table
+
+    d = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    ev.write.partitionBy("day").parquet(d)
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    cutoff = days[len(days) // 2]
+
+    deleted = vacuum_partitions(d, "day", keep=lambda v: v >= cutoff)
+    assert deleted == [v for v in days if v < cutoff]
+    back = spark.read.parquet(d)
+    expect = ev.filter(F.col("day") >= cutoff).count()
+    assert back.count() == expect
+    # partition-type inference turns day=2024-01-16 into DATE — cast
+    # back to string for the comparison (the repo's known trap)
+    got_days = sorted(
+        r.day for r in back.select(F.col("day").cast("string").alias("day"))
+        .distinct().collect())
+    assert got_days == [v for v in days if v >= cutoff]
