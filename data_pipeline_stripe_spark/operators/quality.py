@@ -114,6 +114,9 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
                 [(c.name, int(orphans), int(n_total))],
                 "check string, violations long, total long"))
 
+    if not reports:
+        return spark.createDataFrame(
+            [], "check string, violations long, total long")
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

@@ -735,3 +735,27 @@ def test_vacuum_partitions_retention(spark, sf_dir, tmp_path):
         r.day for r in back.select(F.col("day").cast("string").alias("day"))
         .distinct().collect())
     assert got_days == [v for v in days if v >= cutoff]
+
+
+def test_quality_gate_on_fixture_star_schema(spark, sf_dir):
+    """The gate composed on the real fixture: orders must pass key
+    uniqueness, FK integrity to customer, and sane ranges — the
+    pre-publish validation the reference pipelines never run. Also pins
+    the empty-suite edge (no checks → empty report, not a crash)."""
+    from data_pipeline_stripe_spark.operators import (
+        foreign_key, in_range, not_null, run_checks, unique)
+    from data_pipeline_stripe_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    report = {
+        r.check: r.violations
+        for r in run_checks(orders, [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            foreign_key("o_custkey", customer, "c_custkey"),
+            in_range("o_totalprice", 0, 10_000_000),
+        ]).collect()
+    }
+    assert all(v == 0 for v in report.values()), report
+    assert run_checks(orders, []).count() == 0
