@@ -78,11 +78,22 @@ def vacuum_partitions(table_dir: str, partition_col: str,
     from urllib.parse import unquote
 
     prefix = f"{partition_col}="
+    parts = [
+        (unquote(e.name[len(prefix):]), e.path)
+        for e in sorted(os.scandir(table_dir), key=lambda e: e.name)
+        if e.is_dir() and e.name.startswith(prefix)
+    ]
+    doomed = [(v, p) for v, p in parts if not keep(v)]
+    if parts and len(doomed) == len(parts):
+        # a retention predicate that keeps NOTHING is almost always a
+        # miscomputed cutoff (clock skew, off-by-one) — deleting every
+        # partition leaves an unreadable table; make the caller say so
+        # explicitly by deleting in two calls if truly intended
+        raise ValueError(
+            f"refusing to vacuum ALL {len(parts)} partitions of "
+            f"{table_dir} — the keep predicate retained nothing")
     deleted = []
-    for e in sorted(os.scandir(table_dir), key=lambda e: e.name):
-        if e.is_dir() and e.name.startswith(prefix):
-            value = unquote(e.name[len(prefix):])
-            if not keep(value):
-                shutil.rmtree(e.path)
-                deleted.append(value)
+    for value, path in doomed:
+        shutil.rmtree(path)
+        deleted.append(value)
     return deleted

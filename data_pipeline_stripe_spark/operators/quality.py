@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 class Check:
     name: str
     kind: str                       # row | unique | foreign_key
-    predicate: Column | None = None  # row-level: TRUE == violation
+    # Column and DataFrame have no value equality/hash (Column.__eq__
+    # builds an expression) — exclude them so Check == Check / set(...)
+    # compare by (name, kind, keys, cols) instead of crashing
+    predicate: Column | None = field(default=None, compare=False)
     keys: tuple[str, ...] = ()
     dim: DataFrame | None = field(default=None, compare=False)
     fact_col: str = ""
@@ -69,37 +72,53 @@ def foreign_key(fact_col: str, dim: DataFrame, dim_col: str) -> Check:
                  dim=dim, fact_col=fact_col, dim_col=dim_col)
 
 
+def _row_check_aggregate(df: DataFrame, row_checks: list[Check]) -> DataFrame:
+    """The shared one-scan aggregate for every row-level check (split
+    out so tests can pin ITS plan, not a lookalike): violation counts
+    coalesce to 0 so an empty batch — a no-new-data day — reports clean,
+    not NULL."""
+    aggs = [
+        F.coalesce(F.sum(F.when(c.predicate, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias(f"v{i}")
+        for i, c in enumerate(row_checks)
+    ]
+    return df.agg(*aggs, F.count("*").alias("_t"))
+
+
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Evaluate every check; returns (check, violations, total) with one
     row per check. Row-level checks share a single aggregate job over
-    one scan; each unique/foreign_key check adds one keyed job on its
-    own natural key."""
+    one scan (and the batch TOTAL is computed exactly once, there or in
+    one count — never per check); each unique/foreign_key check adds one
+    keyed job on its own natural key. Unknown check kinds raise: a
+    validation gate must fail CLOSED, never silently skip a
+    constraint."""
     spark = df.sparkSession
-    total = F.count("*")
-    reports: list[DataFrame] = []
+    unknown = [c.name for c in checks
+               if c.kind not in ("row", "unique", "foreign_key")]
+    if unknown:
+        raise ValueError(f"unknown check kind(s): {unknown}")
 
+    rows: list[tuple[str, int, int]] = []
     row_checks = [c for c in checks if c.kind == "row"]
+    n_total: int | None = None
     if row_checks:
-        aggs = [F.sum(F.when(c.predicate, 1).otherwise(0)).cast("long")
-                .alias(f"v{i}") for i, c in enumerate(row_checks)]
-        row = df.agg(*aggs, total.alias("_t")).collect()[0]
-        reports.append(spark.createDataFrame(
-            [(c.name, row[f"v{i}"], row["_t"])
-             for i, c in enumerate(row_checks)],
-            "check string, violations long, total long"))
+        agg = _row_check_aggregate(df, row_checks).collect()[0]
+        n_total = agg["_t"]
+        rows += [(c.name, int(agg[f"v{i}"]), int(n_total))
+                 for i, c in enumerate(row_checks)]
 
     for c in checks:
+        if c.kind in ("unique", "foreign_key") and n_total is None:
+            n_total = df.count()
         if c.kind == "unique":
-            dup = (
+            v = (
                 df.groupBy(*c.keys).agg(F.count("*").alias("n"))
                 .filter(F.col("n") > 1)
-                .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("violations"))
+                .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+                .collect()[0].v
             )
-            n_total = df.agg(total.alias("t")).collect()[0].t
-            v = dup.collect()[0].violations
-            reports.append(spark.createDataFrame(
-                [(c.name, int(v), int(n_total))],
-                "check string, violations long, total long"))
+            rows.append((c.name, int(v), int(n_total)))
         elif c.kind == "foreign_key":
             orphans = (
                 df.select(F.col(c.fact_col)).filter(
@@ -109,15 +128,7 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
                     c.fact_col, "left_anti")
                 .count()
             )
-            n_total = df.count()
-            reports.append(spark.createDataFrame(
-                [(c.name, int(orphans), int(n_total))],
-                "check string, violations long, total long"))
+            rows.append((c.name, int(orphans), int(n_total)))
 
-    if not reports:
-        return spark.createDataFrame(
-            [], "check string, violations long, total long")
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    return spark.createDataFrame(
+        rows, "check string, violations long, total long")

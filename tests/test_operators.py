@@ -700,11 +700,15 @@ def test_quality_checks_exact_counts_and_one_scan(spark):
     assert report["unique(id)"] == (2, 5)                # both dup rows
     assert report["foreign_key(country->code)"] == (1, 5)  # ZZ only
 
-    # one-scan compilation: the combined row-level aggregate plans a
-    # single scan of the source
-    aggs = [F.sum(F.when(F.col("email").isNull(), 1).otherwise(0)),
-            F.sum(F.when(F.col("score") > 100, 1).otherwise(0))]
-    plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    # one-scan compilation: the AGGREGATE run_checks ITSELF BUILDS for
+    # the row-level suite plans a single scan of the source
+    from data_pipeline_stripe_spark.operators.quality import (
+        _row_check_aggregate)
+
+    agg_df = _row_check_aggregate(
+        df, [not_null("email"), in_range("score", 0, 100),
+             accepted_values("country", ["US"])])
+    plan = agg_df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") == 1
 
 
@@ -759,3 +763,45 @@ def test_quality_gate_on_fixture_star_schema(spark, sf_dir):
     }
     assert all(v == 0 for v in report.values()), report
     assert run_checks(orders, []).count() == 0
+
+
+def test_quality_checks_edge_semantics(spark):
+    """The gate's edge contracts: an EMPTY batch reports 0 violations
+    (not NULL) for every check kind; an unknown check kind raises
+    (fail-closed, never silently skipped); Check value-equality works
+    despite Column having no __eq__/__hash__ semantics."""
+    import pytest as _pytest
+
+    from data_pipeline_stripe_spark.operators import (
+        not_null, run_checks, unique)
+    from data_pipeline_stripe_spark.operators.quality import Check
+
+    empty = spark.createDataFrame([], "id long, email string")
+    report = {r.check: (r.violations, r.total)
+              for r in run_checks(empty, [not_null("email"),
+                                          unique("id")]).collect()}
+    assert report == {"not_null(email)": (0, 0), "unique(id)": (0, 0)}
+
+    with _pytest.raises(ValueError, match="unknown check kind"):
+        run_checks(empty, [Check("typo", "uniqe")])
+
+    a, b = not_null("email"), not_null("email")
+    assert a == b and len({a, b}) == 1
+
+
+def test_vacuum_refuses_to_delete_every_partition(spark, sf_dir, tmp_path):
+    """A keep-nothing predicate is almost always a miscomputed cutoff —
+    vacuum must refuse rather than leave an unreadable table."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import vacuum_partitions
+    from data_pipeline_stripe_spark.sources import load_table
+
+    d = str(tmp_path / "by_day")
+    load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    ).write.partitionBy("day").parquet(d)
+    with _pytest.raises(ValueError, match="retained nothing"):
+        vacuum_partitions(d, "day", keep=lambda v: False)
+    assert spark.read.parquet(d).count() > 0  # table untouched
