@@ -465,3 +465,87 @@ def shared_passage_pairs(df: DataFrame, min_shared: int = WINNOW_MIN_SHARED,
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def build_lsh_index(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """The persistable LSH index: (signatures, band index) — the two
+    parquet artifacts a production corpus maintains so daily ingest
+    never re-signatures the old corpus (incremental_minhash_pairs'
+    docstring promise, made concrete). Signatures are one narrow row
+    per doc; the band index is (id, band_id, band_key) — ids only,
+    exactly what the probe join shuffles on."""
+    sig = minhash_signatures(df, id_col, text_col)
+    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"),
+                         _band_key(sig_cols, b).alias("band_key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    return sig, bands
+
+
+def probe_lsh_index(index_signatures: DataFrame, index_bands: DataFrame,
+                    new_docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", threshold: float = 0.5,
+                    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                    ) -> DataFrame:
+    """Near-dup pairs touching a NEW batch, probed against a PERSISTED
+    index (read back from parquet, or any DataFrame with
+    build_lsh_index's schemas): new-vs-old and new-vs-new pairs, never
+    old-vs-old — same output contract and same hot-bucket cap semantics
+    as :func:`incremental_minhash_pairs` (the cap counts old+new rows
+    per bucket together, as it must: a boilerplate bucket does not stop
+    being hot because its members span ingest days). New ids must be
+    disjoint from the index (re-ingest should vacuum the old rows
+    first). Cost per ingest: signature the new batch, one band join
+    keyed on (band_id, band_key), two id-keyed signature joins on the
+    survivors."""
+    new_sig, new_bands = build_lsh_index(new_docs, id_col, text_col)
+    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
+    bands = (
+        index_bands.withColumn("_is_new", F.lit(False))
+        .unionByName(new_bands.withColumn("_is_new", F.lit(True)))
+    )
+    if max_bucket_size is not None:
+        bands = _cap_hot_keys(bands, ["band_id", "band_key"],
+                              max_bucket_size)
+    a = bands.filter(F.col("_is_new")).alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+            .alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig = index_signatures.unionByName(new_sig)
+    sig_arr = F.array(*[F.col(c) for c in sig_cols])
+    sa = sig.select(F.col(id_col).alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), sig_arr.alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard",
+                    F.round(matches / F.lit(float(N_HASHES)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )

@@ -906,3 +906,37 @@ def test_bpe_train_matches_sequential_reference(spark):
             seqs[k] = out
     assert got_merges == want_merges
     assert got == {i: " ".join(s) for i, s in seqs.items()}
+
+
+def test_persisted_lsh_index_probe_matches_incremental(spark, sf_dir,
+                                                       tmp_path):
+    """The production claim in incremental_minhash_pairs' docstring,
+    made real: build the corpus LSH index, WRITE it to parquet, read it
+    back, probe with a new batch — the pair set must equal the
+    declarative incremental computation over the full union, row for
+    row (ids, estimates, cap semantics)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.llm import dedup
+    from data_pipeline_stripe_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+
+    sig, bands = dedup.build_lsh_index(old)
+    sig.write.parquet(str(tmp_path / "sig"))
+    bands.write.parquet(str(tmp_path / "bands"))
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dedup.probe_lsh_index(
+            spark.read.parquet(str(tmp_path / "sig")),
+            spark.read.parquet(str(tmp_path / "bands")),
+            new).collect()
+    }
+    expect = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dedup.incremental_minhash_pairs(
+            docs, F.col("doc_id") >= 400).collect()
+    }
+    assert got == expect and len(expect) > 0
