@@ -502,20 +502,45 @@ def probe_lsh_index(index_signatures: DataFrame, index_bands: DataFrame,
     as :func:`incremental_minhash_pairs` (the cap counts old+new rows
     per bucket together, as it must: a boilerplate bucket does not stop
     being hot because its members span ingest days). New ids must be
-    disjoint from the index (re-ingest should vacuum the old rows
-    first). Cost per ingest: signature the new batch, one band join
-    keyed on (band_id, band_key), two id-keyed signature joins on the
-    survivors."""
+    disjoint from the index and that is ENFORCED (a re-ingested id
+    would put two signature rows in the scoring joins and emit
+    duplicate pairs with conflicting estimates — vacuum the old rows
+    first). Cost per ingest: signature the new batch ONCE (eagerly
+    materialized — four plan branches reference it and Catalyst does
+    not CSE across branches), one bucket-count pass + one probe join
+    over the index keyed on (band_id, band_key), two id-keyed signature
+    joins on the survivors."""
     new_sig, new_bands = build_lsh_index(new_docs, id_col, text_col)
-    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
-    bands = (
-        index_bands.withColumn("_is_new", F.lit(False))
-        .unionByName(new_bands.withColumn("_is_new", F.lit(True)))
+    new_sig = new_sig.localCheckpoint(eager=True)
+    new_bands = new_bands.localCheckpoint(eager=True)
+    overlap = (
+        new_sig.select(id_col)
+        .join(index_signatures.select(id_col), id_col, "left_semi")
+        .limit(1).count()
     )
+    if overlap:
+        raise ValueError(
+            "probe batch contains ids already in the index — re-ingest "
+            "must remove the old rows first (duplicate signature rows "
+            "would emit conflicting pair estimates)")
+    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
+    bands = index_bands.unionByName(new_bands)
     if max_bucket_size is not None:
-        bands = _cap_hot_keys(bands, ["band_id", "band_key"],
-                              max_bucket_size)
-    a = bands.filter(F.col("_is_new")).alias("a")
+        # ONE aggregate over the union computes bucket sizes; both join
+        # sides then semi-join the surviving keys — cheaper than a
+        # window count evaluated per side (the union subtree feeds two
+        # branches and would shuffle the full index twice)
+        surviving = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        new_bands = new_bands.join(surviving, ["band_id", "band_key"],
+                                   "left_semi")
+        bands = bands.join(surviving, ["band_id", "band_key"],
+                           "left_semi")
+    a = new_bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(

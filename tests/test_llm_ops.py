@@ -940,3 +940,18 @@ def test_persisted_lsh_index_probe_matches_incremental(spark, sf_dir,
             docs, F.col("doc_id") >= 400).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_probe_lsh_index_rejects_overlapping_ids(spark, sf_dir):
+    """Re-ingesting an id without vacuuming must fail LOUDLY — a silent
+    duplicate signature row would emit conflicting pair estimates."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.llm import dedup
+    from data_pipeline_stripe_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    sig, bands = dedup.build_lsh_index(docs)
+    with _pytest.raises(ValueError, match="already in the index"):
+        dedup.probe_lsh_index(sig, bands, docs.limit(5))
