@@ -3,6 +3,7 @@ DataFrame ops (preference order per the build spec: composition first,
 Pandas UDF second, mapPartitions last)."""
 
 from .asof import asof_join
+from .gapfill import interpolate_daily
 from .grouped import zscore_per_group_native, zscore_per_group_pandas
 from .layout import compact_small_files, vacuum_partitions, write_clustered
 from .quality import (accepted_values, foreign_key, in_range,
@@ -19,6 +20,7 @@ __all__ = [
     "hll_partials", "hll_rollup", "hll_merge_partials",
     "write_clustered", "compact_small_files", "vacuum_partitions",
     "z_interleave", "z_cover", "z_rectangle_filter",
+    "interpolate_daily",
     "run_checks", "not_null", "in_range", "accepted_values",
     "matches_regex", "unique", "foreign_key",
 ]

@@ -805,3 +805,44 @@ def test_vacuum_refuses_to_delete_every_partition(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="retained nothing"):
         vacuum_partitions(d, "day", keep=lambda v: False)
     assert spark.read.parquet(d).count() > 0  # table untouched
+
+
+def test_interpolate_daily_exact_lerp(spark):
+    """interpolate_daily: observed days keep their value; gap days take
+    the integer lerp between bracketing observations (truncating
+    division — bit-stable at any parallelism); days before the first /
+    after the last observation per key... cannot exist (the grid spans
+    [min, max]), but a key with ONE observation yields a 1-day grid.
+    Hand-checked values on two keys with uneven gaps."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import interpolate_daily
+
+    obs = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 100),
+            (1, "2024-01-04", 400),   # gap of 2 days: lerp 200, 300
+            (1, "2024-01-07", 100),   # downhill, non-divisible: 400→100
+            (2, "2024-03-05", 7),     # single observation
+            (3, "2024-02-01", 0),     # non-divisible: 0→10 over 3 days
+            (3, "2024-02-04", 10),
+        ],
+        "k long, day string, v long",
+    ).withColumn("day", F.col("day").cast("date"))
+    got = {
+        (r.k, str(r.day)): (r.v, r.filled)
+        for r in interpolate_daily(obs, "k", "day", "v").collect()
+    }
+    assert got[(1, "2024-01-01")] == (100, 100)
+    assert got[(1, "2024-01-02")] == (None, 200)
+    assert got[(1, "2024-01-03")] == (None, 300)
+    assert got[(1, "2024-01-04")] == (400, 400)
+    # 400 → 100 over 3 days: deltas -100/day exactly
+    assert got[(1, "2024-01-05")] == (None, 300)
+    assert got[(1, "2024-01-06")] == (None, 200)
+    assert got[(1, "2024-01-07")] == (100, 100)
+    assert got[(2, "2024-03-05")] == (7, 7)
+    # truncating div: 10*1 div 3 = 3, 10*2 div 3 = 6
+    assert got[(3, "2024-02-02")] == (None, 3)
+    assert got[(3, "2024-02-03")] == (None, 6)
+    assert len(got) == 12
