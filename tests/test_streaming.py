@@ -620,3 +620,58 @@ def test_feed_source_to_cdc_merge_table_end_to_end(spark, tmp_path):
         else:
             expect[k] = (i * i) % 1_000_000
     assert got == expect
+
+
+def test_custom_sessionization_agrees_with_native_session_window(
+        spark, sf_dir, multi_batch_dir):
+    """Three-way agreement: the custom EventTimeTimeout sessionization's
+    closed sessions must be exactly the sessions Spark's NATIVE
+    session_window computes over the static table (native end = last
+    event + gap, so subtract the gap back), minus each user's final
+    session when the watermark never reached its close instant. The
+    earlier parity test checked against a hand-built lag() twin; this
+    one checks against Spark's own session definition. (Comparison in
+    floored milliseconds — the operator's clock; a gap within 1 ms of
+    the threshold could legitimately differ, which the fixture's
+    microsecond-random timestamps cannot produce.)"""
+    gap_min, wm_delay_ms = 30, 60_000
+    gap_ms = gap_min * 60 * 1000
+
+    stream = streaming.read_event_stream(spark, multi_batch_dir,
+                                         max_files_per_trigger=1)
+    out = streaming.sessionize_with_timeout(stream, gap_minutes=gap_min,
+                                            watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("native_cmp_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, int(r.session_start.timestamp() * 1000),
+         int(r.session_end.timestamp() * 1000), r.n_events)
+        for r in spark.sql("SELECT * FROM native_cmp_sessions").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    native = [
+        (r.user_id,
+         int(r.win.start.timestamp() * 1000),
+         int(r.win.end.timestamp() * 1000) - gap_ms,
+         r.n)
+        for r in ev.groupBy(
+            F.session_window("ts", f"{gap_min} minutes").alias("win"),
+            "user_id",
+        ).agg(F.count("*").alias("n")).collect()
+    ]
+    wm_final_ms = int(
+        ev.agg(F.max("ts")).collect()[0][0].timestamp() * 1000
+    ) - wm_delay_ms
+    last_per_user = {}
+    for u, s, e, n in native:
+        if u not in last_per_user or e > last_per_user[u]:
+            last_per_user[u] = e
+    expected = {
+        (u, s, e, n) for u, s, e, n in native
+        if e != last_per_user[u] or e + gap_ms < wm_final_ms
+    }
+    assert got == expected and len(expected) > 0
