@@ -234,12 +234,20 @@ def dedup_event_stream(events: DataFrame, watermark: str = "1 hour") -> DataFram
 
 def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame,
                                attribution_window: str = "30 minutes",
-                               watermark: str = "1 hour") -> DataFrame:
-    """Stream-stream inner join: each purchase joins the same user's
-    clicks in the preceding attribution window. Watermarks on BOTH sides
-    + the event-time range condition let Spark bound the join state (a
+                               watermark: str = "1 hour",
+                               how: str = "inner") -> DataFrame:
+    """Stream-stream join: each purchase joins the same user's clicks in
+    the preceding attribution window. Watermarks on BOTH sides + the
+    event-time range condition let Spark bound the join state (a
     stream-stream join without them accumulates forever).
-    Works identically on batch DataFrames (the test pins that parity)."""
+    Works identically on batch DataFrames (the test pins that parity).
+
+    ``how='left_outer'`` keeps unattributed purchases: streaming outer
+    joins emit the null-extended row only once the WATERMARK proves no
+    future click can match (the purchase's window has fully expired) —
+    so organic-purchase reporting is correct but watermark-delayed,
+    exactly the semantics a 100 TB attribution pipeline must plan
+    around (the eviction test pins the delay)."""
     p = purchases.select(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
@@ -258,7 +266,7 @@ def purchase_click_attribution(purchases: DataFrame, clicks: DataFrame,
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}"))
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts"
     )
 

@@ -675,3 +675,62 @@ def test_custom_sessionization_agrees_with_native_session_window(
         if e != last_per_user[u] or e + gap_ms < wm_final_ms
     }
     assert got == expected and len(expected) > 0
+
+
+def test_outer_attribution_emits_nulls_only_after_watermark(
+        spark, tmp_path):
+    """Stream-stream LEFT OUTER semantics: an unattributed purchase is
+    emitted with a NULL click only once the watermark proves no future
+    click can match; purchases whose window hasn't expired stay
+    withheld. Fixture: u1's purchase matches a click; u2's purchase
+    never matches (null-extended after its window expires); the 13:00
+    tail rows advance the watermark but their own windows never expire
+    on this finite stream — absent from the output."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "outer_attr"
+    d.mkdir()
+
+    def write(i, specs):
+        df = pd.DataFrame({
+            "event_id": [eid for eid, *_ in specs],
+            "ts": pd.to_datetime([t for _, t, *_ in specs]),
+            "user_id": [u for _, _, u, _ in specs],
+            "event_type": [ty for *_, ty in specs],
+            "value": [1.0] * len(specs),
+            "props": ["{}"] * len(specs),
+        })
+        p = str(d / f"part-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(df), p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    write(0, [(1, "2024-01-05 10:00:00", 1, "click"),
+              (2, "2024-01-05 10:10:00", 1, "purchase"),
+              (3, "2024-01-05 10:20:00", 2, "purchase")])
+    write(1, [(10, "2024-01-05 12:40:00", 3, "view")])
+    write(2, [(20, "2024-01-05 13:00:00", 4, "purchase"),
+              (21, "2024-01-05 13:00:00", 5, "click")])
+
+    s1 = streaming.read_event_stream(spark, str(d),
+                                     max_files_per_trigger=1)
+    s2 = streaming.read_event_stream(spark, str(d),
+                                     max_files_per_trigger=1)
+    joined = streaming.purchase_click_attribution(
+        s1.filter(F.col("event_type") == "purchase"),
+        s2.filter(F.col("event_type") == "click"),
+        attribution_window="30 minutes", watermark="1 hour",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("outer_attr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.purchase_id, r.click_id)
+           for r in spark.sql("SELECT * FROM outer_attr").collect()}
+    assert got == {(2, 1), (3, None)}
