@@ -210,11 +210,14 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
                     on: str = "event_type") -> DataFrame:
     """Stream-static join: each micro-batch of the stream is enriched
     against a STATIC dimension (broadcast — the dim is read once per
-    batch, never stateful, no watermark required; Spark re-plans the
-    static side per micro-batch so a reloaded dim table is picked up).
-    This is the standard lookup-enrichment shape — the streaming twin of
-    the batch pipelines' broadcast dim joins; left join keeps events
-    whose key has no dim row (same missing-dim semantics as
+    batch, never stateful, no watermark required). Spark re-executes the
+    static subtree per micro-batch, BUT a path-based DataFrame snapshots
+    its file listing at creation — an overwritten directory kills the
+    query with FAILED_READ_FILE. For a slowly-UPDATING dimension, pass
+    ``spark.table(...)`` over a catalog table and run REFRESH TABLE
+    after each rewrite; the next batch then re-lists and joins the new
+    rows (pinned by the dim-update streaming test). Left join keeps
+    events whose key has no dim row (same missing-dim semantics as
     left_join_missing_dim)."""
     from pyspark.sql import functions as F
 

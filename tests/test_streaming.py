@@ -734,3 +734,77 @@ def test_outer_attribution_emits_nulls_only_after_watermark(
     got = {(r.purchase_id, r.click_id)
            for r in spark.sql("SELECT * FROM outer_attr").collect()}
     assert got == {(2, 1), (3, None)}
+
+
+def test_stream_static_join_picks_up_dim_updates_between_batches(
+        spark, tmp_path):
+    """enrich_with_dim's docstring claims Spark re-plans the STATIC side
+    per micro-batch, so a dimension updated between batches enriches
+    later events with the NEW values. Pinned: two micro-batches with a
+    dim rewrite in between (via foreachBatch hooks) — batch-0 events
+    carry the old category, batch-1 events the new one. The sharp edge
+    this test documents: a PATH-based static frame snapshots its file
+    index at creation — overwriting the directory (which renames files)
+    kills the query with FAILED_READ_FILE even after refreshByPath. The
+    working slowly-updating-dim pattern is a CATALOG TABLE: reference
+    the dim via spark.table(...) and REFRESH TABLE after each rewrite;
+    the next micro-batch then re-lists and picks up the new rows."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    dim_dir = str(tmp_path / "dim")
+
+    def write_events(i, ts):
+        df = pd.DataFrame({
+            "event_id": [i], "ts": pd.to_datetime([ts]),
+            "user_id": [1], "event_type": ["click"],
+            "value": [1.0], "props": ["{}"],
+        })
+        p = str(src / f"part-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(df), p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    def write_dim(category):
+        spark.createDataFrame(
+            [("click", category)], "event_type string, category string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    write_events(0, "2024-01-05 10:00:00")
+    write_events(1, "2024-01-05 11:00:00")
+    write_dim("v1")
+    spark.sql("DROP TABLE IF EXISTS dim_live")
+    spark.sql(f"CREATE TABLE dim_live (event_type STRING, category STRING) "
+              f"USING parquet LOCATION '{dim_dir}'")
+
+    stream = streaming.read_event_stream(spark, str(src),
+                                         max_files_per_trigger=1)
+    enriched = streaming.enrich_with_dim(
+        stream, spark.table("dim_live")).select(
+        "event_id", "category")
+
+    seen = []
+
+    def sink(batch_df, epoch_id):
+        rows = [(r.event_id, r.category) for r in batch_df.collect()]
+        seen.extend(rows)
+        if epoch_id == 0:
+            write_dim("v2")   # dimension update BETWEEN micro-batches
+            # without this, the cached file index still points at the
+            # overwritten (renamed) files → FAILED_READ_FILE
+            spark.sql("REFRESH TABLE dim_live")
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dim_live")
+    assert sorted(seen) == [(0, "v1"), (1, "v2")]
