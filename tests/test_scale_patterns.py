@@ -347,3 +347,50 @@ def test_z_rectangle_filter_prunes_clustered_files_exactly(spark, tmp_path):
     plan = back.filter(pred)._jdf.queryExecution().executedPlan().toString()
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "zkey" in pushed
+
+
+def test_nightly_maintenance_pipeline_composes(spark, sf_dir, tmp_path):
+    """The ops verbs as ONE nightly pipeline over a day-partitioned
+    events table: (1) quality-gate the batch (publish only if clean),
+    (2) compact the many small ingest files, (3) vacuum expired days —
+    and the surviving table equals the retained-and-validated data
+    exactly. Each verb is tested alone elsewhere; this pins that they
+    compose on the same physical table."""
+    import os
+
+    from data_pipeline_stripe_spark.operators import (
+        compact_small_files, not_null, run_checks, unique,
+        vacuum_partitions)
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    ingest = str(tmp_path / "ingest")
+    ev.repartition(16).write.partitionBy("day").parquet(ingest)
+
+    # 1. gate: publish only a clean batch
+    batch = spark.read.parquet(ingest)
+    report = run_checks(batch, [not_null("event_id"), unique("event_id")])
+    assert report.filter(F.col("violations") > 0).count() == 0
+
+    # 2. compact the small files (partitioned input sized recursively)
+    compacted = str(tmp_path / "compacted")
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(ingest)
+                for f in fs if f.endswith(".parquet"))
+    compact_small_files(spark, ingest, compacted,
+                        target_file_bytes=total // 2 + 1)
+    # compaction flattens layout; re-partition for the retention step
+    final = str(tmp_path / "final")
+    spark.read.parquet(compacted).write.partitionBy("day").parquet(final)
+
+    # 3. vacuum: expire the oldest half of the days
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    cutoff = days[len(days) // 2]
+    deleted = vacuum_partitions(final, "day", keep=lambda v: v >= cutoff)
+    assert deleted == [d for d in days if d < cutoff]
+
+    kept = spark.read.parquet(final)
+    expect = ev.filter(F.col("day") >= cutoff)
+    assert kept.count() == expect.count()
+    assert (sorted(r.event_id for r in kept.select("event_id").collect())
+            == sorted(r.event_id for r in expect.select("event_id").collect()))
