@@ -846,3 +846,43 @@ def test_interpolate_daily_exact_lerp(spark):
     assert got[(3, "2024-02-02")] == (None, 3)
     assert got[(3, "2024-02-03")] == (None, 6)
     assert len(got) == 12
+
+
+def test_spark_recursive_cte_bfs_matches_dataframe_loop(spark):
+    """Spark 4's native WITH RECURSIVE (UNION ALL form — UNION is not
+    yet supported in recursion) reproduces graph_bfs_3hop exactly: the
+    recursive branch enumerates WALKS (no dedup), the outer MIN(dist)
+    collapses them to BFS distances. Third engine-side implementation
+    after the DataFrame frontier loop and the DuckDB oracle — and the
+    reason the frontier loop remains the scale path: walk enumeration
+    is exponential in hop count, the anti-join frontier is linear."""
+    from data_pipeline_stripe_spark.queries.relational5 import graph_bfs_3hop
+    from data_pipeline_stripe_spark.sources import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_bfs_cte")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ord_bfs_cte")
+    sql_rows = spark.sql("""
+        WITH RECURSIVE walk(kind, id, dist) AS (
+            SELECT 'C', CAST(1 AS BIGINT), 0
+            UNION ALL
+            SELECT CASE WHEN w.kind = 'C' THEN 'S' ELSE 'C' END,
+                   CASE WHEN w.kind = 'C' THEN e.s ELSE e.c END,
+                   w.dist + 1
+            FROM walk w JOIN (
+                SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+                FROM li_bfs_cte l
+                JOIN ord_bfs_cte o ON l.l_orderkey = o.o_orderkey
+            ) e ON (w.kind = 'C' AND e.c = w.id)
+                OR (w.kind = 'S' AND e.s = w.id)
+            WHERE w.dist < 3
+        )
+        SELECT kind, id, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY kind, id
+    """).collect()
+    got_sql = {(r.kind, r.id): r.dist for r in sql_rows}
+    got_df = {(r.kind, r.id): r.dist
+              for r in graph_bfs_3hop(spark, sf_dir).collect()}
+    assert got_sql == got_df and len(got_df) > 0
