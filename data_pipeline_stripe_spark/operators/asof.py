@@ -36,35 +36,48 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
     whenever the latest row has NULL fields (last(ignorenulls) would reach
     further back per column)."""
     lcols = left.columns
+    # internal working columns must not collide with caller columns — a
+    # frame that happens to contain "_t" would make the window ordering
+    # ambiguous (same derivation pattern as bloom.py's temp names)
+    taken = set(lcols) | set(right.columns)
+
+    def free(name: str) -> str:
+        while name in taken:
+            name = "_" + name
+        taken.add(name)
+        return name
+
+    k_c, t_c = free("_k"), free("_t")
+    il_c, p_c, lp_c = free("_is_left"), free("_p"), free("_last_p")
     p_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in payload]
     )
     l = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_is_left"),
+        F.col(on).alias(k_c),
+        F.col(left_time).alias(t_c),
+        F.lit(1).alias(il_c),
         *[F.col(c) for c in lcols],
-        F.lit(None).cast(p_type).alias("_p"),
+        F.lit(None).cast(p_type).alias(p_c),
     )
     r = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_time).alias("_t"),
-        F.lit(0).alias("_is_left"),
+        F.col(on).alias(k_c),
+        F.col(right_time).alias(t_c),
+        F.lit(0).alias(il_c),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(*[F.col(c) for c in payload]).alias("_p"),
+        F.struct(*[F.col(c) for c in payload]).alias(p_c),
     )
     # right rows sort BEFORE left rows at equal time → <= join semantics;
     # the struct's field order breaks ties among same-time right rows
     # (field-wise comparison == the old per-column ordering).
     w = (
-        W.partitionBy("_k")
-        .orderBy("_t", "_is_left", F.col("_p"))
+        W.partitionBy(k_c)
+        .orderBy(t_c, il_c, F.col(p_c))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = r.unionByName(l).select(
-        "*", F.last("_p", ignorenulls=True).over(w).alias("_last_p")
+        "*", F.last(p_c, ignorenulls=True).over(w).alias(lp_c)
     )
-    return carried.filter(F.col("_is_left") == 1).select(
+    return carried.filter(F.col(il_c) == 1).select(
         *lcols,
-        *[F.col(f"_last_p.{c}").alias(f"{c}{suffix}") for c in payload],
+        *[F.col(f"{lp_c}.{c}").alias(f"{c}{suffix}") for c in payload],
     )

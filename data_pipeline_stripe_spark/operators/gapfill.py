@@ -9,10 +9,13 @@ partitioning) produces bit-identical fills, per the repo's cross-engine
 numeric policy. Endpoints with no left (or right) neighbor stay NULL —
 extrapolation is a policy decision, not a default.
 
-Shape: one shuffle. The dense grid (bounded per-key explode), the
-left-neighbor window (last ignorenulls) and the right-neighbor window
-(first ignorenulls, looking forward) all share the per-key
-partitioning; the interpolation itself is scan-speed expression math.
+Shape: two exchanges of the dense frame — the (key, day) equi-join
+hash-partitions on BOTH columns, which does not satisfy the neighbor
+windows' per-key clustering, so Spark re-exchanges on key for the
+window pass. (A union+window reformulation in the as-of style would
+reach one exchange; at the current grain the join form is clearer and
+the dense frame is the bounded grid, not the raw fact.) The
+interpolation itself is scan-speed expression math.
 """
 
 from __future__ import annotations

@@ -34,5 +34,10 @@ def zscore_per_group_pandas(df: DataFrame, key: str, value: str) -> DataFrame:
         pdf["zscore"] = ((x - x.mean()) / x.std(ddof=1)).round(6)
         return pdf
 
-    schema = f"{key} string, {value} double, zscore double"
+    # derive the declared schema from the INPUT types — hardcoding
+    # string/double would make Arrow reject (or silently coerce) any
+    # long-keyed or decimal-valued frame the native twin handles fine
+    key_t = df.schema[key].dataType.simpleString()
+    val_t = df.schema[value].dataType.simpleString()
+    schema = f"{key} {key_t}, {value} {val_t}, zscore double"
     return df.select(key, value).groupBy(key).applyInPandas(norm, schema)

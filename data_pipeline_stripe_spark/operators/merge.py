@@ -105,6 +105,20 @@ def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
         .filter(F.col("_rn") == 1)
         .drop("_rn", seq)
     )
+    # fail CLOSED on op values outside {'U','D'} (validated on the
+    # winning change per key — the one that gets applied): a NULL op
+    # would otherwise null out the delete filter and silently DELETE the
+    # key; any other junk would silently upsert. Lazy raise_error, first
+    # in the chain so later branches can't shadow it.
+    last = last.withColumn(
+        op,
+        F.when(
+            F.col(op).isNull() | ~F.col(op).isin("U", "D"),
+            F.raise_error(F.concat(
+                F.lit("apply_cdc: op must be 'U' or 'D', got "),
+                F.coalesce(F.col(op), F.lit("NULL")))),
+        ).otherwise(F.col(op)),
+    )
     b = base.withColumn("_b_present", F.lit(True)).alias("b")
     c = last.withColumn("_c_present", F.lit(True)).alias("c")
     joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")

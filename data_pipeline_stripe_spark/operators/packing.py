@@ -40,9 +40,15 @@ def global_running_sum(df: DataFrame, order_col: str, weight_col: str,
     lo, hi = df.agg(
         F.min(order_col).cast("double"), F.max(order_col).cast("double")
     ).first()
+    # the running-total type is whatever SUM(weight) yields — long for
+    # integral weights, double for fractional; the empty branch must
+    # agree or the schema flips across the empty boundary (a no-data day
+    # would break unionByName with every other day)
+    sum_type = ("bigint" if df.schema[weight_col].dataType.simpleString()
+                in ("tinyint", "smallint", "int", "bigint") else "double")
     if lo is None:
         if df.isEmpty():  # keep the schema, add the column
-            return df.withColumn(out_col, F.lit(None).cast("double"))
+            return df.withColumn(out_col, F.lit(None).cast(sum_type))
         lo = hi = 0.0  # all keys NULL: everything lands in bucket 0
     span = max((hi - lo + 1.0) / n_buckets, 1.0)
     # NULL keys go to bucket 0 EXPLICITLY: the naive global window sorts
@@ -88,11 +94,16 @@ def assign_token_shards(df: DataFrame, order_col: str, weight_col: str,
     (standard packing behavior). Deterministic given the order key."""
     cum = global_running_sum(df, order_col, weight_col, n_buckets,
                              out_col="_cum")
+    # integer division, not floor(double /): beyond ~2^52 cumulative
+    # tokens the long->double round-trip mis-places boundary documents —
+    # non-reproducibly. Weights here are integral (token counts) so the
+    # prefix sum is long; `div` keeps the whole computation in integers
+    # (repo numeric policy).
     return (
         cum.withColumn(
             "shard_id",
-            F.floor((F.col("_cum") - F.col(weight_col))
-                    / F.lit(float(target_weight))).cast("long"),
+            F.expr(f"(_cum - {weight_col}) div {target_weight}")
+            .cast("long"),
         )
         .drop("_cum")
     )

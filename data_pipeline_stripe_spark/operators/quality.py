@@ -48,17 +48,26 @@ def not_null(col: str) -> Check:
 
 
 def in_range(col: str, lo, hi) -> Check:
+    """NULL counts as a violation (fail-closed — dbt/Deequ skip NULLs;
+    here an unexpected NULL must not pass a range gate unnoticed).
+    For a nullable-by-design column, filter NULLs out before the check
+    or rely on not_null to own the null policy; declaring both not_null
+    and in_range on one column reports a NULL under both names."""
     c = F.col(col)
     return Check(f"in_range({col},{lo},{hi})", "row",
                  c.isNull() | (c < lo) | (c > hi))
 
 
 def accepted_values(col: str, values: list) -> Check:
+    """NULL counts as a violation — same fail-closed policy as
+    in_range (see its docstring)."""
     return Check(f"accepted_values({col})", "row",
                  ~F.col(col).isin(values) | F.col(col).isNull())
 
 
 def matches_regex(col: str, pattern: str) -> Check:
+    """NULL counts as a violation — same fail-closed policy as
+    in_range (see its docstring)."""
     return Check(f"matches_regex({col})", "row",
                  F.col(col).isNull() | ~F.col(col).rlike(pattern))
 

@@ -18,21 +18,42 @@ from pyspark.sql import functions as F
 
 def range_join(left: DataFrame, right: DataFrame, left_time: str,
                right_time: str, window_seconds: int,
-               on: str | None = None) -> DataFrame:
+               on: str | None = None, clock: str = "micros") -> DataFrame:
     """Returns left ⋈ right rows with |left_time - right_time| <=
     window_seconds (and equal ``on`` key if given). Column sets must be
-    disjoint apart from ``on``."""
+    disjoint apart from ``on``.
+
+    ``clock`` picks the comparison precision:
+
+    - ``"micros"`` (default): exact — |Δt| measured on the true
+      microsecond timestamps.
+    - ``"seconds"``: both timestamps truncate to whole seconds FIRST
+      (the declared semantics of range_join_cooccurring_events and its
+      second-granular oracle). On sub-second data this admits pairs up
+      to ~1 s outside the window — a property of the truncated clock,
+      not a bug, but it must be chosen, not inherited silently.
+
+    Buckets quantize at window granularity on the same clock, so every
+    qualifying pair shares or neighbors a bucket and the equi-join
+    stays complete."""
+    if clock not in ("micros", "seconds"):
+        raise ValueError(f"clock must be 'micros' or 'seconds', got {clock!r}")
     w = int(window_seconds)
-    l_bucket = F.floor(F.unix_timestamp(F.col(left_time)) / w)
-    r_bucket = F.floor(F.unix_timestamp(F.col(right_time)) / w)
+    if clock == "micros":
+        w_us = w * 1_000_000
+        l_us = F.unix_micros(F.col(left_time))
+        r_us = F.unix_micros(F.col(right_time))
+    else:
+        w_us = w
+        l_us = F.unix_timestamp(F.col(left_time))
+        r_us = F.unix_timestamp(F.col(right_time))
+    l_bucket = F.floor(l_us / w_us)
+    r_bucket = F.floor(r_us / w_us)
     l = left.withColumn(
         "_bucket",
         F.explode(F.array(l_bucket - 1, l_bucket, l_bucket + 1)),
     )
     r = right.withColumn("_bucket", r_bucket)
     keys = ["_bucket"] + ([on] if on else [])
-    exact = (
-        F.abs(F.unix_timestamp(F.col(left_time)) - F.unix_timestamp(F.col(right_time)))
-        <= w
-    )
+    exact = F.abs(l_us - r_us) <= w_us
     return l.join(r, keys, "inner").filter(exact).drop("_bucket")

@@ -25,7 +25,20 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     abs(Long.MIN_VALUE) stays negative on the JVM, and a negative salt
     would match no replicated right-side salt — silently dropping the row
     from an inner join.
+
+    Only LEFT-family joins are accepted: the right side is replicated
+    n_salts times, so a right/full outer join would emit every unmatched
+    right REPLICA as its own null-extended row (n_salts duplicates) —
+    salting the other side is a different operator, and failing loudly
+    beats silently corrupted outer results.
     """
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in safe - {"cross"}:
+        raise ValueError(
+            f"salted_join supports inner/left-family joins only, got "
+            f"{how!r} — right/full outer would duplicate unmatched right "
+            f"rows once per salt replica")
     left_cols = left.columns
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left_cols]), F.lit(n_salts))
     l = left.withColumn("_salt", salt.cast("int"))
@@ -48,7 +61,14 @@ def two_phase_agg(df: DataFrame, key: str, value: str, agg: str = "sum",
     if agg not in fns:
         raise ValueError(f"unsupported agg {agg!r}; have {sorted(fns)}")
     fn = fns[agg]
-    salt = F.pmod(F.xxhash64(F.col(key), F.col(value)), F.lit(n_salts)).cast("int")
+    # salt by the input PARTITION, not by hash(key, value): a hot key
+    # with a constant value (count columns, boolean flags) would hash to
+    # ONE salt and still funnel into a single reducer. Partition-derived
+    # salts spread a hot key across reducers by construction, and the
+    # RESULT stays deterministic regardless of partitioning because the
+    # phase-2 refold of algebraic partials is order- and
+    # grouping-insensitive.
+    salt = F.pmod(F.spark_partition_id(), F.lit(n_salts)).cast("int")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

@@ -358,7 +358,10 @@ def range_join_cooccurring_events(spark: SparkSession, sf_dir: str) -> DataFrame
     b = ev.select(F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"),
                   F.col("event_type").alias("type_b"))
     return (
-        range_join(a, b, "ts_a", "ts_b", 60)
+        # clock="seconds": this query's DECLARED semantics (and its
+        # oracle) compare second-truncated timestamps — the operator's
+        # default is now exact microseconds
+        range_join(a, b, "ts_a", "ts_b", 60, clock="seconds")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_pairs"))

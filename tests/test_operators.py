@@ -886,3 +886,100 @@ def test_spark_recursive_cte_bfs_matches_dataframe_loop(spark):
     got_df = {(r.kind, r.id): r.dist
               for r in graph_bfs_3hop(spark, sf_dir).collect()}
     assert got_sql == got_df and len(got_df) > 0
+
+
+def test_asof_join_tolerates_colliding_column_names(spark):
+    """asof_join's internal columns must not clash with caller columns:
+    a left frame that already has a "_t" (and "_p") column would make
+    the window ordering ambiguous with fixed internal names."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-02", "keep_t", "keep_p")],
+        "k long, t string, _t string, _p string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01", 10), (1, "2024-01-03", 30)],
+        "k long, rt string, v long",
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    payload=["v"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.v_asof, r._t, r._p) == (10, "keep_t", "keep_p")
+
+
+def test_range_join_exact_at_subsecond_precision(spark):
+    """The default microsecond clock excludes pairs whose TRUE gap
+    exceeds the window even when whole-second truncation would admit
+    them (5.9 s apart truncates to 5), and the legacy seconds clock
+    keeps its documented truncated semantics."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import range_join
+
+    a = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10.900")], "id_a long, s_a string"
+    ).select("id_a", F.col("s_a").cast("timestamp").alias("ts_a"))
+    b = spark.createDataFrame(
+        [(2, "2024-01-01 00:00:05.000")], "id_b long, s_b string"
+    ).select("id_b", F.col("s_b").cast("timestamp").alias("ts_b"))
+    exact = range_join(a, b, "ts_a", "ts_b", 5).collect()
+    assert exact == []  # true gap 5.9 s > 5
+    legacy = range_join(a, b, "ts_a", "ts_b", 5, clock="seconds").collect()
+    assert len(legacy) == 1  # truncated clocks: |10 - 5| = 5 <= 5
+
+
+def test_apply_cdc_rejects_bad_op_values(spark):
+    """Fail-closed CDC: a NULL op used to silently DELETE the key (the
+    delete filter's three-valued logic dropped the row) and junk ops
+    silently upserted — both now raise."""
+    import pytest as _pytest
+
+    from data_pipeline_stripe_spark.operators.merge import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    for bad in [None, "X"]:
+        changes = spark.createDataFrame(
+            [(1, "b", bad, 1)], "k long, v string, op string, seq long")
+        with _pytest.raises(Exception, match="op must be 'U' or 'D'"):
+            apply_cdc(base, changes, "k").collect()
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Right/full outer would emit every unmatched right REPLICA as its
+    own null-extended row — must raise, not corrupt."""
+    import pytest as _pytest
+
+    from data_pipeline_stripe_spark.operators import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with _pytest.raises(ValueError, match="inner/left-family"):
+            salted_join(df, df.withColumnRenamed("v", "w"), "k", how=how)
+
+
+def test_two_phase_agg_spreads_constant_valued_hot_key(spark):
+    """The old hash(key, value) salt sent a hot key with a CONSTANT
+    value to one salt (single-straggler, the case the operator exists
+    for). Partition-derived salts spread it — and the result stays
+    exact."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import two_phase_agg
+
+    df = (
+        spark.range(0, 4000, 1, 8)
+        .select(F.lit("hot").alias("k"), F.lit(1).alias("one"))
+    )
+    out = two_phase_agg(df, "k", "one", "sum").collect()
+    assert [(r.k, r.one_sum) for r in out] == [("hot", 4000)]
+    # the partials really spread: phase-1 grouping has >1 salt group
+    salts = (
+        df.withColumn(
+            "_salt", F.pmod(F.spark_partition_id(), F.lit(16)).cast("int"))
+        .select("_salt").distinct().count()
+    )
+    assert salts > 1
