@@ -114,6 +114,59 @@ def _band_key(sig_cols: list[str], band: int) -> Column:
     return F.md5(F.concat(*[F.col(c) for c in sig_cols[lo:lo + ROWS_PER_BAND]]))
 
 
+_SIG_COLS = [f"mh_{h}" for h in range(N_HASHES)]
+
+
+def _band_rows(sig: DataFrame, id_col: str,
+               carry: list[str] = []) -> DataFrame:
+    """Explode a signature frame into its banded index rows
+    (id, *carry, band_id, band_key) — the ids-only shape every LSH join
+    here shuffles on (never the 16-slot signature ×N_BANDS). ``carry``
+    names extra columns already on ``sig`` to keep (e.g. a new-batch
+    flag), so callers can attach per-doc metadata BEFORE the ×N_BANDS
+    explode instead of joining it onto four times the rows after.
+
+    The shared core of minhash_lsh_pairs / incremental_minhash_pairs /
+    build_lsh_index: the band-key derivation must be identical in all
+    three or a persisted index silently stops matching fresh probes."""
+    return sig.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"),
+                         _band_key(_SIG_COLS, b).alias("band_key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("band"),
+    ).select(id_col, *carry, "band.band_id", "band.band_key")
+
+
+def _score_pairs(cand: DataFrame, sig: DataFrame, id_col: str,
+                 threshold: float) -> DataFrame:
+    """Attach both signatures to candidate (doc_a, doc_b) pairs by two
+    id-keyed joins and keep pairs whose estimated Jaccard (fraction of
+    matching slots) reaches ``threshold``. Shared scoring tail of all
+    three LSH pair producers — signatures travel only to SURVIVING
+    candidate pairs, never through the band shuffle."""
+    sig_arr = F.array(*[F.col(c) for c in _SIG_COLS])
+    sa = sig.select(F.col(id_col).alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), sig_arr.alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard",
+                    F.round(matches / F.lit(float(N_HASHES)), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.5,
                       max_bucket_size: int | None = MAX_BUCKET_SIZE,
@@ -145,16 +198,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     sig = (signatures if signatures is not None
            else minhash_signatures(df, id_col, text_col))
-    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), _band_key(sig_cols, b).alias("band_key"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key")
+    bands = _band_rows(sig, id_col)
     if max_bucket_size is not None:
         bands = _cap_hot_keys(bands, ["band_id", "band_key"], max_bucket_size)
 
@@ -172,21 +216,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sig_arr = F.array(*[F.col(c) for c in sig_cols])
-    sa = sig.select(F.col(id_col).alias("doc_a"), sig_arr.alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), sig_arr.alias("sig_b"))
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("est_jaccard", F.round(matches / F.lit(float(N_HASHES)), 4))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return _score_pairs(cand, sig, id_col, threshold)
 
 
 def incremental_minhash_pairs(df: DataFrame, new_pred: Column,
@@ -209,21 +239,13 @@ def incremental_minhash_pairs(df: DataFrame, new_pred: Column,
     persisted LSH index table this join would read as-is (the band/cap
     pipeline is identical, so the persisted index stays valid)."""
     sig = minhash_signatures(df, id_col, text_col)
-    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
     is_new = df.select(
         F.col(id_col), new_pred.alias("_is_new")
     )
-    bands = sig.join(is_new, id_col).select(
-        F.col(id_col),
-        F.col("_is_new"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"),
-                         _band_key(sig_cols, b).alias("band_key"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("band"),
-    ).select(id_col, "_is_new", "band.band_id", "band.band_key")
+    # the flag joins onto the narrow signature frame BEFORE the ×N_BANDS
+    # explode (carry=), not onto the band rows after
+    bands = _band_rows(sig.join(is_new, id_col), id_col,
+                       carry=["_is_new"])
     if max_bucket_size is not None:
         bands = _cap_hot_keys(bands, ["band_id", "band_key"],
                               max_bucket_size)
@@ -245,22 +267,7 @@ def incremental_minhash_pairs(df: DataFrame, new_pred: Column,
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sig_arr = F.array(*[F.col(c) for c in sig_cols])
-    sa = sig.select(F.col(id_col).alias("doc_a"), sig_arr.alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), sig_arr.alias("sig_b"))
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("est_jaccard",
-                    F.round(matches / F.lit(float(N_HASHES)), 4))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return _score_pairs(cand, sig, id_col, threshold)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
@@ -476,18 +483,7 @@ def build_lsh_index(df: DataFrame, id_col: str = "doc_id",
     per doc; the band index is (id, band_id, band_key) — ids only,
     exactly what the probe join shuffles on."""
     sig = minhash_signatures(df, id_col, text_col)
-    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"),
-                         _band_key(sig_cols, b).alias("band_key"))
-                for b in range(N_BANDS)
-            ])
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key")
-    return sig, bands
+    return sig, _band_rows(sig, id_col)
 
 
 def probe_lsh_index(index_signatures: DataFrame, index_bands: DataFrame,
@@ -523,7 +519,6 @@ def probe_lsh_index(index_signatures: DataFrame, index_bands: DataFrame,
             "probe batch contains ids already in the index — re-ingest "
             "must remove the old rows first (duplicate signature rows "
             "would emit conflicting pair estimates)")
-    sig_cols = [f"mh_{h}" for h in range(N_HASHES)]
     bands = index_bands.unionByName(new_bands)
     if max_bucket_size is not None:
         # ONE aggregate over the union computes bucket sizes; both join
@@ -558,19 +553,4 @@ def probe_lsh_index(index_signatures: DataFrame, index_bands: DataFrame,
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sig = index_signatures.unionByName(new_sig)
-    sig_arr = F.array(*[F.col(c) for c in sig_cols])
-    sa = sig.select(F.col(id_col).alias("doc_a"), sig_arr.alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), sig_arr.alias("sig_b"))
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("est_jaccard",
-                    F.round(matches / F.lit(float(N_HASHES)), 4))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return _score_pairs(cand, sig, id_col, threshold)

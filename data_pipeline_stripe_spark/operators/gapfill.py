@@ -36,10 +36,31 @@ def interpolate_daily(observed: DataFrame, key: str, day: str,
       v0 + (v1 - v0) * (t - t0) DIV (t1 - t0)  (truncating division,
       exact in integers; observed days carry their own value).
     """
+    if "filled" in observed.columns and value != "filled":
+        # the output contract claims the name; silently overwriting a
+        # caller column is the collision class asof_join was hardened
+        # against — fail loudly instead
+        raise ValueError(
+            "interpolate_daily: input already has a 'filled' column — "
+            "rename it; the output column 'filled' is reserved")
+    # internal working columns must not collide with caller columns
+    # (same derivation pattern as asof.py / bloom.py temp names)
+    taken = set(observed.columns)
+
+    def free(name: str) -> str:
+        while name in taken:
+            name = "_" + name
+        taken.add(name)
+        return name
+
+    d0_c, d1_c = free("_d0"), free("_d1")
+    l_c, r_c = free("_l"), free("_r")
+    t_c, span_c, dv_c = free("_t"), free("_span"), free("_dv")
+
     bounds = observed.groupBy(key).agg(
-        F.min(day).alias("_d0"), F.max(day).alias("_d1"))
+        F.min(day).alias(d0_c), F.max(day).alias(d1_c))
     grid = bounds.select(
-        key, F.explode(F.sequence("_d0", "_d1")).alias(day))
+        key, F.explode(F.sequence(d0_c, d1_c)).alias(day))
     joined = grid.join(observed, [key, day], "left")
 
     wb = (W.partitionBy(key).orderBy(day)
@@ -56,15 +77,17 @@ def interpolate_daily(observed: DataFrame, key: str, day: str,
     span = F.datediff(right["d"], left["d"])
     out = (
         joined
-        .withColumn("_l", left).withColumn("_r", right)
-        .withColumn("_t", t.cast("long"))
-        .withColumn("_span", span.cast("long"))
-        .withColumn("_dv", (right["v"] - left["v"]).cast("long"))
+        .withColumn(l_c, left).withColumn(r_c, right)
+        .withColumn(t_c, t.cast("long"))
+        .withColumn(span_c, span.cast("long"))
+        .withColumn(dv_c, (right["v"] - left["v"]).cast("long"))
         .withColumn(
             "filled",
             F.when(F.col(value).isNotNull(), F.col(value))
-            .when(F.col("_l").isNull() | F.col("_r").isNull(), F.lit(None))
-            .otherwise(F.col("_l.v") + F.expr("_dv * _t div _span")),
+            .when(F.col(l_c).isNull() | F.col(r_c).isNull(), F.lit(None))
+            .otherwise(
+                F.col(l_c)["v"]
+                + F.expr(f"`{dv_c}` * `{t_c}` div `{span_c}`")),
         )
         .select(key, day, value, "filled")
     )

@@ -49,6 +49,16 @@ def compact_small_files(spark: SparkSession, in_dir: str, out_dir: str,
     come back as ordinary columns on read) but the directory layout is
     flattened; re-partition the output with write.partitionBy if the
     layout must be preserved."""
+    src = os.path.realpath(in_dir)
+    dst = os.path.realpath(out_dir)
+    # mode("overwrite") clears the target BEFORE the lazy read executes:
+    # compacting a directory onto itself (or onto a parent/child of
+    # itself) would destroy the source mid-job.
+    if src == dst or dst.startswith(src + os.sep) or src.startswith(dst + os.sep):
+        raise ValueError(
+            f"compact_small_files: out_dir {out_dir!r} overlaps in_dir "
+            f"{in_dir!r} — overwrite would clear the source before the "
+            f"read runs; compact into a sibling directory and swap")
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _dirs, files in os.walk(in_dir)

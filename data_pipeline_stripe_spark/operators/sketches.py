@@ -25,6 +25,115 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Deterministic HLL geometry (det_hll_estimate): md5 → 60-bit value,
+# top P bits pick the register, the first-1-bit position of the low
+# REM_BITS caps at RHO_CAP. Fixed across engines and rounds — changing
+# any of these changes every estimate.
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P            # 1024 registers
+_HLL_REM_BITS = 50              # 60-bit hash minus P bucket bits
+_HLL_RHO_CAP = 40               # harmonic terms stay exact in BIGINT
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+# alpha * m^2 * 2^RHO_CAP, the numerator of the raw estimator at the
+# fixed-point scale. repr() is shortest-round-trip, so the embedded SQL
+# literal parses to the bit-identical double on any engine.
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RHO_CAP)
+
+
+def det_hll_estimate(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Cross-engine-deterministic HyperLogLog distinct estimate.
+
+    Same sketch as ``hll_partials``/``hll_rollup`` conceptually, but the
+    hash is md5 (defined identically in every engine) instead of an
+    engine-private murmur, and the harmonic mean runs in fixed-point
+    integers (terms ``2^(RHO_CAP - M_j)``, all < 2^40; sum < 2^50 —
+    exact in BIGINT, so the fold is associative and partitioning-proof).
+    The only float steps are one constant/integer division and, in the
+    small range (raw < 2.5m with empty registers), linear counting
+    ``m·ln(m/V)`` — both rounded to 4 digits on every engine, so the
+    estimate is reproducible bit-for-bit across Spark, DuckDB, and any
+    SQL engine with md5/bin. Two shuffles, both map-side combinable:
+    (keys, bucket) register max, then the per-key fold over ≤1024 rows.
+    At 100 TB the register table IS the persistable partial state —
+    merge by max(m_j), exactly like hll_merge_partials.
+
+    Accuracy: standard HLL ~1.04/sqrt(m) ≈ 3.3% relative error at
+    m=1024; rho capped at 40 saturates only past ~2^40 distincts per
+    register (~10^15 total) — beyond any single-key cardinality here.
+    """
+    rem = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = F.shiftright(rem, _HLL_REM_BITS)
+    low = rem.bitwiseAND(F.lit((1 << _HLL_REM_BITS) - 1))
+    rho = F.when(low == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.least(
+            F.lit(_HLL_REM_BITS + 1) - F.length(F.bin(low)),
+            F.lit(_HLL_RHO_CAP),
+        )
+    )
+    reg = (
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    fold = reg.groupBy(*keys).agg(
+        # DSL shiftleft() only takes a literal bit count; the SQL form
+        # accepts an expression.
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - m_j)"))
+        .alias("s_occ"),
+        F.count("*").alias("occ"),
+    )
+    v = F.lit(_HLL_M) - F.col("occ")
+    s = F.col("s_occ") + v * F.lit(1 << _HLL_RHO_CAP).cast("long")
+    raw = F.lit(_HLL_NUM) / s.cast("double")
+    est = F.when(
+        (raw < F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")), 4),
+    ).otherwise(F.round(raw, 4))
+    return fold.select(*keys, est.alias("approx_distinct"))
+
+
+def det_hll_oracle_sql(table: str, keys: str, col: str) -> str:
+    """The DuckDB transcription of ``det_hll_estimate`` — same geometry
+    constants, same fixed-point fold, same 4-digit rounding."""
+    cap, rb, m = _HLL_RHO_CAP, _HLL_REM_BITS, _HLL_M
+    return f"""
+    WITH hv AS (
+        SELECT {keys},
+               CAST(CONCAT('0x', substring(md5(CAST({col} AS VARCHAR)),
+                                           1, 15)) AS BIGINT) AS h
+        FROM {table}
+    ), br AS (
+        SELECT {keys}, (h >> {rb}) AS bucket,
+               CASE WHEN (h & ((CAST(1 AS BIGINT) << {rb}) - 1)) = 0
+                    THEN {cap}
+                    ELSE LEAST({rb + 1} - LENGTH(bin(
+                             h & ((CAST(1 AS BIGINT) << {rb}) - 1))), {cap})
+               END AS rho
+        FROM hv
+    ), reg AS (
+        SELECT {keys}, bucket, MAX(rho) AS m_j FROM br GROUP BY ALL
+    ), fold AS (
+        SELECT {keys},
+               CAST(SUM(CAST(1 AS BIGINT) << ({cap} - m_j)) AS BIGINT)
+                   AS s_occ,
+               CAST(COUNT(*) AS BIGINT) AS occ
+        FROM reg GROUP BY ALL
+    )
+    SELECT {keys},
+           CAST(CASE WHEN ({_HLL_NUM!r} / CAST(s_occ + ({m} - occ)
+                          * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE))
+                          < {2.5 * m!r}
+                      AND ({m} - occ) > 0
+                     THEN ROUND({float(m)!r} * ln({float(m)!r}
+                              / CAST({m} - occ AS DOUBLE)), 4)
+                     ELSE ROUND({_HLL_NUM!r} / CAST(s_occ + ({m} - occ)
+                              * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE), 4)
+                END AS DOUBLE) AS approx_distinct
+    FROM fold
+    """
+
 
 def hll_partials(df: DataFrame, keys: list[str], col: str,
                  lgk: int = 12) -> DataFrame:
@@ -58,3 +167,81 @@ def hll_merge_partials(a: DataFrame, b: DataFrame,
         .groupBy(*keys)
         .agg(F.expr("hll_union_agg(hll)").alias("hll"))
     )
+
+
+def histogram_percentiles(df: DataFrame, keys: list[str], col: str,
+                          quantiles: list[tuple[str, int, int]],
+                          scale: int = 100) -> DataFrame:
+    """Quantized-histogram percentiles — the deterministic, mergeable
+    approximate-quantile sketch (grid error ≤ 1/scale, zero rank error).
+
+    ``percentile_approx``'s KLL-style sketch is engine-private and
+    non-deterministic under merge order; this is the fixed-grid
+    alternative whose state is an ordinary (key, bin, count) table:
+    map-side combinable, mergeable across batches by adding counts, and
+    bit-identical on any engine. ``quantiles`` is a list of
+    (alias, num, den) rank fractions; the value reported for q = num/den
+    is the smallest bin value whose cumulative count reaches
+    ceil(q * n) — pure integer arithmetic (cum * den >= num * n), no
+    float rank interpolation, so ties and boundaries resolve identically
+    everywhere.
+
+    Plan: one shuffle for the (keys, bin) histogram (partial agg does
+    the heavy lifting: post-shuffle rows = distinct bins, not input
+    rows), then windows over the compacted histogram. At 100 TB the
+    full sort an exact percentile needs is the thing this avoids; the
+    histogram is O(distinct bins) per key.
+    """
+    from pyspark.sql.window import Window as W
+
+    binned = (
+        df.select(
+            *keys,
+            F.round(F.col(col) * scale).cast("long").alias("bin"),
+        )
+        .groupBy(*keys, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    cum_w = (
+        W.partitionBy(*keys).orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = W.partitionBy(*keys)
+    t = binned.select(
+        *keys, "bin",
+        F.sum("n").over(cum_w).alias("cum"),
+        F.sum("n").over(tot_w).alias("tot"),
+    )
+    aggs = [
+        F.min(F.when(F.col("cum") * den >= F.lit(num) * F.col("tot"),
+                     F.col("bin"))).alias(alias)
+        for alias, num, den in quantiles
+    ]
+    return t.groupBy(*keys).agg(*aggs)
+
+
+def histogram_percentiles_oracle_sql(table: str, keys: str, col: str,
+                                     quantiles: list[tuple[str, int, int]],
+                                     scale: int = 100) -> str:
+    """DuckDB transcription of ``histogram_percentiles``."""
+    sels = ",\n           ".join(
+        f"CAST(MIN(CASE WHEN cum * {den} >= {num} * tot THEN bin END)"
+        f" AS BIGINT) AS {alias}"
+        for alias, num, den in quantiles
+    )
+    return f"""
+    WITH q AS (
+        SELECT {keys}, CAST(ROUND({col} * {scale}) AS BIGINT) AS bin
+        FROM {table}
+    ), c AS (
+        SELECT {keys}, bin, COUNT(*) AS n FROM q GROUP BY ALL
+    ), t AS (
+        SELECT {keys}, bin,
+               SUM(n) OVER (PARTITION BY {keys} ORDER BY bin) AS cum,
+               SUM(n) OVER (PARTITION BY {keys}) AS tot
+        FROM c
+    )
+    SELECT {keys},
+           {sels}
+    FROM t GROUP BY ALL
+    """

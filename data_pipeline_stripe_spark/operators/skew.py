@@ -64,10 +64,13 @@ def two_phase_agg(df: DataFrame, key: str, value: str, agg: str = "sum",
     # salt by the input PARTITION, not by hash(key, value): a hot key
     # with a constant value (count columns, boolean flags) would hash to
     # ONE salt and still funnel into a single reducer. Partition-derived
-    # salts spread a hot key across reducers by construction, and the
-    # RESULT stays deterministic regardless of partitioning because the
-    # phase-2 refold of algebraic partials is order- and
-    # grouping-insensitive.
+    # salts spread a hot key across reducers by construction. The refold
+    # of algebraic partials is grouping-insensitive EXACTLY (so the
+    # result is partitioning-independent) for integral/count/min/max
+    # values — the repo's quantize-to-integer-cents policy; for floating
+    # double sums the per-salt grouping changes fp addition order, so
+    # results are only deterministic up to fp association (quantize
+    # first if bit-reproducibility matters).
     salt = F.pmod(F.spark_partition_id(), F.lit(n_salts)).cast("int")
     partial = (
         df.withColumn("_salt", salt)

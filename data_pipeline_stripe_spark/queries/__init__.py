@@ -50,79 +50,36 @@ from . import io_roundtrip  # noqa: E402,F401
 _WINDOW = 50
 
 PRIORITY_THIS_ROUND = [
-    # round 5 pins: queries whose implementation changed this round; all
-    # r4 pins pruned per the rotation policy (gated green in
-    # CORRECTNESS_r04.json, code untouched since).
-    "merge_upsert_customers",      # NULL-key guard via presence flags
-    "doc_decontaminate_bloom",     # bloom_probe collision-free temp names
-    "embedding_hard_negatives",    # query-side cluster assignment
-    # (udtf_top_bigrams was pinned here for its NULL-text guard; unpinned
-    # late in the round to keep ≥1 rotating slot once the continuation
-    # queries filled the window — the guard is pytest-covered
-    # (test_llm_ops) and the query was hash-green in this round's full
-    # sf0.001/sf0.01 differentials.)
-    "doc_bpe_merge_step",          # bpe_apply_step short-doc union (shared core)
-    # round 5: new S1/K1-K3 source/sink round-trip queries
+    # round 6 pins: all 49 r5 pins pruned (gated green in
+    # CORRECTNESS_r05.json or re-verified in the r5 full differentials;
+    # code untouched since). Pinned here = code changed THIS round.
+    #
+    # The 8 driver-reds of r5: oracle SUM(<int>) columns DESCRIBEd to
+    # DuckDB HUGEINT, which the driver's fetch path renders differently
+    # than Spark's BIGINT ("123.0" vs "123") — every oracle now CASTs
+    # the sum to BIGINT, and test_oracle_parity.py pins the whole class
+    # (every oracle output column must DESCRIBE to an allowlisted type).
     "events_json_blob_agg",
-    "top10_csv_roundtrip",
-    "usage_parquet_roundtrip",
-    "royalties_json_roundtrip",
-    # round 5: rows-only → oracle-backed (transcription / quantized kernel)
-    "embedding_ivf_topk",
-    "embedding_topk_cosine_pandas",
-    # round 5: real animated-GIF frame sampling
-    "multimodal_video_frame_sample",
-    # round 5: new operators — PQ-ADC top-k, SCD2 history, MERGE write half
-    "embedding_pq_topk",
-    "scd2_customer_priority_history",
-    "merge_upsert_write_roundtrip",
-    # round 5: funnel conversion + column profiling
-    "funnel_signup_click_purchase",
-    "profile_orders_columns",
-    # round 5: skew operators now in the gate
     "salted_join_user_segments",
     "two_phase_agg_value_by_type",
-    # round 5: RANGE-frame rolling window + reproducible split
     "rolling_7day_revenue",
-    "doc_train_val_test_split",
-    # round 5: attribution batch twin + integer PageRank step
-    "purchase_click_attribution_batch",
-    "graph_pagerank_step",
-    # round 5 (cont.): window frame bounds, lateral explode, sequence
-    # statistics, deterministic reservoir, fixed-weight classifier
-    "window_bounds_cume_dist",
-    "posexplode_doc_words",
-    "event_transition_matrix",
-    "events_reservoir_per_user",
-    "doc_quality_classifier",
-    "multimodal_image_ahash_dedup",
-    "events_value_outliers",
-    "full_outer_customer_event_users",
-    "cdc_apply_order_status",
-    "cohort_retention_matrix",
-    "doc_duplicate_spans",
     "abc_parts_by_brand_revenue",
-    "orders_nested_lines_export",
-    "events_sliding_hourly_counts",
-    "doc_substring_removed",
-    "pydatasource_rates_by_code",
-    # round 5 (cont.): temporal/graph batch — SCD2 point-in-time join,
-    # incremental view maintenance, degree-ordered triangle counting
     "scd2_pit_lineitem_priority",
     "ivm_merge_revenue_by_month",
-    "triangle_count_copurchase",
-    # round 5 (cont.): Z-order clustering key, sequence-pattern regex,
-    # time-weighted average, daily gap-fill with forward fill
-    "zorder_key_orders",
-    "event_pattern_funnel_regex",
-    "timeweighted_avg_value_per_user",
-    "gapfill_user_daily_values",
-    # round 5 (cont.): ORC sink round-trip + full PNG codec round-trip
-    "usage_orc_roundtrip",
-    "multimodal_png_roundtrip",
-    # round 5 (cont.): k-hop BFS reachability + winsorized robust stats
-    "graph_bfs_3hop",
     "winsorized_value_stats",
+    # round 6: the two permanent no_oracle rows retired — deterministic
+    # cross-engine sketches with full transcription oracles (md5 HLL
+    # with fixed-point integer fold; cent-quantized mergeable histogram
+    # percentiles). Engine-native sketches stay pytest-pinned.
+    "approx_distinct_users_per_type",
+    "approx_percentiles_price",
+    # round 6: oracle division aligned to trunc-toward-zero (ADVICE r5)
+    "timeweighted_avg_value_per_user",
+    # round 6: LSH band-explode/pair-scoring DRY'd into shared
+    # _band_rows/_score_pairs (llm/dedup.py) — pin the queries riding
+    # the shared core the round it changes (NOTES_r5 agenda item 2)
+    "doc_minhash_lsh_pairs",
+    "doc_incremental_dedup",
 ]
 
 

@@ -447,13 +447,30 @@ def count_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("approx_distinct_users_per_type", oracle=None)  # HLL sketch: rows-only check
+def _approx_distinct_oracle() -> str:
+    from ..operators.sketches import det_hll_oracle_sql
+
+    return f"""
+    SELECT event_type, approx_distinct AS approx_users
+    FROM ({det_hll_oracle_sql("events", "event_type", "user_id")})
+    """
+
+
+@query("approx_distinct_users_per_type", oracle=_approx_distinct_oracle())
 def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the scale path for X6;
-    sketch values are engine-specific so there is no SQL oracle."""
+    """Approximate distinct users per type — the HLL scale path for X6,
+    via the cross-engine-DETERMINISTIC md5 HLL (operators/sketches.py::
+    det_hll_estimate: fixed-point integer harmonic fold, 4-digit-rounded
+    estimate) so the sketch itself is oracle-checkable, not rows-only.
+    Engine-native sketches (approx_count_distinct HLL++, DataSketches
+    hll_sketch_agg) remain the drop-in production alternatives — their
+    error bounds and merge determinism are pytest-pinned
+    (tests/test_operators.py); this gated twin pins the algorithm."""
+    from ..operators.sketches import det_hll_estimate
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    return det_hll_estimate(ev, ["event_type"], "user_id").select(
+        "event_type", F.col("approx_distinct").alias("approx_users")
     )
 
 
@@ -773,13 +790,33 @@ def percentiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles_price", oracle=None)  # sketch-based: rows-only
+_PRICE_QUANTILES = [("p50_cents", 1, 2), ("p90_cents", 9, 10)]
+
+
+def _approx_percentiles_oracle() -> str:
+    from ..operators.sketches import histogram_percentiles_oracle_sql
+
+    return histogram_percentiles_oracle_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", _PRICE_QUANTILES
+    )
+
+
+@query("approx_percentiles_price", oracle=_approx_percentiles_oracle())
 def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (KLL-ish sketch) — the 100 TB path where exact
-    percentile's full sort per group is not affordable."""
+    """Approximate percentiles at scale WITHOUT the per-group full sort:
+    cent-quantized mergeable histogram (operators/sketches.py::
+    histogram_percentiles) — rank arithmetic is pure integers, the
+    histogram state is an ordinary (key, bin, count) table mergeable
+    across batches, and the answer is deterministic on every engine
+    (grid error ≤ 1 cent, zero rank error). percentile_approx's
+    KLL-style sketch stays the engine-native alternative, its error
+    bound pytest-pinned against the exact percentile
+    (tests/test_operators.py)."""
+    from ..operators.sketches import histogram_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx")
+    return histogram_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", _PRICE_QUANTILES
     )
 
 

@@ -1170,7 +1170,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,
@@ -1208,7 +1209,8 @@ def salted_join_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two_phase_agg_value_by_type",
     oracle="""
     SELECT event_type,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents_sum
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents_sum
     FROM events GROUP BY 1
     """,
 )
@@ -1236,13 +1238,15 @@ def two_phase_agg_value_by_type(spark: SparkSession,
     WITH daily AS (
         SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_num,
                strftime(o_orderdate, '%Y-%m-%d') AS order_day,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS day_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
         FROM orders GROUP BY 1, 2
     )
     SELECT order_day, day_cents,
-           SUM(day_cents) OVER (
+           CAST(SUM(day_cents) OVER (
                ORDER BY day_num
-               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d_cents
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS rolling_7d_cents
     FROM daily
     """,
 )

@@ -370,8 +370,9 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT p.p_brand, l.l_partkey,
-               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
-                        AS BIGINT)) AS rev_cents
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1, 2
     ), ranked AS (

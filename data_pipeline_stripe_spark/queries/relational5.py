@@ -51,7 +51,8 @@ from .registry import query
     )
     SELECT h.priority AS priority_at_ship,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           SUM(CAST(ROUND(f.l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(ROUND(f.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
     FROM fact f
     LEFT JOIN hist h
       ON f.custkey = h.custkey
@@ -106,7 +107,8 @@ def scd2_pit_lineitem_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivm_merge_revenue_by_month",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY 1
@@ -355,7 +357,10 @@ def event_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, n_events,
            CAST(den AS BIGINT) AS span_ms,
-           CAST(num // den AS BIGINT) AS twa_mil
+           -- trunc-toward-zero division, matching Spark's `div` (DuckDB
+           -- `//` floors, which diverges when num < 0)
+           CAST(CASE WHEN num >= 0 THEN num // den
+                     ELSE -((-num) // den) END AS BIGINT) AS twa_mil
     FROM g WHERE den > 0
     """,
 )
@@ -367,9 +372,11 @@ def timeweighted_avg_value_per_user(spark: SparkSession,
     readings dominate bursts. Integer arithmetic throughout (millivalue ×
     millisecond weights; worst case ~2^50 per user, no overflow), making
     the association-order-free sums bit-identical across engines and
-    partitionings; the final quotient truncates per the repo's numeric
-    policy. One shuffle: the lead() window and the aggregate share the
-    user_id partitioning."""
+    partitionings; the final quotient truncates toward zero on BOTH
+    engines (Spark `div` truncates; the oracle wraps DuckDB's flooring
+    `//` in a sign split), so negative weighted sums agree too. One
+    shuffle: the lead() window and the aggregate share the user_id
+    partitioning."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     e = ev.select(
@@ -529,8 +536,8 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(ROUND(LEAST(GREATEST(e.value, p.p05), p.p95) * 100)
-               AS BIGINT)) AS winsorized_cents,
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, p.p05), p.p95) * 100)
+               AS BIGINT)) AS BIGINT) AS winsorized_cents,
            CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM events e JOIN p USING (event_type)

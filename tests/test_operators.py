@@ -983,3 +983,157 @@ def test_two_phase_agg_spreads_constant_valued_hot_key(spark):
         .select("_salt").distinct().count()
     )
     assert salts > 1
+
+
+def test_det_hll_estimate_accuracy_and_partitioning_invariance(spark):
+    """The cross-engine-deterministic md5 HLL (operators/sketches.py::
+    det_hll_estimate): (1) estimates land within 5% of exact distinct
+    counts, (2) the estimate is invariant to input partitioning (the
+    fixed-point integer fold is associative), (3) the register table
+    merges across batches by max(m_j) — the persistable-partial shape."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import det_hll_estimate
+    from data_pipeline_stripe_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id")
+
+    est = {r.event_type: r.approx_distinct
+           for r in det_hll_estimate(ev, ["event_type"], "user_id").collect()}
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, e in est.items():
+        assert abs(e - exact[t]) <= 0.05 * exact[t] + 1, (t, e, exact[t])
+
+    # partitioning invariance: 1-partition and 16-partition runs agree
+    # bit-for-bit (the harmonic fold is integer, the division is one
+    # constant/exact-integer IEEE op)
+    one = {r.event_type: r.approx_distinct for r in det_hll_estimate(
+        ev.coalesce(1), ["event_type"], "user_id").collect()}
+    many = {r.event_type: r.approx_distinct for r in det_hll_estimate(
+        ev.repartition(16), ["event_type"], "user_id").collect()}
+    assert one == many == est
+
+    # incremental merge: splitting the input and unioning the halves
+    # BEFORE the sketch equals sketching the whole — and because the
+    # register is max(rho), sketching each half and taking the row union
+    # then re-estimating also equals the direct estimate
+    split = F.crc32(F.col("user_id").cast("string")) % 2 == 0
+    halves = ev.filter(split).unionByName(ev.filter(~split))
+    assert {r.event_type: r.approx_distinct
+            for r in det_hll_estimate(halves, ["event_type"],
+                                      "user_id").collect()} == est
+
+
+def test_engine_native_sketches_error_bounds(spark):
+    """The engine-native approximate aggregates this repo treats as the
+    production drop-ins for det_hll_estimate / histogram_percentiles:
+    approx_count_distinct (HLL++, rsd 0.01) within 5% of exact, and
+    percentile_approx (accuracy 1000) within the neighboring-value band
+    of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.05 * r.exact + 1, r
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    ).collect()
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.02 * r.exact + 1, r
+
+
+def test_histogram_percentiles_exact_on_quantized_grid(spark):
+    """histogram_percentiles has zero RANK error: its p50/p90 equal the
+    exact discrete percentiles of the cent-quantized values (grid error
+    only), and the histogram state is partitioning-invariant."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import histogram_percentiles
+    from data_pipeline_stripe_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = {r.l_returnflag: (r.p50_cents, r.p90_cents)
+           for r in histogram_percentiles(
+               li, ["l_returnflag"], "l_extendedprice",
+               [("p50_cents", 1, 2), ("p90_cents", 9, 10)]).collect()}
+
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    ).collect()
+    by_flag = {}
+    for r in cents:
+        by_flag.setdefault(r.l_returnflag, []).append(r.c)
+    for flag, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        expect = (vals[math.ceil(n / 2) - 1], vals[math.ceil(9 * n / 10) - 1])
+        assert got[flag] == expect, (flag, got[flag], expect)
+
+    re16 = {r.l_returnflag: (r.p50_cents, r.p90_cents)
+            for r in histogram_percentiles(
+                li.repartition(16), ["l_returnflag"], "l_extendedprice",
+                [("p50_cents", 1, 2), ("p90_cents", 9, 10)]).collect()}
+    assert re16 == got
+
+
+def test_interpolate_daily_survives_colliding_column_names(spark):
+    """Regression (ADVICE r5): interpolate_daily's working columns are
+    derived collision-free — a caller frame already containing '_t',
+    '_span', '_dv' etc. interpolates correctly; a pre-existing 'filled'
+    column is rejected loudly instead of silently overwritten."""
+    import datetime
+
+    import pytest
+
+    from data_pipeline_stripe_spark.operators import interpolate_daily
+
+    d = datetime.date
+    obs = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 100, 7, 7, 7),
+         ("a", d(2024, 1, 4), 400, 7, 7, 7)],
+        "k string, day date, v long, _t long, _span long, _dv long",
+    )
+    got = {r.day.isoformat(): r.filled
+           for r in interpolate_daily(obs, "k", "day", "v").collect()}
+    assert got == {"2024-01-01": 100, "2024-01-02": 200,
+                   "2024-01-03": 300, "2024-01-04": 400}
+
+    bad = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 1, 9)], "k string, day date, v long, filled long")
+    with pytest.raises(ValueError, match="filled"):
+        interpolate_daily(bad, "k", "day", "v")
+
+
+def test_compact_small_files_refuses_overlapping_dirs(spark, tmp_path):
+    """Regression (ADVICE r5): compacting a directory onto itself (or a
+    nested path) would let mode('overwrite') clear the source before the
+    lazy read runs — refused loudly; a sibling target still works."""
+    import pytest
+
+    from data_pipeline_stripe_spark.operators import compact_small_files
+
+    src = str(tmp_path / "table")
+    spark.range(100).repartition(8).write.parquet(src)
+    for bad in (src, src + "/nested", str(tmp_path)):
+        with pytest.raises(ValueError, match="overlaps"):
+            compact_small_files(spark, src, bad)
+    out = str(tmp_path / "compacted")
+    n = compact_small_files(spark, src, out)
+    assert n >= 1
+    assert spark.read.parquet(out).count() == 100

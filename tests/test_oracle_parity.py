@@ -22,6 +22,29 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
+# The driver fetches oracle results through its own (pandas/arrow) path,
+# which renders DuckDB's wider types differently than Spark renders its
+# own (HUGEINT -> float64 -> "123.0" vs "123" cost 8 rounds-5 reds even
+# though the row sets were bit-identical). Pinning every oracle OUTPUT
+# column to a type both engines render identically closes the whole
+# class. Extend deliberately, never to a width/precision type.
+ORACLE_OUTPUT_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN"}
+
+
+def test_every_oracle_output_column_has_allowlisted_type(oracle_con):
+    offenders = {}
+    for name, sql in ORACLES.items():
+        desc = oracle_con.execute(f"DESCRIBE ({sql})").fetchall()
+        bad = [(c, t) for c, t, *_ in desc if t not in ORACLE_OUTPUT_TYPES]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle output columns outside the allowlist (DuckDB DESCRIBE): "
+        f"{offenders} — wrap in CAST(... AS BIGINT/DOUBLE/VARCHAR); "
+        "HUGEINT/DECIMAL/DATE render differently on the driver's fetch path"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     sdf = QUERIES[name](spark, sf_dir)

@@ -2,7 +2,12 @@
 on Spark AND its DuckDB oracle, compare row count + sorted-column value
 hash. Usage:
 
-    python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py [--strict] [sf_dir] [query ...]
+
+``--strict`` disables the 9-digit float rounding in the canonical form
+(exact repr on both sides). Default rounding matches the driver's gate,
+where float-summing queries are green; strict mode is for auditing
+integer-exact queries, where any canon difference is a real bug.
 """
 
 from __future__ import annotations
@@ -19,13 +24,16 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+STRICT = False
+
+
 def canon(val) -> str:
     if val is None:
         return "NULL"
     if isinstance(val, float):
         if val != val:
             return "NaN"
-        return repr(round(val, 9))
+        return repr(val) if STRICT else repr(round(val, 9))
     if isinstance(val, bool):
         return str(int(val))
     return str(val)
@@ -39,8 +47,11 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    global STRICT
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from data_pipeline_stripe_spark.session import get_session
