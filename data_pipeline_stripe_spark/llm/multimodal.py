@@ -701,32 +701,6 @@ def sample_payload_chunks(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int,
-                  decoder: str = "fake") -> DataFrame:
-    """Image resize — payload-in/payload-out transform. Fake decoder
-    truncates/pads bytes to width*height (deterministic); a real one
-    would decode, resample, re-encode. Schema and flow are the real
-    contract."""
-    if decoder != "fake":  # pragma: no cover
-        raise NotImplementedError(
-            "image resize requires PIL/opencv, not present in this "
-            "environment; use decoder='fake' for plumbing tests")
-    n = width * height
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            resized = pdf["payload"].map(
-                lambda p: bytes(p)[:n].ljust(n, b"\0"))
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "media_type": pdf["media_type"],
-                "payload": resized,
-                "n_bytes": n,
-            })
-
-    return media.mapInPandas(batches, MEDIA_SCHEMA)
-
-
 RESIZED_MEDIA_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("payload", T.BinaryType()),

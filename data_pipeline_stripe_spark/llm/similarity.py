@@ -202,6 +202,89 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
     )
 
 
+def ivf_topk_pruned(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+                    k: int = 5, n_probes: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int = 64,
+                    centroid_id_col: str = "centroid_id") -> DataFrame:
+    """``ivf_topk`` with a COARSE PRE-QUANTIZER on the query side: queries
+    reach their probe centroids through a keyed equi-join on RP-LSH band
+    keys instead of scoring every centroid (ivf_topk's query×centroid
+    broadcast cross — fine for probe workloads, O(q·C) rows for
+    million-query batches against a 100k-centroid table at 10B vectors).
+
+    Routing: centroids and queries both compute the deterministic
+    32-plane RP signature (scan-speed expression, planes constant-folded
+    — rp_lsh_signatures), explode into 8 band keys, and candidates are
+    the centroids sharing ≥1 band key with the query — a hash join on
+    (band_idx, band_key), no cross. Candidates are then scored exactly
+    and the best ``n_probes`` become the probe set; the bucket search
+    tail is identical to ivf_topk. The plan's ONLY remaining cross is
+    the corpus→centroid assignment (the IVF build cost, shared by every
+    IVF variant and amortized across query batches by persisting
+    ``ivf_assign``; pinned by tests/test_plans.py).
+
+    Trade: a query sharing no band key with any centroid gets NO results
+    (P ≈ miss_rate^8, ~0.03 % at 16 centroids/16-key bands) —
+    deterministic, oracle-mirrorable, and the standard coarse-quantizer
+    recall trade. Band width should scale ≈ log2(C) so expected
+    candidates per band stay O(1).
+    """
+    assign = ivf_assign(emb, centroids, id_col, vec_col, centroid_id_col)
+    corpus = (
+        emb.join(assign.select(id_col, "cluster_id"), id_col)
+        .select(F.col(id_col).alias("neighbor_id"), "cluster_id",
+                _as_double(vec_col).alias("cv"))
+    )
+    n_bands = RP_N_PLANES // RP_BAND_BITS
+
+    def band_routes(df: DataFrame, src_id: str, out_id: str) -> DataFrame:
+        sig = rp_lsh_signatures(df, dim=dim, id_col=src_id,
+                                vec_col=vec_col)
+        return sig.select(
+            F.col(src_id).alias(out_id),
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band_idx"),
+                         F.col(f"band_{b}").alias("band_key"))
+                for b in range(n_bands)
+            ])).alias("r"),
+        ).select(out_id, "r.band_idx", "r.band_key")
+
+    c_routes = band_routes(centroids, centroid_id_col, "cluster_id")
+    q_routes = band_routes(queries, id_col, "query_id")
+    cand = (
+        q_routes.join(F.broadcast(c_routes), ["band_idx", "band_key"])
+        .select("query_id", "cluster_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(vec_col).alias("qv"))
+    cvp = centroids.select(F.col(centroid_id_col).alias("cluster_id"),
+                           _as_double(vec_col).alias("pv"))
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("cluster_id")
+    )
+    probes = (
+        cand.join(qv, "query_id").join(F.broadcast(cvp), "cluster_id")
+        .withColumn("c_sim", F.round(cosine(F.col("qv"), F.col("pv")), 6))
+        .withColumn("probe", F.row_number().over(wp))
+        .filter(F.col("probe") <= n_probes)
+        .select("query_id", "cluster_id", "qv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    pairs = (
+        corpus.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("similarity"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

@@ -24,6 +24,7 @@ from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import relational5  # noqa: E402,F401
 from . import io_roundtrip  # noqa: E402,F401
+from . import streaming_gate  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation policy
@@ -80,6 +81,12 @@ PRIORITY_THIS_ROUND = [
     # the shared core the round it changes (NOTES_r5 agenda item 2)
     "doc_minhash_lsh_pairs",
     "doc_incremental_dedup",
+    # round 6: §2.11 stateful streaming parity now driver-gated (4
+    # micro-batch drain through a foreachBatch sink vs the batch oracle)
+    "stateful_totals_stream_parity",
+    # round 6: IVF coarse pre-quantizer — query routing via keyed
+    # RP-band join, no query×centroid cross (plan-pinned)
+    "embedding_ivf_topk_pruned",
 ]
 
 

@@ -305,6 +305,61 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=5, n_probes=2)
 
 
+_IVF_PRUNED_ORACLE_TAIL = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT e.vec_id, c.cluster_id,
+               ROUND(list_inner_product(c.cv, e.v)
+                     / sqrt(list_inner_product(c.cv, c.cv)
+                            * list_inner_product(e.v, e.v)), 6) AS c_sim
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_sim DESC, cluster_id) AS rn
+            FROM scored) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cluster_id
+        FROM keyed q JOIN keyed c
+          ON q.band_idx = c.band_idx AND q.band_key = c.band_key
+        WHERE q.vec_id < 8 AND c.vec_id < 16
+    ),
+    probes AS (
+        SELECT query_id, cluster_id FROM (
+            SELECT cand.query_id, cand.cluster_id, s.c_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY s.c_sim DESC, cand.cluster_id) AS rn
+            FROM cand JOIN scored s
+              ON s.vec_id = cand.query_id
+             AND s.cluster_id = cand.cluster_id
+        ) WHERE rn <= 2
+    ),
+    pairs AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_inner_product(eq.v, en.v)
+                     / sqrt(list_inner_product(eq.v, eq.v)
+                            * list_inner_product(en.v, en.v)), 6) AS similarity
+        FROM probes p
+        JOIN assign a ON p.cluster_id = a.cluster_id
+        JOIN e eq ON eq.vec_id = p.query_id
+        JOIN e en ON en.vec_id = a.vec_id
+        WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, similarity, rank
+    FROM ranked WHERE rank <= 5
+"""
+
+
 # Random-hyperplane LSH oracle fragments: DuckDB regenerates the SAME
 # Rademacher planes from md5(plane || ':' || pos), quantizes embeddings
 # to integer millionths (exact, order-independent sums), and packs the
@@ -402,6 +457,36 @@ def embedding_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters them. Recall vs the exact baseline is measured by
     test_rp_lsh_pairs_subset_and_recall (11/14 = 0.786 at sf0.01)."""
     return similarity.rp_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_ivf_topk_pruned",
+    oracle=f"""
+    WITH {_RP_BITS_CTE},
+    {_RP_SIG_SQL},
+    keyed AS (
+        SELECT vec_id, band_idx,
+               CASE band_idx {_RP_BAND_CASE} END AS band_key
+        FROM sig CROSS JOIN
+             (SELECT unnest(range(0, {_RP_NB})) AS band_idx)),
+    {_IVF_PRUNED_ORACLE_TAIL}
+    """,
+)
+def embedding_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 at batch-query scale: IVF top-k whose query ROUTING is a keyed
+    RP-band-signature join (coarse pre-quantizer) — no query×centroid
+    cross anywhere on the query path; the plan's single remaining cross
+    is the corpus→centroid build assignment (pinned by
+    tests/test_plans.py). 16 centroids, 8×4-bit routing bands, 2 probes,
+    k=5; the oracle replays the identical plane generation, band keys,
+    candidate join, probe ranking, and bucket search in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.ivf_topk_pruned(
+        emb, emb.filter(F.col("vec_id") < 8), cents, k=5, n_probes=2
+    )
 
 
 @query(

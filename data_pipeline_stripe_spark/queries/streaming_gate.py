@@ -1,0 +1,118 @@
+"""Gated streaming queries: §2.11 parity visible to the DRIVER's hash
+gate, not only to pytest.
+
+The streaming operators (streaming/events.py) are pytest-pinned for
+multi-micro-batch state carry, watermark eviction, and checkpoint
+restart; this module additionally runs one genuinely stateful streaming
+computation to completion INSIDE a gated query and hash-compares the
+drained result against the plain batch oracle — so the driver ledger
+has a row proving custom GroupState survives micro-batch boundaries.
+
+Scaffolding note: the local stream source is the events fixture split
+into 4 time-ordered parquet files with ascending mtimes (the file
+source's oldest-first order), consumed one per trigger — 4 real
+micro-batches. In production that line is a kafka/kinesis source; the
+stateful operator and the sink are what is under test and are
+production-shaped (foreachBatch parquet sink, availableNow drain).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources import load_table
+from .io_roundtrip import _scratch
+from .registry import query
+
+
+def _four_batch_events_dir(sf_dir: str, scratch: str) -> str:
+    """Split the events fixture into 4 ts-ordered parquet files with
+    strictly ascending mtimes under ``scratch``/in, so the file stream
+    (maxFilesPerTrigger=1, oldest-first) replays them as 4 micro-batches
+    whose event time moves forward. Driver-side pyarrow is test
+    scaffolding standing in for the broker a production stream reads —
+    the fixture is small by construction; nothing downstream is."""
+    import pyarrow.parquet as pq
+
+    in_dir = os.path.join(scratch, "in")
+    os.makedirs(in_dir)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("ts")
+    n = tbl.num_rows
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    now = time.time()
+    for i in range(4):
+        path = os.path.join(in_dir, f"part-{i:04d}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (now + i, now + i))
+    return in_dir
+
+
+@query(
+    "stateful_totals_stream_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stateful_totals_stream_parity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """§2.11 in the hash gate: the applyInPandasWithState running-totals
+    operator (streaming/events.py:stateful_running_totals) consumes the
+    events fixture as FOUR time-ordered micro-batches (one file per
+    trigger), emitting updated per-type totals each batch through a
+    foreachBatch parquet sink; the query returns each key's LAST
+    emission. The hash matches the batch groupBy oracle only if
+    GroupState genuinely accumulated across all four batches — a state
+    reset, a dropped batch, or a double-applied batch all change the
+    final (n_events, total_value_cents).
+
+    Determinism: values are quantized to integer cents BEFORE the
+    stream (integer-valued doubles sum exactly in any order, so the
+    per-batch pandas sums and the cross-batch state adds are
+    associative); n_events strictly increases per key, so "last
+    emission" is well-defined without relying on file ordering."""
+    from ..streaming.events import read_event_stream, stateful_running_totals
+
+    scratch = _scratch(sf_dir, "stateful_totals_stream")
+    in_dir = _four_batch_events_dir(sf_dir, scratch)
+    out_dir = os.path.join(scratch, "out")
+
+    stream = read_event_stream(spark, in_dir, max_files_per_trigger=1)
+    totals = stateful_running_totals(
+        stream.withColumn(
+            "value", F.round(F.col("value") * 100).cast("long").cast("double")
+        )
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(scratch, "_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.read.parquet(out_dir)
+    last = W.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("long").alias("total_value_cents"),
+        )
+    )

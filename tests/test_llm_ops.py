@@ -955,3 +955,30 @@ def test_probe_lsh_index_rejects_overlapping_ids(spark, sf_dir):
     sig, bands = dedup.build_lsh_index(docs)
     with _pytest.raises(ValueError, match="already in the index"):
         dedup.probe_lsh_index(sig, bands, docs.limit(5))
+
+
+def test_ivf_topk_pruned_matches_unpruned_probe_set(spark, sf_dir):
+    """The pruned variant changes only how queries FIND their probe
+    centroids (keyed RP-band routing vs the full centroid cross). When
+    routing surfaces the same probe buckets the unpruned query would
+    pick, results must be identical; across the fixture the pruned
+    result set must stay a high-overlap subset of the unpruned one
+    (a routed query can miss a band-collision with its true best
+    centroid — the documented coarse-quantizer trade)."""
+    from data_pipeline_stripe_spark.llm import similarity
+    from data_pipeline_stripe_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    pruned = {(r.query_id, r.neighbor_id, r.rank) for r in
+              similarity.ivf_topk_pruned(emb, queries, cents,
+                                         k=5, n_probes=2).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank) for r in
+            similarity.ivf_topk(emb, queries, cents,
+                                k=5, n_probes=2).collect()}
+    assert pruned, "pruned IVF returned nothing — routing is broken"
+    overlap = len(pruned & full) / len(full)
+    assert overlap >= 0.7, f"probe-routing overlap {overlap:.3f} < 0.7"

@@ -90,6 +90,10 @@ NONEQUI_OK = {
     # plan (the small side is O(1), not a second fact)
     "sql_udf_usage_percent", "embedding_ivf_assign", "embedding_ivf_topk",
     "embedding_kmeans_step", "embedding_cosine_near_dup_bucketed",
+    # pruned IVF: the only cross left is the corpus→centroid BUILD
+    # assignment (16-row broadcast); the QUERY path is keyed RP-band
+    # routing — pinned to exactly one BNLJ below
+    "embedding_ivf_topk_pruned",
     # PQ-ADC: the per-query LUT maps (8 rows) ride a broadcast cross
     # against the corpus codes — same broadcast-tiny class
     "embedding_pq_topk",
@@ -194,6 +198,27 @@ def test_near_dup_bucketed_pair_join_is_keyed(spark, sf_dir):
             or "BroadcastHashJoin" in l) and "cluster_id" in l
     ]
     assert keyed, "no keyed join on cluster_id found in plan"
+
+
+def test_ivf_pruned_query_routing_has_no_query_centroid_cross(spark, sf_dir):
+    """ivf_topk_pruned's point: queries reach probe centroids via a KEYED
+    RP-band join, so the plan's only nested-loop is the corpus→centroid
+    build assignment (one 16-row broadcast cross); plain ivf_topk carries
+    a second cross (query×centroid routing). A regression that reroutes
+    queries through a cross shows up as BNLJ count > 1."""
+    plan = plan_of(spark, sf_dir, "embedding_ivf_topk_pruned")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    keyed = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+            or "BroadcastHashJoin" in l)
+        and "band_idx" in l and "band_key" in l
+    ]
+    assert keyed, "no keyed routing join on (band_idx, band_key) in plan"
+    # the unpruned variant really does carry the extra cross
+    base = plan_of(spark, sf_dir, "embedding_ivf_topk")
+    assert base.count("BroadcastNestedLoopJoin") >= 2
 
 
 def test_minhash_signature_plan_is_one_aggregation(spark, sf_dir):
