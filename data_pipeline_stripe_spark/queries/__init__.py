@@ -25,6 +25,7 @@ from . import relational4  # noqa: E402,F401
 from . import relational5  # noqa: E402,F401
 from . import io_roundtrip  # noqa: E402,F401
 from . import streaming_gate  # noqa: E402,F401
+from . import maintenance  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Correctness-window rotation policy
@@ -87,6 +88,12 @@ PRIORITY_THIS_ROUND = [
     # round 6: IVF coarse pre-quantizer — query routing via keyed
     # RP-band join, no query×centroid cross (plan-pinned)
     "embedding_ivf_topk_pruned",
+    # round 6: new maintenance/governance gated queries
+    "quality_gate_orders_report",
+    "zorder_clustered_roundtrip",
+    "maintenance_compact_vacuum_roundtrip",
+    "gapfill_user_daily_lerp",
+    "events_weighted_sample_pps",
 ]
 
 

@@ -1,0 +1,381 @@
+"""Gated table-maintenance and governance queries: the operational verbs
+a 100 TB lake runs around its analytics — declarative quality gates,
+clustered layout with z-pruned reads, small-file compaction + partition
+retention, dense-series interpolation, and weighted sampling — each
+hash-checked against a DuckDB transcription oracle.
+
+Round-trip queries write REAL files under .scratch/ (same pattern as
+io_roundtrip.py): the hash gate then verifies the whole
+write→maintain→read path, not just a transform.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .io_roundtrip import _scratch
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Quality gate: the declarative expectation suite (operators/quality.py)
+# as a driver-gated report.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_gate_orders_report",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS "check",
+           CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,300000)',
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NULL
+                                    OR o_totalprice < 0
+                                    OR o_totalprice > 300000
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NULL
+                                    OR o_orderstatus NOT IN ('O', 'F')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'matches_regex(o_orderpriority)',
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NULL
+                                    OR NOT regexp_matches(o_orderpriority,
+                                                          '^[1-3]-')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COALESCE((SELECT SUM(n) FROM (
+               SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+               HAVING COUNT(*) > 1)), 0) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'foreign_key(o_custkey->c_custkey)',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    """,
+)
+def quality_gate_orders_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The declarative quality gate (operators/quality.py:run_checks) in
+    the driver's hash gate: six constraints over orders — four row-level
+    checks compiled into ONE aggregate over ONE scan, uniqueness as its
+    one keyed exchange, referential integrity as a broadcast anti-join
+    against customer. The oracle's UNION ALL of six selects is the
+    TRANSCRIPTION of the report contract, not the plan (the engine runs
+    3 jobs, not 6 scans — plan pinned in tests/test_operators.py).
+    Bounds are chosen so the fixture produces real non-zero violation
+    counts (totalprice > 300000 rows, 'P' status rows, priority 4/5
+    rows), so a broken predicate cannot hide behind all-zeros."""
+    from ..operators.quality import (accepted_values, foreign_key, in_range,
+                                     matches_regex, not_null, run_checks,
+                                     unique)
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return run_checks(orders, [
+        not_null("o_custkey"),
+        in_range("o_totalprice", 0, 300000),
+        accepted_values("o_orderstatus", ["O", "F"]),
+        matches_regex("o_orderpriority", "^[1-3]-"),
+        unique("o_orderkey"),
+        foreign_key("o_custkey", customer, "c_custkey"),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Clustered write → z-pruned read round trip.
+# ---------------------------------------------------------------------------
+_X_SPARK = ("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') "
+            "AS BIGINT)")
+_Y_SPARK = "CAST(o_custkey AS BIGINT) & 65535"
+_RECT = (0, 365, 16, 127)  # x (order-day number) range, y (masked custkey)
+
+
+@query(
+    "zorder_clustered_roundtrip",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders
+    WHERE date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+          BETWEEN {_RECT[0]} AND {_RECT[1]}
+      AND (CAST(o_custkey AS BIGINT) & 65535)
+          BETWEEN {_RECT[2]} AND {_RECT[3]}
+    """,
+)
+def zorder_clustered_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The full z-clustering story as one gated round trip: compute the
+    Morton key (zorder_key_orders' expression), WRITE the table
+    clustered on it (write_clustered: range partitioning → disjoint key
+    spans per file, sorted within), then READ it back through the
+    z-interval rectangle filter (z_rectangle_filter: quadtree cell
+    cover → BETWEEN disjunction pushed to the scan + exact residual).
+    The hash match against the plain rectangle SQL proves the cover is
+    sound and exact at full budget ACROSS the write→read boundary; the
+    file-pruning effectiveness of the same layout is pinned separately
+    (tests/test_scale_patterns.py reads parquet footers)."""
+    from ..operators.layout import write_clustered
+    from ..operators.zorder import z_rectangle_filter
+    from .relational5 import _Z_SPARK
+
+    out = _scratch(sf_dir, "zorder_clustered")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.expr(f"CAST({_Z_SPARK} AS BIGINT)").alias("zkey"),
+    )
+    write_clustered(orders, out, ["zkey"], n_files=16)
+
+    back = spark.read.parquet(out)
+    x_lo, x_hi, y_lo, y_hi = _RECT
+    pred = z_rectangle_filter(
+        "zkey", F.expr(_X_SPARK), F.expr(_Y_SPARK),
+        x_lo, x_hi, y_lo, y_hi,
+    )
+    return back.filter(pred).select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction + retention maintenance round trip.
+# ---------------------------------------------------------------------------
+_VACUUM_CUTOFF = "2024-01-08"
+
+
+@query(
+    "maintenance_compact_vacuum_roundtrip",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') >= '{_VACUUM_CUTOFF}'
+    GROUP BY 1
+    """,
+)
+def maintenance_compact_vacuum_roundtrip(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """The two table-maintenance verbs composed, gated end to end:
+    events land as a day-partitioned table with deliberately fragmented
+    files (4 per partition — the streaming-ingest shape), retention
+    DELETES the expired day partitions (vacuum_partitions: O(deleted)
+    directory removes, no survivor rewrite), compaction rewrites the
+    survivors to size-targeted files (compact_small_files), and the
+    query aggregates the compacted table. The hash matches the oracle's
+    date-filtered aggregate over the ORIGINAL events only if the vacuum
+    deleted exactly the expired partitions and compaction preserved
+    every surviving row and partition value. Partition values come back
+    as strings (partition-type inference is disabled on the re-read —
+    the repo's known DATE-inference trap)."""
+    from ..operators.layout import compact_small_files, vacuum_partitions
+
+    scratch = _scratch(sf_dir, "maintenance_roundtrip")
+    table_dir = os.path.join(scratch, "table")
+    compact_dir = os.path.join(scratch, "compacted")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+    )
+    (
+        ev.repartition(4)  # fragment: 4 files per day partition
+        .write.mode("overwrite").partitionBy("event_day").parquet(table_dir)
+    )
+    vacuum_partitions(table_dir, "event_day",
+                      keep=lambda day: day >= _VACUUM_CUTOFF)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+                   "false")
+    try:
+        compact_small_files(spark, table_dir, compact_dir,
+                            target_file_bytes=1 << 20)
+        back = spark.read.parquet(compact_dir)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    return back.groupBy(F.col("event_day").cast("string").alias("event_day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense-series linear interpolation (integer lerp), gated.
+# ---------------------------------------------------------------------------
+@query(
+    "gapfill_user_daily_lerp",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    ), j AS (
+        SELECT g.user_id, g.day, d.day_cents
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
+    ), br AS (
+        SELECT user_id, day, day_cents,
+               LAST_VALUE(CASE WHEN day_cents IS NOT NULL
+                               THEN {'d': day, 'v': day_cents}
+                          END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS l,
+               FIRST_VALUE(CASE WHEN day_cents IS NOT NULL
+                                THEN {'d': day, 'v': day_cents}
+                           END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS r
+        FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           day_cents,
+           CAST(CASE
+               WHEN day_cents IS NOT NULL THEN day_cents
+               WHEN l IS NULL OR r IS NULL THEN NULL
+               ELSE l['v'] + CASE
+                   WHEN (r['v'] - l['v'])
+                        * date_diff('day', l['d'], day) >= 0
+                   THEN ((r['v'] - l['v'])
+                         * date_diff('day', l['d'], day))
+                        // date_diff('day', l['d'], r['d'])
+                   ELSE -((-((r['v'] - l['v'])
+                             * date_diff('day', l['d'], day)))
+                          // date_diff('day', l['d'], r['d']))
+               END
+           END AS BIGINT) AS filled
+    FROM br
+    """,
+)
+def gapfill_user_daily_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series with integer-exact LINEAR interpolation
+    (operators/gapfill.py:interpolate_daily) — the lerp companion to
+    gapfill_user_daily_values' LOCF: each gap day takes
+    v0 + (v1-v0)·(t-t0) DIV (t1-t0) between its bracketing
+    observations, truncating toward zero on BOTH engines (the oracle
+    wraps DuckDB's flooring // in a sign split); endpoints with a
+    missing neighbor stay NULL. Restricted to users < 30 to bound the
+    gate's dense grid; the operator itself is per-key parallel at any
+    scale (two exchanges, see gapfill.py docstring)."""
+    from ..operators.gapfill import interpolate_daily
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    daily = (
+        ev.groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("day_cents"))
+    )
+    out = interpolate_daily(daily, "user_id", "day", "day_cents")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_cents",
+        F.col("filled").cast("long").alias("filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: systematic PPS (probability proportional to size).
+# ---------------------------------------------------------------------------
+_PPS_K = 20
+
+
+@query(
+    "events_weighted_sample_pps",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS wt,
+               md5(CAST(event_id AS VARCHAR)) AS shuf
+        FROM events
+    ), c AS (
+        SELECT event_type, event_id, wt,
+               SUM(wt) OVER (PARTITION BY event_type
+                             ORDER BY shuf, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+               SUM(wt) OVER (PARTITION BY event_type) AS tot
+        FROM w
+    )
+    SELECT event_type, event_id, wt AS weight_cents
+    FROM c
+    WHERE (cum * {_PPS_K}) // tot > ((cum - wt) * {_PPS_K}) // tot
+    """,
+)
+def events_weighted_sample_pps(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Weighted sampling that is DETERMINISTIC and cross-engine exact:
+    systematic probability-proportional-to-size selection per stratum.
+    Rows are laid on the cumulative-weight line in md5-shuffled order
+    (reproducible, unbiased w.r.t. any data ordering) and one sample is
+    taken per 1/k-th of each stratum's total weight — a row is selected
+    iff its weight interval contains a grid point, i.e.
+    floor(cum·k/tot) > floor((cum−w)·k/tot). Pure integer arithmetic
+    (weights are cents; cum·k < 2^63), so selection is bit-identical on
+    any engine — the practical stand-in for A-ES exponential sampling,
+    whose u^(1/w) priorities have no cross-engine-exact formulation.
+    Inclusion probability ≈ k·w/tot (exact for w ≤ tot/k; heavier rows
+    are simply always included — the standard PPS guarantee).
+
+    Scale shape: the cumulative sum is a per-stratum window (parallel
+    across strata); a single global stratum at 100 TB becomes the
+    classic two-pass distributed prefix sum (per-partition totals
+    broadcast as offsets). Returns ≈k rows per stratum."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = ev.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("wt"),
+        F.md5(F.col("event_id").cast("string")).alias("shuf"),
+    )
+    cum_w = (
+        W.partitionBy("event_type").orderBy("shuf", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = W.partitionBy("event_type")
+    c = w.select(
+        "event_type", "event_id", "wt",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(tot_w).alias("tot"),
+    )
+    k = F.lit(_PPS_K)
+    sel = (
+        F.expr(f"(cum * {_PPS_K}) div tot")
+        > F.expr(f"((cum - wt) * {_PPS_K}) div tot")
+    )
+    return c.filter(sel).select(
+        "event_type", "event_id", F.col("wt").alias("weight_cents")
+    )
