@@ -147,3 +147,53 @@ def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
         )
         .select(*picked, action)
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Derive the CDC change set BETWEEN two table snapshots — the
+    inverse of ``apply_cdc``, for sources that can only hand you full
+    snapshots (the common SaaS-export shape): one full-outer keyed join
+    classifies every key as inserted ('I': in new only), deleted ('D':
+    in old only, row carries the OLD values), updated ('U': in both
+    with any column differing, NULL-safely), or unchanged (omitted).
+    Feeding the result to apply_cdc (I/U as upserts, D as deletes)
+    reproduces ``new`` from ``old`` exactly — pinned by
+    tests/test_operators.py.
+
+    Scale shape: ONE sort-merge join on the key and a struct
+    comparison; nothing is windowed or scanned twice, and the output is
+    proportional to the churn, not the table. NULL keys raise lazily on
+    either side (a NULL never matches the join, so it would always
+    misclassify as insert+delete)."""
+    cols = old.columns
+    if new.columns != cols:
+        raise ValueError(
+            f"snapshot_diff needs identical schemas, got {cols} vs "
+            f"{new.columns}")
+    data_cols = [c for c in cols if c != key]
+    o = old.withColumn("_o_present", F.lit(True)).alias("o")
+    n = new.withColumn("_n_present", F.lit(True)).alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    has_old = F.coalesce(F.col("o._o_present"), F.lit(False))
+    has_new = F.coalesce(F.col("n._n_present"), F.lit(False))
+    same = F.struct(*[F.col(f"o.{c}") for c in data_cols]).eqNullSafe(
+        F.struct(*[F.col(f"n.{c}") for c in data_cols]))
+    null_key = (has_old & F.col(f"o.{key}").isNull()) | (
+        has_new & F.col(f"n.{key}").isNull())
+    op = (
+        F.when(null_key, F.raise_error(F.lit(
+            "snapshot_diff: NULL key — a NULL never matches the join and "
+            "would misreport as insert+delete")))
+        .when(has_new & ~has_old, F.lit("I"))
+        .when(has_old & ~has_new, F.lit("D"))
+        .when(~same, F.lit("U"))
+        .alias("op")
+    )
+    picked = [
+        F.when(has_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+        for c in cols
+    ]
+    return (
+        joined.select(op, *picked)
+        .filter(F.col("op").isNotNull())
+    )

@@ -245,3 +245,139 @@ def histogram_percentiles_oracle_sql(table: str, keys: str, col: str,
            {sels}
     FROM t GROUP BY ALL
     """
+
+
+# Count-min sketch geometry: D independent md5-derived hash rows over W
+# counters. Width bounds the overestimate (eps ~ e/W of total count),
+# depth bounds its probability (delta ~ e^-D). Fixed so every engine
+# regenerates the identical sketch.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def cms_table(df: DataFrame, key_col: str, keys: list[str] | None = None
+              ) -> DataFrame:
+    """Count-min sketch as an ordinary DataFrame — the mergeable
+    frequency-sketch state ((group keys), row, slot, n): for each of
+    D=4 hash rows, slot = md5("<row>:<key>") parsed to an int mod
+    W=256, counters are plain counts. Deterministic on any engine with
+    md5 (same hash-slice pattern as the MinHash slots); mergeable
+    across batches by summing n per (row, slot); total size D·W rows
+    per group regardless of input size. One map-side-combinable
+    shuffle."""
+    group = list(keys or [])
+    rows = F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)]))
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_cms_row").cast("string"), F.lit(":"),
+                               F.col(key_col).cast("string"))),
+                1, 8), 16, 10,
+        ).cast("long") % _CMS_WIDTH
+    )
+    return (
+        df.select(*group, F.col(key_col), rows.alias("_cms_row"))
+        .select(*group, F.col("_cms_row").alias("row"), slot.alias("slot"))
+        .groupBy(*group, "row", "slot")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, support_ppm: int,
+                      keys: list[str] | None = None,
+                      exact_verify: bool = True) -> DataFrame:
+    """Heavy hitters via count-min: candidate keys whose CMS estimate
+    (min over the D row counters the key hashes to) reaches the support
+    threshold ``support_ppm`` parts-per-million of the (group's) total
+    row count, optionally verified with exact counts — the standard
+    two-phase frequent-items shape at 100 TB: the sketch probe joins
+    the D·W-row sketch (broadcastable), and the exact verify re-counts
+    ONLY the few candidates (semi-join pushdown), never the key
+    universe. CMS never undercounts, so exact_verify=True returns the
+    exact answer set. The threshold compare is pure integer arithmetic
+    (est·1e6 >= total·ppm — no division), so the cut is engine-exact.
+    Returns (*keys, key_col, est_count, n_exact)."""
+    group = list(keys or [])
+    sketch = cms_table(df, key_col, group)
+    # total per group = sum of any one sketch row (each row counts every
+    # input exactly once) — no second scan of the input
+    totals = (
+        sketch.filter(F.col("row") == 0)
+        .groupBy(*group).agg(F.sum("n").alias("_total"))
+    )
+    rows = F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)]))
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
+                               F.col(key_col).cast("string"))),
+                1, 8), 16, 10,
+        ).cast("long") % _CMS_WIDTH
+    )
+    probes = (
+        df.select(*group, key_col).distinct()
+        .select(*group, key_col, rows.alias("row"))
+        .withColumn("slot", slot)
+    )
+    est = (
+        probes.join(sketch, group + ["row", "slot"])
+        .groupBy(*group, key_col)
+        .agg(F.min("n").alias("est_count"))
+        .join(F.broadcast(totals), group) if group else
+        probes.join(sketch, ["row", "slot"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("est_count"))
+        .join(F.broadcast(totals))
+    )
+    est = est.filter(
+        F.col("est_count") * 1_000_000 >= F.col("_total") * support_ppm
+    )
+    if not exact_verify:
+        return est.select(*group, key_col, "est_count")
+    exact = (
+        df.join(est.select(*group, key_col), group + [key_col], "left_semi")
+        .groupBy(*group, key_col)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        est.join(exact, group + [key_col])
+        .filter(F.col("n_exact") * 1_000_000 >= F.col("_total") * support_ppm)
+        .select(*group, key_col, "est_count", "n_exact")
+    )
+
+
+def cms_oracle_sql(table: str, key_col: str, support_ppm: int) -> str:
+    """DuckDB transcription of global (ungrouped) ``cms_heavy_hitters``
+    with exact_verify."""
+    d, w = _CMS_DEPTH, _CMS_WIDTH
+    return f"""
+    WITH hashed AS (
+        SELECT {key_col}, r.row,
+               CAST(CONCAT('0x', substring(md5(CAST(r.row AS VARCHAR)
+                    || ':' || CAST({key_col} AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {w} AS slot
+        FROM {table}
+        CROSS JOIN (SELECT unnest(range(0, {d})) AS row) r
+    ), sketch AS (
+        SELECT row, slot, COUNT(*) AS n
+        FROM hashed GROUP BY ALL
+    ), tot AS (
+        SELECT SUM(n) AS total FROM sketch WHERE row = 0
+    ), probes AS (
+        SELECT DISTINCT {key_col}, row, slot FROM hashed
+    ), est AS (
+        SELECT {key_col}, CAST(MIN(n) AS BIGINT) AS est_count
+        FROM probes JOIN sketch USING (row, slot)
+        GROUP BY {key_col}
+        HAVING MIN(n) * 1000000 >= (SELECT total FROM tot) * {support_ppm}
+    ), exact AS (
+        SELECT {key_col}, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM {table}
+        WHERE {key_col} IN (SELECT {key_col} FROM est)
+        GROUP BY {key_col}
+    )
+    SELECT est.{key_col}, est.est_count, exact.n_exact
+    FROM est JOIN exact USING ({key_col})
+    WHERE exact.n_exact * 1000000
+          >= (SELECT total FROM tot) * {support_ppm}
+    """

@@ -94,6 +94,9 @@ PRIORITY_THIS_ROUND = [
     "maintenance_compact_vacuum_roundtrip",
     "gapfill_user_daily_lerp",
     "events_weighted_sample_pps",
+    # round 6: deterministic count-min heavy hitters + snapshot-CDC diff
+    "events_heavy_hitter_value_buckets",
+    "cdc_snapshot_diff_orders",
 ]
 
 

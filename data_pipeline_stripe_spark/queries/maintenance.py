@@ -379,3 +379,76 @@ def events_weighted_sample_pps(spark: SparkSession,
     return c.filter(sel).select(
         "event_type", "event_id", F.col("wt").alias("weight_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-based CDC derivation (the inverse of apply_cdc).
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(CONCAT('0x', substring(
+                   md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                   AS bk
+        FROM orders
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN bk < 20 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               price_cents
+        FROM old WHERE bk >= 10
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'N', price_cents
+        FROM old WHERE bk >= 90
+    )
+    SELECT 'I' AS op, n.o_orderkey, n.o_orderstatus, n.price_cents
+    FROM new n WHERE n.o_orderkey NOT IN (SELECT o_orderkey FROM old)
+    UNION ALL
+    SELECT 'D', o.o_orderkey, o.o_orderstatus, o.price_cents
+    FROM old o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM new)
+    UNION ALL
+    SELECT 'U', n.o_orderkey, n.o_orderstatus, n.price_cents
+    FROM new n JOIN old o USING (o_orderkey)
+    WHERE n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+       OR n.price_cents IS DISTINCT FROM o.price_cents
+    """,
+)
+def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based CDC derivation (operators/merge.py:snapshot_diff)
+    in the gate: a deterministic 'new' snapshot is built from orders
+    (md5-bucket rule: buckets <10 deleted, 10–19 status-updated to 'X',
+    ≥90 re-inserted under shifted keys), and the diff must classify
+    every key as exactly the I/U/D the construction implies — the
+    full-outer join + NULL-safe struct comparison against a plain SQL
+    set-difference transcription. The apply_cdc round trip (diff
+    replayed onto old == new) is pinned in tests/test_operators.py;
+    output size is the churn, never the table."""
+    from ..operators.merge import snapshot_diff
+
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("price_cents"),
+        (F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16, 10).cast("long") % 100).alias("bk"),
+    )
+    new = (
+        old.filter(F.col("bk") >= 10)
+        .select(
+            "o_orderkey",
+            F.when(F.col("bk") < 20, "X").otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "price_cents",
+        )
+        .unionByName(
+            old.filter(F.col("bk") >= 90).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "price_cents",
+            )
+        )
+    )
+    return snapshot_diff(old.drop("bk"), new, "o_orderkey")

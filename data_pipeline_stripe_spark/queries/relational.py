@@ -820,6 +820,39 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _heavy_hitters_oracle() -> str:
+    from ..operators.sketches import cms_oracle_sql
+
+    return cms_oracle_sql(
+        "(SELECT CAST(ROUND(value * 100) AS BIGINT) // 1000 AS vbucket "
+        "FROM events) ev",
+        "vbucket", support_ppm=50000,
+    )
+
+
+@query("events_heavy_hitter_value_buckets", oracle=_heavy_hitters_oracle())
+def events_heavy_hitter_value_buckets(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Frequent-items via a deterministic count-min sketch
+    (operators/sketches.py:cms_heavy_hitters): value-cent buckets
+    holding ≥ 5 % of all events, found by probing a 4×256 md5-hashed
+    counter table and verified with exact counts over ONLY the sketch's
+    candidates (CMS never undercounts, so verified output is the exact
+    answer set; est_count > n_exact rows in the output are visible
+    collision overestimates the verify survived). The threshold compare
+    is integer ppm arithmetic — no division — and the sketch is an
+    ordinary (row, slot, n) DataFrame: mergeable across batches by
+    summing counters, constant size, the 100 TB path where exact
+    per-key counting of a huge key universe is the thing you avoid."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ROUND(value * 100) AS BIGINT) div 1000")
+        .alias("vbucket")
+    )
+    return cms_heavy_hitters(ev, "vbucket", support_ppm=50000)
+
+
 # ---------------------------------------------------------------------------
 # As-of (point-in-time) join — no native Spark primitive; union+window
 # composition (operators/asof.py).

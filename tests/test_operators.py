@@ -1137,3 +1137,36 @@ def test_compact_small_files_refuses_overlapping_dirs(spark, tmp_path):
     n = compact_small_files(spark, src, out)
     assert n >= 1
     assert spark.read.parquet(out).count() == 100
+
+
+def test_snapshot_diff_roundtrip_and_classification(spark):
+    """snapshot_diff ∘ apply_cdc is the identity: the derived change set
+    (I/U as upserts, D as deletes), applied to the old snapshot,
+    reproduces the new snapshot exactly; each op class is right; NULL
+    keys raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.merge import (apply_cdc,
+                                                            snapshot_diff)
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", None)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "C", 30), (4, "d", 40), (5, "e", 50)],
+        "k long, s string, v long")
+    diff = snapshot_diff(old, new, "k")
+    got = {(r.op, r.k, r.s, r.v) for r in diff.collect()}
+    assert got == {("D", 1, "a", 10), ("U", 3, "C", 30),
+                   ("U", 4, "d", 40), ("I", 5, "e", 50)}
+
+    changes = diff.withColumn("seq", F.lit(1)).withColumn(
+        "op", F.when(F.col("op") == "D", "D").otherwise("U"))
+    replayed = apply_cdc(old, changes, "k").drop("cdc_action")
+    assert ({tuple(r) for r in replayed.collect()}
+            == {tuple(r) for r in new.collect()})
+
+    bad = spark.createDataFrame([(None, "x", 1)], "k long, s string, v long")
+    with pytest.raises(Exception, match="NULL key"):
+        snapshot_diff(old, bad, "k").collect()

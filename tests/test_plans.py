@@ -123,6 +123,10 @@ NONEQUI_OK = {
     # gap-fill grid bounds: the 1-row (min_day, max_day) aggregate
     # broadcast over the per-user day grid — scalar-subquery class
     "gapfill_user_daily_values",
+    # CMS heavy hitters: the 1-row stream total broadcast into the
+    # support-threshold filter — scalar-subquery class; the sketch
+    # probe and exact verify are keyed joins
+    "events_heavy_hitter_value_buckets",
 }
 
 
