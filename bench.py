@@ -53,6 +53,13 @@ HEADLINE = [
     # fingerprint per image) and the integer 3-sigma outlier window
     "multimodal_image_ahash_dedup",
     "events_value_outliers",
+    # round 6 additions: deterministic md5 HLL, RP-band-routed IVF
+    # (no query×centroid cross), count-min heavy hitters, and the
+    # snapshot-CDC diff join
+    "approx_distinct_users_per_type",
+    "embedding_ivf_topk_pruned",
+    "events_heavy_hitter_value_buckets",
+    "cdc_snapshot_diff_orders",
 ]
 
 

@@ -97,6 +97,8 @@ PRIORITY_THIS_ROUND = [
     # round 6: deterministic count-min heavy hitters + snapshot-CDC diff
     "events_heavy_hitter_value_buckets",
     "cdc_snapshot_diff_orders",
+    # round 6: bucketed co-located join through the catalog
+    "bucketed_join_roundtrip",
 ]
 
 

@@ -205,15 +205,15 @@ def maintenance_compact_vacuum_roundtrip(spark: SparkSession,
     )
     vacuum_partitions(table_dir, "event_day",
                       keep=lambda day: day >= _VACUUM_CUTOFF)
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
-                   "false")
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
     try:
         compact_small_files(spark, table_dir, compact_dir,
                             target_file_bytes=1 << 20)
         back = spark.read.parquet(compact_dir)
     finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+        spark.conf.set(conf_key, prev)
     return back.groupBy(F.col("event_day").cast("string").alias("event_day")).agg(
         F.count("*").alias("n_events"),
         F.sum("value_cents").alias("value_cents"),
@@ -331,7 +331,8 @@ _PPS_K = 20
     )
     SELECT event_type, event_id, wt AS weight_cents
     FROM c
-    WHERE (cum * {_PPS_K}) // tot > ((cum - wt) * {_PPS_K}) // tot
+    WHERE tot > 0
+      AND (cum * {_PPS_K}) // tot > ((cum - wt) * {_PPS_K}) // tot
     """,
 )
 def events_weighted_sample_pps(spark: SparkSession,
@@ -371,8 +372,10 @@ def events_weighted_sample_pps(spark: SparkSession,
         F.sum("wt").over(cum_w).alias("cum"),
         F.sum("wt").over(tot_w).alias("tot"),
     )
-    k = F.lit(_PPS_K)
-    sel = (
+    # tot > 0 guard on BOTH sides: an all-zero-weight stratum would make
+    # Spark's `div` yield NULL (filtered) but DuckDB's `//` raise —
+    # engine-asymmetric without the guard
+    sel = (F.col("tot") > 0) & (
         F.expr(f"(cum * {_PPS_K}) div tot")
         > F.expr(f"((cum - wt) * {_PPS_K}) div tot")
     )
@@ -452,3 +455,67 @@ def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old.drop("bk"), new, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join round trip.
+# ---------------------------------------------------------------------------
+@query(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, gated through the CATALOG: lineitem and
+    orders are written `bucketBy(8, key).sortBy(key)` as warehouse
+    tables, re-read via spark.table, joined on the bucket key, and
+    aggregated — the hash must match the plain join over the original
+    parquet, proving the bucketed write/read loses nothing and the
+    bucket-pruned join matches unbucketed semantics. The 100 TB point —
+    the co-located join needs NO Exchange on either side — is pinned
+    separately with broadcast disabled
+    (tests/test_scale_patterns.py::test_bucketed_join_needs_no_shuffle);
+    this query pins the correctness half in the driver ledger. Tables
+    are per-SF-named and overwritten each run (left for the driver's
+    collect — a gated fn must not drop tables its returned frame still
+    reads)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_t, o_t = f"bjr_lineitem_{tag}", f"bjr_orders_{tag}"
+    # a FRESH session's in-memory catalog doesn't know tables a previous
+    # session wrote, but their warehouse directories persist —
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS; drop both the
+    # catalog entry and any orphaned location first
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("price_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable(li_t))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable(o_t))
+    lb, ob = spark.table(li_t), spark.table(o_t)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("price_cents").alias("price_cents"),
+        )
+    )
