@@ -118,7 +118,7 @@ _SIG_COLS = [f"mh_{h}" for h in range(N_HASHES)]
 
 
 def _band_rows(sig: DataFrame, id_col: str,
-               carry: list[str] = []) -> DataFrame:
+               carry: tuple[str, ...] = ()) -> DataFrame:
     """Explode a signature frame into its banded index rows
     (id, *carry, band_id, band_key) — the ids-only shape every LSH join
     here shuffles on (never the 16-slot signature ×N_BANDS). ``carry``
@@ -245,7 +245,7 @@ def incremental_minhash_pairs(df: DataFrame, new_pred: Column,
     # the flag joins onto the narrow signature frame BEFORE the ×N_BANDS
     # explode (carry=), not onto the band rows after
     bands = _band_rows(sig.join(is_new, id_col), id_col,
-                       carry=["_is_new"])
+                       carry=("_is_new",))
     if max_bucket_size is not None:
         bands = _cap_hot_keys(bands, ["band_id", "band_key"],
                               max_bucket_size)

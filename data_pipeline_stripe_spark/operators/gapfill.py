@@ -36,10 +36,13 @@ def interpolate_daily(observed: DataFrame, key: str, day: str,
       v0 + (v1 - v0) * (t - t0) DIV (t1 - t0)  (truncating division,
       exact in integers; observed days carry their own value).
     """
-    if "filled" in observed.columns and value != "filled":
+    if "filled" in observed.columns:
         # the output contract claims the name; silently overwriting a
         # caller column is the collision class asof_join was hardened
-        # against — fail loudly instead
+        # against — fail loudly instead. value == "filled" is rejected
+        # too: the select(key, day, value, "filled") contract would emit
+        # the same column twice (AMBIGUOUS_REFERENCE downstream) and the
+        # raw-observation column would be lost.
         raise ValueError(
             "interpolate_daily: input already has a 'filled' column — "
             "rename it; the output column 'filled' is reserved")

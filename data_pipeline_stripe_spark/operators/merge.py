@@ -160,19 +160,29 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     reproduces ``new`` from ``old`` exactly — pinned by
     tests/test_operators.py.
 
-    Scale shape: ONE sort-merge join on the key and a struct
-    comparison; nothing is windowed or scanned twice, and the output is
-    proportional to the churn, not the table. NULL keys raise lazily on
-    either side (a NULL never matches the join, so it would always
-    misclassify as insert+delete)."""
+    Scale shape: ONE keyed join and a struct comparison (each side gets
+    a per-key window count for the duplicate guard — same key
+    partitioning the join shuffles on, no extra pass of either table);
+    the output is proportional to the churn, not the table. Fails
+    CLOSED on malformed snapshots: NULL keys raise lazily on either
+    side (a NULL never matches the join, so it would always
+    misclassify as insert+delete), and duplicate keys on either side
+    raise too — the full-outer join would fan them out and emit
+    conflicting I/U rows for one key, which apply_cdc would then
+    replay wrongly with no error."""
+    from pyspark.sql.window import Window as W
+
     cols = old.columns
     if new.columns != cols:
         raise ValueError(
             f"snapshot_diff needs identical schemas, got {cols} vs "
             f"{new.columns}")
     data_cols = [c for c in cols if c != key]
-    o = old.withColumn("_o_present", F.lit(True)).alias("o")
-    n = new.withColumn("_n_present", F.lit(True)).alias("n")
+    wk = W.partitionBy(key)
+    o = (old.withColumn("_o_present", F.lit(True))
+         .withColumn("_o_dups", F.count("*").over(wk)).alias("o"))
+    n = (new.withColumn("_n_present", F.lit(True))
+         .withColumn("_n_dups", F.count("*").over(wk)).alias("n"))
     joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
     has_old = F.coalesce(F.col("o._o_present"), F.lit(False))
     has_new = F.coalesce(F.col("n._n_present"), F.lit(False))
@@ -180,10 +190,16 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
         F.struct(*[F.col(f"n.{c}") for c in data_cols]))
     null_key = (has_old & F.col(f"o.{key}").isNull()) | (
         has_new & F.col(f"n.{key}").isNull())
+    dup_key = (F.coalesce(F.col("o._o_dups"), F.lit(0)) > 1) | (
+        F.coalesce(F.col("n._n_dups"), F.lit(0)) > 1)
     op = (
         F.when(null_key, F.raise_error(F.lit(
             "snapshot_diff: NULL key — a NULL never matches the join and "
             "would misreport as insert+delete")))
+        .when(dup_key, F.raise_error(F.lit(
+            "snapshot_diff: duplicate key within a snapshot — the join "
+            "would fan out and emit conflicting change rows; dedupe the "
+            "export first")))
         .when(has_new & ~has_old, F.lit("I"))
         .when(has_old & ~has_new, F.lit("D"))
         .when(~same, F.lit("U"))

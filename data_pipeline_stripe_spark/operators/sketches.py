@@ -60,7 +60,14 @@ def det_hll_estimate(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     Accuracy: standard HLL ~1.04/sqrt(m) ≈ 3.3% relative error at
     m=1024; rho capped at 40 saturates only past ~2^40 distincts per
     register (~10^15 total) — beyond any single-key cardinality here.
+
+    NULLs in ``col`` are ignored, matching approx_count_distinct /
+    COUNT(DISTINCT) semantics — without the filter a NULL row would
+    land in a NULL register that the occupancy count sees but the
+    harmonic sum skips, silently shifting the estimate (and the oracle's
+    '0x'||md5(NULL) cast would error instead).
     """
+    df = df.filter(F.col(col).isNotNull())
     rem = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -104,6 +111,7 @@ def det_hll_oracle_sql(table: str, keys: str, col: str) -> str:
                CAST(CONCAT('0x', substring(md5(CAST({col} AS VARCHAR)),
                                            1, 15)) AS BIGINT) AS h
         FROM {table}
+        WHERE {col} IS NOT NULL
     ), br AS (
         SELECT {keys}, (h >> {rb}) AS bucket,
                CASE WHEN (h & ((CAST(1 AS BIGINT) << {rb}) - 1)) = 0
@@ -255,6 +263,22 @@ _CMS_DEPTH = 4
 _CMS_WIDTH = 256
 
 
+def _cms_slot(row_col: str, key_col: str):
+    """The ONE slot derivation both the sketch build and the probe use:
+    md5("<row>:<key>") first 8 hex chars → int mod W. Shared so the two
+    sides can never drift apart — mismatched slots would make probes
+    miss counters and return arbitrary wrong minima with no error (the
+    same drift class _band_rows guards against in llm/dedup.py)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(row_col).cast("string"), F.lit(":"),
+                               F.col(key_col).cast("string"))),
+                1, 8), 16, 10,
+        ).cast("long") % _CMS_WIDTH
+    )
+
+
 def cms_table(df: DataFrame, key_col: str, keys: list[str] | None = None
               ) -> DataFrame:
     """Count-min sketch as an ordinary DataFrame — the mergeable
@@ -264,20 +288,15 @@ def cms_table(df: DataFrame, key_col: str, keys: list[str] | None = None
     md5 (same hash-slice pattern as the MinHash slots); mergeable
     across batches by summing n per (row, slot); total size D·W rows
     per group regardless of input size. One map-side-combinable
-    shuffle."""
+    shuffle. NULL keys are ignored (a NULL is not a frequency class;
+    it would also land in a NULL slot the probe join can never match,
+    silently inflating totals)."""
     group = list(keys or [])
     rows = F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)]))
-    slot = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("_cms_row").cast("string"), F.lit(":"),
-                               F.col(key_col).cast("string"))),
-                1, 8), 16, 10,
-        ).cast("long") % _CMS_WIDTH
-    )
     return (
-        df.select(*group, F.col(key_col), rows.alias("_cms_row"))
-        .select(*group, F.col("_cms_row").alias("row"), slot.alias("slot"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group, F.col(key_col), rows.alias("row"))
+        .select(*group, "row", _cms_slot("row", key_col).alias("slot"))
         .groupBy(*group, "row", "slot")
         .agg(F.count("*").alias("n"))
     )
@@ -306,18 +325,11 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, support_ppm: int,
         .groupBy(*group).agg(F.sum("n").alias("_total"))
     )
     rows = F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)]))
-    slot = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
-                               F.col(key_col).cast("string"))),
-                1, 8), 16, 10,
-        ).cast("long") % _CMS_WIDTH
-    )
     probes = (
-        df.select(*group, key_col).distinct()
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group, key_col).distinct()
         .select(*group, key_col, rows.alias("row"))
-        .withColumn("slot", slot)
+        .withColumn("slot", _cms_slot("row", key_col))
     )
     est = (
         probes.join(sketch, group + ["row", "slot"])
@@ -348,7 +360,7 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, support_ppm: int,
 
 def cms_oracle_sql(table: str, key_col: str, support_ppm: int) -> str:
     """DuckDB transcription of global (ungrouped) ``cms_heavy_hitters``
-    with exact_verify."""
+    with exact_verify. NULL keys are filtered, mirroring cms_table."""
     d, w = _CMS_DEPTH, _CMS_WIDTH
     return f"""
     WITH hashed AS (
@@ -358,6 +370,7 @@ def cms_oracle_sql(table: str, key_col: str, support_ppm: int) -> str:
                     AS BIGINT) % {w} AS slot
         FROM {table}
         CROSS JOIN (SELECT unnest(range(0, {d})) AS row) r
+        WHERE {key_col} IS NOT NULL
     ), sketch AS (
         SELECT row, slot, COUNT(*) AS n
         FROM hashed GROUP BY ALL

@@ -404,7 +404,10 @@ def events_weighted_sample_pps(spark: SparkSession,
                price_cents
         FROM old WHERE bk >= 10
         UNION ALL
-        SELECT o_orderkey + 100000000, 'N', price_cents
+        -- inserted keys live in the NEGATIVE namespace: disjoint from
+        -- real (non-negative) order keys at ANY scale factor, unlike a
+        -- fixed additive offset which collides once keys grow past it
+        SELECT -o_orderkey - 1, 'N', price_cents
         FROM old WHERE bk >= 90
     )
     SELECT 'I' AS op, n.o_orderkey, n.o_orderstatus, n.price_cents
@@ -423,7 +426,8 @@ def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-based CDC derivation (operators/merge.py:snapshot_diff)
     in the gate: a deterministic 'new' snapshot is built from orders
     (md5-bucket rule: buckets <10 deleted, 10–19 status-updated to 'X',
-    ≥90 re-inserted under shifted keys), and the diff must classify
+    ≥90 re-inserted under negated keys — a namespace disjoint from real
+    keys at any SF), and the diff must classify
     every key as exactly the I/U/D the construction implies — the
     full-outer join + NULL-safe struct comparison against a plain SQL
     set-difference transcription. The apply_cdc round trip (diff
@@ -448,7 +452,7 @@ def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             old.filter(F.col("bk") >= 90).select(
-                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                (-F.col("o_orderkey") - 1).alias("o_orderkey"),
                 F.lit("N").alias("o_orderstatus"),
                 "price_cents",
             )

@@ -1170,3 +1170,66 @@ def test_snapshot_diff_roundtrip_and_classification(spark):
     bad = spark.createDataFrame([(None, "x", 1)], "k long, s string, v long")
     with pytest.raises(Exception, match="NULL key"):
         snapshot_diff(old, bad, "k").collect()
+
+
+def test_sketch_operators_ignore_null_keys(spark):
+    """Review fixes (r6): det_hll_estimate and cms_heavy_hitters treat
+    NULLs like COUNT(DISTINCT)/approx_count_distinct do — ignored, on
+    both the Spark side and the DuckDB oracle (where '0x'||md5(NULL)
+    would otherwise raise a cast error)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.sketches import (
+        cms_heavy_hitters, cms_oracle_sql, det_hll_estimate,
+        det_hll_oracle_sql)
+
+    rows = [("a", i % 7) for i in range(60)] + [("a", None)] * 5
+    df = spark.createDataFrame(rows, "g string, k long")
+    clean = df.filter(F.col("k").isNotNull())
+
+    with_null = det_hll_estimate(df, ["g"], "k").collect()[0].approx_distinct
+    without = det_hll_estimate(clean, ["g"], "k").collect()[0].approx_distinct
+    assert with_null == without
+
+    hh = {r.k for r in cms_heavy_hitters(df, "k", support_ppm=100_000).collect()}
+    hh_clean = {r.k for r in
+                cms_heavy_hitters(clean, "k", support_ppm=100_000).collect()}
+    assert hh == hh_clean and None not in hh
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    # both oracles must run (not raise) on the NULL-bearing table
+    con.execute(det_hll_oracle_sql("t", "g", "k")).fetchall()
+    con.execute(cms_oracle_sql("t", "k", 100_000)).fetchall()
+
+
+def test_snapshot_diff_rejects_duplicate_keys(spark):
+    """Review fix (r6): duplicate keys within a snapshot raise instead
+    of fanning out into conflicting change rows."""
+    import pytest
+
+    from data_pipeline_stripe_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup = spark.createDataFrame([(1, "a"), (1, "z")], "k long, v string")
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(old, dup, "k").collect()
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(dup, old, "k").collect()
+
+
+def test_interpolate_daily_rejects_filled_as_value(spark):
+    """Review fix (r6): value='filled' is rejected too (the output
+    contract would emit the same column twice)."""
+    import datetime
+
+    import pytest
+
+    from data_pipeline_stripe_spark.operators import interpolate_daily
+
+    df = spark.createDataFrame(
+        [("a", datetime.date(2024, 1, 1), 5)], "k string, day date, filled long")
+    with pytest.raises(ValueError, match="filled"):
+        interpolate_daily(df, "k", "day", "filled")

@@ -192,3 +192,102 @@ def test_z_cover_is_sound_and_exact_at_full_budget(x_lo, x_w, y_lo, y_w,
             for z in (lo, hi):
                 x, y = decode(z)
                 assert x_lo <= x <= x_hi and y_lo <= y <= y_hi, (z, x, y)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30),   # key domain
+                  st.integers(min_value=1, max_value=50)),  # weight
+        min_size=1, max_size=60),
+)
+@_SETTINGS
+def test_cms_never_undercounts_and_verify_is_exact(spark, rows):
+    """Count-min property: for ANY multiset, the sketch estimate of
+    every key is >= its exact count (collisions only ADD), and the
+    exact-verified heavy-hitter set equals the brute-force answer."""
+    from data_pipeline_stripe_spark.operators.sketches import (
+        cms_heavy_hitters)
+
+    data = [(k,) for k, w in rows for _ in range(min(w, 5))]
+    df = spark.createDataFrame(data, "k long")
+    total = len(data)
+    exact = {}
+    for (k,) in data:
+        exact[k] = exact.get(k, 0) + 1
+    ppm = 100_000  # 10% support
+    got = {r.k: (r.est_count, r.n_exact)
+           for r in cms_heavy_hitters(df, "k", support_ppm=ppm).collect()}
+    want = {k: n for k, n in exact.items() if n * 1_000_000 >= total * ppm}
+    assert set(got) == set(want)
+    for k, (est, n) in got.items():
+        assert n == exact[k]
+        assert est >= n  # CMS never undercounts
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=1000),
+                     min_size=1, max_size=50),
+)
+@_SETTINGS
+def test_pps_sample_bounds_and_heavy_inclusion(spark, weights):
+    """Systematic PPS properties for ANY weight multiset: at most k rows
+    are selected per stratum, every row with weight >= tot/k is ALWAYS
+    selected, zero-weight rows never are, and the selection is a pure
+    function of the data (re-running returns the same rows)."""
+    from data_pipeline_stripe_spark.queries.maintenance import _PPS_K
+
+    rows = [("s", i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, wt long")
+    # run the same selection the gated query uses, inline
+    from pyspark.sql.window import Window as W
+
+    shuf = df.withColumn("shuf", F.md5(F.col("event_id").cast("string")))
+    cum_w = (W.partitionBy("event_type").orderBy("shuf", "event_id")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot_w = W.partitionBy("event_type")
+    c = shuf.select(
+        "event_type", "event_id", "wt",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(tot_w).alias("tot"),
+    )
+    sel = (F.col("tot") > 0) & (
+        F.expr(f"(cum * {_PPS_K}) div tot")
+        > F.expr(f"((cum - wt) * {_PPS_K}) div tot"))
+    picked = c.filter(sel).collect()
+    tot = sum(weights)
+    assert len(picked) <= _PPS_K
+    ids = {r.event_id for r in picked}
+    for i, w in enumerate(weights):
+        if tot > 0 and w * _PPS_K >= tot:
+            assert i in ids, f"heavy row {i} (w={w}, tot={tot}) missed"
+        if w == 0:
+            assert i not in ids
+    again = {r.event_id for r in c.filter(sel).collect()}
+    assert again == ids
+
+
+@given(
+    old_rows=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 3)),
+                      min_size=0, max_size=15, unique_by=lambda t: t[0]),
+    new_rows=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 3)),
+                      min_size=0, max_size=15, unique_by=lambda t: t[0]),
+)
+@_SETTINGS
+def test_snapshot_diff_applies_back_to_new(spark, old_rows, new_rows):
+    """snapshot_diff ∘ apply_cdc == identity for ANY pair of snapshots
+    (unique keys per side), and the diff mentions only changed keys."""
+    from data_pipeline_stripe_spark.operators.merge import (apply_cdc,
+                                                            snapshot_diff)
+
+    old = spark.createDataFrame(old_rows or [(99999, 0)], "k long, v long")
+    new = spark.createDataFrame(new_rows or [(99998, 0)], "k long, v long")
+    diff = snapshot_diff(old, new, "k")
+    rows = diff.collect()
+    o, n = dict(old_rows or [(99999, 0)]), dict(new_rows or [(99998, 0)])
+    unchanged = {k for k in o.keys() & n.keys() if o[k] == n[k]}
+    assert all(r.k not in unchanged for r in rows)
+    changes = diff.withColumn("seq", F.lit(1)).withColumn(
+        "op", F.when(F.col("op") == "D", "D").otherwise("U"))
+    replayed = {(r.k, r.v) for r in
+                apply_cdc(old, changes, "k").drop("cdc_action").collect()}
+    assert replayed == set(n.items())
