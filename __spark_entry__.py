@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
 every declared operator from SURVEY.md §2 (+ LLM extensions) as
 ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives each one a DuckDB
-ANSI-SQL twin (omitted for approximate/sketch operators, which get
-rows-only checks). Implementations live in ``data_pipeline_stripe_spark``.
+ANSI-SQL twin — since round 6 EVERY query has one (the approximate
+operators run cross-engine-deterministic sketches, so even they are
+hash-checkable). Implementations live in ``data_pipeline_stripe_spark``.
 """
 
 from __future__ import annotations

@@ -154,6 +154,31 @@ SHOWCASE = [
      "onto the events scan (BroadcastHashJoin) — the clip runs inside "
      "codegen; no full shuffle of the fact on the 5-key type column "
      "(which would be skew-prone)."),
+    ("embedding_ivf_topk_pruned",
+     "Pruned IVF: query→centroid routing is a KEYED hash join on the "
+     "RP band keys (both sides compute the 32-plane signature at scan "
+     "speed); the only nested-loop left is the 16-row corpus→centroid "
+     "build assignment — the query×centroid cross of plain ivf_topk "
+     "is gone."),
+    ("approx_distinct_users_per_type",
+     "Deterministic md5 HLL: two map-side-combinable aggregations "
+     "(register max over <=1024 buckets/key, then the fixed-point "
+     "integer harmonic fold) — no joins, no Python, estimate "
+     "reproducible on any engine."),
+    ("events_heavy_hitter_value_buckets",
+     "Count-min heavy hitters: sketch build and probe are keyed "
+     "aggregations/joins over a 4x256-row counter table; the exact "
+     "verify re-counts ONLY sketch candidates via a semi join; the "
+     "single nested-loop is the 1-row total (scalar-subquery class)."),
+    ("cdc_snapshot_diff_orders",
+     "Snapshot diff: one keyed full-outer join + NULL-safe struct "
+     "comparison classifies I/U/D; duplicate and NULL keys raise "
+     "lazily inside the same projection — no second pass, output "
+     "proportional to churn."),
+    ("events_weighted_sample_pps",
+     "Systematic PPS sampling: per-stratum cumulative-weight windows "
+     "(one exchange) + integer grid selection in codegen — "
+     "deterministic, no rand(), no Python."),
 ]
 
 
