@@ -696,6 +696,82 @@ def lm_unigram_score(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def lm_bigram_score(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-BIGRAM language-model score per document — the sharper
+    CCNet-style quality signal beside :func:`lm_unigram_score`: the
+    first token scores under the add-one unigram distribution, every
+    later token under the add-one bigram conditional
+    ``P(cur|prev) = (c(prev,cur)+1) / (c(prev)+V)``; the document score
+    is the mean negative log probability over all tokens. Repetitive
+    boilerplate scores LOW (its bigrams dominate the corpus), shuffled
+    or rare-word noise scores HIGH even when its unigrams are common —
+    the separation the unigram model can't see.
+
+    Scale shape: the (prev, cur) stream is an array transform at scan
+    speed (no self-join to build bigrams); corpus statistics are two
+    grouped counts (bigram and context grain) joined back at stream
+    grain — keyed joins AQE can broadcast when the vocabulary is small;
+    the 1-row V total is force-broadcast. Output at document grain.
+
+    Oracle-parity: same micro-nat floor quantization as the unigram
+    score (per-token nll → integer micro-nats BEFORE the mean, final
+    mean floor-truncated) so the result is order- and
+    partitioning-independent and bit-identical across engines."""
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("_t"))
+    firsts = toks.filter(F.size("_t") >= 1).select(
+        F.col(id_col), F.element_at("_t", 1).alias("tok"))
+    pairs = toks.filter(F.size("_t") >= 2).select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "transform(sequence(2, size(_t)), "
+            "i -> struct(element_at(_t, i - 1) AS prev, "
+            "element_at(_t, i) AS cur))"
+        )).alias("bg"),
+    ).select(id_col, "bg.prev", "bg.cur")
+
+    tok_stream = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+    vocab = tok_stream.groupBy("tok").agg(F.count("*").alias("c_t"))
+    totals = vocab.agg(F.sum("c_t").alias("n_total"),
+                       F.count("*").alias("v_size"))
+    bg_counts = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c_bg"))
+    ctx_counts = pairs.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+
+    first_m = (
+        firsts.join(vocab, "tok")
+        .join(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(-F.log((F.col("c_t") + 1)
+                           / (F.col("n_total") + F.col("v_size")))
+                    * 1000000).alias("_m"),
+        )
+    )
+    pair_m = (
+        pairs.join(bg_counts, ["prev", "cur"])
+        .join(ctx_counts, "prev")
+        .join(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(-F.log((F.col("c_bg") + 1)
+                           / (F.col("c_ctx") + F.col("v_size")))
+                    * 1000000).alias("_m"),
+        )
+    )
+    return (
+        first_m.unionByName(pair_m)
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(F.sum("_m") / (F.count("*") * 1000000.0) * 10000)
+                / 10000
+            ).alias("mean_nll"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def duplicate_spans(df: DataFrame, gram: int = 8,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -315,7 +315,15 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, support_ppm: int,
     universe. CMS never undercounts, so exact_verify=True returns the
     exact answer set. The threshold compare is pure integer arithmetic
     (est·1e6 >= total·ppm — no division), so the cut is engine-exact.
-    Returns (*keys, key_col, est_count, n_exact)."""
+    Returns (*keys, key_col, est_count, n_exact).
+
+    When to use (measured, BENCH_DIFF.md §skew): NOT for small key
+    universes — on a 10k-key 20M-row fixture the exact groupBy is ~12×
+    FASTER (its partial aggregation collapses to ~|keys| combiner
+    entries per task; the sketch pays a ×D row explode first). The
+    sketch's regime is a key universe too large for partial-agg state:
+    exact shuffles |keys| partial rows and spills, CMS still shuffles
+    D·W counters per task regardless of cardinality."""
     group = list(keys or [])
     sketch = cms_table(df, key_col, group)
     # total per group = sum of any one sketch row (each row counts every

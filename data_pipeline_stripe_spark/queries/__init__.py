@@ -99,6 +99,8 @@ PRIORITY_THIS_ROUND = [
     "cdc_snapshot_diff_orders",
     # round 6: bucketed co-located join through the catalog
     "bucketed_join_roundtrip",
+    # round 6 (cont.): corpus-bigram LM quality score
+    "doc_lm_bigram_score",
 ]
 
 

@@ -1146,6 +1146,64 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_lm_bigram_score",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, tok, pos FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                   generate_subscripts(
+                       string_split_regex(trim(text), '\s+'), 1) AS pos
+            FROM documents)
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c_t FROM tok GROUP BY 1),
+    totals AS (SELECT SUM(c_t) AS n_total, COUNT(*) AS v_size FROM vocab),
+    pairs AS (
+        SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bg AS (SELECT prev, cur, COUNT(*) AS c_bg FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT prev, COUNT(*) AS c_ctx FROM pairs GROUP BY 1),
+    first_m AS (
+        SELECT t.doc_id,
+               FLOOR(-ln((v.c_t + 1) / (tt.n_total + tt.v_size))
+                     * 1000000) AS m
+        FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt
+        WHERE t.pos = 1
+    ),
+    pair_m AS (
+        SELECT p.doc_id,
+               FLOOR(-ln((b.c_bg + 1) / (c.c_ctx + tt.v_size))
+                     * 1000000) AS m
+        FROM pairs p
+        JOIN bg b ON p.prev = b.prev AND p.cur = b.cur
+        JOIN ctx c ON p.prev = c.prev
+        CROSS JOIN totals tt
+    ),
+    allm AS (SELECT * FROM first_m UNION ALL SELECT * FROM pair_m)
+    SELECT doc_id,
+           FLOOR(SUM(m) / (COUNT(*) * 1000000.0) * 10000) / 10000
+               AS mean_nll,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM allm GROUP BY 1
+    """,
+)
+def doc_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus-BIGRAM LM score — first token under the add-one
+    unigram, later tokens under the add-one bigram conditional
+    P(cur|prev) = (c(prev,cur)+1)/(c(prev)+V); mean NLL per document.
+    The sharper quality signal beside doc_lm_score: shuffled or
+    rare-sequence noise scores high even when its unigrams are common.
+    Bigrams are built by an array transform at scan speed (no
+    position self-join on the Spark side — the oracle's pos-join is
+    the transcription, not the plan); per-token nll floor-quantized to
+    integer micro-nats so the mean is exact and order-independent
+    (llm/text.py:lm_bigram_score)."""
+    return llm_text.lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "doc_cross_source_dups",
     oracle=rf"""
     WITH {_SHINGLES_CTE},

@@ -982,3 +982,25 @@ def test_ivf_topk_pruned_matches_unpruned_probe_set(spark, sf_dir):
     assert pruned, "pruned IVF returned nothing — routing is broken"
     overlap = len(pruned & full) / len(full)
     assert overlap >= 0.7, f"probe-routing overlap {overlap:.3f} < 0.7"
+
+
+def test_bigram_lm_separates_shuffled_from_natural(spark):
+    """The bigram LM's claimed signal: a document whose TOKENS are
+    common but whose SEQUENCES are corpus-atypical (word-shuffled text)
+    must score strictly higher mean NLL than the natural documents its
+    vocabulary came from — the separation the unigram model cannot
+    make (same tokens → near-identical unigram scores)."""
+    from data_pipeline_stripe_spark.llm.text import (lm_bigram_score,
+                                                     lm_unigram_score)
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, natural) for i in range(8)]
+    rows.append((8, "dog the over quick lazy jumps fox brown the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bg = {r.doc_id: r.mean_nll for r in lm_bigram_score(df).collect()}
+    assert bg[8] > bg[0], (bg[8], bg[0])
+
+    uni = {r.doc_id: r.mean_nll for r in lm_unigram_score(df).collect()}
+    # same token multiset -> identical unigram score; bigram sees it
+    assert uni[8] == uni[0]
