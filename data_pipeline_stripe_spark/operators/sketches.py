@@ -67,6 +67,14 @@ def det_hll_estimate(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     harmonic sum skips, silently shifting the estimate (and the oracle's
     '0x'||md5(NULL) cast would error instead).
     """
+    return det_hll_fold(det_hll_registers(df, keys, col), keys)
+
+
+def det_hll_registers(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """The deterministic-HLL register table (keys, bucket, m_j) — the
+    persistable/mergeable partial state behind :func:`det_hll_estimate`.
+    Merge across batches (or UNION sets across keys) by max(m_j) per
+    bucket; re-estimate any merged state with :func:`det_hll_fold`."""
     df = df.filter(F.col(col).isNotNull())
     rem = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
@@ -79,11 +87,16 @@ def det_hll_estimate(df: DataFrame, keys: list[str], col: str) -> DataFrame:
             F.lit(_HLL_RHO_CAP),
         )
     )
-    reg = (
+    return (
         df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def det_hll_fold(reg: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a register table into the per-key estimate (see
+    det_hll_estimate for the numeric-determinism contract)."""
     fold = reg.groupBy(*keys).agg(
         # DSL shiftleft() only takes a literal bit count; the SQL form
         # accepts an expression.
@@ -99,6 +112,138 @@ def det_hll_estimate(df: DataFrame, keys: list[str], col: str) -> DataFrame:
         F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")), 4),
     ).otherwise(F.round(raw, 4))
     return fold.select(*keys, est.alias("approx_distinct"))
+
+
+def det_hll_pairwise_overlap(df: DataFrame, key: str,
+                             col: str) -> DataFrame:
+    """Pairwise audience overlap between every two values of ``key`` by
+    HLL SET ALGEBRA — no join of the raw sets: the union sketch of two
+    sets is the register-wise MAX of their sketches, so
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` (inclusion–exclusion).
+    This is what makes sketch tables more than counters at 100 TB:
+    cross-segment overlap questions (users who both click and purchase)
+    answer from the KB-scale register tables alone, never re-scanning
+    or joining the fact. All arithmetic rides det_hll's deterministic
+    estimates, so the result is engine-exact; overlaps clamp at 0 (the
+    estimator can go slightly negative on near-disjoint sets).
+
+    Shape: one register build over the fact (two map-side-combinable
+    shuffles), a tiny distinct-key self-join for the pair list, keyed
+    joins everywhere else. Returns (key_a, key_b, approx_a, approx_b,
+    approx_union, approx_overlap) for key_a < key_b.
+    """
+    reg = det_hll_registers(df, [key], col)
+    singles = det_hll_fold(reg, [key])
+    ks = reg.select(F.col(key)).distinct()
+    pairs = (
+        ks.select(F.col(key).alias("key_a"))
+        .join(ks.select(F.col(key).alias("key_b")),
+              F.col("key_a") < F.col("key_b"))
+    )
+    a = reg.select(F.col(key).alias("key_a"), "bucket", "m_j")
+    b = reg.select(F.col(key).alias("key_b"), "bucket", "m_j")
+    union_regs = (
+        pairs.join(a, "key_a").select("key_a", "key_b", "bucket", "m_j")
+        .unionByName(
+            pairs.join(b, "key_b").select("key_a", "key_b", "bucket", "m_j"))
+        .groupBy("key_a", "key_b", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est_union = det_hll_fold(union_regs, ["key_a", "key_b"]).select(
+        "key_a", "key_b", F.col("approx_distinct").alias("approx_union"))
+    ea = singles.select(F.col(key).alias("key_a"),
+                        F.col("approx_distinct").alias("approx_a"))
+    eb = singles.select(F.col(key).alias("key_b"),
+                        F.col("approx_distinct").alias("approx_b"))
+    return (
+        est_union.join(ea, "key_a").join(eb, "key_b")
+        .select(
+            "key_a", "key_b", "approx_a", "approx_b", "approx_union",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("approx_a") + F.col("approx_b")
+                    - F.col("approx_union"),
+                ), 4,
+            ).alias("approx_overlap"),
+        )
+    )
+
+
+def _hll_fold_est_sql() -> str:
+    """The estimate expression over (s_occ, occ) columns — shared by
+    every fold in the oracle generators (must stay identical or the
+    single and union estimates silently diverge)."""
+    cap, m = _HLL_RHO_CAP, _HLL_M
+    raw = (f"({_HLL_NUM!r} / CAST(s_occ + ({m} - occ)"
+           f" * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE))")
+    return f"""CAST(CASE WHEN {raw} < {2.5 * m!r} AND ({m} - occ) > 0
+                     THEN ROUND({float(m)!r} * ln({float(m)!r}
+                              / CAST({m} - occ AS DOUBLE)), 4)
+                     ELSE ROUND({raw}, 4)
+                END AS DOUBLE)"""
+
+
+def det_hll_overlap_oracle_sql(table: str, key: str, col: str) -> str:
+    """DuckDB transcription of :func:`det_hll_pairwise_overlap`."""
+    cap, rb = _HLL_RHO_CAP, _HLL_REM_BITS
+    est = _hll_fold_est_sql()
+    return f"""
+    WITH hv AS (
+        SELECT {key},
+               CAST(CONCAT('0x', substring(md5(CAST({col} AS VARCHAR)),
+                                           1, 15)) AS BIGINT) AS h
+        FROM {table}
+        WHERE {col} IS NOT NULL
+    ), br AS (
+        SELECT {key}, (h >> {rb}) AS bucket,
+               CASE WHEN (h & ((CAST(1 AS BIGINT) << {rb}) - 1)) = 0
+                    THEN {cap}
+                    ELSE LEAST({rb + 1} - LENGTH(bin(
+                             h & ((CAST(1 AS BIGINT) << {rb}) - 1))), {cap})
+               END AS rho
+        FROM hv
+    ), reg AS (
+        SELECT {key}, bucket, MAX(rho) AS m_j FROM br GROUP BY ALL
+    ), single_fold AS (
+        SELECT {key},
+               CAST(SUM(CAST(1 AS BIGINT) << ({cap} - m_j)) AS BIGINT)
+                   AS s_occ,
+               CAST(COUNT(*) AS BIGINT) AS occ
+        FROM reg GROUP BY ALL
+    ), singles AS (
+        SELECT {key}, {est} AS approx_distinct FROM single_fold
+    ), ks AS (SELECT DISTINCT {key} FROM reg
+    ), pairs AS (
+        SELECT a.{key} AS key_a, b.{key} AS key_b
+        FROM ks a JOIN ks b ON a.{key} < b.{key}
+    ), union_regs AS (
+        SELECT key_a, key_b, bucket, MAX(m_j) AS m_j FROM (
+            SELECT p.key_a, p.key_b, r.bucket, r.m_j
+            FROM pairs p JOIN reg r ON r.{key} = p.key_a
+            UNION ALL
+            SELECT p.key_a, p.key_b, r.bucket, r.m_j
+            FROM pairs p JOIN reg r ON r.{key} = p.key_b
+        ) GROUP BY ALL
+    ), union_fold AS (
+        SELECT key_a, key_b,
+               CAST(SUM(CAST(1 AS BIGINT) << ({cap} - m_j)) AS BIGINT)
+                   AS s_occ,
+               CAST(COUNT(*) AS BIGINT) AS occ
+        FROM union_regs GROUP BY ALL
+    ), unions AS (
+        SELECT key_a, key_b, {est} AS approx_union FROM union_fold
+    )
+    SELECT u.key_a, u.key_b,
+           ea.approx_distinct AS approx_a,
+           eb.approx_distinct AS approx_b,
+           u.approx_union,
+           ROUND(GREATEST(0.0, ea.approx_distinct + eb.approx_distinct
+                               - u.approx_union), 4) AS approx_overlap
+    FROM unions u
+    JOIN singles ea ON ea.{key} = u.key_a
+    JOIN singles eb ON eb.{key} = u.key_b
+    """
 
 
 def det_hll_oracle_sql(table: str, keys: str, col: str) -> str:

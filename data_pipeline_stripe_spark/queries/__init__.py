@@ -101,6 +101,9 @@ PRIORITY_THIS_ROUND = [
     "bucketed_join_roundtrip",
     # round 6 (cont.): corpus-bigram LM quality score
     "doc_lm_bigram_score",
+    # round 6 (cont.): HLL set algebra — pairwise audience overlap by
+    # register-wise union + inclusion-exclusion
+    "approx_user_overlap_event_types",
 ]
 
 

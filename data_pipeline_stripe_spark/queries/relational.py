@@ -820,6 +820,31 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_overlap_oracle() -> str:
+    from ..operators.sketches import det_hll_overlap_oracle_sql
+
+    return det_hll_overlap_oracle_sql("events", "event_type", "user_id")
+
+
+@query("approx_user_overlap_event_types", oracle=_hll_overlap_oracle())
+def approx_user_overlap_event_types(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA in the gate: pairwise user-audience overlap
+    between event types by inclusion–exclusion over the deterministic
+    md5-HLL register tables — |A∩B| ≈ est(A)+est(B)−est(A∪B), where the
+    union sketch is the register-wise MAX (operators/sketches.py:
+    det_hll_pairwise_overlap). The question a 100 TB fact would need a
+    self-join of user sets to answer exactly, answered from KB-scale
+    sketch state; the register MERGEABILITY that hll_merge_partials
+    pytest-pins is here exercised inside the hash gate itself (a merge
+    bug changes every union estimate). Accuracy vs the exact overlaps
+    is pinned in tests/test_operators.py."""
+    from ..operators.sketches import det_hll_pairwise_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    return det_hll_pairwise_overlap(ev, "event_type", "user_id")
+
+
 def _heavy_hitters_oracle() -> str:
     from ..operators.sketches import cms_oracle_sql
 

@@ -1233,3 +1233,29 @@ def test_interpolate_daily_rejects_filled_as_value(spark):
         [("a", datetime.date(2024, 1, 1), 5)], "k string, day date, filled long")
     with pytest.raises(ValueError, match="filled"):
         interpolate_daily(df, "k", "day", "filled")
+
+
+def test_det_hll_pairwise_overlap_tracks_exact_intersections(spark):
+    """HLL inclusion–exclusion accuracy: on constructed sets with known
+    overlap fractions (0%, 50%, 100%), the estimated overlap lands
+    within 10% of |A| + a small absolute slack of the exact
+    intersection, and the union estimate is never below either side."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.sketches import (
+        det_hll_pairwise_overlap)
+
+    n = 2000
+    rows = ([("full_a", i) for i in range(n)]
+            + [("full_b", i) for i in range(n)]            # 100% overlap
+            + [("half", i + n // 2) for i in range(n)]     # 50% with full_a
+            + [("disj", i + 10 * n) for i in range(n)])    # 0%
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    got = {(r.key_a, r.key_b): r for r in
+           det_hll_pairwise_overlap(df, "seg", "uid").collect()}
+    exact = {("full_a", "full_b"): n, ("full_a", "half"): n // 2,
+             ("disj", "full_a"): 0}
+    for pair, want in exact.items():
+        r = got[pair]
+        assert abs(r.approx_overlap - want) <= 0.1 * n + 50, (pair, r)
+        assert r.approx_union >= max(r.approx_a, r.approx_b) - 1e-6, r

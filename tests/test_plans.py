@@ -102,9 +102,9 @@ NONEQUI_OK = {
     # q11's scalar-total subquery: 1-row broadcast cross against the
     # per-part aggregate output (|parts| rows, not the fact)
     "q11_important_part_value",
-    # LM score's corpus totals: a 1-row (N, V) aggregate broadcast over
-    # the token stream — same scalar-subquery class as q11/q22
-    "doc_lm_score",
+    # LM scores' corpus totals: a 1-row (N, V) aggregate broadcast over
+    # the token/bigram streams — same scalar-subquery class as q11/q22
+    "doc_lm_score", "doc_lm_bigram_score",
     # Bloom decontamination: the folded bitmap is ONE map row broadcast
     # over the train gram stream (scan-side membership test) — the same
     # 1-row-cross class; the exact verify join stays a hash join
@@ -127,6 +127,10 @@ NONEQUI_OK = {
     # support-threshold filter — scalar-subquery class; the sketch
     # probe and exact verify are keyed joins
     "events_heavy_hitter_value_buckets",
+    # HLL overlap: the pair list is a broadcast self-join of the ~5
+    # DISTINCT key values (tiny cross); register unions and estimate
+    # joins are keyed
+    "approx_user_overlap_event_types",
 }
 
 
