@@ -528,45 +528,65 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "winsorized_value_stats",
     oracle="""
-    WITH p AS (
+    WITH q AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), c AS (
+        SELECT event_type, cents, COUNT(*) AS n FROM q GROUP BY ALL
+    ), t AS (
+        SELECT event_type, cents,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM c
+    ), p AS (
         SELECT event_type,
-               quantile_cont(value, 0.05) AS p05,
-               quantile_cont(value, 0.95) AS p95
-        FROM events GROUP BY event_type
+               MIN(CASE WHEN cum * 20 >= tot THEN cents END) AS p05,
+               MIN(CASE WHEN cum * 20 >= 19 * tot THEN cents END) AS p95
+        FROM t GROUP BY event_type
     )
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, p.p05), p.p95) * 100)
-               AS BIGINT)) AS BIGINT) AS winsorized_cents,
-           CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95
+           CAST(SUM(LEAST(GREATEST(e.cents, p.p05), p.p95)) AS BIGINT)
+               AS winsorized_cents,
+           CAST(SUM(CASE WHEN e.cents < p.p05 OR e.cents > p.p95
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
-    FROM events e JOIN p USING (event_type)
+    FROM q e JOIN p USING (event_type)
     GROUP BY e.event_type
     """,
 )
 def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization — the robust-statistics cleaning step (clip to the
-    exact per-group [p05, p95] band) that keeps a hot sensor or a fat-
-    finger payment from dominating a mean. Shape: one small per-type
-    percentile aggregate broadcast back onto the stream (keyed join, no
-    second full shuffle), clip at scan speed, then integer-cent sums so
-    the result is association-order-free. Both engines compute the same
-    linearly-interpolated exact percentile; the approximate twin at
-    100 TB swaps in percentile_approx exactly as approx_percentiles_price
-    documents."""
+    per-group [p05, p95] band) that keeps a hot sensor or a fat-finger
+    payment from dominating a mean. The band comes from the CENT-GRID
+    discrete percentile (operators/sketches.py:histogram_percentiles —
+    smallest cent whose cumulative count reaches ceil(q·n); pure
+    integer rank arithmetic), NOT a linearly-interpolated float
+    percentile: interpolation is only ulp-stable across engines until
+    the rank lands on a tied value, at which point a one-ulp band
+    difference flips the clip for every copy of that value — found by
+    the ×10 replicated-fixture differential (BENCH_DIFF §scaling) where
+    every value has 10 copies, and fixed by making the band integer.
+    Shape: per-type cent histogram (map-side combinable) → tiny band
+    table broadcast back onto the stream, clip at scan speed,
+    integer-cent sums — association-order-free at any scale."""
+    from ..operators.sketches import histogram_percentiles
+
     ev = load_table(spark, sf_dir, "events")
-    p = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p05"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    clipped = ev.join(F.broadcast(p), "event_type").withColumn(
-        "w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    p = histogram_percentiles(
+        ev, ["event_type"], "value",
+        [("p05", 1, 20), ("p95", 19, 20)], scale=100,
+    )
+    clipped = q.join(F.broadcast(p), "event_type").withColumn(
+        "w", F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
     )
     return clipped.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("w") * 100).cast("long"))
-         .alias("winsorized_cents"),
-        F.sum(F.when((F.col("value") < F.col("p05"))
-                     | (F.col("value") > F.col("p95")), 1).otherwise(0))
+        F.sum("w").alias("winsorized_cents"),
+        F.sum(F.when((F.col("cents") < F.col("p05"))
+                     | (F.col("cents") > F.col("p95")), 1).otherwise(0))
          .cast("long").alias("n_clipped"),
     )

@@ -58,8 +58,13 @@ def main() -> int:
 
     spark = get_session(master="local[8]")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table = a directory of parts
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
