@@ -214,21 +214,36 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     )
 
 
+TFIDF_MAX_DOC_FREQ = 128
+
+
 def tfidf_cosine_pairs(df: DataFrame, threshold: float = 0.5,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       max_doc_freq: int | None = TFIDF_MAX_DOC_FREQ,
+                       ) -> DataFrame:
     """Sparse TF-IDF cosine similarity between documents, via the
     inverted index: dot(a,b) = Σ_terms w_a·w_b computed by a self-join on
     term (only co-occurring terms contribute — the sparse structure the
     dense embedding kernel can't exploit), normalized by per-doc norms.
-    Returns (doc_a, doc_b, cosine >= threshold). Same scale shape as
-    ngram_jaccard_pairs: keyed shuffle on term, no O(n²)."""
-    from pyspark.sql.window import Window as W  # noqa: F401  (parity w/ tfidf)
+    Returns (doc_a, doc_b, cosine >= threshold).
 
+    **Document-frequency cap (default on):** a term in d documents
+    contributes d² inverted-index pairs ON ONE SHUFFLE KEY, so a
+    corpus-common term is the quadratic hot key at scale — the ×10
+    replicated-fixture differential measured exactly this (a 50k-doc
+    corpus ground for >30 min uncapped; the same guard
+    ngram_jaccard_pairs always had). Terms with document frequency
+    > ``max_doc_freq`` are dropped from weights AND norms consistently
+    (deterministic, oracle-mirrored) — principled for TF-IDF, since a
+    df ≈ N term's idf ≈ 0 weight contributes almost nothing to any
+    cosine. ``None`` restores the exact full-vocabulary cosine."""
     tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     n_docs = df.count()
     docfreq = tok.distinct().groupBy("term").agg(F.count("*").alias("df_t"))
+    if max_doc_freq is not None:
+        docfreq = docfreq.filter(F.col("df_t") <= max_doc_freq)
     w = tf.join(docfreq, "term").select(
         F.col(id_col),
         "term",

@@ -104,6 +104,12 @@ PRIORITY_THIS_ROUND = [
     # round 6 (cont.): HLL set algebra — pairwise audience overlap by
     # register-wise union + inclusion-exclusion
     "approx_user_overlap_event_types",
+    # round 6 (cont.): scale defects found by the x10 replicated-fixture
+    # differential — winsorize band moved to the integer cent-grid
+    # percentile (interpolation is not ulp-stable on tied ranks);
+    # TF-IDF cosine gains the document-frequency cap it claimed to have
+    "winsorized_value_stats",
+    "doc_tfidf_cosine_pairs",
 ]
 
 

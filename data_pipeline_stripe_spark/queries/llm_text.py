@@ -583,7 +583,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT term, COUNT(*) AS df_t
-              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+              HAVING COUNT(*) <= 128),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
         SELECT doc_id, tf.term,
@@ -613,7 +614,8 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT term, COUNT(*) AS df_t
-              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+              HAVING COUNT(*) <= 128),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     w AS (
         SELECT doc_id, tf.term, tf * ln(n_docs * 1.0 / df_t) AS w
@@ -636,7 +638,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3-sparse: TF-IDF cosine document similarity through the inverted
     index (co-occurring terms only) — the sparse-vector counterpart to
-    the dense embedding search."""
+    the dense embedding search. Document-frequency cap 128 ON (mirrored
+    in the oracle's HAVING): without it a corpus-common term is a d²
+    shuffle hot key — measured on the ×10 fixture (llm/text.py:
+    tfidf_cosine_pairs docstring)."""
     return llm_text.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"),
                                        threshold=0.9)
 
