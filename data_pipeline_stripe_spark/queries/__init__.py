@@ -68,7 +68,8 @@ PRIORITY_THIS_ROUND = [
     "abc_parts_by_brand_revenue",
     "scd2_pit_lineitem_priority",
     "ivm_merge_revenue_by_month",
-    "winsorized_value_stats",
+    # (winsorized_value_stats moved to the x10-fixes block below —
+    # its HUGEINT cast was superseded by the cent-grid band rewrite)
     # round 6: the two permanent no_oracle rows retired — deterministic
     # cross-engine sketches with full transcription oracles (md5 HLL
     # with fixed-point integer fold; cent-quantized mergeable histogram
