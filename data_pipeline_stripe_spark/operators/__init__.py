@@ -11,7 +11,8 @@ from .quality import (accepted_values, foreign_key, in_range,
 from .range_join import range_join
 from .scd import scd2_from_changes
 from .sketches import (det_hll_estimate, histogram_percentiles,
-                       hll_merge_partials, hll_partials, hll_rollup)
+                       hll_merge_partials, hll_partials, hll_rollup,
+                       mad_stats)
 from .skew import salted_join, two_phase_agg
 from .zorder import z_cover, z_interleave, z_rectangle_filter
 
@@ -19,7 +20,7 @@ __all__ = [
     "asof_join", "range_join", "salted_join", "two_phase_agg",
     "zscore_per_group_native", "zscore_per_group_pandas",
     "hll_partials", "hll_rollup", "hll_merge_partials",
-    "det_hll_estimate", "histogram_percentiles",
+    "det_hll_estimate", "histogram_percentiles", "mad_stats",
     "write_clustered", "compact_small_files", "vacuum_partitions",
     "z_interleave", "z_cover", "z_rectangle_filter",
     "interpolate_daily",

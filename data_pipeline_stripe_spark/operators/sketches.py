@@ -400,6 +400,114 @@ def histogram_percentiles_oracle_sql(table: str, keys: str, col: str,
     """
 
 
+def mad_stats(df: DataFrame, keys: list[str], col: str, k: int = 5,
+              scale: int = 100) -> DataFrame:
+    """Median-absolute-deviation robust outlier stats — the
+    breakdown-point-0.5 alternative to the 3-sigma gate
+    (relational4.py's sigma outliers): one extreme sensor can drag a
+    mean and stddev arbitrarily far, but the median and the MAD ignore
+    up to half the data being corrupt. Reports, per key group, the
+    cent-grid discrete median, the MAD (median of |x − med|), the group
+    size, and how many rows sit beyond ``k`` MADs from the median.
+
+    Everything is integer arithmetic on the cent grid (the winsorize
+    lesson: float-interpolated percentiles must never feed a
+    comparison), so the DuckDB oracle (``mad_stats_oracle_sql``) is a
+    transcription. ``k`` is an integer multiplier rather than the
+    textbook 1.4826·sigma scaling — the float constant would put a
+    comparison on an ulp boundary; k=5 MADs ≈ 3.37 sigma for normal
+    data.
+
+    Plan shape: scan 1 builds the value histogram (map-side combinable,
+    post-shuffle rows = distinct cents per key) → median; scan 2 joins
+    the broadcast median back and builds the DEVIATION histogram; the
+    MAD and the outlier count both come from that second tiny
+    histogram, so raw data is scanned exactly twice and every shuffle
+    is O(distinct bins) — the same mergeable-sketch scaling story as
+    histogram_percentiles.
+    """
+    from pyspark.sql.window import Window as W
+
+    med = histogram_percentiles(df, keys, col, [("med", 1, 2)], scale=scale)
+    cents = df.select(
+        *keys, F.round(F.col(col) * scale).cast("long").alias("_c"))
+    dh = (
+        cents.join(F.broadcast(med), keys)
+        .select(*keys, F.abs(F.col("_c") - F.col("med")).alias("d"))
+        .groupBy(*keys, "d").agg(F.count("*").alias("n"))
+    )
+    cum_w = (W.partitionBy(*keys).orderBy("d")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot_w = W.partitionBy(*keys)
+    t = dh.select(
+        *keys, "d", "n",
+        F.sum("n").over(cum_w).alias("cum"),
+        F.sum("n").over(tot_w).alias("tot"),
+    )
+    mad = t.groupBy(*keys).agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("d")))
+         .alias("mad"),
+        F.max("tot").alias("n_total"),
+    )
+    outs = (
+        dh.join(F.broadcast(mad), keys)
+        .groupBy(*keys)
+        .agg(F.sum(F.when(F.col("d") > k * F.col("mad"), F.col("n"))
+                   .otherwise(F.lit(0))).cast("long").alias("n_outliers"))
+    )
+    return (
+        med.withColumnRenamed("med", "med_cents")
+        .join(mad.withColumnRenamed("mad", "mad_cents"), keys)
+        .join(outs, keys)
+        .select(*keys, "med_cents", "mad_cents", "n_total", "n_outliers")
+    )
+
+
+def mad_stats_oracle_sql(table: str, keys: str, col: str, k: int = 5,
+                         scale: int = 100) -> str:
+    """DuckDB transcription of ``mad_stats`` (same integer rank rule
+    cum·2 ≥ tot as histogram_percentiles_oracle_sql)."""
+    return f"""
+    WITH q AS (
+        SELECT {keys}, CAST(ROUND({col} * {scale}) AS BIGINT) AS c
+        FROM {table}
+    ), h AS (
+        SELECT {keys}, c, COUNT(*) AS n FROM q GROUP BY ALL
+    ), med AS (
+        SELECT {keys}, MIN(CASE WHEN cum * 2 >= tot THEN c END) AS med
+        FROM (
+            SELECT {keys}, c,
+                   SUM(n) OVER (PARTITION BY {keys} ORDER BY c) AS cum,
+                   SUM(n) OVER (PARTITION BY {keys}) AS tot
+            FROM h
+        ) GROUP BY {keys}
+    ), dh AS (
+        SELECT q.{keys}, ABS(c - med) AS d, COUNT(*) AS n
+        FROM q JOIN med USING ({keys}) GROUP BY ALL
+    ), mad AS (
+        SELECT {keys},
+               MIN(CASE WHEN cum * 2 >= tot THEN d END) AS mad,
+               MAX(tot) AS n_total
+        FROM (
+            SELECT {keys}, d,
+                   SUM(n) OVER (PARTITION BY {keys} ORDER BY d) AS cum,
+                   SUM(n) OVER (PARTITION BY {keys}) AS tot
+            FROM dh
+        ) GROUP BY {keys}
+    )
+    SELECT med.{keys},
+           CAST(med AS BIGINT) AS med_cents,
+           CAST(mad AS BIGINT) AS mad_cents,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(COALESCE(SUM(CASE WHEN d > {k} * mad THEN n END), 0)
+                AS BIGINT) AS n_outliers
+    FROM med
+    JOIN mad USING ({keys})
+    JOIN dh USING ({keys})
+    GROUP BY ALL
+    """
+
+
 # Count-min sketch geometry: D independent md5-derived hash rows over W
 # counters. Width bounds the overestimate (eps ~ e/W of total count),
 # depth bounds its probability (delta ~ e^-D). Fixed so every engine

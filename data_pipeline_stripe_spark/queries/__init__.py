@@ -111,6 +111,14 @@ PRIORITY_THIS_ROUND = [
     # TF-IDF cosine gains the document-frequency cap it claimed to have
     "winsorized_value_stats",
     "doc_tfidf_cosine_pairs",
+    # round 6 (cont. 2): the DF-cap commit had collaterally added the
+    # HAVING cap to doc_tfidf_top_terms' ORACLE only (caught by the full
+    # suite re-run; top-terms has no d² self-join, so the Spark side
+    # correctly has no cap) — oracle restored, pin it.
+    "doc_tfidf_top_terms",
+    # round 6 (cont. 2): new robust-stats + temporal operators
+    "mad_outlier_value_stats",
+    "ema_daily_value_halflife",
 ]
 
 

@@ -583,8 +583,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT term, COUNT(*) AS df_t
-              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
-              HAVING COUNT(*) <= 128),
+              FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
         SELECT doc_id, tf.term,
@@ -602,7 +601,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: TF-IDF top-3 terms per doc — explode, two grouped aggs, a
     doc-frequency join, one window; ranked on the rounded score with a
-    term tie-break for engine-reproducible ordering."""
+    term tie-break for engine-reproducible ordering. NO document-
+    frequency cap here, deliberately: top-terms has no inverted-index
+    self-join, so a common term is never a d² hot key (the cap exists
+    for tfidf_cosine_pairs' pair generation), and on this corpus's
+    small vocabulary a df≤128 filter would strip most docs of every
+    term."""
     return llm_text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 

@@ -590,3 +590,115 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      | (F.col("cents") > F.col("p95")), 1).otherwise(0))
          .cast("long").alias("n_clipped"),
     )
+
+
+from ..operators.sketches import mad_stats, mad_stats_oracle_sql  # noqa: E402
+
+
+@query(
+    "mad_outlier_value_stats",
+    oracle=mad_stats_oracle_sql("events", "event_type", "value", k=5),
+)
+def mad_outlier_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: per-event-type cent-grid median, MAD
+    (median absolute deviation), and the count of rows beyond 5 MADs —
+    the breakdown-point-0.5 companion to the mean/stddev 3-sigma gate
+    (relational4.py:events_value_outliers), which a single hot sensor can drag
+    past any threshold while the median+MAD ignore up to half the data
+    being corrupt. All integer arithmetic on the cent grid
+    (operators/sketches.py:mad_stats): two raw scans, every shuffle
+    O(distinct cents per type) — the oracle is the transcription of the
+    same integer rank rule, not a float approximation."""
+    ev = load_table(spark, sf_dir, "events")
+    return mad_stats(ev, ["event_type"], "value", k=5)
+
+
+@query(
+    "ema_daily_value_halflife",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS day_num,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events GROUP BY 1, 2
+    ), j AS (
+        SELECT a.event_type, a.day_num, a.day_cents,
+               b.day_cents *
+               (CAST(1 AS BIGINT) << (19 - CAST(a.day_num - b.day_num
+                                                AS INTEGER))) AS term
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type
+         AND b.day_num BETWEEN a.day_num - 19 AND a.day_num
+    )
+    SELECT event_type,
+           strftime(DATE '1970-01-01' + CAST(day_num AS INTEGER),
+                    '%Y-%m-%d') AS day,
+           day_cents,
+           CAST(SUM(term) AS BIGINT) AS ema_scaled,
+           CAST(SUM(term) AS BIGINT) / 1048576.0 AS ema_cents
+    FROM j GROUP BY 1, 2, 3
+    """,
+)
+def ema_daily_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average with a one-day half-life — the
+    trend-smoothing verb (monitoring dashboards, spend forecasting)
+    that naive implementations make order-dependent float recursions.
+    The textbook α=1/2 recursion
+    ema_t = v_t/2 + ema_{t−1}/2 has weight 2^-(g+1) at lag g — every
+    weight a DYADIC rational — so the engine computes
+    scaled = Σ day_cents·2^(19−g) in BIGINT (exact) and the final
+    ema = scaled / 2^20 is one IEEE division (correctly rounded, hence
+    bit-identical on every engine). Decay is by CALENDAR day
+    (gap-aware: a silent day simply contributes no term), the window
+    truncates at 20 lags where weights < 2^-19 of the leading term.
+
+    Scale shape: the raw scan collapses to the per-(type, day) daily
+    table FIRST (one shuffle with map-side combine, output rows =
+    types × days — tiny at any SF), and the 20-lag decayed sum is a
+    broadcast self-join on that pre-aggregate, never on raw events.
+    The overflow bound: day_cents < 2^43 keeps every term < 2^62."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("1970-01-01").cast("date")).alias("day_num"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day_num")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    j = (
+        daily.alias("a")
+        .join(
+            F.broadcast(daily.alias("b")),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.day_num") <= F.col("a.day_num"))
+            & (F.col("b.day_num") >= F.col("a.day_num") - 19),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day_num").alias("day_num"),
+            F.col("a.day_cents").alias("day_cents"),
+            (F.col("b.day_cents")
+             * F.expr("shiftleft(CAST(1 AS BIGINT), "
+                      "CAST(19 - (a.day_num - b.day_num) AS INT))")
+             ).alias("term"),
+        )
+    )
+    return (
+        j.groupBy("event_type", "day_num", "day_cents")
+        .agg(F.sum("term").alias("ema_scaled"))
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"),
+                           F.col("day_num")),
+                "yyyy-MM-dd").alias("day"),
+            "day_cents",
+            "ema_scaled",
+            (F.col("ema_scaled") / F.lit(1048576.0)).alias("ema_cents"),
+        )
+    )

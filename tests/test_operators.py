@@ -1259,3 +1259,73 @@ def test_det_hll_pairwise_overlap_tracks_exact_intersections(spark):
         r = got[pair]
         assert abs(r.approx_overlap - want) <= 0.1 * n + 50, (pair, r)
         assert r.approx_union >= max(r.approx_a, r.approx_b) - 1e-6, r
+
+
+def test_mad_stats_exact_and_robust_to_corruption(spark):
+    """mad_stats reports the exact discrete median/MAD of the cent grid,
+    and — the point of MAD over mean/stddev — corrupting 30% of a group
+    with a huge constant moves neither the median nor the MAD, while the
+    corrupt rows are all flagged as outliers."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_pipeline_stripe_spark.operators import mad_stats
+
+    # clean group: values 1.00 .. 21.00 -> median 11.00 (1100 cents),
+    # deviations 0,100,...,1000 each twice -> MAD = 500 cents.
+    clean = [("a", float(v)) for v in range(1, 22)]
+    # corrupt group: same 21 values plus 9 rows of 9999.00 (30% of 30).
+    corrupt = [("b", float(v)) for v in range(1, 22)]
+    corrupt += [("b", 9999.0)] * 9
+    df = spark.createDataFrame(clean + corrupt, "k string, v double")
+    got = {r.k: r for r in mad_stats(df, ["k"], "v", k=5).collect()}
+
+    assert (got["a"].med_cents, got["a"].mad_cents) == (1100, 500)
+    assert (got["a"].n_total, got["a"].n_outliers) == (21, 0)
+    # median/MAD unmoved by 30% corruption (rank 15 of 30 is value 15
+    # -> med 1500; the 15th-smallest deviation among the clean values'
+    # 0,1,1,2,2,3,3,4,4,5,5,6,6,7,8,...(x100) is 800 — the 9 corrupted
+    # rows at dev 849900 never reach the median rank).
+    assert got["b"].med_cents == 1500
+    assert got["b"].mad_cents == 800  # still in the clean band
+    assert got["b"].n_outliers == 9  # exactly the corrupted rows
+    assert got["b"].n_total == 30
+
+    # partitioning invariance (the mergeable-histogram property).
+    re16 = {r.k: r for r in
+            mad_stats(df.repartition(16), ["k"], "v", k=5).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == \
+           {k: tuple(v) for k, v in re16.items()}
+
+
+def test_ema_halflife_dyadic_weights_exact(spark, tmp_path):
+    """ema_daily_value_halflife: constant 256-cent daily revenue for 40
+    consecutive days — the truncated alpha=1/2 EMA is the exact dyadic
+    geometric sum 256·(2^20−1)/2^20 once 20 lags are in scope, 256/2 on
+    the very first day, and decay is by CALENDAR day (a gap day weighs
+    the older term down by the gap length, not by one row)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from data_pipeline_stripe_spark.queries.registry import REGISTRY
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=i, ts=base + datetime.timedelta(days=i),
+            user_id=1, event_type="purchase", value=2.56, props="{}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    out = {r.day: r for r in
+           REGISTRY["ema_daily_value_halflife"].fn(
+               spark, str(tmp_path)).collect()}
+
+    assert len(out) == 40
+    first = out["2024-03-01"]
+    assert first.day_cents == 256
+    assert first.ema_scaled == 256 << 19
+    assert first.ema_cents == 128.0          # alpha·v on day one
+    steady = out["2024-03-31"]               # > 20 lags in scope
+    assert steady.ema_scaled == 256 * ((1 << 20) - 1)
+    assert steady.ema_cents == 256 * ((1 << 20) - 1) / (1 << 20)
