@@ -2,7 +2,11 @@
 DataFrame ops (preference order per the build spec: composition first,
 Pandas UDF second, mapPartitions last)."""
 
+from .allocate import allocate_proportional
 from .asof import asof_join
+from .drift import psi_drift
+from .pareto import pareto_frontier
+from .sweep import interval_concurrency
 from .gapfill import interpolate_daily
 from .grouped import zscore_per_group_native, zscore_per_group_pandas
 from .layout import compact_small_files, vacuum_partitions, write_clustered
@@ -26,4 +30,6 @@ __all__ = [
     "interpolate_daily",
     "run_checks", "not_null", "in_range", "accepted_values",
     "matches_regex", "unique", "foreign_key",
+    "pareto_frontier", "allocate_proportional", "psi_drift",
+    "interval_concurrency",
 ]

@@ -23,6 +23,7 @@ from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import relational5  # noqa: E402,F401
+from . import relational6  # noqa: E402,F401
 from . import io_roundtrip  # noqa: E402,F401
 from . import streaming_gate  # noqa: E402,F401
 from . import maintenance  # noqa: E402,F401
@@ -119,6 +120,12 @@ PRIORITY_THIS_ROUND = [
     # round 6 (cont. 2): new robust-stats + temporal operators
     "mad_outlier_value_stats",
     "ema_daily_value_halflife",
+    # round 6 (cont. 2): decision-support batch (relational6.py) —
+    # skyline, exact-sum allocation, PSI drift, sweep-line concurrency
+    "pareto_front_orders_price_recency",
+    "allocate_budget_by_nation_revenue",
+    "value_drift_psi_by_type",
+    "peak_concurrent_sessions_daily",
 ]
 
 

@@ -1,0 +1,275 @@
+"""Sixth batch: decision-support verbs past the report surface —
+multi-criteria Pareto frontier (skyline), exact-sum largest-remainder
+budget allocation, distribution-drift monitoring (PSI over fixed bins),
+and sweep-line peak concurrency over sessions.
+
+Same contract as every batch: integer/cent-grid arithmetic wherever a
+value feeds a comparison (SCALING.md numeric policy), shuffles keyed on
+the natural grouping, and the DuckDB oracle a transcription of the same
+algorithm, not an independent approximation. The reference ranks by
+single measures and never reconciles parts to wholes (reference
+top10.py:137-278, royalties.py:232-317); these are the verbs that
+workload grows into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators.allocate import (allocate_proportional,
+                                  allocate_proportional_oracle_sql)
+from ..operators.pareto import pareto_frontier, pareto_frontier_oracle_sql
+from ..operators.sweep import (interval_concurrency,
+                               interval_concurrency_oracle_sql)
+from ..sources import load_table
+from .registry import query
+
+_EPOCH = "1970-01-01"
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): undominated (price, recency) orders per
+# priority class — the O(n log n) window form, not the O(n²) NOT EXISTS.
+# ---------------------------------------------------------------------------
+_PARETO_INNER = f"""(
+    SELECT o_orderpriority, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(date_diff('day', DATE '{_EPOCH}',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num
+    FROM orders
+)"""
+
+
+@query(
+    "pareto_front_orders_price_recency",
+    oracle=pareto_frontier_oracle_sql(
+        _PARETO_INNER, "price_cents", "day_num", keys="o_orderpriority",
+        select="o_orderpriority, o_orderkey, price_cents, day_num"),
+)
+def pareto_front_orders_price_recency(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Skyline per priority class: orders no other same-priority order
+    beats on BOTH total price and recency — the multi-criteria "best
+    candidates" verb (compare topk_parts_per_brand, which ranks on one
+    measure). operators/pareto.py: two RANGE-framed running-max windows
+    after one sort — one shuffle on the priority key, no self-join, and
+    the RANGE frame keys dominance on the cent VALUE, so the result is
+    identical under any physical row order."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderpriority", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+         .alias("price_cents"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit(_EPOCH).cast("date")).cast("long")
+         .alias("day_num"),
+    )
+    return pareto_frontier(pts, "price_cents", "day_num",
+                           keys=["o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder allocation: a 1M-unit budget per region split across
+# its nations proportional to revenue — integers that SUM EXACTLY.
+# ---------------------------------------------------------------------------
+_ALLOC_INNER = """
+    SELECT r_name AS region, n_name AS nation,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "allocate_budget_by_nation_revenue",
+    oracle=allocate_proportional_oracle_sql(
+        _ALLOC_INNER, "region", "nation", "revenue_cents", 1_000_000,
+        select="region, nation, revenue_cents"),
+)
+def allocate_budget_by_nation_revenue(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment: 1,000,000 budget
+    units per region, split across its nations proportional to order
+    revenue, with SUM(alloc_units) == 1,000,000 exactly per region
+    (pinned in tests — naive float rounding drifts by units and the
+    drift direction is engine-dependent). operators/allocate.py: floor
+    + remainder in BIGINT, leftovers to the largest remainders, nation
+    name breaking ties. One fact shuffle to build the weights (nation
+    and region broadcast), then windows over the 5-row regions."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    weights = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .cast("long").alias("revenue_cents"))
+    )
+    return allocate_proportional(weights, ["region"], "nation",
+                                 "revenue_cents", 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: PSI of the value distribution, even vs odd days,
+# per event type — fixed cent-grid bins, Laplace-smoothed.
+# ---------------------------------------------------------------------------
+_PSI_EDGES = [500, 1000, 2500, 5000, 10000, 20000]
+
+
+def _psi_side_sql(parity: int) -> str:
+    cases = " ".join(
+        f"WHEN c >= {e} THEN {i + 1}"
+        for i, e in reversed(list(enumerate(_PSI_EDGES))))
+    return f"""
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT event_type,
+                   CASE {cases} ELSE 0 END AS bin
+            FROM (
+                SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS c,
+                       date_diff('day', DATE '{_EPOCH}',
+                                 CAST(ts AS DATE)) AS day_num
+                FROM events
+            ) WHERE day_num % 2 = {parity}
+        ) GROUP BY 1, 2
+    """
+
+
+@query(
+    "value_drift_psi_by_type",
+    oracle=f"""
+    WITH a AS ({_psi_side_sql(0)}), b AS ({_psi_side_sql(1)}),
+    m AS (
+        SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+               COALESCE(a.n, 0) AS n_a, COALESCE(b.n, 0) AS n_b
+        FROM a FULL OUTER JOIN b
+          ON a.event_type = b.event_type AND a.bin = b.bin
+    ), tot AS (
+        SELECT event_type, SUM(n_a) AS tot_a, SUM(n_b) AS tot_b
+        FROM m GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(MAX(tot_a) AS BIGINT) AS n_a,
+           CAST(MAX(tot_b) AS BIGINT) AS n_b,
+           ROUND(SUM(
+               (((n_a + 1) / CAST(tot_a + {len(_PSI_EDGES) + 1} AS DOUBLE))
+                - ((n_b + 1) / CAST(tot_b + {len(_PSI_EDGES) + 1} AS DOUBLE)))
+               * ln(((n_a + 1) / CAST(tot_a + {len(_PSI_EDGES) + 1} AS DOUBLE))
+                    / ((n_b + 1) / CAST(tot_b + {len(_PSI_EDGES) + 1} AS DOUBLE)))
+           ), 6) AS psi
+    FROM m JOIN tot ON m.event_type = tot.event_type
+    GROUP BY 1
+    """,
+)
+def value_drift_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    even- vs odd-numbered days, per event type — the feature-drift gate
+    a training pipeline runs before each refresh. operators/drift.py:
+    FIXED cent-grid bin edges (never data-derived quantiles — the
+    winsorize lesson), exact smoothed integer counts, one tiny
+    (type × 7 bins) merge; the sole float steps are the final
+    divisions and ln(), rounded to 6 digits on both engines. On this
+    stationary fixture the PSI correctly reads ≈0 — the gate verifies
+    the arithmetic, not a synthetic drift."""
+    from ..operators.drift import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    day_num = F.datediff(F.col("ts").cast("date"),
+                         F.lit(_EPOCH).cast("date"))
+    even = ev.filter(day_num % 2 == 0)
+    odd = ev.filter(day_num % 2 == 1)
+    return psi_drift(even, odd, ["event_type"], "value", _PSI_EDGES)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency: max concurrent 30-min-gap sessions per
+# day, midnight probes carrying boundary-spanning sessions in.
+# ---------------------------------------------------------------------------
+_SESSIONS_SQL = """
+    SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec
+    FROM (
+        SELECT user_id, sec,
+               SUM(CASE WHEN prev IS NULL OR sec - prev > 1800
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM (
+            SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec,
+                   LAG(epoch_ms(ts) // 1000) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+    ) GROUP BY user_id, session_id
+"""
+
+_PROBES_SQL = f"""
+    SELECT DISTINCT CAST(date_diff('day', DATE '{_EPOCH}',
+                                   CAST(ts AS DATE)) AS BIGINT) * 86400
+               AS sec
+    FROM events
+"""
+
+
+@query(
+    "peak_concurrent_sessions_daily",
+    oracle=f"""
+    WITH conc AS ({interval_concurrency_oracle_sql(
+        _SESSIONS_SQL, "start_sec", "end_sec", probes=_PROBES_SQL)})
+    SELECT strftime(DATE '{_EPOCH}'
+                    + CAST(sec // 86400 AS INTEGER), '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak
+    FROM conc GROUP BY 1
+    """,
+)
+def peak_concurrent_sessions_daily(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Capacity-planning verb: the daily PEAK number of simultaneously
+    open 30-min-gap sessions (same session definition as
+    sessionize_events), via operators/sweep.py's O(n log n) sweep
+    instead of an interval self-join. Delta-0 probes injected at each
+    midnight read the carry-in concurrency, so a session spanning the
+    boundary counts toward both days even when neither day contains one
+    of its endpoints. All arithmetic on the integer second grid
+    (epoch-ms floor-div 1000 on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_millis(F.col("ts")) / 1000).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(sec).over(w)
+    flagged = ev.select(
+        "user_id", sec.alias("sec"),
+        F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+         .alias("new_session"),
+        F.sum(F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0))
+         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+         .alias("session_id"),
+    )
+    sessions = (flagged.groupBy("user_id", "session_id")
+                .agg(F.min("sec").alias("start_sec"),
+                     F.max("sec").alias("end_sec")))
+    probes = (
+        ev.select((F.datediff(F.col("ts").cast("date"),
+                              F.lit(_EPOCH).cast("date")).cast("long")
+                   * 86400).alias("sec"))
+        .distinct()
+    )
+    conc = interval_concurrency(sessions, "start_sec", "end_sec",
+                                probes=probes)
+    return (
+        conc.groupBy(F.date_format(
+            F.date_add(F.lit(_EPOCH).cast("date"),
+                       F.floor(F.col("sec") / 86400).cast("int")),
+            "yyyy-MM-dd").alias("day"))
+        .agg(F.max("conc").cast("long").alias("peak"))
+    )

@@ -1329,3 +1329,115 @@ def test_ema_halflife_dyadic_weights_exact(spark, tmp_path):
     steady = out["2024-03-31"]               # > 20 lags in scope
     assert steady.ema_scaled == 256 * ((1 << 20) - 1)
     assert steady.ema_cents == 256 * ((1 << 20) - 1) / (1 << 20)
+
+
+def test_pareto_frontier_matches_brute_force_and_keeps_duplicates(spark):
+    """pareto_frontier's window form equals the O(n²) dominance
+    definition on a randomized point set, per group; exact duplicates of
+    a frontier point are all kept; result invariant to partitioning."""
+    import random
+
+    from data_pipeline_stripe_spark.operators import pareto_frontier
+
+    rng = random.Random(7)
+    pts = [("g%d" % (i % 2), i, rng.randrange(0, 40), rng.randrange(0, 40))
+           for i in range(120)]
+    pts += [("g0", 900, 39, 39), ("g0", 901, 39, 39)]  # dup frontier point
+    df = spark.createDataFrame(pts, "g string, id long, x long, y long")
+
+    def dominated(g, x, y):
+        return any(gg == g and (xx >= x and yy >= y) and (xx > x or yy > y)
+                   for gg, _, xx, yy in pts)
+
+    want = sorted((g, i) for g, i, x, y in pts if not dominated(g, x, y))
+    got = sorted((r.g, r.id) for r in
+                 pareto_frontier(df, "x", "y", keys=["g"]).collect())
+    assert got == want
+    assert ("g0", 900) in got and ("g0", 901) in got
+    re7 = sorted((r.g, r.id) for r in
+                 pareto_frontier(df.repartition(7), "x", "y",
+                                 keys=["g"]).collect())
+    assert re7 == want
+
+
+def test_allocate_proportional_sums_exactly_and_is_fair(spark):
+    """Largest-remainder allocation: per-group SUM(alloc) == total
+    EXACTLY, every allocation within 1 unit of the exact proportional
+    share (the Hamilton guarantee), zero-weight-sum groups allocate
+    nothing, and remainder ties break deterministically by id."""
+    from data_pipeline_stripe_spark.operators import allocate_proportional
+
+    rows = [("a", "n1", 333), ("a", "n2", 333), ("a", "n3", 334),
+            ("b", "n1", 1), ("b", "n2", 2), ("b", "n3", 4),
+            ("z", "n1", 0), ("z", "n2", 0)]
+    df = spark.createDataFrame(rows, "g string, id string, w long")
+    out = allocate_proportional(df, ["g"], "id", "w", 100)
+    got = {(r.g, r.id): r.alloc_units for r in out.collect()}
+
+    assert sum(v for (g, _), v in got.items() if g == "a") == 100
+    assert sum(v for (g, _), v in got.items() if g == "b") == 100
+    assert all(v == 0 for (g, _), v in got.items() if g == "z")
+    # Hamilton fairness: |alloc - total*w/W| < 1
+    tot_w = {"a": 1000, "b": 7}
+    for (g, i), v in got.items():
+        if g in tot_w:
+            w = dict((r[1], r[2]) for r in rows if r[0] == g)[i]
+            assert abs(v - 100 * w / tot_w[g]) < 1, (g, i, v)
+    # ties: group a remainders are (300, 300, 400)%1000 -> n3 floors to
+    # 33.4 -> 33; n1,n2 -> 33.3 -> 33; leftover 1 goes to largest
+    # remainder 400 (n3): 34.
+    assert got[("a", "n3")] == 34 and got[("a", "n1")] == 33
+
+
+def test_psi_drift_zero_on_identical_and_known_value(spark):
+    """PSI is exactly 0.0 when both slices are identical (p == q for
+    every bin); a hand-computed two-bin shift reproduces the textbook
+    formula; result invariant to partitioning."""
+    import math
+
+    from data_pipeline_stripe_spark.operators import psi_drift
+
+    same = [("k", float(v)) for v in (1, 2, 3, 10, 20, 30)]
+    df = spark.createDataFrame(same, "k string, v double")
+    z = psi_drift(df, df, ["k"], "v", [500, 1000]).collect()
+    assert len(z) == 1 and z[0].psi == 0.0 and z[0].n_a == 6
+
+    # slice a: 4 low + 2 high; slice b: 2 low + 4 high; edges [500]:
+    # bins are (<5.00, >=5.00); smoothing +1, denom tot+2.
+    a = spark.createDataFrame(
+        [("k", 1.0)] * 4 + [("k", 9.0)] * 2, "k string, v double")
+    b = spark.createDataFrame(
+        [("k", 1.0)] * 2 + [("k", 9.0)] * 4, "k string, v double")
+    out = psi_drift(a, b, ["k"], "v", [500]).collect()[0]
+    p = [(4 + 1) / 8, (2 + 1) / 8]
+    q = [(2 + 1) / 8, (4 + 1) / 8]
+    want = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    assert out.psi == round(want, 6)
+    re5 = psi_drift(a.repartition(5), b.repartition(3),
+                    ["k"], "v", [500]).collect()[0]
+    assert re5.psi == out.psi
+
+
+def test_interval_concurrency_sweep_semantics(spark):
+    """Sweep-line: overlapping intervals stack, closed-interval ends
+    release one second later, back-to-back intervals [a, t-1], [t, b]
+    never double-count, and a delta-0 probe reads the running value
+    without changing it."""
+    from data_pipeline_stripe_spark.operators import interval_concurrency
+
+    iv = spark.createDataFrame(
+        [(100, 200), (150, 250), (150, 250), (251, 300)],
+        "s long, e long")
+    probes = spark.createDataFrame([(175,), (1000,)], "sec long")
+    out = {(r.sec, r.delta): r.conc for r in
+           interval_concurrency(iv, "s", "e", probes=probes).collect()}
+
+    assert out[(100, 1)] == 1
+    assert out[(150, 1)] == 3          # two identical starts collapse
+    assert out[(175, 0)] == 3          # probe reads, doesn't change
+    assert out[(201, -1)] == 2         # [100,200] closes at 201
+    # [150,250]x2 close at 251, the same second [251,300] opens:
+    # -1 sorts before +1, so the instant never counts 3.
+    assert out[(251, -1)] == 0 and out[(251, 1)] == 1
+    assert out[(301, -1)] == 0
+    assert out[(1000, 0)] == 0         # far probe reads the empty line
