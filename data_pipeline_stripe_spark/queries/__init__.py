@@ -126,6 +126,9 @@ PRIORITY_THIS_ROUND = [
     "allocate_budget_by_nation_revenue",
     "value_drift_psi_by_type",
     "peak_concurrent_sessions_daily",
+    # round 6 (cont. 2): exact-rational OLS trend + Gini concentration
+    "trend_slope_daily_revenue_by_type",
+    "gini_revenue_concentration_by_region",
 ]
 
 

@@ -273,3 +273,90 @@ def peak_concurrent_sessions_daily(spark: SparkSession,
             "yyyy-MM-dd").alias("day"))
         .agg(F.max("conc").cast("long").alias("peak"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-rational OLS trend: daily revenue slope per event type.
+# ---------------------------------------------------------------------------
+from ..operators.stats import (gini, gini_oracle_sql, trend_slope,  # noqa: E402
+                               trend_slope_oracle_sql)
+
+_DAILY_CENTS_SQL = f"""
+    SELECT event_type,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "trend_slope_daily_revenue_by_type",
+    oracle=trend_slope_oracle_sql(_DAILY_CENTS_SQL, "event_type", "x", "y"),
+)
+def trend_slope_daily_revenue_by_type(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Direction verb: OLS slope/intercept of daily revenue (cents) per
+    event type — growing or shrinking, in cents/day.
+    operators/stats.py:trend_slope computes the four moments as EXACT
+    BIGINTs over the per-(type, day) pre-aggregate (x centered on the
+    fixed date 2024-01-01 to keep Σx² tiny), so each output is one
+    correctly-rounded IEEE division — unlike regr_slope()/covar_samp(),
+    whose float accumulation order varies with partitioning. Raw events
+    collapse in one map-side-combinable shuffle; the moment pass runs on
+    types × days rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")).alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    return trend_slope(daily, ["event_type"], "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration: how unequal is customer revenue within a region.
+# ---------------------------------------------------------------------------
+_CUST_REVENUE_SQL = """
+    SELECT r_name AS region, c_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "gini_revenue_concentration_by_region",
+    oracle=gini_oracle_sql(_CUST_REVENUE_SQL, "region",
+                           "revenue_cents", "c_custkey"),
+)
+def gini_revenue_concentration_by_region(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """Concentration verb: the Gini coefficient of per-customer order
+    revenue within each region (customers WITH orders; a zero-revenue
+    customer would need a left join — deliberate, documented scope).
+    operators/stats.py:gini — rank-weighted exact BIGINT sums, one
+    shuffle shared by the rank window and the grouped moments, one
+    final IEEE division. Tied revenues are order-free in the numerator,
+    so the custkey tie-break affects determinism of nothing."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .cast("long").alias("revenue_cents"))
+    )
+    return gini(rev, ["region"], "revenue_cents", "c_custkey")

@@ -1441,3 +1441,56 @@ def test_interval_concurrency_sweep_semantics(spark):
     assert out[(251, -1)] == 0 and out[(251, 1)] == 1
     assert out[(301, -1)] == 0
     assert out[(1000, 0)] == 0         # far probe reads the empty line
+
+
+def test_trend_slope_exact_line_and_null_denominator(spark):
+    """trend_slope recovers an exact line (slope 3, intercept 7) with
+    zero float error, matches the closed form on noisy integer data,
+    and returns NULL slope when all x are equal (degenerate fit)."""
+    from data_pipeline_stripe_spark.operators.stats import trend_slope
+
+    line = [("line", x, 3 * x + 7) for x in range(10)]
+    noisy = [("noisy", x, y) for x, y in
+             [(0, 1), (1, 4), (2, 4), (3, 8), (4, 9)]]
+    flat = [("flat", 5, y) for y in (1, 2, 3)]
+    df = spark.createDataFrame(line + noisy + flat,
+                               "k string, x long, y long")
+    got = {r.k: r for r in trend_slope(df, ["k"], "x", "y").collect()}
+
+    assert got["line"].slope == 3.0 and got["line"].intercept == 7.0
+    # closed form on the noisy set: n=5, sx=10, sy=26, sxx=30, sxy=72
+    assert got["noisy"].slope == (5 * 72 - 10 * 26) / (5 * 30 - 100)
+    assert got["noisy"].intercept == (26 * 30 - 10 * 72) / (5 * 30 - 100)
+    assert got["flat"].slope is None and got["flat"].intercept is None
+    re9 = {r.k: r for r in
+           trend_slope(df.repartition(9), ["k"], "x", "y").collect()}
+    assert {k: (v.slope, v.intercept) for k, v in got.items()} == \
+           {k: (v.slope, v.intercept) for k, v in re9.items()}
+
+
+def test_gini_known_values_and_tie_invariance(spark):
+    """Gini: 0 for perfectly equal weights, the textbook value for a
+    hand-computed split, (n-1)/n when one member holds everything, and
+    identical results no matter how tied weights are ordered (the i·w
+    sum over a tied block is order-free)."""
+    from data_pipeline_stripe_spark.operators.stats import gini
+
+    equal = [("eq", i, 100) for i in range(4)]
+    # weights 1,2,3,4: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40
+    ramp = [("ramp", i, w) for i, w in enumerate([1, 2, 3, 4])]
+    onehot = [("one", 0, 1000)] + [("one", i, 0) for i in range(1, 5)]
+    ties = [("tie", i, w) for i, w in enumerate([5, 5, 5, 1])]
+    df = spark.createDataFrame(equal + ramp + onehot + ties,
+                               "k string, id long, w long")
+    got = {r.k: r for r in gini(df, ["k"], "w", "id").collect()}
+
+    assert got["eq"].gini == 0.0
+    assert got["ramp"].gini == 0.25
+    assert got["one"].gini == (5 - 1) / 5  # max inequality at n=5
+    # ties: sorted (1,5,5,5) -> siw = 1 + 2*5 + 3*5 + 4*5 = 46,
+    # G = (92 - 5*16)/(4*16) = 12/64, regardless of id order.
+    assert got["tie"].gini == 12 / 64
+    assert got["tie"].n == 4 and got["tie"].total == 16
+    re6 = {r.k: r.gini for r in
+           gini(df.repartition(6), ["k"], "w", "id").collect()}
+    assert re6 == {k: v.gini for k, v in got.items()}
