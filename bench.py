@@ -60,6 +60,12 @@ HEADLINE = [
     "embedding_ivf_topk_pruned",
     "events_heavy_hitter_value_buckets",
     "cdc_snapshot_diff_orders",
+    # round 6 (cont. 2): one-scan MAD histogram stats, window skyline,
+    # sweep-line session concurrency, rank-window Gini concentration
+    "mad_outlier_value_stats",
+    "pareto_front_orders_price_recency",
+    "peak_concurrent_sessions_daily",
+    "gini_revenue_concentration_by_region",
 ]
 
 

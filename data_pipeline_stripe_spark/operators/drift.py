@@ -80,3 +80,104 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, keys: list[str],
         F.col("tot_b").cast("long").alias("n_b"),
         F.round(F.expr(term), 6).alias("psi"),
     )
+
+
+def ks_distance(df_a: DataFrame, df_b: DataFrame, keys: list[str],
+                col: str, scale: int = 100) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance per key — PSI's
+    nonparametric companion, and unlike PSI it needs NO binning choice
+    and NO float accumulation at all:
+
+        D = max_x |F_a(x) − F_b(x)|
+
+    evaluated on the exact cent grid. The ECDFs are integer running
+    sums over the union grid (a side missing a grid point contributes 0
+    there — running sums give last-observation-carried-forward ECDF
+    semantics for free), and the comparison is cross-multiplied to stay
+    in BIGINT:
+
+        |cum_a·tot_b − cum_b·tot_a|   (max'd exactly)
+
+    with the single float step D = max_num / (tot_a·tot_b) one
+    correctly-rounded IEEE division. A step ECDF difference changes
+    only at observed values, so the max over grid points IS the sup.
+
+    Scale shape: one map-side-combinable histogram pass per slice, a
+    keys×grid merge, one window ordered by cent value. Overflow bound:
+    n_a·n_b < 2^62 per key — at 100 TB pre-aggregate to the cent
+    histogram first (this operator already does) and the bound is on
+    ROW counts per key, not distinct cents."""
+    from pyspark.sql.window import Window as W
+
+    # NULL values are excluded on BOTH engines (they are not part of a
+    # value distribution, and the engines disagree on NULL sort order:
+    # Spark NULLS FIRST vs DuckDB NULLS LAST — a latent cum divergence).
+    a = (df_a.filter(F.col(col).isNotNull())
+         .select(*keys,
+                 F.round(F.col(col) * scale).cast("long").alias("c"))
+         .groupBy(*keys, "c").agg(F.count("*").cast("long").alias("n_a")))
+    b = (df_b.filter(F.col(col).isNotNull())
+         .select(*keys,
+                 F.round(F.col(col) * scale).cast("long").alias("c"))
+         .groupBy(*keys, "c").agg(F.count("*").cast("long").alias("n_b")))
+    m = (a.join(b, [*keys, "c"], "full_outer")
+          .select(*keys, "c",
+                  F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                  F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    grp = W.partitionBy(*keys)
+    cum = grp.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = m.select(
+        *keys,
+        F.sum("n_a").over(cum).alias("cum_a"),
+        F.sum("n_b").over(cum).alias("cum_b"),
+        F.sum("n_a").over(grp).alias("tot_a"),
+        F.sum("n_b").over(grp).alias("tot_b"),
+    )
+    return (
+        t.groupBy(*keys)
+        .agg(F.max(F.abs(F.col("cum_a") * F.col("tot_b")
+                         - F.col("cum_b") * F.col("tot_a"))).alias("_num"),
+             F.max("tot_a").cast("long").alias("n_a"),
+             F.max("tot_b").cast("long").alias("n_b"))
+        .select(*keys, "n_a", "n_b",
+                F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                       F.col("_num") / (F.col("n_a") * F.col("n_b")))
+                 .alias("ks"))
+    )
+
+
+def ks_distance_oracle_sql(inner_a: str, inner_b: str, keys: str,
+                           col: str, scale: int = 100) -> str:
+    """DuckDB transcription of ``ks_distance`` over two relations that
+    each expose ({keys}, {col})."""
+    return f"""
+    WITH ha AS (
+        SELECT {keys}, CAST(ROUND({col} * {scale}) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM ({inner_a}) WHERE {col} IS NOT NULL GROUP BY ALL
+    ), hb AS (
+        SELECT {keys}, CAST(ROUND({col} * {scale}) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM ({inner_b}) WHERE {col} IS NOT NULL GROUP BY ALL
+    ), m AS (
+        SELECT COALESCE(ha.{keys}, hb.{keys}) AS {keys},
+               COALESCE(ha.c, hb.c) AS c,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM ha FULL OUTER JOIN hb
+          ON ha.{keys} = hb.{keys} AND ha.c = hb.c
+    ), t AS (
+        SELECT {keys},
+               SUM(n_a) OVER (PARTITION BY {keys} ORDER BY c) AS cum_a,
+               SUM(n_b) OVER (PARTITION BY {keys} ORDER BY c) AS cum_b,
+               SUM(n_a) OVER (PARTITION BY {keys}) AS tot_a,
+               SUM(n_b) OVER (PARTITION BY {keys}) AS tot_b
+        FROM m
+    )
+    SELECT {keys},
+           CAST(MAX(tot_a) AS BIGINT) AS n_a,
+           CAST(MAX(tot_b) AS BIGINT) AS n_b,
+           CASE WHEN MAX(tot_a) > 0 AND MAX(tot_b) > 0 THEN
+               MAX(ABS(cum_a * tot_b - cum_b * tot_a))
+               / CAST(MAX(tot_a) * MAX(tot_b) AS DOUBLE) END AS ks
+    FROM t GROUP BY {keys}
+    """

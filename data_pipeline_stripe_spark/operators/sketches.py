@@ -418,47 +418,49 @@ def mad_stats(df: DataFrame, keys: list[str], col: str, k: int = 5,
     comparison on an ulp boundary; k=5 MADs ≈ 3.37 sigma for normal
     data.
 
-    Plan shape: scan 1 builds the value histogram (map-side combinable,
-    post-shuffle rows = distinct cents per key) → median; scan 2 joins
-    the broadcast median back and builds the DEVIATION histogram; the
-    MAD and the outlier count both come from that second tiny
-    histogram, so raw data is scanned exactly twice and every shuffle
-    is O(distinct bins) — the same mergeable-sketch scaling story as
-    histogram_percentiles.
+    Plan shape: raw data is scanned exactly ONCE (the value histogram —
+    map-side combinable, post-shuffle rows = distinct cents per key);
+    the median is attached to every histogram row by a partition window
+    (never a join-back, which would re-plan the scan subtree), the
+    DEVIATION histogram |c − med| is derived FROM the value histogram,
+    and the MAD and outlier count fold out of it the same way. One scan,
+    zero joins, every post-scan shuffle O(distinct bins) — the same
+    mergeable-sketch scaling story as histogram_percentiles.
     """
     from pyspark.sql.window import Window as W
 
-    med = histogram_percentiles(df, keys, col, [("med", 1, 2)], scale=scale)
-    cents = df.select(
-        *keys, F.round(F.col(col) * scale).cast("long").alias("_c"))
+    grp = W.partitionBy(*keys)
+    cum_c = grp.orderBy("_c").rowsBetween(W.unboundedPreceding,
+                                          W.currentRow)
+    h = (
+        df.select(*keys,
+                  F.round(F.col(col) * scale).cast("long").alias("_c"))
+        .groupBy(*keys, "_c").agg(F.count("*").alias("n"))
+        .select(*keys, "_c", "n",
+                F.sum("n").over(cum_c).alias("cum"),
+                F.sum("n").over(grp).alias("tot"))
+        .withColumn("med", F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("_c")))
+            .over(grp))
+    )
+    cum_d = grp.orderBy("d").rowsBetween(W.unboundedPreceding,
+                                         W.currentRow)
     dh = (
-        cents.join(F.broadcast(med), keys)
-        .select(*keys, F.abs(F.col("_c") - F.col("med")).alias("d"))
-        .groupBy(*keys, "d").agg(F.count("*").alias("n"))
-    )
-    cum_w = (W.partitionBy(*keys).orderBy("d")
-             .rowsBetween(W.unboundedPreceding, W.currentRow))
-    tot_w = W.partitionBy(*keys)
-    t = dh.select(
-        *keys, "d", "n",
-        F.sum("n").over(cum_w).alias("cum"),
-        F.sum("n").over(tot_w).alias("tot"),
-    )
-    mad = t.groupBy(*keys).agg(
-        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("d")))
-         .alias("mad"),
-        F.max("tot").alias("n_total"),
-    )
-    outs = (
-        dh.join(F.broadcast(mad), keys)
-        .groupBy(*keys)
-        .agg(F.sum(F.when(F.col("d") > k * F.col("mad"), F.col("n"))
-                   .otherwise(F.lit(0))).cast("long").alias("n_outliers"))
+        h.groupBy(*keys, F.col("med"), F.col("tot").alias("n_total"),
+                  F.abs(F.col("_c") - F.col("med")).alias("d"))
+        .agg(F.sum("n").alias("n"))
+        .withColumn("cum", F.sum("n").over(cum_d))
+        .withColumn("mad", F.min(
+            F.when(F.col("cum") * 2 >= F.col("n_total"), F.col("d")))
+            .over(grp))
     )
     return (
-        med.withColumnRenamed("med", "med_cents")
-        .join(mad.withColumnRenamed("mad", "mad_cents"), keys)
-        .join(outs, keys)
+        dh.groupBy(*keys)
+        .agg(F.max("med").alias("med_cents"),
+             F.max("mad").alias("mad_cents"),
+             F.max("n_total").alias("n_total"),
+             F.sum(F.when(F.col("d") > k * F.col("mad"), F.col("n"))
+                   .otherwise(F.lit(0))).cast("long").alias("n_outliers"))
         .select(*keys, "med_cents", "mad_cents", "n_total", "n_outliers")
     )
 

@@ -139,3 +139,74 @@ def gini_oracle_sql(inner: str, keys: str, w_col: str,
                      / CAST(n * sw AS DOUBLE) END AS gini
     FROM m
     """
+
+
+# Benford expected first-digit shares, floor(log10(1 + 1/d) · 1e6):
+# fixed integer ppm constants so engine and oracle compare the SAME
+# literals and the whole operator stays float-free.
+BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+
+def benford_digit_stats(df: DataFrame, keys: list[str], col: str,
+                        scale: int = 100) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    data-authenticity screen (fabricated or unit-corrupted monetary
+    columns drift from log10(1+1/d); real multi-magnitude amounts
+    follow it). Per (key, digit): observed count, observed share in
+    ppm (floor(n·10⁶ / total) — integer division, so the OUTPUT is
+    100% integer and needs no rounding policy at all), and the fixed
+    Benford expectation in ppm. Zero-count digits are omitted (both
+    engines identically); non-positive values are excluded — Benford
+    applies to magnitudes.
+
+    One map-side-combinable groupBy on (keys, digit) — at most 9 rows
+    per key survive the shuffle — plus one per-key window. The first
+    digit comes from the DECIMAL STRING of the cent value: identical,
+    locale-free semantics on both engines."""
+    c = F.round(F.col(col) * scale).cast("long")
+    digit = F.substring(F.col("_c").cast("string"), 1, 1).cast("int")
+    counts = (
+        df.select(*keys, c.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .groupBy(*keys, digit.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy(*keys))
+    ppm_expr = F.expr("n * CAST(1000000 AS BIGINT) div _tot")
+    expected = F.lit(None).cast("long")
+    for d, p in BENFORD_PPM.items():
+        expected = F.when(F.col("digit") == d, F.lit(p)).otherwise(expected)
+    return (
+        counts.withColumn("_tot", tot)
+        .select(*keys, "digit", "n",
+                ppm_expr.cast("long").alias("share_ppm"),
+                expected.alias("benford_ppm"))
+    )
+
+
+def benford_digit_stats_oracle_sql(inner: str, keys: str, col: str,
+                                   scale: int = 100) -> str:
+    """DuckDB transcription of ``benford_digit_stats`` (same string
+    first-digit, same integer ppm floor division, same constants)."""
+    cases = " ".join(f"WHEN {d} THEN {p}"
+                     for d, p in BENFORD_PPM.items())
+    return f"""
+    WITH q AS (
+        SELECT {keys},
+               CAST(ROUND({col} * {scale}) AS BIGINT) AS c
+        FROM ({inner})
+    ), counts AS (
+        SELECT {keys},
+               CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q WHERE c > 0 GROUP BY ALL
+    )
+    SELECT {keys}, digit, n,
+           CAST(n * CAST(1000000 AS BIGINT)
+                // SUM(n) OVER (PARTITION BY {keys}) AS BIGINT)
+               AS share_ppm,
+           CAST(CASE digit {cases} END AS BIGINT) AS benford_ppm
+    FROM counts
+    """

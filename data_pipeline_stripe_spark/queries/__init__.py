@@ -129,6 +129,10 @@ PRIORITY_THIS_ROUND = [
     # round 6 (cont. 2): exact-rational OLS trend + Gini concentration
     "trend_slope_daily_revenue_by_type",
     "gini_revenue_concentration_by_region",
+    # round 6 (cont. 2): exact (integer cross-multiplied) two-sample KS
+    "value_ks_distance_by_type",
+    # round 6 (cont. 2): float-free Benford first-digit audit
+    "benford_first_digit_order_prices",
 ]
 
 

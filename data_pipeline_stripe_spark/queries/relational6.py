@@ -360,3 +360,69 @@ def gini_revenue_concentration_by_region(spark: SparkSession,
               .cast("long").alias("revenue_cents"))
     )
     return gini(rev, ["region"], "revenue_cents", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample KS distance: the binning-free companion to PSI.
+# ---------------------------------------------------------------------------
+from ..operators.drift import ks_distance, ks_distance_oracle_sql  # noqa: E402
+
+
+def _day_slice_sql(parity: int) -> str:
+    return f"""
+        SELECT event_type, value FROM (
+            SELECT event_type, value,
+                   date_diff('day', DATE '{_EPOCH}',
+                             CAST(ts AS DATE)) AS day_num
+            FROM events
+        ) WHERE day_num % 2 = {parity}
+    """
+
+
+@query(
+    "value_ks_distance_by_type",
+    oracle=ks_distance_oracle_sql(_day_slice_sql(0), _day_slice_sql(1),
+                                  "event_type", "value"),
+)
+def value_ks_distance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance of the value distribution,
+    even- vs odd-numbered days, per event type — PSI's nonparametric
+    companion with NO binning choice and NO float accumulation:
+    operators/drift.py:ks_distance cross-multiplies the integer ECDFs
+    (|cum_a·tot_b − cum_b·tot_a| in BIGINT, max'd exactly), and the
+    single float step is the final division — bit-identical on any
+    engine, at any partitioning, with zero rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    day_num = F.datediff(F.col("ts").cast("date"),
+                         F.lit(_EPOCH).cast("date"))
+    even = ev.filter(day_num % 2 == 0)
+    odd = ev.filter(day_num % 2 == 1)
+    return ks_distance(even, odd, ["event_type"], "value")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: 100% integer output (counts + ppm shares).
+# ---------------------------------------------------------------------------
+from ..operators.stats import (benford_digit_stats,  # noqa: E402
+                               benford_digit_stats_oracle_sql)
+
+
+@query(
+    "benford_first_digit_order_prices",
+    oracle=benford_digit_stats_oracle_sql(
+        "SELECT o_orderpriority, o_totalprice FROM orders",
+        "o_orderpriority", "o_totalprice"),
+)
+def benford_first_digit_order_prices(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Data-authenticity screen: the first-significant-digit
+    distribution of order prices per priority class vs Benford's law
+    (fabricated or unit-corrupted monetary data drifts from
+    log10(1+1/d)). operators/stats.py:benford_digit_stats — one
+    9-rows-per-key shuffle, shares as FLOOR-divided integer ppm and the
+    Benford expectation as fixed integer ppm constants, so the whole
+    query is float-free end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_digit_stats(orders.select("o_orderpriority",
+                                             "o_totalprice"),
+                               ["o_orderpriority"], "o_totalprice")

@@ -1494,3 +1494,54 @@ def test_gini_known_values_and_tie_invariance(spark):
     re6 = {r.k: r.gini for r in
            gini(df.repartition(6), ["k"], "w", "id").collect()}
     assert re6 == {k: v.gini for k, v in got.items()}
+
+
+def test_ks_distance_hand_computed_and_exact_zero(spark):
+    """ks_distance: identical slices give EXACTLY 0.0 (integer
+    numerator, no float noise); a hand-computed two-sample case matches
+    the textbook sup|F_a - F_b|; NULL values are excluded; result is
+    partitioning-invariant."""
+    from data_pipeline_stripe_spark.operators.drift import ks_distance
+
+    same = [("k", float(v)) for v in (1, 2, 2, 3, 9)]
+    df = spark.createDataFrame(same, "k string, v double")
+    z = ks_distance(df, df, ["k"], "v").collect()[0]
+    assert z.ks == 0.0 and z.n_a == 5 and z.n_b == 5
+
+    # a = {1,1,2,4}, b = {2,3,3,4}: F_a-F_b at grid 1,2,3,4 =
+    # 2/4-0, 3/4-1/4, 3/4-3/4, 0 -> sup = 1/2 exactly.
+    a = spark.createDataFrame(
+        [("k", 1.0), ("k", 1.0), ("k", 2.0), ("k", 4.0), ("k", None)],
+        "k string, v double")
+    b = spark.createDataFrame(
+        [("k", 2.0), ("k", 3.0), ("k", 3.0), ("k", 4.0)],
+        "k string, v double")
+    out = ks_distance(a, b, ["k"], "v").collect()[0]
+    assert out.ks == 0.5 and out.n_a == 4 and out.n_b == 4
+    re8 = ks_distance(a.repartition(8), b.repartition(3),
+                      ["k"], "v").collect()[0]
+    assert re8.ks == 0.5
+
+
+def test_benford_digit_stats_counts_and_ppm(spark):
+    """benford_digit_stats: first digits come from the decimal string
+    of the CENT value, non-positive values are excluded, ppm shares are
+    floor divisions that sum to <= 1e6, and the expected constants are
+    the fixed Benford ppm table."""
+    from data_pipeline_stripe_spark.operators.stats import (BENFORD_PPM,
+                                                            benford_digit_stats)
+
+    # cents: 123, 1999, 205, 9.0 -> digits 1, 1, 2, 9; zero/negative
+    # excluded.
+    rows = [("k", 1.23), ("k", 19.99), ("k", 2.05), ("k", 0.09),
+            ("k", 0.0), ("k", -5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r.digit: r for r in
+           benford_digit_stats(df, ["k"], "v").collect()}
+
+    assert set(got) == {1, 2, 9}
+    assert got[1].n == 2 and got[2].n == 1 and got[9].n == 1
+    assert got[1].share_ppm == 2 * 1000000 // 4
+    assert got[2].share_ppm == 1000000 // 4
+    assert all(got[d].benford_ppm == BENFORD_PPM[d] for d in got)
+    assert sum(r.share_ppm for r in got.values()) <= 1000000

@@ -296,3 +296,62 @@ def test_reservoir_prunes_before_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_reservoir_per_user")
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
+
+
+def test_mad_stats_single_scan_no_joins(spark, sf_dir):
+    """mad_stats derives the deviation histogram FROM the value
+    histogram with partition windows (never a join-back, which would
+    re-plan the scan subtree): raw events scanned exactly once, zero
+    joins. A regression here silently multiplies the raw-scan cost."""
+    plan = plan_of(spark, sf_dir, "mad_outlier_value_stats")
+    assert plan.count("events.parquet") == 1, "raw scan duplicated"
+    assert "Join" not in plan
+
+
+def test_pareto_frontier_is_one_sort_no_join(spark, sf_dir):
+    """The skyline must stay the O(n log n) window form: one hash
+    exchange on the partition key, a RANGE-framed window, and no join
+    (the textbook NOT-EXISTS form would plan a nested loop)."""
+    plan = plan_of(spark, sf_dir, "pareto_front_orders_price_recency")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RangeFrame" in plan
+
+
+def test_sweep_plans_sessionization_once(spark, sf_dir):
+    """interval_concurrency explodes both endpoints in ONE pass; a
+    union of two selects would plan the whole upstream sessionization
+    (lag window over events) twice — the exact regression caught by
+    plan inspection when this operator landed."""
+    plan = plan_of(spark, sf_dir, "peak_concurrent_sessions_daily")
+    # one Window OPERATOR carrying the lag (it holds two lag exprs);
+    # a duplicated subtree would plan a second Window [lag...] node
+    assert plan.count("Window [lag") == 1, "sessionization planned twice"
+    assert "Join" not in plan
+
+
+def test_ema_joins_broadcast_pre_aggregate_not_raw(spark, sf_dir):
+    """The 20-lag decayed self-join must run on the tiny per-(type,day)
+    pre-aggregate via broadcast — never a sort-merge join on raw
+    events."""
+    plan = plan_of(spark, sf_dir, "ema_daily_value_halflife")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_allocation_and_gini_broadcast_all_dims(spark, sf_dir):
+    """The weight-building star joins broadcast every dim; the window
+    math then runs on the tiny aggregate."""
+    for name in ("allocate_budget_by_nation_revenue",
+                 "gini_revenue_concentration_by_region"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") == 3, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_trend_slope_is_two_aggregations_no_join(spark, sf_dir):
+    """Exact-moment OLS: daily pre-aggregate + moment aggregate — two
+    keyed shuffles, no join, no window."""
+    plan = plan_of(spark, sf_dir, "trend_slope_daily_revenue_by_type")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
