@@ -133,6 +133,10 @@ PRIORITY_THIS_ROUND = [
     "value_ks_distance_by_type",
     # round 6 (cont. 2): float-free Benford first-digit audit
     "benford_first_digit_order_prices",
+    # round 6 (cont. 2): composition gates — sessionize → duration
+    # percentiles; funnel → conversion-latency percentiles
+    "session_duration_percentiles_daily",
+    "conversion_latency_percentiles_by_cohort",
 ]
 
 

@@ -426,3 +426,125 @@ def benford_first_digit_order_prices(spark: SparkSession,
     return benford_digit_stats(orders.select("o_orderpriority",
                                              "o_totalprice"),
                                ["o_orderpriority"], "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Composition gates: existing verbs chained into new reports — proving
+# the operators compose (sessionize → duration percentiles; funnel →
+# conversion-latency percentiles), not just run alone.
+# ---------------------------------------------------------------------------
+from ..operators.sketches import (histogram_percentiles,  # noqa: E402
+                                  histogram_percentiles_oracle_sql)
+
+_DURATION_SPECS = [("p50", 1, 2), ("p90", 9, 10), ("p95", 19, 20)]
+
+_SESSION_DURATIONS_SQL = f"""(
+    SELECT strftime(DATE '{_EPOCH}'
+                    + CAST(start_sec // 86400 AS INTEGER),
+                    '%Y-%m-%d') AS day,
+           end_sec - start_sec AS duration_sec
+    FROM ({_SESSIONS_SQL})
+)"""
+
+
+@query(
+    "session_duration_percentiles_daily",
+    oracle=histogram_percentiles_oracle_sql(
+        _SESSION_DURATIONS_SQL, "day", "duration_sec",
+        _DURATION_SPECS, scale=1),
+)
+def session_duration_percentiles_daily(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Composition: sessionize_events' lag/gap sessions piped into the
+    mergeable histogram-percentile sketch — p50/p90/p95 session length
+    (seconds) per start day. scale=1 puts the histogram directly on the
+    integer second grid; both stages keep the integer rank rule, so the
+    whole chain is a transcription for DuckDB. One shuffle to
+    sessionize (user key), one to histogram (day, second) — never a
+    full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_millis(F.col("ts")) / 1000).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(sec).over(w)
+    flag = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    sessions = (
+        ev.select(
+            "user_id", sec.alias("sec"),
+            F.sum(flag).over(w.rowsBetween(W.unboundedPreceding,
+                                           W.currentRow))
+             .alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("sec").alias("start_sec"), F.max("sec").alias("end_sec"))
+    )
+    durations = sessions.select(
+        F.date_format(
+            F.date_add(F.lit(_EPOCH).cast("date"),
+                       F.floor(F.col("start_sec") / 86400).cast("int")),
+            "yyyy-MM-dd").alias("day"),
+        (F.col("end_sec") - F.col("start_sec")).alias("duration_sec"),
+    )
+    return histogram_percentiles(durations, ["day"], "duration_sec",
+                                 _DURATION_SPECS, scale=1)
+
+
+_CONVERSION_SQL = f"""(
+    SELECT strftime(DATE '{_EPOCH}'
+                    + CAST(fs // 86400 AS INTEGER), '%Y-%m-%d')
+               AS cohort_day,
+           fp - fs AS latency_sec
+    FROM (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN sec END) AS fs,
+               MIN(CASE WHEN event_type = 'purchase' AND sec >= _fs
+                        THEN sec END) AS fp
+        FROM (
+            SELECT user_id, event_type, sec,
+                   MIN(CASE WHEN event_type = 'signup' THEN sec END)
+                       OVER (PARTITION BY user_id) AS _fs
+            FROM (SELECT user_id, event_type,
+                         epoch_ms(ts) // 1000 AS sec
+                  FROM events)
+        )
+        GROUP BY user_id
+    ) WHERE fs IS NOT NULL AND fp IS NOT NULL
+)"""
+
+
+@query(
+    "conversion_latency_percentiles_by_cohort",
+    oracle=histogram_percentiles_oracle_sql(
+        _CONVERSION_SQL, "cohort_day", "latency_sec",
+        _DURATION_SPECS, scale=1),
+)
+def conversion_latency_percentiles_by_cohort(spark: SparkSession,
+                                             sf_dir: str) -> DataFrame:
+    """Composition: funnel first-signup → first-purchase-after latency
+    per user, percentiled by signup-cohort day. The purchase floor
+    (first signup time) attaches by a per-user window INSIDE the
+    grouped aggregate — one shuffle on user_id resolves both funnel
+    steps, no events×events self-join; the latency histogram then runs
+    on the tiny (cohort, seconds) table. Integer seconds end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_millis(F.col("ts")) / 1000).cast("long")
+    fs_w = F.min(F.when(F.col("event_type") == "signup", F.col("sec"))) \
+            .over(W.partitionBy("user_id"))
+    per_user = (
+        ev.select("user_id", "event_type", sec.alias("sec"))
+        .withColumn("_fs", fs_w)
+        .groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup",
+                          F.col("sec"))).alias("fs"),
+             F.min(F.when((F.col("event_type") == "purchase")
+                          & (F.col("sec") >= F.col("_fs")),
+                          F.col("sec"))).alias("fp"))
+        .filter(F.col("fs").isNotNull() & F.col("fp").isNotNull())
+    )
+    lat = per_user.select(
+        F.date_format(
+            F.date_add(F.lit(_EPOCH).cast("date"),
+                       F.floor(F.col("fs") / 86400).cast("int")),
+            "yyyy-MM-dd").alias("cohort_day"),
+        (F.col("fp") - F.col("fs")).alias("latency_sec"),
+    )
+    return histogram_percentiles(lat, ["cohort_day"], "latency_sec",
+                                 _DURATION_SPECS, scale=1)
