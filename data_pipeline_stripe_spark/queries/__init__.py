@@ -137,6 +137,8 @@ PRIORITY_THIS_ROUND = [
     # percentiles; funnel → conversion-latency percentiles
     "session_duration_percentiles_daily",
     "conversion_latency_percentiles_by_cohort",
+    # round 6 (cont. 2): corpus-diversity entropy card
+    "doc_source_token_entropy",
 ]
 
 

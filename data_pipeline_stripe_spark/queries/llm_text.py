@@ -1783,3 +1783,59 @@ def doc_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans and pass through intact."""
     docs = load_table(spark, sf_dir, "documents")
     return llm_text.remove_duplicate_spans(docs, gram=8)
+
+
+@query(
+    "doc_source_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKENS}) AS tok FROM documents
+    ), c AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY ALL
+    ), t AS (
+        SELECT source, n,
+               SUM(n) OVER (PARTITION BY source) AS tot
+        FROM c
+    )
+    SELECT source,
+           CAST(MAX(tot) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) * CAST(1000000 AS BIGINT) // MAX(tot)
+                AS BIGINT) AS ttr_ppm,
+           ROUND(SUM(-(n / CAST(tot AS DOUBLE))
+                     * ln(n / CAST(tot AS DOUBLE))), 6) AS entropy_nats
+    FROM t GROUP BY source
+    """,
+)
+def doc_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus-diversity audit — per-source Shannon token entropy
+    (nats) and integer-ppm type-token ratio, the numbers a training-mix
+    decision reads next to doc_corpus_stats' volume card (a source with
+    collapsing entropy is boilerplate even when its token count looks
+    healthy). Shares the repo-wide whitespace tokenization and its SQL
+    twin. Plan: explode → (source, token) count (map-side combinable;
+    post-shuffle rows = vocabulary) → per-source window + fold; entropy
+    is the one float reduction, ROUND(6) on both engines (PSI
+    precedent), every other output column integer-exact."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("source"))
+    p = F.col("n") / F.col("tot")
+    return (
+        counts.withColumn("tot", tot)
+        .groupBy("source")
+        .agg(F.max("tot").cast("long").alias("n_tokens"),
+             F.count("*").cast("long").alias("n_types"),
+             F.expr("CAST(count(*) * CAST(1000000 AS BIGINT)"
+                    " div max(tot) AS BIGINT)").alias("ttr_ppm"),
+             F.round(F.sum(-p * F.log(p)), 6).alias("entropy_nats"))
+    )
