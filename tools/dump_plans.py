@@ -179,6 +179,26 @@ SHOWCASE = [
      "Systematic PPS sampling: per-stratum cumulative-weight windows "
      "(one exchange) + integer grid selection in codegen — "
      "deterministic, no rand(), no Python."),
+    ("mad_outlier_value_stats",
+     "Robust MAD stats from ONE raw scan, zero joins: the deviation "
+     "histogram is derived FROM the value histogram via partition "
+     "windows (a join-back form re-planned the events scan 7 times)."),
+    ("pareto_front_orders_price_recency",
+     "Skyline as one hash exchange + a RANGE-framed running-max window "
+     "— no NOT-EXISTS self-join, dominance keyed on the cent value so "
+     "any physical row order gives the identical frontier."),
+    ("peak_concurrent_sessions_daily",
+     "Sweep-line concurrency: sessionization planned exactly once "
+     "(both interval endpoints exploded in one pass), deltas collapsed "
+     "per second, one running-sum window over the tiny point set."),
+    ("ema_daily_value_halflife",
+     "Dyadic-exact EMA: the 20-lag decayed self-join broadcasts the "
+     "per-(type, day) pre-aggregate — raw events shuffle once for the "
+     "daily rollup and never join."),
+    ("value_ks_distance_by_type",
+     "Exact two-sample KS: two histogram passes, a keys×grid merge, "
+     "one ordered window — integer cross-multiplied ECDF comparison, "
+     "no float accumulation anywhere."),
 ]
 
 
