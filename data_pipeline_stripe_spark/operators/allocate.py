@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ._names import free_name, reject_reserved
+
 
 def allocate_proportional(df: DataFrame, keys: list[str], id_col: str,
                           weight_col: str, total: int) -> DataFrame:
@@ -39,32 +41,39 @@ def allocate_proportional(df: DataFrame, keys: list[str], id_col: str,
     groups allocate nothing). Ties on the fractional remainder break by
     ``id_col`` ascending. Per-group invariant (pinned in tests):
     SUM(alloc_units) == total wherever the group weight sum > 0."""
+    reject_reserved(df.columns, ["alloc_units"], "allocate_proportional")
+    # internal working columns derived collision-free (gapfill lesson:
+    # withColumn on a caller-owned name silently replaces it)
+    taken = set(df.columns)
+    wsum, numc, flo, rem, left, rk_c = (
+        free_name(taken, b)
+        for b in ("_wsum", "_num", "_floor", "_rem", "_left", "_rk"))
     grp = W.partitionBy(*keys)
     t_lit = F.lit(int(total)).cast("long")
     num = F.col(weight_col).cast("long") * t_lit
-    t = df.withColumn("_wsum", F.sum(weight_col).over(grp).cast("long"))
+    t = df.withColumn(wsum, F.sum(weight_col).over(grp).cast("long"))
     # integer floor and remainder of num / W (num, W >= 0 so div == floor)
     t = (
-        t.withColumn("_num", num)
-        .withColumn("_floor", F.when(F.col("_wsum") > 0,
-                                     F.expr("_num div _wsum"))
-                               .otherwise(F.lit(0)).cast("long"))
-        .withColumn("_rem", F.when(F.col("_wsum") > 0,
-                                   F.expr("_num % _wsum"))
-                             .otherwise(F.lit(0)).cast("long"))
+        t.withColumn(numc, num)
+        .withColumn(flo, F.when(F.col(wsum) > 0,
+                                F.expr(f"{numc} div {wsum}"))
+                          .otherwise(F.lit(0)).cast("long"))
+        .withColumn(rem, F.when(F.col(wsum) > 0,
+                                F.expr(f"{numc} % {wsum}"))
+                          .otherwise(F.lit(0)).cast("long"))
     )
-    leftover = t_lit - F.sum("_floor").over(grp)
+    leftover = t_lit - F.sum(flo).over(grp)
     rk = F.row_number().over(
-        grp.orderBy(F.col("_rem").desc(), F.col(id_col).asc()))
+        grp.orderBy(F.col(rem).desc(), F.col(id_col).asc()))
     return (
-        t.withColumn("_left", F.when(F.col("_wsum") > 0, leftover)
-                               .otherwise(F.lit(0)))
-        .withColumn("_rk", rk)
+        t.withColumn(left, F.when(F.col(wsum) > 0, leftover)
+                            .otherwise(F.lit(0)))
+        .withColumn(rk_c, rk)
         .withColumn("alloc_units",
-                    (F.col("_floor")
-                     + F.when(F.col("_rk") <= F.col("_left"), 1)
+                    (F.col(flo)
+                     + F.when(F.col(rk_c) <= F.col(left), 1)
                         .otherwise(0)).cast("long"))
-        .drop("_wsum", "_num", "_floor", "_rem", "_left", "_rk")
+        .drop(wsum, numc, flo, rem, left, rk_c)
     )
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._names import reject_reserved
+
 
 def _binned(df: DataFrame, keys: list[str], col: str,
             edges: list[int], scale: int, side: str) -> DataFrame:
@@ -46,6 +48,8 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, keys: list[str],
     slice B (current). ``edges`` are ascending integer cent thresholds;
     values < edges[0] fall in bin 0, >= edges[-1] in bin len(edges) —
     len(edges)+1 bins total. Returns (keys, n_a, n_b, psi)."""
+    reject_reserved(keys, ["bin", "n_a", "n_b", "psi", "tot_a", "tot_b",
+                           "bins"], "psi_drift")
     a = _binned(df_a, keys, col, edges, scale, "a")
     b = _binned(df_b, keys, col, edges, scale, "b")
     n_bins = len(edges) + 1
@@ -108,6 +112,9 @@ def ks_distance(df_a: DataFrame, df_b: DataFrame, keys: list[str],
     histogram first (this operator already does) and the bound is on
     ROW counts per key, not distinct cents."""
     from pyspark.sql.window import Window as W
+
+    reject_reserved(keys, ["c", "n_a", "n_b", "ks", "cum_a", "cum_b",
+                           "tot_a", "tot_b", "_num"], "ks_distance")
 
     # NULL values are excluded on BOTH engines (they are not part of a
     # value distribution, and the engines disagree on NULL sort order:

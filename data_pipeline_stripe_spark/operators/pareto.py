@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ._names import free_name
+
 
 def pareto_frontier(df: DataFrame, c1: str, c2: str,
                     keys: list[str] | None = None) -> DataFrame:
@@ -54,7 +56,10 @@ def pareto_frontier(df: DataFrame, c1: str, c2: str,
     m_incl = F.max(c2).over(incl)
     dominated = (m_excl.isNotNull() & (m_excl >= F.col(c2))) | (
         m_incl > F.col(c2))
-    return df.withColumn("_dom", dominated).filter(~F.col("_dom")).drop("_dom")
+    # internal flag name derived collision-free (a caller column named
+    # '_dom' would otherwise be silently replaced, then dropped)
+    dom = free_name(df.columns, "_dom")
+    return df.withColumn(dom, dominated).filter(~F.col(dom)).drop(dom)
 
 
 def pareto_frontier_oracle_sql(table: str, c1: str, c2: str,

@@ -429,6 +429,11 @@ def mad_stats(df: DataFrame, keys: list[str], col: str, k: int = 5,
     """
     from pyspark.sql.window import Window as W
 
+    from ._names import reject_reserved
+
+    reject_reserved(keys, ["_c", "n", "cum", "tot", "med", "d", "mad",
+                           "n_total", "med_cents", "mad_cents",
+                           "n_outliers"], "mad_stats")
     grp = W.partitionBy(*keys)
     cum_c = grp.orderBy("_c").rowsBetween(W.unboundedPreceding,
                                           W.currentRow)

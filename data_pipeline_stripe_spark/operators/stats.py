@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ._names import reject_reserved
+
 
 def trend_slope(df: DataFrame, keys: list[str], x_col: str,
                 y_col: str) -> DataFrame:
@@ -37,6 +39,8 @@ def trend_slope(df: DataFrame, keys: list[str], x_col: str,
     fine-grained or pre-aggregate y per x first. Keys with a single
     distinct x have denominator 0 → NULL slope/intercept (both
     engines)."""
+    reject_reserved(keys, ["n", "sx", "sy", "sxx", "sxy", "slope",
+                           "intercept"], "trend_slope")
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
     agg = df.groupBy(*keys).agg(
@@ -100,6 +104,8 @@ def gini(df: DataFrame, keys: list[str], w_col: str,
     Overflow bound: n·Σw < 2^62 per key — at 100 TB compute Gini per
     partition-key group (region, day) rather than globally, or
     pre-bucket weights into a cent histogram and rank bins."""
+    reject_reserved(keys, ["_w", "_i", "n", "sw", "siw", "total",
+                           "gini"], "gini")
     rk = F.row_number().over(
         W.partitionBy(*keys).orderBy(F.col(w_col).asc(),
                                      F.col(id_col).asc()))
@@ -164,6 +170,8 @@ def benford_digit_stats(df: DataFrame, keys: list[str], col: str,
     per key survive the shuffle — plus one per-key window. The first
     digit comes from the DECIMAL STRING of the cent value: identical,
     locale-free semantics on both engines."""
+    reject_reserved(keys, ["_c", "_tot", "digit", "n", "share_ppm",
+                           "benford_ppm"], "benford_digit_stats")
     c = F.round(F.col(col) * scale).cast("long")
     digit = F.substring(F.col("_c").cast("string"), 1, 1).cast("int")
     counts = (

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ._names import free_name, reject_reserved
+
 
 def interval_concurrency(intervals: DataFrame, start_sec: str,
                          end_sec: str, keys: list[str] | None = None,
@@ -41,6 +43,10 @@ def interval_concurrency(intervals: DataFrame, start_sec: str,
     intervals starting at t NOT yet open — and two back-to-back
     intervals [a, t−1], [t, b] never double-count."""
     part = keys or []
+    # the output contract claims (sec, delta, conc); a group key by one
+    # of those names would silently duplicate/ambiguate downstream
+    reject_reserved(part, ["sec", "delta", "conc"], "interval_concurrency")
+    p_tmp = free_name([*part, "sec", "delta"], "_p")
     # both endpoints in ONE pass (a union of two selects would plan the
     # upstream intervals subtree — often a full sessionization — twice)
     pts = (
@@ -49,9 +55,9 @@ def interval_concurrency(intervals: DataFrame, start_sec: str,
                      F.lit(1).alias("delta")),
             F.struct((F.col(end_sec).cast("long") + 1).alias("sec"),
                      F.lit(-1).alias("delta")),
-        )).alias("_p"))
-        .select(*part, F.col("_p.sec").alias("sec"),
-                F.col("_p.delta").alias("delta"))
+        )).alias(p_tmp))
+        .select(*part, F.col(f"{p_tmp}.sec").alias("sec"),
+                F.col(f"{p_tmp}.delta").alias("delta"))
     )
     if probes is not None:
         pts = pts.unionByName(

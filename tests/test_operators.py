@@ -1545,3 +1545,54 @@ def test_benford_digit_stats_counts_and_ppm(spark):
     assert got[2].share_ppm == 1000000 // 4
     assert all(got[d].benford_ppm == BENFORD_PPM[d] for d in got)
     assert sum(r.share_ppm for r in got.values()) <= 1000000
+
+
+def test_new_operators_guard_column_collisions(spark):
+    """The round-5 gapfill lesson applied to the cont.-2 batch: output-
+    contract collisions raise loudly instead of silently replacing a
+    caller column, and purely-internal temps are derived collision-free
+    (pareto works even when the caller owns '_dom')."""
+    import pytest as _pytest
+
+    from data_pipeline_stripe_spark.operators import (allocate_proportional,
+                                                      interval_concurrency,
+                                                      mad_stats,
+                                                      pareto_frontier,
+                                                      psi_drift)
+    from data_pipeline_stripe_spark.operators.drift import ks_distance
+    from data_pipeline_stripe_spark.operators.stats import (
+        benford_digit_stats, gini, trend_slope)
+
+    # internal temp: a caller-owned '_dom' column survives untouched
+    df = spark.createDataFrame([("g", 1, 1, "keep"), ("g", 2, 2, "keep")],
+                               "g string, x long, y long, _dom string")
+    out = pareto_frontier(df, "x", "y", keys=["g"]).collect()
+    assert [r._dom for r in out] == ["keep"]
+
+    # output contracts: every reserved-name collision raises
+    w = spark.createDataFrame([("g", "a", 1, 0.5)],
+                              "g string, id string, alloc_units long,"
+                              " v double")
+    with _pytest.raises(ValueError, match="allocate_proportional"):
+        allocate_proportional(w, ["g"], "id", "alloc_units", 10)
+    ev = spark.createDataFrame([(1, 2)], "sec long, delta long")
+    with _pytest.raises(ValueError, match="interval_concurrency"):
+        interval_concurrency(ev, "sec", "delta", keys=["conc"])
+    kdf = spark.createDataFrame([("x", 1.0)], "n_a string, v double")
+    with _pytest.raises(ValueError, match="psi_drift"):
+        psi_drift(kdf, kdf, ["n_a"], "v", [100])
+    with _pytest.raises(ValueError, match="ks_distance"):
+        ks_distance(kdf, kdf, ["n_a"], "v")
+    sdf = spark.createDataFrame([("x", 1, 2)], "slope string, x long, y long")
+    with _pytest.raises(ValueError, match="trend_slope"):
+        trend_slope(sdf, ["slope"], "x", "y")
+    gdf = spark.createDataFrame([("x", "i", 1)], "gini string, id string,"
+                                " w long")
+    with _pytest.raises(ValueError, match="gini"):
+        gini(gdf, ["gini"], "w", "id")
+    bdf = spark.createDataFrame([("x", 1.0)], "digit string, v double")
+    with _pytest.raises(ValueError, match="benford"):
+        benford_digit_stats(bdf, ["digit"], "v")
+    mdf = spark.createDataFrame([("x", 1.0)], "med string, v double")
+    with _pytest.raises(ValueError, match="mad_stats"):
+        mad_stats(mdf, ["med"], "v")
