@@ -40,6 +40,16 @@ QUERIES = [
     "doc_minhash_lsh_pairs",
     "approx_distinct_users_per_type",
     "embedding_topk_cosine",
+    # round-6 continuation: the scale questions worth measuring —
+    # the sweep's single-partition running sum over collapsed points,
+    # the skyline's per-priority window sort, the histogram-merge
+    # drift tests, and the rank-window Gini.
+    "mad_outlier_value_stats",
+    "peak_concurrent_sessions_daily",
+    "pareto_front_orders_price_recency",
+    "value_ks_distance_by_type",
+    "gini_revenue_concentration_by_region",
+    "ema_daily_value_halflife",
 ]
 
 SCALES = [(1, "/root/testdata/sf0.1"),
