@@ -347,6 +347,11 @@ def histogram_percentiles(df: DataFrame, keys: list[str], col: str,
     """
     from pyspark.sql.window import Window as W
 
+    from ._names import reject_reserved
+
+    reject_reserved(
+        [*keys, *(alias for alias, _, _ in quantiles)],
+        ["bin", "n", "cum", "tot"], "histogram_percentiles")
     binned = (
         df.select(
             *keys,
