@@ -27,8 +27,26 @@ from pyspark.sql.window import Window as W
 from ._names import free_name
 
 
+def _frontier_pass(df: DataFrame, c1: str, c2: str,
+                   part: list[str]) -> DataFrame:
+    base = (W.partitionBy(*part) if part else W.partitionBy())
+    excl = (base.orderBy(F.col(c1).desc())
+            .rangeBetween(W.unboundedPreceding, -1))
+    incl = (base.orderBy(F.col(c1).desc())
+            .rangeBetween(W.unboundedPreceding, W.currentRow))
+    m_excl = F.max(c2).over(excl)
+    m_incl = F.max(c2).over(incl)
+    dominated = (m_excl.isNotNull() & (m_excl >= F.col(c2))) | (
+        m_incl > F.col(c2))
+    # internal flag name derived collision-free (a caller column named
+    # '_dom' would otherwise be silently replaced, then dropped)
+    dom = free_name(df.columns, "_dom")
+    return df.withColumn(dom, dominated).filter(~F.col(dom)).drop(dom)
+
+
 def pareto_frontier(df: DataFrame, c1: str, c2: str,
-                    keys: list[str] | None = None) -> DataFrame:
+                    keys: list[str] | None = None,
+                    prefilter: bool = True) -> DataFrame:
     """Rows of ``df`` on the maximization frontier of integer columns
     (``c1``, ``c2``), per ``keys`` group (global if None). Both
     criteria must be integral (cent-grid quantized per the repo numeric
@@ -45,21 +63,27 @@ def pareto_frontier(df: DataFrame, c1: str, c2: str,
       strictly beats me on c2 — dominated.
 
     Exact duplicates of a frontier point dominate neither each other
-    nor themselves, so all copies are kept (skyline set semantics)."""
+    nor themselves, so all copies are kept (skyline set semantics).
+
+    ``prefilter`` (the distributed-skyline optimization, on by
+    default): when the group count is small, a single window partition
+    sorts the whole group on one core — the 100× scaling bench measured
+    11× growth on exactly that shape. The fix runs the SAME dominance
+    pass per (keys, spark_partition_id()) FIRST — fully parallel, and
+    provably safe: a row dominated within its physical partition is
+    dominated globally, and no global-frontier row can be eliminated by
+    its own partition — then the global pass sees only the tiny local
+    survivor set. The FINAL result is therefore identical under any
+    partitioning even though the intermediate depends on it (pinned by
+    the repartition-invariance test)."""
     part = keys or []
-    base = (W.partitionBy(*part) if part else W.partitionBy())
-    excl = (base.orderBy(F.col(c1).desc())
-            .rangeBetween(W.unboundedPreceding, -1))
-    incl = (base.orderBy(F.col(c1).desc())
-            .rangeBetween(W.unboundedPreceding, W.currentRow))
-    m_excl = F.max(c2).over(excl)
-    m_incl = F.max(c2).over(incl)
-    dominated = (m_excl.isNotNull() & (m_excl >= F.col(c2))) | (
-        m_incl > F.col(c2))
-    # internal flag name derived collision-free (a caller column named
-    # '_dom' would otherwise be silently replaced, then dropped)
-    dom = free_name(df.columns, "_dom")
-    return df.withColumn(dom, dominated).filter(~F.col(dom)).drop(dom)
+    if prefilter:
+        pid = free_name(df.columns, "_pid")
+        local = _frontier_pass(
+            df.withColumn(pid, F.spark_partition_id()),
+            c1, c2, [*part, pid]).drop(pid)
+        return _frontier_pass(local, c1, c2, part)
+    return _frontier_pass(df, c1, c2, part)
 
 
 def pareto_frontier_oracle_sql(table: str, c1: str, c2: str,

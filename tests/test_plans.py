@@ -308,13 +308,17 @@ def test_mad_stats_single_scan_no_joins(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_pareto_frontier_is_one_sort_no_join(spark, sf_dir):
-    """The skyline must stay the O(n log n) window form: one hash
-    exchange on the partition key, a RANGE-framed window, and no join
-    (the textbook NOT-EXISTS form would plan a nested loop)."""
+def test_pareto_frontier_is_two_window_passes_no_join(spark, sf_dir):
+    """The skyline must stay the window form (the textbook NOT-EXISTS
+    would plan a nested loop): a fully-parallel LOCAL dominance pass
+    partitioned by (keys, spark_partition_id) — without it the 100×
+    bench measured 11× growth, one core sorting each whole group —
+    then the global pass over the tiny survivor set. Two hash
+    exchanges, RANGE frames, zero joins."""
     plan = plan_of(spark, sf_dir, "pareto_front_orders_price_recency")
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SPARK_PARTITION_ID" in plan      # the local prefilter key
     assert "RangeFrame" in plan
 
 
