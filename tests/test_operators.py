@@ -1596,3 +1596,35 @@ def test_new_operators_guard_column_collisions(spark):
     mdf = spark.createDataFrame([("x", 1.0)], "med string, v double")
     with _pytest.raises(ValueError, match="mad_stats"):
         mad_stats(mdf, ["med"], "v")
+
+
+def test_interval_concurrency_sharded_equals_unsharded(spark):
+    """The two-level distributed prefix sum (shard_seconds) is a PLAN
+    change, never an answer change: on a timeline spanning many shards
+    (including empty ones and intervals crossing shard boundaries) the
+    sharded result equals the single-partition form row for row, and
+    the expensive upstream is planned once (no duplicated lag/explode
+    branches — the collapsed frame is checkpointed)."""
+    import random
+
+    from data_pipeline_stripe_spark.operators import interval_concurrency
+
+    rng = random.Random(11)
+    iv = [(s, s + rng.randrange(0, 250)) for s in
+          (rng.randrange(0, 1000) for _ in range(300))]
+    df = spark.createDataFrame(iv, "s long, e long")
+    probes = spark.createDataFrame([(0,), (500,), (2000,)], "sec long")
+
+    plain = interval_concurrency(df, "s", "e", probes=probes)
+    sharded = interval_concurrency(df, "s", "e", probes=probes,
+                                   shard_seconds=100)
+    rows_p = sorted(map(tuple, plain.collect()))
+    rows_s = sorted(map(tuple, sharded.collect()))
+    assert rows_p == rows_s
+    # keyed variant too
+    kdf = df.withColumn("g", (df.s % 3).cast("string"))
+    kp = sorted(map(tuple, interval_concurrency(
+        kdf, "s", "e", keys=["g"]).collect()))
+    ks = sorted(map(tuple, interval_concurrency(
+        kdf, "s", "e", keys=["g"], shard_seconds=64).collect()))
+    assert kp == ks
