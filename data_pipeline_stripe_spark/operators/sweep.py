@@ -106,13 +106,14 @@ def interval_concurrency(intervals: DataFrame, start_sec: str,
     shd = shd.withColumn("d", F.sum("d").over(in_shard))
     # per-shard totals = the LAST within-shard running value; opening =
     # prefix over strictly-previous shards (tiny: n_shards rows/key)
+    tot_c = free_name([*part, shard, opening], "_tot")
     totals = (shd.groupBy(*part, shard)
-              .agg(F.max_by("d", F.struct("sec", "delta")).alias("_tot")))
+              .agg(F.max_by("d", F.struct("sec", "delta")).alias(tot_c)))
     shards_w = ((W.partitionBy(*part) if part else W.partitionBy())
                 .orderBy(shard)
                 .rowsBetween(W.unboundedPreceding, -1))
     totals = totals.withColumn(
-        opening, F.coalesce(F.sum("_tot").over(shards_w), F.lit(0)))
+        opening, F.coalesce(F.sum(tot_c).over(shards_w), F.lit(0)))
     return (
         shd.join(totals.select(*part, shard, opening), [*part, shard])
         .select(*part, "sec", F.col("delta").cast("long"),
