@@ -87,6 +87,10 @@ PRIORITY_THIS_ROUND = [
     # round 6: §2.11 stateful streaming parity now driver-gated (4
     # micro-batch drain through a foreachBatch sink vs the batch oracle)
     "stateful_totals_stream_parity",
+    # round 6 (cont. 3): exactly-once ingest — watermarked streaming
+    # dedup of a ~6%-replayed source, drained and hash-matched against
+    # the un-duplicated fixture
+    "stream_dedup_parity",
     # round 6: IVF coarse pre-quantizer — query routing via keyed
     # RP-band join, no query×centroid cross (plan-pinned)
     "embedding_ivf_topk_pruned",

@@ -52,6 +52,105 @@ def _four_batch_events_dir(sf_dir: str, scratch: str) -> str:
     return in_dir
 
 
+def _four_batch_events_dir_with_dups(sf_dir: str, scratch: str) -> str:
+    """Like :func:`_four_batch_events_dir`, but replays rows: the first
+    K rows of every quarter are appended again to the SAME file (an
+    in-batch redelivery) and the last K rows of quarter i are appended
+    to file i+1 (a cross-batch redelivery, arriving one trigger late
+    but well inside the watermark horizon). Every duplicate is an exact
+    full-row copy, so whichever physical copy survives dedup the row
+    set is identical — the determinism the gate's hash needs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = os.path.join(scratch, "in")
+    os.makedirs(in_dir)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("ts")
+    n = tbl.num_rows
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    k = max(1, n // 50)
+    now = time.time()
+    for i in range(4):
+        base = tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
+        parts = [base, base.slice(0, min(k, base.num_rows))]
+        if i > 0:
+            prev = tbl.slice(cuts[i - 1], cuts[i] - cuts[i - 1])
+            parts.append(prev.slice(max(0, prev.num_rows - k), k))
+        path = os.path.join(in_dir, f"part-{i:04d}.parquet")
+        pq.write_table(pa.concat_tables(parts), path)
+        os.utime(path, (now + i, now + i))
+    return in_dir
+
+
+@query(
+    "stream_dedup_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 exactly-once ingest in the hash gate: the events fixture is
+    replayed with ~6% duplicate rows (in-batch and cross-batch exact
+    redeliveries, scaffolded by :func:`_four_batch_events_dir_with_dups`)
+    and streamed through ``dedup_event_stream``
+    (streaming/events.py: withWatermark + dropDuplicatesWithinWatermark)
+    as four micro-batches into an append parquet sink. The per-type
+    count/min/max/cent-sum of the drained output hash-matches the
+    UN-duplicated fixture only if every redelivery was dropped — an
+    undropped duplicate shifts n_events and total_value_cents; an
+    over-aggressive dedup (dropping a genuine row) shifts them the
+    other way.
+
+    Watermark horizon 10 days: longer than a quarter's ~7.5-day span
+    (so cross-batch duplicates of a quarter's tail rows still find
+    their state one trigger later) but far shorter than the fixture's
+    30-day range (so batch-1 keys genuinely age out of state by batch
+    4 — bounded state, not an ever-growing id set). Duplicates are
+    exact copies, so the surviving-copy choice cannot affect the hash;
+    the cent-sum is an integer sum, associative under any drain order."""
+    from ..streaming.events import dedup_event_stream, read_event_stream
+
+    scratch = _scratch(sf_dir, "stream_dedup_parity")
+    in_dir = _four_batch_events_dir_with_dups(sf_dir, scratch)
+    out_dir = os.path.join(scratch, "out")
+
+    deduped = dedup_event_stream(
+        read_event_stream(spark, in_dir, max_files_per_trigger=1),
+        watermark="10 days",
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(scratch, "_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("total_value_cents"),
+        )
+    )
+
+
 @query(
     "stateful_totals_stream_parity",
     oracle="""

@@ -808,3 +808,30 @@ def test_stream_static_join_picks_up_dim_updates_between_batches(
     finally:
         spark.sql("DROP TABLE IF EXISTS dim_live")
     assert sorted(seen) == [(0, "v1"), (1, "v2")]
+
+
+def test_stream_dedup_gate_scaffold_injects_real_duplicates(sf_dir, tmp_path):
+    """The gated stream_dedup_parity query is only a meaningful gate if
+    its scaffold actually replays rows: without dedup, the replayed
+    input must disagree with the fixture on both row count and the
+    per-type cent sum (the columns the gate hashes)."""
+    import duckdb
+
+    from data_pipeline_stripe_spark.queries.streaming_gate import (
+        _four_batch_events_dir_with_dups,
+    )
+
+    in_dir = _four_batch_events_dir_with_dups(sf_dir, str(tmp_path / "s"))
+    con = duckdb.connect()
+    n_raw, n_ids, cents_raw = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT event_id),"
+        f" SUM(CAST(ROUND(value * 100) AS BIGINT))"
+        f" FROM read_parquet('{in_dir}/*.parquet')"
+    ).fetchone()
+    n_fix, cents_fix = con.execute(
+        f"SELECT COUNT(*), SUM(CAST(ROUND(value * 100) AS BIGINT))"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert n_ids == n_fix          # every fixture row present
+    assert n_raw > n_fix           # plus genuine replays
+    assert cents_raw != cents_fix  # which poison the gated sum if kept
