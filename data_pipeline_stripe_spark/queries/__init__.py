@@ -91,6 +91,13 @@ PRIORITY_THIS_ROUND = [
     # dedup of a ~6%-replayed source, drained and hash-matched against
     # the un-duplicated fixture
     "stream_dedup_parity",
+    # round 6 (cont. 3): the measured worst scaler (BENCH_DIFF §scaling:
+    # royalties' fact-fact shuffle, 10× at 100× data) gets its 100 TB
+    # fix gated — the identical report tree over bucket-co-located
+    # facts; royalties itself pinned because the shared report tree was
+    # factored out of it
+    "royalties_monthly_usd",
+    "royalties_monthly_usd_bucketed",
     # round 6: IVF coarse pre-quantizer — query routing via keyed
     # RP-band join, no query×centroid cross (plan-pinned)
     "embedding_ivf_topk_pruned",

@@ -14,6 +14,8 @@ Each query is the idiomatic single-pass rewrite of its reference pipeline:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -166,9 +168,7 @@ def platform_usage_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
-    "royalties_monthly_usd",
-    oracle="""
+_ROYALTIES_ORACLE = """
     WITH rates(region_name, rate) AS (
         VALUES ('AFRICA', 1.10), ('AMERICA', 1.00), ('ASIA', 0.90),
                ('EUROPE', 1.20)
@@ -185,30 +185,29 @@ def platform_usage_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     JOIN rates r2   ON r.r_name = r2.region_name
     GROUP BY 1, 2
-    """,
-)
-def royalties_monthly_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference report 3 (royalties.py): monthly royalties per provider,
-    currency-normalized. Semantics mapped onto the driver tables:
-    promotion ⇒ zero amount (royalties.py:231: promotion == "false"
-    check) plays as returnflag 'R'; the category percent (royalties.py:232)
-    plays as l_tax; the exchange-rate dict captured in an RDD closure
-    (royalties.py:210-214,306) becomes a broadcast-joined rates dim —
-    currencies missing from rates drop via the inner join, which is the
-    declared semantics of the reference's None-filter (royalties.py:306).
-    No JVM→Python hop anywhere."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
-    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
-    reg = F.broadcast(load_table(spark, sf_dir, "region"))
-    rates = F.broadcast(
+    """
+
+
+def _royalties_rates_dim(spark: SparkSession) -> DataFrame:
+    return F.broadcast(
         inline_dim(
             spark,
             [("AFRICA", 1.10), ("AMERICA", 1.00), ("ASIA", 0.90), ("EUROPE", 1.20)],
             "region_name string, rate double",
         )
     )
+
+
+def _royalties_report(spark: SparkSession, sf_dir: str, li: DataFrame,
+                      orders: DataFrame) -> DataFrame:
+    """The royalties join/agg tree over ANY physical layout of the two
+    facts — the plain parquet scans (royalties_monthly_usd) and the
+    bucket-co-located warehouse tables (royalties_monthly_usd_bucketed)
+    share it, so layout is the ONLY variable between the two gates."""
+    sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    reg = F.broadcast(load_table(spark, sf_dir, "region"))
+    rates = _royalties_rates_dim(spark)
     amount = (
         F.when(F.col("l_returnflag") == "R", F.lit(0.0))
         .otherwise(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax"))
@@ -225,3 +224,62 @@ def royalties_monthly_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(amount * F.col("rate")), 2).alias("royalty_usd"))
     )
+
+
+@query("royalties_monthly_usd", oracle=_ROYALTIES_ORACLE)
+def royalties_monthly_usd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference report 3 (royalties.py): monthly royalties per provider,
+    currency-normalized. Semantics mapped onto the driver tables:
+    promotion ⇒ zero amount (royalties.py:231: promotion == "false"
+    check) plays as returnflag 'R'; the category percent (royalties.py:232)
+    plays as l_tax; the exchange-rate dict captured in an RDD closure
+    (royalties.py:210-214,306) becomes a broadcast-joined rates dim —
+    currencies missing from rates drop via the inner join, which is the
+    declared semantics of the reference's None-filter (royalties.py:306).
+    No JVM→Python hop anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return _royalties_report(spark, sf_dir, li, orders)
+
+
+@query("royalties_monthly_usd_bucketed", oracle=_ROYALTIES_ORACLE)
+def royalties_monthly_usd_bucketed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The same royalties report over BUCKET-CO-LOCATED facts — the
+    100 TB fix for the measured worst scaler. The scaling curve
+    (BENCH_DIFF.md §scaling) shows plain royalties growing 10× for
+    100× data, all of it the lineitem⋈orders sort-merge shuffle (both
+    sides are facts; the dims broadcast). Here both facts are written
+    once as `bucketBy(8, orderkey).sortBy(orderkey)` warehouse tables
+    — the recurring layout every warehouse gives its biggest join key
+    — and the identical report tree (`_royalties_report`) runs on top:
+    the fact-fact join needs NO Exchange on either side, so the
+    per-query shuffle of the full lineitem projection disappears and
+    only the group-by's (month, provider) exchange remains. Hash must
+    match the plain-layout oracle exactly: co-location changes the
+    physical plan, never the report.
+
+    Tables are per-SF-named, overwritten each run, and left in place
+    for the driver's collect (a gated fn must not drop tables its
+    returned frame still reads); orphaned warehouse directories from a
+    previous session are cleared before saveAsTable (the
+    LOCATION_ALREADY_EXISTS trap, see bucketed_join_roundtrip)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_t, o_t = f"roy_lineitem_{tag}", f"roy_orders_{tag}"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    li_cols = ["l_orderkey", "l_suppkey", "l_returnflag",
+               "l_extendedprice", "l_discount", "l_tax"]
+    (load_table(spark, sf_dir, "lineitem").select(*li_cols)
+     .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable(li_t))
+    (load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable(o_t))
+    return _royalties_report(spark, sf_dir, spark.table(li_t),
+                             spark.table(o_t))

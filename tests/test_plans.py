@@ -359,3 +359,24 @@ def test_trend_slope_is_two_aggregations_no_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "trend_slope_daily_revenue_by_type")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_royalties_fact_join_needs_no_shuffle(spark, sf_dir):
+    """royalties_monthly_usd_bucketed exists to kill the measured worst
+    scaler (the lineitem⋈orders shuffle, 10× wall-clock at 100× data —
+    BENCH_DIFF.md §scaling): with both facts bucketed on the order key,
+    the fact-fact join must consume the bucketed distribution directly —
+    no Exchange on either orderkey side; the only shuffle left is the
+    (month, provider) aggregate's. Broadcast is disabled so bucket
+    co-location (not a lucky small-table broadcast of orders) is what
+    removes the shuffle; the dims keep their explicit broadcast hints."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "royalties_monthly_usd_bucketed")
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert "SortMergeJoin [l_orderkey" in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
