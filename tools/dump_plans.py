@@ -199,6 +199,12 @@ SHOWCASE = [
      "Exact two-sample KS: two histogram passes, a keys×grid merge, "
      "one ordered window — integer cross-multiplied ECDF comparison, "
      "no float accumulation anywhere."),
+    ("royalties_monthly_usd_bucketed",
+     "The measured worst scaler's fix: both facts bucketed on the order "
+     "key, so the lineitem⨝orders SortMergeJoin consumes the bucketed "
+     "distribution directly — no Exchange on either orderkey side; the "
+     "only shuffle left is the 5-dim-broadcast report's (month, "
+     "provider) aggregate."),
 ]
 
 
@@ -210,9 +216,22 @@ def main() -> None:
            "",
            "Generated by tools/dump_plans.py; the properties called out here",
            "are pinned as assertions in tests/test_plans.py.", ""]
+    # At sf0.01 orders fits under the auto-broadcast threshold, which
+    # would hide the co-located SortMergeJoin the bucketed-royalties
+    # showcase exists to exhibit (at warehouse scale orders is a fact
+    # and never broadcasts). Disable auto-broadcast for that dump, as
+    # tests/test_plans.py does — the hinted dims still broadcast.
+    NO_AUTO_BROADCAST = {"royalties_monthly_usd_bucketed"}
+    default_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     for name, why in SHOWCASE:
-        df = REGISTRY[name].fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name in NO_AUTO_BROADCAST:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           default_thresh)
         out += [f"## {name}", "", why, "", "```", plan.rstrip(), "```", ""]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
