@@ -25,6 +25,24 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
+                         key: str, buckets: int = 8) -> None:
+    """Write ``df`` as a ``bucketBy(buckets, key).sortBy(key)`` catalog
+    table, replacing any previous incarnation. Handles the
+    LOCATION_ALREADY_EXISTS trap: a fresh session's in-memory catalog
+    doesn't know tables a previous session wrote, but their warehouse
+    directories persist — so both the catalog entry AND any orphaned
+    warehouse directory are cleared before saveAsTable."""
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+    (df.write.bucketBy(buckets, key).sortBy(key)
+     .mode("overwrite").saveAsTable(table))
+
+
 def write_clustered(df: DataFrame, out_dir: str, cluster_cols: list[str],
                     n_files: int) -> None:
     """Write ``df`` as ``n_files`` parquet files with DISJOINT ranges of

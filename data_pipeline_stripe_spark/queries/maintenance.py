@@ -488,20 +488,12 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query pins the correctness half in the driver ledger. Tables
     are per-SF-named and overwritten each run (left for the driver's
     collect — a gated fn must not drop tables its returned frame still
-    reads)."""
-    import shutil
-    from urllib.parse import urlparse
+    reads); `write_bucketed_table` clears orphaned warehouse locations
+    from previous sessions (the LOCATION_ALREADY_EXISTS trap)."""
+    from ..operators.layout import write_bucketed_table
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     li_t, o_t = f"bjr_lineitem_{tag}", f"bjr_orders_{tag}"
-    # a FRESH session's in-memory catalog doesn't know tables a previous
-    # session wrote, but their warehouse directories persist —
-    # saveAsTable then fails with LOCATION_ALREADY_EXISTS; drop both the
-    # catalog entry and any orphaned location first
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in (li_t, o_t):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -510,10 +502,8 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-     .mode("overwrite").saveAsTable(li_t))
-    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-     .mode("overwrite").saveAsTable(o_t))
+    write_bucketed_table(spark, li, li_t, "l_orderkey")
+    write_bucketed_table(spark, orders, o_t, "o_orderkey")
     lb, ob = spark.table(li_t), spark.table(o_t)
     return (
         lb.join(ob, lb.l_orderkey == ob.o_orderkey)

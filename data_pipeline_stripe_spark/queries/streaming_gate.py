@@ -30,36 +30,23 @@ from .io_roundtrip import _scratch
 from .registry import query
 
 
-def _four_batch_events_dir(sf_dir: str, scratch: str) -> str:
+def _four_batch_events_dir(sf_dir: str, scratch: str,
+                           replay: bool = False) -> str:
     """Split the events fixture into 4 ts-ordered parquet files with
     strictly ascending mtimes under ``scratch``/in, so the file stream
     (maxFilesPerTrigger=1, oldest-first) replays them as 4 micro-batches
     whose event time moves forward. Driver-side pyarrow is test
     scaffolding standing in for the broker a production stream reads —
-    the fixture is small by construction; nothing downstream is."""
-    import pyarrow.parquet as pq
+    the fixture is small by construction; nothing downstream is.
 
-    in_dir = os.path.join(scratch, "in")
-    os.makedirs(in_dir)
-    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("ts")
-    n = tbl.num_rows
-    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
-    now = time.time()
-    for i in range(4):
-        path = os.path.join(in_dir, f"part-{i:04d}.parquet")
-        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        os.utime(path, (now + i, now + i))
-    return in_dir
-
-
-def _four_batch_events_dir_with_dups(sf_dir: str, scratch: str) -> str:
-    """Like :func:`_four_batch_events_dir`, but replays rows: the first
-    K rows of every quarter are appended again to the SAME file (an
-    in-batch redelivery) and the last K rows of quarter i are appended
-    to file i+1 (a cross-batch redelivery, arriving one trigger late
-    but well inside the watermark horizon). Every duplicate is an exact
-    full-row copy, so whichever physical copy survives dedup the row
-    set is identical — the determinism the gate's hash needs."""
+    With ``replay=True`` the source becomes at-least-once: the first
+    K = n/50 rows of every quarter are appended again to the SAME file
+    (an in-batch redelivery) and the last K rows of quarter i are
+    appended to file i+1 (a cross-batch redelivery, arriving one
+    trigger late but well inside the watermark horizon) — ~12% extra
+    deliveries overall. Every duplicate is an exact full-row copy, so
+    whichever physical copy survives dedup the row set is identical —
+    the determinism the dedup gate's hash needs."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -72,10 +59,12 @@ def _four_batch_events_dir_with_dups(sf_dir: str, scratch: str) -> str:
     now = time.time()
     for i in range(4):
         base = tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
-        parts = [base, base.slice(0, min(k, base.num_rows))]
-        if i > 0:
-            prev = tbl.slice(cuts[i - 1], cuts[i] - cuts[i - 1])
-            parts.append(prev.slice(max(0, prev.num_rows - k), k))
+        parts = [base]
+        if replay:
+            parts.append(base.slice(0, min(k, base.num_rows)))
+            if i > 0:
+                prev = tbl.slice(cuts[i - 1], cuts[i] - cuts[i - 1])
+                parts.append(prev.slice(max(0, prev.num_rows - k), k))
         path = os.path.join(in_dir, f"part-{i:04d}.parquet")
         pq.write_table(pa.concat_tables(parts), path)
         os.utime(path, (now + i, now + i))
@@ -96,8 +85,9 @@ def _four_batch_events_dir_with_dups(sf_dir: str, scratch: str) -> str:
 )
 def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 exactly-once ingest in the hash gate: the events fixture is
-    replayed with ~6% duplicate rows (in-batch and cross-batch exact
-    redeliveries, scaffolded by :func:`_four_batch_events_dir_with_dups`)
+    replayed with ~12% duplicate deliveries (in-batch and cross-batch
+    exact redeliveries, scaffolded by
+    :func:`_four_batch_events_dir` with ``replay=True``)
     and streamed through ``dedup_event_stream``
     (streaming/events.py: withWatermark + dropDuplicatesWithinWatermark)
     as four micro-batches into an append parquet sink. The per-type
@@ -117,7 +107,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import dedup_event_stream, read_event_stream
 
     scratch = _scratch(sf_dir, "stream_dedup_parity")
-    in_dir = _four_batch_events_dir_with_dups(sf_dir, scratch)
+    in_dir = _four_batch_events_dir(sf_dir, scratch, replay=True)
     out_dir = os.path.join(scratch, "out")
 
     deduped = dedup_event_stream(

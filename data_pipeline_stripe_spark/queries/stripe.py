@@ -261,25 +261,23 @@ def royalties_monthly_usd_bucketed(spark: SparkSession,
 
     Tables are per-SF-named, overwritten each run, and left in place
     for the driver's collect (a gated fn must not drop tables its
-    returned frame still reads); orphaned warehouse directories from a
-    previous session are cleared before saveAsTable (the
-    LOCATION_ALREADY_EXISTS trap, see bucketed_join_roundtrip)."""
-    import shutil
-    from urllib.parse import urlparse
+    returned frame still reads); `write_bucketed_table` clears orphaned
+    warehouse directories from a previous session before saveAsTable
+    (the LOCATION_ALREADY_EXISTS trap)."""
+    from ..operators.layout import write_bucketed_table
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     li_t, o_t = f"roy_lineitem_{tag}", f"roy_orders_{tag}"
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in (li_t, o_t):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     li_cols = ["l_orderkey", "l_suppkey", "l_returnflag",
                "l_extendedprice", "l_discount", "l_tax"]
-    (load_table(spark, sf_dir, "lineitem").select(*li_cols)
-     .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-     .mode("overwrite").saveAsTable(li_t))
-    (load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-     .mode("overwrite").saveAsTable(o_t))
+    write_bucketed_table(
+        spark, load_table(spark, sf_dir, "lineitem").select(*li_cols),
+        li_t, "l_orderkey",
+    )
+    write_bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        o_t, "o_orderkey",
+    )
     return _royalties_report(spark, sf_dir, spark.table(li_t),
                              spark.table(o_t))

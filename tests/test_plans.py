@@ -370,6 +370,7 @@ def test_bucketed_royalties_fact_join_needs_no_shuffle(spark, sf_dir):
     (month, provider) aggregate's. Broadcast is disabled so bucket
     co-location (not a lucky small-table broadcast of orders) is what
     removes the shuffle; the dims keep their explicit broadcast hints."""
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = plan_of(spark, sf_dir, "royalties_monthly_usd_bucketed")
@@ -377,6 +378,4 @@ def test_bucketed_royalties_fact_join_needs_no_shuffle(spark, sf_dir):
         assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
         assert "SortMergeJoin [l_orderkey" in plan, plan
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)

@@ -818,10 +818,10 @@ def test_stream_dedup_gate_scaffold_injects_real_duplicates(sf_dir, tmp_path):
     import duckdb
 
     from data_pipeline_stripe_spark.queries.streaming_gate import (
-        _four_batch_events_dir_with_dups,
+        _four_batch_events_dir,
     )
 
-    in_dir = _four_batch_events_dir_with_dups(sf_dir, str(tmp_path / "s"))
+    in_dir = _four_batch_events_dir(sf_dir, str(tmp_path / "s"), replay=True)
     con = duckdb.connect()
     n_raw, n_ids, cents_raw = con.execute(
         f"SELECT COUNT(*), COUNT(DISTINCT event_id),"
