@@ -98,6 +98,12 @@ PRIORITY_THIS_ROUND = [
     # factored out of it
     "royalties_monthly_usd",
     "royalties_monthly_usd_bucketed",
+    # round 6 (cont. 3): the re-run FULL ×10 differential caught two
+    # more tied-scale defects — q7's raw-double revenue sum (→ the q8
+    # cent-grid integer pattern) and the session oracle's non-total
+    # cumsum order (ties split around the session flag; → ts, event_id)
+    "q7_nation_trade_flow",
+    "session_window_batch",
     # round 6: IVF coarse pre-quantizer — query routing via keyed
     # RP-band join, no query×centroid cross (plan-pinned)
     "embedding_ivf_topk_pruned",

@@ -448,15 +448,21 @@ def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_batch",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+        -- ORDER BY ts alone is not a total order: under tied timestamps
+        -- (the ×10 replicated fixture has every event 10-fold tied) the
+        -- running sum splits the tied copies of a session-head row
+        -- arbitrarily around its new_session flag, leaking copies into
+        -- the previous session. The tiebreaker must match flagged's.
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         FROM flagged
     )

@@ -117,7 +117,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -133,7 +134,14 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
     year. The two-nation filter lands on the broadcast supplier/customer
     sides before the fact join, so the fact-fact shuffle only carries
-    rows that can still qualify for one direction of the pair."""
+    rows that can still qualify for one direction of the pair.
+
+    Revenue is cent-quantized per item and summed as BIGINT (the q8
+    pattern): the ×10 replicated-fixture differential caught the raw
+    double sum's rounded cent flipping on one ulp once every value is
+    10-fold tied — integer cents are associative under any partitioning
+    on both engines; the one trailing /100.0 is the same IEEE division
+    everywhere."""
     nations = ("NATION_1", "NATION_2")
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
     sup_n = F.broadcast(
@@ -158,7 +166,10 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(
+            (F.sum(F.round(_revenue() * 100).cast("long")) / 100.0)
+            .alias("revenue")
+        )
     )
 
 
