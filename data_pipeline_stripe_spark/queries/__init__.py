@@ -25,6 +25,7 @@ from . import relational4  # noqa: E402,F401
 from . import relational5  # noqa: E402,F401
 from . import relational6  # noqa: E402,F401
 from . import io_roundtrip  # noqa: E402,F401
+from . import ingest_robust  # noqa: E402,F401
 from . import streaming_gate  # noqa: E402,F401
 from . import maintenance  # noqa: E402,F401
 
@@ -156,6 +157,10 @@ PRIORITY_THIS_ROUND = [
     "conversion_latency_percentiles_by_cohort",
     # round 6 (cont. 2): corpus-diversity entropy card
     "doc_source_token_entropy",
+    # round 6 (cont. 4): ingestion robustness — PERMISSIVE corrupt-record
+    # quarantine and mergeSchema evolution read
+    "corrupt_json_quarantine",
+    "schema_evolution_union_read",
 ]
 
 

@@ -1,0 +1,175 @@
+"""Gated ingestion-robustness queries: corrupt-record quarantine and
+schema-evolution reads.
+
+The reference's ingest path assumes every blob parses and every batch
+carries the same columns (reference top10.py:147-166 builds rows straight
+from ``json.loads`` with no error branch; a malformed blob kills the whole
+driver loop). At 100 TB neither assumption holds: upstream producers ship
+truncated lines and add columns mid-quarter. These queries gate the two
+engine answers inside the DuckDB differential:
+
+- ``corrupt_json_quarantine``: PERMISSIVE JSON scan with
+  ``columnNameOfCorruptRecord`` — malformed lines land in a quarantine
+  bucket instead of failing the job (or silently vanishing, the
+  DROPMALFORMED failure mode); clean rows aggregate exactly.
+- ``schema_evolution_union_read``: two parquet batches written with
+  different schemas (the new batch adds columns) read back through one
+  ``mergeSchema`` scan — old rows surface the new columns as NULLs and
+  every aggregate still reconciles.
+
+Determinism notes (oracle-parity playbook): the corrupt / new-batch rules
+are pure integer functions of ``event_id`` so both engines re-derive the
+same split; values cross the text format as integer cents; timestamps are
+rendered to strings before writing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import load_table
+from .io_roundtrip import _scratch
+from .registry import query
+
+_QUARANTINE_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value_cents", T.LongType()),
+    # PERMISSIVE mode parks the raw text of malformed lines here; the
+    # column must be declared in the read schema to be addressable.
+    T.StructField("_corrupt", T.StringType()),
+])
+
+
+@query(
+    "corrupt_json_quarantine",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN event_id % 13 = 0 THEN '_QUARANTINED'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    ELSE user_id END AS uid
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(uid) AS BIGINT) AS n_parsed,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS value_cents
+    FROM tagged GROUP BY 1
+    """,
+)
+def corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter ingestion: events rendered to JSONL with every 13th
+    line deterministically truncated (the closing brace cut — a torn
+    write), then scanned back in one distributed PERMISSIVE read. Parsed
+    rows aggregate per type; malformed lines are COUNTED into a
+    ``_QUARANTINED`` bucket rather than failing the scan or silently
+    dropping (reference top10.py:147-166 has no error branch at all — one
+    bad blob kills the ingest loop). The oracle re-derives the corruption
+    rule from ``event_id``, so a hash match proves the quarantine split is
+    exact: nothing lost, nothing double-counted.
+
+    Scale shape: the corrupt branch costs one ``when`` over an already
+    text-shaped scan — no extra pass, no driver involvement; the
+    quarantine bucket is an ordinary group."""
+    out = _scratch(sf_dir, "corrupt_json_quarantine")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias(
+                    "value_cents"),
+            )
+        ).alias("js"),
+    )
+    torn = F.expr("substring(js, 1, length(js) - 1)")
+    ev.select(
+        F.when(F.col("event_id") % 13 == 0, torn).otherwise(
+            F.col("js")).alias("value")
+    ).write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema(_QUARANTINE_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return (
+        parsed.groupBy(
+            F.coalesce("event_type", F.lit("_QUARANTINED")).alias(
+                "event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("user_id").alias("n_parsed"),
+            F.coalesce(F.sum("value_cents"), F.lit(0)).alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "schema_evolution_union_read",
+    oracle="""
+    WITH unioned AS (
+        SELECT event_type,
+               CASE WHEN event_id % 2 = 1
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents,
+               CASE WHEN event_id % 2 = 1
+                    THEN 'ch-' || CAST(user_id % 3 AS VARCHAR) END AS channel
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(cents) AS BIGINT) AS n_with_value,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS value_cents,
+           CAST(COUNT(DISTINCT channel) AS BIGINT) AS n_channels
+    FROM unioned GROUP BY 1
+    """,
+)
+def schema_evolution_union_read(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest batches: the odd-``event_id`` half
+    of events is written with two EXTRA columns (``value_cents``,
+    ``channel``) the even half predates; one ``mergeSchema`` parquet scan
+    reads both directories and the old rows surface the new columns as
+    NULLs. The aggregate reconciles totals, the NULL-skipping column
+    counts, and a distinct over the new string column — a hash match
+    proves widening the schema mid-corpus loses no rows and invents no
+    values (the reference would need a backfill rewrite of every old
+    blob).
+
+    Scale shape: mergeSchema unions footers at planning time; the scan
+    itself stays one distributed pass with column pruning intact per
+    file."""
+    out = _scratch(sf_dir, "schema_evolution_union_read")
+    ev = load_table(spark, sf_dir, "events")
+    old_batch = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type"
+    )
+    new_batch = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.concat(F.lit("ch-"), (F.col("user_id") % 3).cast("string")).alias(
+            "channel"),
+    )
+    old_batch.write.mode("overwrite").parquet(f"{out}/b0")
+    new_batch.write.mode("overwrite").parquet(f"{out}/b1")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/b0", f"{out}/b1")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("value_cents").alias("n_with_value"),
+        F.coalesce(F.sum("value_cents"), F.lit(0)).alias("value_cents"),
+        F.countDistinct("channel").alias("n_channels"),
+    )

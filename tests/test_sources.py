@@ -270,3 +270,72 @@ def test_python_streaming_datasource_unpaced_mode_single_batch(spark):
     r = spark.sql("SELECT * FROM feed_unpaced").collect()[0]
     assert (r.n, r.v) == (300, sum((i * i) % 1_000_000 for i in range(300)))
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 1
+
+
+def test_permissive_quarantine_catches_torn_lines(spark, tmp_path):
+    """The corrupt_json_quarantine gate's load-bearing assumption: a JSON
+    line with the closing brace cut is genuinely malformed for Spark's
+    parser (lands in the corrupt-record column with every schema field
+    NULL), while intact lines parse fully. If a future parser version
+    started accepting truncated objects, the gated query's quarantine
+    bucket would silently empty — this pins the mechanism itself."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "torn")
+    lines = [
+        '{"event_id": 1, "event_type": "click", "value_cents": 5}',
+        '{"event_id": 2, "event_type": "purchase", "value_cents": 7',  # torn
+        '{"event_id": 3, "event_type": "click", "value_cents": 9}',
+    ]
+    spark.createDataFrame([(l,) for l in lines], ["value"]) \
+        .coalesce(1).write.mode("overwrite").text(path)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    rows = {r.event_id: r for r in parsed.collect()}
+    assert rows[1]._corrupt is None and rows[1].value_cents == 5
+    assert rows[3]._corrupt is None and rows[3].value_cents == 9
+    bad = [r for r in rows.values() if r._corrupt is not None]
+    assert len(bad) == 1
+    assert bad[0].event_id is None and bad[0].event_type is None
+    assert bad[0]._corrupt == lines[1]
+    # ...and DROPMALFORMED would have silently lost the torn line — the
+    # failure mode the quarantine bucket exists to make visible.
+    dropped = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED").json(path)
+    )
+    assert dropped.filter(F.col("event_id").isNotNull()).count() == 2
+
+
+def test_merge_schema_read_surfaces_new_columns_as_nulls(spark, tmp_path):
+    """schema_evolution_union_read's mechanism: two parquet batches with
+    different schemas read through one mergeSchema scan — the merged
+    schema is the union, rows from the old batch read NULL for the new
+    columns, and no rows are lost either way."""
+    out = str(tmp_path / "evolve")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "etype"]
+    ).write.mode("overwrite").parquet(f"{out}/b0")
+    spark.createDataFrame(
+        [(3, "c", 30, "ch-0")], ["id", "etype", "cents", "channel"]
+    ).write.mode("overwrite").parquet(f"{out}/b1")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/b0", f"{out}/b1")
+    )
+    assert set(merged.columns) == {"id", "etype", "cents", "channel"}
+    rows = {r.id: r for r in merged.collect()}
+    assert len(rows) == 3
+    assert rows[1].cents is None and rows[1].channel is None
+    assert rows[3].cents == 30 and rows[3].channel == "ch-0"
