@@ -161,6 +161,9 @@ PRIORITY_THIS_ROUND = [
     # quarantine and mergeSchema evolution read
     "corrupt_json_quarantine",
     "schema_evolution_union_read",
+    # round 6 (cont. 4): Spark-4 VariantType semi-structured extraction
+    # (parse once, typed path navigation) beside the string-JSON twin
+    "variant_nested_extract",
 ]
 
 

@@ -173,3 +173,65 @@ def schema_evolution_union_read(spark: SparkSession,
         F.coalesce(F.sum("value_cents"), F.lit(0)).alias("value_cents"),
         F.countDistinct("channel").alias("n_channels"),
     )
+
+
+@query(
+    "variant_nested_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS k_sum,
+           CAST(COUNT(CASE WHEN json_extract_string(props, '$.nope')
+                           IS NOT NULL THEN 1 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY 1
+    """,
+)
+def variant_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion, the Spark-4-native way: event payloads
+    arrive as NESTED JSON (an object plus an array, the shape real event
+    buses ship) and are parsed ONCE into VariantType — Spark's binary
+    semi-structured encoding — then fields come out with typed
+    ``variant_get`` path extraction: object paths (``$.meta.et``), array
+    indexing (``$.vals[0]``), and a missing path that must yield NULL,
+    not an error. The fixture's real ``props`` column rides the same
+    variant path. The string twin (``json_props_extract``,
+    relational2.py) re-parses the JSON text per extraction; Variant
+    parses once and navigates the binary encoding — the 100 TB answer
+    for wide event payloads with many extracted fields.
+
+    The oracle re-derives every field from the raw columns, so a hash
+    match proves the encode→variant→extract loop is lossless and
+    correctly typed."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.to_json(
+        F.struct(
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.col("event_type").alias("et"),
+            ).alias("meta"),
+            F.array(
+                F.round(F.col("value") * 100).cast("long"),
+                F.col("user_id"),
+            ).alias("vals"),
+        )
+    )
+    v = F.parse_json(js)
+    pk = F.parse_json("props")
+    fields = ev.select(
+        F.variant_get(v, "$.meta.et", "string").alias("et"),
+        F.variant_get(v, "$.vals[0]", "long").alias("cents"),
+        F.variant_get(v, "$.vals[1]", "long").alias("uid"),
+        F.variant_get(pk, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.nope", "string").alias("missing"),
+    )
+    return fields.groupBy(F.col("et").alias("event_type")).agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("cents_sum"),
+        F.countDistinct("uid").alias("n_users"),
+        F.sum("k").alias("k_sum"),
+        F.count("missing").alias("n_missing"),
+    )
