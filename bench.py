@@ -66,6 +66,10 @@ HEADLINE = [
     "pareto_front_orders_price_recency",
     "peak_concurrent_sessions_daily",
     "gini_revenue_concentration_by_region",
+    # round 6 (cont. 4): dead-letter JSONL scan (write + PERMISSIVE
+    # re-scan) and Variant typed path extraction
+    "corrupt_json_quarantine",
+    "variant_nested_extract",
 ]
 
 

@@ -205,6 +205,16 @@ SHOWCASE = [
      "distribution directly — no Exchange on either orderkey side; the "
      "only shuffle left is the 5-dim-broadcast report's (month, "
      "provider) aggregate."),
+    ("variant_nested_extract",
+     "Spark-4 Variant path: parse_json once per row into the binary "
+     "variant encoding, then five typed variant_get extractions inside "
+     "one codegen stage — no per-field JSON re-parse, no Python "
+     "boundary; one shuffle for the per-type aggregate."),
+    ("corrupt_json_quarantine",
+     "Dead-letter scan: PERMISSIVE JSON read with the corrupt-record "
+     "column — quarantine split is a coalesce inside the same scan "
+     "stage, one grouped aggregate after; malformed lines cost no "
+     "second pass."),
 ]
 
 
