@@ -207,9 +207,11 @@ SHOWCASE = [
      "provider) aggregate."),
     ("variant_nested_extract",
      "Spark-4 Variant path: parse_json once per row into the binary "
-     "variant encoding, then five typed variant_get extractions inside "
-     "one codegen stage — no per-field JSON re-parse, no Python "
-     "boundary; one shuffle for the per-type aggregate."),
+     "variant encoding, then typed variant_get path extractions — "
+     "measured at sf0.1: 4 extractions cost 12% more than 1 (the parse "
+     "is shared), and the variant path is 2.5x faster than "
+     "get_json_object re-parsing the same 4 fields (0.99s vs 2.52s). "
+     "No Python boundary; one shuffle for the per-type aggregate."),
     ("corrupt_json_quarantine",
      "Dead-letter scan: PERMISSIVE JSON read with the corrupt-record "
      "column — quarantine split is a coalesce inside the same scan "
