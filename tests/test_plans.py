@@ -379,3 +379,26 @@ def test_bucketed_royalties_fact_join_needs_no_shuffle(spark, sf_dir):
         assert "SortMergeJoin [l_orderkey" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_variant_extract_no_python_single_agg_tree(spark, sf_dir):
+    """Variant extraction must stay JVM-side (the whole point vs a
+    Python UDF json path) and the per-type aggregate must be the usual
+    partial/final pair over ONE scan — exchanges: the fixture rebalance
+    + the distinct-count two-phase pair."""
+    plan = plan_of(spark, sf_dir, "variant_nested_extract")
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange ") <= 3
+
+
+def test_quarantine_split_is_one_scan_no_join(spark, sf_dir):
+    """The quarantine split must be a coalesce inside the re-read's own
+    aggregate — not a corrupt/clean self-join or a second pass over the
+    files."""
+    plan = plan_of(spark, sf_dir, "corrupt_json_quarantine")
+    assert "Join" not in plan
+    # one grouped aggregate over one json scan: partial+final = 1 shuffle
+    assert plan.count("Exchange ") <= 1
+    assert plan.lower().count("scan json") == 1
