@@ -164,7 +164,14 @@ PRIORITY_THIS_ROUND = [
     # round 6 (cont. 4): Spark-4 VariantType semi-structured extraction
     # (parse once, typed path navigation) beside the string-JSON twin
     "variant_nested_extract",
+    # round 6 (cont. 4): ANSI-safe try_cast/try_to_timestamp over dirty
+    # strings (ANSI mode is Spark 4's default — plain CAST fails the job)
+    "try_cast_dirty_values",
 ]
+# NEXT ROUND: prune ALL 49 pins (every one is round-6-changed code; rule 1).
+# At 49 pins the rotation has 1 visible slot — the ceiling. The repo's own
+# tri-scale differential (tools/oracle_check.py at sf0.001/0.01/0.1 + the
+# ×10 fixture) is the full-registry gate in the meantime.
 
 
 def _round_number() -> int:

@@ -235,3 +235,62 @@ def variant_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("k_sum"),
         F.count("missing").alias("n_missing"),
     )
+
+
+@query(
+    "try_cast_dirty_values",
+    oracle="""
+    WITH dirty AS (
+        SELECT event_type,
+               CASE WHEN event_id % 5 = 0 THEN 'N/A'
+                    ELSE CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+               END AS cents_s,
+               CASE WHEN event_id % 7 = 0 THEN 'not-a-date'
+                    ELSE strftime(ts, '%Y-%m-%d %H:%M:%S')
+               END AS ts_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(TRY_CAST(cents_s AS BIGINT)) AS BIGINT) AS n_cents_ok,
+           CAST(COALESCE(SUM(TRY_CAST(cents_s AS BIGINT)), 0) AS BIGINT)
+               AS cents_sum,
+           CAST(COUNT(TRY_CAST(ts_s AS TIMESTAMP)) AS BIGINT) AS n_ts_ok,
+           MIN(strftime(TRY_CAST(ts_s AS TIMESTAMP), '%Y-%m-%d')) AS min_day
+    FROM dirty GROUP BY 1
+    """,
+)
+def try_cast_dirty_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casting over dirty inputs: numeric and timestamp columns
+    arrive as strings with deterministic garbage mixed in ('N/A' every
+    5th id, an unparseable date every 7th). Spark 4 runs ANSI mode by
+    default, where a plain CAST of garbage FAILS THE JOB — ``try_cast``/
+    ``try_to_timestamp`` turn exactly the bad rows into NULLs, which the
+    NULL-skipping aggregates then count and exclude. The oracle uses
+    DuckDB's TRY_CAST for the identical semantics, so a hash match proves
+    the error rows — and ONLY the error rows — fell out.
+
+    Scale shape: try_* are ordinary JVM expressions in the scan
+    projection; no error branch, no Python, no second pass."""
+    ev = load_table(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.lit("N/A"))
+        .otherwise(F.round(F.col("value") * 100).cast("long").cast("string"))
+        .alias("cents_s"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ts_s"),
+    )
+    parsed = dirty.select(
+        "event_type",
+        F.col("cents_s").try_cast("long").alias("cents"),
+        F.try_to_timestamp("ts_s").alias("ts"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("cents").alias("n_cents_ok"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("cents_sum"),
+        F.count("ts").alias("n_ts_ok"),
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("min_day"),
+    )
