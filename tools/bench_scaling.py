@@ -50,6 +50,13 @@ QUERIES = [
     "value_ks_distance_by_type",
     "gini_revenue_concentration_by_region",
     "ema_daily_value_halflife",
+    # round-6 continuation 4: the worst scaler's bucketed-layout fix
+    # (does the no-Exchange co-location hold the curve flat?), the
+    # dead-letter JSONL write+scan (text-format IO at scale), and the
+    # Variant binary-encoding extraction path.
+    "royalties_monthly_usd_bucketed",
+    "corrupt_json_quarantine",
+    "variant_nested_extract",
 ]
 
 SCALES = [(1, "/root/testdata/sf0.1"),
