@@ -112,6 +112,72 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_running_totals_v2(events: DataFrame) -> DataFrame:
+    """The same running-totals contract on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API: state
+    lives in NAMED variables handed out by a ``StatefulProcessorHandle``
+    (value/list/map state, timers, TTL) instead of the single implicit
+    GroupState tuple, and the store is RocksDB-backed (the query must run
+    with the RocksDB state-store provider — the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``; the default HDFS
+    provider is refused by this operator family).
+
+    Behavior twin of :func:`stateful_running_totals`: per event_type
+    running (n_events, total_value) across micro-batches, the updated
+    totals emitted for every key a batch touches — the parity test pins
+    both operators to the same batch oracle.
+
+    Environment note: the transformWithState Python<->JVM state protocol
+    rides the ``protobuf`` package, which this container does not ship —
+    the parity test skips itself here (and runs anywhere protobuf is
+    installed); ``stateful_running_totals`` remains the
+    tested-everywhere path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, v = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._totals.update((n, v))
+            yield pd.DataFrame({
+                "event_type": [key[0]],
+                "n_events": [n],
+                "total_value": [round(v, 2)],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def sessionize_with_timeout(events: DataFrame, gap_minutes: int = 30,
                             watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessionization with EVENT-TIME TIMEOUT state eviction —

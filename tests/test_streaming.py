@@ -835,3 +835,62 @@ def test_stream_dedup_gate_scaffold_injects_real_duplicates(sf_dir, tmp_path):
     assert n_ids == n_fix          # every fixture row present
     assert n_raw > n_fix           # plus genuine replays
     assert cents_raw != cents_fix  # which poison the gated sum if kept
+
+
+def _has_protobuf() -> bool:
+    """transformWithState's Python<->JVM state protocol rides protobuf
+    (pyspark/sql/streaming/proto) — absent in this container; the
+    operator is correct against the public API and this parity test runs
+    wherever protobuf is installed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState needs the python protobuf package "
+           "(not installed here; no-install environment)",
+)
+def test_stateful_running_totals_v2_transform_with_state(
+        spark, sf_dir, stream_dir):
+    """The transformWithStateInPandas twin (named ValueState, RocksDB
+    store) must land on the same final per-key totals as both the
+    GroupState operator and the batch groupBy — same oracle, successor
+    API. The RocksDB provider is a per-query conf; restore the default
+    afterwards so other streaming tests keep the HDFS-backed store."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.read_event_stream(spark, stream_dir)
+        out = streaming.stateful_running_totals_v2(stream)
+        streaming.run_to_memory(out, "running_totals_v2",
+                                output_mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    final = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT event_type, n_events, total_value FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+            "         ORDER BY n_events DESC) AS rn FROM running_totals_v2"
+            ") WHERE rn = 1").collect()
+    }
+    batch = {
+        r.event_type: (r.n, round(r.v, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert final == batch
