@@ -130,11 +130,10 @@ PRIORITY_THIS_ROUND = [
     # TF-IDF cosine gains the document-frequency cap it claimed to have
     "winsorized_value_stats",
     "doc_tfidf_cosine_pairs",
-    # round 6 (cont. 2): the DF-cap commit had collaterally added the
-    # HAVING cap to doc_tfidf_top_terms' ORACLE only (caught by the full
-    # suite re-run; top-terms has no d² self-join, so the Spark side
-    # correctly has no cap) — oracle restored, pin it.
-    "doc_tfidf_top_terms",
+    # (doc_tfidf_top_terms was pinned here for an oracle-text-only
+    # restore; unpinned at the 50-pin ceiling in favor of q10 below —
+    # the restore is sealed by the full sf0.001/0.01/0.1 differentials
+    # and the ×10 run, and the Spark side never changed.)
     # round 6 (cont. 2): new robust-stats + temporal operators
     "mad_outlier_value_stats",
     "ema_daily_value_halflife",
@@ -167,6 +166,11 @@ PRIORITY_THIS_ROUND = [
     # round 6 (cont. 4): ANSI-safe try_cast/try_to_timestamp over dirty
     # strings (ANSI mode is Spark 4's default — plain CAST fails the job)
     "try_cast_dirty_values",
+    # round 6 (cont. 4): the sharded full-×10 differential caught q10's
+    # raw double revenue sum flipping a rounded cent on 10-fold-tied
+    # values (same disease q7 had) — cent-grid BIGINT sum now, both
+    # engines
+    "q10_returned_item_ranking",
 ]
 # NEXT ROUND: prune ALL 49 pins (every one is round-6-changed code; rule 1).
 # At 49 pins the rotation has 1 visible slot — the ceiling. The repo's own

@@ -294,7 +294,8 @@ def q9_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_ranking",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT)) / 100.0 AS revenue,
            ROUND(c.c_acctbal, 2) AS acctbal,
            n.n_name AS nation_name
     FROM customer c
@@ -311,7 +312,14 @@ def q10_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers ranked by revenue lost to returns in a
     one-year window. Both selective predicates (return flag, date range)
     push to the fact scans; the final top-20 is a
-    TakeOrderedAndProject, not a full sort."""
+    TakeOrderedAndProject, not a full sort.
+
+    Revenue is cent-quantized per item and summed as BIGINT (the q7/q8
+    pattern): the ×10 replicated-fixture differential caught the raw
+    double sum's rounded cent flipping on one ulp once every value is
+    10-fold tied — integer cents are associative under any partitioning
+    on both engines; the one trailing /100.0 is the same IEEE division
+    everywhere."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -332,7 +340,10 @@ def q10_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
             F.col("n_name").alias("nation_name"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(
+            (F.sum(F.round(_revenue() * 100).cast("long")) / 100.0)
+            .alias("revenue")
+        )
         .select(
             "c_custkey",
             "c_name",
