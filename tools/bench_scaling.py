@@ -50,11 +50,13 @@ QUERIES = [
     "value_ks_distance_by_type",
     "gini_revenue_concentration_by_region",
     "ema_daily_value_halflife",
-    # round-6 continuation 4: the worst scaler's bucketed-layout fix
-    # (does the no-Exchange co-location hold the curve flat?), the
-    # dead-letter JSONL write+scan (text-format IO at scale), and the
-    # Variant binary-encoding extraction path.
-    "royalties_monthly_usd_bucketed",
+    # round-6 continuation 4: the dead-letter JSONL write+scan
+    # (text-format IO at scale) and the Variant binary-encoding
+    # extraction path. royalties_monthly_usd_bucketed is deliberately
+    # NOT here: its gated query rebuilds the bucketed tables every call,
+    # so this harness would charge the one-time layout build to every
+    # iteration — tools/bench_bucketed_royalties.py measures the
+    # build-once/report-many trade separately.
     "corrupt_json_quarantine",
     "variant_nested_extract",
 ]
