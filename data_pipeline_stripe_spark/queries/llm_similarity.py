@@ -519,7 +519,14 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation) → keep = one representative (min vec_id) per
     semantic cluster. The oracle computes the identical closure with a
     recursive CTE — an independent algorithm (semi-naive Datalog vs
-    distributed label propagation)."""
+    distributed label propagation).
+
+    Scale-verification note: sealed at sf0.001/0.01/0.1; on the ×10
+    fixture (10 near-copies of every vector by construction) the
+    recursive-CTE ORACLE spilled >78 GB of DuckDB temp and hit the disk
+    (NOTES_r6 cont-4). The Spark side completed; the limit is the
+    oracle's quadratic intermediate at that tie structure, not the
+    engine's bucketed plan."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("centroid_id"), "embedding"

@@ -349,7 +349,15 @@ def range_join_cooccurring_events(spark: SparkSession, sf_dir: str) -> DataFrame
     """Range join: event pairs within 60 seconds of each other, counted
     per type pair. Implemented with the bucketized equi-join
     (operators/range_join.py) — a keyed shuffle, not the O(n²)
-    nested-loop Spark would plan for the raw inequality."""
+    nested-loop Spark would plan for the raw inequality.
+
+    Scale-verification note: sealed at sf0.001/0.01/0.1; on the ×10
+    REPLICATED fixture the ORACLE side is infeasible — replicas share
+    timestamps, so the pair output grows ~×100 and DuckDB's
+    fetch-and-hash comparison ground >6 h CPU before the cut
+    (NOTES_r6 cont-4). The Spark side is bucket-keyed and completes;
+    the limit is the differential harness, same class as the
+    brute-force O(n²) baselines."""
     from ..operators import range_join
 
     ev = load_table(spark, sf_dir, "events")
