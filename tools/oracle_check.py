@@ -2,7 +2,7 @@
 on Spark AND its DuckDB oracle, compare row count + sorted-column value
 hash. Usage:
 
-    python tools/oracle_check.py [--strict] [sf_dir] [query ...]
+    python tools/oracle_check.py [--strict] [--shard=i/n] [sf_dir] [query ...]
 
 ``--strict`` disables the 9-digit float rounding in the canonical form
 (exact repr on both sides). Default rounding matches the driver's gate,
@@ -50,6 +50,18 @@ def main() -> int:
     global STRICT
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     STRICT = len(argv) != len(sys.argv) - 1
+    # --shard i/n: run only every n-th query starting at i (round-robin
+    # over registry order). One sequential local[8] session leaves most
+    # of a 32-core box idle; launch n workers with --shard 0/n .. n-1/n
+    # (e.g. in tmux) to saturate it — the round-6 full-×10 recipe.
+    # Ctrl-C will NOT stop a DuckDB query mid-flight (GIL held in C);
+    # kill -9 the worker AND its orphaned Spark JVM, then respawn on the
+    # remainder via an explicit query list.
+    shard_i, shard_n = 0, 1
+    for a in list(argv):
+        if a.startswith("--shard="):
+            argv.remove(a)
+            shard_i, shard_n = map(int, a.split("=", 1)[1].split("/"))
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
@@ -68,8 +80,10 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
-    for name, fn in qs.items():
+    for idx, (name, fn) in enumerate(qs.items()):
         if only and name not in only:
+            continue
+        if idx % shard_n != shard_i:
             continue
         t0 = time.time()
         try:
