@@ -213,9 +213,11 @@ _ROYALTIES_JSON_SCHEMA = T.StructType([
     )
     SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
            n.n_name AS provider,
-           ROUND(SUM(CASE WHEN l.l_returnflag = 'R' THEN 0.0
-                          ELSE l.l_extendedprice * (1 - l.l_discount) * l.l_tax
-                     END * r2.rate), 2) AS royalty_usd
+           ROUND(SUM(CAST(ROUND(CASE WHEN l.l_returnflag = 'R' THEN 0.0
+                                     ELSE l.l_extendedprice * (1 - l.l_discount)
+                                          * l.l_tax
+                                END * r2.rate * 10000000) AS BIGINT))
+                 / 10000000.0, 2) AS royalty_usd
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..sources import load_table
+from ._grid import grid_sum
 from .registry import query
 
 
@@ -24,14 +25,22 @@ from .registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
-           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_base_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) / 10000.0, 2)                 AS sum_disc_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                * 1000000) AS BIGINT)) / 1000000.0, 2)
+               AS sum_charge,
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 4)                                AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 4)                                AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 4)                                AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                            AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -41,21 +50,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped multi-aggregate scan — the A2 pattern (reference
     platform_usage.py:118-181) generalized to 8 aggregates in ONE pass.
     Filter + pruned columns push down to the parquet scan; partial
-    aggregation happens map-side before the single shuffle."""
+    aggregation happens map-side before the single shuffle.
+
+    Every sum/avg is an exact decimal-grid BIGINT sum (queries/_grid.py):
+    quantity and price live on the cent grid, price×(1−disc) on 1e-4,
+    ×(1+tax) on 1e-6 — so the aggregates are associative under any
+    partitioning and the single trailing division matches DuckDB's."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.round(grid_sum(F.col("l_quantity"), 100), 2).alias("sum_qty"),
+            F.round(grid_sum(F.col("l_extendedprice"), 100), 2).alias("sum_base_price"),
+            F.round(grid_sum(disc_price, 10000), 2).alias("sum_disc_price"),
+            F.round(grid_sum(disc_price * (1 + F.col("l_tax")), 1000000), 2).alias("sum_charge"),
+            F.round(grid_sum(F.col("l_quantity"), 100) / cnt, 4).alias("avg_qty"),
+            F.round(grid_sum(F.col("l_extendedprice"), 100) / cnt, 4).alias("avg_price"),
+            F.round(grid_sum(F.col("l_discount"), 100) / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -67,7 +82,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_revenue_by_region",
     oracle="""
     SELECT r.r_name AS region_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) / 10000.0, 2) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -90,7 +106,9 @@ def star_join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000), 2
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -134,7 +152,8 @@ def left_join_missing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation_name, r.r_name AS region_name,
            CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers,
-           ROUND(SUM(COALESCE(c.c_acctbal, 0)), 2) AS total_acctbal
+           ROUND(SUM(CAST(ROUND(COALESCE(c.c_acctbal, 0) * 100) AS BIGINT))
+                 / 100.0, 2) AS total_acctbal
     FROM nation n
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
     LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -153,7 +172,9 @@ def expression_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
         .agg(
             F.count("c_custkey").alias("n_customers"),
-            F.round(F.sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0))), 2).alias("total_acctbal"),
+            F.round(
+                grid_sum(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 100), 2
+            ).alias("total_acctbal"),
         )
     )
 
@@ -249,25 +270,29 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_order_total_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2)
+               AS running_total
     FROM orders
     """,
 )
 def running_order_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum over an explicit ROWS frame with a deterministic
-    ordering (orderdate, orderkey tiebreak)."""
+    ordering (orderdate, orderkey tiebreak). The accumulating value is
+    the exact cent-grid BIGINT sum — a float running sum re-rounds at
+    every row, so one mid-stream ulp would flip every later cent."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(cents).over(w) / 100.0, 2).alias("running_total"),
     )
 
 
@@ -372,7 +397,8 @@ def distinct_subset_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -386,7 +412,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(grid_sum(F.col("l_extendedprice"), 100), 2).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
         .select(
@@ -404,7 +430,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -416,7 +442,7 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(grid_sum(F.col("o_totalprice"), 100), 2).alias("total"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
@@ -559,8 +585,9 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_orderstatus = 'O' THEN 'open'
                 ELSE 'partial' END AS status_class,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END), 2)
-               AS big_order_total
+           ROUND(SUM(CAST(ROUND(CASE WHEN o_totalprice > 100000
+                                     THEN o_totalprice ELSE 0 END * 100)
+                     AS BIGINT)) / 100.0, 2) AS big_order_total
     FROM orders GROUP BY 1
     """,
 )
@@ -577,7 +604,7 @@ def conditional_order_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(status_class.alias("status_class"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum(big), 2).alias("big_order_total"),
+            F.round(grid_sum(big, 100), 2).alias("big_order_total"),
         )
     )
 
@@ -676,8 +703,12 @@ def format_number_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_quantity_by_status",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
-           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f
+           ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                          THEN CAST(ROUND(l_quantity * 100) AS BIGINT)
+                          ELSE 0 END) / 100.0, 2) AS qty_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                          THEN CAST(ROUND(l_quantity * 100) AS BIGINT)
+                          ELSE 0 END) / 100.0, 2) AS qty_f
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -687,12 +718,12 @@ def pivot_quantity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum("l_quantity"))
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")))
     )
     return pivoted.select(
         "l_returnflag",
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+        F.round(F.coalesce(F.col("O"), F.lit(0)) / 100.0, 2).alias("qty_o"),
+        F.round(F.coalesce(F.col("F"), F.lit(0)) / 100.0, 2).alias("qty_f"),
     )
 
 
@@ -703,9 +734,16 @@ def pivot_quantity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_udf_usage_percent",
     oracle="""
     WITH per_type AS (
-        SELECT event_type, SUM(value) AS type_value FROM events GROUP BY event_type
-    ), total AS (SELECT SUM(value) AS total_value FROM events)
-    SELECT event_type, ROUND(type_value / total_value * 100, 4) AS usage_pct
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS type_cents
+        FROM events GROUP BY event_type
+    ), total AS (
+        SELECT CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events
+    )
+    SELECT event_type,
+           ROUND(CAST(type_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) * 100, 4)
+               AS usage_pct
     FROM per_type, total
     """,
 )
@@ -715,7 +753,9 @@ def sql_udf_usage_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     through spark.sql over temp views (Q1/Q2 surface,
     platform_usage.py:202-221). Division semantics: null on null input;
     b=0 yields null in the engine (documented deviation from the
-    reference's ZeroDivisionError)."""
+    reference's ZeroDivisionError). The ratio's numerator/denominator
+    are exact cent-grid BIGINT sums so the one division is the same
+    correctly-rounded IEEE op on both engines."""
     from pyspark.sql import types as T
 
     ev = load_table(spark, sf_dir, "events")
@@ -730,9 +770,16 @@ def sql_udf_usage_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH per_type AS (
-            SELECT event_type, SUM(value) AS type_value FROM events_v GROUP BY event_type
-        ), total AS (SELECT SUM(value) AS total_value FROM events_v)
-        SELECT event_type, ROUND(usage_percent(type_value, total_value), 4) AS usage_pct
+            SELECT event_type,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS type_cents
+            FROM events_v GROUP BY event_type
+        ), total AS (
+            SELECT SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+            FROM events_v
+        )
+        SELECT event_type,
+               ROUND(usage_percent(CAST(type_cents AS DOUBLE),
+                                   CAST(total_cents AS DOUBLE)), 4) AS usage_pct
         FROM per_type CROSS JOIN total
         """
     )
@@ -746,7 +793,8 @@ def sql_udf_usage_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS revenue
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -760,7 +808,12 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
-               ROUND(SUM(l_extendedprice), 2) AS revenue
+               -- Spark SQL parses the 100.0 literal as DECIMAL(4,1) (unlike
+               -- DuckDB, where this division is DOUBLE); without the DOUBLE
+               -- cast the result collects as Decimal('x.60') vs the oracle's
+               -- double x.6 — caught by the ×10 differential.
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     / CAST(100 AS DOUBLE), 2) AS revenue
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

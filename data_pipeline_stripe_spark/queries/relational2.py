@@ -13,6 +13,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from ..sources import load_table
+from ._grid import grid_sum
 from .registry import query
 
 
@@ -20,7 +21,8 @@ from .registry import query
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) / 10000.0, 2) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority AS priority
     FROM customer c
@@ -55,8 +57,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue")
+            F.round(
+                grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000),
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -68,7 +72,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_supplier_customer_by_nation",
     oracle="""
     SELECT n.n_name AS nation_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -99,8 +104,10 @@ def q5_supplier_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         .join(reg, nat.n_regionkey == reg.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue")
+            F.round(
+                grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000),
+                2,
+            ).alias("revenue")
         )
     )
 
@@ -141,28 +148,43 @@ def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#1'
-      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
-                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / 7.0, 2) AS avg_yearly
+    FROM (
+        SELECT l.l_extendedprice,
+               CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS qty_c,
+               SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT))
+                   OVER (PARTITION BY l.l_partkey) AS part_qty_c,
+               COUNT(*) OVER (PARTITION BY l.l_partkey) AS part_n
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+    ) WHERE qty_c * 5 * part_n < part_qty_c
     """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar AVG subquery — decorrelated
     into a window average per part (one shuffle on the partkey instead of
-    a per-row subquery)."""
+    a per-row subquery). The `qty < 0.2·AVG(qty)` predicate is
+    cross-multiplied to exact integers (`qty·5·n < Σqty` on the cent
+    grid): a float AVG one ulp off the 0.2 boundary would flip the strict
+    comparison — same disease as the compared float sums."""
     li = load_table(spark, sf_dir, "lineitem")
     part = F.broadcast(
         load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     )
     w = W.partitionBy("l_partkey")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .withColumn("avg_qty", F.avg("l_quantity").over(w))
-        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .withColumn("qty_c", qty_c)
+        .withColumn("part_qty_c", F.sum(qty_c).over(w))
+        .withColumn("part_n", F.count("*").over(w))
+        .filter(F.col("qty_c") * 5 * F.col("part_n") < F.col("part_qty_c"))
+        .agg(
+            F.round(grid_sum(F.col("l_extendedprice"), 100) / 7.0, 2)
+            .alias("avg_yearly")
+        )
     )
 
 

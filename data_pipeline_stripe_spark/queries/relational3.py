@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ._grid import grid_sum
 from .registry import query
 
 
@@ -43,7 +44,8 @@ def _revenue() -> F.Column:
 @query(
     "q6_forecast_revenue_delta",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                     AS BIGINT)) / 10000.0, 2) AS revenue_delta
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
@@ -65,8 +67,9 @@ def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue_delta"))
+        .agg(F.round(
+            grid_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000), 2
+        ).alias("revenue_delta"))
     )
 
 
@@ -75,15 +78,16 @@ def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l_suppkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS BIGINT) AS rev_g
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
         GROUP BY 1
     )
-    SELECT s.s_suppkey, s.s_name, r.total_rev
+    SELECT s.s_suppkey, s.s_name, ROUND(r.rev_g / 10000.0, 2) AS total_rev
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    WHERE r.rev_g = (SELECT MAX(rev_g) FROM rev)
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +96,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     one grouped agg + a whole-frame max window over the per-supplier
     aggregate: the window input is |suppliers| rows (the agg output),
     never the fact, so the single-partition window is O(dims) at any
-    fact scale."""
+    fact scale. The max-equality compares the exact 1e-4-grid BIGINT
+    revenue, never a float: a one-ulp sum difference would silently
+    change WHICH supplier wins the tie."""
     from pyspark.sql.window import Window as W
 
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -101,9 +107,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(_revenue()), 2).alias("total_rev"))
-        .withColumn("max_rev", F.max("total_rev").over(W.partitionBy()))
-        .filter(F.col("total_rev") == F.col("max_rev"))
+        .agg(F.sum(F.round(_revenue() * 10000).cast("long")).alias("rev_g"))
+        .withColumn("max_rev", F.max("rev_g").over(W.partitionBy()))
+        .filter(F.col("rev_g") == F.col("max_rev"))
+        .withColumn("total_rev", F.round(F.col("rev_g") / 10000.0, 2))
     )
     sup = F.broadcast(load_table(spark, sf_dir, "supplier"))
     return (
@@ -489,7 +496,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -521,7 +529,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(grid_sum(_revenue(), 10000), 2).alias("revenue"))
     )
 
 
@@ -599,10 +607,12 @@ def q21_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation_name,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+           ROUND(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+               AS totacctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE c.c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2)
+    WHERE c.c_acctbal > (SELECT ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                                      / 100.0 / COUNT(*), 2)
                          FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -615,12 +625,13 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     above-average-balance customers with no order since mid-1999. The
     scalar AVG subquery becomes a 1-row broadcast cross join; NOT EXISTS
     becomes a left-anti join against the date-filtered orders. The avg
-    is rounded to cents on BOTH sides so engine summation order can't
-    flip a boundary row."""
+    threshold derives from the exact cent-grid sum (one deterministic
+    division + round) so engine summation order can't flip a boundary
+    row."""
     cust = load_table(spark, sf_dir, "customer")
     nat = F.broadcast(load_table(spark, sf_dir, "nation"))
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+        F.round(grid_sum(F.col("c_acctbal"), 100) / F.count("*"), 2).alias("avg_bal")
     )
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1999-06-01").cast("timestamp")
@@ -633,7 +644,7 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(grid_sum(F.col("c_acctbal"), 100), 2).alias("totacctbal"),
         )
     )
 

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 
 from ..sources import load_table
 from ..sources.readers import inline_dim
+from ._grid import grid_sum
 from .registry import query
 
 
@@ -175,9 +176,11 @@ _ROYALTIES_ORACLE = """
     )
     SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
            n.n_name AS provider,
-           ROUND(SUM(CASE WHEN l.l_returnflag = 'R' THEN 0.0
-                          ELSE l.l_extendedprice * (1 - l.l_discount) * l.l_tax
-                     END * r2.rate), 2) AS royalty_usd
+           ROUND(SUM(CAST(ROUND(CASE WHEN l.l_returnflag = 'R' THEN 0.0
+                                     ELSE l.l_extendedprice * (1 - l.l_discount)
+                                          * l.l_tax
+                                END * r2.rate * 10000000) AS BIGINT))
+                 / 10000000.0, 2) AS royalty_usd
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -222,7 +225,10 @@ def _royalties_report(spark: SparkSession, sf_dir: str, li: DataFrame,
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
             F.col("n_name").alias("provider"),
         )
-        .agg(F.round(F.sum(amount * F.col("rate")), 2).alias("royalty_usd"))
+        .agg(
+            F.round(grid_sum(amount * F.col("rate"), 10000000), 2)
+            .alias("royalty_usd")
+        )
     )
 
 

@@ -45,6 +45,57 @@ def test_every_oracle_output_column_has_allowlisted_type(oracle_con):
     )
 
 
+# Float SUMs are accumulation-order dependent: ROUND(SUM(<double>), 2)
+# can flip a cent whenever the exact sum sits one ulp from a rounding
+# boundary — the ×10 replicated-fixture differentials caught exactly that
+# in q7 and q10 (NOTES_r6), and round 7 converted the class wholesale to
+# the cent-grid BIGINT sum (queries/_grid.py). This lint keeps it out:
+# every ROUND(SUM(...)) in an oracle must quantize inside the SUM
+# (CAST(ROUND(expr * G) AS BIGINT)) unless the query is on the documented
+# allowlist below.
+ROUND_SUM_ALLOWLIST = {
+    # exact-integer ratios (SUM over 0/1 ints; one trailing division)
+    "doc_decontaminate",
+    "doc_decontaminate_bloom",
+    "doc_corpus_stats",
+    # documented tiny float folds (≤8 summands per group, sealed at ×10)
+    "value_drift_psi_by_type",
+    "doc_source_token_entropy",
+    # reference-parity surface: percents of raw double sums kept
+    # deliberately (docstring in queries/stripe.py)
+    "platform_usage_monthly",
+    "platform_usage_by_user_bucket",
+}
+
+
+def _sum_args(sql: str):
+    """Yield the balanced argument text of every ROUND(SUM( ... )) call."""
+    import re
+
+    for m in re.finditer(r"ROUND\s*\(\s*SUM\s*\(", sql):
+        depth, start = 1, m.end()
+        i = start
+        while i < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+        yield sql[start : i - 1]
+
+
+def test_no_compared_float_sum_in_oracles():
+    offenders = []
+    for name, sql in ORACLES.items():
+        if name in ROUND_SUM_ALLOWLIST:
+            continue
+        for arg in _sum_args(sql):
+            if "CAST(ROUND(" not in arg.replace(" ", ""):
+                offenders.append((name, arg.strip()[:80]))
+    assert not offenders, (
+        "ROUND(SUM(<double>)) without per-row grid quantization — one ulp "
+        "of summation-order noise flips the rounded cent on tied-value "
+        f"fixtures (the q7/q10 class). Use queries/_grid.py: {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     sdf = QUERIES[name](spark, sf_dir)
