@@ -1,0 +1,131 @@
+"""Deterministic domain-mixture resampling — the training-corpus verb
+behind published mixture recipes (The Pile's per-source weights, DoReMi's
+reweighted sampling): draw an exact-size sample whose per-source counts
+hit integer target quotas proportional to caller-declared weights.
+
+Two exact building blocks compose (no randomness, no float shares):
+
+1. **Quotas** via Hamilton largest-remainder apportionment
+   (:func:`..operators.allocate.allocate_proportional`): integer quotas
+   that sum EXACTLY to ``k`` — ``round(k·w/W)`` drifts by units and the
+   drift direction is float-rounding dependent.
+2. **Selection** within each source by md5 rank: documents order by
+   ``md5(CAST(id AS VARCHAR))`` (tie-broken by id), and the first
+   ``quota`` rows win. md5 of the decimal string is engine-independent,
+   so the same documents are chosen on any engine, any partitioning,
+   any day — resampling a grown corpus keeps prior picks stable except
+   where new docs genuinely out-hash old ones.
+
+Scale shape: one count-by-source aggregate (tiny), the quota math on
+the #sources-row frame, one broadcast join of quotas back to the
+corpus, and one per-source window rank — a single fact shuffle on
+``source_col``. A skewed source holds all its rows on one reducer for
+the rank; for 100 TB corpora pre-aggregate the rank with a per-partition
+top-``quota`` prefilter (the pareto prefilter pattern) before the
+global window — quota rows per source survive, so the global rank sees
+O(#partitions·quota), not the source.
+
+Reference scope: beyond the reference (X-surface) — its ETL has no
+sampling verb at all; this is the LLM-data-pipeline extension SURVEY.md
+§2.13 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators._names import free_name, reject_reserved
+from ..operators.allocate import allocate_proportional
+
+
+def mixture_resample(docs: DataFrame, weights: DataFrame, k: int,
+                     source_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Select exactly ``k`` rows of ``docs`` with per-source counts
+    Hamilton-apportioned to ``weights`` (a small ``(source_col, weight)``
+    frame, BIGINT weights ≥ 0; sources missing from ``weights`` drop —
+    inner-join semantics, the mixture recipe IS the allow-list).
+
+    Adds ``pick_order`` (1-based md5 rank within the source) to the
+    selected rows. Precondition: every quota must be ≤ the source's
+    row count — validated eagerly on the #sources-row quota frame
+    (fail-loud beats silently under-filling the mixture; callers that
+    want spillover redistribution should shrink ``k`` or reweight).
+    """
+    reject_reserved(docs.columns, ["pick_order"], "mixture_resample")
+    taken = set(docs.columns) | set(weights.columns)
+    n_c, grp_c, q_c = (free_name(taken, b) for b in ("_n", "_g", "_quota"))
+
+    counts = docs.groupBy(source_col).agg(F.count("*").alias(n_c))
+    srcs = counts.join(F.broadcast(weights), source_col).withColumn(
+        grp_c, F.lit(1)
+    )
+    quotas = (
+        allocate_proportional(srcs, [grp_c], source_col, "weight", int(k))
+        .withColumnRenamed("alloc_units", q_c)
+        .select(source_col, n_c, q_c)
+    )
+    # Eager validation on the tiny quota frame (O(#sources) driver rows).
+    over = quotas.filter(F.col(q_c) > F.col(n_c)).collect()
+    if over:
+        bad = {r[source_col]: (r[q_c], r[n_c]) for r in over}
+        raise ValueError(
+            f"mixture_resample: quota exceeds available rows for {bad} "
+            f"(quota, available) — lower k or the source's weight")
+
+    rank_w = W.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.join(F.broadcast(quotas.select(source_col, q_c)), source_col)
+        .withColumn("pick_order", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("pick_order") <= F.col(q_c))
+        .drop(q_c)
+    )
+
+
+def mixture_resample_oracle_sql(docs_sql: str, weights_sql: str, k: int,
+                                source_col: str = "source",
+                                id_col: str = "doc_id",
+                                select: str = "*") -> str:
+    """DuckDB transcription of :func:`mixture_resample`: the same
+    Hamilton quota arithmetic (``//`` == Spark ``div`` on the
+    non-negative operands) and the same md5-rank selection."""
+    t = int(k)
+    return f"""
+    WITH counts AS (
+        SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS avail
+        FROM ({docs_sql}) GROUP BY 1
+    ), srcs AS (
+        SELECT c.{source_col}, c.avail, w.weight,
+               SUM(w.weight) OVER () AS wsum
+        FROM counts c JOIN ({weights_sql}) w USING ({source_col})
+    ), fl AS (
+        SELECT *,
+               CASE WHEN wsum > 0
+                    THEN (weight * CAST({t} AS BIGINT)) // wsum
+                    ELSE 0 END AS floor_u,
+               CASE WHEN wsum > 0
+                    THEN (weight * CAST({t} AS BIGINT)) % wsum
+                    ELSE 0 END AS rem
+        FROM srcs
+    ), quota AS (
+        SELECT {source_col}, avail,
+               CAST(floor_u + CASE WHEN ROW_NUMBER() OVER (
+                        ORDER BY rem DESC, {source_col} ASC)
+                        <= {t} - SUM(floor_u) OVER () THEN 1 ELSE 0 END
+                    AS BIGINT) AS quota
+        FROM fl
+    ), ranked AS (
+        SELECT d.*, q.quota,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY d.{source_col}
+                   ORDER BY md5(CAST(d.{id_col} AS VARCHAR)), d.{id_col})
+                   AS BIGINT) AS pick_order
+        FROM ({docs_sql}) d JOIN quota q USING ({source_col})
+    )
+    SELECT {select}
+    FROM ranked WHERE pick_order <= quota
+    """

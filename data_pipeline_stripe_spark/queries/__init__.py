@@ -85,6 +85,9 @@ PRIORITY_THIS_ROUND = [
     "royalties_monthly_usd",
     "royalties_monthly_usd_bucketed",
     "royalties_json_roundtrip",
+    # round 7: deterministic domain-mixture resampling (Hamilton quotas
+    # + md5-systematic selection; llm/sampling.py)
+    "doc_mixture_resample",
 ]
 # Rotation note: with the r7 pin set the unpinned remainder re-verifies on
 # a ~5-round tile cadence; the repo's own tri-scale differential

@@ -1839,3 +1839,50 @@ def doc_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " div max(tot) AS BIGINT)").alias("ttr_ppm"),
              F.round(F.sum(-p * F.log(p)), 6).alias("entropy_nats"))
     )
+
+
+_MIXTURE_K = 100
+_MIXTURE_WEIGHT_SQL = """
+    SELECT DISTINCT source,
+           CAST(1 + (CAST(SUBSTR(source, 4) AS INT) % 5) AS BIGINT) AS weight
+    FROM documents
+"""
+
+
+def _mixture_oracle() -> str:
+    from ..llm.sampling import mixture_resample_oracle_sql
+
+    return mixture_resample_oracle_sql(
+        "SELECT doc_id, source FROM documents",
+        _MIXTURE_WEIGHT_SQL,
+        _MIXTURE_K,
+        select="doc_id, source, pick_order",
+    )
+
+
+@query("doc_mixture_resample", oracle=_mixture_oracle())
+def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: deterministic domain-mixture resampling (llm/sampling.py) —
+    the training-corpus verb behind published mixture recipes (Pile
+    weights, DoReMi): draw exactly K documents whose per-source counts
+    are Hamilton-apportioned to declared weights, selecting within each
+    source by md5 rank so the SAME documents win on any engine, any
+    partitioning, any rerun. The weight recipe here derives from the
+    source name (1 + src_index % 5) so it is scale-invariant; K=100 is
+    far below every per-source availability at all SFs (validated
+    eagerly by the operator — quota > available fails loudly). Plan:
+    tiny count agg + quota math on the #sources frame, one broadcast
+    join back, one per-source window rank — a single fact shuffle."""
+    from ..llm.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = (
+        docs.select("source").distinct()
+        .withColumn(
+            "weight",
+            (1 + F.expr("CAST(substring(source, 4) AS INT)") % 5).cast("long"),
+        )
+    )
+    return mixture_resample(docs, weights, _MIXTURE_K).select(
+        "doc_id", "source", "pick_order"
+    )

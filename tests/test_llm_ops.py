@@ -1004,3 +1004,49 @@ def test_bigram_lm_separates_shuffled_from_natural(spark):
     uni = {r.doc_id: r.mean_nll for r in lm_unigram_score(df).collect()}
     # same token multiset -> identical unigram score; bigram sees it
     assert uni[8] == uni[0]
+
+
+def test_mixture_resample_invariants(spark):
+    """Exact-k, per-source quotas matching Hamilton apportionment,
+    partitioning-invariance of the picks, and the fail-loud quota
+    validation."""
+    import pytest
+
+    from data_pipeline_stripe_spark.llm.sampling import mixture_resample
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = spark.createDataFrame(
+        [("s0", 1), ("s1", 2), ("s2", 3), ("s3", 4)],
+        "source string, weight long",
+    )
+    picked = mixture_resample(docs, weights, 50).collect()
+    assert len(picked) == 50
+    by_src = {}
+    for r in picked:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # Hamilton of 50 over weights 1:2:3:4 (W=10) is exact: 5/10/15/20
+    assert by_src == {"s0": 5, "s1": 10, "s2": 15, "s3": 20}
+
+    # same picks under a different physical partitioning
+    again = mixture_resample(docs.repartition(13), weights, 50).collect()
+    assert {(r.doc_id, r.pick_order) for r in again} == {
+        (r.doc_id, r.pick_order) for r in picked
+    }
+
+    # a source missing from the recipe is excluded (the recipe IS the
+    # allow-list), and its quota redistributes to the named sources
+    partial = mixture_resample(
+        docs, weights.filter("source <> 's3'"), 30
+    ).collect()
+    assert len(partial) == 30 and not [r for r in partial if r.source == "s3"]
+
+    # quota > available fails loudly, naming the offender
+    tiny = docs.filter("source <> 's0' OR doc_id < 8")  # s0 has only 2 rows
+    with pytest.raises(ValueError, match="s0"):
+        mixture_resample(tiny, weights, 190)
+
+    # output-contract collision fails loudly
+    with pytest.raises(ValueError, match="pick_order"):
+        mixture_resample(docs.withColumn("pick_order", docs.doc_id),
+                         weights, 10)
