@@ -88,6 +88,10 @@ PRIORITY_THIS_ROUND = [
     # round 7: deterministic domain-mixture resampling (Hamilton quotas
     # + md5-systematic selection; llm/sampling.py)
     "doc_mixture_resample",
+    # round 7: third §2.11 driver row — watermarked stream-stream
+    # attribution join drained across 4 micro-batches, with pairs that
+    # genuinely straddle the batch cuts (2-day window)
+    "stream_attribution_parity",
 ]
 # Rotation note: with the r7 pin set the unpinned remainder re-verifies on
 # a ~5-round tile cadence; the repo's own tri-scale differential

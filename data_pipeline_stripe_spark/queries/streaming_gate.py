@@ -205,3 +205,68 @@ def stateful_totals_stream_parity(spark: SparkSession,
             F.col("total_value").cast("long").alias("total_value_cents"),
         )
     )
+
+
+@query(
+    "stream_attribution_parity",
+    oracle="""
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(p.user_id AS BIGINT) AS user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 DAY
+    """,
+)
+def stream_attribution_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 stream-stream join in the hash gate: purchase→click
+    attribution (streaming/events.py:purchase_click_attribution — both
+    sides watermarked, event-time range condition bounding join state)
+    over the SAME four time-ordered micro-batches the other two
+    streaming gates replay, drained through a foreachBatch parquet sink
+    and hash-compared pair-for-pair against the batch range join.
+
+    The 2-day attribution window is chosen so pairs genuinely STRADDLE
+    micro-batch cuts (a quarter spans ~7.5 days; a 30-minute window
+    almost never crosses one): at every SF some purchases in batch i+1
+    attribute to clicks from batch i, so the hash can only match if the
+    click-side join state survived the trigger boundary — the pytest
+    scaffold-sensitivity twin pins that cross-batch pairs exist. The
+    1-hour watermark keeps state bounded: clicks older than
+    (watermark − 2 days) evict, so batch-1 clicks are gone by batch 3
+    rather than accumulating for the life of the stream."""
+    from ..streaming.events import purchase_click_attribution, read_event_stream
+
+    scratch = _scratch(sf_dir, "stream_attribution_parity")
+    in_dir = _four_batch_events_dir(sf_dir, scratch)
+    out_dir = os.path.join(scratch, "out")
+
+    purchases = read_event_stream(spark, in_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_event_stream(spark, in_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    joined = purchase_click_attribution(
+        purchases, clicks, attribution_window="2 days", watermark="1 hour"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(scratch, "_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    return spark.read.parquet(out_dir).select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )

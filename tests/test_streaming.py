@@ -894,3 +894,34 @@ def test_stateful_running_totals_v2_transform_with_state(
         .collect()
     }
     assert final == batch
+
+
+def test_stream_attribution_gate_has_cross_batch_pairs(sf_dir, tmp_path):
+    """The gated stream_attribution_parity query only proves join state
+    survives trigger boundaries if some attributed pairs genuinely
+    straddle the 4-file cuts: with the 2-day window, purchases whose
+    matched click lives in an EARLIER file must exist at every SF (a
+    30-minute window almost never crosses a ~7.5-day quarter — that is
+    why the gate widens it)."""
+    import duckdb
+
+    from data_pipeline_stripe_spark.queries.streaming_gate import (
+        _four_batch_events_dir,
+    )
+
+    in_dir = _four_batch_events_dir(sf_dir, str(tmp_path / "s"))
+    con = duckdb.connect()
+    total, cross = con.execute(f"""
+        WITH e AS (
+            SELECT *, CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS INT)
+                      AS file_i
+            FROM read_parquet('{in_dir}/*.parquet', filename=true)
+        )
+        SELECT COUNT(*), SUM(CASE WHEN c.file_i < p.file_i THEN 1 ELSE 0 END)
+        FROM e p JOIN e c
+          ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 DAY
+    """).fetchone()
+    assert total > 0
+    assert cross > 0, "no pair crosses a micro-batch cut — the gate is vacuous"
