@@ -92,6 +92,10 @@ PRIORITY_THIS_ROUND = [
     # attribution join drained across 4 micro-batches, with pairs that
     # genuinely straddle the batch cuts (2-day window)
     "stream_attribution_parity",
+    # round 7: idempotent single-partition backfill via dynamic
+    # partition overwrite (static overwrite would wipe the siblings —
+    # the hash catches both failure directions)
+    "backfill_partition_overwrite_roundtrip",
 ]
 # Rotation note: with the r7 pin set the unpinned remainder re-verifies on
 # a ~5-round tile cadence; the repo's own tri-scale differential

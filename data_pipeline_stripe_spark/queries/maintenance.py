@@ -513,3 +513,76 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("price_cents"),
         )
     )
+
+
+_BACKFILL_DAY = "2024-01-10"
+
+
+@query(
+    "backfill_partition_overwrite_roundtrip",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                    * CASE WHEN strftime(ts, '%Y-%m-%d') = '{_BACKFILL_DAY}'
+                           THEN 2 ELSE 1 END) AS BIGINT) AS value_cents
+    FROM events
+    WHERE NOT (strftime(ts, '%Y-%m-%d') = '{_BACKFILL_DAY}'
+               AND event_type = 'error')
+    GROUP BY 1, 2
+    """,
+)
+def backfill_partition_overwrite_roundtrip(spark: SparkSession,
+                                           sf_dir: str) -> DataFrame:
+    """Idempotent single-partition backfill — the correction verb every
+    partitioned lake runs weekly: events land day-partitioned, then ONE
+    day's data is re-derived (here: its 'error' rows dropped and its
+    values doubled — a stand-in for any upstream fix) and written with
+    ``partitionOverwriteMode=dynamic`` + ``mode('overwrite')``, which
+    replaces exactly the partitions present in the written frame.
+
+    The hash gate proves both halves: the corrected day matches the
+    oracle's CASE-corrected aggregate (the backfill landed, once —
+    doubled values would double again on a non-idempotent append), and
+    every OTHER day matches the original fixture (STATIC overwrite —
+    the default — would have wiped all 29 sibling partitions; their
+    rows vanishing is an instant row-count mismatch). Conf is
+    save/restored around the write; partition values re-read as strings
+    (the DATE-inference trap)."""
+    scratch = _scratch(sf_dir, "backfill_overwrite")
+    table_dir = os.path.join(scratch, "table")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_day").parquet(table_dir)
+
+    corrected = (
+        ev.filter(F.col("event_day") == _BACKFILL_DAY)
+        .filter(F.col("event_type") != "error")
+        .withColumn("value_cents", F.col("value_cents") * 2)
+    )
+    conf = spark.conf
+    ov_key = "spark.sql.sources.partitionOverwriteMode"
+    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_ov, prev_inf = conf.get(ov_key, "STATIC"), conf.get(inf_key, "true")
+    conf.set(ov_key, "dynamic")
+    conf.set(inf_key, "false")
+    try:
+        (
+            corrected.write.mode("overwrite")
+            .partitionBy("event_day").parquet(table_dir)
+        )
+        back = spark.read.parquet(table_dir)
+    finally:
+        conf.set(ov_key, prev_ov)
+        conf.set(inf_key, prev_inf)
+    return back.groupBy(
+        F.col("event_day").cast("string").alias("event_day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("value_cents"),
+    )
