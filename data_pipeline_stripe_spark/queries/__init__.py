@@ -96,6 +96,9 @@ PRIORITY_THIS_ROUND = [
     # partition overwrite (static overwrite would wipe the siblings —
     # the hash catches both failure directions)
     "backfill_partition_overwrite_roundtrip",
+    # round 7: leakage-free point-in-time training-feature matrix
+    # (pre-aggregate before the cutoff range join)
+    "feature_snapshot_user_weekly",
 ]
 # Rotation note: with the r7 pin set the unpinned remainder re-verifies on
 # a ~5-round tile cadence; the repo's own tri-scale differential

@@ -548,3 +548,78 @@ def conversion_latency_percentiles_by_cohort(spark: SparkSession,
     )
     return histogram_percentiles(lat, ["cohort_day"], "latency_sec",
                                  _DURATION_SPECS, scale=1)
+
+
+_FEATURE_CUTOFFS = ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"]
+
+
+@query(
+    "feature_snapshot_user_weekly",
+    oracle=f"""
+    WITH cutoffs(cutoff) AS (
+        VALUES {", ".join(f"('{c}')" for c in _FEATURE_CUTOFFS)}
+    ), per_day AS (
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT c.cutoff, p.user_id,
+           CAST(SUM(p.n) AS BIGINT) AS n_events_7d,
+           CAST(SUM(p.cents) AS BIGINT) AS value_cents_7d,
+           CAST(COUNT(DISTINCT p.day) AS BIGINT) AS active_days_7d,
+           CAST(COUNT(DISTINCT p.event_type) AS BIGINT) AS types_7d
+    FROM per_day p
+    JOIN cutoffs c
+      ON p.day < c.cutoff
+     AND p.day >= strftime(CAST(c.cutoff AS DATE) - INTERVAL 7 DAY,
+                           '%Y-%m-%d')
+    GROUP BY 1, 2
+    """,
+)
+def feature_snapshot_user_weekly(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Point-in-time training-feature matrix — the feature-store verb a
+    model-training pipeline runs to build leakage-free examples: for
+    each weekly cutoff, every user's trailing-7-day activity STRICTLY
+    BEFORE the cutoff (events ON the cutoff day are excluded — they are
+    the label window's business). One (user, type, day) pre-aggregate
+    shrinks the fact to at most users×types×days rows BEFORE the
+    4-row cutoff dim broadcast-joins in (so the range join never touches
+    raw events — the shape that survives a 100 TB event store), then one
+    grouped pass per (cutoff, user). All features integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = (
+        ev.select(
+            "user_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "event_type", "day")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents_sum"))
+    )
+    cutoffs = F.broadcast(
+        spark.createDataFrame([(c,) for c in _FEATURE_CUTOFFS], "cutoff string")
+        .withColumn(
+            "win_start",
+            F.date_format(
+                F.date_sub(F.col("cutoff").cast("date"), 7), "yyyy-MM-dd"
+            ),
+        )
+    )
+    return (
+        per_day.join(
+            cutoffs,
+            (F.col("day") < F.col("cutoff"))
+            & (F.col("day") >= F.col("win_start")),
+        )
+        .groupBy("cutoff", "user_id")
+        .agg(
+            F.sum("n").alias("n_events_7d"),
+            F.sum("cents_sum").alias("value_cents_7d"),
+            F.countDistinct("day").alias("active_days_7d"),
+            F.countDistinct("event_type").alias("types_7d"),
+        )
+    )
