@@ -70,6 +70,11 @@ HEADLINE = [
     # re-scan) and Variant typed path extraction
     "corrupt_json_quarantine",
     "variant_nested_extract",
+    # round 7 additions: Hamilton-quota mixture resampling (broadcast
+    # quotas + one fact window) and the point-in-time feature matrix
+    # (pre-aggregate before the cutoff range join)
+    "doc_mixture_resample",
+    "feature_snapshot_user_weekly",
 ]
 
 

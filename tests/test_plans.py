@@ -402,3 +402,38 @@ def test_quarantine_split_is_one_scan_no_join(spark, sf_dir):
     # one grouped aggregate over one json scan: partial+final = 1 shuffle
     assert plan.count("Exchange ") <= 1
     assert plan.lower().count("scan json") == 1
+
+
+def test_mixture_resample_broadcasts_quotas_single_fact_window(spark, sf_dir):
+    """The mixture gate's scale shape: quotas reach the corpus via a
+    BROADCAST join (the quota frame is #sources rows), the within-source
+    rank is ONE window pass, and nothing cross-joins — the only
+    SortMergeJoin-able relation is the corpus itself and it never
+    self-joins."""
+    plan = plan_of(spark, sf_dir, "doc_mixture_resample")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
+    # the corpus-side rank is the ONE window partitioned by source; the
+    # other windows (allocate's quota math) run on the #sources-row frame
+    assert plan.count("windowspecdefinition(source") == 1
+    # quotas reach the corpus as a broadcast build side, never a shuffle
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_feature_snapshot_preaggregates_before_cutoff_join(spark, sf_dir):
+    """The feature matrix must join cutoffs onto the (user, type, day)
+    PRE-AGGREGATE, never the raw fact: the plan's one non-broadcast-hash
+    join (the 4-row cutoff dim rides a range condition, so it plans as
+    a broadcast nested loop) must sit ABOVE a HashAggregate, and the
+    raw events scan must feed that aggregate first."""
+    plan = plan_of(spark, sf_dir, "feature_snapshot_user_weekly")
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # the BNLJ consumes the aggregate's output, not the scan directly:
+    # the aggregate must appear below the join in the tree dump
+    join_at = plan.index("BroadcastNestedLoopJoin")
+    assert "HashAggregate" in plan[join_at:], (
+        "no pre-aggregate below the cutoff join — the range join would "
+        "touch raw events at scale")
