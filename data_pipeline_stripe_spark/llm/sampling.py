@@ -75,11 +75,24 @@ def mixture_resample(docs: DataFrame, weights: DataFrame, k: int,
             f"mixture_resample: quota exceeds available rows for {bad} "
             f"(quota, available) — lower k or the source's weight")
 
-    rank_w = W.partitionBy(source_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    # Distributed prefilter (the pareto-prefilter pattern): rank per
+    # (source, physical partition) FIRST and keep each partition's top
+    # `quota` — provably safe because the global md5 order restricted to
+    # one partition is the partition's md5 order, so a row outside its
+    # partition's top-quota has ≥ quota partition-mates ahead of it
+    # globally and can never be picked. A skewed source then feeds the
+    # single-reducer global rank O(partitions·quota) rows, not its
+    # whole extent.
+    md5_rank = (F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    part_c = free_name(taken | {q_c}, "_part")
+    pre_w = W.partitionBy(source_col, F.col(part_c)).orderBy(*md5_rank)
+    rank_w = W.partitionBy(source_col).orderBy(*md5_rank)
     return (
         docs.join(F.broadcast(quotas.select(source_col, q_c)), source_col)
+        .withColumn(part_c, F.spark_partition_id())
+        .withColumn("pick_order", F.row_number().over(pre_w).cast("long"))
+        .filter(F.col("pick_order") <= F.col(q_c))
+        .drop(part_c)
         .withColumn("pick_order", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("pick_order") <= F.col(q_c))
         .drop(q_c)

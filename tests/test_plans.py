@@ -415,9 +415,12 @@ def test_mixture_resample_broadcasts_quotas_single_fact_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "PythonUDF" not in plan
-    # the corpus-side rank is the ONE window partitioned by source; the
-    # other windows (allocate's quota math) run on the #sources-row frame
-    assert plan.count("windowspecdefinition(source") == 1
+    # two-pass corpus rank (the pareto-prefilter pattern): a local
+    # (source, SPARK_PARTITION_ID) top-quota pass feeds the global
+    # per-source rank, so a skewed source never sorts its whole extent
+    # on one reducer
+    assert plan.count("windowspecdefinition(source") == 2
+    assert "SPARK_PARTITION_ID" in plan
     # quotas reach the corpus as a broadcast build side, never a shuffle
     assert plan.count("BroadcastHashJoin") == 2
 
