@@ -99,6 +99,9 @@ PRIORITY_THIS_ROUND = [
     # round 7: leakage-free point-in-time training-feature matrix
     # (pre-aggregate before the cutoff range join)
     "feature_snapshot_user_weekly",
+    # round 7: exact-sum U-shaped multi-touch attribution (Hamilton
+    # credits reconcile to 1M ppm per purchase)
+    "multitouch_attribution_credit",
 ]
 # Rotation note: with the r7 pin set the unpinned remainder re-verifies on
 # a ~5-round tile cadence; the repo's own tri-scale differential

@@ -623,3 +623,91 @@ def feature_snapshot_user_weekly(spark: SparkSession,
             F.countDistinct("event_type").alias("types_7d"),
         )
     )
+
+
+_MTA_WINDOW_DAYS = 2
+_MTA_TOTAL_PPM = 1_000_000
+
+
+def _mta_oracle() -> str:
+    inner = f"""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id ORDER BY c.ts, c.event_id)
+                   AS BIGINT) AS pos,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n_clicks
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL {_MTA_WINDOW_DAYS} DAY
+    """
+    weighted = f"""
+        SELECT purchase_id, click_id, pos,
+               CAST(CASE WHEN pos = 1 OR pos = n_clicks THEN 2 ELSE 1 END
+                    AS BIGINT) AS w
+        FROM ({inner})
+    """
+    return allocate_proportional_oracle_sql(
+        weighted, keys="purchase_id", id_col="pos", weight_col="w",
+        total=_MTA_TOTAL_PPM,
+        select="purchase_id, click_id, CAST(pos AS BIGINT) AS pos",
+    ).replace("AS alloc_units", "AS credit_ppm")
+
+
+@query("multitouch_attribution_credit", oracle=_mta_oracle())
+def multitouch_attribution_credit(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Position-weighted multi-touch attribution with EXACT
+    reconciliation — the marketing verb naive float weighting gets
+    wrong: each purchase's credit must sum to exactly 1,000,000 ppm
+    across its attributed clicks (finance reconciles the parts to the
+    whole; 999,999 is a ledger break). U-shaped weights (first touch 2,
+    last touch 2, middles 1 — so a lone click takes 100%, a pair splits
+    50/50) feed the Hamilton allocator (operators/allocate.py), whose
+    per-group exact-sum invariant is already pinned; ties break on
+    click position, so credits are engine- and partitioning-invariant.
+
+    Plan shape: the attribution pairs come from the same broadcastable
+    purchase↔click range join the streaming gate drains; position and
+    count are two expressions over ONE purchase-keyed window pass; the
+    allocator adds windows on the same key — no extra shuffle after the
+    pair join."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts")
+           >= F.col("p_ts") - F.expr(f"INTERVAL {_MTA_WINDOW_DAYS} DAYS")),
+    )
+    w_pos = W.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    w_all = W.partitionBy("purchase_id")
+    weighted = (
+        pairs.withColumn("pos", F.row_number().over(w_pos).cast("long"))
+        .withColumn("n_clicks", F.count("*").over(w_all))
+        .withColumn(
+            "w",
+            F.when(
+                (F.col("pos") == 1) | (F.col("pos") == F.col("n_clicks")), 2
+            ).otherwise(1).cast("long"),
+        )
+        .select("purchase_id", "click_id", "pos", "w")
+    )
+    return (
+        allocate_proportional(weighted, ["purchase_id"], "pos", "w",
+                              _MTA_TOTAL_PPM)
+        .withColumnRenamed("alloc_units", "credit_ppm")
+        .select("purchase_id", "click_id", "pos", "credit_ppm")
+    )

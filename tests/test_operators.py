@@ -1628,3 +1628,30 @@ def test_interval_concurrency_sharded_equals_unsharded(spark):
     ks = sorted(map(tuple, interval_concurrency(
         kdf, "s", "e", keys=["g"], shard_seconds=64).collect()))
     assert kp == ks
+
+
+def test_multitouch_credits_reconcile_exactly(spark, sf_dir):
+    """Every purchase's attributed credits must sum to exactly 1M ppm
+    (the ledger invariant the query exists for), a lone click must take
+    100%, and a 2-click journey must split 50/50 under the U-weights."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.queries import REGISTRY
+
+    df = REGISTRY["multitouch_attribution_credit"].fn(spark, sf_dir)
+    per_purchase = (
+        df.groupBy("purchase_id")
+        .agg(F.sum("credit_ppm").alias("tot"), F.count("*").alias("n"))
+    )
+    bad = per_purchase.filter(F.col("tot") != 1_000_000).count()
+    assert bad == 0
+    singles = per_purchase.filter(F.col("n") == 1).select("purchase_id")
+    lone = df.join(singles, "purchase_id").filter(
+        F.col("credit_ppm") != 1_000_000
+    )
+    assert lone.count() == 0
+    pairs2 = per_purchase.filter(F.col("n") == 2).select("purchase_id")
+    halves = df.join(pairs2, "purchase_id").filter(
+        F.col("credit_ppm") != 500_000
+    )
+    assert halves.count() == 0
