@@ -217,6 +217,25 @@ SHOWCASE = [
      "column — quarantine split is a coalesce inside the same scan "
      "stage, one grouped aggregate after; malformed lines cost no "
      "second pass."),
+    ("doc_mixture_resample",
+     "Deterministic mixture resampling: Hamilton quotas computed on the "
+     "#sources-row frame reach the corpus as a BroadcastHashJoin build "
+     "side; the md5-rank selection is a two-pass window (per-partition "
+     "top-quota prefilter on SPARK_PARTITION_ID, then the global "
+     "per-source rank over survivors) — a skewed source never sorts "
+     "its whole extent on one reducer."),
+    ("feature_snapshot_user_weekly",
+     "Point-in-time feature matrix: the fact pre-aggregates to "
+     "(user, type, day) BEFORE the 4-row cutoff dim joins in on the "
+     "range condition (BroadcastNestedLoopJoin over the aggregate, "
+     "never the raw scan) — leakage-free by construction, one fact "
+     "shuffle regardless of cutoff count."),
+    ("multitouch_attribution_credit",
+     "Exact-sum attribution: position + count are expressions over one "
+     "purchase-keyed window pass on the pair join's output; the "
+     "Hamilton allocator's windows ride the SAME key, so credits that "
+     "reconcile to exactly 1M ppm per purchase cost no extra "
+     "shuffle."),
 ]
 
 
