@@ -49,10 +49,17 @@ def mixture_resample(docs: DataFrame, weights: DataFrame, k: int,
     inner-join semantics, the mixture recipe IS the allow-list).
 
     Adds ``pick_order`` (1-based md5 rank within the source) to the
-    selected rows. Precondition: every quota must be ≤ the source's
-    row count — validated eagerly on the #sources-row quota frame
-    (fail-loud beats silently under-filling the mixture; callers that
-    want spillover redistribution should shrink ``k`` or reweight).
+    selected rows. Preconditions, both validated eagerly on the
+    #sources-row quota frame (fail-loud beats silently under-filling the
+    mixture; callers that want spillover redistribution should shrink
+    ``k`` or reweight): every quota ≤ the source's row count, and the
+    recipe's total weight > 0 (an all-zero recipe allocates nothing —
+    "exactly k" would be a lie).
+
+    The validation collect doubles as the quota materialization: the
+    returned plan joins a literal #sources-row quota frame, so executing
+    it scans the corpus ONCE (the selection join) — the count-by-source
+    aggregate ran during construction, never again per execution.
     """
     reject_reserved(docs.columns, ["pick_order"], "mixture_resample")
     taken = set(docs.columns) | set(weights.columns)
@@ -62,18 +69,26 @@ def mixture_resample(docs: DataFrame, weights: DataFrame, k: int,
     srcs = counts.join(F.broadcast(weights), source_col).withColumn(
         grp_c, F.lit(1)
     )
-    quotas = (
+    quota_rows = (
         allocate_proportional(srcs, [grp_c], source_col, "weight", int(k))
         .withColumnRenamed("alloc_units", q_c)
-        .select(source_col, n_c, q_c)
+        .select(source_col, n_c, q_c, "weight")
+        .collect()
     )
-    # Eager validation on the tiny quota frame (O(#sources) driver rows).
-    over = quotas.filter(F.col(q_c) > F.col(n_c)).collect()
-    if over:
-        bad = {r[source_col]: (r[q_c], r[n_c]) for r in over}
+    if sum(r["weight"] for r in quota_rows) <= 0:
         raise ValueError(
-            f"mixture_resample: quota exceeds available rows for {bad} "
+            "mixture_resample: the recipe's total weight is 0 — nothing "
+            "can be allocated; give at least one source a positive weight")
+    over = {r[source_col]: (r[q_c], r[n_c])
+            for r in quota_rows if r[q_c] > r[n_c]}
+    if over:
+        raise ValueError(
+            f"mixture_resample: quota exceeds available rows for {over} "
             f"(quota, available) — lower k or the source's weight")
+    quotas = docs.sparkSession.createDataFrame(
+        [(r[source_col], r[q_c]) for r in quota_rows],
+        f"{source_col} string, {q_c} long",
+    )
 
     # Distributed prefilter (the pareto-prefilter pattern): rank per
     # (source, physical partition) FIRST and keep each partition's top
@@ -88,7 +103,7 @@ def mixture_resample(docs: DataFrame, weights: DataFrame, k: int,
     pre_w = W.partitionBy(source_col, F.col(part_c)).orderBy(*md5_rank)
     rank_w = W.partitionBy(source_col).orderBy(*md5_rank)
     return (
-        docs.join(F.broadcast(quotas.select(source_col, q_c)), source_col)
+        docs.join(F.broadcast(quotas), source_col)
         .withColumn(part_c, F.spark_partition_id())
         .withColumn("pick_order", F.row_number().over(pre_w).cast("long"))
         .filter(F.col("pick_order") <= F.col(q_c))
@@ -103,35 +118,25 @@ def mixture_resample_oracle_sql(docs_sql: str, weights_sql: str, k: int,
                                 source_col: str = "source",
                                 id_col: str = "doc_id",
                                 select: str = "*") -> str:
-    """DuckDB transcription of :func:`mixture_resample`: the same
-    Hamilton quota arithmetic (``//`` == Spark ``div`` on the
-    non-negative operands) and the same md5-rank selection."""
-    t = int(k)
+    """DuckDB transcription of :func:`mixture_resample`: the quota math
+    COMPOSES :func:`..operators.allocate.allocate_proportional_oracle_sql`
+    (the single source of truth for the Hamilton transcription — an
+    earlier inline copy drifted by dropping its wsum>0 guard), then the
+    same md5-rank selection."""
+    from ..operators.allocate import allocate_proportional_oracle_sql
+
+    inner = f"""
+        SELECT c.{source_col}, w.weight, 1 AS grp
+        FROM (SELECT {source_col} FROM ({docs_sql}) GROUP BY 1) c
+        JOIN ({weights_sql}) w USING ({source_col})
+    """
+    quota_sql = allocate_proportional_oracle_sql(
+        inner, keys="grp", id_col=source_col, weight_col="weight",
+        total=int(k), select=source_col, out_col="quota",
+    )
     return f"""
-    WITH counts AS (
-        SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS avail
-        FROM ({docs_sql}) GROUP BY 1
-    ), srcs AS (
-        SELECT c.{source_col}, c.avail, w.weight,
-               SUM(w.weight) OVER () AS wsum
-        FROM counts c JOIN ({weights_sql}) w USING ({source_col})
-    ), fl AS (
-        SELECT *,
-               CASE WHEN wsum > 0
-                    THEN (weight * CAST({t} AS BIGINT)) // wsum
-                    ELSE 0 END AS floor_u,
-               CASE WHEN wsum > 0
-                    THEN (weight * CAST({t} AS BIGINT)) % wsum
-                    ELSE 0 END AS rem
-        FROM srcs
-    ), quota AS (
-        SELECT {source_col}, avail,
-               CAST(floor_u + CASE WHEN ROW_NUMBER() OVER (
-                        ORDER BY rem DESC, {source_col} ASC)
-                        <= {t} - SUM(floor_u) OVER () THEN 1 ELSE 0 END
-                    AS BIGINT) AS quota
-        FROM fl
-    ), ranked AS (
+    WITH quota AS ({quota_sql}),
+    ranked AS (
         SELECT d.*, q.quota,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY d.{source_col}

@@ -79,10 +79,14 @@ def allocate_proportional(df: DataFrame, keys: list[str], id_col: str,
 
 def allocate_proportional_oracle_sql(inner: str, keys: str, id_col: str,
                                      weight_col: str, total: int,
-                                     select: str = "*") -> str:
+                                     select: str = "*",
+                                     out_col: str = "alloc_units") -> str:
     """DuckDB transcription of ``allocate_proportional`` over the
     ``inner`` relation (one row per id per group). Positive weights
-    make DuckDB's flooring ``//`` equal Spark's truncating ``div``."""
+    make DuckDB's flooring ``//`` equal Spark's truncating ``div``.
+    ``out_col`` names the allocation column (callers that rename the
+    Spark side pass the same name here instead of string-editing the
+    generated SQL)."""
     t = int(total)
     return f"""
     WITH base AS (
@@ -109,6 +113,6 @@ def allocate_proportional_oracle_sql(inner: str, keys: str, id_col: str,
     )
     SELECT {select},
            CAST(floor_u + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
-                AS BIGINT) AS alloc_units
+                AS BIGINT) AS {out_col}
     FROM rk
     """

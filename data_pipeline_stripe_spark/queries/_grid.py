@@ -29,8 +29,8 @@ def grid_sum(expr: Column, g: int) -> Column:
     return F.sum(F.round(expr * g).cast("long")) / float(g)
 
 
-def grid_sum_sql(expr: str, g: int) -> str:
-    """The DuckDB oracle twin of :func:`grid_sum` — textually identical
-    arithmetic so both engines perform the same quantize→BIGINT-sum→one
-    IEEE division."""
-    return f"SUM(CAST(ROUND({expr} * {g}) AS BIGINT)) / {g}.0"
+# The DuckDB oracle twin is written inline in each oracle string as
+#   SUM(CAST(ROUND(expr * G) AS BIGINT)) / G.0
+# (textually identical arithmetic on both engines); the registry lint
+# test_no_compared_float_sum_in_oracles enforces the pattern, so there is
+# deliberately no SQL-side helper to rot unused.

@@ -653,7 +653,8 @@ def _mta_oracle() -> str:
         weighted, keys="purchase_id", id_col="pos", weight_col="w",
         total=_MTA_TOTAL_PPM,
         select="purchase_id, click_id, CAST(pos AS BIGINT) AS pos",
-    ).replace("AS alloc_units", "AS credit_ppm")
+        out_col="credit_ppm",
+    )
 
 
 @query("multitouch_attribution_credit", oracle=_mta_oracle())

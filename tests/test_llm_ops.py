@@ -1050,3 +1050,11 @@ def test_mixture_resample_invariants(spark):
     with pytest.raises(ValueError, match="pick_order"):
         mixture_resample(docs.withColumn("pick_order", docs.doc_id),
                          weights, 10)
+
+    # an all-zero recipe fails loudly instead of silently returning
+    # 0 rows (the "exactly k" contract)
+    zero = spark.createDataFrame(
+        [("s0", 0), ("s1", 0)], "source string, weight long"
+    )
+    with pytest.raises(ValueError, match="total weight"):
+        mixture_resample(docs, zero, 10)

@@ -69,10 +69,11 @@ ROUND_SUM_ALLOWLIST = {
 
 
 def _sum_args(sql: str):
-    """Yield the balanced argument text of every ROUND(SUM( ... )) call."""
+    """Yield the balanced argument text of every ROUND(SUM( ... )) call
+    (case-insensitive — a lowercase round(sum( must not slip past)."""
     import re
 
-    for m in re.finditer(r"ROUND\s*\(\s*SUM\s*\(", sql):
+    for m in re.finditer(r"ROUND\s*\(\s*SUM\s*\(", sql, re.IGNORECASE):
         depth, start = 1, m.end()
         i = start
         while i < len(sql) and depth:
@@ -81,13 +82,34 @@ def _sum_args(sql: str):
         yield sql[start : i - 1]
 
 
+def _summand_is_grid_quantized(arg: str) -> bool:
+    """True iff the SUM's summand is integer by construction: the whole
+    expression is CAST(ROUND(...) AS BIGINT)..., or a CASE whose every
+    THEN/ELSE branch is such a cast or an integer literal. A float
+    factor merely CONTAINING a quantized subexpression (e.g.
+    SUM(x * CAST(ROUND(y*100) AS BIGINT))) stays flagged — x's float
+    accumulation is exactly the disease."""
+    import re
+
+    s = re.sub(r"\s+", "", arg).upper()
+    if s.startswith("CAST(ROUND("):
+        return True
+    if s.startswith("CASE"):
+        branches = re.split(r"THEN|ELSE", s)[1:]
+        return all(
+            b.startswith("CAST(ROUND(") or re.match(r"^-?\d+(END|WHEN|$)", b)
+            for b in branches
+        )
+    return False
+
+
 def test_no_compared_float_sum_in_oracles():
     offenders = []
     for name, sql in ORACLES.items():
         if name in ROUND_SUM_ALLOWLIST:
             continue
         for arg in _sum_args(sql):
-            if "CAST(ROUND(" not in arg.replace(" ", ""):
+            if not _summand_is_grid_quantized(arg):
                 offenders.append((name, arg.strip()[:80]))
     assert not offenders, (
         "ROUND(SUM(<double>)) without per-row grid quantization — one ulp "
