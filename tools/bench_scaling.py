@@ -59,6 +59,14 @@ QUERIES = [
     # build-once/report-many trade separately.
     "corrupt_json_quarantine",
     "variant_nested_extract",
+    # round 7: the quota-prefiltered mixture rank, the pre-aggregated
+    # cutoff range join, and the attribution pair join + allocator
+    # (pairs grow superlinearly on the replicated fixture — replicas
+    # share user/ts, so co-occurrence multiplies; the measurement shows
+    # whether the window/allocator chain stays shuffle-bound anyway)
+    "doc_mixture_resample",
+    "feature_snapshot_user_weekly",
+    "multitouch_attribution_credit",
 ]
 
 SCALES = [(1, "/root/testdata/sf0.1"),
