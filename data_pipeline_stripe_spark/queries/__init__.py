@@ -102,6 +102,12 @@ PRIORITY_THIS_ROUND = [
     # round 7: exact-sum U-shaped multi-touch attribution (Hamilton
     # credits reconcile to 1M ppm per purchase)
     "multitouch_attribution_credit",
+    # round 7: fourth §2.11 driver row — native session windows in
+    # append mode across micro-batch cuts, flushed by the
+    # watermark-advancing sentinel tick; batch twin pinned because its
+    # oracle text moved into the shared session_window_oracle template
+    "stream_session_window_parity",
+    "session_window_batch",
 ]
 # Rotation note: with the r7 pin set the unpinned remainder re-verifies on
 # a ~5-round tile cadence; the repo's own tri-scale differential

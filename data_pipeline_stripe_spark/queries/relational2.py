@@ -474,12 +474,14 @@ def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "session_window_batch",
-    oracle="""
+# Shared with the streaming gate (stream_session_window_parity, which
+# uses a wider gap so sessions straddle its micro-batch cuts): the
+# drained stream must hash-match the same lag/cumsum construction.
+def session_window_oracle(gap_ms: int, gap_interval: str) -> str:
+    return f"""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+               CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > {gap_ms}
                          OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -498,12 +500,14 @@ def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start_s,
-           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+           strftime(MAX(ts) + INTERVAL {gap_interval}, '%Y-%m-%d %H:%M:%S')
                AS session_end_s,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM numbered GROUP BY user_id, sess_id
-    """,
-)
+    """
+
+
+@query("session_window_batch", oracle=session_window_oracle(1800000, "30 MINUTE"))
 def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window in BATCH mode (gap-merged event-time
     sessions) — the declarative form of the lag/cumsum construction the

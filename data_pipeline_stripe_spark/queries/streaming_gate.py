@@ -31,7 +31,8 @@ from .registry import query
 
 
 def _four_batch_events_dir(sf_dir: str, scratch: str,
-                           replay: bool = False) -> str:
+                           replay: bool = False,
+                           sentinel_ts: str | None = None) -> str:
     """Split the events fixture into 4 ts-ordered parquet files with
     strictly ascending mtimes under ``scratch``/in, so the file stream
     (maxFilesPerTrigger=1, oldest-first) replays them as 4 micro-batches
@@ -46,7 +47,15 @@ def _four_batch_events_dir(sf_dir: str, scratch: str,
     trigger late but well inside the watermark horizon) — ~12% extra
     deliveries overall. Every duplicate is an exact full-row copy, so
     whichever physical copy survives dedup the row set is identical —
-    the determinism the dedup gate's hash needs."""
+    the determinism the dedup gate's hash needs.
+
+    With ``sentinel_ts`` a FIFTH file carries one synthetic far-future
+    event (user_id −1) — the watermark-advancing tick append-mode
+    session aggregation needs: event-time watermarks only move when
+    events arrive, so without it every session still open at
+    end-of-stream stays in state forever and never emits. The
+    sentinel's own session is the one session the watermark never
+    passes, so it never pollutes the drained output."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -68,6 +77,23 @@ def _four_batch_events_dir(sf_dir: str, scratch: str,
         path = os.path.join(in_dir, f"part-{i:04d}.parquet")
         pq.write_table(pa.concat_tables(parts), path)
         os.utime(path, (now + i, now + i))
+    if sentinel_ts is not None:
+        from datetime import datetime
+
+        dt = datetime.fromisoformat(sentinel_ts)
+        cols = {}
+        for field in tbl.schema:
+            if field.name == "ts":
+                cols[field.name] = pa.array([dt], type=field.type)
+            elif field.name in ("event_id", "user_id"):
+                cols[field.name] = pa.array([-1], type=field.type)
+            elif pa.types.is_floating(field.type):
+                cols[field.name] = pa.array([0.0], type=field.type)
+            else:
+                cols[field.name] = pa.array(["sentinel"], type=field.type)
+        path = os.path.join(in_dir, "part-0004-sentinel.parquet")
+        pq.write_table(pa.table(cols, schema=tbl.schema), path)
+        os.utime(path, (now + 4, now + 4))
     return in_dir
 
 
@@ -269,4 +295,78 @@ def stream_attribution_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_id").cast("long").alias("purchase_id"),
         F.col("click_id").cast("long").alias("click_id"),
         F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
+def _session_window_oracle() -> str:
+    from .relational2 import session_window_oracle
+
+    # 1-day gap (vs the batch twin's 30 minutes): with quarter-of-the-
+    # fixture micro-batches, 30-minute sessions essentially never cross
+    # a cut (0 straddlers at sf0.001/sf0.01) and the gate would prove
+    # nothing about cross-trigger state; 1-day sessions straddle at
+    # every SF (25/270/2747) — the sensitivity test pins it.
+    return session_window_oracle(86400000, "1 DAY")
+
+
+@query("stream_session_window_parity", oracle=_session_window_oracle())
+def stream_session_window_parity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """§2.11 native session windows in the hash gate: the SAME
+    4-micro-batch replay the other streaming gates use, aggregated by
+    ``F.session_window`` (gap 30 min) in APPEND mode — sessions emit
+    only once the watermark proves no more events can extend them.
+
+    Two semantics under test, both hash-visible: (a) sessions that
+    STRADDLE a batch cut must merge across triggers (their early events
+    sit in state until the gap closes — a state reset splits them into
+    two output rows, a row-count mismatch); (b) the end-of-stream
+    problem: event-time watermarks only advance when events arrive, so
+    every session still open after the last real file would stay in
+    state forever and never emit. The scaffold's far-future sentinel
+    event (user_id −1, 2024-03-01) is the watermark-advancing tick that
+    flushes them — the production pattern for draining an idle topic.
+    The sentinel's OWN session is the one session the watermark never
+    passes; it stays in state and never reaches the sink (the re-read
+    filter is belt-and-braces, asserted harmless by the oracle match).
+
+    Oracle: the identical lag/cumsum construction session_window_batch
+    is gated on — the drained stream must reproduce BATCH session
+    semantics exactly."""
+    from ..streaming.events import read_event_stream, sessionized_event_counts
+
+    scratch = _scratch(sf_dir, "stream_session_window_parity")
+    in_dir = _four_batch_events_dir(sf_dir, scratch,
+                                    sentinel_ts="2024-03-01 00:00:00")
+    out_dir = os.path.join(scratch, "out")
+
+    sess = sessionized_event_counts(
+        read_event_stream(spark, in_dir, max_files_per_trigger=1),
+        gap="1 day", watermark="2 hours",
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(scratch, "_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start_s"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end_s"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
     )

@@ -925,3 +925,54 @@ def test_stream_attribution_gate_has_cross_batch_pairs(sf_dir, tmp_path):
     """).fetchone()
     assert total > 0
     assert cross > 0, "no pair crosses a micro-batch cut — the gate is vacuous"
+
+
+def test_session_gate_has_cross_batch_sessions_and_needs_sentinel(
+        sf_dir, tmp_path):
+    """stream_session_window_parity is only a meaningful gate if (a)
+    some 1-day-gap sessions straddle the 4-file cuts (state must
+    survive the trigger boundary to merge them) and (b) some sessions
+    are still open after the last real file (the sentinel's watermark
+    tick is what flushes them — without it the gate would undercount)."""
+    import duckdb
+
+    from data_pipeline_stripe_spark.queries.streaming_gate import (
+        _four_batch_events_dir,
+    )
+
+    in_dir = _four_batch_events_dir(sf_dir, str(tmp_path / "s"),
+                                    sentinel_ts="2024-03-01 00:00:00")
+    con = duckdb.connect()
+    straddle, last_batch_tail = con.execute(f"""
+        WITH e AS (
+            SELECT *, CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS INT)
+                      AS file_i
+            FROM read_parquet('{in_dir}/*.parquet', filename=true)
+            WHERE user_id >= 0
+        ), flagged AS (
+            SELECT user_id, ts, event_id, file_i,
+                   CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 86400000
+                             OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts, file_i,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, sess_id,
+                   MIN(file_i) AS f0, MAX(file_i) AS f1, MAX(ts) AS last_ts
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT SUM(CASE WHEN f1 > f0 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN last_ts > (SELECT MAX(ts) FROM e)
+                                        - INTERVAL 26 HOUR
+                        THEN 1 ELSE 0 END)
+        FROM sessions
+    """).fetchone()
+    assert straddle > 0, "no session straddles a batch cut — gate vacuous"
+    # sessions whose end+gap the final REAL watermark (max ts - 2h) cannot
+    # pass: they exist, so the sentinel tick is load-bearing
+    assert last_batch_tail > 0
