@@ -85,6 +85,11 @@ NONEQUI_OK = {
     # hard negatives: brute-force broadcast-queries kernel + the 4-row
     # centroid cross for assignment — both documented shapes above
     "embedding_hard_negatives",
+    # point-in-time features: the 4-row cutoff dim joins the (user,
+    # type, day) PRE-AGGREGATE on a range condition — the BNLJ build
+    # side is |cutoffs| rows and the probe is the aggregate, never the
+    # fact (pinned by test_feature_snapshot_preaggregates_before_cutoff_join)
+    "feature_snapshot_user_weekly",
     # broadcast-TINY crosses: a 1-row scalar total / a 4-row centroid table
     # against the fact — nested-loop over a broadcast handful is the right
     # plan (the small side is O(1), not a second fact)

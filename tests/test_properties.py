@@ -291,3 +291,56 @@ def test_snapshot_diff_applies_back_to_new(spark, old_rows, new_rows):
     replayed = {(r.k, r.v) for r in
                 apply_cdc(old, changes, "k").drop("cdc_action").collect()}
     assert replayed == set(n.items())
+
+
+@given(
+    sizes=st.lists(st.integers(1, 12), min_size=1, max_size=5),
+    weights=st.lists(st.integers(0, 4), min_size=5, max_size=5),
+    seed=st.integers(0, 3),
+)
+@_SETTINGS
+def test_mixture_resample_properties(spark, sizes, weights, seed):
+    """For ANY corpus shape and recipe: exactly-k selection whenever the
+    quotas fit, per-source counts equal the Hamilton apportionment of k
+    over the weights, and the picked ids are invariant under
+    repartitioning. Infeasible quotas and all-zero recipes fail loudly."""
+    import pytest
+
+    from data_pipeline_stripe_spark.llm.sampling import mixture_resample
+
+    rows = [(s * 1000 + i + seed, f"s{s}")
+            for s, n in enumerate(sizes) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    w = [(f"s{i}", weights[i]) for i in range(len(sizes))]
+    wdf = spark.createDataFrame(w, "source string, weight long")
+
+    total_w = sum(weights[: len(sizes)])
+    if total_w == 0:
+        with pytest.raises(ValueError, match="total weight"):
+            mixture_resample(docs, wdf, 1)
+        return
+
+    # Hamilton quotas of k over the active weights
+    k = min(sum(sizes), 3)
+    act = [(i, weights[i]) for i in range(len(sizes))]
+    floors = {i: (wi * k) // total_w for i, wi in act}
+    rems = sorted(act, key=lambda t: (-((t[1] * k) % total_w), f"s{t[0]}"))
+    leftover = k - sum(floors.values())
+    quota = dict(floors)
+    for i, _ in rems[:leftover]:
+        quota[i] += 1
+
+    if any(quota[i] > sizes[i] for i, _ in act):
+        with pytest.raises(ValueError, match="quota exceeds"):
+            mixture_resample(docs, wdf, k)
+        return
+
+    picked = mixture_resample(docs, wdf, k).collect()
+    assert len(picked) == k
+    by_src = {}
+    for r in picked:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src == {f"s{i}": q for i, q in quota.items() if q > 0}
+
+    again = mixture_resample(docs.repartition(7), wdf, k).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in picked}
