@@ -108,6 +108,9 @@ PRIORITY_THIS_ROUND = [
     # oracle text moved into the shared session_window_oracle template
     "stream_session_window_parity",
     "session_window_batch",
+    # round 7: k-anonymity release gate (suppression-only, one window
+    # count; released histogram + suppressed audit row in one plan)
+    "k_anonymous_event_release",
 ]
 # Rotation note: with the r7 pin set the unpinned remainder re-verifies on
 # a ~5-round tile cadence; the repo's own tri-scale differential

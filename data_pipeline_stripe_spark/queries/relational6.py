@@ -712,3 +712,66 @@ def multitouch_attribution_credit(spark: SparkSession,
         .withColumnRenamed("alloc_units", "credit_ppm")
         .select("purchase_id", "click_id", "pos", "credit_ppm")
     )
+
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymous_event_release",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(user_id % 16 AS BIGINT) AS user_bucket,
+               COUNT(*) OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d'),
+                              user_id % 16) AS kn
+        FROM events
+    ), released AS (SELECT * FROM q WHERE kn >= {_KANON_K})
+    SELECT event_type, day, user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM released GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT '__SUPPRESSED__' AS event_type, 'ALL' AS day,
+           CAST(-1 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM q WHERE kn < {_KANON_K}
+    """,
+)
+def k_anonymous_event_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance release gate: events projected to the quasi-identifier
+    triple (event_type, day, user bucket) are released only where the
+    combination occurs ≥ k times (operators/anonymize.py:k_anonymize —
+    suppression-only k-anonymity, one window count, no join). The gate
+    output is the released histogram — every group provably ≥ k — plus
+    one audit row counting the suppressed remainder, so the hash pins
+    BOTH halves: releasing a rare combo or over-suppressing a common one
+    each flips a row."""
+    from ..operators.anonymize import k_anonymize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.col("user_id") % 16).cast("long").alias("user_bucket"),
+    )
+    quasi = ["event_type", "day", "user_bucket"]
+    released = (
+        k_anonymize(ev, quasi, _KANON_K)
+        .groupBy(*quasi)
+        .agg(F.count("*").alias("n_rows"))
+    )
+    # The audit row is part of the SAME lazy plan (no driver-side
+    # counts): the suppressed remainder is everything k_anonymize drops.
+    kn = F.count("*").over(W.partitionBy(*quasi))
+    suppressed = (
+        ev.withColumn("_kn", kn)
+        .filter(F.col("_kn") < _KANON_K)
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.lit("__SUPPRESSED__").alias("event_type"),
+            F.lit("ALL").alias("day"),
+            F.lit(-1).cast("long").alias("user_bucket"),
+            F.col("n_rows"),
+        )
+    )
+    return released.unionByName(suppressed)

@@ -1655,3 +1655,26 @@ def test_multitouch_credits_reconcile_exactly(spark, sf_dir):
         F.col("credit_ppm") != 500_000
     )
     assert halves.count() == 0
+
+
+def test_k_anonymize_suppression_semantics(spark):
+    """Every released quasi-combination has >= k rows; suppressed rows
+    are exactly those in smaller groups; NULL quasi values group
+    together; k<1 rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.anonymize import k_anonymize
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None)]
+    df = spark.createDataFrame(rows, "id long, zip string")
+    out = k_anonymize(df, ["zip"], 2)
+    got = {(r.id, r.zip) for r in out.collect()}
+    # 'a' (3 rows) and NULL (2 rows) survive; 'b' (1 row) is suppressed
+    assert got == {(1, "a"), (2, "a"), (3, "a"), (5, None), (6, None)}
+    # the guarantee itself: every released group >= k
+    mins = (out.groupBy("zip").agg(F.count("*").alias("n"))
+            .agg(F.min("n")).collect()[0][0])
+    assert mins >= 2
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymize(df, ["zip"], 0)
