@@ -111,6 +111,9 @@ PRIORITY_THIS_ROUND = [
     # round 7: k-anonymity release gate (suppression-only, one window
     # count; released histogram + suppressed audit row in one plan)
     "k_anonymous_event_release",
+    # round 7: CUPED variance-reduced A/B readout (exact BIGINT moments
+    # → deterministic theta; the trend_slope pattern)
+    "ab_cuped_adjusted_value",
 ]
 # Rotation note: with the r7 pin set the unpinned remainder re-verifies on
 # a ~5-round tile cadence; the repo's own tri-scale differential

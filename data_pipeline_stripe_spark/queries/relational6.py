@@ -775,3 +775,56 @@ def k_anonymous_event_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return released.unionByName(suppressed)
+
+
+_CUPED_SPLIT_DAY = "2024-01-16"
+
+_CUPED_UNITS_SQL = f"""
+    SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+           CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d') < '{_CUPED_SPLIT_DAY}'
+                         THEN CAST(ROUND(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS x_cents,
+           CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '{_CUPED_SPLIT_DAY}'
+                         THEN CAST(ROUND(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y_cents
+    FROM events GROUP BY user_id, variant
+"""
+
+
+def _cuped_oracle() -> str:
+    from ..operators.experiment import cuped_adjust_oracle_sql
+
+    return cuped_adjust_oracle_sql(
+        _CUPED_UNITS_SQL, "variant", "x_cents", "y_cents")
+
+
+@query("ab_cuped_adjusted_value", oracle=_cuped_oracle())
+def ab_cuped_adjusted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/experiment.py):
+    users split into two deterministic variants (user_id parity), the
+    pre-period value total (days before {split}) as the covariate, the
+    post-period total as the metric. θ = Cov(X,Y)/Var(X) from EXACT
+    BIGINT moments (covar_samp/var_samp are float-order dependent —
+    the trend_slope lesson); the adjusted means shift each variant by
+    the pooled regression on its covariate imbalance. On this fixture
+    the variants are exchangeable, so adjusted ≈ raw — the gate
+    verifies the estimator arithmetic, not a synthetic lift. One fact
+    shuffle (per-user aggregate); moments broadcast."""
+    from ..operators.experiment import cuped_adjust
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    units = (
+        ev.groupBy(
+            "user_id",
+            (F.col("user_id") % 2).cast("long").alias("variant"),
+        )
+        .agg(
+            F.sum(F.when(day < _CUPED_SPLIT_DAY, cents).otherwise(0))
+            .alias("x_cents"),
+            F.sum(F.when(day >= _CUPED_SPLIT_DAY, cents).otherwise(0))
+            .alias("y_cents"),
+        )
+    )
+    return cuped_adjust(units, "variant", "x_cents", "y_cents")

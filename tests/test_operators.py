@@ -1678,3 +1678,28 @@ def test_k_anonymize_suppression_semantics(spark):
     assert mins >= 2
     with pytest.raises(ValueError, match="k must be"):
         k_anonymize(df, ["zip"], 0)
+
+
+def test_cuped_removes_covariate_imbalance_exactly(spark):
+    """With y perfectly linear in x (y = 3x, zero true effect) and the
+    variants deliberately imbalanced on x, the raw means differ but the
+    CUPED-adjusted means must be EQUAL (theta recovers 3 exactly from
+    the integer moments; the residual is identically zero)."""
+    from data_pipeline_stripe_spark.operators.experiment import cuped_adjust
+
+    rows = ([(0, x, 3 * x) for x in (100, 200, 300)]       # low-x variant
+            + [(1, x, 3 * x) for x in (700, 800, 900)])    # high-x variant
+    units = spark.createDataFrame(rows, "variant long, x long, y long")
+    out = {r.variant: r for r in
+           cuped_adjust(units, "variant", "x", "y").collect()}
+    assert out[0].theta == 3.0 and out[1].theta == 3.0
+    assert out[0].mean_y != out[1].mean_y          # raw: imbalanced
+    assert out[0].adjusted_mean_y == out[1].adjusted_mean_y
+
+    # degenerate Var(X)=0: theta=0, adjusted == raw
+    flat = spark.createDataFrame(
+        [(0, 5, 10), (1, 5, 30)], "variant long, x long, y long")
+    res = {r.variant: r for r in
+           cuped_adjust(flat, "variant", "x", "y").collect()}
+    assert res[0].theta == 0.0
+    assert res[0].adjusted_mean_y == res[0].mean_y
