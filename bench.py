@@ -75,6 +75,10 @@ HEADLINE = [
     # (pre-aggregate before the cutoff range join)
     "doc_mixture_resample",
     "feature_snapshot_user_weekly",
+    # round 7 (cont.): the k-anonymity window count and the CUPED
+    # moment pipeline
+    "k_anonymous_event_release",
+    "ab_cuped_adjusted_value",
 ]
 
 

@@ -104,6 +104,9 @@ NONEQUI_OK = {
     "embedding_pq_topk",
     # q22's scalar-AVG subquery: 1-row broadcast cross against customer
     "q22_dormant_high_balance",
+    # CUPED: the pooled 1-row moment frame broadcast-crosses the
+    # |variants|-row aggregate — both sides O(1), never the fact
+    "ab_cuped_adjusted_value",
     # q11's scalar-total subquery: 1-row broadcast cross against the
     # per-part aggregate output (|parts| rows, not the fact)
     "q11_important_part_value",
