@@ -85,9 +85,17 @@ def mixture_resample(docs: DataFrame, weights: DataFrame, k: int,
         raise ValueError(
             f"mixture_resample: quota exceeds available rows for {over} "
             f"(quota, available) — lower k or the source's weight")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # The quota frame's source column must carry the CORPUS's type (an
+    # integer source id hardcoded as string would silently type-coerce —
+    # or fail — at the selection join).
     quotas = docs.sparkSession.createDataFrame(
         [(r[source_col], r[q_c]) for r in quota_rows],
-        f"{source_col} string, {q_c} long",
+        StructType([
+            StructField(source_col, docs.schema[source_col].dataType),
+            StructField(q_c, LongType()),
+        ]),
     )
 
     # Distributed prefilter (the pareto-prefilter pattern): rank per

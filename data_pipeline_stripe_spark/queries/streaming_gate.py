@@ -89,8 +89,20 @@ def _four_batch_events_dir(sf_dir: str, scratch: str,
                 cols[field.name] = pa.array([-1], type=field.type)
             elif pa.types.is_floating(field.type):
                 cols[field.name] = pa.array([0.0], type=field.type)
-            else:
+            elif pa.types.is_integer(field.type):
+                cols[field.name] = pa.array([-1], type=field.type)
+            elif pa.types.is_boolean(field.type):
+                cols[field.name] = pa.array([False], type=field.type)
+            elif pa.types.is_date(field.type) or pa.types.is_timestamp(field.type):
+                cols[field.name] = pa.array([dt], type=field.type)
+            elif pa.types.is_string(field.type) or pa.types.is_large_string(field.type):
                 cols[field.name] = pa.array(["sentinel"], type=field.type)
+            else:
+                raise ValueError(
+                    f"_four_batch_events_dir: no sentinel default for "
+                    f"column {field.name!r} of arrow type {field.type} — "
+                    f"add a typed default before extending the events "
+                    f"fixture")
         path = os.path.join(in_dir, "part-0004-sentinel.parquet")
         pq.write_table(pa.table(cols, schema=tbl.schema), path)
         os.utime(path, (now + 4, now + 4))
@@ -314,7 +326,7 @@ def stream_session_window_parity(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """§2.11 native session windows in the hash gate: the SAME
     4-micro-batch replay the other streaming gates use, aggregated by
-    ``F.session_window`` (gap 30 min) in APPEND mode — sessions emit
+    ``F.session_window`` (gap 1 day) in APPEND mode — sessions emit
     only once the watermark proves no more events can extend them.
 
     Two semantics under test, both hash-visible: (a) sessions that

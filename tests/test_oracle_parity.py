@@ -82,25 +82,92 @@ def _sum_args(sql: str):
         yield sql[start : i - 1]
 
 
+def _strip_quantized_atoms(s: str) -> str:
+    """Replace every balanced ``CAST(ROUND(...)ASBIGINT)`` atom in a
+    whitespace-stripped uppercase expression with the integer literal
+    ``0``. What remains is the summand's non-quantized residue."""
+    import re
+
+    cast_round = re.compile(r"CAST\(ROUND\(")
+    out, i = [], 0
+    while i < len(s):
+        m = cast_round.match(s, i)
+        if not m:
+            out.append(s[i])
+            i += 1
+            continue
+        depth, j = 2, m.end()  # two opened parens: CAST( and ROUND(
+        while j < len(s) and depth:
+            depth += {"(": 1, ")": -1}.get(s[j], 0)
+            j += 1
+        atom = s[i:j]
+        out.append("0" if atom.endswith("ASBIGINT)") else atom)
+        i = j
+    return "".join(out)
+
+
+def _case_branch_values(s: str) -> list[str] | None:
+    """For a whitespace-stripped CASE expression, return the value
+    expression of every THEN/ELSE branch (conditions excluded — a float
+    compare in a WHEN condition is legitimate; only summand VALUES
+    accumulate). Returns None if the text doesn't parse as one
+    non-nested CASE (conservative: the caller then flags it)."""
+    import re
+
+    if not s.startswith("CASE") or s.count("CASE") > 1:
+        return None
+    kw = re.compile(r"WHEN|THEN|ELSE|END")
+    vals: list[str] = []
+    i, depth, val_start = 4, 0, None
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 0 and (m := kw.match(s, i)):
+            if val_start is not None:
+                vals.append(s[val_start:i])
+                val_start = None
+            if m.group(0) in ("THEN", "ELSE"):
+                val_start = m.end()
+            elif m.group(0) == "END":
+                return vals
+            i = m.end()
+            continue
+        i += 1
+    return None
+
+
+def _is_integer_by_construction(expr: str) -> bool:
+    """True iff ``expr`` (whitespace-stripped, uppercase) is an integer
+    expression: quantized CAST(ROUND(...) AS BIGINT) atoms combined only
+    with integer literals and +/-/* and parentheses. Any residual
+    identifier, float literal, or division means a float factor rides
+    the sum (``CAST(ROUND(x*100) AS BIGINT) * rate`` is exactly the
+    accumulation disease this lint exists for)."""
+    import re
+
+    residue = _strip_quantized_atoms(expr)
+    return re.fullmatch(r"[0-9+\-*()]*", residue) is not None
+
+
 def _summand_is_grid_quantized(arg: str) -> bool:
-    """True iff the SUM's summand is integer by construction: the whole
-    expression is CAST(ROUND(...) AS BIGINT)..., or a CASE whose every
-    THEN/ELSE branch is such a cast or an integer literal. A float
-    factor merely CONTAINING a quantized subexpression (e.g.
-    SUM(x * CAST(ROUND(y*100) AS BIGINT))) stays flagged — x's float
+    """True iff the SUM's summand is integer by construction — the FULL
+    expression, not just its prefix: quantized atoms times integer
+    literals, or a CASE whose every THEN/ELSE value is such an
+    expression. A float factor anywhere in the summand value (e.g.
+    SUM(CAST(ROUND(y*100) AS BIGINT) * rate)) stays flagged — the float
     accumulation is exactly the disease."""
     import re
 
     s = re.sub(r"\s+", "", arg).upper()
-    if s.startswith("CAST(ROUND("):
-        return True
     if s.startswith("CASE"):
-        branches = re.split(r"THEN|ELSE", s)[1:]
-        return all(
-            b.startswith("CAST(ROUND(") or re.match(r"^-?\d+(END|WHEN|$)", b)
-            for b in branches
+        branches = _case_branch_values(s)
+        return branches is not None and bool(branches) and all(
+            _is_integer_by_construction(b) for b in branches
         )
-    return False
+    return _is_integer_by_construction(s)
 
 
 def test_no_compared_float_sum_in_oracles():
