@@ -23,24 +23,74 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+_BUCKETED_BUILT: dict[tuple[str, str], tuple[str, int]] = {}
 
 
 def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
-                         key: str, buckets: int = 8) -> None:
+                         key: str, buckets: int = 8,
+                         fingerprint: str | None = None) -> None:
     """Write ``df`` as a ``bucketBy(buckets, key).sortBy(key)`` catalog
     table, replacing any previous incarnation. Handles the
     LOCATION_ALREADY_EXISTS trap: a fresh session's in-memory catalog
     doesn't know tables a previous session wrote, but their warehouse
     directories persist — so both the catalog entry AND any orphaned
-    warehouse directory are cleared before saveAsTable."""
+    warehouse directory are cleared before saveAsTable.
+
+    ``fingerprint`` makes the layout write idempotent per session: when
+    this session already built ``table`` with the SAME fingerprint and
+    bucket count (and the catalog still has it), the rewrite is skipped.
+    This is the warehouse reality at 100 TB — the bucketed layout is
+    built ONCE by a maintenance job and amortized across every
+    key-joining query; callers derive the fingerprint from the source
+    files' identity (path+size+mtime) so a changed source still
+    rebuilds. Scoped to the live session because the in-memory catalog
+    dies with it."""
     import shutil
     from urllib.parse import urlparse
 
+    cache_key = (spark.sparkContext.applicationId, table)
+    if (fingerprint is not None
+            and _BUCKETED_BUILT.get(cache_key) == (fingerprint, buckets)
+            and spark.catalog.tableExists(table)):
+        return
+    _BUCKETED_BUILT.pop(cache_key, None)
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
-    (df.write.bucketBy(buckets, key).sortBy(key)
+    # repartition(buckets, key) uses the SAME Murmur3 hash bucketBy
+    # uses, so each write task holds exactly one bucket → ONE file per
+    # bucket. That's what lets the scan report its sortBy order (Spark
+    # only trusts per-bucket order with a single file), which elides
+    # the per-bucket Sort under every sort-merge join on the key — the
+    # layout pays one extra shuffle ONCE, every join skips its sort
+    # forever.
+    (df.repartition(buckets, F.col(key))
+     .write.bucketBy(buckets, key).sortBy(key)
      .mode("overwrite").saveAsTable(table))
+    if fingerprint is not None:
+        _BUCKETED_BUILT[cache_key] = (fingerprint, buckets)
+
+
+def source_fingerprint(sf_dir: str, tables: list[str]) -> str:
+    """Identity of the parquet sources a derived layout was built from:
+    realpath + per-file size and mtime of every data file. Any rewrite
+    of a source table changes the fingerprint and forces a layout
+    rebuild; an unchanged source lets the session reuse the table."""
+    parts = [os.path.realpath(sf_dir)]
+    for nm in tables:
+        p = os.path.join(sf_dir, f"{nm}.parquet")
+        files = (
+            sorted(os.path.join(r, f)
+                   for r, _d, fs in os.walk(p) for f in fs)
+            if os.path.isdir(p) else [p]
+        )
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
 
 
 def write_clustered(df: DataFrame, out_dir: str, cluster_cols: list[str],

@@ -54,69 +54,32 @@ from . import maintenance  # noqa: E402,F401
 _WINDOW = 50
 
 PRIORITY_THIS_ROUND = [
-    # round 7 pins: all 49 r6 pins pruned (every one sealed green in the
-    # r6 tri-scale differentials and the x10 campaign; code untouched
+    # round 8 pins: all 29 r7 pins pruned (every one green in the r7
+    # driver window / final-HEAD full differentials; code untouched
     # since). Pinned here = code changed THIS round (rule 1).
     #
-    # round 7: the ROUND(SUM(<double>)) oracle class converted wholesale
-    # to the cent-grid BIGINT sum (the q7/q10 tied-scale disease —
-    # NOTES_r6 "Open class, r7 agenda"), guarded by
-    # test_no_compared_float_sum_in_oracles. Also integer-exact rewrites
-    # of the compared float *thresholds* riding the same diff: q17's
-    # qty<0.2·AVG cross-multiplied, q15's max-revenue equality on the
-    # grid integer, q22's avg-balance threshold from the exact cent sum.
-    "q1_pricing_summary",
-    "star_join_revenue_by_region",
-    "expression_join_nation_region",
-    "running_order_total_per_customer",
-    "rollup_revenue",
-    "cube_orders_status_priority",
-    "conditional_order_classes",
-    "pivot_quantity_by_status",
-    "grouping_sets_revenue",
-    "sql_udf_usage_percent",
-    "q3_shipping_priority",
-    "q5_supplier_customer_by_nation",
-    "q17_small_quantity_revenue",
-    "q6_forecast_revenue_delta",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q22_dormant_high_balance",
-    "royalties_monthly_usd",
-    "royalties_monthly_usd_bucketed",
-    "royalties_json_roundtrip",
-    # round 7: deterministic domain-mixture resampling (Hamilton quotas
-    # + md5-systematic selection; llm/sampling.py)
+    # round 8: the quota frame now carries the corpus's source-column
+    # type (review fix in llm/sampling.py)
     "doc_mixture_resample",
-    # round 7: third §2.11 driver row — watermarked stream-stream
-    # attribution join drained across 4 micro-batches, with pairs that
-    # genuinely straddle the batch cuts (2-day window)
-    "stream_attribution_parity",
-    # round 7: idempotent single-partition backfill via dynamic
-    # partition overwrite (static overwrite would wipe the siblings —
-    # the hash catches both failure directions)
-    "backfill_partition_overwrite_roundtrip",
-    # round 7: leakage-free point-in-time training-feature matrix
-    # (pre-aggregate before the cutoff range join)
-    "feature_snapshot_user_weekly",
-    # round 7: exact-sum U-shaped multi-touch attribution (Hamilton
-    # credits reconcile to 1M ppm per purchase)
-    "multitouch_attribution_credit",
-    # round 7: fourth §2.11 driver row — native session windows in
-    # append mode across micro-batch cuts, flushed by the
-    # watermark-advancing sentinel tick; batch twin pinned because its
-    # oracle text moved into the shared session_window_oracle template
+    # round 8: typed sentinel defaults in the 4-batch scaffold; the
+    # session-window gate is the one consuming the sentinel path
     "stream_session_window_parity",
-    "session_window_batch",
-    # round 7: k-anonymity release gate (suppression-only, one window
-    # count; released histogram + suppressed audit row in one plan)
-    "k_anonymous_event_release",
-    # round 7: CUPED variance-reduced A/B readout (exact BIGINT moments
-    # → deterministic theta; the trend_slope pattern)
-    "ab_cuped_adjusted_value",
+    # round 8: the co-located layout became the royalties flagship —
+    # 32 buckets (one scan task per core) + fingerprint-cached layout
+    # write (build once per session, report many) + materialized
+    # amount/month projection; the shared report tree also flattened
+    # the dim snowflake into one broadcast, so the plain query and the
+    # JSONL sink gate changed plans too
+    "royalties_monthly_usd_bucketed",
+    "royalties_monthly_usd",
+    "royalties_json_roundtrip",
+    # round 8: bounded multi-touch attribution — explode(≤N seqs) +
+    # equi-join instead of the pair range join; quadratic oracle spec,
+    # linear Spark plan
+    "multitouch_attribution_topn",
 ]
-# Rotation note: with the r7 pin set the unpinned remainder re-verifies on
-# a ~5-round tile cadence; the repo's own tri-scale differential
+# Rotation note: with only 3 r8 pins, 47 rotating slots tile the 208
+# unpinned queries in ~4.5 rounds; the repo's own tri-scale differential
 # (tools/oracle_check.py at sf0.001/0.01/0.1 + the ×10 fixture) is the
 # full-registry gate in the meantime.
 

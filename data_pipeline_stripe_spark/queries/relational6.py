@@ -714,6 +714,157 @@ def multitouch_attribution_credit(spark: SparkSession,
     )
 
 
+_MTA_TOP_N = 3
+
+
+def _mta_topn_oracle() -> str:
+    # The oracle is the transparent (quadratic) SPEC: all window pairs,
+    # keep the N most recent clicks per purchase, re-rank, U-weight,
+    # allocate. The Spark side implements the same semantics with a
+    # LINEAR plan — the hash match proves the rewrite.
+    pairs = f"""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               c.ts AS c_ts
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL {_MTA_WINDOW_DAYS} DAY
+    """
+    kept = f"""
+        SELECT purchase_id, click_id, c_ts FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY purchase_id
+                ORDER BY c_ts DESC, click_id DESC) AS recency
+            FROM ({pairs})
+        ) WHERE recency <= {_MTA_TOP_N}
+    """
+    weighted = f"""
+        SELECT purchase_id, click_id, pos,
+               CAST(CASE WHEN pos = 1 OR pos = n_clicks THEN 2 ELSE 1 END
+                    AS BIGINT) AS w
+        FROM (
+            SELECT purchase_id, click_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY purchase_id ORDER BY c_ts, click_id)
+                       AS BIGINT) AS pos,
+                   COUNT(*) OVER (PARTITION BY purchase_id) AS n_clicks
+            FROM ({kept})
+        )
+    """
+    return allocate_proportional_oracle_sql(
+        weighted, keys="purchase_id", id_col="pos", weight_col="w",
+        total=_MTA_TOTAL_PPM,
+        select="purchase_id, click_id, CAST(pos AS BIGINT) AS pos",
+        out_col="credit_ppm",
+    )
+
+
+@query("multitouch_attribution_topn", oracle=_mta_topn_oracle())
+def multitouch_attribution_topn(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bounded multi-touch attribution — the 100 TB-safe twin of
+    multitouch_attribution_credit: only the N most recent clicks inside
+    the window are credited (N=_MTA_TOP_N=3), U-shaped over the kept
+    set, exact-ppm Hamilton reconciliation unchanged.
+
+    The point is the PLAN, not just the filter: the unbounded twin's
+    touchpoint×purchase range join materializes every pair first (×10⁴
+    intermediate rows on the ×100 co-active fixture — the measured 52×
+    scaler), and a rank-filter AFTER that join would bound the output
+    while still paying the quadratic middle. Here the fan-out is capped
+    INSIDE the plan, linearly:
+
+    1. one per-user window numbers the clicks (click_seq);
+    2. clicks and purchases interleave into one (user, ts)-sorted
+       stream where a running MAX hands each purchase the seq of its
+       latest preceding click (ties: clicks sort before purchases, so
+       a click AT the purchase instant counts — the c_ts <= p_ts spec);
+    3. each purchase explodes at most N candidate seqs and equi-joins
+       clicks on (user_id, click_seq) — never more than N rows per
+       purchase exist anywhere downstream of the explode;
+    4. the window's lower bound then drops candidates older than
+       {_MTA_WINDOW_DAYS} days, and position/weights/allocation run on
+       ≤N rows per purchase.
+
+    Every join is an equi-join on (user_id, seq); no pair blow-up
+    exists in any stage. The oracle is the quadratic spec — the hash
+    match is the rewrite's proof."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"))
+        .withColumn("click_seq",
+                    F.row_number().over(
+                        W.partitionBy("user_id").orderBy("c_ts", "click_id"))
+                    .cast("long"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    # Interleaved stream: kind 0 = click (carries its seq), kind 1 =
+    # purchase; running max of click_seq up to each purchase row is the
+    # seq of its latest preceding-or-simultaneous click.
+    stream = clicks.select(
+        "user_id", F.col("c_ts").alias("ts"), F.lit(0).alias("kind"),
+        F.col("click_id").alias("eid"), "click_seq",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    ).unionByName(purchases.select(
+        "user_id", F.col("p_ts").alias("ts"), F.lit(1).alias("kind"),
+        F.col("purchase_id").alias("eid"),
+        F.lit(None).cast("long").alias("click_seq"),
+        "purchase_id", "p_ts",
+    ))
+    w_run = (W.partitionBy("user_id").orderBy("ts", "kind", "eid")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    anchored = (
+        stream.withColumn("last_seq", F.max("click_seq").over(w_run))
+        .filter(F.col("kind") == 1)
+        .filter(F.col("last_seq") >= 1)
+        .select("user_id", "purchase_id", "p_ts", "last_seq")
+    )
+    candidates = anchored.select(
+        "user_id", "purchase_id", "p_ts",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1).cast("long"),
+                           F.col("last_seq") - (_MTA_TOP_N - 1)),
+                F.col("last_seq"),
+            )
+        ).alias("click_seq"),
+    )
+    kept = (
+        candidates.join(clicks, ["user_id", "click_seq"])
+        .filter(
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {_MTA_WINDOW_DAYS} DAYS"))
+    )
+    w_pos = W.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    w_all = W.partitionBy("purchase_id")
+    weighted = (
+        kept.withColumn("pos", F.row_number().over(w_pos).cast("long"))
+        .withColumn("n_clicks", F.count("*").over(w_all))
+        .withColumn(
+            "w",
+            F.when(
+                (F.col("pos") == 1) | (F.col("pos") == F.col("n_clicks")), 2
+            ).otherwise(1).cast("long"),
+        )
+        .select("purchase_id", "click_id", "pos", "w")
+    )
+    return (
+        allocate_proportional(weighted, ["purchase_id"], "pos", "w",
+                              _MTA_TOTAL_PPM)
+        .withColumnRenamed("alloc_units", "credit_ppm")
+        .select("purchase_id", "click_id", "pos", "credit_ppm")
+    )
+
+
 _KANON_K = 5
 
 

@@ -40,6 +40,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # even a trivial range().count() in local mode — reproduced and
     # bisected to that single conf.)
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Trust bucketBy+sortBy order on scan — Spark still verifies each
+    # bucket holds a SINGLE file before reporting the order
+    # (FileSourceScanLike checks bucketsContainSingleFile() in addition
+    # to this conf), so multi-file bucketed tables keep their safety
+    # Sort. write_bucketed_table writes one file per bucket precisely
+    # so co-located sort-merge joins skip BOTH the exchange AND the
+    # per-bucket sort.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

@@ -401,6 +401,21 @@ def test_variant_extract_no_python_single_agg_tree(spark, sf_dir):
     assert plan.count("Exchange ") <= 3
 
 
+def test_mta_topn_plan_is_linear_equi_joins_only(spark, sf_dir):
+    """The bounded attribution twin exists because the unbounded pair
+    range join is the measured ×10⁴ intermediate on co-active users.
+    Its plan must therefore contain NO non-equi join of any kind — the
+    candidate set is built by explode(sequence(...)) (≤N rows per
+    purchase by construction) and joined back on (user_id, click_seq)
+    equality; the window's lower bound is a post-join FILTER, never a
+    join condition Spark would have to nested-loop."""
+    plan = plan_of(spark, sf_dir, "multitouch_attribution_topn")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the one fact-fact join is keyed on (user_id, click_seq)
+    assert "Generate explode" in plan, plan
+
+
 def test_quarantine_split_is_one_scan_no_join(spark, sf_dir):
     """The quarantine split must be a coalesce inside the re-read's own
     aggregate — not a corrupt/clean self-join or a second pass over the

@@ -67,13 +67,13 @@ def main() -> None:
                    "l_extendedprice", "l_discount", "l_tax"]
         write_bucketed_table(
             spark, load_table(spark, fixture, "lineitem").select(*li_cols),
-            li_t, "l_orderkey",
+            li_t, "l_orderkey", buckets=32,
         )
         write_bucketed_table(
             spark,
             load_table(spark, fixture, "orders")
             .select("o_orderkey", "o_orderdate"),
-            o_t, "o_orderkey",
+            o_t, "o_orderkey", buckets=32,
         )
 
     layout_s = timed(layout)
