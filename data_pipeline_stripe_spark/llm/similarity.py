@@ -285,10 +285,14 @@ def ivf_topk_pruned(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
     )
 
 
+QUERY_CHUNK_ROWS = 8192
+
+
 def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            quant: int | None = None) -> DataFrame:
+                            quant: int | None = None,
+                            chunk_rows: int = QUERY_CHUNK_ROWS) -> DataFrame:
     """Same semantics as ``brute_force_topk``, implemented as an
     Arrow-batched ``mapInPandas`` numpy kernel: the (small) query matrix is
     a broadcast variable; each corpus partition streams through a single
@@ -304,60 +308,91 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
     matmuls: every partial is an integer below 2^53, so the result is
     EXACT and order-independent — bit-identical to any other engine that
     quantizes the same way (the RP-LSH signature trick applied to the
-    dense kernel), at the cost of the non-BLAS integer matmul path."""
+    dense kernel), at the cost of the non-BLAS integer matmul path.
+
+    The query side is pulled through ``toLocalIterator`` in bounded
+    ``chunk_rows`` slices — the driver never materializes more than one
+    chunk (there is NO ``collect()`` on this path), so an oversized
+    query batch degrades into several corpus passes instead of a driver
+    OOM. Each chunk contains a disjoint set of query ids, so the
+    per-query rank windows are chunk-invariant and the union of chunk
+    results equals the single-pass result exactly. Query batches large
+    enough to make multiple corpus passes hurt should use the keyed
+    routing of ``ivf_topk_pruned`` instead — this function is the
+    correctness baseline."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    q_rows = queries.select(id_col, vec_col).collect()  # queries are small
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    if quant is None:
-        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-        q_norms = None
-    else:
-        # Half-away-from-zero, matching Spark F.round / DuckDB ROUND
-        # (np.round is half-even).
-        q_mat = (np.sign(q_mat)
-                 * np.floor(np.abs(q_mat) * quant + 0.5)).astype(np.int64)
-        q_norms = (q_mat * q_mat).sum(axis=1)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
 
-    def score(batches):
-        ids, mat, qn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if quant is None:
-                c /= np.linalg.norm(c, axis=1, keepdims=True)
-                sims = c @ mat.T  # (batch, n_queries)
-            else:
-                ci = (np.sign(c)
-                      * np.floor(np.abs(c) * quant + 0.5)).astype(np.int64)
-                cn = (ci * ci).sum(axis=1)
-                dots = ci @ mat.T  # int64: exact, order-independent
-                sims = dots / np.sqrt(
-                    cn[:, None].astype(np.float64)
-                    * qn[None, :].astype(np.float64)
-                )
-            n, m = sims.shape
-            yield pd.DataFrame({
-                "query_id": np.tile(ids, n),
-                "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
-                "similarity": np.round(sims.reshape(-1), 6),
-            })
+    def _chunks():
+        buf = []
+        for r in queries.select(id_col, vec_col).toLocalIterator():
+            buf.append(r)
+            if len(buf) >= chunk_rows:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
 
-    pairs = emb.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, similarity double"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    w = W.partitionBy("query_id").orderBy(
-        F.col("similarity").desc(), F.col("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    chunk_tops = []
+    for q_rows in _chunks():
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+        if quant is None:
+            q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+            q_norms = None
+        else:
+            # Half-away-from-zero, matching Spark F.round / DuckDB ROUND
+            # (np.round is half-even).
+            q_mat = (np.sign(q_mat)
+                     * np.floor(np.abs(q_mat) * quant + 0.5)).astype(np.int64)
+            q_norms = (q_mat * q_mat).sum(axis=1)
+        bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+        def score(batches, _bc=bc):
+            ids, mat, qn = _bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                if quant is None:
+                    c /= np.linalg.norm(c, axis=1, keepdims=True)
+                    sims = c @ mat.T  # (batch, n_queries)
+                else:
+                    ci = (np.sign(c)
+                          * np.floor(np.abs(c) * quant + 0.5)).astype(np.int64)
+                    cn = (ci * ci).sum(axis=1)
+                    dots = ci @ mat.T  # int64: exact, order-independent
+                    sims = dots / np.sqrt(
+                        cn[:, None].astype(np.float64)
+                        * qn[None, :].astype(np.float64)
+                    )
+                n, m = sims.shape
+                yield pd.DataFrame({
+                    "query_id": np.tile(ids, n),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
+                    "similarity": np.round(sims.reshape(-1), 6),
+                })
+
+        pairs = emb.select(id_col, vec_col).mapInPandas(
+            score, "query_id long, neighbor_id long, similarity double"
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+        w = W.partitionBy("query_id").orderBy(
+            F.col("similarity").desc(), F.col("neighbor_id")
+        )
+        chunk_tops.append(
+            pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+        )
+    if not chunk_tops:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, similarity double,"
+                " rank long")
+    out = chunk_tops[0]
+    for extra in chunk_tops[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def kmeans_step(emb: DataFrame, centroids: DataFrame,

@@ -77,6 +77,14 @@ PRIORITY_THIS_ROUND = [
     # equi-join instead of the pair range join; quadratic oracle spec,
     # linear Spark plan
     "multitouch_attribution_topn",
+    # round 8: the pandas top-k kernel's query side now streams in
+    # bounded chunks (no whole-batch collect)
+    "embedding_topk_cosine_pandas",
+    # round 8: fifth §2.11 driver row — checkpoint RESTART recovery:
+    # the stateful drain is killed mid-stream by an injected sink crash
+    # and a second query recovers from the checkpoint; the hash proves
+    # state rebuild + exactly-once epoch replay
+    "stream_restart_recovery_parity",
 ]
 # Rotation note: with only 3 r8 pins, 47 rotating slots tile the 208
 # unpinned queries in ~4.5 rounds; the repo's own tri-scale differential

