@@ -314,20 +314,28 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
     ``chunk_rows`` slices — the driver never materializes more than one
     chunk (there is NO ``collect()`` on this path), so an oversized
     query batch degrades into several corpus passes instead of a driver
-    OOM. Each chunk contains a disjoint set of query ids, so the
-    per-query rank windows are chunk-invariant and the union of chunk
-    results equals the single-pass result exactly. Query batches large
-    enough to make multiple corpus passes hurt should use the keyed
-    routing of ``ivf_topk_pruned`` instead — this function is the
-    correctness baseline."""
+    OOM. ``toLocalIterator`` itself holds ONE PARTITION of the source
+    on the JVM driver, so the query side is first repartitioned to
+    ~``chunk_rows``-sized partitions — without that, a single-partition
+    10M-row query frame would OOM the driver before the first chunk.
+    Each chunk contains a disjoint set of query ids, so the per-query
+    rank windows are chunk-invariant and the union of chunk results
+    equals the single-pass result exactly. Query batches large enough
+    to make multiple corpus passes hurt should use the keyed routing of
+    ``ivf_topk_pruned`` instead — this function is the correctness
+    baseline."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
 
     def _chunks():
+        q = queries.select(id_col, vec_col)
+        n_parts = max(1, math.ceil(q.count() / chunk_rows))
         buf = []
-        for r in queries.select(id_col, vec_col).toLocalIterator():
+        for r in q.repartition(n_parts).toLocalIterator():
             buf.append(r)
             if len(buf) >= chunk_rows:
                 yield buf

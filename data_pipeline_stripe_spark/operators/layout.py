@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-_BUCKETED_BUILT: dict[tuple[str, str], tuple[str, int]] = {}
+_BUCKETED_BUILT: dict[tuple[str, str], tuple[str, int, str]] = {}
 
 
 def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
@@ -51,12 +51,21 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
     import shutil
     from urllib.parse import urlparse
 
-    cache_key = (spark.sparkContext.applicationId, table)
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, table)
+    # schema is part of the identity: two callers writing the SAME table
+    # name from the same sources but different projections must not
+    # cross-serve each other's layout
+    identity = (fingerprint, buckets, df.schema.simpleString())
     if (fingerprint is not None
-            and _BUCKETED_BUILT.get(cache_key) == (fingerprint, buckets)
+            and _BUCKETED_BUILT.get(cache_key) == identity
             and spark.catalog.tableExists(table)):
         return
     _BUCKETED_BUILT.pop(cache_key, None)
+    # evict entries from dead sessions — the in-memory catalog they
+    # describe died with their SparkContext
+    for k in [k for k in _BUCKETED_BUILT if k[0] != app_id]:
+        del _BUCKETED_BUILT[k]
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
@@ -71,7 +80,7 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
      .write.bucketBy(buckets, key).sortBy(key)
      .mode("overwrite").saveAsTable(table))
     if fingerprint is not None:
-        _BUCKETED_BUILT[cache_key] = (fingerprint, buckets)
+        _BUCKETED_BUILT[cache_key] = identity
 
 
 def source_fingerprint(sf_dir: str, tables: list[str]) -> str:

@@ -86,8 +86,8 @@ PRIORITY_THIS_ROUND = [
     # state rebuild + exactly-once epoch replay
     "stream_restart_recovery_parity",
 ]
-# Rotation note: with only 3 r8 pins, 47 rotating slots tile the 208
-# unpinned queries in ~4.5 rounds; the repo's own tri-scale differential
+# Rotation note: with the r8 pin set (8 pins), 42 rotating slots tile the
+# unpinned remainder in ~5 rounds; the repo's own tri-scale differential
 # (tools/oracle_check.py at sf0.001/0.01/0.1 + the ×10 fixture) is the
 # full-registry gate in the meantime.
 

@@ -83,12 +83,12 @@ def _sum_args(sql: str):
 
 
 def _strip_quantized_atoms(s: str) -> str:
-    """Replace every balanced ``CAST(ROUND(...)ASBIGINT)`` atom in a
-    whitespace-stripped uppercase expression with the integer literal
+    """Replace every balanced ``CAST(ROUND(...) AS BIGINT)`` atom in a
+    space-normalized uppercase expression with the integer literal
     ``0``. What remains is the summand's non-quantized residue."""
     import re
 
-    cast_round = re.compile(r"CAST\(ROUND\(")
+    cast_round = re.compile(r"CAST\s*\(\s*ROUND\s*\(")
     out, i = [], 0
     while i < len(s):
         m = cast_round.match(s, i)
@@ -100,23 +100,25 @@ def _strip_quantized_atoms(s: str) -> str:
         while j < len(s) and depth:
             depth += {"(": 1, ")": -1}.get(s[j], 0)
             j += 1
-        atom = s[i:j]
-        out.append("0" if atom.endswith("ASBIGINT)") else atom)
+        atom = s[i:j].replace(" ", "")
+        out.append("0" if atom.endswith("ASBIGINT)") else s[i:j])
         i = j
     return "".join(out)
 
 
 def _case_branch_values(s: str) -> list[str] | None:
-    """For a whitespace-stripped CASE expression, return the value
+    """For a space-normalized CASE expression, return the value
     expression of every THEN/ELSE branch (conditions excluded — a float
     compare in a WHEN condition is legitimate; only summand VALUES
-    accumulate). Returns None if the text doesn't parse as one
-    non-nested CASE (conservative: the caller then flags it)."""
+    accumulate). Keywords match only on WORD BOUNDARIES, so an
+    identifier like ``ends_at`` cannot truncate the parse into a false
+    negative. Returns None if the text doesn't parse as one non-nested
+    CASE reaching its END (conservative: the caller then flags it)."""
     import re
 
-    if not s.startswith("CASE") or s.count("CASE") > 1:
+    if not s.startswith("CASE") or len(re.findall(r"\bCASE\b", s)) > 1:
         return None
-    kw = re.compile(r"WHEN|THEN|ELSE|END")
+    kw = re.compile(r"\b(WHEN|THEN|ELSE|END)\b")
     vals: list[str] = []
     i, depth, val_start = 4, 0, None
     while i < len(s):
@@ -136,11 +138,11 @@ def _case_branch_values(s: str) -> list[str] | None:
             i = m.end()
             continue
         i += 1
-    return None
+    return None  # never reached END at depth 0 — let the caller flag it
 
 
 def _is_integer_by_construction(expr: str) -> bool:
-    """True iff ``expr`` (whitespace-stripped, uppercase) is an integer
+    """True iff ``expr`` (space-normalized, uppercase) is an integer
     expression: quantized CAST(ROUND(...) AS BIGINT) atoms combined only
     with integer literals and +/-/* and parentheses. Any residual
     identifier, float literal, or division means a float factor rides
@@ -149,7 +151,7 @@ def _is_integer_by_construction(expr: str) -> bool:
     import re
 
     residue = _strip_quantized_atoms(expr)
-    return re.fullmatch(r"[0-9+\-*()]*", residue) is not None
+    return re.fullmatch(r"[0-9+\-*() ]*", residue) is not None
 
 
 def _summand_is_grid_quantized(arg: str) -> bool:
@@ -158,10 +160,12 @@ def _summand_is_grid_quantized(arg: str) -> bool:
     literals, or a CASE whose every THEN/ELSE value is such an
     expression. A float factor anywhere in the summand value (e.g.
     SUM(CAST(ROUND(y*100) AS BIGINT) * rate)) stays flagged — the float
-    accumulation is exactly the disease."""
+    accumulation is exactly the disease. Whitespace is normalized to
+    single spaces (NOT stripped — stripping would fuse identifiers into
+    keywords and break the word-boundary parse)."""
     import re
 
-    s = re.sub(r"\s+", "", arg).upper()
+    s = re.sub(r"\s+", " ", arg).upper().strip()
     if s.startswith("CASE"):
         branches = _case_branch_values(s)
         return branches is not None and bool(branches) and all(
