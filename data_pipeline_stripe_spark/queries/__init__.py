@@ -85,8 +85,12 @@ PRIORITY_THIS_ROUND = [
     # and a second query recovers from the checkpoint; the hash proves
     # state rebuild + exactly-once epoch replay
     "stream_restart_recovery_parity",
+    # round 8: ANN index-quality audit — per-query recall@5 of the IVF
+    # path vs the exact baseline, composed from the two gated queries'
+    # own fns and oracles (integer ppm, left-join keeps zero-hit rows)
+    "embedding_ann_recall_audit",
 ]
-# Rotation note: with the r8 pin set (8 pins), 42 rotating slots tile the
+# Rotation note: with the r8 pin set (9 pins), 41 rotating slots tile the
 # unpinned remainder in ~5 rounds; the repo's own tri-scale differential
 # (tools/oracle_check.py at sf0.001/0.01/0.1 + the ×10 fixture) is the
 # full-registry gate in the meantime.

@@ -732,3 +732,66 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb, emb.filter(F.col("vec_id") < 8), cents, k=5
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Composed from the two component oracles AT REGISTRATION TIME, so
+    the audit's spec can never drift from the queries it audits."""
+    from .registry import REGISTRY as _REG
+
+    exact = _REG["embedding_topk_cosine"].oracle
+    approx = _REG["embedding_ivf_topk"].oracle
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact})),
+    approx AS (SELECT * FROM ({approx}))
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+           CAST(5 AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) * 200000 AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("embedding_ann_recall_audit", oracle=_ann_recall_oracle())
+def embedding_ann_recall_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X3 index-quality audit: per-query recall@5 of the IVF
+    approximate path against the exact brute-force ground truth — the
+    eval a production ANN deployment runs before trusting an index (and
+    re-runs after every re-train/re-bucket). Composes the two GATED
+    queries themselves (same fns, same oracles spliced into one SQL),
+    so this row proves three things at once: the exact baseline, the
+    IVF path, and the measurement connecting them.
+
+    Recall is exact integer ppm (hits × 1,000,000/5 — no float
+    division), per query, with zero-hit queries kept by the left join.
+    At 100 TB the same plan holds: ground truth is computed for a
+    SAMPLE of queries only (here: the 8 gated ones), both sides are
+    top-k frames of k rows per query, and the audit join is k·|sample|
+    rows — trivially small however big the corpus underneath was."""
+    from .registry import REGISTRY as _REG
+
+    exact = _REG["embedding_topk_cosine"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    approx = _REG["embedding_ivf_topk"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"))
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("long").alias("hits"),
+            F.lit(5).cast("long").alias("k"),
+            (F.col("hits") * 200000).cast("long").alias("recall_ppm"),
+        )
+    )

@@ -102,6 +102,10 @@ NONEQUI_OK = {
     # PQ-ADC: the per-query LUT maps (8 rows) ride a broadcast cross
     # against the corpus codes — same broadcast-tiny class
     "embedding_pq_topk",
+    # recall audit composes embedding_topk_cosine + embedding_ivf_topk,
+    # so it inherits exactly their allowlisted shapes (the audit's own
+    # join is a keyed equi-join of two k·|queries|-row frames)
+    "embedding_ann_recall_audit",
     # q22's scalar-AVG subquery: 1-row broadcast cross against customer
     "q22_dormant_high_balance",
     # CUPED: the pooled 1-row moment frame broadcast-crosses the
