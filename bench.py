@@ -81,6 +81,10 @@ HEADLINE = [
     # (pre-aggregate before the cutoff range join)
     "doc_mixture_resample",
     "feature_snapshot_user_weekly",
+    # round 8: the bounded attribution twin (linear plan) and the ANN
+    # recall audit composing the exact + IVF gated paths
+    "multitouch_attribution_topn",
+    "embedding_ann_recall_audit",
     # round 7 (cont.): the k-anonymity window count and the CUPED
     # moment pipeline
     "k_anonymous_event_release",
