@@ -1703,3 +1703,57 @@ def test_cuped_removes_covariate_imbalance_exactly(spark):
            cuped_adjust(flat, "variant", "x", "y").collect()}
     assert res[0].theta == 0.0
     assert res[0].adjusted_mean_y == res[0].mean_y
+
+
+def test_bucketed_layout_fingerprint_cache_semantics(spark, tmp_path):
+    """The session-scoped layout cache must (a) skip the rewrite when
+    source fingerprint + buckets + schema all match, (b) rebuild when
+    the SOURCE changes (fingerprint moves with file mtime/size), and
+    (c) rebuild when the same table name is requested with a DIFFERENT
+    projection (schema is part of the identity — two callers must not
+    cross-serve layouts)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.layout import (
+        source_fingerprint, write_bucketed_table)
+
+    src = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(src)
+
+    fp1 = source_fingerprint(str(tmp_path), ["t"])
+    write_bucketed_table(spark, spark.read.parquet(src), "fp_cache_t",
+                         "k", buckets=4, fingerprint=fp1)
+    t1 = spark.sql("DESCRIBE TABLE EXTENDED fp_cache_t").collect()
+    first_files = sorted(os.listdir(
+        os.path.join("spark-warehouse", "fp_cache_t")))
+
+    # (a) same fingerprint + schema: the rewrite is skipped — the
+    # physical files are untouched
+    write_bucketed_table(spark, spark.read.parquet(src), "fp_cache_t",
+                         "k", buckets=4, fingerprint=fp1)
+    assert sorted(os.listdir(
+        os.path.join("spark-warehouse", "fp_cache_t"))) == first_files
+
+    # (c) same name + fingerprint, DIFFERENT projection: must rebuild
+    write_bucketed_table(
+        spark, spark.read.parquet(src).select("k"), "fp_cache_t",
+        "k", buckets=4, fingerprint=fp1)
+    assert spark.table("fp_cache_t").columns == ["k"]
+
+    # (b) source rewritten → fingerprint moves → rebuild picks up rows
+    _time.sleep(0.05)
+    spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).write.mode("overwrite").parquet(src)
+    fp2 = source_fingerprint(str(tmp_path), ["t"])
+    assert fp2 != fp1
+    write_bucketed_table(spark, spark.read.parquet(src), "fp_cache_t",
+                         "k", buckets=4, fingerprint=fp2)
+    assert spark.table("fp_cache_t").count() == 50
+    assert t1 is not None
+    spark.sql("DROP TABLE IF EXISTS fp_cache_t")
