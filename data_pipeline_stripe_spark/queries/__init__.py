@@ -89,8 +89,12 @@ PRIORITY_THIS_ROUND = [
     # path vs the exact baseline, composed from the two gated queries'
     # own fns and oracles (integer ppm, left-join keeps zero-hit rows)
     "embedding_ann_recall_audit",
+    # round 8: the snapshot-table commit protocol (immutable manifests
+    # + atomic pointer swap) proven by a three-version time-travel
+    # round trip — closes the "table format" gap with working code
+    "snapshot_time_travel_roundtrip",
 ]
-# Rotation note: with the r8 pin set (9 pins), 41 rotating slots tile the
+# Rotation note: with the r8 pin set (10 pins), 40 rotating slots tile the
 # unpinned remainder in ~5 rounds; the repo's own tri-scale differential
 # (tools/oracle_check.py at sf0.001/0.01/0.1 + the ×10 fixture) is the
 # full-registry gate in the meantime.

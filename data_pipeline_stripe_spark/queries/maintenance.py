@@ -586,3 +586,86 @@ def backfill_partition_overwrite_roundtrip(spark: SparkSession,
         F.count("*").alias("n_events"),
         F.sum("value_cents").alias("value_cents"),
     )
+
+
+_SNAP_C1, _SNAP_C2 = "2024-01-11", "2024-01-21"
+
+
+@query(
+    "snapshot_time_travel_roundtrip",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    v0 AS (SELECT * FROM base WHERE day < '{_SNAP_C1}'),
+    v1 AS (SELECT * FROM base WHERE day < '{_SNAP_C2}'),
+    v2 AS (SELECT * FROM v1 WHERE event_type <> 'error')
+    SELECT CAST(0 AS BIGINT) AS version, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS cents
+    FROM v0 GROUP BY 2
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+    FROM v1 GROUP BY 2
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+    FROM v2 GROUP BY 2
+    """,
+)
+def snapshot_time_travel_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Snapshot-table commit protocol in the hash gate
+    (operators/snapshots.py — the Iceberg core hand-built on raw
+    parquet: immutable data files + immutable manifests + one
+    atomically-swapped pointer). Three commits build three versions:
+
+    - v0 APPEND: events before {c1};
+    - v1 APPEND: events in [{c1}, {c2}) — v0's files are REFERENCED,
+      not rewritten (O(new-data) commit);
+    - v2 OVERWRITE: the CURRENT state re-read through the table itself
+      and cleaned (errors dropped) — the compaction/GDPR-rewrite verb;
+      v0/v1 stay time-travelable.
+
+    The returned frame reads ALL THREE versions back via time travel
+    and aggregates each; the hash matches only if every historical
+    state is byte-equivalent to its independently reconstructed oracle
+    twin — a commit that tore, an append that rewrote or dropped prior
+    files, an overwrite that leaked old rows into the new version, or
+    a time-travel read that resolved the wrong manifest each flips a
+    row. Atomicity/expiry mechanics (pointer swap, orphan collection,
+    keep_last floor) are pytest-pinned in test_operators.py."""
+    from ..operators.snapshots import snapshot_commit, snapshot_read
+
+    table_dir = _scratch(sf_dir, "snapshot_table")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    snapshot_commit(spark, table_dir, ev.filter(F.col("day") < _SNAP_C1),
+                    mode="append")
+    snapshot_commit(
+        spark, table_dir,
+        ev.filter((F.col("day") >= _SNAP_C1) & (F.col("day") < _SNAP_C2)),
+        mode="append")
+    cleaned = snapshot_read(spark, table_dir).filter(
+        F.col("event_type") != "error")
+    snapshot_commit(spark, table_dir, cleaned, mode="overwrite")
+
+    views = []
+    for v in (0, 1, 2):
+        views.append(
+            snapshot_read(spark, table_dir, version=v)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("c").alias("cents"))
+            .select(F.lit(v).cast("long").alias("version"), "event_type",
+                    "n_events", "cents")
+        )
+    out = views[0]
+    for extra in views[1:]:
+        out = out.unionByName(extra)
+    return out

@@ -1757,3 +1757,52 @@ def test_bucketed_layout_fingerprint_cache_semantics(spark, tmp_path):
     assert spark.table("fp_cache_t").count() == 50
     assert t1 is not None
     spark.sql("DROP TABLE IF EXISTS fp_cache_t")
+
+
+def test_snapshot_table_commit_expire_mechanics(spark, tmp_path):
+    """The snapshot format's mechanical invariants, beyond the gated
+    hash: appends REFERENCE prior files (no rewrite), overwrite starts
+    a fresh file set while history stays readable, expiry deletes only
+    unreferenced commit dirs (including crashed-commit orphans) and
+    refuses to expire everything."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        _read_manifest, snapshot_commit, snapshot_current_version,
+        snapshot_expire, snapshot_read, snapshot_versions)
+
+    t = str(tmp_path / "snap_t")
+    d0 = spark.range(10).select(F.col("id"), F.lit("a").alias("tag"))
+    d1 = spark.range(10, 15).select(F.col("id"), F.lit("b").alias("tag"))
+
+    assert snapshot_current_version(t) is None
+    v0 = snapshot_commit(spark, t, d0, mode="append")
+    v1 = snapshot_commit(spark, t, d1, mode="append")
+    assert (v0, v1) == (0, 1)
+    f0 = _read_manifest(t, 0)["files"]
+    f1 = _read_manifest(t, 1)["files"]
+    assert set(f0) < set(f1)  # append references v0's files untouched
+    assert snapshot_read(spark, t, 0).count() == 10
+    assert snapshot_read(spark, t).count() == 15
+
+    v2 = snapshot_commit(
+        spark, t, snapshot_read(spark, t).filter("id < 3"),
+        mode="overwrite")
+    assert v2 == 2
+    assert set(_read_manifest(t, 2)["files"]).isdisjoint(set(f1))
+    assert snapshot_read(spark, t).count() == 3
+    assert snapshot_read(spark, t, 1).count() == 15  # history intact
+
+    # crashed-commit orphan: a data dir no manifest references
+    os.makedirs(os.path.join(t, "data", "deadbeef0000"))
+    report = snapshot_expire(t, keep_last=2)
+    assert report["expired_versions"] == [0]
+    assert "deadbeef0000" in report["deleted_dirs"]
+    assert snapshot_versions(t) == [1, 2]
+    assert snapshot_read(spark, t, 1).count() == 15  # survivor readable
+    assert snapshot_read(spark, t).count() == 3
+    with pytest.raises(ValueError):
+        snapshot_expire(t, keep_last=0)
