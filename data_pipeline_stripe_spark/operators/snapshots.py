@@ -75,7 +75,8 @@ def snapshot_versions(table_dir: str) -> list[int]:
 
 
 def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
-                    mode: str = "append") -> int:
+                    mode: str = "append",
+                    epoch_key: str | None = None) -> int:
     """Commit ``df`` as the next version of ``table_dir``. Returns the
     new version number.
 
@@ -88,11 +89,26 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     directory, (2) write the immutable manifest, (3) ``os.replace`` the
     current pointer. A crash between any two steps leaves the table at
     the OLD version with some unreferenced garbage — never a corrupt
-    state; ``snapshot_expire`` collects the orphans."""
+    state; ``snapshot_expire`` collects the orphans.
+
+    ``epoch_key`` makes the commit IDEMPOTENT — the exactly-once sink
+    contract a streaming ``foreachBatch`` needs (the Delta txn
+    appId/version pattern): each version's manifest carries the set of
+    epoch keys already folded into the table, and a commit whose key is
+    already present is a NO-OP returning the current version. A crash
+    AFTER the pointer swap but before the engine records the epoch (the
+    dangerous replay window) therefore cannot double-apply the batch;
+    a crash BEFORE the swap leaves only an orphaned data dir that
+    ``snapshot_expire`` collects."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_commit: unknown mode {mode!r}")
     snapdir = os.path.join(table_dir, _SNAPDIR)
     os.makedirs(snapdir, exist_ok=True)
+
+    prev0 = snapshot_current_version(table_dir)
+    if epoch_key is not None and prev0 is not None:
+        if epoch_key in _read_manifest(table_dir, prev0).get("epochs", []):
+            return prev0  # replayed epoch: already committed, skip
 
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", commit_id)
@@ -104,18 +120,23 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     )
 
     prev = snapshot_current_version(table_dir)
+    prev_manifest = _read_manifest(table_dir, prev) if prev is not None else {}
     if mode == "append" and prev is not None:
-        files = _read_manifest(table_dir, prev)["files"] + new_files
+        files = prev_manifest["files"] + new_files
     else:
         files = new_files
     version = 0 if prev is None else prev + 1
 
+    epochs = list(prev_manifest.get("epochs", []))
+    if epoch_key is not None:
+        epochs.append(epoch_key)
     manifest = {
         "version": version,
         "parent": prev,
         "mode": mode,
         "committed_at": time.time(),
         "files": files,
+        "epochs": epochs,
     }
     # manifest is immutable once named: write-temp + replace so a
     # concurrent reader of v{N} never sees a partial JSON

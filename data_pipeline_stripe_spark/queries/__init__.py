@@ -93,8 +93,13 @@ PRIORITY_THIS_ROUND = [
     # + atomic pointer swap) proven by a three-version time-travel
     # round trip — closes the "table format" gap with working code
     "snapshot_time_travel_roundtrip",
+    # round 8: sixth §2.11 driver row — exactly-once streaming sink via
+    # epoch-keyed idempotent snapshot commits; the injected crash fires
+    # AFTER the commit, so the replay window itself is what the hash
+    # proves
+    "stream_snapshot_sink_parity",
 ]
-# Rotation note: with the r8 pin set (10 pins), 40 rotating slots tile the
+# Rotation note: with the r8 pin set (11 pins), 39 rotating slots tile the
 # unpinned remainder in ~5 rounds; the repo's own tri-scale differential
 # (tools/oracle_check.py at sf0.001/0.01/0.1 + the ×10 fixture) is the
 # full-registry gate in the meantime.

@@ -481,3 +481,85 @@ def stream_restart_recovery_parity(spark: SparkSession,
             F.col("total_value").cast("long").alias("total_value_cents"),
         )
     )
+
+
+@query(
+    "stream_snapshot_sink_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stream_snapshot_sink_parity(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """§2.11 exactly-once SINK in the hash gate — the hardest replay
+    window: ``foreachBatch`` commits each micro-batch as an epoch-keyed
+    snapshot append (operators/snapshots.py), and the injected crash
+    fires AFTER epoch 2's commit lands but BEFORE the function returns
+    — so Spark never records epoch 2 as done and REPLAYS it on restart.
+    Without the idempotent commit (the manifest's epoch ledger, the
+    Delta txn appId/version pattern), the replay would append batch 2
+    twice and the per-type counts/cent-sums would overshoot; with it,
+    the replayed commit is a no-op and the drained table equals the
+    fixture exactly. This is the complement of
+    stream_restart_recovery_parity, whose crash fires BEFORE the write
+    (testing replay-of-lost work); here the crash fires AFTER (testing
+    dedup-of-repeated work). The gate raises loudly if the crash never
+    fired."""
+    from ..operators.snapshots import snapshot_commit, snapshot_read
+    from ..streaming.events import read_event_stream
+
+    scratch = _scratch(sf_dir, "stream_snapshot_sink")
+    in_dir = _four_batch_events_dir(sf_dir, scratch)
+    table_dir = os.path.join(scratch, "table")
+    ckpt = os.path.join(scratch, "_ckpt")
+    marker = os.path.join(scratch, "crashed_once")
+
+    def start_drain():
+        stream = read_event_stream(spark, in_dir, max_files_per_trigger=1)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            snapshot_commit(spark, table_dir,
+                            batch_df.select("event_type", "value"),
+                            mode="append", epoch_key=str(epoch_id))
+            if epoch_id >= 2 and not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write(str(epoch_id))
+                raise RuntimeError(
+                    f"injected crash AFTER epoch {epoch_id} committed")
+
+        return (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start_drain()
+    try:
+        q1.processAllAvailable()
+        q1.stop()
+    except Exception:
+        pass  # the injected crash — the committed epoch is the point
+    if not os.path.exists(marker):
+        raise RuntimeError(
+            "stream_snapshot_sink_parity: the injected crash never fired "
+            "— the replay window was not exercised; fix the scaffold")
+
+    q2 = start_drain()  # replays epoch 2 → idempotent no-op, then 3
+    q2.processAllAvailable()
+    q2.stop()
+
+    return (
+        snapshot_read(spark, table_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("total_value_cents"),
+        )
+    )

@@ -1806,3 +1806,28 @@ def test_snapshot_table_commit_expire_mechanics(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 3
     with pytest.raises(ValueError):
         snapshot_expire(t, keep_last=0)
+
+
+def test_snapshot_commit_epoch_key_idempotence(spark, tmp_path):
+    """The idempotent-commit contract the streaming sink rides: a
+    commit whose epoch_key is already in the manifest ledger is a
+    no-op returning the current version; distinct keys commit;
+    overwrite commits preserve the ledger."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_commit, snapshot_read)
+
+    t = str(tmp_path / "snap_idem")
+    d = spark.range(5).select(F.col("id"))
+    assert snapshot_commit(spark, t, d, epoch_key="0") == 0
+    # replayed epoch: no new version, no new rows
+    assert snapshot_commit(spark, t, d, epoch_key="0") == 0
+    assert snapshot_read(spark, t).count() == 5
+    assert snapshot_commit(spark, t, d, epoch_key="1") == 1
+    assert snapshot_read(spark, t).count() == 10
+    # the ledger survives an overwrite (Delta txn-table semantics)
+    assert snapshot_commit(spark, t, d, mode="overwrite",
+                           epoch_key="2") == 2
+    assert snapshot_commit(spark, t, d, epoch_key="1") == 2  # still no-op
+    assert snapshot_read(spark, t).count() == 5
