@@ -62,8 +62,10 @@ def snapshot_current_version(table_dir: str) -> int | None:
         return int(fh.read().strip())
 
 
-def snapshot_versions(table_dir: str) -> list[int]:
-    """All retained (time-travelable) versions, ascending."""
+def _all_manifest_versions(table_dir: str) -> list[int]:
+    """Every manifest on disk, COMMITTED OR NOT, ascending — internal:
+    version allocation and expiry must see crash-orphaned manifests
+    (written but never pointer-swapped) that readers must not."""
     snapdir = os.path.join(table_dir, _SNAPDIR)
     if not os.path.isdir(snapdir):
         return []
@@ -72,6 +74,27 @@ def snapshot_versions(table_dir: str) -> list[int]:
         for e in os.scandir(snapdir)
         if e.name.startswith("v") and e.name.endswith(".json")
     )
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """All retained COMMITTED (time-travelable) versions, ascending.
+    A manifest newer than the current pointer is a crash orphan — its
+    commit never happened — and is never reported here: readers must
+    not be able to time-travel into uncommitted state."""
+    current = snapshot_current_version(table_dir)
+    if current is None:
+        return []
+    return [v for v in _all_manifest_versions(table_dir) if v <= current]
+
+
+def _epoch_sort_key(key: str):
+    """Monotone comparison for epoch keys: numeric when both sides
+    parse as integers (the foreachBatch epoch-id case), lexicographic
+    otherwise — (is_str, value) tuples keep the comparison total."""
+    try:
+        return (0, int(key), "")
+    except ValueError:
+        return (1, 0, key)
 
 
 def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
@@ -93,22 +116,30 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
 
     ``epoch_key`` makes the commit IDEMPOTENT — the exactly-once sink
     contract a streaming ``foreachBatch`` needs (the Delta txn
-    appId/version pattern): each version's manifest carries the set of
-    epoch keys already folded into the table, and a commit whose key is
-    already present is a NO-OP returning the current version. A crash
-    AFTER the pointer swap but before the engine records the epoch (the
-    dangerous replay window) therefore cannot double-apply the batch;
-    a crash BEFORE the swap leaves only an orphaned data dir that
-    ``snapshot_expire`` collects."""
+    appId/version pattern): each manifest carries the LAST committed
+    epoch key, keys must be MONOTONE increasing (foreachBatch epoch ids
+    are), and a commit whose key is <= the last committed one is a
+    NO-OP returning the current version — O(1) per commit, no
+    ever-growing ledger. A crash AFTER the pointer swap but before the
+    engine records the epoch (the dangerous replay window) therefore
+    cannot double-apply the batch; a crash BEFORE the swap leaves only
+    orphaned garbage (a data dir, possibly a manifest that was never
+    pointer-swapped) that ``snapshot_expire`` collects. Version numbers
+    are allocated past every manifest on disk — committed or orphaned —
+    so a crash can never cause a later commit to REWRITE an existing
+    manifest file (manifests stay immutable once named)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_commit: unknown mode {mode!r}")
     snapdir = os.path.join(table_dir, _SNAPDIR)
     os.makedirs(snapdir, exist_ok=True)
 
-    prev0 = snapshot_current_version(table_dir)
-    if epoch_key is not None and prev0 is not None:
-        if epoch_key in _read_manifest(table_dir, prev0).get("epochs", []):
-            return prev0  # replayed epoch: already committed, skip
+    prev = snapshot_current_version(table_dir)
+    prev_manifest = _read_manifest(table_dir, prev) if prev is not None else {}
+    if epoch_key is not None:
+        last = prev_manifest.get("last_epoch")
+        if last is not None and (
+                _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
+            return prev  # replayed / stale epoch: already applied, skip
 
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", commit_id)
@@ -119,24 +150,24 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
         if f.endswith(".parquet")
     )
 
-    prev = snapshot_current_version(table_dir)
-    prev_manifest = _read_manifest(table_dir, prev) if prev is not None else {}
     if mode == "append" and prev is not None:
         files = prev_manifest["files"] + new_files
     else:
         files = new_files
-    version = 0 if prev is None else prev + 1
+    on_disk = _all_manifest_versions(table_dir)
+    version = max(on_disk + [prev if prev is not None else -1]) + 1
 
-    epochs = list(prev_manifest.get("epochs", []))
-    if epoch_key is not None:
-        epochs.append(epoch_key)
     manifest = {
         "version": version,
         "parent": prev,
         "mode": mode,
         "committed_at": time.time(),
         "files": files,
-        "epochs": epochs,
+        "schema": df.schema.json(),
+        "last_epoch": (
+            epoch_key if epoch_key is not None
+            else prev_manifest.get("last_epoch")
+        ),
     }
     # manifest is immutable once named: write-temp + replace so a
     # concurrent reader of v{N} never sees a partial JSON
@@ -162,16 +193,26 @@ def snapshot_read(spark: SparkSession, table_dir: str,
         raise ValueError(f"snapshot_read: {table_dir} has no commits")
     m = _read_manifest(table_dir, v)
     if not m["files"]:
-        return spark.createDataFrame([], "id long").limit(0)
+        # the manifest carries the committed schema, so an empty
+        # version still reads back with the right columns
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"])))
     return spark.read.parquet(
         *[os.path.join(table_dir, f) for f in m["files"]])
 
 
 def snapshot_expire(table_dir: str, keep_last: int = 2) -> dict:
-    """Retention: drop all but the newest ``keep_last`` manifests, then
-    delete every data commit-directory no SURVIVING manifest references
-    (which also collects orphans from crashed commits). O(deleted) —
-    surviving data is never touched. Returns
+    """Retention: drop all but the newest ``keep_last`` COMMITTED
+    manifests, drop every crash-orphaned manifest (version > current
+    pointer — written but never committed), then delete every data
+    commit-directory no SURVIVING manifest references (which also
+    collects orphaned data dirs from crashed commits). Survivors are
+    anchored on the CURRENT POINTER, never on raw manifest file names —
+    an orphan manifest newer than the pointer can therefore never
+    out-rank (and expire) the live version. O(deleted) — surviving data
+    is never touched. Returns
     {"expired_versions": [...], "deleted_dirs": [...]}."""
     import shutil
 
@@ -179,9 +220,13 @@ def snapshot_expire(table_dir: str, keep_last: int = 2) -> dict:
         raise ValueError("snapshot_expire: keep_last must be >= 1 — "
                          "expiring every version leaves an unreadable "
                          "table")
-    versions = snapshot_versions(table_dir)
-    doomed = versions[:-keep_last] if len(versions) > keep_last else []
-    survivors = [v for v in versions if v not in doomed]
+    committed = snapshot_versions(table_dir)  # <= current pointer only
+    current = snapshot_current_version(table_dir)
+    orphans = [v for v in _all_manifest_versions(table_dir)
+               if current is None or v > current]
+    doomed = (committed[:-keep_last] if len(committed) > keep_last
+              else []) + orphans
+    survivors = [v for v in committed if v not in doomed]
     referenced = set()
     for v in survivors:
         for f in _read_manifest(table_dir, v)["files"]:

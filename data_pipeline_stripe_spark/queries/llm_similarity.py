@@ -16,6 +16,11 @@ from ..llm import similarity
 from ..sources import load_table
 from .registry import query
 
+# top-k depth shared by the exact baseline, the IVF path, and the
+# recall audit that compares them — one constant so the audit's k and
+# ppm denominator can never drift from the component queries
+_TOPK_K = 5
+
 _COS = (
     "list_inner_product(a.v, b.v) / "
     "sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v))"
@@ -36,14 +41,16 @@ _COS = (
             ORDER BY similarity DESC, neighbor_id) AS BIGINT) AS rank
         FROM pairs
     )
-    SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, similarity, rank
+    FROM ranked WHERE rank <= {_TOPK_K}
     """,
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 baseline: exact top-5 cosine neighbors for query vectors
     (vec_id < 8). Queries broadcast; corpus never shuffled."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=_TOPK_K)
 
 
 @query(
@@ -246,7 +253,7 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_ivf_topk",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id < 4),
     scored AS (
@@ -286,7 +293,7 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
     )
     SELECT query_id, neighbor_id, similarity, rank
-    FROM ranked WHERE rank <= 5
+    FROM ranked WHERE rank <= {_TOPK_K}
     """,
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,7 +309,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), cents,
-                               k=5, n_probes=2)
+                               k=_TOPK_K, n_probes=2)
 
 
 _IVF_PRUNED_ORACLE_TAIL = """
@@ -741,13 +748,16 @@ def _ann_recall_oracle() -> str:
 
     exact = _REG["embedding_topk_cosine"].oracle
     approx = _REG["embedding_ivf_topk"].oracle
+    assert 1_000_000 % _TOPK_K == 0, "ppm must divide evenly by k"
+    ppm_per_hit = 1_000_000 // _TOPK_K
     return f"""
     WITH exact AS (SELECT * FROM ({exact})),
     approx AS (SELECT * FROM ({approx}))
     SELECT e.query_id,
            CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
-           CAST(5 AS BIGINT) AS k,
-           CAST(COUNT(a.neighbor_id) * 200000 AS BIGINT) AS recall_ppm
+           CAST({_TOPK_K} AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) * {ppm_per_hit} AS BIGINT)
+               AS recall_ppm
     FROM exact e
     LEFT JOIN approx a
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
@@ -791,7 +801,8 @@ def embedding_ann_recall_audit(spark: SparkSession,
         .select(
             "query_id",
             F.col("hits").cast("long").alias("hits"),
-            F.lit(5).cast("long").alias("k"),
-            (F.col("hits") * 200000).cast("long").alias("recall_ppm"),
+            F.lit(_TOPK_K).cast("long").alias("k"),
+            (F.col("hits") * (1_000_000 // _TOPK_K)).cast("long")
+            .alias("recall_ppm"),
         )
     )

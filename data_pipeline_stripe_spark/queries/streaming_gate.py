@@ -455,16 +455,19 @@ def stream_restart_recovery_parity(spark: SparkSession,
         )
 
     q1 = start_drain()
+    first_err = None
     try:
         q1.processAllAvailable()
         q1.stop()
-    except Exception:
-        pass  # the injected crash — the checkpoint keeps the truth
+    except Exception as exc:  # expected: the injected crash
+        first_err = exc
     if not os.path.exists(marker):
+        # the drain failed for a REAL reason (or never reached epoch 2)
+        # — surface the root cause, don't blame the scaffold blindly
         raise RuntimeError(
             "stream_restart_recovery_parity: the injected crash never "
             "fired (fewer than 3 micro-batches?) — the gate would prove "
-            "nothing; fix the scaffold")
+            "nothing; fix the scaffold") from first_err
 
     q2 = start_drain()  # NEW query object, SAME checkpoint
     q2.processAllAvailable()
@@ -540,15 +543,18 @@ def stream_snapshot_sink_parity(spark: SparkSession,
         )
 
     q1 = start_drain()
+    first_err = None
     try:
         q1.processAllAvailable()
         q1.stop()
-    except Exception:
-        pass  # the injected crash — the committed epoch is the point
+    except Exception as exc:  # expected: the injected crash
+        first_err = exc
     if not os.path.exists(marker):
+        # a genuine failure, not the injection — chain the root cause
         raise RuntimeError(
             "stream_snapshot_sink_parity: the injected crash never fired "
-            "— the replay window was not exercised; fix the scaffold")
+            "— the replay window was not exercised; fix the scaffold"
+        ) from first_err
 
     q2 = start_drain()  # replays epoch 2 → idempotent no-op, then 3
     q2.processAllAvailable()

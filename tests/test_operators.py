@@ -1725,19 +1725,20 @@ def test_bucketed_layout_fingerprint_cache_semantics(spark, tmp_path):
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     ).write.parquet(src)
 
+    from urllib.parse import urlparse
+
     fp1 = source_fingerprint(str(tmp_path), ["t"])
     write_bucketed_table(spark, spark.read.parquet(src), "fp_cache_t",
                          "k", buckets=4, fingerprint=fp1)
-    t1 = spark.sql("DESCRIBE TABLE EXTENDED fp_cache_t").collect()
-    first_files = sorted(os.listdir(
-        os.path.join("spark-warehouse", "fp_cache_t")))
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    table_path = os.path.join(warehouse, "fp_cache_t")
+    first_files = sorted(os.listdir(table_path))
 
     # (a) same fingerprint + schema: the rewrite is skipped — the
     # physical files are untouched
     write_bucketed_table(spark, spark.read.parquet(src), "fp_cache_t",
                          "k", buckets=4, fingerprint=fp1)
-    assert sorted(os.listdir(
-        os.path.join("spark-warehouse", "fp_cache_t"))) == first_files
+    assert sorted(os.listdir(table_path)) == first_files
 
     # (c) same name + fingerprint, DIFFERENT projection: must rebuild
     write_bucketed_table(
@@ -1755,7 +1756,6 @@ def test_bucketed_layout_fingerprint_cache_semantics(spark, tmp_path):
     write_bucketed_table(spark, spark.read.parquet(src), "fp_cache_t",
                          "k", buckets=4, fingerprint=fp2)
     assert spark.table("fp_cache_t").count() == 50
-    assert t1 is not None
     spark.sql("DROP TABLE IF EXISTS fp_cache_t")
 
 
@@ -1831,3 +1831,47 @@ def test_snapshot_commit_epoch_key_idempotence(spark, tmp_path):
                            epoch_key="2") == 2
     assert snapshot_commit(spark, t, d, epoch_key="1") == 2  # still no-op
     assert snapshot_read(spark, t).count() == 5
+
+
+def test_snapshot_crash_orphan_manifest_never_corrupts(spark, tmp_path):
+    """The review-flagged crash window: a manifest written but never
+    pointer-swapped (crash between steps 2 and 3 of the commit). The
+    orphan must be (a) invisible to snapshot_versions/time travel,
+    (b) expired as garbage while the LIVE version survives — even with
+    keep_last=1, and (c) never have its version number reused by the
+    next commit (manifests stay immutable once named)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        _manifest_path, snapshot_commit, snapshot_current_version,
+        snapshot_expire, snapshot_read, snapshot_versions)
+
+    t = str(tmp_path / "snap_crash")
+    snapshot_commit(spark, t, spark.range(7).select(F.col("id")))
+    assert snapshot_current_version(t) == 0
+
+    # simulate the crashed commit: orphan manifest v1, pointer still 0
+    with open(_manifest_path(t, 1), "w") as fh:
+        json.dump({"version": 1, "parent": 0, "mode": "overwrite",
+                   "committed_at": 0, "files": [], "schema": "{}",
+                   "last_epoch": None}, fh)
+
+    # (a) readers never see the uncommitted version
+    assert snapshot_versions(t) == [0]
+    # (b) expire removes the orphan, keeps the live version readable
+    report = snapshot_expire(t, keep_last=1)
+    assert 1 in report["expired_versions"]
+    assert snapshot_read(spark, t).count() == 7
+    assert not os.path.exists(_manifest_path(t, 1))
+
+    # (c) a fresh orphan's number is never reused by the next commit
+    with open(_manifest_path(t, 1), "w") as fh:
+        json.dump({"version": 1, "parent": 0, "mode": "overwrite",
+                   "committed_at": 0, "files": [], "schema": "{}",
+                   "last_epoch": None}, fh)
+    v = snapshot_commit(spark, t, spark.range(3).select(F.col("id")))
+    assert v == 2  # allocated PAST the orphan, v1.json untouched
+    assert snapshot_read(spark, t).count() == 10
