@@ -1,30 +1,56 @@
 """A minimal snapshot table format on raw parquet — the Iceberg commit
 core, hand-built: immutable data files + immutable per-version manifest
-files + one atomically-swapped current pointer.
+files, where PUBLISHING the manifest IS the atomic commit.
 
 What this gives that a bare parquet directory cannot (the gap
 SCALING.md's lakehouse mapping documents):
 
 - **Atomic commit / no torn reads.** A commit writes its data files
-  into a fresh directory, writes a NEW manifest listing every file of
-  the new version, then swaps the ``_current`` pointer with
-  ``os.replace`` (atomic on POSIX). A reader resolves pointer →
-  manifest → files; every object it touches is immutable, so it sees
-  exactly one complete version — never a half-written mix, even while
-  a writer is mid-commit.
+  into a fresh directory, writes the version manifest to a temp name,
+  then PUBLISHES it with an atomic put-if-absent (``os.link`` into
+  ``v{N}.json`` — fails ``EEXIST`` if the version is taken). A manifest
+  on disk therefore IS a committed version: there is no window in which
+  a complete manifest exists but "the commit never happened", so a
+  crash can never leave time-travelable uncommitted state (the r8
+  review's orphan-manifest hazard is eliminated structurally, not
+  patched around). A reader resolves version → manifest → files; every
+  object it touches is immutable, so it sees exactly one complete
+  version — never a half-written mix, even while a writer is
+  mid-commit. Crash windows that remain: an unreferenced data dir
+  (crash before publish) and a stale ``*.tmp.*`` manifest (crash
+  between temp write and link) — both pure garbage, both collected by
+  ``snapshot_expire``, neither readable.
+- **Optimistic concurrency (the Iceberg/Delta commit loop).** Version
+  numbers are contiguous; each committer targets ``current + 1``. When
+  two writers race, exactly one ``os.link`` wins; the loser REBASES —
+  an append re-reads the new current, re-targets its (already written,
+  immutable) data files onto it, and retries; an overwrite ABORTS with
+  ``SnapshotConflictError`` (its decision was based on a state that no
+  longer exists — the Delta/Iceberg rule for non-commutative commits).
+  Lost updates are impossible: a commit is visible iff its link won.
 - **Time travel.** Every version's manifest is retained until expired;
   ``snapshot_read(..., version=N)`` replans any historical state.
 - **O(new-data) appends.** An append's manifest references the prior
-  version's files — nothing is rewritten or copied.
+  version's file entries — nothing is rewritten or copied.
+- **File-level column stats + scan pruning.** Each manifest entry
+  carries per-column min/max/null-count harvested from the parquet
+  FOOTERS of the files it commits (no extra Spark pass), and
+  ``snapshot_scan`` drops files a conjunctive predicate provably
+  cannot match BEFORE Spark ever plans the read — manifest-level
+  pruning, one level above parquet row-group pruning.
+- **Incremental (CDF-style) reads.** ``snapshot_read_incremental``
+  returns exactly the rows ADDED in a version range by walking the
+  manifest parent chain (append-only fast path: set difference of file
+  entries) — the base+delta pattern a 100 TB downstream consumer needs
+  to avoid full-table rescans.
 - **O(deleted) retention.** ``snapshot_expire`` drops old manifests and
   deletes only data directories no surviving manifest references.
 
-What real Iceberg/Delta add beyond this and this module does NOT:
-optimistic concurrency for MULTIPLE writers (here, concurrent commits
-are last-pointer-swap-wins), column-level stats in manifests, and
-format interop. Single-writer/many-reader — the semantics the gated
-round-trip proves — is the part the engine needs; see SCALING.md
-"Table-format mapping" for the production swap-in.
+What real Iceberg/Delta still add beyond this and this module does
+NOT: multi-process CAS through a metastore/log-store (``os.link`` is
+the single-filesystem primitive; S3 needs a conditional PUT), schema
+evolution rules, and format interop. See SCALING.md "Table-format
+mapping" for the production swap-in.
 
 The reference has no table format at all (its top10.py:260-278 rewrites
 per-day CSVs in a driver loop); this is beyond-reference surface.
@@ -40,7 +66,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _SNAPDIR = "_snapshots"
-_CURRENT = "_current"
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent commit won the version this writer targeted and the
+    writer's change cannot be safely rebased (overwrite semantics), or
+    the retry budget ran out under sustained contention."""
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -52,20 +83,7 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
-def snapshot_current_version(table_dir: str) -> int | None:
-    """The committed version the pointer names, or None for an empty
-    table. Readers resolve this exactly once per plan."""
-    ptr = os.path.join(table_dir, _SNAPDIR, _CURRENT)
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as fh:
-        return int(fh.read().strip())
-
-
 def _all_manifest_versions(table_dir: str) -> list[int]:
-    """Every manifest on disk, COMMITTED OR NOT, ascending — internal:
-    version allocation and expiry must see crash-orphaned manifests
-    (written but never pointer-swapped) that readers must not."""
     snapdir = os.path.join(table_dir, _SNAPDIR)
     if not os.path.isdir(snapdir):
         return []
@@ -76,15 +94,20 @@ def _all_manifest_versions(table_dir: str) -> list[int]:
     )
 
 
+def snapshot_current_version(table_dir: str) -> int | None:
+    """The newest committed version, or None for an empty table. Under
+    the put-if-absent protocol every manifest on disk IS committed, so
+    current = max manifest version — no pointer file to race with."""
+    versions = _all_manifest_versions(table_dir)
+    return versions[-1] if versions else None
+
+
 def snapshot_versions(table_dir: str) -> list[int]:
-    """All retained COMMITTED (time-travelable) versions, ascending.
-    A manifest newer than the current pointer is a crash orphan — its
-    commit never happened — and is never reported here: readers must
-    not be able to time-travel into uncommitted state."""
-    current = snapshot_current_version(table_dir)
-    if current is None:
-        return []
-    return [v for v in _all_manifest_versions(table_dir) if v <= current]
+    """All retained (time-travelable) versions, ascending. Publication
+    is the commit point, so nothing uncommitted can appear here — a
+    crashed commit leaves only an unreadable ``*.tmp.*`` file and/or an
+    unreferenced data dir, never a ``v{N}.json``."""
+    return _all_manifest_versions(table_dir)
 
 
 def _epoch_sort_key(key: str):
@@ -97,22 +120,96 @@ def _epoch_sort_key(key: str):
         return (1, 0, key)
 
 
+def _json_stat(value):
+    """Parquet footer stat → JSON-storable scalar, or None when the
+    value has no faithful JSON form (then the column is simply not
+    prunable for that file — conservative, never wrong)."""
+    import datetime
+
+    if isinstance(value, bool) or value is None:
+        return None  # bool min/max prunes nothing worth the edge cases
+    if isinstance(value, (int, float, str)):
+        return value
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat()
+    return None
+
+
+def _collect_file_stats(abs_path: str) -> dict:
+    """Per-column {"min","max","nulls"} from the parquet FOOTER of one
+    file — row-group stats folded to file level; no data pages read.
+    Columns whose stats are absent/truncated/non-scalar are omitted
+    (readers treat missing stats as "cannot prune")."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(abs_path).metadata
+    per_col: dict[str, dict] = {}
+    complete: dict[str, bool] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaf — not a top-level prunable column
+            st = col.statistics
+            entry = per_col.setdefault(
+                name, {"min": None, "max": None, "nulls": 0})
+            if st is None or not st.has_min_max:
+                complete[name] = False
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                complete[name] = False
+                continue
+            complete.setdefault(name, True)
+            entry["min"] = lo if entry["min"] is None else min(
+                entry["min"], lo)
+            entry["max"] = hi if entry["max"] is None else max(
+                entry["max"], hi)
+            if st.null_count is not None:
+                entry["nulls"] += st.null_count
+    return {name: stats for name, stats in per_col.items()
+            if complete.get(name)}
+
+
+def _new_file_entries(table_dir: str, commit_id: str) -> list[dict]:
+    data_dir = os.path.join(table_dir, "data", commit_id)
+    entries = []
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = os.path.join("data", commit_id, f)
+        entries.append({
+            "path": rel,
+            "stats": _collect_file_stats(os.path.join(table_dir, rel)),
+        })
+    return entries
+
+
 def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
                     mode: str = "append",
-                    epoch_key: str | None = None) -> int:
+                    epoch_key: str | None = None,
+                    max_retries: int = 20) -> int:
     """Commit ``df`` as the next version of ``table_dir``. Returns the
-    new version number.
+    committed version number.
 
-    ``mode="append"``: the new manifest = prior version's files + the
-    newly written files (prior data untouched — O(new data)).
+    ``mode="append"``: the new manifest = prior version's file entries
+    + the newly written ones (prior data untouched — O(new data)).
     ``mode="overwrite"``: the new manifest = only the new files; prior
     files stay on disk for time travel until expired.
 
     Commit order: (1) write data files into a fresh immutable commit
-    directory, (2) write the immutable manifest, (3) ``os.replace`` the
-    current pointer. A crash between any two steps leaves the table at
-    the OLD version with some unreferenced garbage — never a corrupt
-    state; ``snapshot_expire`` collects the orphans.
+    directory — ONCE, outside the retry loop; (2) write the manifest to
+    a temp name; (3) publish it with an atomic put-if-absent
+    (``os.link`` → ``v{current+1}.json``). Step 3 is THE commit: a
+    crash before it leaves only unreferenced garbage (never a readable
+    version), and two racing writers cannot both win one version.
+    The loser of the race rebases: an append rebuilds its manifest on
+    the new current (its data files are immutable — nothing re-runs)
+    and retries; an overwrite raises ``SnapshotConflictError`` because
+    replaying "replace the whole table" over a state it never saw would
+    silently drop the winner's rows.
 
     ``epoch_key`` makes the commit IDEMPOTENT — the exactly-once sink
     contract a streaming ``foreachBatch`` needs (the Delta txn
@@ -120,67 +217,97 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     epoch key, keys must be MONOTONE increasing (foreachBatch epoch ids
     are), and a commit whose key is <= the last committed one is a
     NO-OP returning the current version — O(1) per commit, no
-    ever-growing ledger. A crash AFTER the pointer swap but before the
-    engine records the epoch (the dangerous replay window) therefore
-    cannot double-apply the batch; a crash BEFORE the swap leaves only
-    orphaned garbage (a data dir, possibly a manifest that was never
-    pointer-swapped) that ``snapshot_expire`` collects. Version numbers
-    are allocated past every manifest on disk — committed or orphaned —
-    so a crash can never cause a later commit to REWRITE an existing
-    manifest file (manifests stay immutable once named)."""
+    ever-growing ledger. The check re-runs on every rebase, so two
+    writers racing the SAME epoch resolve to exactly one application."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_commit: unknown mode {mode!r}")
     snapdir = os.path.join(table_dir, _SNAPDIR)
     os.makedirs(snapdir, exist_ok=True)
 
-    prev = snapshot_current_version(table_dir)
-    prev_manifest = _read_manifest(table_dir, prev) if prev is not None else {}
     if epoch_key is not None:
-        last = prev_manifest.get("last_epoch")
-        if last is not None and (
-                _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
-            return prev  # replayed / stale epoch: already applied, skip
+        # early replay check BEFORE writing any data files — a replayed
+        # epoch costs nothing; the loop re-checks on every rebase
+        prev = snapshot_current_version(table_dir)
+        if prev is not None:
+            last = _read_manifest(table_dir, prev).get("last_epoch")
+            if last is not None and (
+                    _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
+                return prev  # replayed / stale epoch: already applied
 
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
-    new_files = sorted(
-        os.path.join("data", commit_id, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )
+    new_entries = _new_file_entries(table_dir, commit_id)
+    schema_json = df.schema.json()
 
-    if mode == "append" and prev is not None:
-        files = prev_manifest["files"] + new_files
-    else:
-        files = new_files
-    on_disk = _all_manifest_versions(table_dir)
-    version = max(on_disk + [prev if prev is not None else -1]) + 1
+    for attempt in range(max_retries + 1):
+        prev = snapshot_current_version(table_dir)
+        prev_manifest = (
+            _read_manifest(table_dir, prev) if prev is not None else {})
+        if epoch_key is not None:
+            last = prev_manifest.get("last_epoch")
+            if last is not None and (
+                    _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
+                return prev  # a racing writer applied this epoch first
+        if mode == "append" and prev is not None:
+            files = prev_manifest["files"] + new_entries
+        else:
+            files = list(new_entries)
+        version = (prev if prev is not None else -1) + 1
+        manifest = {
+            "version": version,
+            "parent": prev,
+            "mode": mode,
+            "committed_at": time.time(),
+            "files": files,
+            "schema": schema_json,
+            "last_epoch": (
+                epoch_key if epoch_key is not None
+                else prev_manifest.get("last_epoch")
+            ),
+        }
+        tmp = _manifest_path(table_dir, version) + f".tmp.{commit_id}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            # atomic put-if-absent: publishes the COMPLETE temp file
+            # under the version name, or fails EEXIST — THE commit
+            os.link(tmp, _manifest_path(table_dir, version))
+        except FileExistsError:
+            os.unlink(tmp)
+            if mode == "overwrite":
+                raise SnapshotConflictError(
+                    f"snapshot_commit: version {version} of {table_dir} "
+                    "was committed concurrently; an overwrite based on "
+                    f"version {prev} cannot be rebased — re-read and "
+                    "re-derive the replacement") from None
+            continue  # append: rebase onto the new current and retry
+        os.unlink(tmp)
+        return version
+    raise SnapshotConflictError(
+        f"snapshot_commit: lost the commit race {max_retries + 1} times "
+        f"on {table_dir} — sustained contention; raise max_retries or "
+        "serialize the writers")
 
-    manifest = {
-        "version": version,
-        "parent": prev,
-        "mode": mode,
-        "committed_at": time.time(),
-        "files": files,
-        "schema": df.schema.json(),
-        "last_epoch": (
-            epoch_key if epoch_key is not None
-            else prev_manifest.get("last_epoch")
-        ),
-    }
-    # manifest is immutable once named: write-temp + replace so a
-    # concurrent reader of v{N} never sees a partial JSON
-    tmp = _manifest_path(table_dir, version) + f".tmp.{commit_id}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(table_dir, version))
 
-    ptr_tmp = os.path.join(snapdir, f"{_CURRENT}.tmp.{commit_id}")
-    with open(ptr_tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(ptr_tmp, os.path.join(snapdir, _CURRENT))  # THE commit
-    return version
+def _resolve_version(table_dir: str, version: int | None) -> dict:
+    v = snapshot_current_version(table_dir) if version is None else version
+    if v is None:
+        raise ValueError(f"snapshot_read: {table_dir} has no commits")
+    return _read_manifest(table_dir, v)
+
+
+def _read_entries(spark: SparkSession, table_dir: str,
+                  entries: list[dict], schema_json: str) -> DataFrame:
+    if not entries:
+        # the manifest carries the committed schema, so an empty
+        # selection still reads back with the right columns
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json)))
+    return spark.read.parquet(
+        *[os.path.join(table_dir, e["path"]) for e in entries])
 
 
 def snapshot_read(spark: SparkSession, table_dir: str,
@@ -188,51 +315,155 @@ def snapshot_read(spark: SparkSession, table_dir: str,
     """Read a committed version (default: current). Plans directly from
     the manifest's file list — no directory listing, so unreferenced
     in-flight commit directories are invisible."""
-    v = snapshot_current_version(table_dir) if version is None else version
-    if v is None:
-        raise ValueError(f"snapshot_read: {table_dir} has no commits")
-    m = _read_manifest(table_dir, v)
-    if not m["files"]:
-        # the manifest carries the committed schema, so an empty
-        # version still reads back with the right columns
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(
-        *[os.path.join(table_dir, f) for f in m["files"]])
+    m = _resolve_version(table_dir, version)
+    return _read_entries(spark, table_dir, m["files"], m["schema"])
 
 
-def snapshot_expire(table_dir: str, keep_last: int = 2) -> dict:
-    """Retention: drop all but the newest ``keep_last`` COMMITTED
-    manifests, drop every crash-orphaned manifest (version > current
-    pointer — written but never committed), then delete every data
-    commit-directory no SURVIVING manifest references (which also
-    collects orphaned data dirs from crashed commits). Survivors are
-    anchored on the CURRENT POINTER, never on raw manifest file names —
-    an orphan manifest newer than the pointer can therefore never
-    out-rank (and expire) the live version. O(deleted) — surviving data
-    is never touched. Returns
-    {"expired_versions": [...], "deleted_dirs": [...]}."""
+def _file_may_match(stats: dict, col: str, op: str, value) -> bool:
+    """Can any row of a file with these footer stats satisfy
+    ``col op value``? Missing stats → True (cannot prune). Parquet
+    min/max exclude nulls, and none of the supported operators matches
+    NULL, so pruning on min/max alone is safe even for files with
+    nulls."""
+    cs = stats.get(col)
+    if not cs or cs.get("min") is None or cs.get("max") is None:
+        return True
+    lo, hi = cs["min"], cs["max"]
+    if type(lo) is not type(value) and not (
+            isinstance(lo, (int, float)) and isinstance(value, (int, float))):
+        return True  # incomparable stat/literal types: never prune
+    if op == "=":
+        return lo <= value <= hi
+    if op == ">=":
+        return hi >= value
+    if op == ">":
+        return hi > value
+    if op == "<=":
+        return lo <= value
+    if op == "<":
+        return lo < value
+    raise ValueError(f"snapshot_scan: unsupported operator {op!r}")
+
+
+def snapshot_pruned_files(table_dir: str,
+                          predicates: list[tuple],
+                          version: int | None = None
+                          ) -> tuple[list[str], int]:
+    """(kept file paths, total file count) for a conjunction of
+    ``(column, op, literal)`` predicates against the manifest's
+    per-file column stats — the planning decision ``snapshot_scan``
+    makes, exposed so tests can pin that pruning actually happened."""
+    m = _resolve_version(table_dir, version)
+    kept = [
+        e["path"] for e in m["files"]
+        if all(_file_may_match(e.get("stats", {}), c, op, v)
+               for (c, op, v) in predicates)
+    ]
+    return kept, len(m["files"])
+
+
+def snapshot_scan(spark: SparkSession, table_dir: str,
+                  predicates: list[tuple],
+                  version: int | None = None) -> DataFrame:
+    """Stats-pruned read: drop every file whose footer min/max prove
+    the conjunctive ``(column, op, literal)`` predicate cannot match,
+    BEFORE Spark plans the scan, then apply the same predicate as a
+    row filter (pruning is file-granular; the residual filter keeps
+    exact semantics). Equivalent to ``snapshot_read().filter(...)`` by
+    construction — just with fewer files planned."""
+    from pyspark.sql import functions as F
+
+    m = _resolve_version(table_dir, version)
+    kept = [
+        e for e in m["files"]
+        if all(_file_may_match(e.get("stats", {}), c, op, v)
+               for (c, op, v) in predicates)
+    ]
+    df = _read_entries(spark, table_dir, kept, m["schema"])
+    import operator as _op
+
+    py_ops = {"=": _op.eq, ">=": _op.ge, ">": _op.gt,
+              "<=": _op.le, "<": _op.lt}
+    for col, op, value in predicates:
+        if op not in py_ops:
+            raise ValueError(f"snapshot_scan: unsupported operator {op!r}")
+        df = df.filter(py_ops[op](F.col(col), F.lit(value)))
+    return df
+
+
+def snapshot_read_incremental(spark: SparkSession, table_dir: str,
+                              from_version: int,
+                              to_version: int | None = None) -> DataFrame:
+    """Rows ADDED strictly after ``from_version`` up to ``to_version``
+    (default current) — the CDF/incremental-consumer read. Walks the
+    manifest parent chain from ``to`` back to ``from`` and requires
+    every step to be an APPEND (append-only fast path: each commit's
+    delta = its new file entries, so the range delta is just the files
+    present at ``to`` and absent at ``from`` — no data diffing).
+    Raises on an overwrite in the range: its delta is not expressible
+    as added files, so the consumer must fall back to a full re-read
+    (exactly Delta CDF's behavior for non-append commits without a
+    change log)."""
+    to_v = (snapshot_current_version(table_dir)
+            if to_version is None else to_version)
+    if to_v is None or to_v < from_version:
+        raise ValueError(
+            f"snapshot_read_incremental: bad range ({from_version}, "
+            f"{to_v}] on {table_dir}")
+    chain_v = to_v
+    while chain_v is not None and chain_v > from_version:
+        m = _read_manifest(table_dir, chain_v)
+        if m["mode"] != "append":
+            raise ValueError(
+                f"snapshot_read_incremental: version {chain_v} is an "
+                "overwrite — the range has no append-only delta; "
+                "re-read the full table instead")
+        chain_v = m["parent"]
+    if chain_v != from_version:
+        raise ValueError(
+            f"snapshot_read_incremental: version {from_version} is not "
+            f"an ancestor of {to_v} (expired or never existed)")
+    to_m = _read_manifest(table_dir, to_v)
+    base_paths = {
+        e["path"] for e in _read_manifest(table_dir, from_version)["files"]
+    }
+    delta = [e for e in to_m["files"] if e["path"] not in base_paths]
+    return _read_entries(spark, table_dir, delta, to_m["schema"])
+
+
+def snapshot_expire(table_dir: str, keep_last: int = 2,
+                    tmp_grace_seconds: float = 3600.0) -> dict:
+    """Retention: drop all but the newest ``keep_last`` manifests,
+    sweep stale ``*.tmp.*`` manifest files older than
+    ``tmp_grace_seconds`` (crash debris from between temp-write and
+    publish — the grace window protects a commit in flight RIGHT NOW),
+    then delete every data commit-directory no SURVIVING manifest
+    references (which also collects orphaned data dirs from crashed or
+    conflict-aborted commits). O(deleted) — surviving data is never
+    touched. Returns {"expired_versions": [...], "deleted_dirs": [...]}.
+    """
     import shutil
 
     if keep_last < 1:
         raise ValueError("snapshot_expire: keep_last must be >= 1 — "
                          "expiring every version leaves an unreadable "
                          "table")
-    committed = snapshot_versions(table_dir)  # <= current pointer only
-    current = snapshot_current_version(table_dir)
-    orphans = [v for v in _all_manifest_versions(table_dir)
-               if current is None or v > current]
-    doomed = (committed[:-keep_last] if len(committed) > keep_last
-              else []) + orphans
+    committed = snapshot_versions(table_dir)
+    doomed = committed[:-keep_last] if len(committed) > keep_last else []
     survivors = [v for v in committed if v not in doomed]
     referenced = set()
     for v in survivors:
-        for f in _read_manifest(table_dir, v)["files"]:
-            referenced.add(f.split(os.sep)[1])  # data/<commit_id>/file
+        for e in _read_manifest(table_dir, v)["files"]:
+            referenced.add(e["path"].split(os.sep)[1])  # data/<id>/file
     for v in doomed:
         os.remove(_manifest_path(table_dir, v))
+    snapdir = os.path.join(table_dir, _SNAPDIR)
+    now = time.time()
+    if os.path.isdir(snapdir):
+        for e in sorted(os.scandir(snapdir), key=lambda e: e.name):
+            if ".tmp." in e.name and (
+                    now - e.stat().st_mtime) >= tmp_grace_seconds:
+                os.remove(e.path)
     deleted = []
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):

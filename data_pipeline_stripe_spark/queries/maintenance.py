@@ -620,8 +620,10 @@ def snapshot_time_travel_roundtrip(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Snapshot-table commit protocol in the hash gate
     (operators/snapshots.py — the Iceberg core hand-built on raw
-    parquet: immutable data files + immutable manifests + one
-    atomically-swapped pointer). Three commits build three versions:
+    parquet: immutable data files + immutable manifests published with
+    an atomic put-if-absent, so publication IS the commit and racing
+    writers rebase instead of clobbering). Three commits build three
+    versions:
 
     - v0 APPEND: events before {c1};
     - v1 APPEND: events in [{c1}, {c2}) — v0's files are REFERENCED,

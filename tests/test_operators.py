@@ -1782,9 +1782,9 @@ def test_snapshot_table_commit_expire_mechanics(spark, tmp_path):
     v0 = snapshot_commit(spark, t, d0, mode="append")
     v1 = snapshot_commit(spark, t, d1, mode="append")
     assert (v0, v1) == (0, 1)
-    f0 = _read_manifest(t, 0)["files"]
-    f1 = _read_manifest(t, 1)["files"]
-    assert set(f0) < set(f1)  # append references v0's files untouched
+    f0 = {e["path"] for e in _read_manifest(t, 0)["files"]}
+    f1 = {e["path"] for e in _read_manifest(t, 1)["files"]}
+    assert f0 < f1  # append references v0's files untouched
     assert snapshot_read(spark, t, 0).count() == 10
     assert snapshot_read(spark, t).count() == 15
 
@@ -1792,7 +1792,8 @@ def test_snapshot_table_commit_expire_mechanics(spark, tmp_path):
         spark, t, snapshot_read(spark, t).filter("id < 3"),
         mode="overwrite")
     assert v2 == 2
-    assert set(_read_manifest(t, 2)["files"]).isdisjoint(set(f1))
+    f2 = {e["path"] for e in _read_manifest(t, 2)["files"]}
+    assert f2.isdisjoint(f1)
     assert snapshot_read(spark, t).count() == 3
     assert snapshot_read(spark, t, 1).count() == 15  # history intact
 
@@ -1833,45 +1834,226 @@ def test_snapshot_commit_epoch_key_idempotence(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 5
 
 
-def test_snapshot_crash_orphan_manifest_never_corrupts(spark, tmp_path):
-    """The review-flagged crash window: a manifest written but never
-    pointer-swapped (crash between steps 2 and 3 of the commit). The
-    orphan must be (a) invisible to snapshot_versions/time travel,
-    (b) expired as garbage while the LIVE version survives — even with
-    keep_last=1, and (c) never have its version number reused by the
-    next commit (manifests stay immutable once named)."""
+def test_snapshot_crash_never_exposes_uncommitted_state(spark, tmp_path):
+    """The crash windows of the put-if-absent protocol (r9: manifest
+    publication IS the commit, closing the r8-review hazard where an
+    orphan manifest could become a visible version once the next commit
+    advanced past it). A crash before publish leaves only (a) an
+    unreferenced data dir and/or (b) a ``*.tmp.*`` manifest — neither
+    is a readable version, neither shifts version numbering, and
+    ``snapshot_expire`` collects both while the live version survives
+    even with keep_last=1."""
     import json
     import os
 
     from pyspark.sql import functions as F
 
     from data_pipeline_stripe_spark.operators.snapshots import (
-        _manifest_path, snapshot_commit, snapshot_current_version,
-        snapshot_expire, snapshot_read, snapshot_versions)
+        _SNAPDIR, _manifest_path, snapshot_commit,
+        snapshot_current_version, snapshot_expire, snapshot_read,
+        snapshot_versions)
 
     t = str(tmp_path / "snap_crash")
     snapshot_commit(spark, t, spark.range(7).select(F.col("id")))
     assert snapshot_current_version(t) == 0
 
-    # simulate the crashed commit: orphan manifest v1, pointer still 0
-    with open(_manifest_path(t, 1), "w") as fh:
+    # simulate a commit crashed between temp-write and publish: a
+    # complete manifest body exists ONLY under a tmp name, plus its
+    # (unreferenced) data dir
+    os.makedirs(os.path.join(t, "data", "deadbeef0000"))
+    tmp_manifest = _manifest_path(t, 1) + ".tmp.deadbeef0000"
+    with open(tmp_manifest, "w") as fh:
         json.dump({"version": 1, "parent": 0, "mode": "overwrite",
                    "committed_at": 0, "files": [], "schema": "{}",
                    "last_epoch": None}, fh)
 
-    # (a) readers never see the uncommitted version
+    # (a) readers never see the uncommitted state — not as a version,
+    # not as the current pointer, not via time travel
     assert snapshot_versions(t) == [0]
-    # (b) expire removes the orphan, keeps the live version readable
-    report = snapshot_expire(t, keep_last=1)
-    assert 1 in report["expired_versions"]
+    assert snapshot_current_version(t) == 0
     assert snapshot_read(spark, t).count() == 7
-    assert not os.path.exists(_manifest_path(t, 1))
 
-    # (c) a fresh orphan's number is never reused by the next commit
-    with open(_manifest_path(t, 1), "w") as fh:
-        json.dump({"version": 1, "parent": 0, "mode": "overwrite",
-                   "committed_at": 0, "files": [], "schema": "{}",
-                   "last_epoch": None}, fh)
+    # (b) the next commit takes the version the crashed one targeted —
+    # nothing was published, so nothing is skipped or clobbered
     v = snapshot_commit(spark, t, spark.range(3).select(F.col("id")))
-    assert v == 2  # allocated PAST the orphan, v1.json untouched
+    assert v == 1
     assert snapshot_read(spark, t).count() == 10
+    assert snapshot_versions(t) == [0, 1]
+
+    # (c) expire sweeps the debris (tmp manifest + orphan data dir)
+    # while every committed version stays readable
+    report = snapshot_expire(t, keep_last=2, tmp_grace_seconds=0.0)
+    assert "deadbeef0000" in report["deleted_dirs"]
+    assert not os.path.exists(tmp_manifest)
+    assert snapshot_versions(t) == [0, 1]
+    assert snapshot_read(spark, t, 0).count() == 7
+    assert snapshot_read(spark, t).count() == 10
+    # a FRESH tmp file inside the grace window is protected (a commit
+    # may be publishing it right now)
+    with open(tmp_manifest, "w") as fh:
+        fh.write("{}")
+    snapshot_expire(t, keep_last=2)  # default grace: 1h
+    assert os.path.exists(tmp_manifest)
+    # the tmp file is invisible to version listing either way
+    assert snapshot_versions(t) == [0, 1]
+    assert _SNAPDIR  # imported symbol used: silences linters
+
+
+def test_snapshot_optimistic_concurrency_rebase_and_abort(spark, tmp_path):
+    """The OCC commit loop, both branches pinned deterministically by
+    making the writer's first read of the current version STALE (the
+    moment-in-time equivalent of a concurrent winner): an APPEND that
+    loses the version race rebases onto the winner and commits the
+    union — no lost update; an OVERWRITE that loses aborts with
+    SnapshotConflictError (replaying it would silently drop the
+    winner's rows)."""
+    from unittest import mock
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_occ")
+    S.snapshot_commit(spark, t, spark.range(5).select(F.col("id")))
+    S.snapshot_commit(spark, t, spark.range(5, 8).select(F.col("id")))
+    assert S.snapshot_current_version(t) == 1
+
+    real = S.snapshot_current_version
+
+    def stale_once(stale_version):
+        state = {"used": False}
+
+        def read(table_dir):
+            if not state["used"]:
+                state["used"] = True
+                return stale_version
+            return real(table_dir)
+
+        return read
+
+    # first call (the writer's base read) reports stale version 0 →
+    # the writer targets v1, loses the link race to the REAL v1, and
+    # must rebase onto it
+    with mock.patch.object(
+            S, "snapshot_current_version", side_effect=stale_once(0)):
+        v = S.snapshot_commit(
+            spark, t, spark.range(8, 10).select(F.col("id")),
+            mode="append")
+    assert v == 2
+    # the rebase kept BOTH the winner's rows and this writer's rows
+    assert S.snapshot_read(spark, t).count() == 10
+    assert S.snapshot_versions(t) == [0, 1, 2]
+
+    # same stale read, overwrite mode → abort, table unchanged
+    with mock.patch.object(
+            S, "snapshot_current_version", side_effect=stale_once(1)):
+        with pytest.raises(S.SnapshotConflictError):
+            S.snapshot_commit(
+                spark, t, spark.range(1).select(F.col("id")),
+                mode="overwrite")
+    assert S.snapshot_current_version(t) == 2
+    assert S.snapshot_read(spark, t).count() == 10
+
+
+def test_snapshot_concurrent_committers_no_lost_update(spark, tmp_path):
+    """Two genuinely concurrent committer threads, started on a
+    barrier, each appending 6 disjoint batches: every commit must land
+    (12 contiguous versions) and the final table must hold EVERY row
+    from both writers — the lost-update a last-swap-wins pointer
+    allowed can no longer happen."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_commit, snapshot_read, snapshot_versions)
+
+    t = str(tmp_path / "snap_race")
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(offset: int) -> None:
+        try:
+            barrier.wait()
+            for i in range(6):
+                lo = offset + i * 10
+                snapshot_commit(
+                    spark, t,
+                    spark.range(lo, lo + 10).select(F.col("id")),
+                    mode="append")
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(off,))
+               for off in (0, 1000)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert snapshot_versions(t) == list(range(12))  # contiguous, all won
+    rows = {r.id for r in snapshot_read(spark, t).collect()}
+    expect = {off + i * 10 + j
+              for off in (0, 1000) for i in range(6) for j in range(10)}
+    assert rows == expect  # no lost update, no duplication
+
+
+def test_snapshot_stats_pruning_and_incremental_read(spark, tmp_path):
+    """Manifest column stats + scan pruning + incremental reads:
+    (a) per-file min/max land in the manifest from the parquet footers;
+    (b) a selective predicate plans FEWER files than the table holds
+    while the filtered result is identical to the unpruned read;
+    (c) the version-range incremental read returns exactly the appended
+    delta, and refuses a range containing an overwrite."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_commit, snapshot_pruned_files, snapshot_read,
+        snapshot_read_incremental, snapshot_scan)
+
+    t = str(tmp_path / "snap_stats")
+    # three commits with disjoint id ranges → disjoint file stats
+    for lo in (0, 100, 200):
+        snapshot_commit(
+            spark, t,
+            spark.range(lo, lo + 50)
+            .coalesce(1)
+            .select(F.col("id"), (F.col("id") % 7).alias("bucket")),
+            mode="append")
+
+    kept, total = snapshot_pruned_files(t, [("id", ">=", 200)])
+    assert total == 3 and len(kept) == 1  # stats pruned 2 of 3 files
+    pruned = snapshot_scan(spark, t, [("id", ">=", 200)])
+    full = snapshot_read(spark, t).filter(F.col("id") >= 200)
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        r.id for r in full.collect())
+    # equality predicate, middle file only
+    kept_eq, _ = snapshot_pruned_files(t, [("id", "=", 120)])
+    assert len(kept_eq) == 1
+    # unknown column / missing stats: conservative — nothing pruned
+    kept_all, _ = snapshot_pruned_files(t, [("nonexistent", ">", 0)])
+    assert len(kept_all) == 3
+
+    # incremental: delta of (v0 → v2] is exactly the last two commits
+    delta = snapshot_read_incremental(spark, t, 0, 2)
+    assert sorted(r.id for r in delta.collect()) == (
+        list(range(100, 150)) + list(range(200, 250)))
+    # base + replayed deltas == full table
+    base = snapshot_read(spark, t, 0)
+    assert base.unionByName(delta).count() == snapshot_read(
+        spark, t).count()
+    # an overwrite in the range has no append-only delta
+    snapshot_commit(spark, t,
+                    snapshot_read(spark, t).filter("id < 10"),
+                    mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        snapshot_read_incremental(spark, t, 0)
+    # but a range strictly after the overwrite works again
+    snapshot_commit(spark, t,
+                    spark.range(300, 310).select(
+                        F.col("id"), (F.col("id") % 7).alias("bucket")),
+                    mode="append")
+    post = snapshot_read_incremental(spark, t, 3)
+    assert sorted(r.id for r in post.collect()) == list(range(300, 310))
