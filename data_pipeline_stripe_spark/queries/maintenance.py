@@ -671,3 +671,222 @@ def snapshot_time_travel_roundtrip(spark: SparkSession,
     for extra in views[1:]:
         out = out.unionByName(extra)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Snapshot format round 9: optimistic concurrency, stats-pruned scans,
+# incremental (CDF-style) reads — the three verbs VERDICT r8 named as the
+# remaining gap between "commit protocol proven" and "a table format a
+# 100 TB multi-job deployment could actually run on".
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_concurrent_commit_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def snapshot_concurrent_commit_parity(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Optimistic concurrency in the hash gate: TWO writer threads,
+    started on a barrier, each commit 4 disjoint slices of events
+    (slice = pmod(event_id, 8)) into ONE snapshot table concurrently.
+    Every commit must win a version (the put-if-absent publication
+    makes racing appends rebase instead of clobbering —
+    operators/snapshots.py), so the final table is the exact union of
+    all 8 slices: a single lost update flips the per-type counts and
+    cent sums against the whole-events oracle. The query additionally
+    raises if the version chain is not exactly 0..7 or if either
+    writer errored — a silent swallow can't fake a pass."""
+    import threading
+
+    from ..operators.snapshots import (snapshot_commit, snapshot_read,
+                                       snapshot_versions)
+
+    table_dir = _scratch(sf_dir, "snapshot_concurrent")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(8)).alias("slot"),
+    )
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(slots: range) -> None:
+        try:
+            barrier.wait()
+            for s in slots:
+                snapshot_commit(
+                    spark, table_dir,
+                    ev.filter(F.col("slot") == s).drop("slot"),
+                    mode="append")
+        except Exception as exc:  # surfaced below, never swallowed
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(r,))
+               for r in (range(0, 4), range(4, 8))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errors:
+        raise RuntimeError(
+            "snapshot_concurrent_commit_parity: a writer failed"
+        ) from errors[0]
+    versions = snapshot_versions(table_dir)
+    if versions != list(range(8)):
+        raise RuntimeError(
+            f"snapshot_concurrent_commit_parity: expected versions 0..7, "
+            f"got {versions} — a concurrent commit was lost or skipped")
+    return (
+        snapshot_read(spark, table_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("cents"))
+    )
+
+
+_PRUNE_CUT = "2024-01-22"
+
+
+@query(
+    "snapshot_stats_pruned_read",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') >= '{_PRUNE_CUT}'
+    GROUP BY 1
+    """,
+)
+def snapshot_stats_pruned_read(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Manifest-level file pruning in the hash gate: four appends fill
+    a snapshot table with disjoint day ranges, so every data file's
+    parquet-footer min/max for ``day`` (harvested into the manifest at
+    commit time — operators/snapshots.py) covers only its commit's
+    range. ``snapshot_scan(day >= cut)`` must then plan ONLY the last
+    commit's files — the query raises unless the planned file count is
+    strictly below the table's total (pruning demonstrably happened,
+    mirroring the z-order gate's style) — and the pruned+filtered
+    result must hash-equal the plain predicate applied to the whole
+    events table. One level above parquet row-group pruning: files the
+    stats exclude are never even handed to Spark's planner."""
+    from ..operators.snapshots import (snapshot_commit,
+                                       snapshot_pruned_files,
+                                       snapshot_scan)
+
+    table_dir = _scratch(sf_dir, "snapshot_pruned")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cuts = ["2024-01-08", "2024-01-15", _PRUNE_CUT]
+    bands = [
+        F.col("day") < cuts[0],
+        (F.col("day") >= cuts[0]) & (F.col("day") < cuts[1]),
+        (F.col("day") >= cuts[1]) & (F.col("day") < cuts[2]),
+        F.col("day") >= cuts[2],
+    ]
+    for band in bands:
+        snapshot_commit(spark, table_dir, ev.filter(band), mode="append")
+
+    kept, total = snapshot_pruned_files(
+        table_dir, [("day", ">=", _PRUNE_CUT)])
+    if not kept or len(kept) >= total:
+        raise RuntimeError(
+            f"snapshot_stats_pruned_read: expected the day-range stats "
+            f"to prune files ({len(kept)}/{total} planned) — manifest "
+            "stats are missing or the pruning predicate is broken")
+    return (
+        snapshot_scan(spark, table_dir, [("day", ">=", _PRUNE_CUT)])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("cents"))
+    )
+
+
+@query(
+    "snapshot_incremental_read_parity",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    agg_full AS (
+        SELECT 'full' AS section, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(c) AS BIGINT) AS cents
+        FROM base GROUP BY 2
+    ),
+    agg_replay AS (
+        SELECT 'base_plus_delta' AS section, event_type,
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+        FROM base GROUP BY 2
+    ),
+    agg_delta AS (
+        SELECT 'delta_only' AS section, event_type,
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+        FROM base WHERE day >= '{_SNAP_C1}' GROUP BY 2
+    )
+    SELECT * FROM agg_full
+    UNION ALL SELECT * FROM agg_replay
+    UNION ALL SELECT * FROM agg_delta
+    """,
+)
+def snapshot_incremental_read_parity(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Incremental (CDF-style) source reads in the hash gate: three
+    appends build the table (days < c1, [c1, c2), >= c2);
+    ``snapshot_read_incremental(from=0)`` walks the manifest parent
+    chain and returns EXACTLY the rows versions 1..2 added, without
+    rescanning the base — the base+delta pattern an incremental
+    downstream consumer runs instead of full-table rescans. Three
+    gated sections: ``full`` (plain read of the head version),
+    ``base_plus_delta`` (version-0 read unioned with the incremental
+    delta — must equal ``full`` row-for-row, which the oracle enforces
+    by aggregating the same whole-table twice), and ``delta_only``
+    (the incremental frame alone vs the explicit day predicate — a
+    delta that leaked base rows or dropped appended ones flips it)."""
+    from ..operators.snapshots import (snapshot_commit, snapshot_read,
+                                       snapshot_read_incremental)
+
+    table_dir = _scratch(sf_dir, "snapshot_incremental")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    snapshot_commit(spark, table_dir, ev.filter(F.col("day") < _SNAP_C1),
+                    mode="append")
+    snapshot_commit(
+        spark, table_dir,
+        ev.filter((F.col("day") >= _SNAP_C1) & (F.col("day") < _SNAP_C2)),
+        mode="append")
+    snapshot_commit(spark, table_dir, ev.filter(F.col("day") >= _SNAP_C2),
+                    mode="append")
+
+    delta = snapshot_read_incremental(spark, table_dir, 0)
+    base = snapshot_read(spark, table_dir, version=0)
+    full = snapshot_read(spark, table_dir)
+
+    def agg(df: DataFrame, section: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("c").alias("cents"))
+            .select(F.lit(section).alias("section"), "event_type",
+                    "n_events", "cents")
+        )
+
+    return (
+        agg(full, "full")
+        .unionByName(agg(base.unionByName(delta), "base_plus_delta"))
+        .unionByName(agg(delta, "delta_only"))
+    )
