@@ -312,18 +312,25 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     The query side is pulled through ``toLocalIterator`` in bounded
     ``chunk_rows`` slices — the driver never materializes more than one
-    chunk (there is NO ``collect()`` on this path), so an oversized
-    query batch degrades into several corpus passes instead of a driver
-    OOM. ``toLocalIterator`` itself holds ONE PARTITION of the source
-    on the JVM driver, so the query side is first repartitioned to
-    ~``chunk_rows``-sized partitions — without that, a single-partition
-    10M-row query frame would OOM the driver before the first chunk.
-    Each chunk contains a disjoint set of query ids, so the per-query
-    rank windows are chunk-invariant and the union of chunk results
-    equals the single-pass result exactly. Query batches large enough
-    to make multiple corpus passes hurt should use the keyed routing of
-    ``ivf_topk_pruned`` instead — this function is the correctness
-    baseline."""
+    chunk of query VECTORS (there is NO ``collect()`` on this path), so
+    an oversized query batch degrades into several corpus passes
+    instead of a driver OOM. ``toLocalIterator`` itself holds ONE
+    PARTITION of the source on the JVM driver, so the query side is
+    first repartitioned to ~``chunk_rows``-sized partitions — without
+    that, a single-partition 10M-row query frame would OOM the driver
+    before the first chunk. The sizing count runs against a persisted
+    copy of the projected query frame (the count IS the cache fill, not
+    an extra source scan). Each chunk's top-k is materialized EAGERLY
+    (``localCheckpoint``) and its query-matrix broadcast destroyed
+    before the next chunk starts, so at any moment the cluster holds
+    one chunk's broadcast + the (k rows per query) checkpointed results
+    — the aggregate footprint is O(chunk + result), NOT O(all query
+    vectors). Each chunk contains a disjoint set of query ids, so the
+    per-query rank windows are chunk-invariant and the union of chunk
+    results equals the single-pass result exactly. Query batches large
+    enough to make multiple corpus passes hurt should use the keyed
+    routing of ``ivf_topk_pruned`` instead — this function is the
+    correctness baseline."""
     import math
 
     import numpy as np
@@ -331,11 +338,13 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     spark = emb.sparkSession
 
+    q_src = queries.select(id_col, vec_col).persist()
+
     def _chunks():
-        q = queries.select(id_col, vec_col)
-        n_parts = max(1, math.ceil(q.count() / chunk_rows))
+        # the count fills the cache it will iterate — one source scan
+        n_parts = max(1, math.ceil(q_src.count() / chunk_rows))
         buf = []
-        for r in q.repartition(n_parts).toLocalIterator():
+        for r in q_src.repartition(n_parts).toLocalIterator():
             buf.append(r)
             if len(buf) >= chunk_rows:
                 yield buf
@@ -389,10 +398,20 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
         w = W.partitionBy("query_id").orderBy(
             F.col("similarity").desc(), F.col("neighbor_id")
         )
-        chunk_tops.append(
+        top = (
             pairs.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
         )
+        # materialize THIS chunk's top-k now and cut its lineage, so the
+        # chunk's query-matrix broadcast can be released immediately —
+        # without this, every chunk's broadcast stays referenced by the
+        # lazily-unioned plan until the caller evaluates it, and the
+        # aggregate driver/executor footprint scales with the FULL
+        # query set instead of one chunk
+        top = top.localCheckpoint(eager=True)
+        bc.destroy()
+        chunk_tops.append(top)
+    q_src.unpersist()
     if not chunk_tops:
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, similarity double,"

@@ -57,18 +57,25 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
     # name from the same sources but different projections must not
     # cross-serve each other's layout
     identity = (fingerprint, buckets, df.schema.simpleString())
+    warehouse_dir = os.path.join(
+        urlparse(spark.conf.get("spark.sql.warehouse.dir")).path, table)
     if (fingerprint is not None
             and _BUCKETED_BUILT.get(cache_key) == identity
-            and spark.catalog.tableExists(table)):
+            and spark.catalog.tableExists(table)
+            # the catalog entry alone is not proof the layout survived:
+            # an externally deleted/truncated warehouse dir would make
+            # the skip serve a broken table — verify the files exist
+            and os.path.isdir(warehouse_dir)
+            and any(f.endswith(".parquet")
+                    for f in os.listdir(warehouse_dir))):
         return
     _BUCKETED_BUILT.pop(cache_key, None)
     # evict entries from dead sessions — the in-memory catalog they
     # describe died with their SparkContext
     for k in [k for k in _BUCKETED_BUILT if k[0] != app_id]:
         del _BUCKETED_BUILT[k]
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+    shutil.rmtree(warehouse_dir, ignore_errors=True)
     # repartition(buckets, key) uses the SAME Murmur3 hash bucketBy
     # uses, so each write task holds exactly one bucket → ONE file per
     # bucket. That's what lets the scan report its sortBy order (Spark

@@ -1756,6 +1756,17 @@ def test_bucketed_layout_fingerprint_cache_semantics(spark, tmp_path):
     write_bucketed_table(spark, spark.read.parquet(src), "fp_cache_t",
                          "k", buckets=4, fingerprint=fp2)
     assert spark.table("fp_cache_t").count() == 50
+
+    # (d) r9 ADVICE fix: the skip path must validate the WAREHOUSE
+    # FILES, not just the catalog entry — an externally deleted layout
+    # dir falls through to a rebuild instead of serving a broken table
+    import shutil
+
+    shutil.rmtree(table_path)
+    write_bucketed_table(spark, spark.read.parquet(src), "fp_cache_t",
+                         "k", buckets=4, fingerprint=fp2)
+    assert spark.table("fp_cache_t").count() == 50
+    assert any(f.endswith(".parquet") for f in os.listdir(table_path))
     spark.sql("DROP TABLE IF EXISTS fp_cache_t")
 
 
