@@ -806,3 +806,128 @@ def embedding_ann_recall_audit(spark: SparkSession,
             .alias("recall_ppm"),
         )
     )
+
+
+def _pq_recall_oracle() -> str:
+    """Composed from the exact-baseline and PQ oracles AT REGISTRATION
+    TIME (the r8 audit pattern), so the audit's spec can never drift
+    from the queries it audits."""
+    from .registry import REGISTRY as _REG
+
+    exact = _REG["embedding_topk_cosine"].oracle
+    approx = _REG["embedding_pq_topk"].oracle
+    assert 1_000_000 % _TOPK_K == 0, "ppm must divide evenly by k"
+    ppm_per_hit = 1_000_000 // _TOPK_K
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact})),
+    approx AS (SELECT * FROM ({approx}))
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+           CAST({_TOPK_K} AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) * {ppm_per_hit} AS BIGINT)
+               AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("embedding_pq_recall_audit", oracle=_pq_recall_oracle())
+def embedding_pq_recall_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X3 index-quality audit for the COMPRESSION tier: per-query
+    recall@5 of the PQ/ADC path against the exact brute-force ground
+    truth. The IVF audit (embedding_ann_recall_audit) covers the
+    partition-pruning tier; this covers the one a 10B-vector deployment
+    actually serves from — product-quantized codes scored by asymmetric
+    distance — where recall loss comes from CODE quantization rather
+    than probe misses, so the two audits fail independently. Same
+    composed-oracle discipline: the SQL splices the two gated
+    components' own oracle texts at registration time, and recall is
+    exact integer ppm with zero-hit queries kept by the left join. At
+    100 TB the audit joins two k-rows-per-sampled-query frames —
+    trivially small however big the corpus underneath was."""
+    from .registry import REGISTRY as _REG
+
+    exact = _REG["embedding_topk_cosine"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id")
+    approx = _REG["embedding_pq_topk"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"))
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("long").alias("hits"),
+            F.lit(_TOPK_K).cast("long").alias("k"),
+            (F.col("hits") * (1_000_000 // _TOPK_K)).cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def _rp_lsh_recall_oracle() -> str:
+    """Composed pair-recall spec: RP-LSH candidate pairs vs the exact
+    O(n²) near-dup baseline, both spliced from their gated oracles."""
+    from .registry import REGISTRY as _REG
+
+    exact = _REG["embedding_cosine_near_dup"].oracle
+    approx = _REG["embedding_rp_lsh_pairs"].oracle
+    return f"""
+    WITH exact AS (SELECT * FROM ({exact})),
+    approx AS (SELECT * FROM ({approx})),
+    counted AS (
+        SELECT
+            (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+            (SELECT COUNT(*) FROM exact e
+             JOIN approx a ON a.id_a = e.id_a AND a.id_b = e.id_b)
+                AS n_found_pairs)
+    SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+           CAST(n_found_pairs AS BIGINT) AS n_found_pairs,
+           CAST(CASE WHEN n_exact_pairs = 0 THEN 0
+                     ELSE n_found_pairs * 1000000 // n_exact_pairs
+                END AS BIGINT) AS recall_ppm
+    FROM counted
+    """
+
+
+@query("embedding_rp_lsh_recall_audit", oracle=_rp_lsh_recall_oracle())
+def embedding_rp_lsh_recall_audit(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """X2/X3 index-quality audit for the BLOCKING tier: global pair
+    recall of the RP-LSH banded candidate generator against the exact
+    brute-force near-dup baseline (threshold 0.45) — the number a
+    dedup deployment watches when it tunes bands×bits (more bands →
+    higher recall, more candidates). Both sides come from the gated
+    queries themselves (fns composed here, oracle texts spliced at
+    registration), the LSH side is a true subset of the exact side by
+    construction (same exact-cosine filter, candidates only), and
+    recall is integer ppm via floor division — no float anywhere, so
+    the hash gate holds cross-engine."""
+    from .registry import REGISTRY as _REG
+
+    exact = _REG["embedding_cosine_near_dup"].fn(spark, sf_dir).select(
+        "id_a", "id_b")
+    approx = _REG["embedding_rp_lsh_pairs"].fn(spark, sf_dir).select(
+        F.col("id_a").alias("a_a"), F.col("id_b").alias("a_b"))
+    found = exact.join(
+        approx,
+        (F.col("id_a") == F.col("a_a")) & (F.col("id_b") == F.col("a_b")),
+        "left_semi")
+    counts = exact.agg(F.count("*").alias("n_exact_pairs")).crossJoin(
+        found.agg(F.count("*").alias("n_found_pairs")))
+    return counts.select(
+        F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+        F.col("n_found_pairs").cast("long").alias("n_found_pairs"),
+        F.when(F.col("n_exact_pairs") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_found_pairs * 1000000 div n_exact_pairs"))
+        .cast("long").alias("recall_ppm"),
+    )

@@ -470,3 +470,61 @@ def test_feature_snapshot_preaggregates_before_cutoff_join(spark, sf_dir):
     assert "HashAggregate" in plan[join_at:], (
         "no pre-aggregate below the cutoff join — the range join would "
         "touch raw events at scale")
+
+
+def test_shipped_session_keeps_aqe_skew_join_effective(spark):
+    """The royalties fact-fact join's measured skew answer is AQE's
+    runtime splitter (BENCH_DIFF §r8: 2.18× on the hot-orderkey
+    fixture, vs salting 0.20× and bucketing 0.74×) — but nothing
+    pinned that the SHIPPED session keeps it effective, so a future
+    session.py edit could silently regress the default. Two legs:
+    (a) conf-guard — RUNTIME_CONFS must ship adaptive + skewJoin on,
+    and apply_runtime_confs must pin them onto an already-built
+    session; (b) functional — a royalties-shaped skewed fact-fact
+    join (60% of lineitem-side rows on ONE hot orderkey) run under
+    the shipped session must show the skew split (`skew=true`) in the
+    FINAL adaptive plan. The skew thresholds are lowered to make the
+    tiny fixture cross them — thresholds are data-scale tuning; the
+    ENABLEMENT under test is what ships."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.session import (RUNTIME_CONFS,
+                                                    apply_runtime_confs)
+
+    # (a) the shipped conf set carries the skew machinery…
+    assert RUNTIME_CONFS["spark.sql.adaptive.enabled"] == "true"
+    assert RUNTIME_CONFS["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    # …and the registry wrapper re-pins it onto a foreign session
+    apply_runtime_confs(spark)
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    # (b) the skew split actually fires on a royalties-shaped join
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prior = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        lineitem = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 6, F.lit(7))
+            .otherwise(F.col("id") % 1000).alias("l_orderkey"),
+            (F.col("id") * 2).alias("cents"))
+        orders = spark.range(1000).select(
+            F.col("id").alias("l_orderkey"),
+            F.lit("1996-01").alias("month"))
+        report = (
+            lineitem.join(orders, "l_orderkey")
+            .groupBy("month").agg(F.sum("cents").alias("cents"))
+        )
+        report.collect()  # the SAME query execution must be adaptive-final
+        plan = report._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
