@@ -931,3 +931,47 @@ def embedding_rp_lsh_recall_audit(spark: SparkSession,
         .otherwise(F.expr("n_found_pairs * 1000000 div n_exact_pairs"))
         .cast("long").alias("recall_ppm"),
     )
+
+
+def _semantic_dedup_sampled_oracle() -> str:
+    """The full semantic-dedup oracle with the corpus deterministically
+    thinned to vec_id % 10 = 0 (and the centroid set re-anchored to the
+    first four SAMPLED ids). Derived from the gated query's own oracle
+    text by two surgical rewrites, asserted to land, so the twin cannot
+    drift from the operator spec it samples."""
+    from .registry import REGISTRY as _REG
+
+    full = _REG["embedding_semantic_dedup"].oracle
+    corpus_old = "AS v FROM embeddings),"
+    corpus_new = "AS v FROM embeddings WHERE vec_id % 10 = 0),"
+    cents_old = "FROM e WHERE vec_id < 4),"
+    cents_new = "FROM e WHERE vec_id < 40),"
+    assert full.count(corpus_old) == 1 and full.count(cents_old) == 1, (
+        "embedding_semantic_dedup oracle text changed — update the "
+        "sampled twin's rewrites")
+    return full.replace(corpus_old, corpus_new).replace(
+        cents_old, cents_new)
+
+
+@query("embedding_semantic_dedup_sampled",
+       oracle=_semantic_dedup_sampled_oracle())
+def embedding_semantic_dedup_sampled(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The ×10-checkable twin of embedding_semantic_dedup (VERDICT r8
+    item 6): the SAME operator (IVF-bucketed near-dup pairs → connected
+    components → min-id representative) over the deterministic
+    vec_id % 10 = 0 subsample, centroids = the first four sampled ids.
+    The replicated scale fixtures shift vec_id by multiples of 10⁶, so
+    the sample keeps EVERY replica of every sampled original — the
+    10-fold near-dup clique structure that broke the full twin's
+    DuckDB closure survives intact, at a corpus size (×10 sample =
+    the sealed sf0.1 full corpus) where the recursive-CTE oracle is
+    feasible. The full query stays registered with its documented
+    harness limit; this row is what lets the full-registry ×10
+    campaign verify the semantics instead of documenting around them."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    cents = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.semantic_dedup(emb, cents, threshold=0.45, n_probes=2)

@@ -357,13 +357,19 @@ def unpivot_price_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "range_join_cooccurring_events",
     oracle="""
-    WITH e AS (SELECT event_id, ts, event_type FROM events)
-    SELECT a.event_type AS type_a, b.event_type AS type_b,
+    WITH e AS (SELECT event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                      event_type
+               FROM events),
+    lhs AS (SELECT event_id, sec, event_type, sec // 60 AS b FROM e),
+    rhs AS (SELECT event_id, sec, event_type,
+                   unnest([sec // 60 - 1, sec // 60, sec // 60 + 1]) AS b
+            FROM e)
+    SELECT lhs.event_type AS type_a, rhs.event_type AS type_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM e a JOIN e b
-      ON a.event_id < b.event_id
-     AND abs(CAST(floor(epoch(a.ts)) AS BIGINT)
-             - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 60
+    FROM lhs JOIN rhs ON lhs.b = rhs.b
+    WHERE lhs.event_id < rhs.event_id
+      AND abs(lhs.sec - rhs.sec) <= 60
     GROUP BY 1, 2
     """,
 )
@@ -373,13 +379,17 @@ def range_join_cooccurring_events(spark: SparkSession, sf_dir: str) -> DataFrame
     (operators/range_join.py) — a keyed shuffle, not the O(n²)
     nested-loop Spark would plan for the raw inequality.
 
-    Scale-verification note: sealed at sf0.001/0.01/0.1; on the ×10
-    REPLICATED fixture the ORACLE side is infeasible — replicas share
-    timestamps, so the pair output grows ~×100 and DuckDB's
-    fetch-and-hash comparison ground >6 h CPU before the cut
-    (NOTES_r6 cont-4). The Spark side is bucket-keyed and completes;
-    the limit is the differential harness, same class as the
-    brute-force O(n²) baselines."""
+    Oracle form (r9): the spec predicate — |sec_a − sec_b| <= 60 over
+    second-truncated timestamps, event_id-ordered pairs — is the WHERE
+    clause verbatim; candidate generation is pre-bucketed (60 s minute
+    buckets, one side expanded to its 3 neighbors) so DuckDB plans a
+    hash join instead of the IEJoin whose ~×100 pair intermediate
+    ground >6 h on the ×10 replicated fixture (NOTES_r6 cont-4; this
+    rewrite closed VERDICT r8 item 6). The bucketing is exactly
+    sound: |sec diff| <= 60 implies |minute-bucket diff| <= 1 (a
+    2-bucket gap needs a diff >= 61), and each qualifying pair matches
+    exactly one expanded bucket value, so the rewrite counts precisely
+    the spec's pairs."""
     from ..operators import range_join
 
     ev = load_table(spark, sf_dir, "events")
