@@ -89,6 +89,13 @@ HEADLINE = [
     # moment pipeline
     "k_anonymous_event_release",
     "ab_cuped_adjusted_value",
+    # round 9: the snapshot table format's three new verbs (OCC
+    # concurrent appends, manifest-stats pruned scan, incremental
+    # version-range read) and the PQ compression-tier recall audit
+    "snapshot_concurrent_commit_parity",
+    "snapshot_stats_pruned_read",
+    "snapshot_incremental_read_parity",
+    "embedding_pq_recall_audit",
 ]
 
 
