@@ -318,14 +318,19 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
     PARTITION of the source on the JVM driver, so the query side is
     first repartitioned to ~``chunk_rows``-sized partitions — without
     that, a single-partition 10M-row query frame would OOM the driver
-    before the first chunk. The sizing count runs against a persisted
-    copy of the projected query frame (the count IS the cache fill, not
-    an extra source scan). Each chunk's top-k is materialized EAGERLY
+    before the first chunk. The sizing count runs against a DISK_ONLY-
+    persisted copy of the projected query frame (the count IS the cache
+    fill, not an extra source scan) — that cache costs O(query set) of
+    cluster DISK for the duration of the run (the price of not
+    re-scanning the source per chunk), but no executor or driver
+    MEMORY. Each chunk's top-k is materialized EAGERLY
     (``localCheckpoint``) and its query-matrix broadcast destroyed
-    before the next chunk starts, so at any moment the cluster holds
-    one chunk's broadcast + the (k rows per query) checkpointed results
-    — the aggregate footprint is O(chunk + result), NOT O(all query
-    vectors). Each chunk contains a disjoint set of query ids, so the
+    before the next chunk starts — cleanup runs in a ``finally`` so a
+    mid-chunk task failure cannot leak the cache or an in-flight
+    broadcast — so at any moment the MEMORY footprint is one chunk's
+    broadcast + the (k rows per query) checkpointed results: O(chunk +
+    result), never O(all query vectors) of memory. Each chunk contains
+    a disjoint set of query ids, so the
     per-query rank windows are chunk-invariant and the union of chunk
     results equals the single-pass result exactly. Query batches large
     enough to make multiple corpus passes hurt should use the keyed
@@ -338,7 +343,12 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     spark = emb.sparkSession
 
-    q_src = queries.select(id_col, vec_col).persist()
+    from pyspark import StorageLevel
+
+    # DISK_ONLY: the cache trades one avoided source re-scan per chunk
+    # for O(query set) of cluster disk — deliberately NOT memory, so the
+    # kernel's memory bound stays O(chunk) however big the query set is
+    q_src = queries.select(id_col, vec_col).persist(StorageLevel.DISK_ONLY)
 
     def _chunks():
         # the count fills the cache it will iterate — one source scan
@@ -353,65 +363,73 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
             yield buf
 
     chunk_tops = []
-    for q_rows in _chunks():
-        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-        q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-        if quant is None:
-            q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-            q_norms = None
-        else:
-            # Half-away-from-zero, matching Spark F.round / DuckDB ROUND
-            # (np.round is half-even).
-            q_mat = (np.sign(q_mat)
-                     * np.floor(np.abs(q_mat) * quant + 0.5)).astype(np.int64)
-            q_norms = (q_mat * q_mat).sum(axis=1)
-        bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+    bc = None
+    try:
+        for q_rows in _chunks():
+            q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+            q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+            if quant is None:
+                q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+                q_norms = None
+            else:
+                # Half-away-from-zero, matching Spark F.round / DuckDB ROUND
+                # (np.round is half-even).
+                q_mat = (np.sign(q_mat)
+                         * np.floor(np.abs(q_mat) * quant + 0.5)).astype(np.int64)
+                q_norms = (q_mat * q_mat).sum(axis=1)
+            bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
 
-        def score(batches, _bc=bc):
-            ids, mat, qn = _bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                if quant is None:
-                    c /= np.linalg.norm(c, axis=1, keepdims=True)
-                    sims = c @ mat.T  # (batch, n_queries)
-                else:
-                    ci = (np.sign(c)
-                          * np.floor(np.abs(c) * quant + 0.5)).astype(np.int64)
-                    cn = (ci * ci).sum(axis=1)
-                    dots = ci @ mat.T  # int64: exact, order-independent
-                    sims = dots / np.sqrt(
-                        cn[:, None].astype(np.float64)
-                        * qn[None, :].astype(np.float64)
-                    )
-                n, m = sims.shape
-                yield pd.DataFrame({
-                    "query_id": np.tile(ids, n),
-                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
-                    "similarity": np.round(sims.reshape(-1), 6),
-                })
+            def score(batches, _bc=bc):
+                ids, mat, qn = _bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    if quant is None:
+                        c /= np.linalg.norm(c, axis=1, keepdims=True)
+                        sims = c @ mat.T  # (batch, n_queries)
+                    else:
+                        ci = (np.sign(c)
+                              * np.floor(np.abs(c) * quant + 0.5)).astype(np.int64)
+                        cn = (ci * ci).sum(axis=1)
+                        dots = ci @ mat.T  # int64: exact, order-independent
+                        sims = dots / np.sqrt(
+                            cn[:, None].astype(np.float64)
+                            * qn[None, :].astype(np.float64)
+                        )
+                    n, m = sims.shape
+                    yield pd.DataFrame({
+                        "query_id": np.tile(ids, n),
+                        "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
+                        "similarity": np.round(sims.reshape(-1), 6),
+                    })
 
-        pairs = emb.select(id_col, vec_col).mapInPandas(
-            score, "query_id long, neighbor_id long, similarity double"
-        ).filter(F.col("query_id") != F.col("neighbor_id"))
-        w = W.partitionBy("query_id").orderBy(
-            F.col("similarity").desc(), F.col("neighbor_id")
-        )
-        top = (
-            pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-        )
-        # materialize THIS chunk's top-k now and cut its lineage, so the
-        # chunk's query-matrix broadcast can be released immediately —
-        # without this, every chunk's broadcast stays referenced by the
-        # lazily-unioned plan until the caller evaluates it, and the
-        # aggregate driver/executor footprint scales with the FULL
-        # query set instead of one chunk
-        top = top.localCheckpoint(eager=True)
-        bc.destroy()
-        chunk_tops.append(top)
-    q_src.unpersist()
+            pairs = emb.select(id_col, vec_col).mapInPandas(
+                score, "query_id long, neighbor_id long, similarity double"
+            ).filter(F.col("query_id") != F.col("neighbor_id"))
+            w = W.partitionBy("query_id").orderBy(
+                F.col("similarity").desc(), F.col("neighbor_id")
+            )
+            top = (
+                pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k)
+            )
+            # materialize THIS chunk's top-k now and cut its lineage, so the
+            # chunk's query-matrix broadcast can be released immediately —
+            # without this, every chunk's broadcast stays referenced by the
+            # lazily-unioned plan until the caller evaluates it, and the
+            # aggregate driver/executor footprint scales with the FULL
+            # query set instead of one chunk
+            top = top.localCheckpoint(eager=True)
+            bc.destroy()
+            bc = None
+            chunk_tops.append(top)
+    finally:
+        # a mid-chunk failure must not leak the disk cache or the
+        # in-flight chunk's broadcast for the life of the session
+        if bc is not None:
+            bc.destroy()
+        q_src.unpersist()
     if not chunk_tops:
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, similarity double,"

@@ -78,9 +78,20 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _SNAPDIR, f"v{version}.json")
 
 
+_FORMAT_VERSION = 2  # r9: files are {path, stats} dicts, link-published
+
+
 def _read_manifest(table_dir: str, version: int) -> dict:
     with open(_manifest_path(table_dir, version)) as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    if m.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"snapshot manifest v{version} of {table_dir} has format "
+            f"{m.get('format_version')!r}, this module reads "
+            f"{_FORMAT_VERSION} — the table was written by an "
+            "incompatible module version; rewrite it (no in-place "
+            "migration)")
+    return m
 
 
 def _all_manifest_versions(table_dir: str) -> list[int]:
@@ -255,6 +266,7 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
             files = list(new_entries)
         version = (prev if prev is not None else -1) + 1
         manifest = {
+            "format_version": _FORMAT_VERSION,
             "version": version,
             "parent": prev,
             "mode": mode,
@@ -269,6 +281,13 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
         tmp = _manifest_path(table_dir, version) + f".tmp.{commit_id}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+            # durability before visibility: the manifest bytes must be
+            # on stable storage BEFORE the link makes the version name
+            # resolvable, or a power loss could leave a torn v{N}.json
+            # that reads as a committed version — the one thing the
+            # protocol promises cannot happen
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
             # atomic put-if-absent: publishes the COMPLETE temp file
             # under the version name, or fails EEXIST — THE commit
@@ -282,7 +301,19 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
                     f"version {prev} cannot be rebased — re-read and "
                     "re-derive the replacement") from None
             continue  # append: rebase onto the new current and retry
+        except FileNotFoundError:
+            # a concurrent snapshot_expire swept this tmp between write
+            # and link (its grace window was <= our in-flight time):
+            # not a version conflict — rewrite the tmp and retry
+            continue
         os.unlink(tmp)
+        # persist the directory entry for v{N}.json as well — link is
+        # atomic in memory but the dirent needs its own writeback
+        dir_fd = os.open(snapdir, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
         return version
     raise SnapshotConflictError(
         f"snapshot_commit: lost the commit race {max_retries + 1} times "
@@ -345,6 +376,21 @@ def _file_may_match(stats: dict, col: str, op: str, value) -> bool:
     raise ValueError(f"snapshot_scan: unsupported operator {op!r}")
 
 
+def _pruned_entries(table_dir: str, predicates: list[tuple],
+                    version: int | None) -> tuple[list[dict], dict]:
+    """(surviving file entries, manifest) for a conjunction of
+    ``(column, op, literal)`` predicates — the ONE pruning decision
+    both ``snapshot_pruned_files`` (the pinnable view) and
+    ``snapshot_scan`` (the read) share, so they cannot diverge."""
+    m = _resolve_version(table_dir, version)
+    kept = [
+        e for e in m["files"]
+        if all(_file_may_match(e.get("stats", {}), c, op, v)
+               for (c, op, v) in predicates)
+    ]
+    return kept, m
+
+
 def snapshot_pruned_files(table_dir: str,
                           predicates: list[tuple],
                           version: int | None = None
@@ -353,13 +399,8 @@ def snapshot_pruned_files(table_dir: str,
     ``(column, op, literal)`` predicates against the manifest's
     per-file column stats — the planning decision ``snapshot_scan``
     makes, exposed so tests can pin that pruning actually happened."""
-    m = _resolve_version(table_dir, version)
-    kept = [
-        e["path"] for e in m["files"]
-        if all(_file_may_match(e.get("stats", {}), c, op, v)
-               for (c, op, v) in predicates)
-    ]
-    return kept, len(m["files"])
+    kept, m = _pruned_entries(table_dir, predicates, version)
+    return [e["path"] for e in kept], len(m["files"])
 
 
 def snapshot_scan(spark: SparkSession, table_dir: str,
@@ -373,12 +414,7 @@ def snapshot_scan(spark: SparkSession, table_dir: str,
     construction — just with fewer files planned."""
     from pyspark.sql import functions as F
 
-    m = _resolve_version(table_dir, version)
-    kept = [
-        e for e in m["files"]
-        if all(_file_may_match(e.get("stats", {}), c, op, v)
-               for (c, op, v) in predicates)
-    ]
+    kept, m = _pruned_entries(table_dir, predicates, version)
     df = _read_entries(spark, table_dir, kept, m["schema"])
     import operator as _op
 
@@ -411,22 +447,32 @@ def snapshot_read_incremental(spark: SparkSession, table_dir: str,
             f"snapshot_read_incremental: bad range ({from_version}, "
             f"{to_v}] on {table_dir}")
     chain_v = to_v
-    while chain_v is not None and chain_v > from_version:
-        m = _read_manifest(table_dir, chain_v)
-        if m["mode"] != "append":
+    try:
+        while chain_v is not None and chain_v > from_version:
+            m = _read_manifest(table_dir, chain_v)
+            if m["mode"] != "append":
+                raise ValueError(
+                    f"snapshot_read_incremental: version {chain_v} is an "
+                    "overwrite — the range has no append-only delta; "
+                    "re-read the full table instead")
+            chain_v = m["parent"]
+        if chain_v != from_version:
             raise ValueError(
-                f"snapshot_read_incremental: version {chain_v} is an "
-                "overwrite — the range has no append-only delta; "
-                "re-read the full table instead")
-        chain_v = m["parent"]
-    if chain_v != from_version:
+                f"snapshot_read_incremental: version {from_version} is "
+                f"not an ancestor of {to_v} (expired or never existed)")
+        to_m = _read_manifest(table_dir, to_v)
+        base_paths = {
+            e["path"]
+            for e in _read_manifest(table_dir, from_version)["files"]
+        }
+    except FileNotFoundError as exc:
+        # a manifest inside the range was expired by retention — the
+        # API's contract error, not a raw OS error
         raise ValueError(
-            f"snapshot_read_incremental: version {from_version} is not "
-            f"an ancestor of {to_v} (expired or never existed)")
-    to_m = _read_manifest(table_dir, to_v)
-    base_paths = {
-        e["path"] for e in _read_manifest(table_dir, from_version)["files"]
-    }
+            f"snapshot_read_incremental: the range ({from_version}, "
+            f"{to_v}] of {table_dir} touches an expired version — "
+            "widen retention or fall back to a full re-read"
+        ) from exc
     delta = [e for e in to_m["files"] if e["path"] not in base_paths]
     return _read_entries(spark, table_dir, delta, to_m["schema"])
 

@@ -2068,3 +2068,11 @@ def test_snapshot_stats_pruning_and_incremental_read(spark, tmp_path):
                     mode="append")
     post = snapshot_read_incremental(spark, t, 3)
     assert sorted(r.id for r in post.collect()) == list(range(300, 310))
+    # a range touching an EXPIRED version raises the API's contract
+    # error, not a raw FileNotFoundError (r9 review fix)
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_expire)
+
+    snapshot_expire(t, keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        snapshot_read_incremental(spark, t, 3)
