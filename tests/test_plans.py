@@ -143,6 +143,12 @@ NONEQUI_OK = {
     # DISTINCT key values (tiny cross); register unions and estimate
     # joins are keyed
     "approx_user_overlap_event_types",
+    # r9 recall audits: each COMPOSES an already-allowlisted component
+    # (the PQ LUT broadcast cross / the O(n²) exact pair baseline);
+    # the audit's own joins are keyed, and the RP-LSH audit adds one
+    # cross of two 1-row count aggregates — scalar-subquery class
+    "embedding_pq_recall_audit",
+    "embedding_rp_lsh_recall_audit",
 }
 
 
