@@ -184,6 +184,36 @@ def _collect_file_stats(abs_path: str) -> dict:
             if complete.get(name)}
 
 
+def _evolved_schema_json(prev_schema_json: str, df_schema) -> str:
+    """Additive schema evolution for appends (the Iceberg/Delta rule
+    subset this format supports): columns may be ADDED — never dropped
+    from shared names, never type-changed. Shared columns must match
+    types exactly; the committed schema becomes prev columns + new-only
+    columns (all nullable: older files read the added columns as NULL,
+    newer files read columns they lack as NULL). An incompatible append
+    raises instead of publishing a manifest later reads would choke on.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    prev = StructType.fromJson(json.loads(prev_schema_json))
+    prev_by_name = {f.name: f for f in prev.fields}
+    added = []
+    for f in df_schema.fields:
+        have = prev_by_name.get(f.name)
+        if have is None:
+            added.append(f)
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"snapshot_commit: append changes column {f.name!r} "
+                f"from {have.dataType.simpleString()} to "
+                f"{f.dataType.simpleString()} — type changes are not "
+                "evolvable; overwrite the table to re-type")
+    union = StructType(
+        [StructField(f.name, f.dataType, True) for f in prev.fields]
+        + [StructField(f.name, f.dataType, True) for f in added])
+    return union.json()
+
+
 def _new_file_entries(table_dir: str, commit_id: str) -> list[dict]:
     data_dir = os.path.join(table_dir, "data", commit_id)
     entries = []
@@ -249,7 +279,6 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
     new_entries = _new_file_entries(table_dir, commit_id)
-    schema_json = df.schema.json()
 
     for attempt in range(max_retries + 1):
         prev = snapshot_current_version(table_dir)
@@ -262,8 +291,13 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
                 return prev  # a racing writer applied this epoch first
         if mode == "append" and prev is not None:
             files = prev_manifest["files"] + new_entries
+            # additive schema evolution — recomputed per rebase because
+            # the base (and so the evolved union) may have moved
+            schema_json = _evolved_schema_json(
+                prev_manifest["schema"], df.schema)
         else:
             files = list(new_entries)
+            schema_json = df.schema.json()
         version = (prev if prev is not None else -1) + 1
         manifest = {
             "format_version": _FORMAT_VERSION,
@@ -330,14 +364,19 @@ def _resolve_version(table_dir: str, version: int | None) -> dict:
 
 def _read_entries(spark: SparkSession, table_dir: str,
                   entries: list[dict], schema_json: str) -> DataFrame:
-    if not entries:
-        # the manifest carries the committed schema, so an empty
-        # selection still reads back with the right columns
-        from pyspark.sql.types import StructType
+    """Plan a read of the given manifest file entries UNDER THE
+    MANIFEST'S SCHEMA (all-nullable): files written before a column was
+    added read it as NULL — how every table format serves an evolved
+    schema without rewriting history. An empty selection still reads
+    back with the right columns."""
+    from pyspark.sql.types import StructField, StructType
 
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(schema_json)))
-    return spark.read.parquet(
+    committed = StructType.fromJson(json.loads(schema_json))
+    schema = StructType([StructField(f.name, f.dataType, True)
+                         for f in committed.fields])
+    if not entries:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, e["path"]) for e in entries])
 
 

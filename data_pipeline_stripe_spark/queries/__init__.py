@@ -79,6 +79,10 @@ PRIORITY_THIS_ROUND = [
     # round 9, new: version-range delta reads (append-only CDF path);
     # full == base + replayed deltas, delta_only vs the day predicate
     "snapshot_incremental_read_parity",
+    # round 9, new: additive schema evolution — appends may add
+    # columns; old files read them as NULL, history keeps its own
+    # narrower schema, type changes are rejected pre-publish
+    "snapshot_schema_evolution_parity",
     # round 9: the chunked pandas top-k kernel now checkpoints each
     # chunk eagerly and destroys its broadcast (ADVICE r8 low)
     "embedding_topk_cosine_pandas",

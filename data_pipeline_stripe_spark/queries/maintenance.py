@@ -890,3 +890,100 @@ def snapshot_incremental_read_parity(spark: SparkSession,
         .unionByName(agg(base.unionByName(delta), "base_plus_delta"))
         .unionByName(agg(delta, "delta_only"))
     )
+
+
+@query(
+    "snapshot_schema_evolution_parity",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    head AS (
+        SELECT 'head' AS section, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(c) AS BIGINT) AS cents,
+               CAST(SUM(CASE WHEN day >= '{_SNAP_C1}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS with_day,
+               CAST(SUM(CASE WHEN day >= '{_SNAP_C2}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS with_src
+        FROM base GROUP BY 2
+    ),
+    v0 AS (
+        SELECT 'v0' AS section, event_type,
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM base WHERE day < '{_SNAP_C1}' GROUP BY 2
+    )
+    SELECT * FROM head UNION ALL SELECT * FROM v0
+    """,
+)
+def snapshot_schema_evolution_parity(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Additive schema evolution in the hash gate: three appends with
+    WIDENING schemas — v0 (event_type, c), v1 adds ``day``, v2 adds
+    ``src`` (and reorders columns) — build one table. The HEAD read
+    serves every file under the evolved union schema
+    (operators/snapshots.py:_evolved_schema_json /_read_entries):
+    rows from files written before a column existed read it as NULL,
+    so ``with_day``/``with_src`` non-null counts match the exact day
+    ranges each column was introduced at — a read that dropped old
+    files, misfilled the added columns, or leaked the union into
+    history flips a row. The ``v0`` section proves time travel keeps
+    the ORIGINAL two-column schema (the query raises on any other
+    column set, then pads the shape literally, mirroring the oracle's
+    zero literals)."""
+    from ..operators.snapshots import snapshot_commit, snapshot_read
+
+    table_dir = _scratch(sf_dir, "snapshot_evolution")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    snapshot_commit(spark, table_dir,
+                    ev.filter(F.col("day") < _SNAP_C1)
+                    .select("event_type", "c"),
+                    mode="append")
+    snapshot_commit(
+        spark, table_dir,
+        ev.filter((F.col("day") >= _SNAP_C1) & (F.col("day") < _SNAP_C2))
+        .select("event_type", "c", "day"),
+        mode="append")
+    snapshot_commit(
+        spark, table_dir,
+        ev.filter(F.col("day") >= _SNAP_C2)
+        .select("event_type", "day", F.lit("late").alias("src"), "c"),
+        mode="append")
+
+    head = snapshot_read(spark, table_dir)
+    if sorted(head.columns) != ["c", "day", "event_type", "src"]:
+        raise RuntimeError(
+            f"snapshot_schema_evolution_parity: evolved union schema "
+            f"wrong: {head.columns}")
+    head_agg = (
+        head.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("c").alias("cents"),
+             F.count("day").alias("with_day"),
+             F.count("src").alias("with_src"))
+        .select(F.lit("head").alias("section"), "event_type",
+                "n_events", "cents",
+                F.col("with_day").cast("long").alias("with_day"),
+                F.col("with_src").cast("long").alias("with_src"))
+    )
+    v0 = snapshot_read(spark, table_dir, version=0)
+    if v0.columns != ["event_type", "c"]:
+        raise RuntimeError(
+            f"snapshot_schema_evolution_parity: v0 schema leaked the "
+            f"evolution: {v0.columns}")
+    v0_agg = (
+        v0.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("c").alias("cents"))
+        .select(F.lit("v0").alias("section"), "event_type",
+                "n_events", "cents",
+                F.lit(0).cast("long").alias("with_day"),
+                F.lit(0).cast("long").alias("with_src"))
+    )
+    return head_agg.unionByName(v0_agg)

@@ -2076,3 +2076,55 @@ def test_snapshot_stats_pruning_and_incremental_read(spark, tmp_path):
     snapshot_expire(t, keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         snapshot_read_incremental(spark, t, 3)
+
+
+def test_snapshot_schema_evolution_append_add_columns(spark, tmp_path):
+    """Additive schema evolution (r9): an append may ADD columns —
+    older files read them as NULL, newer files read columns they lack
+    as NULL, the committed schema is the union — and an append that
+    CHANGES a shared column's type is rejected before anything is
+    published. Historical versions keep their own (narrower) schema."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_commit, snapshot_read)
+
+    t = str(tmp_path / "snap_evolve")
+    snapshot_commit(
+        spark, t,
+        spark.range(5).select(F.col("id"), F.lit("a").alias("tag")))
+    snapshot_commit(
+        spark, t,
+        spark.range(5, 8).select(
+            F.col("id"), F.lit("b").alias("tag"),
+            (F.col("id") * 10).alias("score")))  # adds score
+    head = snapshot_read(spark, t)
+    assert head.columns == ["id", "tag", "score"]
+    rows = {r.id: r for r in head.collect()}
+    assert len(rows) == 8
+    assert rows[0].score is None          # old file: added col is NULL
+    assert rows[5].score == 50
+    # reversed direction: a later append MISSING score still reads as
+    # the union schema with NULL score for its rows
+    snapshot_commit(
+        spark, t,
+        spark.range(8, 9).select(F.col("id"), F.lit("c").alias("tag")))
+    rows = {r.id: r for r in snapshot_read(spark, t).collect()}
+    assert rows[8].score is None and rows[5].score == 50
+    # history keeps its own schema
+    assert snapshot_read(spark, t, 0).columns == ["id", "tag"]
+    # type change on a shared column is rejected, nothing published
+    with pytest.raises(ValueError, match="type changes"):
+        snapshot_commit(
+            spark, t,
+            spark.range(9, 10).select(
+                F.col("id"), F.col("id").cast("string").alias("score"),
+                F.lit("d").alias("tag")))
+    assert snapshot_read(spark, t).count() == 9
+    # overwrite may re-type freely (fresh file set, fresh schema)
+    snapshot_commit(
+        spark, t,
+        spark.range(3).select(F.col("id").cast("string").alias("score")),
+        mode="overwrite")
+    assert snapshot_read(spark, t).columns == ["score"]
