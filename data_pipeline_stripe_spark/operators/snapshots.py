@@ -231,7 +231,8 @@ def _new_file_entries(table_dir: str, commit_id: str) -> list[dict]:
 def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
                     mode: str = "append",
                     epoch_key: str | None = None,
-                    max_retries: int = 20) -> int:
+                    max_retries: int = 20,
+                    expected_version: int | None = None) -> int:
     """Commit ``df`` as the next version of ``table_dir``. Returns the
     committed version number.
 
@@ -251,6 +252,14 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     and retries; an overwrite raises ``SnapshotConflictError`` because
     replaying "replace the whole table" over a state it never saw would
     silently drop the winner's rows.
+
+    ``expected_version`` adds READ VALIDATION (serializable
+    read-modify-write): the commit aborts with ``SnapshotConflictError``
+    unless the table is still at exactly that version when the publish
+    is attempted. Without it, a commit only guarantees it doesn't
+    clobber the version it targets; a transform derived from an earlier
+    read (MERGE, compaction) must pass the version it READ, or a commit
+    landing between read and publish would be silently overwritten.
 
     ``epoch_key`` makes the commit IDEMPOTENT — the exactly-once sink
     contract a streaming ``foreachBatch`` needs (the Delta txn
@@ -282,6 +291,11 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
 
     for attempt in range(max_retries + 1):
         prev = snapshot_current_version(table_dir)
+        if expected_version is not None and prev != expected_version:
+            raise SnapshotConflictError(
+                f"snapshot_commit: {table_dir} moved to version {prev} "
+                f"but this commit was derived from a read of version "
+                f"{expected_version} — re-read and re-derive")
         prev_manifest = (
             _read_manifest(table_dir, prev) if prev is not None else {})
         if epoch_key is not None:
@@ -557,3 +571,32 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
                 shutil.rmtree(e.path)
                 deleted.append(e.name)
     return {"expired_versions": doomed, "deleted_dirs": deleted}
+
+
+def snapshot_merge(spark: SparkSession, table_dir: str,
+                   updates: DataFrame, key: str) -> tuple[int, DataFrame]:
+    """Transactional MERGE INTO the snapshot table: read the current
+    version, ``merge_upsert`` the update batch on ``key`` (matched →
+    full-row update, unmatched → insert), and commit the merged state
+    as an OVERWRITE validated against the version that was READ
+    (``expected_version``) — if any commit landed in between, the merge
+    aborts with ``SnapshotConflictError`` instead of silently dropping
+    that commit's rows, and the caller re-reads and re-merges (exactly
+    Delta/Iceberg's MERGE conflict behavior). Returns (new version,
+    the merged frame INCLUDING its ``merge_action`` audit column).
+
+    At 100 TB the overwrite step becomes the format's copy-on-write of
+    the dirty files only (here: the whole small table) — the read-
+    validate-publish protocol is the part that carries over unchanged.
+    """
+    from .merge import merge_upsert
+
+    base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(f"snapshot_merge: {table_dir} has no commits")
+    base = snapshot_read(spark, table_dir, version=base_version)
+    merged = merge_upsert(base, updates, key)
+    version = snapshot_commit(
+        spark, table_dir, merged.drop("merge_action"), mode="overwrite",
+        expected_version=base_version)
+    return version, merged

@@ -83,6 +83,9 @@ PRIORITY_THIS_ROUND = [
     # columns; old files read them as NULL, history keeps its own
     # narrower schema, type changes are rejected pre-publish
     "snapshot_schema_evolution_parity",
+    # round 9, new: transactional MERGE INTO — read-validated overwrite
+    # (expected_version), row-level hash with the merge_action audit
+    "snapshot_merge_upsert_parity",
     # round 9: the chunked pandas top-k kernel now checkpoints each
     # chunk eagerly and destroys its broadcast (ADVICE r8 low)
     "embedding_topk_cosine_pandas",

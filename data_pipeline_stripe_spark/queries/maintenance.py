@@ -987,3 +987,71 @@ def snapshot_schema_evolution_parity(spark: SparkSession,
                 F.lit(0).cast("long").alias("with_src"))
     )
     return head_agg.unionByName(v0_agg)
+
+
+@query(
+    "snapshot_merge_upsert_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 600
+    ),
+    upd AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) * 2 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey > 300 AND o_orderkey <= 900
+    )
+    SELECT COALESCE(u.k, b.k) AS o_orderkey,
+           COALESCE(u.pri, b.pri) AS pri,
+           COALESCE(u.cents, b.cents) AS cents,
+           CASE WHEN u.k IS NOT NULL AND b.k IS NOT NULL THEN 'updated'
+                WHEN u.k IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS merge_action
+    FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+    """,
+)
+def snapshot_merge_upsert_parity(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Transactional MERGE INTO the snapshot table
+    (operators/snapshots.py:snapshot_merge): the base commit holds
+    orders <= 600, the update batch doubles cents for (300, 900] —
+    overlapping keys take the full-row UPDATE, new keys INSERT, the
+    rest pass through as kept — and the merged state is committed as
+    an overwrite VALIDATED against the version the merge read
+    (expected_version), so a concurrent commit cannot be silently
+    dropped (pytest pins the conflict branch with an interleaved
+    writer; here the hash gates the merge semantics end-to-end through
+    the table: the returned frame is re-read FROM the committed
+    version, not the in-memory merge result). Row-level output keyed
+    on o_orderkey with the merge_action audit column — any wrong
+    action class, lost base row, or doubled update flips the hash."""
+    from ..operators.snapshots import (snapshot_commit, snapshot_merge,
+                                       snapshot_read)
+
+    table_dir = _scratch(sf_dir, "snapshot_merge")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 600).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd = orders.filter(
+        (F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 900)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.round(F.col("o_totalprice") * 100) * 2).cast("long")
+        .alias("cents"),
+    )
+    snapshot_commit(spark, table_dir, base, mode="append")
+    version, merged = snapshot_merge(spark, table_dir, upd, "k")
+    # gate through the TABLE: actions from the merge frame, values from
+    # a fresh read of the committed version
+    actions = merged.select(F.col("k"), "merge_action")
+    committed = snapshot_read(spark, table_dir, version=version)
+    return (
+        committed.join(actions, "k")
+        .select(F.col("k").alias("o_orderkey"), "pri", "cents",
+                "merge_action")
+    )

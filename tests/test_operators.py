@@ -2128,3 +2128,60 @@ def test_snapshot_schema_evolution_append_add_columns(spark, tmp_path):
         spark.range(3).select(F.col("id").cast("string").alias("score")),
         mode="overwrite")
     assert snapshot_read(spark, t).columns == ["score"]
+
+
+def test_snapshot_merge_read_validation(spark, tmp_path):
+    """snapshot_merge is a serializable read-modify-write: it commits
+    against the exact version it read, so a commit landing between the
+    merge's read and its publish aborts the merge instead of being
+    silently overwritten (the expected_version leg of the OCC
+    protocol); a clean retry then succeeds and keeps BOTH writers'
+    rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_merge")
+    S.snapshot_commit(
+        spark, t,
+        spark.range(5).select(F.col("id").alias("k"),
+                              F.lit("base").alias("v")))
+
+    upd = spark.range(3, 7).select(F.col("id").alias("k"),
+                                   F.lit("upd").alias("v"))
+    version, merged = S.snapshot_merge(spark, t, upd, "k")
+    assert version == 1
+    acts = {r.k: r.merge_action for r in merged.collect()}
+    assert acts[0] == "kept" and acts[3] == "updated" and acts[6] == "inserted"
+    assert S.snapshot_read(spark, t).count() == 7
+
+    # interleaved commit between read and publish → conflict abort
+    real_read = S.snapshot_read
+
+    def read_then_interleave(spark_, table_dir, version=None):
+        df = real_read(spark_, table_dir, version)
+        # a foreign writer lands AFTER the merge's read
+        S.snapshot_commit(
+            spark_, table_dir,
+            spark.range(100, 101).select(F.col("id").alias("k"),
+                                         F.lit("foreign").alias("v")))
+        return df
+
+    from unittest import mock
+
+    with mock.patch.object(S, "snapshot_read",
+                           side_effect=read_then_interleave):
+        with pytest.raises(S.SnapshotConflictError, match="derived"):
+            S.snapshot_merge(
+                spark, t,
+                spark.range(1).select(F.col("id").alias("k"),
+                                      F.lit("late").alias("v")), "k")
+    # the foreign commit survived; a fresh merge now succeeds
+    assert {r.k for r in S.snapshot_read(spark, t).collect()} >= {100}
+    v3, _ = S.snapshot_merge(
+        spark, t,
+        spark.range(1).select(F.col("id").alias("k"),
+                              F.lit("late").alias("v")), "k")
+    rows = {r.k: r.v for r in S.snapshot_read(spark, t).collect()}
+    assert rows[100] == "foreign" and rows[0] == "late"
