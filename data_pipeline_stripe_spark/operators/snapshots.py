@@ -43,14 +43,25 @@ SCALING.md's lakehouse mapping documents):
   manifest parent chain (append-only fast path: set difference of file
   entries) — the base+delta pattern a 100 TB downstream consumer needs
   to avoid full-table rescans.
+- **Additive schema evolution.** Appends may ADD columns: shared
+  columns keep their exact types (violations raise before anything is
+  published), every read plans under the manifest's all-nullable union
+  schema so pre-evolution files serve the added columns as NULL, and
+  historical versions keep their own narrower schema.
+- **Transactional MERGE with read validation.** ``snapshot_merge``
+  upserts a batch and commits the result validated against the version
+  it READ (``expected_version``) — a commit landing in between aborts
+  the merge instead of being silently overwritten (serializable
+  read-modify-write, the Delta/Iceberg MERGE conflict rule).
 - **O(deleted) retention.** ``snapshot_expire`` drops old manifests and
   deletes only data directories no surviving manifest references.
 
 What real Iceberg/Delta still add beyond this and this module does
 NOT: multi-process CAS through a metastore/log-store (``os.link`` is
-the single-filesystem primitive; S3 needs a conditional PUT), schema
-evolution rules, and format interop. See SCALING.md "Table-format
-mapping" for the production swap-in.
+the single-filesystem primitive; S3 needs a conditional PUT), type
+WIDENING under evolution (only additive columns here), and format
+interop. See SCALING.md "Table-format mapping" for the production
+swap-in.
 
 The reference has no table format at all (its top10.py:260-278 rewrites
 per-day CSVs in a driver loop); this is beyond-reference surface.

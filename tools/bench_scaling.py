@@ -74,6 +74,13 @@ QUERIES = [
     # of the unbounded twin never exists; the curve should track the
     # data ratio
     "multitouch_attribution_topn",
+    # round 9: the snapshot format's verbs at scale — the stats-pruned
+    # scan should grow with the PRUNED band (the three excluded
+    # commits' files are never planned), the incremental read with the
+    # delta, and the read-validated MERGE with the keyed join
+    "snapshot_stats_pruned_read",
+    "snapshot_incremental_read_parity",
+    "snapshot_merge_upsert_parity",
 ]
 
 SCALES = [(1, "/root/testdata/sf0.1"),
