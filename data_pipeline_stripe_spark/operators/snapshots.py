@@ -207,15 +207,20 @@ def _evolved_schema_json(prev_schema_json: str, df_schema) -> str:
     from pyspark.sql.types import StructField, StructType
 
     prev = StructType.fromJson(json.loads(prev_schema_json))
-    prev_by_name = {f.name: f for f in prev.fields}
+    # match case-INsensitively: Spark resolves columns case-insensitively
+    # by default, so treating 'Day' as a new column beside 'day' would
+    # publish a union schema every subsequent read chokes on (ambiguous
+    # resolution) — the same column under a case variant keeps the
+    # prior casing; only a type mismatch is an error
+    prev_by_fold = {f.name.casefold(): f for f in prev.fields}
     added = []
     for f in df_schema.fields:
-        have = prev_by_name.get(f.name)
+        have = prev_by_fold.get(f.name.casefold())
         if have is None:
             added.append(f)
         elif have.dataType != f.dataType:
             raise ValueError(
-                f"snapshot_commit: append changes column {f.name!r} "
+                f"snapshot_commit: append changes column {have.name!r} "
                 f"from {have.dataType.simpleString()} to "
                 f"{f.dataType.simpleString()} — type changes are not "
                 "evolvable; overwrite the table to re-type")
@@ -285,15 +290,24 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     snapdir = os.path.join(table_dir, _SNAPDIR)
     os.makedirs(snapdir, exist_ok=True)
 
-    if epoch_key is not None:
-        # early replay check BEFORE writing any data files — a replayed
-        # epoch costs nothing; the loop re-checks on every rebase
-        prev = snapshot_current_version(table_dir)
-        if prev is not None:
-            last = _read_manifest(table_dir, prev).get("last_epoch")
-            if last is not None and (
-                    _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
-                return prev  # replayed / stale epoch: already applied
+    # EARLY checks BEFORE writing any data files — a doomed commit must
+    # not pay a (potentially table-sized) parquet write first. Each is
+    # re-checked inside the retry loop because the base can move.
+    early_prev = snapshot_current_version(table_dir)
+    if expected_version is not None and early_prev != expected_version:
+        raise SnapshotConflictError(
+            f"snapshot_commit: {table_dir} moved to version {early_prev} "
+            f"but this commit was derived from a read of version "
+            f"{expected_version} — re-read and re-derive")
+    if epoch_key is not None and early_prev is not None:
+        last = _read_manifest(table_dir, early_prev).get("last_epoch")
+        if last is not None and (
+                _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
+            return early_prev  # replayed / stale epoch: already applied
+    if mode == "append" and early_prev is not None:
+        # raises on a type-incompatible append before the data write
+        _evolved_schema_json(
+            _read_manifest(table_dir, early_prev)["schema"], df.schema)
 
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", commit_id)
@@ -606,6 +620,14 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
     if base_version is None:
         raise ValueError(f"snapshot_merge: {table_dir} has no commits")
     base = snapshot_read(spark, table_dir, version=base_version)
+    if "merge_action" in (c.casefold() for c in base.columns):
+        # merge_upsert emits a synthetic 'merge_action' audit column;
+        # dropping it by name would also drop a REAL column of that
+        # name from the committed overwrite — refuse the collision
+        raise ValueError(
+            "snapshot_merge: the table has a 'merge_action' column, "
+            "which collides with the merge audit column — rename it "
+            "before merging")
     merged = merge_upsert(base, updates, key)
     version = snapshot_commit(
         spark, table_dir, merged.drop("merge_action"), mode="overwrite",

@@ -143,10 +143,10 @@ COVERAGE_DEBT_THIS_ROUND = [
     "approx_user_overlap_event_types",
     "events_heavy_hitter_value_buckets",
 ]
-# Rotation note: with the r9 head (12 pins + 29 debt = 41), 9 rotating
-# slots continue the tile over the remainder; after this round the union
-# of driver windows covers the ENTIRE registry, the debt list empties,
-# and the tile cadence resumes with ~38 rotating slots.
+# Rotation note: with the final r9 head (14 pins + 29 debt = 43), 7
+# rotating slots continue the tile over the remainder; after this round
+# the union of driver windows covers the ENTIRE registry, the debt list
+# empties, and the tile cadence resumes with ~36 rotating slots.
 
 
 def _round_number() -> int:

@@ -1932,20 +1932,23 @@ def test_snapshot_optimistic_concurrency_rebase_and_abort(spark, tmp_path):
 
     real = S.snapshot_current_version
 
-    def stale_once(stale_version):
-        state = {"used": False}
+    def stale_once(stale_version, times=2):
+        # the writer reads current twice before its first publish
+        # attempt (the pre-write early check + the loop's base read);
+        # both must see the stale value to model a racing winner
+        state = {"left": times}
 
         def read(table_dir):
-            if not state["used"]:
-                state["used"] = True
+            if state["left"] > 0:
+                state["left"] -= 1
                 return stale_version
             return real(table_dir)
 
         return read
 
-    # first call (the writer's base read) reports stale version 0 →
-    # the writer targets v1, loses the link race to the REAL v1, and
-    # must rebase onto it
+    # the writer's base reads report stale version 0 → the writer
+    # targets v1, loses the link race to the REAL v1, and must rebase
+    # onto it
     with mock.patch.object(
             S, "snapshot_current_version", side_effect=stale_once(0)):
         v = S.snapshot_commit(
@@ -2185,3 +2188,45 @@ def test_snapshot_merge_read_validation(spark, tmp_path):
                               F.lit("late").alias("v")), "k")
     rows = {r.k: r.v for r in S.snapshot_read(spark, t).collect()}
     assert rows[100] == "foreign" and rows[0] == "late"
+
+
+def test_snapshot_evolution_case_insensitive_and_merge_collision(
+        spark, tmp_path):
+    """r9 review fixes: (a) a case-variant of an existing column is the
+    SAME column under Spark's case-insensitive resolution — matching
+    types append cleanly under the prior casing, a type change still
+    raises — never a union schema with both casings that breaks every
+    later read; (b) snapshot_merge refuses a table that already has a
+    'merge_action' column instead of silently dropping it with the
+    synthetic audit column."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_case")
+    S.snapshot_commit(
+        spark, t, spark.range(3).select(F.col("id"),
+                                        F.lit(1).alias("day")))
+    # same column, case variant, same type → clean append, prior casing
+    S.snapshot_commit(
+        spark, t, spark.range(3, 5).select(F.col("id"),
+                                           F.lit(2).alias("Day")))
+    head = S.snapshot_read(spark, t)
+    assert head.columns == ["id", "day"]
+    assert head.count() == 5
+    # case variant with a DIFFERENT type still raises pre-publish
+    with pytest.raises(ValueError, match="type changes"):
+        S.snapshot_commit(
+            spark, t, spark.range(5, 6).select(
+                F.col("id"), F.lit("x").alias("DAY")))
+
+    t2 = str(tmp_path / "snap_collide")
+    S.snapshot_commit(
+        spark, t2, spark.range(2).select(F.col("id").alias("k"),
+                                         F.lit("a").alias("merge_action")))
+    with pytest.raises(ValueError, match="merge_action"):
+        S.snapshot_merge(
+            spark, t2,
+            spark.range(1).select(F.col("id").alias("k"),
+                                  F.lit("b").alias("merge_action")), "k")

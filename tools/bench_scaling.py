@@ -76,8 +76,13 @@ QUERIES = [
     "multitouch_attribution_topn",
     # round 9: the snapshot format's verbs at scale — the stats-pruned
     # scan should grow with the PRUNED band (the three excluded
-    # commits' files are never planned), the incremental read with the
-    # delta, and the read-validated MERGE with the keyed join
+    # commits' files are never planned) and the incremental read with
+    # the delta. The MERGE row is deliberately NOT scale-proportional:
+    # its o_orderkey <= 900 band selects only replica 0 at every scale
+    # (fixture key shifts are +10M per replica), so it measures the
+    # read-validate-publish protocol overhead under a GROWING table
+    # with a fixed-size merge; the scale-proportional merge curve is
+    # merge_upsert_write_roundtrip's job
     "snapshot_stats_pruned_read",
     "snapshot_incremental_read_parity",
     "snapshot_merge_upsert_parity",
