@@ -53,6 +53,10 @@ SCALING.md's lakehouse mapping documents):
   it READ (``expected_version``) — a commit landing in between aborts
   the merge instead of being silently overwritten (serializable
   read-modify-write, the Delta/Iceberg MERGE conflict rule).
+- **OPTIMIZE / compaction.** ``snapshot_compact`` rewrites the current
+  version's small files as a read-validated overwrite — rows identical,
+  layout consolidated, every prior version still time-travelable (the
+  crash-safe, concurrency-safe form of raw-directory compaction).
 - **O(deleted) retention.** ``snapshot_expire`` drops old manifests and
   deletes only data directories no surviving manifest references.
 
@@ -633,3 +637,33 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
         spark, table_dir, merged.drop("merge_action"), mode="overwrite",
         expected_version=base_version)
     return version, merged
+
+
+def snapshot_compact(spark: SparkSession, table_dir: str,
+                     target_files: int = 1) -> tuple[int, int, int]:
+    """OPTIMIZE / small-file compaction as a snapshot commit: read the
+    current version, rewrite it as ``target_files`` files, and commit
+    the result as an OVERWRITE validated against the version that was
+    read (``expected_version`` — a concurrent commit aborts the
+    compaction rather than being silently dropped; compaction is
+    always safe to just re-run). Rows are IDENTICAL by construction —
+    only the file layout changes — and every pre-compaction version
+    stays time-travelable until expired, because the overwrite
+    references only its own fresh files and ``snapshot_expire`` is
+    what eventually reclaims the small ones. Returns
+    (new_version, files_before, files_after).
+
+    At 100 TB this runs per partition/band with a predicate, not
+    whole-table; the read-validate-publish protocol and the
+    history-preserving overwrite are the parts that carry over."""
+    base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(f"snapshot_compact: {table_dir} has no commits")
+    manifest = _read_manifest(table_dir, base_version)
+    files_before = len(manifest["files"])
+    df = snapshot_read(spark, table_dir, version=base_version)
+    version = snapshot_commit(
+        spark, table_dir, df.repartition(target_files), mode="overwrite",
+        expected_version=base_version)
+    files_after = len(_read_manifest(table_dir, version)["files"])
+    return version, files_before, files_after

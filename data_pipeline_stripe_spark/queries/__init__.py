@@ -86,6 +86,9 @@ PRIORITY_THIS_ROUND = [
     # round 9, new: transactional MERGE INTO — read-validated overwrite
     # (expected_version), row-level hash with the merge_action audit
     "snapshot_merge_upsert_parity",
+    # round 9, new: OPTIMIZE/compaction as a read-validated overwrite —
+    # file count shrinks, history stays time-travelable, rows identical
+    "snapshot_compact_parity",
     # round 9: the chunked pandas top-k kernel now checkpoints each
     # chunk eagerly and destroys its broadcast (ADVICE r8 low)
     "embedding_topk_cosine_pandas",
@@ -143,10 +146,10 @@ COVERAGE_DEBT_THIS_ROUND = [
     "approx_user_overlap_event_types",
     "events_heavy_hitter_value_buckets",
 ]
-# Rotation note: with the final r9 head (14 pins + 29 debt = 43), 7
+# Rotation note: with the final r9 head (15 pins + 29 debt = 44), 6
 # rotating slots continue the tile over the remainder; after this round
 # the union of driver windows covers the ENTIRE registry, the debt list
-# empties, and the tile cadence resumes with ~36 rotating slots.
+# empties, and the tile cadence resumes with ~35 rotating slots.
 
 
 def _round_number() -> int:

@@ -1055,3 +1055,59 @@ def snapshot_merge_upsert_parity(spark: SparkSession,
         .select(F.col("k").alias("o_orderkey"), "pri", "cents",
                 "merge_action")
     )
+
+
+@query(
+    "snapshot_compact_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def snapshot_compact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the snapshot format in the hash gate
+    (operators/snapshots.py:snapshot_compact): six small appends (one
+    per pmod(event_id, 6) slice) produce a many-file table; compaction
+    rewrites it to 2 files as a read-validated overwrite. The query
+    raises unless the file count strictly shrank AND the pre-compaction
+    version still serves its full row count via time travel (history
+    preserved — compaction changes LAYOUT, never data); the hash then
+    proves the compacted table is row-identical to the whole events
+    table. The companion raw-directory verb is
+    maintenance_compact_vacuum_roundtrip; this is the same verb under
+    the commit protocol, where it becomes crash-safe and concurrent-
+    writer-safe for free."""
+    from ..operators.snapshots import (snapshot_commit, snapshot_compact,
+                                       snapshot_read)
+
+    table_dir = _scratch(sf_dir, "snapshot_compact")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(6)).alias("slot"),
+    )
+    for s in range(6):
+        snapshot_commit(spark, table_dir,
+                        ev.filter(F.col("slot") == s).drop("slot"),
+                        mode="append")
+    pre_rows = snapshot_read(spark, table_dir).count()
+    version, before, after = snapshot_compact(spark, table_dir,
+                                              target_files=2)
+    if after >= before:
+        raise RuntimeError(
+            f"snapshot_compact_parity: compaction did not shrink the "
+            f"file count ({before} -> {after})")
+    if snapshot_read(spark, table_dir, version=version - 1).count() \
+            != pre_rows:
+        raise RuntimeError(
+            "snapshot_compact_parity: the pre-compaction version lost "
+            "rows — history must be preserved")
+    return (
+        snapshot_read(spark, table_dir, version=version)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("cents"))
+    )
