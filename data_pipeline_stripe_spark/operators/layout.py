@@ -64,10 +64,14 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
             and spark.catalog.tableExists(table)
             # the catalog entry alone is not proof the layout survived:
             # an externally deleted/truncated warehouse dir would make
-            # the skip serve a broken table — verify the files exist
+            # the skip serve a broken table — and the write below emits
+            # EXACTLY one file per bucket (repartition(buckets, key)),
+            # so completeness is checkable: a partially deleted layout
+            # (some buckets' files gone) must rebuild, not serve scans
+            # missing whole buckets' rows (ADVICE r9)
             and os.path.isdir(warehouse_dir)
-            and any(f.endswith(".parquet")
-                    for f in os.listdir(warehouse_dir))):
+            and sum(f.endswith(".parquet")
+                    for f in os.listdir(warehouse_dir)) == buckets):
         return
     _BUCKETED_BUILT.pop(cache_key, None)
     # evict entries from dead sessions — the in-memory catalog they

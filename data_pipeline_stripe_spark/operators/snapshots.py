@@ -41,31 +41,52 @@ SCALING.md's lakehouse mapping documents):
 - **Incremental (CDF-style) reads.** ``snapshot_read_incremental``
   returns exactly the rows ADDED in a version range by walking the
   manifest parent chain (append-only fast path: set difference of file
-  entries) — the base+delta pattern a 100 TB downstream consumer needs
-  to avoid full-table rescans.
-- **Additive schema evolution.** Appends may ADD columns: shared
-  columns keep their exact types (violations raise before anything is
-  published), every read plans under the manifest's all-nullable union
-  schema so pre-evolution files serve the added columns as NULL, and
-  historical versions keep their own narrower schema.
-- **Transactional MERGE with read validation.** ``snapshot_merge``
-  upserts a batch and commits the result validated against the version
-  it READ (``expected_version``) — a commit landing in between aborts
-  the merge instead of being silently overwritten (serializable
-  read-modify-write, the Delta/Iceberg MERGE conflict rule).
-- **OPTIMIZE / compaction.** ``snapshot_compact`` rewrites the current
-  version's small files as a read-validated overwrite — rows identical,
-  layout consolidated, every prior version still time-travelable (the
-  crash-safe, concurrency-safe form of raw-directory compaction).
+  entries); ``snapshot_read_cdf`` is the full row-level change feed
+  (I/U/D + commit version) that also crosses MERGE/CDC/compaction
+  commits via their recorded change logs — the base+delta pattern a
+  100 TB downstream consumer needs to avoid full-table rescans.
+- **Additive schema evolution with lossless type widening.** Appends
+  may ADD columns and WIDEN shared ones (byte→short→int→long,
+  float→double, small-int→double; anything lossy raises before
+  publication); every read plans under the manifest's all-nullable
+  union schema so pre-evolution files serve added columns as NULL and
+  narrower-written files upcast natively, and historical versions keep
+  their own narrower schema.
+- **Predicate-scoped copy-on-write MERGE / CDC / compaction.**
+  ``snapshot_merge`` (upsert), ``snapshot_apply_cdc`` (upsert +
+  row-level DELETE), and ``snapshot_compact`` rewrite ONLY the files
+  whose footer stats intersect the touched key band / predicate;
+  every other file's manifest entry is carried forward byte-identical
+  (``mode="rewrite"``) — at 100 TB a merge into one band is O(band),
+  never O(table). All three are read-validated (``expected_version``):
+  a commit landing between read and publish aborts the verb instead of
+  being silently dropped (serializable read-modify-write, the
+  Delta/Iceberg conflict rule), and merge/CDC record their exact
+  row-level change log for the CDF read (compaction records an empty
+  one, so incremental consumers pass straight through it).
+- **Timestamp time travel.** ``snapshot_read(as_of=<epoch seconds>)``
+  resolves to the newest retained version committed at or before the
+  timestamp (``snapshot_version_at``); version-based travel stays the
+  exact form.
+- **Clustered commits.** ``snapshot_commit_clustered`` range-partitions
+  the batch on the cluster columns before committing, so per-file
+  manifest stats are tight/disjoint and scan pruning is maximal.
+- **Streaming source AND sink.** The epoch-keyed commit is an
+  exactly-once ``foreachBatch`` sink; ``sources/snapshot_source.py``
+  exposes the table as a Spark streaming SOURCE whose offsets are
+  version numbers (each micro-batch = one version range's delta).
 - **O(deleted) retention.** ``snapshot_expire`` drops old manifests and
-  deletes only data directories no surviving manifest references.
+  deletes only data/changes directories no surviving manifest
+  references — and only past an mtime grace window, so an in-flight
+  commit's not-yet-referenced directories are never collected under it.
 
 What real Iceberg/Delta still add beyond this and this module does
-NOT: multi-process CAS through a metastore/log-store (``os.link`` is
-the single-filesystem primitive; S3 needs a conditional PUT), type
-WIDENING under evolution (only additive columns here), and format
-interop. See SCALING.md "Table-format mapping" for the production
-swap-in.
+NOT: multi-process CAS through a metastore/log-store beyond one
+filesystem (``os.link`` is the single-FS primitive — proven across
+processes by the subprocess race test, but S3 needs a conditional
+PUT), WHEN-NOT-MATCHED-BY-SOURCE merge clauses, decimal/date widening,
+and format interop. See SCALING.md "Table-format mapping" for the
+production swap-in.
 
 The reference has no table format at all (its top10.py:260-278 rewrites
 per-day CSVs in a driver loop); this is beyond-reference surface.
@@ -151,9 +172,16 @@ def _json_stat(value):
     value has no faithful JSON form (then the column is simply not
     prunable for that file — conservative, never wrong)."""
     import datetime
+    import math
 
     if isinstance(value, bool) or value is None:
         return None  # bool min/max prunes nothing worth the edge cases
+    if isinstance(value, float) and math.isnan(value):
+        # writers have historically emitted NaN min/max for float
+        # columns containing NaN; every comparison against NaN is False,
+        # which would PRUNE a file that may hold matching rows — silent
+        # wrong results. NaN stats mean "no stats" (ADVICE r9).
+        return None
     if isinstance(value, (int, float, str)):
         return value
     if isinstance(value, (datetime.date, datetime.datetime)):
@@ -199,15 +227,49 @@ def _collect_file_stats(abs_path: str) -> dict:
             if complete.get(name)}
 
 
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widened_type(a, b):
+    """The lossless common wider type of two Spark types, or None when
+    no lossless widening exists. The lattice is the Delta/Iceberg
+    type-widening subset that Spark's parquet reader serves natively
+    (verified: an int32 parquet file reads correctly under an explicit
+    long or double schema): byte→short→int→long within the integer
+    chain, float→double within the float chain, and {byte,short,int}→
+    double across (an int32 is exactly representable in a double's
+    53-bit mantissa). NOT widenable — because a value could change —
+    are long→double (>2^53 longs round), anything→float (24-bit
+    mantissa), and every non-numeric pair."""
+    from pyspark.sql.types import DoubleType
+
+    if a == b:
+        return a
+    ta, tb = a.typeName(), b.typeName()
+    if ta in _INT_RANK and tb in _INT_RANK:
+        return a if _INT_RANK[ta] >= _INT_RANK[tb] else b
+    floats = {"float", "double"}
+    if ta in floats and tb in floats:
+        return DoubleType()
+    small_ints = {"byte", "short", "integer"}
+    pair = {ta, tb}
+    if "double" in pair and pair - {"double"} <= small_ints:
+        return DoubleType()
+    return None
+
+
 def _evolved_schema_json(prev_schema_json: str, df_schema) -> str:
     """Additive schema evolution for appends (the Iceberg/Delta rule
-    subset this format supports): columns may be ADDED — never dropped
-    from shared names, never type-changed. Shared columns must match
-    types exactly; the committed schema becomes prev columns + new-only
-    columns (all nullable: older files read the added columns as NULL,
-    newer files read columns they lack as NULL). An incompatible append
-    raises instead of publishing a manifest later reads would choke on.
-    """
+    subset this format supports): columns may be ADDED, and shared
+    columns may WIDEN losslessly (``_widened_type``: int-chain widening,
+    float→double, small-int→double) — never dropped from shared names,
+    never narrowed or re-typed across families. The committed schema
+    becomes prev columns (at the widened type where an append widened
+    one) + new-only columns, all nullable: older files read added
+    columns as NULL and narrower-written columns through Spark's native
+    parquet upcast; newer files read columns they lack as NULL. An
+    incompatible append raises instead of publishing a manifest later
+    reads would choke on."""
     from pyspark.sql.types import StructField, StructType
 
     prev = StructType.fromJson(json.loads(prev_schema_json))
@@ -215,32 +277,41 @@ def _evolved_schema_json(prev_schema_json: str, df_schema) -> str:
     # by default, so treating 'Day' as a new column beside 'day' would
     # publish a union schema every subsequent read chokes on (ambiguous
     # resolution) — the same column under a case variant keeps the
-    # prior casing; only a type mismatch is an error
+    # prior casing; only an un-widenable type mismatch is an error
     prev_by_fold = {f.name.casefold(): f for f in prev.fields}
+    widened: dict[str, object] = {}
     added = []
     for f in df_schema.fields:
         have = prev_by_fold.get(f.name.casefold())
         if have is None:
             added.append(f)
         elif have.dataType != f.dataType:
-            raise ValueError(
-                f"snapshot_commit: append changes column {have.name!r} "
-                f"from {have.dataType.simpleString()} to "
-                f"{f.dataType.simpleString()} — type changes are not "
-                "evolvable; overwrite the table to re-type")
+            wide = _widened_type(have.dataType, f.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"snapshot_commit: append changes column {have.name!r} "
+                    f"from {have.dataType.simpleString()} to "
+                    f"{f.dataType.simpleString()} — not a lossless "
+                    "widening (int-chain, float→double, small-int→double "
+                    "are); overwrite the table to re-type")
+            widened[have.name.casefold()] = wide
     union = StructType(
-        [StructField(f.name, f.dataType, True) for f in prev.fields]
+        [StructField(f.name, widened.get(f.name.casefold(), f.dataType),
+                     True) for f in prev.fields]
         + [StructField(f.name, f.dataType, True) for f in added])
     return union.json()
 
 
-def _new_file_entries(table_dir: str, commit_id: str) -> list[dict]:
-    data_dir = os.path.join(table_dir, "data", commit_id)
+def _file_entries(table_dir: str, rel_dir: str) -> list[dict]:
+    """Manifest entries (path + footer stats) for every parquet file
+    under ``table_dir/rel_dir`` — used for data commit dirs
+    (``data/<id>``) and change-log dirs (``changes/<id>``) alike."""
+    abs_dir = os.path.join(table_dir, rel_dir)
     entries = []
-    for f in sorted(os.listdir(data_dir)):
+    for f in sorted(os.listdir(abs_dir)):
         if not f.endswith(".parquet"):
             continue
-        rel = os.path.join("data", commit_id, f)
+        rel = os.path.join(rel_dir, f)
         entries.append({
             "path": rel,
             "stats": _collect_file_stats(os.path.join(table_dir, rel)),
@@ -291,8 +362,7 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     writers racing the SAME epoch resolve to exactly one application."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_commit: unknown mode {mode!r}")
-    snapdir = os.path.join(table_dir, _SNAPDIR)
-    os.makedirs(snapdir, exist_ok=True)
+    os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
 
     # EARLY checks BEFORE writing any data files — a doomed commit must
     # not pay a (potentially table-sized) parquet write first. Each is
@@ -316,7 +386,55 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
-    new_entries = _new_file_entries(table_dir, commit_id)
+    new_entries = _file_entries(table_dir, os.path.join("data", commit_id))
+    return _publish_commit(
+        table_dir, mode=mode, new_entries=new_entries,
+        batch_schema=df.schema, epoch_key=epoch_key,
+        max_retries=max_retries, expected_version=expected_version)
+
+
+def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
+                    batch_schema, epoch_key: str | None = None,
+                    max_retries: int = 20,
+                    expected_version: int | None = None,
+                    keep_paths: set[str] | None = None,
+                    changes_entries: list[dict] | None = None,
+                    cdf_key: str | None = None) -> int:
+    """The OCC publish loop over ALREADY-WRITTEN immutable file entries
+    — the Spark-free core of the commit protocol. ``snapshot_commit``
+    writes its data via Spark and then calls this; the multi-process
+    concurrency test races it directly across OS processes (the data
+    write has no concurrency surface — each commit writes into its own
+    fresh directory — so this loop IS the protocol).
+
+    Beyond append/overwrite, the internal ``mode="rewrite"`` is the
+    copy-on-write commit the MERGE/compaction verbs use: the manifest
+    carries forward the prior version's entries named in ``keep_paths``
+    UNCHANGED (same paths, same stats — untouched files are never
+    rewritten) plus ``new_entries``. A rewrite is always derived from a
+    read, so ``expected_version`` is mandatory and a conflict aborts
+    (rebasing "replace these files" onto a state the writer never saw
+    could resurrect or drop rows).
+
+    ``changes_entries`` records the commit's row-level change log (CDF):
+    pre-written parquet entries of (table columns + ``_change_type``
+    I/U/D), or ``[]`` for a commit that provably changed no rows
+    (compaction). ``None`` means "not recorded" — ``snapshot_read_cdf``
+    raises for such a commit (plain overwrites). Appends never need one:
+    their change set IS their new files."""
+    snapdir = os.path.join(table_dir, _SNAPDIR)
+    os.makedirs(snapdir, exist_ok=True)
+    if mode == "rewrite" and expected_version is None:
+        raise ValueError(
+            "snapshot _publish_commit: rewrite commits are derived from "
+            "a read — expected_version is mandatory")
+    commit_id = uuid.uuid4().hex[:12]
+    # the directories whose survival every publish attempt re-verifies:
+    # until the link wins, nothing references them, so a concurrent
+    # snapshot_expire may sweep them — publishing afterwards would
+    # create a committed version pointing at deleted files (ADVICE r9)
+    commit_dirs = {os.path.dirname(e["path"])
+                   for e in new_entries + (changes_entries or [])}
 
     for attempt in range(max_retries + 1):
         prev = snapshot_current_version(table_dir)
@@ -325,8 +443,14 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
                 f"snapshot_commit: {table_dir} moved to version {prev} "
                 f"but this commit was derived from a read of version "
                 f"{expected_version} — re-read and re-derive")
-        prev_manifest = (
-            _read_manifest(table_dir, prev) if prev is not None else {})
+        try:
+            prev_manifest = (
+                _read_manifest(table_dir, prev) if prev is not None else {})
+        except FileNotFoundError:
+            # prev was expired between the version listing and the read
+            # (concurrent snapshot_expire under fast-moving writers) —
+            # not a commit failure: re-resolve current and retry
+            continue
         if epoch_key is not None:
             last = prev_manifest.get("last_epoch")
             if last is not None and (
@@ -337,10 +461,16 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
             # additive schema evolution — recomputed per rebase because
             # the base (and so the evolved union) may have moved
             schema_json = _evolved_schema_json(
-                prev_manifest["schema"], df.schema)
+                prev_manifest["schema"], batch_schema)
+        elif mode == "rewrite" and prev is not None:
+            keep = keep_paths if keep_paths is not None else set()
+            files = [e for e in prev_manifest["files"]
+                     if e["path"] in keep] + new_entries
+            schema_json = _evolved_schema_json(
+                prev_manifest["schema"], batch_schema)
         else:
             files = list(new_entries)
-            schema_json = df.schema.json()
+            schema_json = batch_schema.json()
         version = (prev if prev is not None else -1) + 1
         manifest = {
             "format_version": _FORMAT_VERSION,
@@ -354,15 +484,30 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
                 epoch_key if epoch_key is not None
                 else prev_manifest.get("last_epoch")
             ),
+            "changes": changes_entries,
+            "cdf_key": cdf_key,
         }
+        for d in sorted(commit_dirs):
+            if not os.path.isdir(os.path.join(table_dir, d)):
+                raise SnapshotConflictError(
+                    f"snapshot_commit: commit directory {d!r} of "
+                    f"{table_dir} was swept by a concurrent expire "
+                    "before publication — this commit's in-flight time "
+                    "exceeded the expire grace window; re-run the "
+                    "commit (and raise tmp_grace_seconds)")
         tmp = _manifest_path(table_dir, version) + f".tmp.{commit_id}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-            # durability before visibility: the manifest bytes must be
-            # on stable storage BEFORE the link makes the version name
-            # resolvable, or a power loss could leave a torn v{N}.json
-            # that reads as a committed version — the one thing the
-            # protocol promises cannot happen
+            # durability before visibility — FOR THE MANIFEST: its bytes
+            # must be on stable storage BEFORE the link makes the
+            # version name resolvable, or a power loss could leave a
+            # torn v{N}.json that reads as a committed version. The DATA
+            # files' durability is the filesystem's writeback contract
+            # (Spark does not fsync parquet output); a power loss in the
+            # seconds after publish can lose data-file bytes on any
+            # parquet pipeline — the manifest fsync guarantees the
+            # PROTOCOL state (version chain, no torn manifests), not
+            # physical data-page durability (ADVICE r9: claim scoped)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -371,10 +516,10 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
             os.link(tmp, _manifest_path(table_dir, version))
         except FileExistsError:
             os.unlink(tmp)
-            if mode == "overwrite":
+            if mode != "append":
                 raise SnapshotConflictError(
                     f"snapshot_commit: version {version} of {table_dir} "
-                    "was committed concurrently; an overwrite based on "
+                    f"was committed concurrently; a {mode} based on "
                     f"version {prev} cannot be rebased — re-read and "
                     "re-derive the replacement") from None
             continue  # append: rebase onto the new current and retry
@@ -398,7 +543,37 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
         "serialize the writers")
 
 
-def _resolve_version(table_dir: str, version: int | None) -> dict:
+def snapshot_version_at(table_dir: str, as_of: float) -> int:
+    """Timestamp-based time travel: the newest RETAINED version whose
+    ``committed_at`` is <= ``as_of`` (epoch seconds) — the form users
+    actually write (``AS OF TIMESTAMP``). Walks retained manifests
+    newest-first; raises if every retained commit is newer than
+    ``as_of`` (the state at that time is expired or predates the table
+    — serving the oldest retained version instead would silently show
+    rows that did not exist then). ``committed_at`` is the PUBLISHING
+    writer's clock; like Delta/Iceberg, monotonicity across writers is
+    only as good as their clock skew — version-based travel is the
+    exact form."""
+    for v in reversed(_all_manifest_versions(table_dir)):
+        try:
+            m = _read_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue  # expired between listing and read
+        if m["committed_at"] <= as_of:
+            return v
+    raise ValueError(
+        f"snapshot_version_at: {table_dir} has no retained version "
+        f"committed at or before {as_of} — the as-of state is expired "
+        "or predates the table")
+
+
+def _resolve_version(table_dir: str, version: int | None,
+                     as_of: float | None = None) -> dict:
+    if version is not None and as_of is not None:
+        raise ValueError(
+            "snapshot_read: pass version OR as_of, not both")
+    if as_of is not None:
+        version = snapshot_version_at(table_dir, as_of)
     v = snapshot_current_version(table_dir) if version is None else version
     if v is None:
         raise ValueError(f"snapshot_read: {table_dir} has no commits")
@@ -424,11 +599,14 @@ def _read_entries(spark: SparkSession, table_dir: str,
 
 
 def snapshot_read(spark: SparkSession, table_dir: str,
-                  version: int | None = None) -> DataFrame:
-    """Read a committed version (default: current). Plans directly from
-    the manifest's file list — no directory listing, so unreferenced
-    in-flight commit directories are invisible."""
-    m = _resolve_version(table_dir, version)
+                  version: int | None = None,
+                  as_of: float | None = None) -> DataFrame:
+    """Read a committed version (default: current; ``version=N`` for
+    exact time travel, ``as_of=<epoch seconds>`` for timestamp travel
+    via ``snapshot_version_at``). Plans directly from the manifest's
+    file list — no directory listing, so unreferenced in-flight commit
+    directories are invisible."""
+    m = _resolve_version(table_dir, version, as_of)
     return _read_entries(spark, table_dir, m["files"], m["schema"])
 
 
@@ -561,13 +739,18 @@ def snapshot_read_incremental(spark: SparkSession, table_dir: str,
 
 def snapshot_expire(table_dir: str, keep_last: int = 2,
                     tmp_grace_seconds: float = 3600.0) -> dict:
-    """Retention: drop all but the newest ``keep_last`` manifests,
-    sweep stale ``*.tmp.*`` manifest files older than
-    ``tmp_grace_seconds`` (crash debris from between temp-write and
-    publish — the grace window protects a commit in flight RIGHT NOW),
-    then delete every data commit-directory no SURVIVING manifest
-    references (which also collects orphaned data dirs from crashed or
-    conflict-aborted commits). O(deleted) — surviving data is never
+    """Retention: drop all but the newest ``keep_last`` manifests, then
+    collect crash/conflict debris older than ``tmp_grace_seconds``:
+    stale ``*.tmp.*`` manifest files (crash between temp-write and
+    publish) and unreferenced ``data/``/``changes/`` commit directories
+    (crashed or conflict-aborted commits — and, crucially, commits IN
+    FLIGHT right now, whose dirs are unreferenced until their publish
+    link wins: the same mtime grace that protects a tmp manifest
+    protects them, so garbage collection can never turn an in-flight
+    commit into a committed-but-unreadable version; the publish loop
+    additionally re-verifies its dirs exist before every attempt —
+    ADVICE r9). Directories referenced by a surviving manifest are
+    exempt regardless of age. O(deleted) — surviving data is never
     touched. Returns {"expired_versions": [...], "deleted_dirs": [...]}.
     """
     import shutil
@@ -579,10 +762,12 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
     committed = snapshot_versions(table_dir)
     doomed = committed[:-keep_last] if len(committed) > keep_last else []
     survivors = [v for v in committed if v not in doomed]
-    referenced = set()
+    referenced = set()  # (root, commit_id) pairs a survivor references
     for v in survivors:
-        for e in _read_manifest(table_dir, v)["files"]:
-            referenced.add(e["path"].split(os.sep)[1])  # data/<id>/file
+        m = _read_manifest(table_dir, v)
+        for e in m["files"] + (m.get("changes") or []):
+            parts = e["path"].split(os.sep)  # data/<id>/file.parquet
+            referenced.add((parts[0], parts[1]))
     for v in doomed:
         os.remove(_manifest_path(table_dir, v))
     snapdir = os.path.join(table_dir, _SNAPDIR)
@@ -593,77 +778,366 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
                     now - e.stat().st_mtime) >= tmp_grace_seconds:
                 os.remove(e.path)
     deleted = []
-    data_root = os.path.join(table_dir, "data")
-    if os.path.isdir(data_root):
-        for e in sorted(os.scandir(data_root), key=lambda e: e.name):
-            if e.is_dir() and e.name not in referenced:
+    for root in ("data", "changes"):
+        abs_root = os.path.join(table_dir, root)
+        if not os.path.isdir(abs_root):
+            continue
+        for e in sorted(os.scandir(abs_root), key=lambda e: e.name):
+            if (e.is_dir() and (root, e.name) not in referenced
+                    and now - e.stat().st_mtime >= tmp_grace_seconds):
                 shutil.rmtree(e.path)
-                deleted.append(e.name)
+                deleted.append(os.path.join(root, e.name))
     return {"expired_versions": doomed, "deleted_dirs": deleted}
+
+
+# reserved by the change-data-feed surface; a table carrying one of
+# these as a REAL column cannot have row-level change logs recorded
+# (the log and the read would be ambiguous) — commits still work, CDF
+# recording is skipped and snapshot_read_cdf refuses those commits
+_CDF_COLS = ("_change_type", "_commit_version")
+
+
+def _split_dirty(manifest: dict, key: str, lo, hi) -> tuple[list, list]:
+    """Partition a manifest's file entries into (dirty, clean) for a
+    write touching keys in [lo, hi]: a file is DIRTY iff its footer
+    stats admit ANY key in the band (min <= hi and max >= lo — exactly
+    the two ``_file_may_match`` probes), and conservatively dirty when
+    the key column has no stats. Every file that could hold a matched
+    or deleted row is dirty by construction; clean files are carried
+    forward by path, never read or rewritten."""
+    dirty, clean = [], []
+    for e in manifest["files"]:
+        st = e.get("stats", {})
+        if (_file_may_match(st, key, ">=", lo)
+                and _file_may_match(st, key, "<=", hi)):
+            dirty.append(e)
+        else:
+            clean.append(e)
+    return dirty, clean
+
+
+def _write_change_log(spark: SparkSession, table_dir: str,
+                      before: DataFrame, after: DataFrame, key: str,
+                      cols: list[str]) -> list[dict] | None:
+    """Write the exact row-level change log between the dirty subset's
+    before/after states (``snapshot_diff``: I / U-only-if-changed / D
+    with the deleted row's old values) as parquet under
+    ``changes/<id>/`` and return its manifest entries. Returns None —
+    CDF not recordable — when the table schema collides with the
+    reserved CDF column names or with snapshot_diff's ``op`` output.
+    O(dirty): the diff joins only the rewritten files' rows, never the
+    carried-forward ones (which cannot have changed)."""
+    from .merge import snapshot_diff
+
+    taken = {c.casefold() for c in cols}
+    if taken & {"op", *(c.casefold() for c in _CDF_COLS)}:
+        return None
+    from pyspark.sql import functions as F
+
+    log = snapshot_diff(before, after, key).select(
+        F.col("op").alias("_change_type"), *cols)
+    change_id = uuid.uuid4().hex[:12]
+    rel = os.path.join("changes", change_id)
+    log.write.mode("error").parquet(os.path.join(table_dir, rel))
+    return _file_entries(table_dir, rel)
 
 
 def snapshot_merge(spark: SparkSession, table_dir: str,
                    updates: DataFrame, key: str) -> tuple[int, DataFrame]:
-    """Transactional MERGE INTO the snapshot table: read the current
-    version, ``merge_upsert`` the update batch on ``key`` (matched →
-    full-row update, unmatched → insert), and commit the merged state
-    as an OVERWRITE validated against the version that was READ
-    (``expected_version``) — if any commit landed in between, the merge
-    aborts with ``SnapshotConflictError`` instead of silently dropping
-    that commit's rows, and the caller re-reads and re-merges (exactly
-    Delta/Iceberg's MERGE conflict behavior). Returns (new version,
-    the merged frame INCLUDING its ``merge_action`` audit column).
+    """Transactional, predicate-scoped copy-on-write MERGE INTO the
+    snapshot table: split the current version's files into DIRTY (key
+    stats intersect the update batch's [min, max] key band —
+    ``_split_dirty``) and CLEAN, ``merge_upsert`` the update batch
+    against ONLY the dirty files' rows (matched → full-row update,
+    unmatched → insert; clean files cannot hold a match by stats), and
+    commit rewritten-dirty + carried-clean as a REWRITE validated
+    against the version that was READ (``expected_version``) — if any
+    commit landed in between, the merge aborts with
+    ``SnapshotConflictError`` instead of silently dropping that
+    commit's rows, and the caller re-reads and re-merges (exactly
+    Delta/Iceberg's MERGE conflict behavior). Clean files' manifest
+    entries are carried forward IDENTICALLY (same paths — pinned by
+    tests): at 100 TB a merge touching one key band rewrites only that
+    band's files, not the table. The commit also records the row-level
+    change log (I/U/D via ``snapshot_diff`` over the dirty subset) for
+    ``snapshot_read_cdf``. Returns (new version, the full merged frame
+    INCLUDING its ``merge_action`` audit column — carried-clean rows as
+    'kept').
 
-    At 100 TB the overwrite step becomes the format's copy-on-write of
-    the dirty files only (here: the whole small table) — the read-
-    validate-publish protocol is the part that carries over unchanged.
-    """
+    Same contract as merge_upsert: one row per key on each side within
+    the dirty scope — and, like any keyed table, no key may span a
+    dirty/clean file boundary (a duplicated key is the caller's
+    upstream bug; within the dirty subset snapshot_diff fails closed on
+    it)."""
     from .merge import merge_upsert
 
     base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(f"snapshot_merge: {table_dir} has no commits")
-    base = snapshot_read(spark, table_dir, version=base_version)
-    if "merge_action" in (c.casefold() for c in base.columns):
+    manifest = _read_manifest(table_dir, base_version)
+    cols = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+    if "merge_action" in (c.casefold() for c in cols):
         # merge_upsert emits a synthetic 'merge_action' audit column;
         # dropping it by name would also drop a REAL column of that
-        # name from the committed overwrite — refuse the collision
+        # name from the committed rewrite — refuse the collision
         raise ValueError(
             "snapshot_merge: the table has a 'merge_action' column, "
             "which collides with the merge audit column — rename it "
             "before merging")
-    merged = merge_upsert(base, updates, key)
-    version = snapshot_commit(
-        spark, table_dir, merged.drop("merge_action"), mode="overwrite",
-        expected_version=base_version)
-    return version, merged
+    from pyspark.sql import functions as F
+
+    band = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")) \
+        .first()
+    if band["lo"] is None:
+        # empty update batch: MERGE is a no-op — no commit, every row
+        # 'kept' (committing an empty rewrite would burn a version)
+        base = snapshot_read(spark, table_dir, version=base_version)
+        return base_version, base.withColumn(
+            "merge_action", F.lit("kept"))
+    dirty, clean = _split_dirty(manifest, key, band["lo"], band["hi"])
+    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"])
+    merged = merge_upsert(dirty_df, updates, key)
+    new_state = merged.drop("merge_action")
+
+    commit_id = uuid.uuid4().hex[:12]
+    rel = os.path.join("data", commit_id)
+    new_state.write.mode("error").parquet(os.path.join(table_dir, rel))
+    changes_entries = _write_change_log(
+        spark, table_dir, dirty_df, new_state, key, cols)
+    version = _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=_file_entries(table_dir, rel),
+        batch_schema=new_state.schema,
+        expected_version=base_version,
+        keep_paths={e["path"] for e in clean},
+        changes_entries=changes_entries, cdf_key=key)
+    clean_df = _read_entries(
+        spark, table_dir, clean, manifest["schema"]).withColumn(
+        "merge_action", F.lit("kept"))
+    return version, merged.unionByName(clean_df)
+
+
+def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
+                       changes: DataFrame, key: str, seq: str = "seq",
+                       op: str = "op") -> tuple[int, DataFrame]:
+    """Row-level UPSERTS **and DELETES** against the snapshot table —
+    the WHEN MATCHED DELETE verb ``snapshot_merge`` (update/insert
+    only) cannot express: apply a CDC change batch (base columns +
+    ``seq`` ordering + ``op`` 'U'/'D', the ``apply_cdc`` contract) to
+    the current version with the same predicate-scoped copy-on-write
+    as the merge — files whose key stats intersect the change batch's
+    key band are rewritten with the changes applied (deleted keys drop
+    out), every other file's manifest entry is carried forward
+    untouched, and the commit is read-validated (conflict → abort) and
+    carries the exact I/U/D change log for ``snapshot_read_cdf``
+    (deleted rows logged with their OLD values). Returns (new version,
+    the applied frame including its ``cdc_action`` audit column over
+    the dirty scope)."""
+    base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(f"snapshot_apply_cdc: {table_dir} has no commits")
+    manifest = _read_manifest(table_dir, base_version)
+    cols = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+    if "cdc_action" in (c.casefold() for c in cols):
+        raise ValueError(
+            "snapshot_apply_cdc: the table has a 'cdc_action' column, "
+            "which collides with the audit column — rename it first")
+    from pyspark.sql import functions as F
+
+    from .merge import apply_cdc
+
+    band = changes.agg(F.min(key).alias("lo"), F.max(key).alias("hi")) \
+        .first()
+    if band["lo"] is None:
+        base = snapshot_read(spark, table_dir, version=base_version)
+        return base_version, base.withColumn("cdc_action", F.lit("kept"))
+    dirty, clean = _split_dirty(manifest, key, band["lo"], band["hi"])
+    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"])
+    applied = apply_cdc(dirty_df, changes, key, seq=seq, op=op)
+    new_state = applied.drop("cdc_action")
+
+    commit_id = uuid.uuid4().hex[:12]
+    rel = os.path.join("data", commit_id)
+    new_state.write.mode("error").parquet(os.path.join(table_dir, rel))
+    changes_entries = _write_change_log(
+        spark, table_dir, dirty_df, new_state, key, cols)
+    version = _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=_file_entries(table_dir, rel),
+        batch_schema=new_state.schema,
+        expected_version=base_version,
+        keep_paths={e["path"] for e in clean},
+        changes_entries=changes_entries, cdf_key=key)
+    return version, applied
+
+
+def snapshot_read_cdf(spark: SparkSession, table_dir: str,
+                      from_version: int,
+                      to_version: int | None = None) -> DataFrame:
+    """The change data feed over ``(from_version, to_version]``: every
+    row-level change in the range as (table columns + ``_change_type``
+    'I'/'U'/'D' + ``_commit_version``), in the schema of the range's
+    head manifest. Per commit in the parent chain:
+
+    - APPEND → its delta files read as 'I' rows (synthesized — appends
+      never pay a change-log write);
+    - REWRITE (merge / CDC / compaction) → its recorded change log
+      (exact: compaction records ``[]`` and contributes nothing, so an
+      incremental consumer SURVIVES compaction — the r9 limitation
+      where one non-append commit stranded every incremental reader);
+    - plain OVERWRITE (no log recorded) → raises ValueError: its delta
+      is not expressible and the consumer must fall back to a full
+      re-read (Delta CDF's own rule).
+
+    Applying the feed over the ``from_version`` state with
+    ``apply_cdc`` (seq = ``_commit_version``, I/U → upserts, D →
+    deletes) reproduces the ``to_version`` state exactly — the gated
+    ``snapshot_cdf_read_parity`` replays it. Deleted rows carry their
+    pre-delete values; updates are logged only when a value actually
+    changed (``snapshot_diff`` semantics)."""
+    from pyspark.sql import functions as F
+
+    to_v = (snapshot_current_version(table_dir)
+            if to_version is None else to_version)
+    if to_v is None or to_v < from_version:
+        raise ValueError(
+            f"snapshot_read_cdf: bad range ({from_version}, {to_v}] on "
+            f"{table_dir}")
+    try:
+        chain: list[dict] = []  # manifests from to_v down to from_version
+        v = to_v
+        while True:
+            m = _read_manifest(table_dir, v)
+            chain.append(m)
+            if v == from_version:
+                break
+            v = m["parent"]
+            if v is None or v < from_version:
+                raise ValueError(
+                    f"snapshot_read_cdf: version {from_version} is not "
+                    f"an ancestor of {to_v} (expired or never existed)")
+    except FileNotFoundError as exc:
+        raise ValueError(
+            f"snapshot_read_cdf: the range ({from_version}, {to_v}] of "
+            f"{table_dir} touches an expired version — widen retention "
+            "or fall back to a full re-read") from exc
+    chain.reverse()  # ascending: [from_version, ..., to_v]
+    head_schema = chain[-1]["schema"]
+    taken = {f["name"].casefold()
+             for f in json.loads(head_schema)["fields"]}
+    if taken & {c.casefold() for c in _CDF_COLS}:
+        raise ValueError(
+            "snapshot_read_cdf: the table schema uses a reserved CDF "
+            f"column name ({_CDF_COLS}) — rename it to read the feed")
+    frames = []
+    for parent_m, m in zip(chain, chain[1:]):
+        if m["mode"] == "append":
+            parent_paths = {e["path"] for e in parent_m["files"]}
+            delta = [e for e in m["files"]
+                     if e["path"] not in parent_paths]
+            f = _read_entries(spark, table_dir, delta, m["schema"]) \
+                .withColumn("_change_type", F.lit("I"))
+        else:
+            entries = m.get("changes")
+            if entries is None:
+                raise ValueError(
+                    f"snapshot_read_cdf: version {m['version']} is a "
+                    f"{m['mode']} with no recorded change log — its "
+                    "delta is not expressible; re-read the full table")
+            if not entries:
+                continue  # layout-only commit (compaction): zero changes
+            f = spark.read.parquet(
+                *[os.path.join(table_dir, e["path"]) for e in entries])
+        frames.append(f.withColumn(
+            "_commit_version", F.lit(m["version"]).cast("long")))
+    if not frames:
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        committed = StructType.fromJson(json.loads(head_schema))
+        empty = StructType(
+            [StructField("_change_type", StringType(), True)]
+            + [StructField(f.name, f.dataType, True)
+               for f in committed.fields]
+            + [StructField("_commit_version", LongType(), True)])
+        return spark.createDataFrame([], empty)
+    out = frames[0]
+    for f in frames[1:]:
+        # evolution inside the range: later commits may carry added
+        # columns — earlier change rows serve them as NULL
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def snapshot_compact(spark: SparkSession, table_dir: str,
-                     target_files: int = 1) -> tuple[int, int, int]:
-    """OPTIMIZE / small-file compaction as a snapshot commit: read the
-    current version, rewrite it as ``target_files`` files, and commit
-    the result as an OVERWRITE validated against the version that was
+                     target_files: int = 1,
+                     predicates: list[tuple] | None = None
+                     ) -> tuple[int, int, int]:
+    """OPTIMIZE / small-file compaction as a snapshot commit: rewrite
+    the current version's files as ``target_files`` files and commit
+    the result as a REWRITE validated against the version that was
     read (``expected_version`` — a concurrent commit aborts the
     compaction rather than being silently dropped; compaction is
-    always safe to just re-run). Rows are IDENTICAL by construction —
-    only the file layout changes — and every pre-compaction version
-    stays time-travelable until expired, because the overwrite
-    references only its own fresh files and ``snapshot_expire`` is
-    what eventually reclaims the small ones. Returns
-    (new_version, files_before, files_after).
-
-    At 100 TB this runs per partition/band with a predicate, not
-    whole-table; the read-validate-publish protocol and the
-    history-preserving overwrite are the parts that carry over."""
+    always safe to just re-run). With ``predicates`` (the
+    ``snapshot_scan`` conjunction form), only the files whose stats MAY
+    match are rewritten — read WHOLE, never filtered: compaction moves
+    rows between files, it never drops one — and every other file's
+    manifest entry is carried forward untouched, so compacting one hot
+    partition of a 100 TB table is O(that partition). Rows are
+    IDENTICAL by construction; every pre-compaction version stays
+    time-travelable until expired. The commit records an EMPTY change
+    log, so incremental CDF consumers pass through compactions with
+    zero change rows instead of erroring. Returns
+    (new_version, files_before, files_after)."""
     base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(f"snapshot_compact: {table_dir} has no commits")
     manifest = _read_manifest(table_dir, base_version)
     files_before = len(manifest["files"])
-    df = snapshot_read(spark, table_dir, version=base_version)
-    version = snapshot_commit(
-        spark, table_dir, df.repartition(target_files), mode="overwrite",
-        expected_version=base_version)
+    if predicates is None:
+        dirty, clean = list(manifest["files"]), []
+    else:
+        dirty = [e for e in manifest["files"]
+                 if all(_file_may_match(e.get("stats", {}), c, op, v)
+                        for (c, op, v) in predicates)]
+        dirty_paths = {e["path"] for e in dirty}
+        clean = [e for e in manifest["files"]
+                 if e["path"] not in dirty_paths]
+    df = _read_entries(spark, table_dir, dirty, manifest["schema"])
+    commit_id = uuid.uuid4().hex[:12]
+    rel = os.path.join("data", commit_id)
+    df.repartition(target_files).write.mode("error").parquet(
+        os.path.join(table_dir, rel))
+    version = _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=_file_entries(table_dir, rel),
+        batch_schema=df.schema,
+        expected_version=base_version,
+        keep_paths={e["path"] for e in clean},
+        changes_entries=[])
     files_after = len(_read_manifest(table_dir, version)["files"])
     return version, files_before, files_after
+
+
+def snapshot_commit_clustered(spark: SparkSession, table_dir: str,
+                              df: DataFrame, cluster_cols: list[str],
+                              n_files: int, mode: str = "append",
+                              **kwargs) -> int:
+    """Commit with a CLUSTERED layout so manifest stats prune maximally:
+    range-partition the batch on ``cluster_cols`` (disjoint spans per
+    file — the layout.write_clustered recipe under the commit protocol)
+    and sort within each file, so every data file's footer min/max for
+    the cluster columns is tight and mostly disjoint. A later
+    ``snapshot_scan`` on a cluster-column range then plans only the
+    files whose span intersects it — the gated query pins planned-file
+    count strictly below the unclustered twin's. For 2-D rectangle
+    predicates, pass a Morton key expression as a derived column and
+    cluster on it (operators/zorder.py builds the read-side cover);
+    for 1-D and prefix predicates, plain range clustering is already
+    the optimal layout."""
+    clustered = (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+    )
+    return snapshot_commit(spark, table_dir, clustered, mode=mode,
+                           **kwargs)

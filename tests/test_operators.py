@@ -1808,11 +1808,17 @@ def test_snapshot_table_commit_expire_mechanics(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 3
     assert snapshot_read(spark, t, 1).count() == 15  # history intact
 
-    # crashed-commit orphan: a data dir no manifest references
+    # crashed-commit orphan: a data dir no manifest references. Under
+    # the default grace window it is PROTECTED (it is indistinguishable
+    # from a commit in flight right now — ADVICE r9); with grace 0 it
+    # is collected.
     os.makedirs(os.path.join(t, "data", "deadbeef0000"))
     report = snapshot_expire(t, keep_last=2)
     assert report["expired_versions"] == [0]
-    assert "deadbeef0000" in report["deleted_dirs"]
+    assert report["deleted_dirs"] == []
+    assert os.path.isdir(os.path.join(t, "data", "deadbeef0000"))
+    report = snapshot_expire(t, keep_last=2, tmp_grace_seconds=0.0)
+    assert os.path.join("data", "deadbeef0000") in report["deleted_dirs"]
     assert snapshot_versions(t) == [1, 2]
     assert snapshot_read(spark, t, 1).count() == 15  # survivor readable
     assert snapshot_read(spark, t).count() == 3
@@ -1894,17 +1900,21 @@ def test_snapshot_crash_never_exposes_uncommitted_state(spark, tmp_path):
     # (c) expire sweeps the debris (tmp manifest + orphan data dir)
     # while every committed version stays readable
     report = snapshot_expire(t, keep_last=2, tmp_grace_seconds=0.0)
-    assert "deadbeef0000" in report["deleted_dirs"]
+    assert os.path.join("data", "deadbeef0000") in report["deleted_dirs"]
     assert not os.path.exists(tmp_manifest)
     assert snapshot_versions(t) == [0, 1]
     assert snapshot_read(spark, t, 0).count() == 7
     assert snapshot_read(spark, t).count() == 10
-    # a FRESH tmp file inside the grace window is protected (a commit
-    # may be publishing it right now)
+    # a FRESH tmp file AND a fresh unreferenced data dir inside the
+    # grace window are protected (a commit may be publishing RIGHT NOW:
+    # its data dir is unreferenced until the link wins — collecting it
+    # would turn GC into data loss, the ADVICE r9 medium)
     with open(tmp_manifest, "w") as fh:
         fh.write("{}")
+    os.makedirs(os.path.join(t, "data", "inflight00000"))
     snapshot_expire(t, keep_last=2)  # default grace: 1h
     assert os.path.exists(tmp_manifest)
+    assert os.path.isdir(os.path.join(t, "data", "inflight00000"))
     # the tmp file is invisible to version listing either way
     assert snapshot_versions(t) == [0, 1]
     assert _SNAPDIR  # imported symbol used: silences linters
@@ -2117,8 +2127,9 @@ def test_snapshot_schema_evolution_append_add_columns(spark, tmp_path):
     assert rows[8].score is None and rows[5].score == 50
     # history keeps its own schema
     assert snapshot_read(spark, t, 0).columns == ["id", "tag"]
-    # type change on a shared column is rejected, nothing published
-    with pytest.raises(ValueError, match="type changes"):
+    # a non-widenable type change on a shared column is rejected,
+    # nothing published
+    with pytest.raises(ValueError, match="not a lossless widening"):
         snapshot_commit(
             spark, t,
             spark.range(9, 10).select(
@@ -2159,22 +2170,24 @@ def test_snapshot_merge_read_validation(spark, tmp_path):
     assert acts[0] == "kept" and acts[3] == "updated" and acts[6] == "inserted"
     assert S.snapshot_read(spark, t).count() == 7
 
-    # interleaved commit between read and publish → conflict abort
-    real_read = S.snapshot_read
+    # interleaved commit between read and publish → conflict abort.
+    # The interleave point is the dirty/clean split — the moment the
+    # merge has committed to a view of the manifest it read.
+    real_split = S._split_dirty
 
-    def read_then_interleave(spark_, table_dir, version=None):
-        df = real_read(spark_, table_dir, version)
+    def split_then_interleave(manifest, key, lo, hi):
+        out = real_split(manifest, key, lo, hi)
         # a foreign writer lands AFTER the merge's read
         S.snapshot_commit(
-            spark_, table_dir,
+            spark, t,
             spark.range(100, 101).select(F.col("id").alias("k"),
                                          F.lit("foreign").alias("v")))
-        return df
+        return out
 
     from unittest import mock
 
-    with mock.patch.object(S, "snapshot_read",
-                           side_effect=read_then_interleave):
+    with mock.patch.object(S, "_split_dirty",
+                           side_effect=split_then_interleave):
         with pytest.raises(S.SnapshotConflictError, match="derived"):
             S.snapshot_merge(
                 spark, t,
@@ -2215,8 +2228,8 @@ def test_snapshot_evolution_case_insensitive_and_merge_collision(
     head = S.snapshot_read(spark, t)
     assert head.columns == ["id", "day"]
     assert head.count() == 5
-    # case variant with a DIFFERENT type still raises pre-publish
-    with pytest.raises(ValueError, match="type changes"):
+    # case variant with a non-widenable type still raises pre-publish
+    with pytest.raises(ValueError, match="not a lossless widening"):
         S.snapshot_commit(
             spark, t, spark.range(5, 6).select(
                 F.col("id"), F.lit("x").alias("DAY")))
