@@ -96,6 +96,12 @@ HEADLINE = [
     "snapshot_stats_pruned_read",
     "snapshot_incremental_read_parity",
     "embedding_pq_recall_audit",
+    # round 10: predicate-scoped copy-on-write MERGE (dirty band only),
+    # the row-level change feed (CDC apply + CDF replay), and the
+    # z-clustered commit whose rectangle scan prunes on 2-D stats
+    "snapshot_partial_merge_parity",
+    "snapshot_cdf_read_parity",
+    "snapshot_clustered_write_parity",
 ]
 
 

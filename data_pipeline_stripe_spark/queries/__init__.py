@@ -59,97 +59,56 @@ from . import maintenance  # noqa: E402,F401
 _WINDOW = 50
 
 PRIORITY_THIS_ROUND = [
-    # round 9 pins: all 11 r8 pins pruned (every one green in the r8
+    # round 10 pins: all 15 r9 pins pruned (every one green in the r9
     # driver window; code untouched since unless re-listed below).
     # Pinned here = code changed THIS round (rule 1).
     #
-    # round 9: the snapshot commit protocol was rewritten — manifest
-    # publication is now an atomic put-if-absent (os.link CAS), with
-    # optimistic-concurrency rebase for appends, per-file column stats
-    # in manifests, and incremental reads; every query touching the
-    # format re-gates
+    # round 10: the snapshot commit core was refactored into the
+    # Spark-free _publish_commit OCC loop (rewrite mode, change-log
+    # entries, expire-race guards), schema evolution gained lossless
+    # type widening, and expire gained the data-dir grace window —
+    # every query touching the format re-gates
     "snapshot_time_travel_roundtrip",
     "stream_snapshot_sink_parity",
-    # round 9, new: two barrier-started writer threads race 8 appends
-    # into one table — no lost update, contiguous versions
     "snapshot_concurrent_commit_parity",
-    # round 9, new: manifest min/max stats prune files BEFORE Spark
-    # plans the scan; the query raises unless pruning happened
     "snapshot_stats_pruned_read",
-    # round 9, new: version-range delta reads (append-only CDF path);
-    # full == base + replayed deltas, delta_only vs the day predicate
     "snapshot_incremental_read_parity",
-    # round 9, new: additive schema evolution — appends may add
-    # columns; old files read them as NULL, history keeps its own
-    # narrower schema, type changes are rejected pre-publish
     "snapshot_schema_evolution_parity",
-    # round 9, new: transactional MERGE INTO — read-validated overwrite
-    # (expected_version), row-level hash with the merge_action audit
     "snapshot_merge_upsert_parity",
-    # round 9, new: OPTIMIZE/compaction as a read-validated overwrite —
-    # file count shrinks, history stays time-travelable, rows identical
     "snapshot_compact_parity",
-    # round 9: the chunked pandas top-k kernel now checkpoints each
-    # chunk eagerly and destroys its broadcast (ADVICE r8 low)
-    "embedding_topk_cosine_pandas",
-    # round 9, new: recall audits for the PQ/ADC compression tier and
-    # the RP-LSH blocking tier (VERDICT r8 item 5), composed from the
-    # gated components' own fns + oracle texts
-    "embedding_pq_recall_audit",
-    "embedding_rp_lsh_recall_audit",
-    # round 9: oracle rewritten to the pre-bucketed hash-join form so
-    # the ×10 campaign can check it (VERDICT r8 item 6); spec predicate
-    # unchanged, now the WHERE clause
-    "range_join_cooccurring_events",
-    # round 9, new: the ×10-checkable sampled twin of semantic dedup
-    # (VERDICT r8 item 6) — same operator, vec_id % 10 = 0 corpus
-    "embedding_semantic_dedup_sampled",
-    # round 9: write_bucketed_table's cache skip path now validates the
-    # warehouse files (ADVICE r8 low) — both bucketed-layout consumers
-    # re-gate
+    # round 10, new: predicate-scoped copy-on-write MERGE — untouched
+    # band files carried forward byte-identical (the query raises
+    # otherwise), hash vs the whole-table merge oracle
+    "snapshot_partial_merge_parity",
+    # round 10, new: row-level DELETEs (apply_cdc through the table)
+    # + the change data feed across appends, a CDC commit and a
+    # compaction; replaying the feed over v0 must equal the head
+    "snapshot_cdf_read_parity",
+    # round 10, new: timestamp time travel — captured wall-clock
+    # stamps resolve to exactly the versions committed before them
+    "snapshot_as_of_read_parity",
+    # round 10, new: z-clustered commits — the 2-D rectangle must
+    # stats-prune strictly harder than the naive twin's layout
+    "snapshot_clustered_write_parity",
+    # round 10, new: the snapshot table as a streaming SOURCE (offsets
+    # are versions); restart consumes exactly the delta
+    "stream_snapshot_source_parity",
+    # round 10: write_bucketed_table's skip path now requires the full
+    # one-file-per-bucket layout (ADVICE r9 low) — both bucketed-layout
+    # consumers re-gate
     "royalties_monthly_usd_bucketed",
     "bucketed_join_roundtrip",
 ]
 
-COVERAGE_DEBT_THIS_ROUND = [
-    # The 29 unchanged queries that VERDICT r8 found in NO driver window
-    # across r1-r8 (the 30th, bucketed_join_roundtrip, is a pin above).
-    # All have green builder differentials; this tier gives each its
-    # first external driver check.
-    "mad_outlier_value_stats",
-    "ema_daily_value_halflife",
-    "pareto_front_orders_price_recency",
-    "allocate_budget_by_nation_revenue",
-    "value_drift_psi_by_type",
-    "peak_concurrent_sessions_daily",
-    "trend_slope_daily_revenue_by_type",
-    "gini_revenue_concentration_by_region",
-    "value_ks_distance_by_type",
-    "benford_first_digit_order_prices",
-    "session_duration_percentiles_daily",
-    "conversion_latency_percentiles_by_cohort",
-    "corrupt_json_quarantine",
-    "schema_evolution_union_read",
-    "variant_nested_extract",
-    "try_cast_dirty_values",
-    "stream_dedup_parity",
-    "stateful_totals_stream_parity",
-    "quality_gate_orders_report",
-    "zorder_clustered_roundtrip",
-    "maintenance_compact_vacuum_roundtrip",
-    "gapfill_user_daily_lerp",
-    "events_weighted_sample_pps",
-    "cdc_snapshot_diff_orders",
-    "doc_lm_bigram_score",
-    "doc_source_token_entropy",
-    "embedding_ivf_topk_pruned",
-    "approx_user_overlap_event_types",
-    "events_heavy_hitter_value_buckets",
+COVERAGE_DEBT_THIS_ROUND: list[str] = [
+    # EMPTY as planned (VERDICT r9 item 8): the union of driver windows
+    # r1-r9 covers every query registered before this round (the r9
+    # debt tier retired the last 29), and every r10-new query is a pin
+    # above — so there is no unchanged, never-driver-checked query
+    # left. Recompute from the CORRECTNESS_r*.json union each round.
 ]
-# Rotation note: with the final r9 head (15 pins + 29 debt = 44), 6
-# rotating slots continue the tile over the remainder; after this round
-# the union of driver windows covers the ENTIRE registry, the debt list
-# empties, and the tile cadence resumes with ~35 rotating slots.
+# Rotation note: with the r10 head (15 pins + 0 debt), 35 rotating
+# slots resume the tile over the remaining queries.
 
 
 def _round_number() -> int:

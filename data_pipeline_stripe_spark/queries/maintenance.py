@@ -1111,3 +1111,368 @@ def snapshot_compact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"),
              F.sum("cents").alias("cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot format round 10: predicate-scoped copy-on-write, row-level
+# deletes + change data feed, timestamp time travel, clustered commits —
+# the items VERDICT r9 named as the remaining gap to a production table
+# format.
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_partial_merge_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1200 AND o_orderkey % 4 <> 1
+    ),
+    upd AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) * 2 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 800
+    )
+    SELECT COALESCE(u.k, b.k) AS o_orderkey,
+           COALESCE(u.pri, b.pri) AS pri,
+           COALESCE(u.cents, b.cents) AS cents,
+           CASE WHEN u.k IS NOT NULL AND b.k IS NOT NULL THEN 'updated'
+                WHEN u.k IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS merge_action
+    FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+    """,
+)
+def snapshot_partial_merge_parity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Predicate-scoped copy-on-write MERGE
+    (operators/snapshots.py:snapshot_merge + _split_dirty): the base is
+    committed as THREE key-band appends (k <= 400, (400, 800],
+    (800, 1200], one file each; every fourth key withheld so the update
+    batch also INSERTS); the update batch touches only the middle band.
+    The merge must rewrite ONLY that band's file: the query raises
+    unless the other two bands' manifest entries survive BYTE-IDENTICAL
+    (same path, same stats — at 100 TB this is what makes a MERGE into
+    one band O(band), not O(table)) and the dirty file is gone from the
+    new manifest. The hash then proves the scoped rewrite equals the
+    full-table merge semantics (the oracle joins base and updates over
+    the WHOLE table), actions included — a row lost from a carried
+    file, a stale dirty row, or a misclassified action flips it."""
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_merge, snapshot_read)
+
+    table_dir = _scratch(sf_dir, "snapshot_partial_merge")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        (F.col("o_orderkey") <= 1200) & (F.col("o_orderkey") % 4 != 1)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bands = [
+        F.col("k") <= 400,
+        (F.col("k") > 400) & (F.col("k") <= 800),
+        F.col("k") > 800,
+    ]
+    for band in bands:
+        snapshot_commit(spark, table_dir,
+                        base.filter(band).coalesce(1), mode="append")
+    base_version = snapshot_current_version(table_dir)
+    pre = {e["path"]: e
+           for e in _read_manifest(table_dir, base_version)["files"]}
+
+    upd = orders.filter(
+        (F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 800)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.round(F.col("o_totalprice") * 100) * 2).cast("long")
+        .alias("cents"),
+    )
+    version, merged = snapshot_merge(spark, table_dir, upd, "k")
+    post = {e["path"]: e
+            for e in _read_manifest(table_dir, version)["files"]}
+    carried = set(pre) & set(post)
+    if len(carried) != 2 or any(post[p] != pre[p] for p in carried):
+        raise RuntimeError(
+            f"snapshot_partial_merge_parity: expected exactly the two "
+            f"untouched band files carried forward identically, got "
+            f"{len(carried)} of {len(pre)} — the merge rewrote more "
+            "than the dirty band")
+    if not (set(pre) - carried).isdisjoint(post):
+        raise RuntimeError(
+            "snapshot_partial_merge_parity: the dirty band's file "
+            "survived the rewrite — stale rows would double-count")
+    actions = merged.select(F.col("k"), "merge_action")
+    committed = snapshot_read(spark, table_dir, version=version)
+    return (
+        committed.join(actions, "k")
+        .select(F.col("k").alias("o_orderkey"), "pri", "cents",
+                "merge_action")
+    )
+
+
+@query(
+    "snapshot_cdf_read_parity",
+    oracle="""
+    WITH ord AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    final AS (
+        SELECT k,
+               CASE WHEN k > 300 AND k <= 450 THEN cents * 2
+                    ELSE cents END AS cents
+        FROM ord WHERE k > 150 AND k <= 1100
+    )
+    SELECT 'final' AS section, k AS o_orderkey, cents FROM final
+    UNION ALL
+    SELECT 'replay', k, cents FROM final
+    UNION ALL
+    SELECT 'deleted', k, cents FROM ord WHERE k <= 150
+    """,
+)
+def snapshot_cdf_read_parity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Row-level deletes + the change data feed
+    (operators/snapshots.py:snapshot_apply_cdc / snapshot_read_cdf),
+    closing VERDICT r9's 'one merge strands every incremental consumer':
+    the table takes two appends (k <= 600, (600, 900]), then a CDC
+    commit that DELETES k <= 150, doubles (300, 450] and inserts
+    (900, 1000], then a COMPACTION, then another append ((1000, 1100]).
+    ``snapshot_read_cdf(0)`` crosses all of it: appends as synthesized
+    'I' rows, the CDC commit via its recorded change log (deletes carry
+    their OLD values), the compaction as ZERO rows (the query raises if
+    it contributes any). Three gated sections: ``final`` (the head
+    table), ``replay`` (apply_cdc of the FEED over the version-0 read —
+    the oracle forces it equal to final by computing the same state
+    twice: a feed that lost a delete, replayed the compaction, or
+    double-applied an update flips it), and ``deleted`` (the feed's 'D'
+    rows vs the plain k <= 150 predicate)."""
+    from ..operators.merge import apply_cdc
+    from ..operators.snapshots import (snapshot_apply_cdc,
+                                       snapshot_commit, snapshot_compact,
+                                       snapshot_read, snapshot_read_cdf)
+
+    table_dir = _scratch(sf_dir, "snapshot_cdf")
+    ord_df = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snapshot_commit(spark, table_dir,
+                    ord_df.filter(F.col("k") <= 600).coalesce(1),
+                    mode="append")
+    snapshot_commit(
+        spark, table_dir,
+        ord_df.filter((F.col("k") > 600) & (F.col("k") <= 900))
+        .coalesce(1), mode="append")
+
+    deletes = ord_df.filter(F.col("k") <= 150).select(
+        "k", "cents", F.lit(1).alias("seq"), F.lit("D").alias("op"))
+    updates = ord_df.filter(
+        (F.col("k") > 300) & (F.col("k") <= 450)).select(
+        "k", (F.col("cents") * 2).alias("cents"),
+        F.lit(1).alias("seq"), F.lit("U").alias("op"))
+    inserts = ord_df.filter(
+        (F.col("k") > 900) & (F.col("k") <= 1000)).select(
+        "k", "cents", F.lit(1).alias("seq"), F.lit("U").alias("op"))
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    snapshot_apply_cdc(spark, table_dir, changes, "k")
+
+    compact_version, _, _ = snapshot_compact(spark, table_dir,
+                                             target_files=2)
+    snapshot_commit(
+        spark, table_dir,
+        ord_df.filter((F.col("k") > 1000) & (F.col("k") <= 1100))
+        .coalesce(1), mode="append")
+
+    feed = snapshot_read_cdf(spark, table_dir, 0)
+    if feed.filter(F.col("_commit_version")
+                   == F.lit(compact_version)).count() != 0:
+        raise RuntimeError(
+            "snapshot_cdf_read_parity: the compaction contributed "
+            "change rows — a layout-only commit must be silent in the "
+            "feed")
+    replay_changes = feed.select(
+        "k", "cents",
+        F.col("_commit_version").alias("seq"),
+        F.when(F.col("_change_type") == "D", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"))
+    replayed = apply_cdc(
+        snapshot_read(spark, table_dir, version=0), replay_changes, "k")
+
+    def shape(df: DataFrame, section: str) -> DataFrame:
+        return df.select(F.lit(section).alias("section"),
+                         F.col("k").alias("o_orderkey"), "cents")
+
+    return (
+        shape(snapshot_read(spark, table_dir), "final")
+        .unionByName(shape(replayed, "replay"))
+        .unionByName(shape(
+            feed.filter(F.col("_change_type") == "D"), "deleted"))
+    )
+
+
+@query(
+    "snapshot_as_of_read_parity",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    v0 AS (SELECT * FROM base WHERE day < '{_SNAP_C1}'),
+    v1 AS (SELECT * FROM base WHERE day < '{_SNAP_C2}'),
+    v2 AS (SELECT * FROM v1 WHERE event_type <> 'error')
+    SELECT CAST(0 AS BIGINT) AS asof_step, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(c) AS BIGINT) AS cents
+    FROM v0 GROUP BY 2
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+    FROM v1 GROUP BY 2
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+    FROM v2 GROUP BY 2
+    """,
+)
+def snapshot_as_of_read_parity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel (operators/snapshots.py:
+    snapshot_version_at / snapshot_read(as_of=...)): the same three
+    commits as the version-travel gate (two appends, one cleaning
+    overwrite), but each historical state is read back by a WALL-CLOCK
+    timestamp captured between commits — the AS OF TIMESTAMP form users
+    actually write. The query raises unless each captured timestamp
+    resolves to exactly the version committed before it (pinning the
+    newest-committed_at-<= resolution rule, including the in-between
+    case); the hash then proves each as-of read serves that version's
+    exact rows. Boundary semantics (exact commit instant, before-first
+    raises, version+as_of rejected) are pytest-pinned."""
+    import time as _time
+
+    from ..operators.snapshots import (snapshot_commit, snapshot_read,
+                                       snapshot_version_at)
+
+    table_dir = _scratch(sf_dir, "snapshot_asof")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    stamps = []
+    snapshot_commit(spark, table_dir, ev.filter(F.col("day") < _SNAP_C1),
+                    mode="append")
+    stamps.append(_time.time())
+    snapshot_commit(
+        spark, table_dir,
+        ev.filter((F.col("day") >= _SNAP_C1) & (F.col("day") < _SNAP_C2)),
+        mode="append")
+    stamps.append(_time.time())
+    cleaned = snapshot_read(spark, table_dir).filter(
+        F.col("event_type") != "error")
+    snapshot_commit(spark, table_dir, cleaned, mode="overwrite")
+    stamps.append(_time.time())
+
+    views = []
+    for step, ts in enumerate(stamps):
+        resolved = snapshot_version_at(table_dir, ts)
+        if resolved != step:
+            raise RuntimeError(
+                f"snapshot_as_of_read_parity: timestamp {step} resolved "
+                f"to version {resolved}, expected {step}")
+        views.append(
+            snapshot_read(spark, table_dir, as_of=ts)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("c").alias("cents"))
+            .select(F.lit(step).cast("long").alias("asof_step"),
+                    "event_type", "n_events", "cents")
+        )
+    out = views[0]
+    for extra in views[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def _z_events_terms(x: str, y: str) -> str:
+    from .relational5 import _z16_terms
+    return _z16_terms(x, y)
+
+
+_ZC_X = "CAST(datediff(CAST(ts AS TIMESTAMP), TIMESTAMP'2024-01-01') AS BIGINT)"
+
+
+@query(
+    "snapshot_clustered_write_parity",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ((CAST(ROUND(value * 100) AS BIGINT) % 64) + 64) % 64 AS y
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM b
+    WHERE x BETWEEN 10 AND 14 AND y BETWEEN 0 AND 15
+    GROUP BY 1
+    """,
+)
+def snapshot_clustered_write_parity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Clustered commits INTO the snapshot format (VERDICT r9 item 6 —
+    operators/snapshots.py:snapshot_commit_clustered composing the
+    zorder/layout recipe with the commit protocol): the same events
+    projection is committed TWICE — once randomly partitioned (the
+    naive twin), once range-clustered on a Morton key interleaving
+    (day index, cent bucket) so each data file owns a compact z-block
+    and its manifest min/max are tight in BOTH dimensions at once.
+    A 2-D rectangle predicate (x in [10,14], y in [0,15]) must then
+    stats-prune the clustered table STRICTLY below both its own total
+    and the naive twin's planned count (the query raises otherwise —
+    pruning demonstrably came from the layout, not the predicate), and
+    the pruned scan must hash-equal the plain rectangle filter over
+    whole events. The z key is layout-only: pruning reads the x/y
+    column stats that z-locality tightens, so readers never need the
+    key — exactly how OPTIMIZE ZORDER serves ordinary predicates."""
+    from ..operators.snapshots import (snapshot_commit,
+                                       snapshot_commit_clustered,
+                                       snapshot_pruned_files,
+                                       snapshot_scan)
+
+    zx = f"({_ZC_X}) & 65535"
+    zy = "CAST(pmod(CAST(ROUND(value * 100) AS BIGINT), 64) AS BIGINT)"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(_ZC_X).cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr(zy).alias("y"),
+        F.expr(f"CAST({_z_events_terms(zx, zy)} AS BIGINT)").alias("z"),
+    )
+    naive_dir = _scratch(sf_dir, "snapshot_unclustered")
+    clustered_dir = _scratch(sf_dir, "snapshot_clustered")
+    snapshot_commit(spark, naive_dir, ev.repartition(8), mode="append")
+    snapshot_commit_clustered(spark, clustered_dir, ev, ["z"], 8,
+                              mode="append")
+
+    preds = [("x", ">=", 10), ("x", "<=", 14),
+             ("y", ">=", 0), ("y", "<=", 15)]
+    kept_z, total_z = snapshot_pruned_files(clustered_dir, preds)
+    kept_n, total_n = snapshot_pruned_files(naive_dir, preds)
+    if not kept_z or len(kept_z) >= total_z or len(kept_z) >= len(kept_n):
+        raise RuntimeError(
+            f"snapshot_clustered_write_parity: expected the z-clustered "
+            f"layout to prune strictly harder than the naive one, got "
+            f"{len(kept_z)}/{total_z} clustered vs {len(kept_n)}/"
+            f"{total_n} naive")
+    return (
+        snapshot_scan(spark, clustered_dir, preds)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("cents"))
+    )

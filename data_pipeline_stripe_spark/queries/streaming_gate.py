@@ -569,3 +569,98 @@ def stream_snapshot_sink_parity(spark: SparkSession,
             .alias("total_value_cents"),
         )
     )
+
+
+@query(
+    "stream_snapshot_source_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def stream_snapshot_source_parity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The snapshot table as a streaming SOURCE
+    (sources/snapshot_source.py — offsets ARE table versions; each
+    micro-batch plans the version range's delta files as executor-side
+    Arrow reads), closing the loop the sink gate opened: a first query
+    drains a two-append table and STOPS; a third append lands while no
+    stream is running; a SECOND query on the SAME checkpoint must then
+    consume EXACTLY the new version's delta — the query raises if the
+    first drain missed rows or if the restarted drain re-read the base
+    (offset regression) instead of resuming at the checkpointed
+    version. The final sink hash-matches the whole events fixture only
+    if every version's rows arrived exactly once across the restart
+    boundary."""
+    import glob
+
+    from ..operators.snapshots import snapshot_commit
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    scratch = _scratch(sf_dir, "stream_snapshot_source")
+    table_dir = os.path.join(scratch, "table")
+    out_dir = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "_ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c1, c2 = "2024-01-11", "2024-01-21"
+    snapshot_commit(spark, table_dir, ev.filter(F.col("day") < c1),
+                    mode="append")
+    snapshot_commit(
+        spark, table_dir,
+        ev.filter((F.col("day") >= c1) & (F.col("day") < c2)),
+        mode="append")
+
+    def drain() -> None:
+        stream = spark.readStream.format("snapshot_table").load(table_dir)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    expect1 = ev.filter(F.col("day") < c2).count()
+    got1 = (spark.read.parquet(out_dir).count()
+            if glob.glob(os.path.join(out_dir, "*.parquet")) else 0)
+    if got1 != expect1:
+        raise RuntimeError(
+            f"stream_snapshot_source_parity: first drain served {got1} "
+            f"rows, expected {expect1} (versions 0-1)")
+
+    # a new version lands while NO stream is running; the restarted
+    # query must consume exactly its delta from the checkpointed offset
+    snapshot_commit(spark, table_dir, ev.filter(F.col("day") >= c2),
+                    mode="append")
+    drain()
+    total = ev.count()
+    got2 = spark.read.parquet(out_dir).count()
+    if got2 != total:
+        raise RuntimeError(
+            f"stream_snapshot_source_parity: after restart the sink "
+            f"holds {got2} rows, expected {total} — "
+            + ("the restarted drain re-read already-consumed versions"
+               if got2 > total else "the delta was lost"))
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("total_value_cents"))
+    )

@@ -2243,3 +2243,303 @@ def test_snapshot_evolution_case_insensitive_and_merge_collision(
             spark, t2,
             spark.range(1).select(F.col("id").alias("k"),
                                   F.lit("b").alias("merge_action")), "k")
+
+
+def test_snapshot_multiprocess_occ_no_lost_update(spark, tmp_path):
+    """The os.link put-if-absent claim is MULTI-PROCESS, not just
+    multi-thread (a GIL can mask thread races): two OS processes race
+    6 appends each through the real ``_publish_commit`` loop (data
+    files written with pyarrow — the loop is the protocol; the Spark
+    write has no concurrency surface). Every commit must win a
+    contiguous version and the final table must hold every row from
+    both writers."""
+    import os
+    import subprocess
+    import sys
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_read, snapshot_versions)
+
+    t = str(tmp_path / "snap_mp")
+    os.makedirs(t)
+    go = os.path.join(t, "_go")
+    child = r"""
+import os, sys, time
+table_dir, offset, n, go = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.types import LongType, StructField, StructType
+from data_pipeline_stripe_spark.operators.snapshots import (
+    _file_entries, _publish_commit)
+schema = StructType([StructField("id", LongType(), True)])
+while not os.path.exists(go):
+    time.sleep(0.002)
+for i in range(n):
+    cid = f"w{{offset}}_{{i}}"
+    rel = os.path.join("data", cid)
+    os.makedirs(os.path.join(table_dir, rel))
+    pq.write_table(
+        pa.table({{"id": [offset + i * 10 + j for j in range(10)]}}),
+        os.path.join(table_dir, rel, "part-0.parquet"))
+    _publish_commit(table_dir, mode="append",
+                    new_entries=_file_entries(table_dir, rel),
+                    batch_schema=schema, max_retries=50)
+print("CHILD_OK")
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(
+        __file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, t, str(off), "6", go],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for off in (0, 1000)
+    ]
+    with open(go, "w") as fh:
+        fh.write("go")
+    outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0 and "CHILD_OK" in out, (out, err)
+    assert snapshot_versions(t) == list(range(12))
+    rows = {r.id for r in snapshot_read(spark, t).collect()}
+    expect = {off + i * 10 + j
+              for off in (0, 1000) for i in range(6) for j in range(10)}
+    assert rows == expect  # zero lost updates across process boundaries
+
+
+def test_snapshot_timestamp_time_travel_boundaries(spark, tmp_path):
+    """as_of resolution boundaries: exactly a commit's timestamp serves
+    that commit; between two commits serves the earlier; before the
+    first commit raises (serving the oldest instead would show rows
+    that did not exist then); version+as_of together is an error."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        _read_manifest, snapshot_commit, snapshot_read,
+        snapshot_version_at)
+
+    t = str(tmp_path / "snap_asof")
+    snapshot_commit(spark, t, spark.range(5).select(F.col("id")))
+    time.sleep(0.02)
+    mid = time.time()
+    time.sleep(0.02)
+    snapshot_commit(spark, t, spark.range(5, 9).select(F.col("id")))
+
+    t0 = _read_manifest(t, 0)["committed_at"]
+    t1 = _read_manifest(t, 1)["committed_at"]
+    assert snapshot_version_at(t, t0) == 0      # exact commit time
+    assert snapshot_version_at(t, mid) == 0     # between commits
+    assert snapshot_version_at(t, t1) == 1
+    assert snapshot_version_at(t, time.time()) == 1
+    with pytest.raises(ValueError, match="expired or predates"):
+        snapshot_version_at(t, t0 - 10.0)       # before the first commit
+    assert snapshot_read(spark, t, as_of=mid).count() == 5
+    assert snapshot_read(spark, t, as_of=time.time()).count() == 9
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, t, version=0, as_of=mid)
+
+
+def test_snapshot_type_widening_evolution(spark, tmp_path):
+    """Lossless type widening under append evolution: int→long widens
+    the committed schema (old int-written files upcast natively on
+    read), a NARROWER append under a wider committed type stays at the
+    wide type, float→double widens, and the lossy cases (long→double,
+    int→string, double→float narrowing is fine — double wins) still
+    raise pre-publish. History keeps each version's own schema."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_commit, snapshot_read)
+
+    t = str(tmp_path / "snap_widen")
+    snapshot_commit(spark, t, spark.range(3).select(
+        F.col("id").cast("int").alias("a"),
+        F.col("id").cast("float").alias("f")))
+    # int→long, float→double: committed schema widens
+    snapshot_commit(spark, t, spark.range(3, 5).select(
+        F.col("id").cast("long").alias("a"),
+        F.col("id").cast("double").alias("f")))
+    head = snapshot_read(spark, t)
+    assert [f.dataType.simpleString() for f in head.schema.fields] == [
+        "bigint", "double"]
+    rows = {r.a: r.f for r in head.collect()}
+    assert rows == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+    # narrower append under the widened schema: stays wide, values read
+    snapshot_commit(spark, t, spark.range(5, 6).select(
+        F.col("id").cast("short").alias("a"),
+        F.col("id").cast("float").alias("f")))
+    head = snapshot_read(spark, t)
+    assert [f.dataType.simpleString() for f in head.schema.fields] == [
+        "bigint", "double"]
+    assert head.count() == 6
+    # history: v0 keeps its own narrow schema
+    v0 = snapshot_read(spark, t, version=0)
+    assert [f.dataType.simpleString() for f in v0.schema.fields] == [
+        "int", "float"]
+    # long→double is lossy (53-bit mantissa): rejected
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        snapshot_commit(spark, t, spark.range(1).select(
+            F.col("id").cast("long").alias("a"),
+            F.col("id").cast("long").alias("f")))
+    # cross-family: rejected
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        snapshot_commit(spark, t, spark.range(1).select(
+            F.col("id").cast("string").alias("a"),
+            F.col("id").cast("double").alias("f")))
+    assert snapshot_read(spark, t).count() == 6  # nothing published
+
+
+def test_snapshot_partial_merge_untouched_entries_identical(spark,
+                                                            tmp_path):
+    """Predicate-scoped copy-on-write: a merge whose update keys fall in
+    ONE file's key band rewrites only that file — every other file's
+    manifest entry (path AND stats) is carried forward byte-identical,
+    and the merged rows equal the whole-table merge semantics."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_cow")
+    for lo in (0, 100, 200):
+        S.snapshot_commit(
+            spark, t,
+            spark.range(lo, lo + 100, 2).coalesce(1).select(
+                F.col("id").alias("k"),
+                F.lit(f"band{lo}").alias("v")),
+            mode="append")
+    base_version = S.snapshot_current_version(t)
+    pre = {e["path"]: e for e in S._read_manifest(t, base_version)["files"]}
+    assert len(pre) == 3
+
+    upd = spark.createDataFrame(
+        [(150, "upd"), (151, "new")], ["k", "v"])  # 150 exists, 151 odd
+    version, merged = S.snapshot_merge(spark, t, upd, "k")
+    post = S._read_manifest(t, version)
+    post_by_path = {e["path"]: e for e in post["files"]}
+    carried = set(pre) & set(post_by_path)
+    # exactly the two untouched band files carried forward, IDENTICAL
+    assert len(carried) == 2
+    for p in carried:
+        assert post_by_path[p] == pre[p]
+    # the dirty band's file was rewritten (not carried)
+    dirty_pre = set(pre) - carried
+    assert dirty_pre.isdisjoint(post_by_path)
+    # semantics: update applied, insert landed, every other row intact
+    rows = {r.k: r.v for r in S.snapshot_read(spark, t).collect()}
+    assert rows[150] == "upd" and rows[151] == "new"
+    assert rows[148] == "band100" and rows[0] == "band0"
+    assert rows[298] == "band200"
+    assert len(rows) == 151
+    acts = {r.k: r.merge_action for r in merged.collect()}
+    assert acts[150] == "updated" and acts[151] == "inserted"
+    assert acts[0] == "kept" and len(acts) == 151
+    # the commit recorded its row-level change log
+    assert post["cdf_key"] == "k"
+    assert post["changes"], "merge must record a change log"
+
+
+def test_snapshot_apply_cdc_row_deletes_and_cdf_replay(spark, tmp_path):
+    """Row-level DELETE through the table (WHEN MATCHED DELETE) +
+    change-data-feed replay: a CDC batch with upserts and deletes is
+    applied copy-on-write; the recorded change log carries the deleted
+    row's OLD values; replaying the full CDF over the base version with
+    apply_cdc reproduces the final table exactly — including across a
+    compaction (empty change log) in the range; a plain overwrite in
+    the range still raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+    from data_pipeline_stripe_spark.operators.merge import apply_cdc
+
+    t = str(tmp_path / "snap_cdc")
+    S.snapshot_commit(
+        spark, t,
+        spark.range(10).coalesce(1).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("val")),
+        mode="append")
+
+    changes = spark.createDataFrame(
+        [(3, 0, 1, "D"), (5, 555, 1, "U"), (20, 200, 1, "U"),
+         (9, 0, 1, "D")],
+        ["k", "val", "seq", "op"])
+    version, applied = S.snapshot_apply_cdc(spark, t, changes, "k")
+    rows = {r.k: r.val for r in S.snapshot_read(spark, t).collect()}
+    assert 3 not in rows and 9 not in rows          # deletes applied
+    assert rows[5] == 555 and rows[20] == 200       # update + insert
+    assert rows[0] == 0 and len(rows) == 9
+
+    # the change log holds the deletes with their OLD values
+    feed = S.snapshot_read_cdf(spark, t, 0)
+    by = {(r.k, r._change_type): r for r in feed.collect()}
+    assert by[(3, "D")].val == 30 and by[(9, "D")].val == 90
+    assert by[(5, "U")].val == 555 and by[(20, "I")].val == 200
+    assert len(by) == 4  # untouched rows never enter the feed
+
+    # CDF crosses a compaction (zero change rows) and further appends
+    S.snapshot_compact(spark, t, target_files=1)
+    S.snapshot_commit(spark, t, spark.createDataFrame(
+        [(30, 300)], ["k", "val"]), mode="append")
+    feed = S.snapshot_read_cdf(spark, t, 0)
+    assert feed.filter(F.col("_commit_version") == 2).count() == 0
+    assert {r.k for r in feed.filter(
+        F.col("_change_type") == "I").collect()} == {20, 30}
+
+    # replay: base(v0) + feed == final table
+    replay_changes = (
+        feed.withColumn("op", F.when(F.col("_change_type") == "D",
+                                     F.lit("D")).otherwise(F.lit("U")))
+        .withColumnRenamed("_commit_version", "seq")
+        .select("k", "val", "seq", "op")
+    )
+    replayed = apply_cdc(
+        S.snapshot_read(spark, t, version=0), replay_changes, "k")
+    assert (
+        sorted((r.k, r.val) for r in replayed.drop("cdc_action").collect())
+        == sorted((r.k, r.val)
+                  for r in S.snapshot_read(spark, t).collect()))
+
+    # a plain overwrite records no change log → the feed refuses it
+    S.snapshot_commit(spark, t, S.snapshot_read(spark, t),
+                      mode="overwrite")
+    with pytest.raises(ValueError, match="no recorded change log"):
+        S.snapshot_read_cdf(spark, t, 0)
+    # ...but a range strictly after it works
+    assert S.snapshot_read_cdf(
+        spark, t, S.snapshot_current_version(t)).count() == 0
+
+
+def test_snapshot_partial_compaction_carries_clean_files(spark, tmp_path):
+    """snapshot_compact(predicates=...) rewrites ONLY the files whose
+    stats may match — the hot-partition OPTIMIZE: clean entries carry
+    forward identically, rows are globally unchanged, and the compacted
+    band shrinks to the target file count."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_pcompact")
+    # band 0: one file; band 200+: four small files
+    S.snapshot_commit(spark, t, spark.range(100).coalesce(1).select(
+        F.col("id")), mode="append")
+    for lo in (200, 210, 220, 230):
+        S.snapshot_commit(spark, t,
+                          spark.range(lo, lo + 10).coalesce(1).select(
+                              F.col("id")), mode="append")
+    base_v = S.snapshot_current_version(t)
+    pre = {e["path"]: e for e in S._read_manifest(t, base_v)["files"]}
+    version, before, after = S.snapshot_compact(
+        spark, t, target_files=1, predicates=[("id", ">=", 200)])
+    assert (before, after) == (5, 2)
+    post = {e["path"]: e for e in S._read_manifest(t, version)["files"]}
+    carried = set(pre) & set(post)
+    assert len(carried) == 1  # the band-0 file, untouched
+    for p in carried:
+        assert post[p] == pre[p]
+    assert S.snapshot_read(spark, t).count() == 140
+    assert sorted(r.id for r in S.snapshot_read(spark, t).collect()) == (
+        list(range(100)) + list(range(200, 240)))

@@ -120,6 +120,60 @@ def main() -> None:
 
     run("q1_pricing_summary", SCALES[0][1])  # JVM warmup, untimed
 
+    def partial_merge_verb(sf_dir: str) -> float:
+        """The r10 scoped-COW claim, measured directly: the snapshot
+        table is the FULL orders projection (grows ×N with the fixture;
+        three key-band appends, built UNTIMED), the update batch is the
+        fixed (400, 800] band (replica-0 keys only — fixture replicas
+        shift keys +10M), and the timed region is snapshot_merge alone.
+        A whole-table copy-on-write would grow ×N here; the
+        predicate-scoped merge must track the dirty band, i.e. stay
+        near-flat (the ×100 manifest has more entries to carry — that
+        O(files) term is the expected residual slope). Raises if the
+        merge rewrote anything beyond the dirty band's files."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from data_pipeline_stripe_spark.operators.snapshots import (
+            _read_manifest, snapshot_commit, snapshot_current_version,
+            snapshot_merge)
+        from data_pipeline_stripe_spark.sources import load_table
+
+        table_dir = os.path.join(
+            REPO, ".scratch", "scaling_partial_merge",
+            os.path.basename(os.path.normpath(sf_dir)))
+        shutil.rmtree(table_dir, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        for band in (F.col("k") <= 400,
+                     (F.col("k") > 400) & (F.col("k") <= 800),
+                     F.col("k") > 800):
+            snapshot_commit(spark, table_dir, base.filter(band),
+                            mode="append")
+        upd = base.filter(
+            (F.col("k") > 400) & (F.col("k") <= 800)).withColumn(
+            "cents", F.col("cents") * 2)
+        pre = {e["path"] for e in _read_manifest(
+            table_dir, snapshot_current_version(table_dir))["files"]}
+        t0 = time.time()
+        version, _ = snapshot_merge(spark, table_dir, upd, "k")
+        dt = time.time() - t0
+        post = {e["path"] for e in _read_manifest(table_dir,
+                                                  version)["files"]}
+        rewritten_src = pre - post
+        # only the (400, 800] band's file(s) may have been rewritten —
+        # at ×100 that is a handful of files out of hundreds
+        if len(rewritten_src) > 4 or len(pre & post) < len(pre) - 4:
+            raise RuntimeError(
+                f"partial merge rewrote {len(rewritten_src)} of "
+                f"{len(pre)} files — not band-scoped")
+        return dt
+
     results: dict[str, dict[str, float]] = {}
     for name in QUERIES:
         row = {}
@@ -129,6 +183,16 @@ def main() -> None:
         row["ratio_100"] = round(row["x100"] / row["x1"], 2)
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
+
+    # verb-only row: table build untimed, merge timed (see docstring)
+    row = {}
+    for n, d in SCALES:
+        row[f"x{n}"] = round(min(partial_merge_verb(d) for _ in range(2)),
+                             3)
+    row["ratio_10"] = round(row["x10"] / row["x1"], 2)
+    row["ratio_100"] = round(row["x100"] / row["x1"], 2)
+    results["snapshot_partial_merge_verb"] = row
+    print(f"# snapshot_partial_merge_verb: {row}", file=sys.stderr)
 
     print(json.dumps({"metric": "scaling_bench", "cpus": cpus,
                       "queries": results}))
