@@ -102,6 +102,10 @@ HEADLINE = [
     "snapshot_partial_merge_parity",
     "snapshot_cdf_read_parity",
     "snapshot_clustered_write_parity",
+    # round 10 (cont.): WHEN NOT MATCHED BY SOURCE delete under a scope
+    # band, and the change feed as a restartable STREAMING source
+    "snapshot_merge_delete_unmatched_parity",
+    "stream_snapshot_cdf_source_parity",
 ]
 
 

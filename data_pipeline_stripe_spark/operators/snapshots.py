@@ -47,14 +47,15 @@ SCALING.md's lakehouse mapping documents):
   100 TB downstream consumer needs to avoid full-table rescans.
 - **Additive schema evolution with lossless type widening.** Appends
   may ADD columns and WIDEN shared ones (byte→short→int→long,
-  float→double, small-int→double; anything lossy raises before
-  publication); every read plans under the manifest's all-nullable
+  float→double, small-int→double, decimal digit growth within 38,
+  date→timestamp_ntz; anything lossy raises before publication); every read plans under the manifest's all-nullable
   union schema so pre-evolution files serve added columns as NULL and
   narrower-written files upcast natively, and historical versions keep
   their own narrower schema.
 - **Predicate-scoped copy-on-write MERGE / CDC / compaction.**
-  ``snapshot_merge`` (upsert), ``snapshot_apply_cdc`` (upsert +
-  row-level DELETE), and ``snapshot_compact`` rewrite ONLY the files
+  ``snapshot_merge`` (upsert, plus WHEN NOT MATCHED BY SOURCE THEN
+  DELETE under an explicit ``source_scope`` band), ``snapshot_apply_cdc``
+  (upsert + row-level DELETE), and ``snapshot_compact`` rewrite ONLY the files
   whose footer stats intersect the touched key band / predicate;
   every other file's manifest entry is carried forward byte-identical
   (``mode="rewrite"``) — at 100 TB a merge into one band is O(band),
@@ -84,9 +85,12 @@ What real Iceberg/Delta still add beyond this and this module does
 NOT: multi-process CAS through a metastore/log-store beyond one
 filesystem (``os.link`` is the single-FS primitive — proven across
 processes by the subprocess race test, but S3 needs a conditional
-PUT), WHEN-NOT-MATCHED-BY-SOURCE merge clauses, decimal/date widening,
-and format interop. See SCALING.md "Table-format mapping" for the
-production swap-in.
+PUT), date→timestamp-WITH-timezone widening (the parquet reader
+refuses — session-zone-dependent), and format interop (no Delta/
+Iceberg jars in this environment). WHEN-NOT-MATCHED-BY-SOURCE DELETE
+(``snapshot_merge(not_matched_by_source="delete", source_scope=...)``)
+and decimal/date→timestamp_ntz widening landed in r10. See SCALING.md
+"Table-format mapping" for the production swap-in.
 
 The reference has no table format at all (its top10.py:260-278 rewrites
 per-day CSVs in a driver loop); this is beyond-reference surface.
@@ -212,7 +216,15 @@ def _collect_file_stats(abs_path: str) -> dict:
             if st is None or not st.has_min_max:
                 complete[name] = False
                 continue
-            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            try:
+                # pyarrow raises ArrowNotImplementedError for types it
+                # cannot cast stats for (e.g. some decimal encodings) —
+                # that column is simply not prunable, never a failed
+                # commit
+                lo, hi = _json_stat(st.min), _json_stat(st.max)
+            except Exception:
+                complete[name] = False
+                continue
             if lo is None or hi is None:
                 complete[name] = False
                 continue
@@ -235,13 +247,21 @@ def _widened_type(a, b):
     no lossless widening exists. The lattice is the Delta/Iceberg
     type-widening subset that Spark's parquet reader serves natively
     (verified: an int32 parquet file reads correctly under an explicit
-    long or double schema): byte→short→int→long within the integer
-    chain, float→double within the float chain, and {byte,short,int}→
+    long or double schema; a decimal(5,2) file reads under a
+    decimal(12,2) AND a decimal(12,4) schema; a date file reads under
+    a timestamp_ntz schema): byte→short→int→long within the integer
+    chain, float→double within the float chain, {byte,short,int}→
     double across (an int32 is exactly representable in a double's
-    53-bit mantissa). NOT widenable — because a value could change —
-    are long→double (>2^53 longs round), anything→float (24-bit
-    mantissa), and every non-numeric pair."""
-    from pyspark.sql.types import DoubleType
+    53-bit mantissa), decimal(p1,s1)→decimal(p2,s2) whenever both the
+    integer digits (p−s) and the scale grow-or-hold (the value is
+    re-scaled exactly, never truncated) and the union still fits in 38
+    digits, and date→timestamp_ntz (midnight — no timezone enters).
+    NOT widenable — because a value could change — are long→double
+    (>2^53 longs round), anything→float (24-bit mantissa),
+    date→timestamp WITH timezone (the reader refuses: the mapping is
+    session-zone-dependent, verified to fail), decimal unions past 38
+    digits, and every non-numeric pair."""
+    from pyspark.sql.types import DecimalType, DoubleType, TimestampNTZType
 
     if a == b:
         return a
@@ -255,6 +275,14 @@ def _widened_type(a, b):
     pair = {ta, tb}
     if "double" in pair and pair - {"double"} <= small_ints:
         return DoubleType()
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType):
+        scale = max(a.scale, b.scale)
+        int_digits = max(a.precision - a.scale, b.precision - b.scale)
+        if int_digits + scale > 38:
+            return None
+        return DecimalType(int_digits + scale, scale)
+    if pair == {"date", "timestamp_ntz"}:
+        return TimestampNTZType()
     return None
 
 
@@ -262,7 +290,8 @@ def _evolved_schema_json(prev_schema_json: str, df_schema) -> str:
     """Additive schema evolution for appends (the Iceberg/Delta rule
     subset this format supports): columns may be ADDED, and shared
     columns may WIDEN losslessly (``_widened_type``: int-chain widening,
-    float→double, small-int→double) — never dropped from shared names,
+    float→double, small-int→double, decimal digit growth,
+    date→timestamp_ntz) — never dropped from shared names,
     never narrowed or re-typed across families. The committed schema
     becomes prev columns (at the widened type where an append widened
     one) + new-only columns, all nullable: older files read added
@@ -292,8 +321,9 @@ def _evolved_schema_json(prev_schema_json: str, df_schema) -> str:
                     f"snapshot_commit: append changes column {have.name!r} "
                     f"from {have.dataType.simpleString()} to "
                     f"{f.dataType.simpleString()} — not a lossless "
-                    "widening (int-chain, float→double, small-int→double "
-                    "are); overwrite the table to re-type")
+                    "widening (int-chain, float→double, small-int→double, "
+                    "decimal digit growth, date→timestamp_ntz are); "
+                    "overwrite the table to re-type")
             widened[have.name.casefold()] = wide
     union = StructType(
         [StructField(f.name, widened.get(f.name.casefold(), f.dataType),
@@ -843,7 +873,9 @@ def _write_change_log(spark: SparkSession, table_dir: str,
 
 
 def snapshot_merge(spark: SparkSession, table_dir: str,
-                   updates: DataFrame, key: str) -> tuple[int, DataFrame]:
+                   updates: DataFrame, key: str,
+                   not_matched_by_source: str | None = None,
+                   source_scope: tuple | None = None) -> tuple[int, DataFrame]:
     """Transactional, predicate-scoped copy-on-write MERGE INTO the
     snapshot table: split the current version's files into DIRTY (key
     stats intersect the update batch's [min, max] key band —
@@ -864,6 +896,21 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
     INCLUDING its ``merge_action`` audit column — carried-clean rows as
     'kept').
 
+    ``not_matched_by_source="delete"`` adds the WHEN NOT MATCHED BY
+    SOURCE THEN DELETE clause: target rows whose key has no row in
+    ``updates`` are DELETED from the committed state (audited as
+    'deleted' in the returned frame; logged as D rows with their old
+    values in the change feed, via the same ``snapshot_diff`` log).
+    The clause's scope defaults to the WHOLE table — which forces
+    every file dirty, O(table), exactly why Delta's own MERGE docs
+    tell you to add a scoping condition — so ``source_scope=(lo, hi)``
+    bounds it to the key band [lo, hi]: only rows INSIDE the band are
+    delete-candidates, files intersecting neither the update band nor
+    the scope band stay carried-forward clean, and a dirty file's rows
+    that fall OUTSIDE the band are kept even without a source match
+    (file stats straddle band edges; row-level scoping is what keeps
+    the file-level split conservative-but-correct).
+
     Same contract as merge_upsert: one row per key on each side within
     the dirty scope — and, like any keyed table, no key may span a
     dirty/clean file boundary (a duplicated key is the caller's
@@ -871,6 +918,14 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
     it)."""
     from .merge import merge_upsert
 
+    if not_matched_by_source not in (None, "delete"):
+        raise ValueError(
+            f"snapshot_merge: not_matched_by_source={not_matched_by_source!r}"
+            " — only 'delete' (or None) is supported")
+    if source_scope is not None and not_matched_by_source is None:
+        raise ValueError(
+            "snapshot_merge: source_scope only scopes the "
+            "not_matched_by_source clause — pass both or neither")
     base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(f"snapshot_merge: {table_dir} has no commits")
@@ -888,16 +943,47 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
 
     band = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")) \
         .first()
-    if band["lo"] is None:
+    if band["lo"] is None and not_matched_by_source is None:
         # empty update batch: MERGE is a no-op — no commit, every row
-        # 'kept' (committing an empty rewrite would burn a version)
+        # 'kept' (committing an empty rewrite would burn a version).
+        # With the delete clause an empty source is NOT a no-op: every
+        # in-scope row is unmatched-by-source, so fall through.
         base = snapshot_read(spark, table_dir, version=base_version)
         return base_version, base.withColumn(
             "merge_action", F.lit("kept"))
-    dirty, clean = _split_dirty(manifest, key, band["lo"], band["hi"])
+    if not_matched_by_source is None:
+        dirty, clean = _split_dirty(manifest, key, band["lo"], band["hi"])
+    elif source_scope is None:
+        # unscoped delete clause: ANY row anywhere may be unmatched —
+        # every file is dirty (the documented O(table) worst case)
+        dirty, clean = list(manifest["files"]), []
+    else:
+        # dirty = files that may hold a matched/inserted row (update
+        # band) OR a delete-candidate row (scope band) — the union of
+        # the two interval probes, not their convex hull
+        scoped, _ = _split_dirty(manifest, key,
+                                 source_scope[0], source_scope[1])
+        dirty_paths = {e["path"] for e in scoped}
+        if band["lo"] is not None:
+            banded, _ = _split_dirty(manifest, key, band["lo"], band["hi"])
+            dirty_paths |= {e["path"] for e in banded}
+        dirty = [e for e in manifest["files"] if e["path"] in dirty_paths]
+        clean = [e for e in manifest["files"]
+                 if e["path"] not in dirty_paths]
     dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"])
     merged = merge_upsert(dirty_df, updates, key)
-    new_state = merged.drop("merge_action")
+    if not_matched_by_source is not None:
+        in_scope = (F.lit(True) if source_scope is None
+                    else F.col(key).between(F.lit(source_scope[0]),
+                                            F.lit(source_scope[1])))
+        merged = merged.withColumn(
+            "merge_action",
+            F.when((F.col("merge_action") == "kept") & in_scope,
+                   F.lit("deleted")).otherwise(F.col("merge_action")))
+        new_state = merged.filter(
+            F.col("merge_action") != "deleted").drop("merge_action")
+    else:
+        new_state = merged.drop("merge_action")
 
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)

@@ -93,6 +93,14 @@ PRIORITY_THIS_ROUND = [
     # round 10, new: the snapshot table as a streaming SOURCE (offsets
     # are versions); restart consumes exactly the delta
     "stream_snapshot_source_parity",
+    # round 10, new: MERGE gains WHEN NOT MATCHED BY SOURCE THEN
+    # DELETE under an explicit scope band — deletes ride the CDF,
+    # out-of-scope files stay carried forward byte-identical
+    "snapshot_merge_delete_unmatched_parity",
+    # round 10, new: the change data feed as a STREAMING source
+    # (option cdf=true) — the stream survives a CDC rewrite commit
+    # and the restarted drain replays to the exact head state
+    "stream_snapshot_cdf_source_parity",
     # round 10: write_bucketed_table's skip path now requires the full
     # one-file-per-bucket layout (ADVICE r9 low) — both bucketed-layout
     # consumers re-gate

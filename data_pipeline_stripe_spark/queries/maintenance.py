@@ -1476,3 +1476,119 @@ def snapshot_clustered_write_parity(spark: SparkSession,
         .agg(F.count("*").alias("n_events"),
              F.sum("cents").alias("cents"))
     )
+
+
+@query(
+    "snapshot_merge_delete_unmatched_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1200 AND o_orderkey % 5 <> 1
+    ),
+    src AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) * 2 AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey > 400 AND o_orderkey <= 800
+          AND o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(s.k, b.k) AS o_orderkey,
+           COALESCE(s.pri, b.pri) AS pri,
+           COALESCE(s.cents, b.cents) AS cents,
+           CASE WHEN s.k IS NOT NULL AND b.k IS NOT NULL THEN 'updated'
+                WHEN s.k IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS merge_action
+    FROM base b FULL OUTER JOIN src s ON b.k = s.k
+    WHERE s.k IS NOT NULL OR b.k <= 400 OR b.k > 800
+    """,
+)
+def snapshot_merge_delete_unmatched_parity(spark: SparkSession,
+                                           sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE
+    (operators/snapshots.py:snapshot_merge(not_matched_by_source=
+    'delete', source_scope=...)): the base is three key-band files
+    (k <= 400, (400, 800], > 800; every fifth key withheld so the
+    source also INSERTS); the source holds only every third key of the
+    middle band, doubled. Scoped to (400, 800], the merge must UPDATE
+    the source-matched middle-band rows, INSERT the source-only keys,
+    DELETE every other middle-band row (unmatched by source, in
+    scope), and leave both outer bands carried forward BYTE-IDENTICAL
+    (the query raises otherwise — the clause must not widen the
+    copy-on-write past its scope band). The change feed's D rows must
+    equal the audited deletes exactly (raises otherwise — deletes ride
+    the CDF with their pre-delete values). The hash then gates the
+    final state + actions against the full-semantics oracle (deleted
+    rows absent; out-of-scope rows 'kept')."""
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_merge, snapshot_read,
+                                       snapshot_read_cdf)
+
+    table_dir = _scratch(sf_dir, "snapshot_merge_delete")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        (F.col("o_orderkey") <= 1200) & (F.col("o_orderkey") % 5 != 1)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bands = [
+        F.col("k") <= 400,
+        (F.col("k") > 400) & (F.col("k") <= 800),
+        F.col("k") > 800,
+    ]
+    for band in bands:
+        snapshot_commit(spark, table_dir,
+                        base.filter(band).coalesce(1), mode="append")
+    base_version = snapshot_current_version(table_dir)
+    pre = {e["path"]: e
+           for e in _read_manifest(table_dir, base_version)["files"]}
+
+    src = orders.filter(
+        (F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 800)
+        & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.round(F.col("o_totalprice") * 100) * 2).cast("long")
+        .alias("cents"),
+    )
+    version, merged = snapshot_merge(
+        spark, table_dir, src, "k",
+        not_matched_by_source="delete", source_scope=(401, 800))
+    post = {e["path"]: e
+            for e in _read_manifest(table_dir, version)["files"]}
+    carried = set(pre) & set(post)
+    if len(carried) != 2 or any(post[p] != pre[p] for p in carried):
+        raise RuntimeError(
+            "snapshot_merge_delete_unmatched_parity: expected both "
+            "out-of-scope band files carried forward identically, got "
+            f"{len(carried)} of {len(pre)} — the delete clause widened "
+            "the copy-on-write past its scope band")
+    deleted_keys = {
+        r["k"] for r in merged.filter(
+            F.col("merge_action") == "deleted").select("k").collect()}
+    if not deleted_keys:
+        raise RuntimeError(
+            "snapshot_merge_delete_unmatched_parity: the clause deleted "
+            "nothing — the fixture guarantees unmatched in-scope rows")
+    cdf_deleted = {
+        r["k"] for r in snapshot_read_cdf(
+            spark, table_dir, from_version=version - 1,
+            to_version=version)
+        .filter(F.col("_change_type") == "D").select("k").collect()}
+    if cdf_deleted != deleted_keys:
+        raise RuntimeError(
+            "snapshot_merge_delete_unmatched_parity: the change feed's "
+            f"D rows ({len(cdf_deleted)}) differ from the audited "
+            f"deletes ({len(deleted_keys)}) — deletes must ride the CDF")
+    actions = merged.filter(F.col("merge_action") != "deleted") \
+        .select(F.col("k"), "merge_action")
+    committed = snapshot_read(spark, table_dir, version=version)
+    return (
+        committed.join(actions, "k")
+        .select(F.col("k").alias("o_orderkey"), "pri", "cents",
+                "merge_action")
+    )

@@ -664,3 +664,145 @@ def stream_snapshot_source_parity(spark: SparkSession,
         .agg(F.count("*").alias("n_events"),
              F.sum("cents").alias("total_value_cents"))
     )
+
+
+@query(
+    "stream_snapshot_cdf_source_parity",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id AS k, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               event_id % 3 AS slot
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN slot < 2 AND k % 7 = 2
+                         THEN cents * 2 + 1 ELSE cents END) AS BIGINT)
+               AS total_cents
+    FROM ev
+    WHERE NOT (slot < 2 AND k % 7 = 3)
+    GROUP BY 1
+    """,
+)
+def stream_snapshot_cdf_source_parity(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The snapshot table's CHANGE DATA FEED as a streaming source
+    (sources/snapshot_source.py, option("cdf","true") — Delta's
+    readChangeFeed): where the plain source STOPS at any non-append
+    commit, the CDF stream rides row-level change logs through it. Two
+    appends are drained as 'I' rows and the query stops; while NO
+    stream runs, a CDC commit (updates cents to 2x+1 for k%7==2,
+    DELETES k%7==3) and a third append land; the restarted query must
+    consume EXACTLY that delta from the checkpoint — the query raises
+    if the first drain missed rows, if the restart re-served consumed
+    versions, or if the U/D change rows are missing or mislabeled.
+    The drained feed is then REPLAYED (apply_cdc over an empty base,
+    seq = _commit_version) and the hash gates the replayed state
+    against the oracle's direct computation — a feed that drops a
+    delete, double-serves an insert, or loses a pre-delete value
+    cannot reproduce the head table."""
+    import glob
+
+    from ..operators.merge import apply_cdc
+    from ..operators.snapshots import (snapshot_apply_cdc, snapshot_commit,
+                                       snapshot_read)
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    scratch = _scratch(sf_dir, "stream_snapshot_cdf_source")
+    table_dir = os.path.join(scratch, "table")
+    out_dir = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "_ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("slot"),
+    )
+    snapshot_commit(spark, table_dir,
+                    ev.filter(F.col("slot") == 0).drop("slot"),
+                    mode="append")
+    snapshot_commit(spark, table_dir,
+                    ev.filter(F.col("slot") == 1).drop("slot"),
+                    mode="append")
+
+    def drain() -> None:
+        stream = (spark.readStream.format("snapshot_table")
+                  .option("cdf", "true").load(table_dir))
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    base_rows = ev.filter(F.col("slot") < 2).count()
+    got1 = (spark.read.parquet(out_dir).count()
+            if glob.glob(os.path.join(out_dir, "*.parquet")) else 0)
+    if got1 != base_rows:
+        raise RuntimeError(
+            f"stream_snapshot_cdf_source_parity: first drain served "
+            f"{got1} change rows, expected {base_rows} 'I' rows")
+
+    # while NO stream runs: one CDC commit (row-level updates + DELETES
+    # — a rewrite the plain source would refuse) and one append
+    committed = ev.filter(F.col("slot") < 2).drop("slot")
+    cdc = committed.filter(F.pmod(F.col("k"), F.lit(7)).isin(2, 3)) \
+        .select(
+            "k", "event_type",
+            (F.col("cents") * 2 + 1).alias("cents"),
+            F.lit(1).alias("seq"),
+            F.when(F.pmod(F.col("k"), F.lit(7)) == 3, F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+        )
+    snapshot_apply_cdc(spark, table_dir, cdc, "k")
+    snapshot_commit(spark, table_dir,
+                    ev.filter(F.col("slot") == 2).drop("slot"),
+                    mode="append")
+    drain()
+
+    feed = spark.read.parquet(out_dir)
+    n_deleted = feed.filter(F.col("_change_type") == "D").count()
+    expect_deleted = committed.filter(
+        F.pmod(F.col("k"), F.lit(7)) == 3).count()
+    if n_deleted != expect_deleted:
+        raise RuntimeError(
+            f"stream_snapshot_cdf_source_parity: the feed carries "
+            f"{n_deleted} D rows, expected {expect_deleted} — deletes "
+            "must ride the restarted CDF stream")
+
+    # replay the feed over an empty base: I/U upsert, D delete, ordered
+    # by commit version — must reproduce the head table exactly
+    empty = spark.createDataFrame(
+        [], "k long, event_type string, cents long")
+    replayed = apply_cdc(
+        empty,
+        feed.select(
+            "k", "event_type", "cents",
+            F.col("_commit_version").alias("seq"),
+            F.when(F.col("_change_type") == "D", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+        ),
+        "k").drop("cdc_action")
+    head_rows = snapshot_read(spark, table_dir).count()
+    replay_rows = replayed.count()
+    if replay_rows != head_rows:
+        raise RuntimeError(
+            f"stream_snapshot_cdf_source_parity: replaying the feed "
+            f"yields {replay_rows} rows but the table head has "
+            f"{head_rows} — the feed is not a faithful delta")
+    return (
+        replayed.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("total_cents"))
+    )

@@ -20,6 +20,17 @@ Contract: the consumed range must be APPEND-ONLY (an overwrite/rewrite
 in range raises — exactly Delta's streaming-source rule for non-append
 commits without ``skipChangeCommits``), and versions must not be
 expired past the checkpoint (raises with the retention hint).
+
+``option("cdf", "true")`` switches the source to the CHANGE DATA FEED
+(Delta's ``readChangeFeed``): each micro-batch serves row-level
+changes — appends as 'I' rows, merge/CDC commits via their recorded
+change logs (including 'D' rows with pre-delete values), compactions
+as zero rows — with ``_change_type`` and ``_commit_version`` columns
+appended to the table schema. A CDF stream therefore SURVIVES the
+rewrite commits that stop the plain source: downstream state stays
+incremental across a MERGE. Only a plain overwrite (no recorded log)
+still raises. ``option("startingVersion", N)`` starts the feed at
+version N's changes (default 0 = the initial commit's rows as 'I').
 Cluster note: manifests are read where the driver-side Python worker
 runs, data files where executors run — on a real cluster ``path`` must
 be shared storage (which a table format's location always is).
@@ -37,9 +48,18 @@ from pyspark.sql.datasource import (
 
 
 class SnapshotFileSlice(InputPartition):
-    def __init__(self, abs_path: str | None, columns: list[str]):
+    def __init__(self, abs_path: str | None, columns: list[str],
+                 kind: str = "data", version: int = -1,
+                 schema_json: str | None = None):
         self.abs_path = abs_path
         self.columns = columns
+        # CDF fields: kind 'data' (append delta — synthesize 'I') or
+        # 'log' (recorded change-log file — _change_type comes from the
+        # file); version stamps _commit_version; schema_json carries the
+        # declared output schema so executors build exact Arrow batches
+        self.kind = kind
+        self.version = version
+        self.schema_json = schema_json
 
 
 def _delta_entries(table_dir: str, start_v: int, end_v: int) -> list[dict]:
@@ -78,6 +98,54 @@ def _delta_entries(table_dir: str, start_v: int, end_v: int) -> list[dict]:
             "checkpoint lag") from exc
 
 
+def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
+    """(rel_path, kind, version) change slices for the feed over
+    ``(start_v, end_v]`` — ``start_v == -1`` includes version 0's
+    initial commit as 'I' rows. Appends contribute their delta data
+    files (kind 'data'); rewrites contribute their recorded change-log
+    files (kind 'log' — empty log = compaction = nothing); a rewrite
+    with NO recorded log (plain overwrite) raises, Delta's own CDF
+    rule."""
+    from ..operators.snapshots import _read_manifest
+
+    try:
+        slices: list[tuple] = []
+        v: int | None = end_v
+        while v is not None and v > start_v:
+            m = _read_manifest(table_dir, v)
+            parent = m["parent"]
+            if m["mode"] == "append":
+                base: set[str] = set()
+                if parent is not None:
+                    base = {e["path"]
+                            for e in _read_manifest(table_dir,
+                                                    parent)["files"]}
+                slices.extend(
+                    (e["path"], "data", v) for e in m["files"]
+                    if e["path"] not in base)
+            else:
+                entries = m.get("changes")
+                if entries is None:
+                    raise ValueError(
+                        f"snapshot CDF source: version {v} of {table_dir} "
+                        f"is a {m['mode']} with no recorded change log — "
+                        "its delta is not expressible; restart the "
+                        "consumer from a full re-read")
+                slices.extend((e["path"], "log", v) for e in entries)
+            v = parent
+        if start_v >= 0 and v != start_v:
+            raise ValueError(
+                f"snapshot CDF source: offset version {start_v} is not "
+                f"an ancestor of {end_v} on {table_dir}")
+        return slices
+    except FileNotFoundError as exc:
+        raise ValueError(
+            f"snapshot CDF source: the offset range ({start_v}, {end_v}] "
+            f"of {table_dir} touches an expired version — widen "
+            "snapshot_expire retention past the consumer's checkpoint "
+            "lag") from exc
+
+
 class SnapshotTableStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema):
         self.table_dir = options.get("path")
@@ -86,9 +154,13 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                 "snapshot stream source: pass the table directory as "
                 ".load(<path>) / option('path', ...)")
         self.columns = [f.name for f in schema.fields]
+        self.cdf = str(options.get("cdf", "false")).lower() == "true"
+        self.schema_json = schema.json()
+        start = int(options.get("startingVersion", 0))
+        self._initial = start - 1
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": self._initial}
 
     def latestOffset(self) -> dict:
         from ..operators.snapshots import snapshot_current_version
@@ -100,6 +172,16 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         if e < 0 or e <= s:
             return [SnapshotFileSlice(None, self.columns)]
+        if self.cdf:
+            slices = _cdf_slices(self.table_dir, s, e)
+            if not slices:
+                return [SnapshotFileSlice(None, self.columns)]
+            return [
+                SnapshotFileSlice(os.path.join(self.table_dir, rel),
+                                  self.columns, kind=kind, version=v,
+                                  schema_json=self.schema_json)
+                for (rel, kind, v) in slices
+            ]
         entries = _delta_entries(self.table_dir, s, e)
         if not entries:
             return [SnapshotFileSlice(None, self.columns)]
@@ -114,11 +196,49 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
+        if partition.schema_json is None:
+            pf = pq.ParquetFile(partition.abs_path)
+            for batch in pf.iter_batches(columns=partition.columns):
+                # select() pins the declared column ORDER — parquet files
+                # may store columns in a different physical order
+                yield batch.select(partition.columns)
+            return
+        # CDF slice: build Arrow batches in the declared schema exactly —
+        # synthesized _change_type ('I' for append deltas, from the file
+        # for change logs), constant _commit_version, NULL-filled columns
+        # the file predates (schema evolution inside the range), and
+        # native upcasts for columns a later commit widened
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        target = to_arrow_schema(
+            StructType.fromJson(_json.loads(partition.schema_json)))
         pf = pq.ParquetFile(partition.abs_path)
-        for batch in pf.iter_batches(columns=partition.columns):
-            # select() pins the declared column ORDER — parquet files
-            # may store columns in a different physical order
-            yield batch.select(partition.columns)
+        have = set(pf.schema_arrow.names)
+        want = [n for n in target.names
+                if n in have]  # _change_type present only in log files
+        for batch in pf.iter_batches(columns=want):
+            n = batch.num_rows
+            arrays = []
+            for field in target:
+                if field.name in have:
+                    arr = batch.column(field.name)
+                    if arr.type != field.type:
+                        arr = pc.cast(arr, field.type)
+                elif field.name == "_change_type":
+                    arr = pa.array(["I"] * n, type=field.type)
+                elif field.name == "_commit_version":
+                    arr = pa.array([partition.version] * n,
+                                   type=field.type)
+                else:
+                    arr = pa.nulls(n, type=field.type)
+                arrays.append(arr)
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
     def commit(self, end: dict) -> None:
         pass
@@ -138,7 +258,8 @@ class SnapshotTableDataSource(DataSource):
     def schema(self):
         import json
 
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
 
         from ..operators.snapshots import (_read_manifest,
                                            snapshot_current_version)
@@ -154,8 +275,12 @@ class SnapshotTableDataSource(DataSource):
                 f"snapshot stream source: {table_dir} has no commits")
         committed = StructType.fromJson(
             json.loads(_read_manifest(table_dir, v)["schema"]))
-        return StructType([StructField(f.name, f.dataType, True)
-                           for f in committed.fields])
+        fields = [StructField(f.name, f.dataType, True)
+                  for f in committed.fields]
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            fields += [StructField("_change_type", StringType(), True),
+                       StructField("_commit_version", LongType(), True)]
+        return StructType(fields)
 
     def streamReader(self, schema) -> SnapshotTableStreamReader:
         return SnapshotTableStreamReader(self.options, schema)

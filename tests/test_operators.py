@@ -2543,3 +2543,127 @@ def test_snapshot_partial_compaction_carries_clean_files(spark, tmp_path):
     assert S.snapshot_read(spark, t).count() == 140
     assert sorted(r.id for r in S.snapshot_read(spark, t).collect()) == (
         list(range(100)) + list(range(200, 240)))
+
+
+def test_snapshot_decimal_and_date_widening(spark, tmp_path):
+    """r10 widening legs: decimal digit growth (precision AND scale,
+    while both integer digits and scale grow-or-hold) and
+    date→timestamp_ntz are lossless and read natively; a union past 38
+    digits and date→timestamp-WITH-timezone stay rejected pre-publish."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_commit, snapshot_read)
+
+    t = str(tmp_path / "snap_widen2")
+    snapshot_commit(spark, t, spark.range(1).select(
+        F.lit("12.34").cast(DecimalType(5, 2)).alias("amt"),
+        F.lit("2024-01-02").cast("date").alias("d")))
+    # decimal(5,2)→decimal(12,3): precision + scale growth, int digits
+    # grow too; date→timestamp_ntz
+    snapshot_commit(spark, t, spark.range(1).select(
+        F.lit("123456789.567").cast(DecimalType(12, 3)).alias("amt"),
+        F.lit("2024-02-03T04:05:06").cast("timestamp_ntz").alias("d")))
+    head = snapshot_read(spark, t)
+    assert [f.dataType.simpleString() for f in head.schema.fields] == [
+        "decimal(12,3)", "timestamp_ntz"]
+    vals = {str(r.amt): str(r.d) for r in head.collect()}
+    # the narrow file's values re-scale exactly (12.34 → 12.340) and
+    # its date reads as midnight
+    assert vals["12.340"] == "2024-01-02 00:00:00"
+    # scale growth alone, int digits shrinking, is NOT widenable both
+    # ways — the union keeps max of each: (12,3) + (6,5) → (12-3=9,
+    # 5) = decimal(14,5), still lossless
+    snapshot_commit(spark, t, spark.range(1).select(
+        F.lit("1.23456").cast(DecimalType(6, 5)).alias("amt"),
+        F.lit("2024-03-04").cast("date").alias("d")))
+    head = snapshot_read(spark, t)
+    assert head.schema.fields[0].dataType.simpleString() == "decimal(14,5)"
+    assert head.count() == 3
+    # union past 38 digits: rejected, nothing published
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        snapshot_commit(spark, t, spark.range(1).select(
+            F.lit("0.1").cast(DecimalType(38, 37)).alias("amt"),
+            F.lit("2024-01-01").cast("date").alias("d")))
+    # date→timestamp WITH timezone: rejected (session-zone-dependent)
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        snapshot_commit(spark, t, spark.range(1).select(
+            F.lit("1.0").cast(DecimalType(14, 5)).alias("amt"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("d")))
+    assert snapshot_read(spark, t).count() == 3
+
+
+def test_snapshot_merge_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: scoped to a key band it
+    deletes exactly the in-scope unmatched rows (audited 'deleted',
+    logged as CDF 'D' rows with pre-delete values) and carries files
+    outside both bands forward untouched; unscoped it is O(table) and
+    deletes every unmatched row; an empty source with the clause clears
+    the scope band; bad arguments raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_nmbs")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 21)], "k int, val string")
+    for lo, hi in ((1, 7), (8, 14), (15, 20)):
+        S.snapshot_commit(
+            spark, t,
+            base.filter((F.col("k") >= lo) & (F.col("k") <= hi))
+            .coalesce(1), mode="append")
+    pre = {e["path"]: e
+           for e in S._read_manifest(t, S.snapshot_current_version(t))
+           ["files"]}
+    upd = spark.createDataFrame(
+        [(8, "u8"), (10, "u10"), (12, "u12")], "k int, val string")
+    v, audit = S.snapshot_merge(
+        spark, t, upd, "k",
+        not_matched_by_source="delete", source_scope=(8, 14))
+    got = sorted((r.k, r.val)
+                 for r in S.snapshot_read(spark, t, version=v).collect())
+    assert got == sorted(
+        [(i, f"v{i}") for i in [*range(1, 8), *range(15, 21)]]
+        + [(8, "u8"), (10, "u10"), (12, "u12")])
+    acts = {r.k: r.merge_action for r in audit.collect()}
+    assert acts[9] == "deleted" and acts[14] == "deleted"
+    assert acts[8] == "updated" and acts[1] == "kept" and acts[20] == "kept"
+    # files outside both bands carried forward byte-identical
+    post = {e["path"]: e for e in S._read_manifest(t, v)["files"]}
+    carried = set(pre) & set(post)
+    assert len(carried) == 2
+    assert all(post[p] == pre[p] for p in carried)
+    # deletes ride the change feed with their OLD values
+    drows = sorted(
+        (r.k, r.val)
+        for r in S.snapshot_read_cdf(spark, t, from_version=v - 1,
+                                     to_version=v)
+        .filter("_change_type = 'D'").collect())
+    assert drows == [(9, "v9"), (11, "v11"), (13, "v13"), (14, "v14")]
+    # unscoped: every unmatched row in the table deletes
+    t2 = str(tmp_path / "snap_nmbs_unscoped")
+    S.snapshot_commit(spark, t2, base, mode="append")
+    v2, _ = S.snapshot_merge(spark, t2, upd, "k",
+                             not_matched_by_source="delete")
+    assert sorted(r.k for r in
+                  S.snapshot_read(spark, t2, version=v2).collect()) \
+        == [8, 10, 12]
+    # empty source + scoped clause clears the band (NOT a no-op)
+    t3 = str(tmp_path / "snap_nmbs_empty")
+    S.snapshot_commit(spark, t3, base, mode="append")
+    empty = spark.createDataFrame([], "k int, val string")
+    v3, _ = S.snapshot_merge(spark, t3, empty, "k",
+                             not_matched_by_source="delete",
+                             source_scope=(5, 10))
+    assert sorted(r.k for r in
+                  S.snapshot_read(spark, t3, version=v3).collect()) \
+        == [*range(1, 5), *range(11, 21)]
+    # argument validation
+    with pytest.raises(ValueError, match="only 'delete'"):
+        S.snapshot_merge(spark, t3, upd, "k",
+                         not_matched_by_source="update")
+    with pytest.raises(ValueError, match="source_scope only scopes"):
+        S.snapshot_merge(spark, t3, upd, "k", source_scope=(1, 2))

@@ -1008,3 +1008,66 @@ def test_restart_recovery_gate_crash_fires_and_recovers(spark, sf_dir):
     )
     want = {r.event_type: (r.n, r.c) for r in batch.collect()}
     assert got == want
+
+
+def test_cdf_stream_source_slices_and_starting_version(spark, tmp_path):
+    """The CDF streaming source (sources/snapshot_source.py, option
+    cdf=true): _cdf_slices classifies appends as 'data' (I rows), CDC
+    rewrites as 'log' slices and compactions as nothing, while the
+    plain source's _delta_entries REFUSES the same rewrite range
+    (Delta's rule); option("startingVersion", N) serves exactly the
+    feed from version N's changes on."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_apply_cdc, snapshot_commit, snapshot_compact)
+    from data_pipeline_stripe_spark.sources.snapshot_source import (
+        _cdf_slices, _delta_entries, register_snapshot_source)
+
+    t = str(tmp_path / "cdf_src")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "k int, cents int")
+    snapshot_commit(spark, t, base.filter("k <= 4").coalesce(1),
+                    mode="append")                          # v0
+    snapshot_commit(spark, t, base.filter("k > 4").coalesce(1),
+                    mode="append")                          # v1
+    cdc = spark.createDataFrame(
+        [(2, 999, 1, "U"), (5, 0, 1, "D")],
+        "k int, cents int, seq int, op string")
+    snapshot_apply_cdc(spark, t, cdc, "k")                  # v2 rewrite
+    snapshot_compact(spark, t, target_files=1)              # v3 rewrite []
+    snapshot_commit(spark, t,
+                    spark.createDataFrame([(9, 90)], "k int, cents int"),
+                    mode="append")                          # v4
+
+    # the plain source refuses any range crossing the rewrite ...
+    with pytest.raises(ValueError, match="no append-only delta"):
+        _delta_entries(t, 1, 4)
+    # ... the CDF source classifies it: v2 log slices, v3 nothing,
+    # v4 data slices
+    kinds = {v: {k for (_, k, vv) in _cdf_slices(t, 1, 4) if vv == v}
+             for v in (2, 3, 4)}
+    assert kinds[2] == {"log"} and kinds[3] == set() \
+        and kinds[4] == {"data"}
+
+    # startingVersion=2 through a real drain: U(2), D(5), I(9) only
+    register_snapshot_source(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("cdf", "true").option("startingVersion", 2).load(t)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start(out, format="parquet")
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.k, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {(2, "U", 2), (5, "D", 2), (9, "I", 4)}
+    # the D row carries its pre-delete value
+    dval = [r.cents for r in spark.read.parquet(out)
+            .filter("_change_type = 'D'").collect()]
+    assert dval == [50]
