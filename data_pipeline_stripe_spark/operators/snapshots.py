@@ -193,11 +193,11 @@ def _json_stat(value):
     return None
 
 
-def _collect_file_stats(abs_path: str) -> dict:
-    """Per-column {"min","max","nulls"} from the parquet FOOTER of one
-    file — row-group stats folded to file level; no data pages read.
-    Columns whose stats are absent/truncated/non-scalar are omitted
-    (readers treat missing stats as "cannot prune")."""
+def _collect_file_stats(abs_path: str) -> tuple[dict, int]:
+    """(per-column {"min","max","nulls"}, row count) from the parquet
+    FOOTER of one file — row-group stats folded to file level; no data
+    pages read. Columns whose stats are absent/truncated/non-scalar are
+    omitted (readers treat missing stats as "cannot prune")."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(abs_path).metadata
@@ -235,8 +235,8 @@ def _collect_file_stats(abs_path: str) -> dict:
                 entry["max"], hi)
             if st.null_count is not None:
                 entry["nulls"] += st.null_count
-    return {name: stats for name, stats in per_col.items()
-            if complete.get(name)}
+    return ({name: stats for name, stats in per_col.items()
+             if complete.get(name)}, meta.num_rows)
 
 
 _INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
@@ -342,10 +342,8 @@ def _file_entries(table_dir: str, rel_dir: str) -> list[dict]:
         if not f.endswith(".parquet"):
             continue
         rel = os.path.join(rel_dir, f)
-        entries.append({
-            "path": rel,
-            "stats": _collect_file_stats(os.path.join(table_dir, rel)),
-        })
+        stats, rows = _collect_file_stats(os.path.join(table_dir, rel))
+        entries.append({"path": rel, "stats": stats, "rows": rows})
     return entries
 
 
@@ -1227,3 +1225,46 @@ def snapshot_commit_clustered(spark: SparkSession, table_dir: str,
     )
     return snapshot_commit(spark, table_dir, clustered, mode=mode,
                            **kwargs)
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the snapshot table: one row per retained
+    version — (version, parent, mode, committed_at epoch seconds,
+    n_files, n_rows, n_change_files) — assembled from the manifests
+    alone (footer row counts are harvested at commit time into each
+    file entry, so history never opens a data file). ``n_rows`` is NULL
+    for versions committed before row counts were recorded;
+    ``n_change_files`` is NULL for commits with no recorded change log
+    (appends synthesize their feed, plain overwrites have none) and 0
+    for layout-only commits (compaction). O(versions) manifest reads,
+    driver-side — the operational surface Delta exposes as DESCRIBE
+    HISTORY and Iceberg as the snapshots metadata table."""
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
+
+    rows = []
+    for v in snapshot_versions(table_dir):
+        m = _read_manifest(table_dir, v)
+        counts = [e.get("rows") for e in m["files"]]
+        changes = m.get("changes")
+        rows.append((
+            v,
+            m["parent"],
+            m["mode"],
+            float(m["committed_at"]),
+            len(m["files"]),
+            sum(counts) if all(c is not None for c in counts) else None,
+            len(changes) if changes is not None else None,
+            m.get("last_epoch") is not None,
+        ))
+    schema = StructType([
+        StructField("version", LongType(), False),
+        StructField("parent", LongType(), True),
+        StructField("mode", StringType(), False),
+        StructField("committed_at", DoubleType(), False),
+        StructField("n_files", LongType(), False),
+        StructField("n_rows", LongType(), True),
+        StructField("n_change_files", LongType(), True),
+        StructField("from_stream_epoch", BooleanType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)

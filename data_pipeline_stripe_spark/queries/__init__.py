@@ -101,6 +101,10 @@ PRIORITY_THIS_ROUND = [
     # (option cdf=true) — the stream survives a CDC rewrite commit
     # and the restarted drain replays to the exact head state
     "stream_snapshot_cdf_source_parity",
+    # round 10, new: DESCRIBE HISTORY — per-version mode/row-count/
+    # change-log report assembled from manifests alone (footer row
+    # counts recorded at commit time)
+    "snapshot_history_parity",
     # round 10: write_bucketed_table's skip path now requires the full
     # one-file-per-bucket layout (ADVICE r9 low) — both bucketed-layout
     # consumers re-gate

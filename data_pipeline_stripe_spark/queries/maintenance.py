@@ -1592,3 +1592,72 @@ def snapshot_merge_delete_unmatched_parity(spark: SparkSession,
         .select(F.col("k").alias("o_orderkey"), "pri", "cents",
                 "merge_action")
     )
+
+
+@query(
+    "snapshot_history_parity",
+    oracle="""
+    WITH c AS (SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 500) AS c0,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 1000) AS c1,
+      (SELECT COUNT(*) FROM orders) AS c2)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS mode,
+           CAST(c0 AS BIGINT) AS n_rows, FALSE AS has_log FROM c
+    UNION ALL SELECT 1, 'append', CAST(c1 AS BIGINT), FALSE FROM c
+    UNION ALL SELECT 2, 'append', CAST(c2 AS BIGINT), FALSE FROM c
+    UNION ALL SELECT 3, 'rewrite', CAST(c2 AS BIGINT), TRUE FROM c
+    UNION ALL SELECT 4, 'rewrite', CAST(c2 AS BIGINT), TRUE FROM c
+    """,
+)
+def snapshot_history_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the snapshot table
+    (operators/snapshots.py:snapshot_history): three appends, one
+    predicate-scoped MERGE, one compaction — history must report one
+    row per version with the right mode, the FOOTER-harvested
+    cumulative row count (no data file is opened: counts come from the
+    manifests), and a change log exactly on the rewrite commits. The
+    query raises unless the parent chain is contiguous, commit
+    timestamps are non-decreasing, and every version has files; the
+    hash then gates (version, mode, n_rows, has_log) against counts
+    the oracle computes directly from the orders table."""
+    from ..operators.snapshots import (snapshot_commit, snapshot_compact,
+                                       snapshot_history, snapshot_merge)
+
+    table_dir = _scratch(sf_dir, "snapshot_history")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    for cond in (F.col("k") <= 500,
+                 (F.col("k") > 500) & (F.col("k") <= 1000),
+                 F.col("k") > 1000):
+        snapshot_commit(spark, table_dir, orders.filter(cond).coalesce(1),
+                        mode="append")
+    upd = orders.filter((F.col("k") > 200) & (F.col("k") <= 400)) \
+        .withColumn("cents", F.col("cents") * 2)
+    snapshot_merge(spark, table_dir, upd, "k")
+    snapshot_compact(spark, table_dir, target_files=2)
+
+    hist = snapshot_history(spark, table_dir)
+    rows = hist.orderBy("version").collect()
+    if [r.version for r in rows] != [0, 1, 2, 3, 4]:
+        raise RuntimeError(
+            "snapshot_history_parity: expected versions 0..4, got "
+            f"{[r.version for r in rows]}")
+    for prev, cur in zip(rows, rows[1:]):
+        if cur.parent != prev.version:
+            raise RuntimeError(
+                f"snapshot_history_parity: version {cur.version} has "
+                f"parent {cur.parent}, expected {prev.version} — the "
+                "chain must be contiguous")
+        if cur.committed_at < prev.committed_at:
+            raise RuntimeError(
+                "snapshot_history_parity: commit timestamps regressed")
+    if any(r.n_files < 1 for r in rows) or any(
+            r.from_stream_epoch for r in rows):
+        raise RuntimeError(
+            "snapshot_history_parity: every batch version must have "
+            "files and no stream epoch")
+    return hist.select(
+        "version", "mode", "n_rows",
+        F.col("n_change_files").isNotNull().alias("has_log"))

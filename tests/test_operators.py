@@ -2667,3 +2667,43 @@ def test_snapshot_merge_not_matched_by_source_delete(spark, tmp_path):
                          not_matched_by_source="update")
     with pytest.raises(ValueError, match="source_scope only scopes"):
         S.snapshot_merge(spark, t3, upd, "k", source_scope=(1, 2))
+
+
+def test_snapshot_history_reports_modes_rows_and_legacy_null(spark,
+                                                             tmp_path):
+    """snapshot_history: per-version mode/n_files/n_rows/n_change_files
+    from manifests alone; a stream-epoch commit flags from_stream_epoch;
+    a manifest written before footer row counts were recorded (entries
+    without 'rows') reports n_rows NULL instead of a wrong sum."""
+    import json as js
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_hist")
+    base = spark.range(10).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v"))
+    S.snapshot_commit(spark, t, base.coalesce(1), mode="append")
+    S.snapshot_commit(spark, t, base.selectExpr("k + 10 as k", "v")
+                      .coalesce(1), mode="append", epoch_key="7")
+    upd = spark.createDataFrame([(3, 999)], "k long, v long")
+    S.snapshot_merge(spark, t, upd, "k")
+    hist = {r.version: r for r in
+            S.snapshot_history(spark, t).collect()}
+    assert hist[0].mode == "append" and hist[0].n_rows == 10
+    assert hist[0].n_change_files is None  # appends synthesize I rows
+    assert hist[1].n_rows == 20 and hist[1].from_stream_epoch
+    assert hist[2].mode == "rewrite" and hist[2].n_rows == 20
+    assert hist[2].n_change_files >= 1
+    assert hist[2].parent == 1 and hist[0].parent is None
+    # legacy manifest without per-file row counts → n_rows NULL
+    p = os.path.join(t, "_snapshots", "v2.json")
+    m = js.load(open(p))
+    for e in m["files"]:
+        e.pop("rows", None)
+    js.dump(m, open(p, "w"))
+    hist2 = {r.version: r for r in
+             S.snapshot_history(spark, t).collect()}
+    assert hist2[2].n_rows is None and hist2[1].n_rows == 20
