@@ -75,7 +75,19 @@ SCALING.md's lakehouse mapping documents):
 - **Streaming source AND sink.** The epoch-keyed commit is an
   exactly-once ``foreachBatch`` sink; ``sources/snapshot_source.py``
   exposes the table as a Spark streaming SOURCE whose offsets are
-  version numbers (each micro-batch = one version range's delta).
+  version numbers (each micro-batch = one version range's delta), and
+  with ``option("cdf","true")`` as a streaming CHANGE FEED that rides
+  through merge/CDC/compaction commits — the loop the gated
+  replication query closes (CDF from table A applied per-micro-batch
+  into replica B).
+- **RESTORE TABLE TO VERSION.** ``snapshot_restore`` commits a new
+  version that re-references the target version's files verbatim —
+  O(1) data movement, history intact — and (given a key) records the
+  exact reverse row-level change log so CDF consumers ride through
+  the restore.
+- **DESCRIBE HISTORY.** ``snapshot_history`` reports per-version
+  (mode, files, footer-harvested row count, change-log presence,
+  stream-epoch flag) from manifests alone — no data file opened.
 - **O(deleted) retention.** ``snapshot_expire`` drops old manifests and
   deletes only data/changes directories no surviving manifest
   references — and only past an mtime grace window, so an in-flight
@@ -1268,3 +1280,64 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         StructField("from_stream_epoch", BooleanType(), False),
     ])
     return spark.createDataFrame(rows, schema)
+
+
+def snapshot_restore(spark: SparkSession, table_dir: str, version: int,
+                     key: str | None = None) -> int:
+    """RESTORE TABLE TO VERSION AS OF — commit a NEW version whose file
+    set IS the target version's manifest entries, verbatim: no data
+    file is copied or rewritten (O(1) data movement, exactly Delta's
+    RESTORE, which re-adds the old files to the log), history stays
+    intact (the pre-restore head remains time-travelable until
+    expired), and ``snapshot_expire`` keeps the re-referenced data
+    dirs alive because the restore manifest references them. The
+    commit is read-validated against the current head (a concurrent
+    commit aborts the restore) and published as a ``rewrite``.
+
+    With ``key`` given, the exact row-level change log between the
+    head and the restored state (``snapshot_diff``: U rows back to
+    their old values, D rows for rows the restore removes, I rows for
+    rows it resurrects) is recorded, so CDF consumers — including the
+    streaming CDF source — ride THROUGH the restore instead of
+    erroring. With ``key=None`` no log is recorded and
+    ``snapshot_read_cdf`` raises across the restore (Delta's
+    behavior when the feed is disabled).
+
+    Schema note: the restored version serves under the UNION schema
+    (restore moves the table's DATA back; columns added since the
+    target version remain, NULL-filled for the restored rows — the
+    additive-evolution invariant that old files never block a read)."""
+    from pyspark.sql.types import StructType
+
+    head = snapshot_current_version(table_dir)
+    if head is None:
+        raise ValueError(f"snapshot_restore: {table_dir} has no commits")
+    if not (0 <= version <= head):
+        raise ValueError(
+            f"snapshot_restore: version {version} out of range "
+            f"[0, {head}] on {table_dir}")
+    try:
+        target_m = _read_manifest(table_dir, version)
+    except FileNotFoundError as exc:
+        raise ValueError(
+            f"snapshot_restore: version {version} of {table_dir} is "
+            "expired — only retained versions can be restored") from exc
+    head_m = _read_manifest(table_dir, head)
+    target_schema = StructType.fromJson(json.loads(target_m["schema"]))
+    changes_entries = None
+    if key is not None:
+        union_json = _evolved_schema_json(head_m["schema"], target_schema)
+        cols = [f["name"] for f in json.loads(union_json)["fields"]]
+        head_df = _read_entries(spark, table_dir, head_m["files"],
+                                union_json)
+        target_df = _read_entries(spark, table_dir, target_m["files"],
+                                  union_json)
+        changes_entries = _write_change_log(
+            spark, table_dir, head_df, target_df, key, cols)
+    return _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=list(target_m["files"]),
+        batch_schema=target_schema,
+        expected_version=head,
+        keep_paths=set(),
+        changes_entries=changes_entries, cdf_key=key)

@@ -105,6 +105,13 @@ PRIORITY_THIS_ROUND = [
     # change-log report assembled from manifests alone (footer row
     # counts recorded at commit time)
     "snapshot_history_parity",
+    # round 10, new: RESTORE TABLE TO VERSION — O(1) file re-reference
+    # commit with the restore's exact row-level change log recorded
+    "snapshot_restore_parity",
+    # round 10, new: CDC replication — the CDF streamed from table A
+    # and applied per-micro-batch into replica B (upserts + deletes),
+    # exact across a restart
+    "stream_snapshot_replication_parity",
     # round 10: write_bucketed_table's skip path now requires the full
     # one-file-per-bucket layout (ADVICE r9 low) — both bucketed-layout
     # consumers re-gate

@@ -1661,3 +1661,72 @@ def snapshot_history_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "version", "mode", "n_rows",
         F.col("n_change_files").isNotNull().alias("has_log"))
+
+
+@query(
+    "snapshot_restore_parity",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey <= 800
+    """,
+)
+def snapshot_restore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION
+    (operators/snapshots.py:snapshot_restore): after an append and a
+    MERGE mutate the table, restoring to version 0 must commit a NEW
+    version whose manifest references EXACTLY version 0's files (the
+    query raises otherwise — restore is O(1) data movement, no file is
+    copied), leave the pre-restore head time-travelable, and record
+    the row-level change log of the restore (D rows for the appended
+    keys it removes, U rows for the merged cents it reverts, zero I
+    rows) so CDF consumers ride through it — each class is asserted.
+    The hash then gates the restored state against the oracle's
+    version-0 reconstruction."""
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
+                                       snapshot_merge, snapshot_read,
+                                       snapshot_read_cdf, snapshot_restore)
+
+    table_dir = _scratch(sf_dir, "snapshot_restore")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snapshot_commit(spark, table_dir,
+                    orders.filter(F.col("k") <= 800).coalesce(1),
+                    mode="append")                                  # v0
+    snapshot_commit(spark, table_dir,
+                    orders.filter(F.col("k") > 800).coalesce(1),
+                    mode="append")                                  # v1
+    upd = orders.filter((F.col("k") > 200) & (F.col("k") <= 400)) \
+        .withColumn("cents", F.col("cents") * 2)
+    snapshot_merge(spark, table_dir, upd, "k")                      # v2
+    pre_head_rows = snapshot_read(spark, table_dir, version=2).count()
+    v = snapshot_restore(spark, table_dir, 0, key="k")              # v3
+    v0_paths = [e["path"] for e in _read_manifest(table_dir, 0)["files"]]
+    v3_paths = [e["path"] for e in _read_manifest(table_dir, v)["files"]]
+    if sorted(v3_paths) != sorted(v0_paths):
+        raise RuntimeError(
+            "snapshot_restore_parity: the restore manifest must "
+            "reference exactly version 0's files — restore is O(1) "
+            "data movement")
+    if snapshot_read(spark, table_dir, version=2).count() != pre_head_rows:
+        raise RuntimeError(
+            "snapshot_restore_parity: the pre-restore head lost rows — "
+            "restore must preserve history")
+    feed = snapshot_read_cdf(spark, table_dir, from_version=2,
+                             to_version=v)
+    by_type = {r["_change_type"]: r["n"] for r in
+               feed.groupBy("_change_type").agg(F.count("*").alias("n"))
+               .collect()}
+    n_appended = orders.filter(F.col("k") > 800).count()
+    n_merged = upd.count()
+    if (by_type.get("D", 0) != n_appended
+            or by_type.get("U", 0) != n_merged
+            or by_type.get("I", 0) != 0):
+        raise RuntimeError(
+            f"snapshot_restore_parity: restore change log {by_type} != "
+            f"expected D={n_appended} U={n_merged} I=0 — the feed must "
+            "express the restore exactly")
+    return snapshot_read(spark, table_dir, version=v).select(
+        F.col("k").alias("o_orderkey"), "cents")

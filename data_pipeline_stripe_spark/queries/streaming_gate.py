@@ -806,3 +806,119 @@ def stream_snapshot_cdf_source_parity(spark: SparkSession,
         .agg(F.count("*").alias("n_events"),
              F.sum("cents").alias("total_cents"))
     )
+
+
+@query(
+    "stream_snapshot_replication_parity",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderpriority AS pri,
+           CAST(CASE WHEN o_orderkey > 300 AND o_orderkey <= 500
+                          AND o_orderkey % 2 = 0
+                     THEN ROUND(o_totalprice * 100) * 2
+                     ELSE ROUND(o_totalprice * 100) END AS BIGINT) AS cents
+    FROM orders
+    WHERE NOT (o_orderkey > 300 AND o_orderkey <= 500
+               AND o_orderkey % 2 = 1)
+    UNION ALL
+    SELECT 9000001, 'NEW', 123
+    """,
+)
+def stream_snapshot_replication_parity(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Table REPLICATION over the change data feed — the canonical
+    lakehouse CDC loop (Delta readChangeFeed → MERGE into the replica),
+    composed entirely from gated parts: a streaming CDF source on table
+    A feeds foreachBatch, each micro-batch applied to replica table B
+    with snapshot_apply_cdc (I/U upsert, D delete, seq = commit
+    version). The first drain replicates two appends and stops; while
+    NO stream runs, A takes a scoped MERGE with WHEN NOT MATCHED BY
+    SOURCE DELETE (updates + row-level deletes) and a fresh append; the
+    restarted drain must carry B to A's exact head state from the
+    checkpoint — the query raises if row counts diverge after either
+    drain. The hash gates B's final rows against the oracle's direct
+    reconstruction, so a dropped delete, a double-applied update, or a
+    lost insert flips it. Replication is naturally idempotent: re-
+    applying a replayed batch upserts the same values and re-deletes
+    absent keys."""
+    from ..operators.snapshots import (snapshot_apply_cdc, snapshot_commit,
+                                       snapshot_merge, snapshot_read)
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    scratch = _scratch(sf_dir, "stream_snapshot_replication")
+    src_dir = os.path.join(scratch, "table_a")
+    dst_dir = os.path.join(scratch, "table_b")
+    ckpt = os.path.join(scratch, "_ckpt")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snapshot_commit(spark, src_dir,
+                    orders.filter(F.col("k") <= 600).coalesce(1),
+                    mode="append")                                  # v0
+    snapshot_commit(spark, src_dir,
+                    orders.filter(F.col("k") > 600).coalesce(1),
+                    mode="append")                                  # v1
+    # bootstrap the replica: an empty version 0 with the right schema
+    snapshot_commit(
+        spark, dst_dir,
+        spark.createDataFrame([], "k long, pri string, cents long"),
+        mode="append")
+
+    def drain() -> None:
+        stream = (spark.readStream.format("snapshot_table")
+                  .option("cdf", "true").load(src_dir))
+
+        def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            snapshot_apply_cdc(
+                spark, dst_dir,
+                batch_df.select(
+                    "k", "pri", "cents",
+                    F.col("_commit_version").alias("seq"),
+                    F.when(F.col("_change_type") == "D", F.lit("D"))
+                    .otherwise(F.lit("U")).alias("op"),
+                ),
+                "k")
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    n_src = orders.count()
+    n_dst = snapshot_read(spark, dst_dir).count()
+    if n_dst != n_src:
+        raise RuntimeError(
+            f"stream_snapshot_replication_parity: after the first drain "
+            f"the replica holds {n_dst} rows, the source {n_src}")
+
+    # while NO stream runs: a scoped merge-with-delete and an append
+    src_upd = orders.filter(
+        (F.col("k") > 300) & (F.col("k") <= 500)
+        & (F.col("k") % 2 == 0)
+    ).withColumn("cents", F.col("cents") * 2)
+    snapshot_merge(spark, src_dir, src_upd, "k",
+                   not_matched_by_source="delete",
+                   source_scope=(301, 500))                         # v2
+    snapshot_commit(
+        spark, src_dir,
+        spark.createDataFrame([(9000001, "NEW", 123)],
+                              "k long, pri string, cents long"),
+        mode="append")                                              # v3
+    drain()
+    n_head = snapshot_read(spark, src_dir).count()
+    n_dst = snapshot_read(spark, dst_dir).count()
+    if n_dst != n_head:
+        raise RuntimeError(
+            f"stream_snapshot_replication_parity: after the restart the "
+            f"replica holds {n_dst} rows, the source head {n_head} — "
+            "the delta (incl. deletes) must replicate exactly")
+    return snapshot_read(spark, dst_dir)

@@ -2707,3 +2707,48 @@ def test_snapshot_history_reports_modes_rows_and_legacy_null(spark,
     hist2 = {r.version: r for r in
              S.snapshot_history(spark, t).collect()}
     assert hist2[2].n_rows is None and hist2[1].n_rows == 20
+
+
+def test_snapshot_restore_files_history_and_cdf(spark, tmp_path):
+    """snapshot_restore: the restore commit re-references the target
+    version's files verbatim (no data movement), records the exact
+    reverse change log when a key is given (so CDF consumers ride
+    through), serves under the UNION schema when columns were added
+    since the target, refuses out-of-range and expired targets, and
+    with key=None records no log (CDF raises across the restore)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_restore")
+    S.snapshot_commit(spark, t, spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")))   # v0
+    # append WITH an added column (evolution after the restore target)
+    S.snapshot_commit(spark, t, spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("tag")), mode="append")                  # v1
+    v = S.snapshot_restore(spark, t, 0, key="k")                  # v2
+    assert v == 2
+    m0 = S._read_manifest(t, 0)["files"]
+    m2 = S._read_manifest(t, 2)["files"]
+    assert sorted(e["path"] for e in m2) == sorted(e["path"] for e in m0)
+    head = S.snapshot_read(spark, t)
+    # union schema: 'tag' survives the restore, NULL for restored rows
+    assert [f.name for f in head.schema.fields] == ["k", "v", "tag"]
+    rows = {(r.k, r.v, r.tag) for r in head.collect()}
+    assert rows == {(i, i * 10, None) for i in range(5)}
+    # pre-restore head stays travelable
+    assert S.snapshot_read(spark, t, version=1).count() == 8
+    # the restore's change log: D rows for the removed appended keys
+    feed = S.snapshot_read_cdf(spark, t, from_version=1, to_version=2)
+    assert sorted(r.k for r in
+                  feed.filter("_change_type = 'D'").collect()) == [5, 6, 7]
+    # out-of-range raises
+    with pytest.raises(ValueError, match="out of range"):
+        S.snapshot_restore(spark, t, 99, key="k")
+    # key=None: no log recorded — CDF refuses the range
+    v3 = S.snapshot_restore(spark, t, 1, key=None)
+    with pytest.raises(ValueError, match="no recorded change log"):
+        S.snapshot_read_cdf(spark, t, from_version=2,
+                            to_version=v3).collect()
