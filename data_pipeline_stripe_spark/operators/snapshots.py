@@ -54,7 +54,8 @@ SCALING.md's lakehouse mapping documents):
   their own narrower schema.
 - **Predicate-scoped copy-on-write MERGE / CDC / compaction.**
   ``snapshot_merge`` (upsert, plus WHEN NOT MATCHED BY SOURCE THEN
-  DELETE under an explicit ``source_scope`` band), ``snapshot_apply_cdc``
+  DELETE or UPDATE SET under an explicit ``source_scope`` band),
+  ``snapshot_apply_cdc``
   (upsert + row-level DELETE), and ``snapshot_compact`` rewrite ONLY the files
   whose footer stats intersect the touched key band / predicate;
   every other file's manifest entry is carried forward byte-identical
@@ -100,8 +101,10 @@ processes by the subprocess race test, but S3 needs a conditional
 PUT), date→timestamp-WITH-timezone widening (the parquet reader
 refuses — session-zone-dependent), and format interop (no Delta/
 Iceberg jars in this environment). WHEN-NOT-MATCHED-BY-SOURCE DELETE
-(``snapshot_merge(not_matched_by_source="delete", source_scope=...)``)
-and decimal/date→timestamp_ntz widening landed in r10. See SCALING.md
+and UPDATE SET (``snapshot_merge(not_matched_by_source=...,
+source_scope=...)``), decimal/date→timestamp_ntz widening, RESTORE,
+DESCRIBE HISTORY, and the CDF streaming source/replication loop all
+landed in r10. See SCALING.md
 "Table-format mapping" for the production swap-in.
 
 The reference has no table format at all (its top10.py:260-278 rewrites
@@ -921,6 +924,15 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
     (file stats straddle band edges; row-level scoping is what keeps
     the file-level split conservative-but-correct).
 
+    ``not_matched_by_source={col: Column, ...}`` is the WHEN NOT
+    MATCHED BY SOURCE THEN UPDATE SET form instead: in-scope unmatched
+    target rows get the given column expressions applied (evaluated
+    over the row — e.g. ``{"status": F.lit("stale")}``), audited as
+    'updated_unmatched'; every other rule (scoping, dirty-file union,
+    change log — these surface as U rows when a value changed) is
+    identical to the delete form. Exactly one of the two forms per
+    merge, the same restriction SQL MERGE has per clause.
+
     Same contract as merge_upsert: one row per key on each side within
     the dirty scope — and, like any keyed table, no key may span a
     dirty/clean file boundary (a duplicated key is the caller's
@@ -928,10 +940,18 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
     it)."""
     from .merge import merge_upsert
 
-    if not_matched_by_source not in (None, "delete"):
+    if not (not_matched_by_source is None
+            or not_matched_by_source == "delete"
+            or isinstance(not_matched_by_source, dict)):
         raise ValueError(
             f"snapshot_merge: not_matched_by_source={not_matched_by_source!r}"
-            " — only 'delete' (or None) is supported")
+            " — pass 'delete', a {column: Column} UPDATE SET dict, or "
+            "None")
+    if isinstance(not_matched_by_source, dict) \
+            and not not_matched_by_source:
+        raise ValueError(
+            "snapshot_merge: an empty UPDATE SET dict updates nothing — "
+            "pass None to drop the clause")
     if source_scope is not None and not_matched_by_source is None:
         raise ValueError(
             "snapshot_merge: source_scope only scopes the "
@@ -949,6 +969,18 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
             "snapshot_merge: the table has a 'merge_action' column, "
             "which collides with the merge audit column — rename it "
             "before merging")
+    if isinstance(not_matched_by_source, dict):
+        unknown = [c for c in not_matched_by_source if c not in cols]
+        if unknown:
+            raise ValueError(
+                f"snapshot_merge: UPDATE SET names columns not in the "
+                f"table: {unknown}")
+        if key in not_matched_by_source:
+            raise ValueError(
+                "snapshot_merge: UPDATE SET must not rewrite the merge "
+                f"key {key!r} — a re-keyed row could collide with a key "
+                "in a carried-forward clean file, which the band-scoped "
+                "copy-on-write cannot detect")
     from pyspark.sql import functions as F
 
     band = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")) \
@@ -986,12 +1018,23 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
         in_scope = (F.lit(True) if source_scope is None
                     else F.col(key).between(F.lit(source_scope[0]),
                                             F.lit(source_scope[1])))
-        merged = merged.withColumn(
-            "merge_action",
-            F.when((F.col("merge_action") == "kept") & in_scope,
-                   F.lit("deleted")).otherwise(F.col("merge_action")))
-        new_state = merged.filter(
-            F.col("merge_action") != "deleted").drop("merge_action")
+        unmatched = (F.col("merge_action") == "kept") & in_scope
+        if not_matched_by_source == "delete":
+            merged = merged.withColumn(
+                "merge_action",
+                F.when(unmatched, F.lit("deleted"))
+                .otherwise(F.col("merge_action")))
+            new_state = merged.filter(
+                F.col("merge_action") != "deleted").drop("merge_action")
+        else:  # UPDATE SET dict — apply before re-labeling the action
+            merged = merged.withColumns({
+                c: F.when(unmatched, expr).otherwise(F.col(c))
+                for c, expr in not_matched_by_source.items()
+            }).withColumn(
+                "merge_action",
+                F.when(unmatched, F.lit("updated_unmatched"))
+                .otherwise(F.col("merge_action")))
+            new_state = merged.drop("merge_action")
     else:
         new_state = merged.drop("merge_action")
 

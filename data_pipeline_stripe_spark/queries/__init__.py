@@ -112,6 +112,9 @@ PRIORITY_THIS_ROUND = [
     # and applied per-micro-batch into replica B (upserts + deletes),
     # exact across a restart
     "stream_snapshot_replication_parity",
+    # round 10, new: the UPDATE SET form of the not-matched-by-source
+    # clause (soft-delete / staleness marking), same scope rules
+    "snapshot_merge_update_unmatched_parity",
     # round 10: write_bucketed_table's skip path now requires the full
     # one-file-per-bucket layout (ADVICE r9 low) — both bucketed-layout
     # consumers re-gate

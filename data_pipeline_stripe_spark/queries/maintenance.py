@@ -1730,3 +1730,107 @@ def snapshot_restore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "express the restore exactly")
     return snapshot_read(spark, table_dir, version=v).select(
         F.col("k").alias("o_orderkey"), "cents")
+
+
+@query(
+    "snapshot_merge_update_unmatched_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1200 AND o_orderkey % 5 <> 1
+    ),
+    src AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) * 2 AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey > 400 AND o_orderkey <= 800
+          AND o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(s.k, b.k) AS o_orderkey,
+           CASE WHEN s.k IS NOT NULL THEN s.pri
+                WHEN b.k > 400 AND b.k <= 800 THEN 'STALE'
+                ELSE b.pri END AS pri,
+           COALESCE(s.cents, b.cents) AS cents,
+           CASE WHEN s.k IS NOT NULL AND b.k IS NOT NULL THEN 'updated'
+                WHEN s.k IS NOT NULL THEN 'inserted'
+                WHEN b.k > 400 AND b.k <= 800 THEN 'updated_unmatched'
+                ELSE 'kept' END AS merge_action
+    FROM base b FULL OUTER JOIN src s ON b.k = s.k
+    """,
+)
+def snapshot_merge_update_unmatched_parity(spark: SparkSession,
+                                           sf_dir: str) -> DataFrame:
+    """MERGE with WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+    (operators/snapshots.py:snapshot_merge(not_matched_by_source=
+    {col: Column})): same three-band fixture as the delete-clause
+    gate, but in-scope unmatched rows are MARKED (pri → 'STALE')
+    instead of deleted — the soft-delete / staleness-flag form of the
+    clause. The merge must UPDATE matched middle-band rows from the
+    source, INSERT source-only keys, re-label every other middle-band
+    row 'STALE', keep both outer band files carried forward
+    byte-identical (raises otherwise), and log the staleness flips as
+    U rows in the change feed (count asserted: every in-band base row
+    changes — matched cents double, unmatched pri flips). The hash
+    gates rows + actions against the full-semantics oracle."""
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_merge, snapshot_read,
+                                       snapshot_read_cdf)
+
+    table_dir = _scratch(sf_dir, "snapshot_merge_update_unmatched")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        (F.col("o_orderkey") <= 1200) & (F.col("o_orderkey") % 5 != 1)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    for band in (F.col("k") <= 400,
+                 (F.col("k") > 400) & (F.col("k") <= 800),
+                 F.col("k") > 800):
+        snapshot_commit(spark, table_dir,
+                        base.filter(band).coalesce(1), mode="append")
+    base_version = snapshot_current_version(table_dir)
+    pre = {e["path"]: e
+           for e in _read_manifest(table_dir, base_version)["files"]}
+
+    src = orders.filter(
+        (F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 800)
+        & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.round(F.col("o_totalprice") * 100) * 2).cast("long")
+        .alias("cents"),
+    )
+    version, merged = snapshot_merge(
+        spark, table_dir, src, "k",
+        not_matched_by_source={"pri": F.lit("STALE")},
+        source_scope=(401, 800))
+    post = {e["path"]: e
+            for e in _read_manifest(table_dir, version)["files"]}
+    carried = set(pre) & set(post)
+    if len(carried) != 2 or any(post[p] != pre[p] for p in carried):
+        raise RuntimeError(
+            "snapshot_merge_update_unmatched_parity: expected both "
+            "out-of-scope band files carried forward identically — the "
+            "update clause widened the copy-on-write past its scope")
+    n_u = snapshot_read_cdf(spark, table_dir, from_version=version - 1,
+                            to_version=version) \
+        .filter(F.col("_change_type") == "U").count()
+    n_in_band = base.filter(
+        (F.col("k") > 400) & (F.col("k") <= 800)).count()
+    if n_u != n_in_band:
+        raise RuntimeError(
+            f"snapshot_merge_update_unmatched_parity: the feed logs "
+            f"{n_u} U rows, expected {n_in_band} (every in-band base "
+            "row changes: matched cents double, unmatched pri flips)")
+    actions = merged.select(F.col("k"), "merge_action")
+    committed = snapshot_read(spark, table_dir, version=version)
+    return (
+        committed.join(actions, "k")
+        .select(F.col("k").alias("o_orderkey"), "pri", "cents",
+                "merge_action")
+    )

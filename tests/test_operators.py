@@ -2752,3 +2752,53 @@ def test_snapshot_restore_files_history_and_cdf(spark, tmp_path):
     with pytest.raises(ValueError, match="no recorded change log"):
         S.snapshot_read_cdf(spark, t, from_version=2,
                             to_version=v3).collect()
+
+
+def test_snapshot_merge_not_matched_by_source_update(spark, tmp_path):
+    """The UPDATE SET form of the not-matched-by-source clause: in-scope
+    unmatched rows get the SET expressions applied (audited
+    'updated_unmatched', logged as U rows), matched/inserted/out-of-
+    scope rows follow the plain merge rules; setting an unknown column
+    or the merge key raises, as does an empty SET dict."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_nmbs_upd")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", "live") for i in range(1, 13)],
+        "k int, val string, status string")
+    S.snapshot_commit(spark, t, base, mode="append")
+    upd = spark.createDataFrame(
+        [(4, "u4", "live"), (13, "i13", "live")],
+        "k int, val string, status string")
+    v, audit = S.snapshot_merge(
+        spark, t, upd, "k",
+        not_matched_by_source={"status": F.lit("stale")},
+        source_scope=(3, 6))
+    rows = {r.k: (r.val, r.status)
+            for r in S.snapshot_read(spark, t, version=v).collect()}
+    assert rows[4] == ("u4", "live")       # matched: full-row update
+    assert rows[13] == ("i13", "live")     # inserted
+    assert rows[3] == ("v3", "stale")      # in-scope unmatched: SET
+    assert rows[5] == ("v5", "stale")
+    assert rows[2] == ("v2", "live")       # out of scope: untouched
+    assert rows[12] == ("v12", "live")
+    acts = {r.k: r.merge_action for r in audit.collect()}
+    assert acts[3] == "updated_unmatched" and acts[4] == "updated"
+    assert acts[13] == "inserted" and acts[2] == "kept"
+    # the staleness flips ride the feed as U rows with new values
+    urows = {r.k: r.status for r in S.snapshot_read_cdf(
+        spark, t, from_version=v - 1, to_version=v)
+        .filter("_change_type = 'U'").collect()}
+    assert urows[3] == "stale" and urows[5] == "stale"
+    # validation
+    with pytest.raises(ValueError, match="not in the table"):
+        S.snapshot_merge(spark, t, upd, "k",
+                         not_matched_by_source={"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="must not rewrite the merge"):
+        S.snapshot_merge(spark, t, upd, "k",
+                         not_matched_by_source={"k": F.lit(0)})
+    with pytest.raises(ValueError, match="empty UPDATE SET"):
+        S.snapshot_merge(spark, t, upd, "k", not_matched_by_source={})

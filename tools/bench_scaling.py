@@ -158,20 +158,31 @@ def main() -> None:
         upd = base.filter(
             (F.col("k") > 400) & (F.col("k") <= 800)).withColumn(
             "cents", F.col("cents") * 2)
-        pre = {e["path"] for e in _read_manifest(
-            table_dir, snapshot_current_version(table_dir))["files"]}
+        pre_manifest = _read_manifest(table_dir,
+                                      snapshot_current_version(table_dir))
+        pre = {e["path"] for e in pre_manifest["files"]}
         t0 = time.time()
         version, _ = snapshot_merge(spark, table_dir, upd, "k")
         dt = time.time() - t0
         post = {e["path"] for e in _read_manifest(table_dir,
                                                   version)["files"]}
         rewritten_src = pre - post
-        # only the (400, 800] band's file(s) may have been rewritten —
-        # at ×100 that is a handful of files out of hundreds
-        if len(rewritten_src) > 4 or len(pre & post) < len(pre) - 4:
+        # only files whose k-stats intersect the update band may have
+        # been rewritten, and every file provably outside it must be
+        # carried forward (each band COMMIT spreads over the shuffle
+        # partitioning — up to 32 files per band — so the bound is the
+        # stats-derived dirty set, not a constant)
+        from data_pipeline_stripe_spark.operators.snapshots import \
+            _split_dirty
+        dirty, clean = _split_dirty(pre_manifest, "k", 401, 800)
+        dirty_paths = {e["path"] for e in dirty}
+        clean_paths = {e["path"] for e in clean}
+        if (not rewritten_src <= dirty_paths
+                or not clean_paths <= post or not clean_paths):
             raise RuntimeError(
                 f"partial merge rewrote {len(rewritten_src)} of "
-                f"{len(pre)} files — not band-scoped")
+                f"{len(pre)} files but only {len(dirty_paths)} intersect "
+                "the band — not band-scoped")
         return dt
 
     results: dict[str, dict[str, float]] = {}
