@@ -2662,7 +2662,7 @@ def test_snapshot_merge_not_matched_by_source_delete(spark, tmp_path):
                   S.snapshot_read(spark, t3, version=v3).collect()) \
         == [*range(1, 5), *range(11, 21)]
     # argument validation
-    with pytest.raises(ValueError, match="only 'delete'"):
+    with pytest.raises(ValueError, match="pass 'delete'"):
         S.snapshot_merge(spark, t3, upd, "k",
                          not_matched_by_source="update")
     with pytest.raises(ValueError, match="source_scope only scopes"):
