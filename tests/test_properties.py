@@ -344,3 +344,119 @@ def test_mixture_resample_properties(spark, sizes, weights, seed):
 
     again = mixture_resample(docs.repartition(7), wdf, k).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in picked}
+
+
+SNAP_OP = st.sampled_from(
+    ["append", "merge", "merge_delete", "cdc", "compact", "restore"])
+
+
+@given(ops=st.lists(SNAP_OP, min_size=1, max_size=5),
+       seed=st.integers(min_value=0, max_value=7))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_verb_sequences_replay_and_history(spark, tmp_path_factory,
+                                                    ops, seed):
+    """For ANY sequence of snapshot verbs (append / scoped merge /
+    merge-with-delete-unmatched / CDC upsert+delete / compaction /
+    restore), three invariants hold: (1) the head state equals an
+    independently-maintained Python model of the same operations;
+    (2) replaying the change data feed from version 0 over the
+    version-0 state reproduces the head exactly — every verb's
+    recorded change log is faithful; (3) the manifest history is a
+    contiguous parent chain whose footer-summed row count at head
+    matches the model."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+    from data_pipeline_stripe_spark.operators.merge import apply_cdc
+
+    t = str(tmp_path_factory.mktemp("snap_prop") / "table")
+
+    def df_of(d):
+        if not d:
+            return spark.createDataFrame([], "k long, v long")
+        return spark.createDataFrame(sorted(d.items()), "k long, v long")
+
+    model = {k: k * 7 + seed for k in range(10)}
+    S.snapshot_commit(spark, t, df_of(model).coalesce(2), mode="append")
+    model_at = [dict(model)]
+    next_key = 100
+
+    for op in ops:
+        keys = sorted(model)
+        if op == "append" or (not keys and op != "compact"):
+            fresh = {next_key + j: (next_key + j) * 7 + seed
+                     for j in range(4)}
+            next_key += 10
+            S.snapshot_commit(spark, t, df_of(fresh).coalesce(1),
+                              mode="append")
+            model.update(fresh)
+        elif op == "merge":
+            band = keys[len(keys) // 3: 2 * len(keys) // 3 + 1]
+            upd = {k: model[k] + 1000 for k in band}
+            upd[next_key] = next_key * 7 + seed  # one insert
+            next_key += 10
+            S.snapshot_merge(spark, t, df_of(upd), "k")
+            model.update(upd)
+        elif op == "merge_delete":
+            band = keys[len(keys) // 3: 2 * len(keys) // 3 + 1]
+            lo, hi = band[0], band[-1]
+            src = {k: model[k] + 5 for k in band if k % 2 == 0}
+            S.snapshot_merge(spark, t, df_of(src), "k",
+                             not_matched_by_source="delete",
+                             source_scope=(lo, hi))
+            for k in [k for k in model if lo <= k <= hi]:
+                if k % 2 == 0:
+                    model[k] = src[k]
+                else:
+                    del model[k]
+        elif op == "cdc":
+            rows = []
+            for k in keys:
+                if k % 3 == seed % 3:
+                    rows.append((k, 0, 1, "D"))
+                elif k % 5 == 0:
+                    rows.append((k, model[k] * 2, 1, "U"))
+            ch = spark.createDataFrame(
+                rows, "k long, v long, seq int, op string")
+            S.snapshot_apply_cdc(spark, t, ch, "k")
+            if rows:
+                for k, v, _s, o in rows:
+                    if o == "D":
+                        model.pop(k, None)
+                    else:
+                        model[k] = v
+        elif op == "compact":
+            S.snapshot_compact(spark, t, target_files=1)
+        else:  # restore
+            cur = S.snapshot_current_version(t)
+            target = cur // 2
+            S.snapshot_restore(spark, t, target, key="k")
+            model = dict(model_at[target])
+        cur = S.snapshot_current_version(t)
+        while len(model_at) <= cur:
+            model_at.append(dict(model))
+
+    # (1) head equals the model
+    got = {r.k: r.v for r in S.snapshot_read(spark, t).collect()}
+    assert got == model
+    # (2) CDF replay from v0 reproduces the head
+    head_v = S.snapshot_current_version(t)
+    if head_v > 0:
+        feed = S.snapshot_read_cdf(spark, t, from_version=0,
+                                   to_version=head_v)
+        replayed = apply_cdc(
+            df_of(model_at[0]),
+            feed.select(
+                "k", "v", F.col("_commit_version").alias("seq"),
+                F.when(F.col("_change_type") == "D", F.lit("D"))
+                .otherwise(F.lit("U")).alias("op")),
+            "k")
+        got2 = {r.k: r.v for r in replayed.drop("cdc_action").collect()}
+        assert got2 == model
+    # (3) contiguous history; head row count matches
+    hist = sorted(S.snapshot_history(spark, t).collect(),
+                  key=lambda r: r.version)
+    assert [r.version for r in hist] == list(range(head_v + 1))
+    assert all(h.parent == p.version for p, h in zip(hist, hist[1:]))
+    assert hist[-1].n_rows == len(model)
