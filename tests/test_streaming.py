@@ -1071,3 +1071,88 @@ def test_cdf_stream_source_slices_and_starting_version(spark, tmp_path):
     dval = [r.cents for r in spark.read.parquet(out)
             .filter("_change_type = 'D'").collect()]
     assert dval == [50]
+
+
+def test_cdf_replication_replays_idempotently_after_sink_crash(spark,
+                                                               tmp_path):
+    """The replication loop's crash story: the foreachBatch sink APPLIES
+    a CDF batch to the replica and then crashes BEFORE Spark commits the
+    offset (the worst-case window — effect applied, progress lost). The
+    restarted query replays the same batch; because CDF application is
+    idempotent (same-value upserts, deletes of already-absent keys), the
+    replica converges to the source head instead of double-applying —
+    the replica's version history shows BOTH applications, the state
+    shows one."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_apply_cdc, snapshot_commit, snapshot_current_version,
+        snapshot_read)
+    from data_pipeline_stripe_spark.sources.snapshot_source import (
+        register_snapshot_source)
+
+    register_snapshot_source(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long")
+    snapshot_commit(spark, src, base, mode="append")
+    snapshot_commit(
+        spark, dst, spark.createDataFrame([], "k long, v long"),
+        mode="append")
+    crash_armed = {"armed": False}
+
+    def drain():
+        stream = (spark.readStream.format("snapshot_table")
+                  .option("cdf", "true").load(src))
+
+        def apply_batch(batch_df, epoch_id):
+            snapshot_apply_cdc(
+                spark, dst,
+                batch_df.select(
+                    "k", "v", F.col("_commit_version").alias("seq"),
+                    F.when(F.col("_change_type") == "D", F.lit("D"))
+                    .otherwise(F.lit("U")).alias("op")),
+                "k")
+            if crash_armed["armed"]:
+                crash_armed["armed"] = False
+                raise RuntimeError("injected crash AFTER apply, "
+                                   "BEFORE offset commit")
+
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(apply_batch)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    assert {r.k: r.v for r in snapshot_read(spark, dst).collect()} \
+        == {i: i * 10 for i in range(20)}
+
+    # mutate the source while no stream runs, then crash mid-replication
+    cdc = spark.createDataFrame(
+        [(3, 999, 1, "U"), (7, 0, 1, "D"), (25, 250, 1, "U")],
+        "k long, v long, seq int, op string")
+    snapshot_apply_cdc(spark, src, cdc, "k")
+    crash_armed["armed"] = True
+    v_before = snapshot_current_version(dst)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        drain()
+    # the batch WAS applied before the crash...
+    v_mid = snapshot_current_version(dst)
+    assert v_mid == v_before + 1
+    # ...and the restart replays it (offset never committed): a second
+    # application lands, the state converges
+    drain()
+    assert snapshot_current_version(dst) == v_mid + 1
+    want = {i: i * 10 for i in range(20) if i != 7}
+    want[3] = 999
+    want[25] = 250
+    assert {r.k: r.v for r in snapshot_read(spark, dst).collect()} == want
+    assert {r.k: r.v for r in snapshot_read(spark, src).collect()} == want
