@@ -108,18 +108,26 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
     rule."""
     from ..operators.snapshots import _read_manifest
 
+    memo: dict[int, dict] = {}
+
+    def read(v: int) -> dict:
+        # each append reads its parent for the delta set AND visits it
+        # next in the walk — memoize so a long chain is O(versions)
+        # manifest reads, not 2x
+        if v not in memo:
+            memo[v] = _read_manifest(table_dir, v)
+        return memo[v]
+
     try:
         slices: list[tuple] = []
         v: int | None = end_v
         while v is not None and v > start_v:
-            m = _read_manifest(table_dir, v)
+            m = read(v)
             parent = m["parent"]
             if m["mode"] == "append":
                 base: set[str] = set()
                 if parent is not None:
-                    base = {e["path"]
-                            for e in _read_manifest(table_dir,
-                                                    parent)["files"]}
+                    base = {e["path"] for e in read(parent)["files"]}
                 slices.extend(
                     (e["path"], "data", v) for e in m["files"]
                     if e["path"] not in base)
