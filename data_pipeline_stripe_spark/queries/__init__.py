@@ -115,6 +115,9 @@ PRIORITY_THIS_ROUND = [
     # round 10, new: the UPDATE SET form of the not-matched-by-source
     # clause (soft-delete / staleness marking), same scope rules
     "snapshot_merge_update_unmatched_parity",
+    # round 10, new: the ×10-checkable sampled twin of the RP-LSH
+    # recall audit — retires VERDICT r9's one not-directly-×10-run row
+    "embedding_rp_lsh_recall_audit_sampled",
     # round 10: write_bucketed_table's skip path now requires the full
     # one-file-per-bucket layout (ADVICE r9 low) — both bucketed-layout
     # consumers re-gate

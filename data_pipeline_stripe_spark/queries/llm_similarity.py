@@ -975,3 +975,59 @@ def embedding_semantic_dedup_sampled(spark: SparkSession,
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return similarity.semantic_dedup(emb, cents, threshold=0.45, n_probes=2)
+
+
+def _rp_lsh_recall_sampled_oracle() -> str:
+    """The composed RP-LSH pair-recall oracle with BOTH component
+    corpora deterministically thinned to vec_id % 10 = 0 — the same
+    surgical-rewrite discipline as the semantic-dedup sampled twin:
+    derived from the full audit's own text, asserted to land, so the
+    twin cannot drift from the spec it samples. This retires the one
+    registry row VERDICT r9 could not ×10-run directly (the exact
+    O(n²) side at ×10 outgrows the DuckDB harness; the ×10 SAMPLE is
+    the sealed full corpus's size, where it is routine)."""
+    full = _rp_lsh_recall_oracle()
+    corpus = "AS v FROM embeddings)"
+    bits = "FROM embeddings))"
+    assert full.count(corpus) == 2 and full.count(bits) == 1, (
+        "the RP-LSH recall oracle's component texts changed — update "
+        "the sampled twin's rewrites")
+    return full.replace(
+        bits, "FROM embeddings WHERE vec_id % 10 = 0))").replace(
+        corpus, "AS v FROM embeddings WHERE vec_id % 10 = 0)")
+
+
+@query("embedding_rp_lsh_recall_audit_sampled",
+       oracle=_rp_lsh_recall_sampled_oracle())
+def embedding_rp_lsh_recall_audit_sampled(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """The ×10-checkable twin of embedding_rp_lsh_recall_audit: the
+    SAME pair-recall computation (exact O(n²) near-dup baseline vs
+    RP-LSH banded candidates, integer-ppm floor division) over the
+    deterministic vec_id % 10 = 0 subsample. Signatures are per-row
+    expression math and the exact filter is per-pair, so sampling
+    commutes with both components — the twin measures the identical
+    blocking-tier recall at a corpus size whose O(n²) oracle side
+    stays feasible at every campaign scale (the replicated fixtures
+    shift vec_id by multiples of 10⁶, so every replica of every
+    sampled original survives the thinning). The full audit stays
+    registered; this row closes its ×10 caveat."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    exact = similarity.cosine_near_dup_pairs(emb, threshold=0.45) \
+        .select("id_a", "id_b")
+    approx = similarity.rp_lsh_pairs(emb).select(
+        F.col("id_a").alias("a_a"), F.col("id_b").alias("a_b"))
+    found = exact.join(
+        approx,
+        (F.col("id_a") == F.col("a_a")) & (F.col("id_b") == F.col("a_b")),
+        "left_semi")
+    counts = exact.agg(F.count("*").alias("n_exact_pairs")).crossJoin(
+        found.agg(F.count("*").alias("n_found_pairs")))
+    return counts.select(
+        F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+        F.col("n_found_pairs").cast("long").alias("n_found_pairs"),
+        F.when(F.col("n_exact_pairs") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_found_pairs * 1000000 div n_exact_pairs"))
+        .cast("long").alias("recall_ppm"),
+    )

@@ -149,6 +149,9 @@ NONEQUI_OK = {
     # cross of two 1-row count aggregates — scalar-subquery class
     "embedding_pq_recall_audit",
     "embedding_rp_lsh_recall_audit",
+    # r10: the sampled twin composes the same O(n²) exact baseline +
+    # 1-row count cross over the vec_id % 10 subsample
+    "embedding_rp_lsh_recall_audit_sampled",
 }
 
 
