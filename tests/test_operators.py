@@ -2802,3 +2802,24 @@ def test_snapshot_merge_not_matched_by_source_update(spark, tmp_path):
                          not_matched_by_source={"k": F.lit(0)})
     with pytest.raises(ValueError, match="empty UPDATE SET"):
         S.snapshot_merge(spark, t, upd, "k", not_matched_by_source={})
+
+
+def test_snapshot_restore_refuses_expired_target(spark, tmp_path):
+    """Restoring to a version whose manifest was expired raises the
+    retention ValueError instead of crashing on the missing file; the
+    still-retained versions restore fine afterwards."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_restore_exp")
+    for lo in (0, 10, 20):
+        S.snapshot_commit(spark, t, spark.range(lo, lo + 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+            mode="append")
+    S.snapshot_expire(t, keep_last=2, tmp_grace_seconds=0.0)
+    with pytest.raises(ValueError, match="expired"):
+        S.snapshot_restore(spark, t, 0, key="k")
+    v = S.snapshot_restore(spark, t, 1, key="k")
+    assert S.snapshot_read(spark, t, version=v).count() == 20
