@@ -59,19 +59,21 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
     identity = (fingerprint, buckets, df.schema.simpleString())
     warehouse_dir = os.path.join(
         urlparse(spark.conf.get("spark.sql.warehouse.dir")).path, table)
+    cached = _BUCKETED_BUILT.get(cache_key)
     if (fingerprint is not None
-            and _BUCKETED_BUILT.get(cache_key) == identity
+            and cached is not None and cached[0] == identity
             and spark.catalog.tableExists(table)
             # the catalog entry alone is not proof the layout survived:
             # an externally deleted/truncated warehouse dir would make
-            # the skip serve a broken table — and the write below emits
-            # EXACTLY one file per bucket (repartition(buckets, key)),
-            # so completeness is checkable: a partially deleted layout
-            # (some buckets' files gone) must rebuild, not serve scans
-            # missing whole buckets' rows (ADVICE r9)
+            # the skip serve a broken table — so completeness is checked
+            # against the file count RECORDED at build time (ADVICE r9;
+            # the write emits at most one file per bucket, but a bucket
+            # that received zero rows writes none, so "== buckets" would
+            # permanently miss on skewed/small fixtures and rebuild the
+            # layout every call)
             and os.path.isdir(warehouse_dir)
             and sum(f.endswith(".parquet")
-                    for f in os.listdir(warehouse_dir)) == buckets):
+                    for f in os.listdir(warehouse_dir)) == cached[1]):
         return
     _BUCKETED_BUILT.pop(cache_key, None)
     # evict entries from dead sessions — the in-memory catalog they
@@ -91,7 +93,9 @@ def write_bucketed_table(spark: SparkSession, df: DataFrame, table: str,
      .write.bucketBy(buckets, key).sortBy(key)
      .mode("overwrite").saveAsTable(table))
     if fingerprint is not None:
-        _BUCKETED_BUILT[cache_key] = identity
+        n_files = sum(f.endswith(".parquet")
+                      for f in os.listdir(warehouse_dir))
+        _BUCKETED_BUILT[cache_key] = (identity, n_files)
 
 
 def source_fingerprint(sf_dir: str, tables: list[str]) -> str:

@@ -527,6 +527,10 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                 epoch_key if epoch_key is not None
                 else prev_manifest.get("last_epoch")
             ),
+            # the commit's OWN epoch (None for batch commits) — distinct
+            # from last_epoch, which is the inherited idempotence
+            # high-water mark carried by every descendant
+            "epoch_key": epoch_key,
             "changes": changes_entries,
             "cdf_key": cdf_key,
         }
@@ -730,6 +734,42 @@ def snapshot_scan(spark: SparkSession, table_dir: str,
     return df
 
 
+def _manifest_chain(table_dir: str, from_version: int, to_version: int,
+                    context: str) -> list[dict]:
+    """Ascending manifests along the parent chain — the ONE range walk
+    every version-range consumer shares (batch incremental read, batch
+    CDF, and both streaming sources), so the contract errors cannot
+    diverge between them: an expired manifest in range raises the
+    retention ValueError, a ``from_version`` that is not an ancestor of
+    ``to_version`` raises the lineage ValueError. ``from_version == -1``
+    walks to the root (initial-load form); otherwise the returned list
+    STARTS with ``from_version``'s own manifest (the range anchor).
+    Mode classification (append-only? change-log recorded?) stays at
+    the call sites — it is what legitimately differs between them."""
+    try:
+        chain: list[dict] = []
+        v: int | None = to_version
+        while v is not None and v > from_version:
+            m = _read_manifest(table_dir, v)
+            chain.append(m)
+            v = m["parent"]
+        if from_version >= 0:
+            if v != from_version:
+                raise ValueError(
+                    f"{context}: version {from_version} is not an "
+                    f"ancestor of {to_version} on {table_dir} (expired "
+                    "or never existed)")
+            chain.append(_read_manifest(table_dir, from_version))
+        chain.reverse()
+        return chain
+    except FileNotFoundError as exc:
+        raise ValueError(
+            f"{context}: the range ({from_version}, {to_version}] of "
+            f"{table_dir} touches an expired version — widen retention "
+            "past the consumer's lag or fall back to a full re-read"
+        ) from exc
+
+
 def snapshot_read_incremental(spark: SparkSession, table_dir: str,
                               from_version: int,
                               to_version: int | None = None) -> DataFrame:
@@ -749,33 +789,16 @@ def snapshot_read_incremental(spark: SparkSession, table_dir: str,
         raise ValueError(
             f"snapshot_read_incremental: bad range ({from_version}, "
             f"{to_v}] on {table_dir}")
-    chain_v = to_v
-    try:
-        while chain_v is not None and chain_v > from_version:
-            m = _read_manifest(table_dir, chain_v)
-            if m["mode"] != "append":
-                raise ValueError(
-                    f"snapshot_read_incremental: version {chain_v} is an "
-                    "overwrite — the range has no append-only delta; "
-                    "re-read the full table instead")
-            chain_v = m["parent"]
-        if chain_v != from_version:
+    chain = _manifest_chain(table_dir, from_version, to_v,
+                            "snapshot_read_incremental")
+    for m in chain[1:]:
+        if m["mode"] != "append":
             raise ValueError(
-                f"snapshot_read_incremental: version {from_version} is "
-                f"not an ancestor of {to_v} (expired or never existed)")
-        to_m = _read_manifest(table_dir, to_v)
-        base_paths = {
-            e["path"]
-            for e in _read_manifest(table_dir, from_version)["files"]
-        }
-    except FileNotFoundError as exc:
-        # a manifest inside the range was expired by retention — the
-        # API's contract error, not a raw OS error
-        raise ValueError(
-            f"snapshot_read_incremental: the range ({from_version}, "
-            f"{to_v}] of {table_dir} touches an expired version — "
-            "widen retention or fall back to a full re-read"
-        ) from exc
+                f"snapshot_read_incremental: version {m['version']} is "
+                "an overwrite — the range has no append-only delta; "
+                "re-read the full table instead")
+    to_m = chain[-1]
+    base_paths = {e["path"] for e in chain[0]["files"]}
     delta = [e for e in to_m["files"] if e["path"] not in base_paths]
     return _read_entries(spark, table_dir, delta, to_m["schema"])
 
@@ -983,8 +1006,14 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
                 "copy-on-write cannot detect")
     from pyspark.sql import functions as F
 
-    band = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")) \
-        .first()
+    band = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi"),
+                       F.count(F.lit(1)).alias("n")).first()
+    if band["lo"] is None and band["n"] > 0:
+        # min/max ignore NULLs, so an all-NULL-key batch would read as
+        # "empty" and silently no-op — fail closed like merge_upsert
+        raise ValueError(
+            f"snapshot_merge: all {band['n']} update rows have a NULL "
+            f"merge key {key!r} — MERGE requires non-NULL keys")
     if band["lo"] is None and not_matched_by_source is None:
         # empty update batch: MERGE is a no-op — no commit, every row
         # 'kept' (committing an empty rewrite would burn a version).
@@ -1041,11 +1070,18 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
     new_state.write.mode("error").parquet(os.path.join(table_dir, rel))
+    new_entries = _file_entries(table_dir, rel)
+    # diff against the COMMITTED files, not the lazy plan: re-executing
+    # the merge plan for the log could evaluate nondeterministic SET
+    # expressions differently than the write did (feed ≠ table), and
+    # would pay the dirty-band join twice
+    committed_new = _read_entries(spark, table_dir, new_entries,
+                                  new_state.schema.json())
     changes_entries = _write_change_log(
-        spark, table_dir, dirty_df, new_state, key, cols)
+        spark, table_dir, dirty_df, committed_new, key, cols)
     version = _publish_commit(
         table_dir, mode="rewrite",
-        new_entries=_file_entries(table_dir, rel),
+        new_entries=new_entries,
         batch_schema=new_state.schema,
         expected_version=base_version,
         keep_paths={e["path"] for e in clean},
@@ -1085,8 +1121,12 @@ def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
 
     from .merge import apply_cdc
 
-    band = changes.agg(F.min(key).alias("lo"), F.max(key).alias("hi")) \
-        .first()
+    band = changes.agg(F.min(key).alias("lo"), F.max(key).alias("hi"),
+                       F.count(F.lit(1)).alias("n")).first()
+    if band["lo"] is None and band["n"] > 0:
+        raise ValueError(
+            f"snapshot_apply_cdc: all {band['n']} change rows have a "
+            f"NULL key {key!r} — CDC application requires non-NULL keys")
     if band["lo"] is None:
         base = snapshot_read(spark, table_dir, version=base_version)
         return base_version, base.withColumn("cdc_action", F.lit("kept"))
@@ -1098,11 +1138,16 @@ def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
     new_state.write.mode("error").parquet(os.path.join(table_dir, rel))
+    new_entries = _file_entries(table_dir, rel)
+    # diff against the committed files (see snapshot_merge): one
+    # evaluation of the CDC plan, and the feed records what was written
+    committed_new = _read_entries(spark, table_dir, new_entries,
+                                  new_state.schema.json())
     changes_entries = _write_change_log(
-        spark, table_dir, dirty_df, new_state, key, cols)
+        spark, table_dir, dirty_df, committed_new, key, cols)
     version = _publish_commit(
         table_dir, mode="rewrite",
-        new_entries=_file_entries(table_dir, rel),
+        new_entries=new_entries,
         batch_schema=new_state.schema,
         expected_version=base_version,
         keep_paths={e["path"] for e in clean},
@@ -1142,25 +1187,9 @@ def snapshot_read_cdf(spark: SparkSession, table_dir: str,
         raise ValueError(
             f"snapshot_read_cdf: bad range ({from_version}, {to_v}] on "
             f"{table_dir}")
-    try:
-        chain: list[dict] = []  # manifests from to_v down to from_version
-        v = to_v
-        while True:
-            m = _read_manifest(table_dir, v)
-            chain.append(m)
-            if v == from_version:
-                break
-            v = m["parent"]
-            if v is None or v < from_version:
-                raise ValueError(
-                    f"snapshot_read_cdf: version {from_version} is not "
-                    f"an ancestor of {to_v} (expired or never existed)")
-    except FileNotFoundError as exc:
-        raise ValueError(
-            f"snapshot_read_cdf: the range ({from_version}, {to_v}] of "
-            f"{table_dir} touches an expired version — widen retention "
-            "or fall back to a full re-read") from exc
-    chain.reverse()  # ascending: [from_version, ..., to_v]
+    # ascending: [from_version, ..., to_v] — shared walk, shared errors
+    chain = _manifest_chain(table_dir, from_version, to_v,
+                            "snapshot_read_cdf")
     head_schema = chain[-1]["schema"]
     taken = {f["name"].casefold()
              for f in json.loads(head_schema)["fields"]}
@@ -1242,6 +1271,10 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
         dirty_paths = {e["path"] for e in dirty}
         clean = [e for e in manifest["files"]
                  if e["path"] not in dirty_paths]
+    if not dirty:
+        # predicates matched no files: a periodic OPTIMIZE over a cold
+        # partition must not burn a version on an empty rewrite
+        return base_version, files_before, files_before
     df = _read_entries(spark, table_dir, dirty, manifest["schema"])
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
@@ -1310,7 +1343,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
             len(m["files"]),
             sum(counts) if all(c is not None for c in counts) else None,
             len(changes) if changes is not None else None,
-            m.get("last_epoch") is not None,
+            m.get("epoch_key") is not None,
         ))
     schema = StructType([
         StructField("version", LongType(), False),

@@ -64,38 +64,32 @@ class SnapshotFileSlice(InputPartition):
 
 def _delta_entries(table_dir: str, start_v: int, end_v: int) -> list[dict]:
     """File entries ADDED in (start_v, end_v] — ``start_v == -1`` means
-    the full file set of ``end_v`` (initial load). Append-only chain
-    walk; raises ValueError on an overwrite/rewrite or expired version
-    in range (the caller must restart from a full re-read)."""
-    from ..operators.snapshots import _read_manifest
+    the full file set of ``end_v`` (initial load, no history walk).
+    Append-only classification over the SHARED chain walk
+    (``_manifest_chain`` — one place owns the expired/ancestor
+    contract); raises ValueError on an overwrite/rewrite in range (the
+    caller must restart from a full re-read)."""
+    from ..operators.snapshots import _manifest_chain, _read_manifest
 
-    try:
-        end_m = _read_manifest(table_dir, end_v)
-        if start_v < 0:
-            return list(end_m["files"])
-        v = end_v
-        while v is not None and v > start_v:
-            m = _read_manifest(table_dir, v)
-            if m["mode"] != "append":
-                raise ValueError(
-                    f"snapshot stream source: version {v} of {table_dir} "
-                    f"is a {m['mode']} — the offset range has no "
-                    "append-only delta; restart the stream from a fresh "
-                    "checkpoint (full re-read)")
-            v = m["parent"]
-        if v != start_v:
+    if start_v < 0:
+        try:
+            return list(_read_manifest(table_dir, end_v)["files"])
+        except FileNotFoundError as exc:
             raise ValueError(
-                f"snapshot stream source: offset version {start_v} is "
-                f"not an ancestor of {end_v} on {table_dir}")
-        base = {e["path"]
-                for e in _read_manifest(table_dir, start_v)["files"]}
-        return [e for e in end_m["files"] if e["path"] not in base]
-    except FileNotFoundError as exc:
-        raise ValueError(
-            f"snapshot stream source: the offset range ({start_v}, "
-            f"{end_v}] of {table_dir} touches an expired version — "
-            "widen snapshot_expire retention past the consumer's "
-            "checkpoint lag") from exc
+                f"snapshot stream source: version {end_v} of {table_dir} "
+                "is expired — widen snapshot_expire retention past the "
+                "consumer's checkpoint lag") from exc
+    chain = _manifest_chain(table_dir, start_v, end_v,
+                            "snapshot stream source")
+    for m in chain[1:]:
+        if m["mode"] != "append":
+            raise ValueError(
+                f"snapshot stream source: version {m['version']} of "
+                f"{table_dir} is a {m['mode']} — the offset range has "
+                "no append-only delta; restart the stream from a fresh "
+                "checkpoint (full re-read)")
+    base = {e["path"] for e in chain[0]["files"]}
+    return [e for e in chain[-1]["files"] if e["path"] not in base]
 
 
 def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
@@ -106,52 +100,33 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
     files (kind 'log' — empty log = compaction = nothing); a rewrite
     with NO recorded log (plain overwrite) raises, Delta's own CDF
     rule."""
-    from ..operators.snapshots import _read_manifest
+    from ..operators.snapshots import _manifest_chain
 
-    memo: dict[int, dict] = {}
-
-    def read(v: int) -> dict:
-        # each append reads its parent for the delta set AND visits it
-        # next in the walk — memoize so a long chain is O(versions)
-        # manifest reads, not 2x
-        if v not in memo:
-            memo[v] = _read_manifest(table_dir, v)
-        return memo[v]
-
-    try:
-        slices: list[tuple] = []
-        v: int | None = end_v
-        while v is not None and v > start_v:
-            m = read(v)
-            parent = m["parent"]
-            if m["mode"] == "append":
-                base: set[str] = set()
-                if parent is not None:
-                    base = {e["path"] for e in read(parent)["files"]}
-                slices.extend(
-                    (e["path"], "data", v) for e in m["files"]
-                    if e["path"] not in base)
-            else:
-                entries = m.get("changes")
-                if entries is None:
-                    raise ValueError(
-                        f"snapshot CDF source: version {v} of {table_dir} "
-                        f"is a {m['mode']} with no recorded change log — "
-                        "its delta is not expressible; restart the "
-                        "consumer from a full re-read")
-                slices.extend((e["path"], "log", v) for e in entries)
-            v = parent
-        if start_v >= 0 and v != start_v:
-            raise ValueError(
-                f"snapshot CDF source: offset version {start_v} is not "
-                f"an ancestor of {end_v} on {table_dir}")
-        return slices
-    except FileNotFoundError as exc:
-        raise ValueError(
-            f"snapshot CDF source: the offset range ({start_v}, {end_v}] "
-            f"of {table_dir} touches an expired version — widen "
-            "snapshot_expire retention past the consumer's checkpoint "
-            "lag") from exc
+    chain = _manifest_chain(table_dir, start_v, end_v,
+                            "snapshot CDF source")
+    # pair each in-range manifest with its parent (the range anchor /
+    # root has none): appends need the parent file set for their delta
+    nodes = (list(zip([None] + chain[:-1], chain)) if start_v < 0
+             else list(zip(chain, chain[1:])))
+    slices: list[tuple] = []
+    for parent_m, m in nodes:
+        v = m["version"]
+        if m["mode"] == "append":
+            base = ({e["path"] for e in parent_m["files"]}
+                    if parent_m is not None else set())
+            slices.extend(
+                (e["path"], "data", v) for e in m["files"]
+                if e["path"] not in base)
+        else:
+            entries = m.get("changes")
+            if entries is None:
+                raise ValueError(
+                    f"snapshot CDF source: version {v} of {table_dir} "
+                    f"is a {m['mode']} with no recorded change log — "
+                    "its delta is not expressible; restart the "
+                    "consumer from a full re-read")
+            slices.extend((e["path"], "log", v) for e in entries)
+    return slices
 
 
 class SnapshotTableStreamReader(DataSourceStreamReader):
@@ -195,7 +170,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             return [SnapshotFileSlice(None, self.columns)]
         return [
             SnapshotFileSlice(os.path.join(self.table_dir, en["path"]),
-                              self.columns)
+                              self.columns, schema_json=self.schema_json)
             for en in entries
         ]
 
@@ -205,17 +180,21 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         if partition.schema_json is None:
+            # legacy slice shape (no declared schema carried) — exact-
+            # generation files only
             pf = pq.ParquetFile(partition.abs_path)
             for batch in pf.iter_batches(columns=partition.columns):
                 # select() pins the declared column ORDER — parquet files
                 # may store columns in a different physical order
                 yield batch.select(partition.columns)
             return
-        # CDF slice: build Arrow batches in the declared schema exactly —
-        # synthesized _change_type ('I' for append deltas, from the file
-        # for change logs), constant _commit_version, NULL-filled columns
-        # the file predates (schema evolution inside the range), and
-        # native upcasts for columns a later commit widened
+        # Aligned read — build Arrow batches in the declared schema
+        # exactly, for BOTH modes: NULL-filled columns the file predates
+        # (schema evolution inside the range — previously a permanent
+        # stream failure on the plain path), native upcasts for columns
+        # a later commit widened, and in CDF mode the synthesized
+        # _change_type ('I' for append deltas, from the file for change
+        # logs) and constant _commit_version
         import json as _json
 
         import pyarrow as pa
@@ -255,9 +234,11 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
 class SnapshotTableDataSource(DataSource):
     """``spark.readStream.format("snapshot_table").load(<table_dir>)``.
     The schema is the CURRENT manifest's committed schema, resolved once
-    at stream start; the consumed range must not evolve columns
-    mid-stream (an evolved file would batch-mismatch — restart the
-    stream to pick up the widened schema)."""
+    at stream start. Files from earlier schema generations read ALIGNED
+    to it (missing columns NULL-filled, narrower-written columns upcast
+    in the Arrow batch), so a stream survives additive evolution in its
+    range; columns ADDED after the stream started only appear after a
+    restart re-resolves the schema (Delta's rule too)."""
 
     @classmethod
     def name(cls) -> str:
@@ -286,6 +267,16 @@ class SnapshotTableDataSource(DataSource):
         fields = [StructField(f.name, f.dataType, True)
                   for f in committed.fields]
         if str(self.options.get("cdf", "false")).lower() == "true":
+            reserved = {"_change_type", "_commit_version"}
+            taken = {f.name.casefold() for f in committed.fields}
+            if taken & reserved:
+                # same rule as snapshot_read_cdf: a real column under a
+                # reserved name would be served AS the change labels —
+                # silent replica corruption, so refuse up front
+                raise ValueError(
+                    "snapshot CDF source: the table schema uses a "
+                    f"reserved CDF column name ({sorted(reserved)}) — "
+                    "rename it to stream the feed")
             fields += [StructField("_change_type", StringType(), True),
                        StructField("_commit_version", LongType(), True)]
         return StructType(fields)
@@ -295,8 +286,9 @@ class SnapshotTableDataSource(DataSource):
 
 
 def register_snapshot_source(spark) -> None:
-    """Idempotent registration (sessions are reused across queries)."""
-    try:
-        spark.dataSource.register(SnapshotTableDataSource)
-    except Exception:
-        pass
+    """Registration (sessions are reused across queries).
+    ``spark.dataSource.register`` is replace-on-reregister (verified),
+    so no exception guard — a guard here would swallow REAL failures
+    (e.g. a build without the Python DataSource API) and defer them to
+    a confusing DATA_SOURCE_NOT_FOUND at stream start."""
+    spark.dataSource.register(SnapshotTableDataSource)

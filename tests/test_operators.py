@@ -2696,6 +2696,10 @@ def test_snapshot_history_reports_modes_rows_and_legacy_null(spark,
     assert hist[0].n_change_files is None  # appends synthesize I rows
     assert hist[1].n_rows == 20 and hist[1].from_stream_epoch
     assert hist[2].mode == "rewrite" and hist[2].n_rows == 20
+    # the flag marks the epoch commit ITSELF, not every descendant of
+    # one (last_epoch is the inherited idempotence high-water mark;
+    # history reads the per-commit epoch_key instead)
+    assert not hist[0].from_stream_epoch and not hist[2].from_stream_epoch
     assert hist[2].n_change_files >= 1
     assert hist[2].parent == 1 and hist[0].parent is None
     # legacy manifest without per-file row counts → n_rows NULL
@@ -2823,3 +2827,29 @@ def test_snapshot_restore_refuses_expired_target(spark, tmp_path):
         S.snapshot_restore(spark, t, 0, key="k")
     v = S.snapshot_restore(spark, t, 1, key="k")
     assert S.snapshot_read(spark, t, version=v).count() == 20
+
+
+def test_snapshot_merge_and_cdc_reject_all_null_keys(spark, tmp_path):
+    """Review fix (r10): an all-NULL-key batch must fail closed, not
+    read as 'empty' through the NULL-ignoring min/max band probe and
+    silently no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "snap_nullkeys")
+    S.snapshot_commit(spark, t, spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    nulls = spark.createDataFrame(
+        [(None, 1), (None, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="NULL merge key"):
+        S.snapshot_merge(spark, t, nulls, "k")
+    cdc = spark.createDataFrame(
+        [(None, 1, 1, "U")], "k long, v long, seq int, op string")
+    with pytest.raises(ValueError, match="NULL key"):
+        S.snapshot_apply_cdc(spark, t, cdc, "k")
+    # a genuinely empty batch is still the documented no-op
+    empty = spark.createDataFrame([], "k long, v long")
+    v, audit = S.snapshot_merge(spark, t, empty, "k")
+    assert v == 0 and audit.count() == 5
