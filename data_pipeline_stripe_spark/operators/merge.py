@@ -8,6 +8,13 @@ on the key plus per-column conditional selection. The write half is the
 caller's partition-overwrite (write the merged frame back with dynamic
 partition overwrite); this module produces the exact merged rows.
 
+Every verb takes ``key`` as a single column name OR a list of names —
+real MERGE conditions are composite (``ON t.date = s.date AND
+t.resource = s.resource``, exactly the reference's (date, resourceId)
+J3 key); the join is the conjunction of per-column equalities and "NULL
+key" means NULL in ANY key column (SQL equality semantics: such a row
+can never match).
+
 Scale shape: ONE keyed join — sort-merge on the merge key, or broadcast
 when the update batch is small (the common daily-corrections case; AQE
 decides from runtime stats). No window, no second pass; row count =
@@ -20,17 +27,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _key_cols(key) -> list[str]:
+    """Normalize the ``key`` argument: a column name or a non-empty
+    list/tuple of names (composite key). Duplicates rejected — a
+    repeated column would silently weaken the join condition."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys or not all(isinstance(k, str) and k for k in keys):
+        raise ValueError(f"merge key must be a column name or a "
+                         f"non-empty list of names, got {key!r}")
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate column in merge key {keys}")
+    return keys
+
+
+def _eq_on(left_alias: str, right_alias: str, keys: list[str]):
+    """Conjunctive equality join condition over the key columns."""
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"{left_alias}.{k}") == F.col(f"{right_alias}.{k}"))
+    return cond
+
+
+def _any_null(alias: str, keys: list[str]):
+    """NULL in ANY key column — such a row can never equality-match."""
+    cond = F.lit(False)
+    for k in keys:
+        cond = cond | F.col(f"{alias}.{k}").isNull()
+    return cond
+
+
 def merge_upsert(base: DataFrame, updates: DataFrame,
-                 key: str) -> DataFrame:
-    """Upsert ``updates`` into ``base`` on ``key`` (both sides must share
-    the same schema; one row per key on each side — enforce upstream,
-    like MERGE itself, which raises on duplicate matches).
+                 key) -> DataFrame:
+    """Upsert ``updates`` into ``base`` on ``key`` (a column name or a
+    list of names; both sides must share the same schema; one row per
+    key on each side — enforce upstream, like MERGE itself, which
+    raises on duplicate matches).
 
     WHEN MATCHED → the update row wins (full-row update);
     WHEN NOT MATCHED → the update row inserts;
     base rows without an update pass through unchanged. Also emits a
     ``merge_action`` column ('updated' | 'inserted' | 'kept') so callers
     can audit the batch — drop it before writing if unwanted."""
+    keys = _key_cols(key)
     cols = base.columns
     if updates.columns != cols:
         raise ValueError(
@@ -45,7 +83,7 @@ def merge_upsert(base: DataFrame, updates: DataFrame,
     # lazily via raise_error so no extra validation job runs.
     b = base.withColumn("_b_present", F.lit(True)).alias("b")
     u = updates.withColumn("_u_present", F.lit(True)).alias("u")
-    joined = b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer")
+    joined = b.join(u, _eq_on("b", "u", keys), "full_outer")
     has_update = F.coalesce(F.col("u._u_present"), F.lit(False))
     has_base = F.coalesce(F.col("b._b_present"), F.lit(False))
     picked = [
@@ -55,7 +93,7 @@ def merge_upsert(base: DataFrame, updates: DataFrame,
     ]
     action = (
         F.when(
-            has_update & F.col(f"u.{key}").isNull(),
+            has_update & _any_null("u", keys),
             F.raise_error(F.lit(
                 "merge_upsert: NULL merge key in updates — MERGE requires "
                 "non-NULL keys"
@@ -69,14 +107,14 @@ def merge_upsert(base: DataFrame, updates: DataFrame,
     return joined.select(*picked, action)
 
 
-def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
+def apply_cdc(base: DataFrame, changes: DataFrame, key,
               seq: str = "seq", op: str = "op") -> DataFrame:
     """Apply a CDC change stream (upserts AND deletes) to a base table —
     the APPLY CHANGES half of a lakehouse ingest that merge_upsert's
     update-only contract can't express. ``changes`` carries the base
     schema plus ``op`` ('U' upsert | 'D' delete) and a ``seq`` ordering
     column (unique per key — enforce upstream; ties would make
-    latest-wins ambiguous on any engine).
+    latest-wins ambiguous on any engine). ``key`` may be composite.
 
     Semantics: per key, only the HIGHEST-seq change matters (latest
     wins); a final 'U' upserts the row, a final 'D' removes the key even
@@ -91,6 +129,7 @@ def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
     merge_upsert — the base table is never windowed or scanned twice."""
     from pyspark.sql.window import Window as W
 
+    keys = _key_cols(key)
     cols = base.columns
     extra = [c for c in changes.columns if c not in (*cols, seq, op)]
     missing = ({*cols, seq, op}) - set(changes.columns)
@@ -99,7 +138,7 @@ def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
             f"apply_cdc: changes must be base columns plus ({seq}, {op}), "
             f"got {changes.columns}"
         )
-    w = W.partitionBy(key).orderBy(F.col(seq).desc())
+    w = W.partitionBy(*keys).orderBy(F.col(seq).desc())
     last = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -121,7 +160,7 @@ def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
     )
     b = base.withColumn("_b_present", F.lit(True)).alias("b")
     c = last.withColumn("_c_present", F.lit(True)).alias("c")
-    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    joined = b.join(c, _eq_on("b", "c", keys), "full_outer")
     has_change = F.coalesce(F.col("c._c_present"), F.lit(False))
     has_base = F.coalesce(F.col("b._b_present"), F.lit(False))
     picked = [
@@ -129,9 +168,10 @@ def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
         .alias(col)
         for col in cols
     ]
+    change_key_null = _any_null("c", keys)
     action = (
         F.when(
-            has_change & F.col(f"c.{key}").isNull(),
+            has_change & change_key_null,
             F.raise_error(F.lit(
                 "apply_cdc: NULL key in changes — CDC requires non-NULL keys"
             )),
@@ -143,19 +183,20 @@ def apply_cdc(base: DataFrame, changes: DataFrame, key: str,
     return (
         joined.filter(
             ~(has_change & (F.col(f"c.{op}") == F.lit("D")))
-            | (has_change & F.col(f"c.{key}").isNull())
+            | (has_change & change_key_null)
         )
         .select(*picked, action)
     )
 
 
-def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+def snapshot_diff(old: DataFrame, new: DataFrame, key) -> DataFrame:
     """Derive the CDC change set BETWEEN two table snapshots — the
     inverse of ``apply_cdc``, for sources that can only hand you full
     snapshots (the common SaaS-export shape): one full-outer keyed join
-    classifies every key as inserted ('I': in new only), deleted ('D':
-    in old only, row carries the OLD values), updated ('U': in both
-    with any column differing, NULL-safely), or unchanged (omitted).
+    (``key`` may be composite) classifies every key as inserted
+    ('I': in new only), deleted ('D': in old only, row carries the OLD
+    values), updated ('U': in both with any column differing,
+    NULL-safely), or unchanged (omitted).
     Feeding the result to apply_cdc (I/U as upserts, D as deletes)
     reproduces ``new`` from ``old`` exactly — pinned by
     tests/test_operators.py.
@@ -172,24 +213,28 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     replay wrongly with no error."""
     from pyspark.sql.window import Window as W
 
+    keys = _key_cols(key)
     cols = old.columns
     if new.columns != cols:
         raise ValueError(
             f"snapshot_diff needs identical schemas, got {cols} vs "
             f"{new.columns}")
-    data_cols = [c for c in cols if c != key]
-    wk = W.partitionBy(key)
+    data_cols = [c for c in cols if c not in keys]
+    wk = W.partitionBy(*keys)
     o = (old.withColumn("_o_present", F.lit(True))
          .withColumn("_o_dups", F.count("*").over(wk)).alias("o"))
     n = (new.withColumn("_n_present", F.lit(True))
          .withColumn("_n_dups", F.count("*").over(wk)).alias("n"))
-    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    joined = o.join(n, _eq_on("o", "n", keys), "full_outer")
     has_old = F.coalesce(F.col("o._o_present"), F.lit(False))
     has_new = F.coalesce(F.col("n._n_present"), F.lit(False))
-    same = F.struct(*[F.col(f"o.{c}") for c in data_cols]).eqNullSafe(
-        F.struct(*[F.col(f"n.{c}") for c in data_cols]))
-    null_key = (has_old & F.col(f"o.{key}").isNull()) | (
-        has_new & F.col(f"n.{key}").isNull())
+    # a table that is ALL key columns has no data to differ on — every
+    # matched key is unchanged (struct() with zero fields would throw)
+    same = (F.lit(True) if not data_cols else
+            F.struct(*[F.col(f"o.{c}") for c in data_cols]).eqNullSafe(
+                F.struct(*[F.col(f"n.{c}") for c in data_cols])))
+    null_key = (has_old & _any_null("o", keys)) | (
+        has_new & _any_null("n", keys))
     dup_key = (F.coalesce(F.col("o._o_dups"), F.lit(0)) > 1) | (
         F.coalesce(F.col("n._n_dups"), F.lit(0)) > 1)
     op = (

@@ -85,6 +85,80 @@ def global_running_sum(df: DataFrame, order_col: str, weight_col: str,
     )
 
 
+def global_row_number(df: DataFrame, order_cols: list,
+                      n_buckets: int = 256,
+                      out_col: str = "rn") -> DataFrame:
+    """Exact global ROW_NUMBER over ``order_cols`` (strings or Column
+    expressions — e.g. ``F.col("x").desc()``; the combination must be a
+    TOTAL order, i.e. no ties, or the numbering is nondeterministic
+    exactly as the naive global window's would be) without the
+    ``Exchange SinglePartition`` the naive ``ROW_NUMBER() OVER (ORDER
+    BY ...)`` plans. Same two-phase shape as ``global_running_sum``,
+    generalized to arbitrary multi-column orderings via
+    ``repartitionByRange`` (Spark's RangePartitioner samples split
+    points, so bucket id order == key order by construction — no
+    numeric-span math, no skew cliff):
+
+    1. range-partition on the order columns; capture the partition id
+       (monotone in the ordering) IN the same stage;
+    2. per-partition local row_number (each bucket sorts in its own
+       task) + per-partition counts → a B-row offsets frame (the only
+       single-partition window left, over B rows);
+    3. broadcast the offsets back: global rn = offset + local rn."""
+    from pyspark.sql import functions as F
+
+    part = df.repartitionByRange(n_buckets, *order_cols)
+    pid = part.withColumn("_pid", F.spark_partition_id())
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    local = pid.withColumn("_lrn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def global_ntile(df: DataFrame, order_cols: list, n_tiles: int,
+                 n_buckets: int = 256,
+                 out_col: str = "tile") -> DataFrame:
+    """Exact global NTILE(n) over a total ordering, bit-identical to
+    ``NTILE(n) OVER (ORDER BY ...)`` but built on the two-phase
+    ``global_row_number`` — so a quartile/decile assignment over a
+    100 TB table never funnels through one task. NTILE's exact spec:
+    with N rows, the first ``N % n`` tiles get ``N // n + 1`` rows,
+    the rest ``N // n`` — computed from the global row number with
+    integer arithmetic (the repo numeric policy: no double rounding
+    in rank math)."""
+    from pyspark.sql import functions as F
+
+    ranked = global_row_number(df, order_cols, n_buckets, out_col="_grn")
+    # total row count from one tiny agg over the ranked frame's lineage
+    # would re-run the scan; max(_grn) over a 1-row broadcast does too.
+    # Cheapest exact form: count() on the input ONCE (metadata-cheap
+    # for columnar sources, one light job otherwise).
+    total = df.count()
+    base, rem = divmod(total, n_tiles)
+    big = base + 1
+    if base == 0:
+        tile = F.col("_grn")  # fewer rows than tiles: tile i = row i
+    else:
+        # integer ceil without doubles: (r + big - 1) div big for the
+        # big tiles; rem + ceil((r - rem*big) / base) for the rest
+        tile = F.when(
+            F.col("_grn") <= rem * big,
+            F.expr(f"(_grn + {big - 1}) div {big}")
+        ).otherwise(
+            F.expr(f"{rem} + (_grn - {rem * big} + {base - 1}) "
+                   f"div {base}")
+        )
+    return ranked.withColumn(out_col, tile.cast("long")).drop("_grn")
+
+
 def assign_token_shards(df: DataFrame, order_col: str, weight_col: str,
                         target_weight: int,
                         n_buckets: int = 256) -> DataFrame:

@@ -59,80 +59,68 @@ from . import maintenance  # noqa: E402,F401
 _WINDOW = 50
 
 PRIORITY_THIS_ROUND = [
-    # round 10 pins: all 15 r9 pins pruned (every one green in the r9
-    # driver window; code untouched since unless re-listed below).
-    # Pinned here = code changed THIS round (rule 1).
+    # round 11 pins: all 21 r10 pins pruned as pins (every one green in
+    # the r10 driver window) — but most re-enter below because r11
+    # refactored the code they gate. Pinned here = code changed THIS
+    # round (rule 1).
     #
-    # round 10: the snapshot commit core was refactored into the
-    # Spark-free _publish_commit OCC loop (rewrite mode, change-log
-    # entries, expire-race guards), schema evolution gained lossless
-    # type widening, and expire gained the data-dir grace window —
-    # every query touching the format re-gates
-    "snapshot_time_travel_roundtrip",
-    "stream_snapshot_sink_parity",
-    "snapshot_concurrent_commit_parity",
-    "snapshot_stats_pruned_read",
-    "snapshot_incremental_read_parity",
-    "snapshot_schema_evolution_parity",
+    # r11 NEW verbs/surfaces (VERDICT r10's ranked agenda):
+    # 1. admission control on the snapshot streaming source
+    "stream_snapshot_source_ratelimited_parity",
+    # 2. OVERWRITE WHERE (replaceWhere) with CDF riding through
+    "snapshot_replace_where_parity",
+    # 3. clustering-preserving OPTIMIZE (lineage recorded in manifest)
+    "snapshot_clustered_compact_parity",
+    # 4. composite merge keys (band-box dirty split, composite CDF log)
+    "snapshot_merge_composite_key_parity",
+    # 5. IS NULL / IN / OR pruning over the harvested footer stats
+    "snapshot_null_in_pruned_read",
+    # 6. the batch Python DataSource + CREATE VIEW ... USING SQL surface
+    "snapshot_sql_surface_parity",
+    # 7. ntile re-routed through the two-phase global rank
+    # (operators/packing.py:global_ntile) — no more single-partition
+    # window exchange
+    "ntile_customer_quartiles",
+    #
+    # r11 REFACTORED code paths re-gating (rule 1): operators/merge.py
+    # went composite-key (every verb's join/window/diff rebuilt on key
+    # lists), operators/snapshots.py's split/band/stats/pruning core
+    # changed (_split_dirty signature, _update_bands, null-count
+    # completeness in _collect_file_stats, _entry_may_match, cluster
+    # lineage in every manifest), and sources/snapshot_source.py was
+    # restructured (shared _read_slice, CDF-gated synthesis, cursor
+    # admission control)
     "snapshot_merge_upsert_parity",
-    "snapshot_compact_parity",
-    # round 10, new: predicate-scoped copy-on-write MERGE — untouched
-    # band files carried forward byte-identical (the query raises
-    # otherwise), hash vs the whole-table merge oracle
     "snapshot_partial_merge_parity",
-    # round 10, new: row-level DELETEs (apply_cdc through the table)
-    # + the change data feed across appends, a CDC commit and a
-    # compaction; replaying the feed over v0 must equal the head
-    "snapshot_cdf_read_parity",
-    # round 10, new: timestamp time travel — captured wall-clock
-    # stamps resolve to exactly the versions committed before them
-    "snapshot_as_of_read_parity",
-    # round 10, new: z-clustered commits — the 2-D rectangle must
-    # stats-prune strictly harder than the naive twin's layout
-    "snapshot_clustered_write_parity",
-    # round 10, new: the snapshot table as a streaming SOURCE (offsets
-    # are versions); restart consumes exactly the delta
-    "stream_snapshot_source_parity",
-    # round 10, new: MERGE gains WHEN NOT MATCHED BY SOURCE THEN
-    # DELETE under an explicit scope band — deletes ride the CDF,
-    # out-of-scope files stay carried forward byte-identical
     "snapshot_merge_delete_unmatched_parity",
-    # round 10, new: the change data feed as a STREAMING source
-    # (option cdf=true) — the stream survives a CDC rewrite commit
-    # and the restarted drain replays to the exact head state
-    "stream_snapshot_cdf_source_parity",
-    # round 10, new: DESCRIBE HISTORY — per-version mode/row-count/
-    # change-log report assembled from manifests alone (footer row
-    # counts recorded at commit time)
-    "snapshot_history_parity",
-    # round 10, new: RESTORE TABLE TO VERSION — O(1) file re-reference
-    # commit with the restore's exact row-level change log recorded
-    "snapshot_restore_parity",
-    # round 10, new: CDC replication — the CDF streamed from table A
-    # and applied per-micro-batch into replica B (upserts + deletes),
-    # exact across a restart
-    "stream_snapshot_replication_parity",
-    # round 10, new: the UPDATE SET form of the not-matched-by-source
-    # clause (soft-delete / staleness marking), same scope rules
     "snapshot_merge_update_unmatched_parity",
-    # round 10, new: the ×10-checkable sampled twin of the RP-LSH
-    # recall audit — retires VERDICT r9's one not-directly-×10-run row
+    "snapshot_cdf_read_parity",
+    "snapshot_compact_parity",
+    "snapshot_stats_pruned_read",
+    "snapshot_clustered_write_parity",
+    "stream_snapshot_source_parity",
+    "stream_snapshot_cdf_source_parity",
+    "stream_snapshot_replication_parity",
+    "snapshot_restore_parity",
+    "merge_upsert_customers",
+    "cdc_apply_changes_orders",
+    "merge_upsert_write_roundtrip",
+    "scd2_history_rebuild",
+    # oracle-construction path changed (assert -> raise, ADVICE r10):
+    "embedding_semantic_dedup_sampled",
     "embedding_rp_lsh_recall_audit_sampled",
-    # round 10: write_bucketed_table's skip path now requires the full
-    # one-file-per-bucket layout (ADVICE r9 low) — both bucketed-layout
-    # consumers re-gate
-    "royalties_monthly_usd_bucketed",
-    "bucketed_join_roundtrip",
 ]
 
 COVERAGE_DEBT_THIS_ROUND: list[str] = [
-    # EMPTY as planned (VERDICT r9 item 8): the union of driver windows
-    # r1-r9 covers every query registered before this round (the r9
-    # debt tier retired the last 29), and every r10-new query is a pin
-    # above — so there is no unchanged, never-driver-checked query
-    # left. Recompute from the CORRECTNESS_r*.json union each round.
+    # r11 (VERDICT r10 item 8): these three rows' only driver record
+    # was CORRECTNESS_r06.json, which is gone from disk — they are
+    # judge-verified green but the ON-DISK window union no longer
+    # covers them; re-window them so it is self-contained again.
+    "approx_percentiles_price",
+    "events_json_blob_agg",
+    "winsorized_value_stats",
 ]
-# Rotation note: with the r10 head (15 pins + 0 debt), 35 rotating
+# Rotation note: with the r11 head (25 pins + 3 debt), 22 rotating
 # slots resume the tile over the remaining queries.
 
 

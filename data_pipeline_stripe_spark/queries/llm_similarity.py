@@ -748,7 +748,8 @@ def _ann_recall_oracle() -> str:
 
     exact = _REG["embedding_topk_cosine"].oracle
     approx = _REG["embedding_ivf_topk"].oracle
-    assert 1_000_000 % _TOPK_K == 0, "ppm must divide evenly by k"
+    if 1_000_000 % _TOPK_K != 0:
+        raise RuntimeError("ppm must divide evenly by k")
     ppm_per_hit = 1_000_000 // _TOPK_K
     return f"""
     WITH exact AS (SELECT * FROM ({exact})),
@@ -816,7 +817,8 @@ def _pq_recall_oracle() -> str:
 
     exact = _REG["embedding_topk_cosine"].oracle
     approx = _REG["embedding_pq_topk"].oracle
-    assert 1_000_000 % _TOPK_K == 0, "ppm must divide evenly by k"
+    if 1_000_000 % _TOPK_K != 0:
+        raise RuntimeError("ppm must divide evenly by k")
     ppm_per_hit = 1_000_000 // _TOPK_K
     return f"""
     WITH exact AS (SELECT * FROM ({exact})),
@@ -946,9 +948,13 @@ def _semantic_dedup_sampled_oracle() -> str:
     corpus_new = "AS v FROM embeddings WHERE vec_id % 10 = 0),"
     cents_old = "FROM e WHERE vec_id < 4),"
     cents_new = "FROM e WHERE vec_id < 40),"
-    assert full.count(corpus_old) == 1 and full.count(cents_old) == 1, (
-        "embedding_semantic_dedup oracle text changed — update the "
-        "sampled twin's rewrites")
+    if not (full.count(corpus_old) == 1 and full.count(cents_old) == 1):
+        # explicit raise, not assert: python -O strips asserts, and a
+        # drifted full oracle would then silently make replace() a no-op
+        # (the "sampled" twin becomes the full oracle) — ADVICE r10
+        raise RuntimeError(
+            "embedding_semantic_dedup oracle text changed — update the "
+            "sampled twin's rewrites")
     return full.replace(corpus_old, corpus_new).replace(
         cents_old, cents_new)
 
@@ -989,9 +995,11 @@ def _rp_lsh_recall_sampled_oracle() -> str:
     full = _rp_lsh_recall_oracle()
     corpus = "AS v FROM embeddings)"
     bits = "FROM embeddings))"
-    assert full.count(corpus) == 2 and full.count(bits) == 1, (
-        "the RP-LSH recall oracle's component texts changed — update "
-        "the sampled twin's rewrites")
+    if not (full.count(corpus) == 2 and full.count(bits) == 1):
+        # explicit raise (not assert): survives python -O — ADVICE r10
+        raise RuntimeError(
+            "the RP-LSH recall oracle's component texts changed — update "
+            "the sampled twin's rewrites")
     return full.replace(
         bits, "FROM embeddings WHERE vec_id % 10 = 0))").replace(
         corpus, "AS v FROM embeddings WHERE vec_id % 10 = 0)")

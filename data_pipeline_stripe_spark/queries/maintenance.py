@@ -1834,3 +1834,494 @@ def snapshot_merge_update_unmatched_parity(spark: SparkSession,
         .select(F.col("k").alias("o_orderkey"), "pri", "cents",
                 "merge_action")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: OVERWRITE WHERE (replaceWhere) — the predicate-scoped overwrite.
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_replace_where_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1200
+    ),
+    repl AS (
+        SELECT k, pri, cents * 2 AS cents FROM base
+        WHERE k > 400 AND k <= 800 AND k % 3 = 0
+    ),
+    final AS (
+        SELECT * FROM base WHERE NOT (k > 400 AND k <= 800)
+        UNION ALL SELECT * FROM repl
+    )
+    SELECT 'final' AS section, k AS o_orderkey, pri, cents FROM final
+    UNION ALL
+    SELECT 'replayed' AS section, k, pri, cents FROM final
+    """,
+)
+def snapshot_replace_where_parity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """OVERWRITE WHERE as a snapshot verb
+    (operators/snapshots.py:snapshot_overwrite_where — VERDICT r10
+    item 2): the base is committed as THREE key-band appends (one file
+    each); a predicate-scoped overwrite replaces the middle band
+    (k in (400, 800]) with a THINNER recomputed batch (every third key,
+    cents doubled — a backfill that also deletes). The verb must
+    rewrite ONLY the dirty band's file — the query raises unless both
+    outer bands' manifest entries survive BYTE-IDENTICAL (the O(band)
+    property a partition backfill needs at 100 TB) — and, because the
+    commit records its row-level change log, the CDF stream RIDES
+    THROUGH the backfill: the gate replays the feed (I/U→upsert, D→
+    delete) over the pre-overwrite state and hash-checks the replica
+    against the head, both against the oracle's delete-then-insert
+    twice. A plain overwrite here would strand the feed (documented
+    barrier); this is the verb that keeps consumers incremental."""
+    from ..operators.merge import apply_cdc
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_overwrite_where,
+                                       snapshot_read, snapshot_read_cdf)
+
+    table_dir = _scratch(sf_dir, "snapshot_replace_where")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 1200).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bands = [
+        F.col("k") <= 400,
+        (F.col("k") > 400) & (F.col("k") <= 800),
+        F.col("k") > 800,
+    ]
+    for band in bands:
+        snapshot_commit(spark, table_dir,
+                        base.filter(band).coalesce(1), mode="append")
+    base_version = snapshot_current_version(table_dir)
+    pre = {e["path"]: e
+           for e in _read_manifest(table_dir, base_version)["files"]}
+
+    repl = base.filter(
+        (F.col("k") > 400) & (F.col("k") <= 800)
+        & (F.col("k") % 3 == 0)
+    ).withColumn("cents", F.col("cents") * 2)
+    version, stats = snapshot_overwrite_where(
+        spark, table_dir,
+        [("k", ">", 400), ("k", "<=", 800)], repl, key="k")
+    post = {e["path"]: e
+            for e in _read_manifest(table_dir, version)["files"]}
+    carried = set(pre) & set(post)
+    if len(carried) != 2 or any(post[p] != pre[p] for p in carried):
+        raise RuntimeError(
+            f"snapshot_replace_where_parity: expected both out-of-band "
+            f"files carried forward identically, got {len(carried)} of "
+            f"{len(pre)} — replaceWhere rewrote more than its scope")
+    if not (set(pre) - carried).isdisjoint(post):
+        raise RuntimeError(
+            "snapshot_replace_where_parity: the replaced band's file "
+            "survived — stale rows would double-count")
+
+    # the CDF rides through: replay the backfill's feed over the
+    # pre-overwrite state and it must reproduce the head exactly
+    feed = snapshot_read_cdf(spark, table_dir, base_version, version)
+    changes = feed.select(
+        "k", "pri", "cents",
+        F.col("_commit_version").alias("seq"),
+        F.when(F.col("_change_type").isin("I", "U"), F.lit("U"))
+        .otherwise(F.lit("D")).alias("op"),
+    )
+    before = snapshot_read(spark, table_dir, version=base_version)
+    replayed = apply_cdc(before, changes, "k").drop("cdc_action")
+    final = snapshot_read(spark, table_dir, version=version)
+    return (
+        final.select(F.lit("final").alias("section"),
+                     F.col("k").alias("o_orderkey"), "pri", "cents")
+        .unionByName(replayed.select(
+            F.lit("replayed").alias("section"),
+            F.col("k").alias("o_orderkey"), "pri", "cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: composite merge keys — MERGE ON (k1, k2) with the band-box split.
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_merge_composite_key_parity",
+    oracle="""
+    WITH keyed AS (
+        SELECT (o_orderkey - 1) // 400 AS bucket, o_orderkey % 400 AS seq,
+               o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1200
+    ),
+    base AS (SELECT * FROM keyed WHERE seq % 4 <> 1),
+    upd AS (
+        SELECT bucket, seq, pri, cents * 2 AS cents
+        FROM keyed WHERE bucket = 1
+    ),
+    merged AS (
+        SELECT COALESCE(u.bucket, b.bucket) AS bucket,
+               COALESCE(u.seq, b.seq) AS seq,
+               COALESCE(u.pri, b.pri) AS pri,
+               COALESCE(u.cents, b.cents) AS cents
+        FROM base b FULL OUTER JOIN upd u
+          ON b.bucket = u.bucket AND b.seq = u.seq
+    )
+    SELECT 'final' AS section, bucket, seq, pri, cents FROM merged
+    UNION ALL
+    SELECT 'replayed' AS section, bucket, seq, pri, cents FROM merged
+    """,
+)
+def snapshot_merge_composite_key_parity(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """MERGE on a COMPOSITE key (VERDICT r10 item 4 — the reference's
+    own J3 key is (date, resourceId): a coarse partition column plus a
+    fine id; here (bucket, seq) = (div, mod) of the order key, unique
+    by construction — the fixture's lineitem (orderkey, linenumber) is
+    NOT unique, checked). The base withholds every fourth seq, the
+    update batch carries bucket 1 complete, so the two-column merge
+    both updates (cents doubled) and inserts (the withheld keys). The
+    dirty split uses the per-column band BOX — the update batch's
+    bucket band is exactly [1, 1] while its seq band spans everything,
+    so the two outer bucket files must survive byte-identical (raises
+    otherwise: a convex-hull or single-key split would dirty all
+    three). The commit records the composite-key change log; the gate
+    replays the feed with the composite-key apply_cdc over the
+    pre-merge state and hash-checks replica == head == the oracle's
+    two-key FULL OUTER JOIN."""
+    from ..operators.merge import apply_cdc
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_merge, snapshot_read,
+                                       snapshot_read_cdf)
+
+    table_dir = _scratch(sf_dir, "snapshot_merge_composite")
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.filter(F.col("o_orderkey") <= 1200).select(
+        F.expr("(o_orderkey - 1) div 400").alias("bucket"),
+        (F.col("o_orderkey") % 400).alias("seq"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = keyed.filter(F.col("seq") % 4 != 1)
+    for b in range(3):
+        snapshot_commit(spark, table_dir,
+                        base.filter(F.col("bucket") == b).coalesce(1),
+                        mode="append")
+    base_version = snapshot_current_version(table_dir)
+    pre = {e["path"]: e
+           for e in _read_manifest(table_dir, base_version)["files"]}
+
+    upd = keyed.filter(F.col("bucket") == 1)         .withColumn("cents", F.col("cents") * 2)
+    version, merged = snapshot_merge(spark, table_dir, upd,
+                                     ["bucket", "seq"])
+    post = {e["path"]: e
+            for e in _read_manifest(table_dir, version)["files"]}
+    carried = set(pre) & set(post)
+    if len(carried) != 2 or any(post[p] != pre[p] for p in carried):
+        raise RuntimeError(
+            f"snapshot_merge_composite_key_parity: expected the two "
+            f"outer-bucket files carried forward identically, got "
+            f"{len(carried)} of {len(pre)} — the composite band box "
+            "dirtied more than the touched bucket")
+    acts = {r["merge_action"]: r["count"]
+            for r in merged.groupBy("merge_action").count().collect()}
+    if not (acts.get("updated", 0) > 0 and acts.get("inserted", 0) > 0
+            and acts.get("kept", 0) > 0):
+        raise RuntimeError(
+            f"snapshot_merge_composite_key_parity: expected all three "
+            f"merge actions to occur, got {acts} — the composite join "
+            "or the fixture bands are broken")
+
+    feed = snapshot_read_cdf(spark, table_dir, base_version, version)
+    changes = feed.select(
+        "bucket", "seq", "pri", "cents",
+        F.col("_commit_version").alias("seq_no"),
+        F.when(F.col("_change_type").isin("I", "U"), F.lit("U"))
+        .otherwise(F.lit("D")).alias("op"),
+    )
+    before = snapshot_read(spark, table_dir, version=base_version)
+    replayed = apply_cdc(before, changes, ["bucket", "seq"],
+                         seq="seq_no").drop("cdc_action")
+    final = snapshot_read(spark, table_dir, version=version)
+    return (
+        final.select(F.lit("final").alias("section"),
+                     "bucket", "seq", "pri", "cents")
+        .unionByName(replayed.select(
+            F.lit("replayed").alias("section"),
+            "bucket", "seq", "pri", "cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: clustering-preserving compaction — OPTIMIZE keeps the layout.
+# ---------------------------------------------------------------------------
+_CCOMPACT_CUT = "2024-01-22"
+
+
+@query(
+    "snapshot_clustered_compact_parity",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') >= '{_CCOMPACT_CUT}'
+    GROUP BY 1
+    """,
+)
+def snapshot_clustered_compact_parity(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Clustering-preserving OPTIMIZE (VERDICT r10 item 3 — the one
+    design wart it flagged): a day-clustered table is FRAGMENTED by
+    four small unclustered appends (each spanning every day, so their
+    footer day stats are table-wide), then compacted. Because
+    ``snapshot_commit_clustered`` recorded the clustering lineage in
+    the manifest, ``snapshot_compact`` re-clusters with
+    ``repartitionByRange + sortWithinPartitions`` instead of the old
+    round-robin ``repartition`` that destroyed the layout. The query
+    raises unless (a) the post-compact manifest still records the
+    lineage, (b) a day-band scan prunes STRICTLY (planned files <
+    total — the round-robin layout would plan ALL files: every file's
+    day span would be table-wide) and (c) plans at most as many files
+    as the SAME band needed on the pre-fragmentation clustered layout.
+    The hash then checks the band read against the plain events
+    oracle — compaction moved rows between files, never changed one."""
+    from ..operators.snapshots import (_read_manifest,
+                                       snapshot_commit,
+                                       snapshot_commit_clustered,
+                                       snapshot_compact,
+                                       snapshot_current_version,
+                                       snapshot_pruned_files,
+                                       snapshot_scan)
+
+    table_dir = _scratch(sf_dir, "snapshot_clustered_compact")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    snapshot_commit_clustered(
+        spark, table_dir, ev.filter(F.col("event_id") % 5 != 0),
+        ["day"], 4)
+    preds = [("day", ">=", _CCOMPACT_CUT)]
+    kept0, total0 = snapshot_pruned_files(table_dir, preds, version=0)
+    if not kept0 or len(kept0) >= total0:
+        raise RuntimeError(
+            "snapshot_clustered_compact_parity: the clustered base "
+            f"layout does not prune ({len(kept0)}/{total0}) — fixture "
+            "or clustering broken")
+    # four fragment appends, each spanning the whole day range
+    frag = ev.filter(F.col("event_id") % 5 == 0)
+    for r in range(4):
+        snapshot_commit(
+            spark, table_dir,
+            frag.filter(F.expr("(event_id div 5) % 4") == r)
+            .coalesce(1),
+            mode="append")
+    version, before, after = snapshot_compact(spark, table_dir,
+                                              target_files=4)
+    if after >= before:
+        raise RuntimeError(
+            f"snapshot_clustered_compact_parity: compaction did not "
+            f"shrink the file count ({before} -> {after})")
+    m = _read_manifest(table_dir, snapshot_current_version(table_dir))
+    if m.get("cluster_cols") != ["day"]:
+        raise RuntimeError(
+            f"snapshot_clustered_compact_parity: the clustering "
+            f"lineage was lost across OPTIMIZE "
+            f"(cluster_cols={m.get('cluster_cols')!r})")
+    kept1, total1 = snapshot_pruned_files(table_dir, preds)
+    if not kept1 or len(kept1) >= total1 or len(kept1) > len(kept0):
+        raise RuntimeError(
+            f"snapshot_clustered_compact_parity: post-compact pruning "
+            f"regressed — {len(kept1)}/{total1} planned vs "
+            f"{len(kept0)}/{total0} on the pre-fragmentation layout; "
+            "OPTIMIZE de-clustered the table (the r10 wart)")
+    return (
+        snapshot_scan(spark, table_dir, preds)
+        .groupBy("day")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: IS NULL / IN / OR pruning — the harvested null counts finally read.
+# ---------------------------------------------------------------------------
+_NIP_C1, _NIP_C2 = "2024-01-08", "2024-01-15"
+
+
+@query(
+    "snapshot_null_in_pruned_read",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CASE WHEN strftime(ts, '%Y-%m-%d') >= '{_NIP_C1}'
+                     AND strftime(ts, '%Y-%m-%d') < '{_NIP_C2}'
+                    THEN NULL ELSE event_id END AS ref,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT 'is_null' AS section, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM ev WHERE ref IS NULL GROUP BY 2
+    UNION ALL
+    SELECT 'in_list', event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM ev WHERE day IN ('2024-01-02', '2024-01-05') GROUP BY 2
+    UNION ALL
+    SELECT 'disjunct', event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM ev WHERE day < '2024-01-03' OR day >= '2024-01-25' GROUP BY 2
+    """,
+)
+def snapshot_null_in_pruned_read(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The r11 predicate forms of ``snapshot_scan`` (VERDICT r10
+    item 5 — the per-file null counts were harvested since r9 and
+    never read): three day-band appends where the MIDDLE band's
+    ``ref`` column is entirely NULL and the outer bands' is never
+    NULL. Three gated legs, each pinning its planned-file count:
+
+    - ``is_null``: ``ref IS NULL`` must plan ONLY the middle band's
+      files — the outer files prune on their recorded ``nulls == 0``;
+    - ``in_list``: ``day IN (d1, d2)`` with both members in the first
+      band must plan only that band (each member probed like ``=``);
+    - ``disjunct``: ``day < a OR day >= b`` (a CNF OR-term) must plan
+      the two outer bands and drop the middle one.
+
+    Every leg's rows then hash against the plain-predicate oracle —
+    pruning that dropped a matching file would flip the counts."""
+    from ..operators.snapshots import (snapshot_commit,
+                                       snapshot_pruned_files,
+                                       snapshot_scan)
+
+    table_dir = _scratch(sf_dir, "snapshot_null_in_pruned")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(
+            (F.date_format("ts", "yyyy-MM-dd") >= _NIP_C1)
+            & (F.date_format("ts", "yyyy-MM-dd") < _NIP_C2),
+            F.lit(None).cast("long"),
+        ).otherwise(F.col("event_id")).alias("ref"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bands = [
+        F.col("day") < _NIP_C1,
+        (F.col("day") >= _NIP_C1) & (F.col("day") < _NIP_C2),
+        F.col("day") >= _NIP_C2,
+    ]
+    for band in bands:
+        snapshot_commit(spark, table_dir, ev.filter(band).coalesce(1),
+                        mode="append")
+
+    legs = {
+        "is_null": ([("ref", "is_null", None)], 1),
+        "in_list": ([("day", "in", ["2024-01-02", "2024-01-05"])], 1),
+        "disjunct": ([[("day", "<", "2024-01-03"),
+                       ("day", ">=", "2024-01-25")]], 2),
+    }
+    frames = []
+    for section, (preds, expect_kept) in legs.items():
+        kept, total = snapshot_pruned_files(table_dir, preds)
+        if len(kept) != expect_kept or total != 3:
+            raise RuntimeError(
+                f"snapshot_null_in_pruned_read[{section}]: expected "
+                f"{expect_kept}/3 files planned, got {len(kept)}/"
+                f"{total} — the {section} pruning form is broken")
+        frames.append(
+            snapshot_scan(spark, table_dir, preds)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("cents"))
+            .select(F.lit(section).alias("section"), "event_type",
+                    "n_events", "cents"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r11: the snapshot table behind SQL — batch Python DataSource + USING view.
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_sql_surface_parity",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    head AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM ev GROUP BY 1
+    ),
+    v0 AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM ev WHERE day < '2024-01-15' GROUP BY 1
+    )
+    SELECT 'sql_head' AS section, * FROM head
+    UNION ALL SELECT 'api_head', * FROM head
+    UNION ALL SELECT 'sql_v0', * FROM v0
+    """,
+)
+def snapshot_sql_surface_parity(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The snapshot table through PURE SQL (VERDICT r10 item 6 — the
+    engine's dual DataFrame+SQL charter stopped at the format
+    boundary): the table registers as a BATCH Python DataSource
+    (sources/snapshot_source.py:SnapshotTableBatchReader — the same
+    executor-side aligned Arrow file reads as the stream), so
+    ``CREATE TEMPORARY VIEW t USING snapshot_table OPTIONS (path,
+    version)`` makes ``spark.sql`` read any committed version with no
+    Python API in sight. Three gated sections: the head version via
+    SQL, the head via ``snapshot_read`` (both must agree — the oracle
+    states them as the same select twice), and TIME TRAVEL via the
+    view's ``version '0'`` option (the first band alone)."""
+    from ..operators.snapshots import snapshot_commit, snapshot_read
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    table_dir = _scratch(sf_dir, "snapshot_sql_surface")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cut = "2024-01-15"
+    snapshot_commit(spark, table_dir, ev.filter(F.col("day") < cut),
+                    mode="append")
+    snapshot_commit(spark, table_dir, ev.filter(F.col("day") >= cut),
+                    mode="append")
+
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_sql_head "
+        f"USING snapshot_table OPTIONS (path '{table_dir}')")
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_sql_v0 "
+        f"USING snapshot_table OPTIONS (path '{table_dir}', "
+        f"version '0')")
+    agg_sql = ("SELECT {sec} AS section, event_type, "
+               "CAST(COUNT(*) AS BIGINT) AS n_events, "
+               "CAST(SUM(cents) AS BIGINT) AS cents "
+               "FROM {view} GROUP BY event_type")
+    sql_head = spark.sql(agg_sql.format(sec="'sql_head'",
+                                        view="snap_sql_head"))
+    sql_v0 = spark.sql(agg_sql.format(sec="'sql_v0'",
+                                      view="snap_sql_v0"))
+    api_head = (
+        snapshot_read(spark, table_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("cents"))
+        .select(F.lit("api_head").alias("section"), "event_type",
+                "n_events", "cents"))
+    return sql_head.unionByName(api_head).unionByName(sql_v0)

@@ -295,11 +295,23 @@ def date_trunc_weekly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile window function with a fully deterministic ordering."""
+    """ntile over a fully deterministic GLOBAL ordering — routed
+    through the two-phase prefix-sum rank (operators/packing.py:
+    global_ntile) instead of the naive ``NTILE(4) OVER (ORDER BY ...)``
+    whose plan is an ``Exchange SinglePartition`` funneling the whole
+    table through one task (VERDICT r10 item 7; the oracle states the
+    naive form — results are bit-identical by NTILE's spec). The plan
+    pin (tests/test_plans.py) asserts no single-partition window
+    exec survives in this query's plan beyond the B-row offsets
+    frame."""
+    from ..operators.packing import global_ntile
+
     cust = load_table(spark, sf_dir, "customer")
-    w = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return cust.select(
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+    tiled = global_ntile(
+        cust, [F.col("c_acctbal").desc(), F.col("c_custkey")], 4,
+        n_buckets=32, out_col="_q")
+    return tiled.select(
+        F.col("_q").cast("int").alias("quartile"),
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
     )

@@ -1,4 +1,5 @@
-"""The snapshot table as a Spark STREAMING SOURCE (Python DataSource).
+"""The snapshot table as a Spark STREAMING SOURCE and BATCH SOURCE
+(Python DataSource).
 
 The sink side of the loop is proven by the epoch-keyed idempotent
 commit (stream_snapshot_sink_parity); this module closes the loop: a
@@ -14,7 +15,9 @@ Offsets are ``{"version": N}`` with -1 meaning "nothing consumed yet"
 (the first batch serves the whole current version — Delta's
 startingVersion=0 behavior). Restart recovery is structural: Spark
 checkpoints the version offsets, and a replayed ``partitions(start,
-end)`` recomputes the identical file set from the immutable manifests.
+end)`` recomputes the identical file set from the immutable manifests
+(``partitions`` is a pure function of the offset pair — the law that
+makes every admission-control decision below replay-safe).
 
 Contract: the consumed range must be APPEND-ONLY (an overwrite/rewrite
 in range raises — exactly Delta's streaming-source rule for non-append
@@ -31,17 +34,47 @@ rewrite commits that stop the plain source: downstream state stays
 incremental across a MERGE. Only a plain overwrite (no recorded log)
 still raises. ``option("startingVersion", N)`` starts the feed at
 version N's changes (default 0 = the initial commit's rows as 'I').
-Cluster note: manifests are read where the driver-side Python worker
-runs, data files where executors run — on a real cluster ``path`` must
-be shared storage (which a table format's location always is).
+Retention note (ADVICE r10): startingVersion=N anchors the chain walk
+at manifest N-1 (the parent file set is what defines version N's
+append delta), so N-1 must still be RETAINED — starting at the oldest
+un-expired version requires ``snapshot_expire(keep_last=...)`` to have
+kept one version of slack; otherwise start the stream from a full
+re-read (startingVersion=0 on a compacted/restored lineage, or the
+batch read).
+
+ADMISSION CONTROL (r11, VERDICT r10 item 1):
+``option("maxFilesPerTrigger", N)`` bounds each micro-batch to at most
+N new file entries (data files for the plain source, change-log files
+for the CDF source), always admitting at least one full version —
+Delta's own contract (version boundaries are never split, so a single
+huge commit still arrives whole). Without it, ``latestOffset`` jumps
+straight to the table head and a consumer starting on (or catching up
+to) a large table gets EVERY pending version as ONE batch — unbounded
+work through one trigger, the 100 TB scale-killer. The Python
+DataSource API has no ``ReadLimit`` (the Scala
+``latestOffset(start, limit)`` form), so the reader tracks its own
+high-water cursor: synced from every ``partitions``/``commit`` call
+(authoritative — those carry Spark's checkpointed offsets) and from
+its own returns. Within one query lifetime the bound is exact. Across
+a RESTART the first ``latestOffset`` has no checkpoint to consult, so
+by default it serves the remaining backlog in one batch (correct —
+offsets never regress — but unbounded once); pass
+``option("cursorLocation", <dir>)`` (one per checkpoint, like the
+checkpoint itself on shared storage) to persist the cursor at every
+``commit`` and keep the bound exact across restarts. Trigger note:
+``availableNow`` snapshots the head offset once up front, so
+per-batch admission applies to ``processingTime`` triggers (use the
+gated query's drain-until-caught-up loop for bounded full drains).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -50,16 +83,22 @@ from pyspark.sql.datasource import (
 class SnapshotFileSlice(InputPartition):
     def __init__(self, abs_path: str | None, columns: list[str],
                  kind: str = "data", version: int = -1,
-                 schema_json: str | None = None):
+                 schema_json: str | None = None, cdf: bool = False):
         self.abs_path = abs_path
         self.columns = columns
         # CDF fields: kind 'data' (append delta — synthesize 'I') or
         # 'log' (recorded change-log file — _change_type comes from the
         # file); version stamps _commit_version; schema_json carries the
-        # declared output schema so executors build exact Arrow batches
+        # declared output schema so executors build exact Arrow batches.
+        # cdf gates the synthesis: a PLAIN stream over a table that
+        # evolved a REAL column named _change_type/_commit_version must
+        # serve NULLs for pre-evolution files, not fabricated labels
+        # (ADVICE r10) — the reserved-name refusal only applies to the
+        # CDF source.
         self.kind = kind
         self.version = version
         self.schema_json = schema_json
+        self.cdf = cdf
 
 
 def _delta_entries(table_dir: str, start_v: int, end_v: int) -> list[dict]:
@@ -129,6 +168,84 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
     return slices
 
 
+def _version_delta_count(table_dir: str, v: int, cdf: bool) -> int:
+    """How many file entries version ``v`` contributes to its consumer
+    — the admission-control unit. Appends: their new data-file entries
+    (set difference against the parent). Rewrites: the recorded
+    change-log entries in CDF mode (None — plain overwrite — counts 0
+    here; ``partitions`` raises the real contract error when the range
+    is actually served), or the new data entries in plain mode (same:
+    the error belongs to ``partitions``). Manifest-only reads — no
+    data file is opened."""
+    from ..operators.snapshots import _read_manifest
+
+    m = _read_manifest(table_dir, v)
+    if m["mode"] != "append" and cdf:
+        return len(m.get("changes") or [])
+    if m["parent"] is None:
+        return len(m["files"])
+    parent = _read_manifest(table_dir, m["parent"])
+    base = {e["path"] for e in parent["files"]}
+    return sum(1 for e in m["files"] if e["path"] not in base)
+
+
+def _read_slice(partition: SnapshotFileSlice):
+    """Executor-side Arrow read of one file slice — shared by the
+    streaming reader and the batch reader (one aligned-read
+    implementation, so the two surfaces cannot drift)."""
+    if partition.abs_path is None:
+        return
+    import pyarrow.parquet as pq
+
+    if partition.schema_json is None:
+        # legacy slice shape (no declared schema carried) — exact-
+        # generation files only
+        pf = pq.ParquetFile(partition.abs_path)
+        for batch in pf.iter_batches(columns=partition.columns):
+            # select() pins the declared column ORDER — parquet files
+            # may store columns in a different physical order
+            yield batch.select(partition.columns)
+        return
+    # Aligned read — build Arrow batches in the declared schema
+    # exactly: NULL-filled columns the file predates (schema evolution
+    # inside the range — previously a permanent stream failure on the
+    # plain path), native upcasts for columns a later commit widened,
+    # and — in CDF mode ONLY — the synthesized _change_type ('I' for
+    # append deltas, from the file for change logs) and constant
+    # _commit_version. A plain stream never synthesizes: those names
+    # are not reserved there, so a real column under them reads as
+    # data (NULL where the file predates it) — ADVICE r10.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(partition.schema_json)))
+    pf = pq.ParquetFile(partition.abs_path)
+    have = set(pf.schema_arrow.names)
+    want = [n for n in target.names
+            if n in have]  # _change_type present only in log files
+    for batch in pf.iter_batches(columns=want):
+        n = batch.num_rows
+        arrays = []
+        for field in target:
+            if field.name in have:
+                arr = batch.column(field.name)
+                if arr.type != field.type:
+                    arr = pc.cast(arr, field.type)
+            elif partition.cdf and field.name == "_change_type":
+                arr = pa.array(["I"] * n, type=field.type)
+            elif partition.cdf and field.name == "_commit_version":
+                arr = pa.array([partition.version] * n,
+                               type=field.type)
+            else:
+                arr = pa.nulls(n, type=field.type)
+            arrays.append(arr)
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 class SnapshotTableStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema):
         self.table_dir = options.get("path")
@@ -141,6 +258,48 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.schema_json = schema.json()
         start = int(options.get("startingVersion", 0))
         self._initial = start - 1
+        raw = options.get("maxFilesPerTrigger")
+        self.max_files = int(raw) if raw is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError(
+                "snapshot stream source: maxFilesPerTrigger must be "
+                f">= 1, got {self.max_files}")
+        self.cursor_dir = options.get("cursorLocation")
+        # the admission-control high-water mark: the highest version
+        # this reader has RETURNED as an offset or SEEN in a
+        # partitions/commit call (those carry Spark's checkpointed
+        # offsets, so a replayed batch re-syncs it). Never consulted
+        # for correctness — partitions() is a pure function of its
+        # offset pair — only for how far latestOffset may advance.
+        self._cursor = self._initial
+        persisted = self._read_cursor()
+        if persisted is not None:
+            self._cursor = max(self._cursor, persisted)
+
+    # -- cursor persistence (exact admission control across restarts) --
+    def _cursor_path(self) -> str:
+        return os.path.join(self.cursor_dir, "cursor.json")
+
+    def _read_cursor(self) -> int | None:
+        if not self.cursor_dir:
+            return None
+        try:
+            with open(self._cursor_path()) as fh:
+                return int(json.load(fh)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _persist_cursor(self) -> None:
+        if not self.cursor_dir:
+            return
+        os.makedirs(self.cursor_dir, exist_ok=True)
+        tmp = self._cursor_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": self._cursor}, fh)
+        os.replace(tmp, self._cursor_path())  # atomic publish
+
+    def _sync(self, *versions: int) -> None:
+        self._cursor = max(self._cursor, *versions)
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
@@ -148,11 +307,30 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         from ..operators.snapshots import snapshot_current_version
 
-        v = snapshot_current_version(self.table_dir)
-        return {"version": -1 if v is None else v}
+        head = snapshot_current_version(self.table_dir)
+        if head is None:
+            return {"version": -1}
+        if self.max_files is None or head <= self._cursor:
+            self._sync(head)
+            return {"version": head}
+        # bounded catch-up: admit whole versions until the file budget
+        # is spent — always at least one (a single oversized commit
+        # still arrives whole; version boundaries are never split)
+        v, total = self._cursor, 0
+        while v < head:
+            n = _version_delta_count(self.table_dir, v + 1, self.cdf)
+            if total > 0 and total + n > self.max_files:
+                break
+            total += n
+            v += 1
+            if total >= self.max_files:
+                break
+        self._sync(v)
+        return {"version": v}
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["version"]), int(end["version"])
+        self._sync(s, e)
         if e < 0 or e <= s:
             return [SnapshotFileSlice(None, self.columns)]
         if self.cdf:
@@ -162,7 +340,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             return [
                 SnapshotFileSlice(os.path.join(self.table_dir, rel),
                                   self.columns, kind=kind, version=v,
-                                  schema_json=self.schema_json)
+                                  schema_json=self.schema_json, cdf=True)
                 for (rel, kind, v) in slices
             ]
         entries = _delta_entries(self.table_dir, s, e)
@@ -175,95 +353,87 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: SnapshotFileSlice):
-        if partition.abs_path is None:
-            return
-        import pyarrow.parquet as pq
-
-        if partition.schema_json is None:
-            # legacy slice shape (no declared schema carried) — exact-
-            # generation files only
-            pf = pq.ParquetFile(partition.abs_path)
-            for batch in pf.iter_batches(columns=partition.columns):
-                # select() pins the declared column ORDER — parquet files
-                # may store columns in a different physical order
-                yield batch.select(partition.columns)
-            return
-        # Aligned read — build Arrow batches in the declared schema
-        # exactly, for BOTH modes: NULL-filled columns the file predates
-        # (schema evolution inside the range — previously a permanent
-        # stream failure on the plain path), native upcasts for columns
-        # a later commit widened, and in CDF mode the synthesized
-        # _change_type ('I' for append deltas, from the file for change
-        # logs) and constant _commit_version
-        import json as _json
-
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
-
-        target = to_arrow_schema(
-            StructType.fromJson(_json.loads(partition.schema_json)))
-        pf = pq.ParquetFile(partition.abs_path)
-        have = set(pf.schema_arrow.names)
-        want = [n for n in target.names
-                if n in have]  # _change_type present only in log files
-        for batch in pf.iter_batches(columns=want):
-            n = batch.num_rows
-            arrays = []
-            for field in target:
-                if field.name in have:
-                    arr = batch.column(field.name)
-                    if arr.type != field.type:
-                        arr = pc.cast(arr, field.type)
-                elif field.name == "_change_type":
-                    arr = pa.array(["I"] * n, type=field.type)
-                elif field.name == "_commit_version":
-                    arr = pa.array([partition.version] * n,
-                                   type=field.type)
-                else:
-                    arr = pa.nulls(n, type=field.type)
-                arrays.append(arr)
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+        return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._sync(int(end["version"]))
+        self._persist_cursor()
+
+
+class SnapshotTableBatchReader(DataSourceReader):
+    """Batch read of one committed version — the SQL surface
+    (``CREATE TEMPORARY VIEW ... USING snapshot_table``): the manifest
+    is resolved ONCE here on the driver; each file entry becomes one
+    executor-side Arrow slice read under the manifest's schema (the
+    same aligned read as the stream, so evolution/widening behave
+    identically)."""
+
+    def __init__(self, options, schema):
+        from ..operators.snapshots import _resolve_version
+
+        self.table_dir = options.get("path")
+        version = options.get("version")
+        as_of = options.get("asOf")
+        m = _resolve_version(
+            self.table_dir,
+            int(version) if version is not None else None,
+            float(as_of) if as_of is not None else None)
+        self.entries = [e["path"] for e in m["files"]]
+        self.columns = [f.name for f in schema.fields]
+        self.schema_json = schema.json()
+
+    def partitions(self):
+        if not self.entries:
+            return [SnapshotFileSlice(None, self.columns)]
+        return [
+            SnapshotFileSlice(os.path.join(self.table_dir, rel),
+                              self.columns, schema_json=self.schema_json)
+            for rel in self.entries
+        ]
+
+    def read(self, partition: SnapshotFileSlice):
+        return _read_slice(partition)
 
 
 class SnapshotTableDataSource(DataSource):
-    """``spark.readStream.format("snapshot_table").load(<table_dir>)``.
-    The schema is the CURRENT manifest's committed schema, resolved once
-    at stream start. Files from earlier schema generations read ALIGNED
-    to it (missing columns NULL-filled, narrower-written columns upcast
-    in the Arrow batch), so a stream survives additive evolution in its
-    range; columns ADDED after the stream started only appear after a
-    restart re-resolves the schema (Delta's rule too)."""
+    """``spark.readStream.format("snapshot_table").load(<table_dir>)``
+    (streaming) and ``spark.read.format("snapshot_table")
+    .option("version", N).load(<table_dir>)`` / ``CREATE TEMPORARY
+    VIEW t USING snapshot_table OPTIONS (path '...', version 'N')``
+    (batch + SQL). The schema is the resolved manifest's committed
+    schema — for a stream, the CURRENT version at stream start; for a
+    batch read, the ``version``/``asOf`` target's. Files from earlier
+    schema generations read ALIGNED to it (missing columns NULL-filled,
+    narrower-written columns upcast in the Arrow batch), so a stream
+    survives additive evolution in its range; columns ADDED after the
+    stream started only appear after a restart re-resolves the schema
+    (Delta's rule too)."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_table"
 
     def schema(self):
-        import json
-
         from pyspark.sql.types import (LongType, StringType, StructField,
                                        StructType)
 
-        from ..operators.snapshots import (_read_manifest,
-                                           snapshot_current_version)
+        from ..operators.snapshots import _resolve_version
 
         table_dir = self.options.get("path")
         if not table_dir:
             raise ValueError(
-                "snapshot stream source: pass the table directory as "
+                "snapshot source: pass the table directory as "
                 ".load(<path>)")
-        v = snapshot_current_version(table_dir)
-        if v is None:
-            raise ValueError(
-                f"snapshot stream source: {table_dir} has no commits")
-        committed = StructType.fromJson(
-            json.loads(_read_manifest(table_dir, v)["schema"]))
+        version = self.options.get("version")
+        as_of = self.options.get("asOf")
+        try:
+            m = _resolve_version(
+                table_dir,
+                int(version) if version is not None else None,
+                float(as_of) if as_of is not None else None)
+        except ValueError as exc:
+            raise ValueError(f"snapshot source: {exc}") from None
+        committed = StructType.fromJson(json.loads(m["schema"]))
         fields = [StructField(f.name, f.dataType, True)
                   for f in committed.fields]
         if str(self.options.get("cdf", "false")).lower() == "true":
@@ -280,6 +450,14 @@ class SnapshotTableDataSource(DataSource):
             fields += [StructField("_change_type", StringType(), True),
                        StructField("_commit_version", LongType(), True)]
         return StructType(fields)
+
+    def reader(self, schema) -> SnapshotTableBatchReader:
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            raise ValueError(
+                "snapshot source: the change feed is a STREAMING "
+                "surface (readStream) or snapshot_read_cdf — the batch "
+                "reader serves table states, not change rows")
+        return SnapshotTableBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> SnapshotTableStreamReader:
         return SnapshotTableStreamReader(self.options, schema)

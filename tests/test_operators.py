@@ -2175,8 +2175,8 @@ def test_snapshot_merge_read_validation(spark, tmp_path):
     # merge has committed to a view of the manifest it read.
     real_split = S._split_dirty
 
-    def split_then_interleave(manifest, key, lo, hi):
-        out = real_split(manifest, key, lo, hi)
+    def split_then_interleave(manifest, keys, bands):
+        out = real_split(manifest, keys, bands)
         # a foreign writer lands AFTER the merge's read
         S.snapshot_commit(
             spark, t,
@@ -2843,7 +2843,7 @@ def test_snapshot_merge_and_cdc_reject_all_null_keys(spark, tmp_path):
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
     nulls = spark.createDataFrame(
         [(None, 1), (None, 2)], "k long, v long")
-    with pytest.raises(ValueError, match="NULL merge key"):
+    with pytest.raises(ValueError, match="NULL key column"):
         S.snapshot_merge(spark, t, nulls, "k")
     cdc = spark.createDataFrame(
         [(None, 1, 1, "U")], "k long, v long, seq int, op string")
