@@ -106,6 +106,17 @@ HEADLINE = [
     # band, and the change feed as a restartable STREAMING source
     "snapshot_merge_delete_unmatched_parity",
     "stream_snapshot_cdf_source_parity",
+    # round 11: the format's production-shaping verbs — predicate-scoped
+    # OVERWRITE WHERE (CDF rides through a backfill), composite-key
+    # MERGE (band-box dirty split), clustering-preserving OPTIMIZE,
+    # IS NULL / IN / OR stats pruning, the batch-DataSource SQL surface,
+    # and the admission-controlled streaming source (bounded catch-up)
+    "snapshot_replace_where_parity",
+    "snapshot_merge_composite_key_parity",
+    "snapshot_clustered_compact_parity",
+    "snapshot_null_in_pruned_read",
+    "snapshot_sql_surface_parity",
+    "stream_snapshot_source_ratelimited_parity",
 ]
 
 

@@ -35,9 +35,12 @@ SCALING.md's lakehouse mapping documents):
 - **File-level column stats + scan pruning.** Each manifest entry
   carries per-column min/max/null-count harvested from the parquet
   FOOTERS of the files it commits (no extra Spark pass), and
-  ``snapshot_scan`` drops files a conjunctive predicate provably
-  cannot match BEFORE Spark ever plans the read — manifest-level
-  pruning, one level above parquet row-group pruning.
+  ``snapshot_scan`` drops files a predicate provably cannot match
+  BEFORE Spark ever plans the read — manifest-level pruning, one
+  level above parquet row-group pruning. Predicates are a CNF: a
+  conjunction of band terms (=, <, <=, >, >=), ``is_null`` (pruned on
+  the completeness-tracked null counts), ``in`` lists, and OR-term
+  disjunctions (r11).
 - **Incremental (CDF-style) reads.** ``snapshot_read_incremental``
   returns exactly the rows ADDED in a version range by walking the
   manifest parent chain (append-only fast path: set difference of file
@@ -104,8 +107,15 @@ Iceberg jars in this environment). WHEN-NOT-MATCHED-BY-SOURCE DELETE
 and UPDATE SET (``snapshot_merge(not_matched_by_source=...,
 source_scope=...)``), decimal/date→timestamp_ntz widening, RESTORE,
 DESCRIBE HISTORY, and the CDF streaming source/replication loop all
-landed in r10. See SCALING.md
-"Table-format mapping" for the production swap-in.
+landed in r10. r11 added OVERWRITE WHERE (``snapshot_overwrite_where``
+— the predicate-scoped backfill whose recorded change log keeps CDF
+consumers alive through it), COMPOSITE merge keys (key lists through
+merge/CDC/diff with a per-column band-box dirty split), clustering
+LINEAGE in the manifest + clustering-preserving compaction,
+IS NULL / IN / OR pruning, admission control on the streaming source
+(``maxFilesPerTrigger``), and a batch Python DataSource so SQL reads
+any version (``CREATE TEMPORARY VIEW ... USING snapshot_table``). See
+SCALING.md "Table-format mapping" for the production swap-in.
 
 The reference has no table format at all (its top10.py:260-278 rewrites
 per-day CSVs in a driver loop); this is beyond-reference surface.

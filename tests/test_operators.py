@@ -2853,3 +2853,189 @@ def test_snapshot_merge_and_cdc_reject_all_null_keys(spark, tmp_path):
     empty = spark.createDataFrame([], "k long, v long")
     v, audit = S.snapshot_merge(spark, t, empty, "k")
     assert v == 0 and audit.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# r11: composite merge keys, replaceWhere, new pruning forms, clustering
+# lineage — unit legs beneath the gated parity queries.
+# ---------------------------------------------------------------------------
+def test_merge_ops_composite_keys_roundtrip(spark):
+    """merge_upsert / snapshot_diff / apply_cdc agree on a composite
+    key: diff(old, new) replayed over old reproduces new exactly, and
+    merge_upsert classifies matched-vs-inserted on the key TUPLE (a
+    row sharing only one key column must insert, not update)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.merge import (
+        apply_cdc, merge_upsert, snapshot_diff)
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+        "k1 long, k2 string, v long")
+    new = spark.createDataFrame(
+        [(1, "a", 11), (2, "a", 30), (2, "b", 99)],
+        "k1 long, k2 string, v long")
+    diff = snapshot_diff(old, new, ["k1", "k2"])
+    ops = {(r.k1, r.k2): r.op for r in diff.collect()}
+    assert ops == {(1, "a"): "U", (1, "b"): "D", (2, "b"): "I"}
+
+    changes = diff.select(
+        "k1", "k2", "v", F.lit(1).alias("seq"),
+        F.when(F.col("op") == "D", "D").otherwise("U").alias("op"))
+    replayed = apply_cdc(old, changes, ["k1", "k2"]).drop("cdc_action")
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, new.collect()))
+
+    upd = spark.createDataFrame(
+        [(1, "a", 99), (1, "z", 1)], "k1 long, k2 string, v long")
+    merged = merge_upsert(old, upd, ["k1", "k2"])
+    acts = {(r.k1, r.k2): r.merge_action for r in merged.collect()}
+    assert acts[(1, "a")] == "updated"
+    assert acts[(1, "z")] == "inserted"  # shares k1=1 but not k2
+    assert acts[(1, "b")] == "kept"
+
+
+def test_merge_key_validation():
+    from data_pipeline_stripe_spark.operators.merge import _key_cols
+
+    import pytest
+
+    assert _key_cols("k") == ["k"]
+    assert _key_cols(["a", "b"]) == ["a", "b"]
+    with pytest.raises(ValueError, match="non-empty"):
+        _key_cols([])
+    with pytest.raises(ValueError, match="duplicate"):
+        _key_cols(["a", "a"])
+
+
+def test_file_may_match_new_forms():
+    """Pure stats-probe legs: is_null prunes only on a COMPLETE zero
+    null count, IN probes each member, OR-terms keep a file any branch
+    admits, and malformed terms raise."""
+    import pytest
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        _entry_may_match, _file_may_match)
+
+    st_nonull = {"c": {"min": 1, "max": 9, "nulls": 0}}
+    st_nulls = {"c": {"min": 1, "max": 9, "nulls": 3}}
+    st_unknown = {"c": {"min": 1, "max": 9, "nulls": None}}
+    assert _file_may_match(st_nonull, "c", "is_null", None) is False
+    assert _file_may_match(st_nulls, "c", "is_null", None) is True
+    assert _file_may_match(st_unknown, "c", "is_null", None) is True
+    assert _file_may_match({}, "c", "is_null", None) is True
+    with pytest.raises(ValueError, match="is_null takes"):
+        _file_may_match(st_nonull, "c", "is_null", 5)
+
+    assert _file_may_match(st_nonull, "c", "in", [0, 5]) is True
+    assert _file_may_match(st_nonull, "c", "in", [0, 10]) is False
+    assert _file_may_match(st_nonull, "c", "in", []) is False
+    with pytest.raises(ValueError, match="NULL inside an IN"):
+        _file_may_match(st_nonull, "c", "in", [1, None])
+
+    entry = {"stats": st_nonull}
+    assert _entry_may_match(entry, [("c", "<", 0), ("c", ">", 5)]) is True
+    assert _entry_may_match(entry, [("c", "<", 0), ("c", ">", 9)]) is False
+    with pytest.raises(ValueError, match="empty OR"):
+        _entry_may_match(entry, [])
+
+
+def test_snapshot_overwrite_where_validation(spark, tmp_path):
+    """replaceWhere fails closed: empty predicate refused (that is a
+    plain overwrite), schema mismatch refused, and a replacement row
+    outside the predicate (or evaluating it to NULL) refused BEFORE
+    any data is written — the table must be untouched after each."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "rw")
+    base = spark.range(10).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v"))
+    S.snapshot_commit(spark, t, base)
+    repl = spark.range(3, 5).select(F.col("id").alias("k"),
+                                    F.lit(0).cast("long").alias("v"))
+    with pytest.raises(ValueError, match="empty predicate"):
+        S.snapshot_overwrite_where(spark, t, [], repl)
+    with pytest.raises(ValueError, match="columns"):
+        S.snapshot_overwrite_where(
+            spark, t, [("k", ">=", 3)], repl.withColumnRenamed("v", "x"))
+    with pytest.raises(ValueError, match="outside the predicate"):
+        S.snapshot_overwrite_where(spark, t, [("k", ">=", 4)], repl)
+    # NULL predicate value on a replacement row is also a stray
+    null_repl = spark.createDataFrame([(None, 0)], "k long, v long")
+    with pytest.raises(ValueError, match="outside the predicate"):
+        S.snapshot_overwrite_where(spark, t, [("k", ">=", 3)], null_repl)
+    assert S.snapshot_current_version(t) == 0  # nothing committed
+
+    # the happy path keeps dirty-file rows that do NOT match (file
+    # granularity straddles) and deletes exactly the matching ones
+    v, stats = S.snapshot_overwrite_where(spark, t, [("k", ">=", 3),
+                                                     ("k", "<", 5)], repl)
+    got = {r.k: r.v for r in S.snapshot_read(spark, t).collect()}
+    assert got[3] == 0 and got[4] == 0 and got[2] == 4 and got[9] == 18
+    assert len(got) == 10
+
+
+def test_snapshot_cluster_lineage_and_compact(spark, tmp_path):
+    """Lineage rules: a clustered commit records cluster_cols; plain
+    appends inherit it; a plain overwrite clears it; compaction
+    defaults to the lineage (preserving the layout) and
+    cluster_cols=[] forces the round-robin form."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "lineage")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") % 3).alias("v"))
+    S.snapshot_commit_clustered(spark, t, df, ["k"], 4)
+    assert S._read_manifest(t, 0)["cluster_cols"] == ["k"]
+    S.snapshot_commit(spark, t, df.withColumn("k", F.col("k") + 100))
+    assert S._read_manifest(t, 1)["cluster_cols"] == ["k"]  # inherited
+
+    # clustered compact: file k-spans stay disjoint -> band scan prunes
+    v, before, after = S.snapshot_compact(spark, t, target_files=4)
+    kept, total = S.snapshot_pruned_files(t, [("k", "<=", 20)])
+    assert total == 4 and len(kept) < total
+    assert S._read_manifest(t, v)["cluster_cols"] == ["k"]
+
+    # forced round-robin: every file spans everything, nothing prunes
+    v2, _, _ = S.snapshot_compact(spark, t, target_files=4,
+                                  cluster_cols=[])
+    kept2, total2 = S.snapshot_pruned_files(t, [("k", "<=", 20)])
+    assert total2 == 4 and len(kept2) == total2
+
+    # plain overwrite clears the lineage
+    S.snapshot_commit(spark, t, df, mode="overwrite")
+    head = S.snapshot_current_version(t)
+    assert S._read_manifest(t, head)["cluster_cols"] is None
+
+
+def test_global_row_number_and_ntile_match_naive(spark):
+    """The two-phase global rank is bit-identical to the naive global
+    window on a multi-column ordering with a descending leg."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from data_pipeline_stripe_spark.operators.packing import (
+        global_ntile, global_row_number)
+
+    df = spark.range(1000).select(
+        (F.col("id") % 97).alias("a"), F.col("id").alias("b"))
+    order = [F.col("a").desc(), F.col("b")]
+    w = W.orderBy(*order)
+    naive = df.select("a", "b", F.row_number().over(w).alias("rn"),
+                      F.ntile(7).over(w).alias("t"))
+    two_phase = global_ntile(df, order, 7, n_buckets=16, out_col="t")
+    two_phase = global_row_number(two_phase, order, n_buckets=16,
+                                  out_col="rn")
+    n = naive.select("a", "b", "rn", "t")
+    g = two_phase.select("a", "b", "rn",
+                         F.col("t").cast("int").alias("t"))
+    assert n.exceptAll(g).isEmpty() and g.exceptAll(n).isEmpty()
+    # and for N < tiles, each row is its own tile
+    tiny = spark.range(3).select(F.col("id").alias("b"))
+    tiled = global_ntile(tiny, ["b"], 10, n_buckets=4)
+    assert sorted(r.tile for r in tiled.collect()) == [1, 2, 3]

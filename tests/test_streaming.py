@@ -1156,3 +1156,112 @@ def test_cdf_replication_replays_idempotently_after_sink_crash(spark,
     want[25] = 250
     assert {r.k: r.v for r in snapshot_read(spark, dst).collect()} == want
     assert {r.k: r.v for r in snapshot_read(spark, src).collect()} == want
+
+
+def test_stream_source_admission_control_units(spark, tmp_path):
+    """Rate-limiting legs beneath the gated query:
+    _version_delta_count counts appends' new files and CDF rewrites'
+    log files; latestOffset with maxFilesPerTrigger advances whole
+    versions within the budget (always at least one); the cursor file
+    persists atomically and floors a fresh reader's cursor."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_apply_cdc, snapshot_commit, snapshot_read)
+    from data_pipeline_stripe_spark.sources.snapshot_source import (
+        SnapshotTableStreamReader, _version_delta_count)
+
+    t = str(tmp_path / "adm")
+    df = spark.range(8).select(F.col("id").alias("k"),
+                               (F.col("id") * 10).alias("cents"))
+    snapshot_commit(spark, t, df.filter("k < 4").repartition(2))   # v0
+    snapshot_commit(spark, t, df.filter("k >= 4").repartition(3))  # v1
+    cdc = spark.createDataFrame([(1, 999, 1, "U")],
+                                "k long, cents long, seq int, op string")
+    snapshot_apply_cdc(spark, t, cdc, "k")                         # v2
+
+    from data_pipeline_stripe_spark.operators.snapshots import \
+        _read_manifest
+    n0 = len(_read_manifest(t, 0)["files"])
+    n1 = len(_read_manifest(t, 1)["files"]) - n0
+    assert n0 >= 2 and n1 >= 1  # multi-file versions (layout-dependent)
+    assert _version_delta_count(t, 0, cdf=False) == n0
+    assert _version_delta_count(t, 1, cdf=False) == n1
+    assert _version_delta_count(t, 2, cdf=True) >= 1  # its change log
+
+    schema = snapshot_read(spark, t).schema
+    sch = StructType(schema.fields)
+
+    def reader(**opts):
+        o = {"path": t}
+        o.update({k: str(v) for k, v in opts.items()})
+        return SnapshotTableStreamReader(o, sch)
+
+    # budget n0: v0 alone fills it; budget n0+n1: v0+v1; budget 1:
+    # still a whole version (never split)
+    assert reader(maxFilesPerTrigger=n0).latestOffset() == {"version": 0}
+    assert reader(maxFilesPerTrigger=n0 + n1).latestOffset() == \
+        {"version": 1}
+    assert reader(maxFilesPerTrigger=1).latestOffset() == {"version": 0}
+    # unbounded: straight to head
+    assert reader().latestOffset() == {"version": 2}
+    # successive calls advance from the reader's own cursor
+    r = reader(maxFilesPerTrigger=n0)
+    assert r.latestOffset() == {"version": 0}
+    assert r.latestOffset()["version"] >= 1
+
+    # persistence: commit() writes the floor a NEW reader starts from
+    cur = str(tmp_path / "cursor")
+    r1 = reader(maxFilesPerTrigger=n0, cursorLocation=cur)
+    assert r1.latestOffset() == {"version": 0}
+    r1.commit({"version": 0})
+    r2 = reader(maxFilesPerTrigger=999, cursorLocation=cur)
+    assert r2.latestOffset() == {"version": 2}
+    assert r2.initialOffset() == {"version": -1}  # offsets stay Spark's
+    # and partitions() syncs the cursor from Spark's own offsets
+    r3 = reader(maxFilesPerTrigger=1)
+    r3.partitions({"version": -1}, {"version": 1})
+    assert r3.latestOffset() == {"version": 2}
+
+    import pytest
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        reader(maxFilesPerTrigger=0)
+
+
+def test_plain_stream_serves_real_cdf_named_columns(spark, tmp_path):
+    """ADVICE r10: a PLAIN (non-CDF) stream over a table that evolved a
+    REAL column named _change_type / _commit_version must serve the
+    stored values — and NULL for files that predate the column — never
+    fabricated 'I' / version labels (those are synthesized only in CDF
+    mode, where the reserved-name refusal guarantees no collision)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import \
+        snapshot_commit
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "cdfnames")
+    snapshot_commit(spark, t, spark.createDataFrame(
+        [(1, 10)], "k long, cents long"))                       # v0
+    evolved = spark.createDataFrame(
+        [(2, 20, "real-label", 777)],
+        "k long, cents long, _change_type string, _commit_version long")
+    snapshot_commit(spark, t, evolved)                          # v1
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_table").load(t)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start(out, format="parquet")
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.k: (r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[2] == ("real-label", 777)   # stored values, not labels
+    assert rows[1] == (None, None)          # pre-evolution file: NULLs

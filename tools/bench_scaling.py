@@ -86,6 +86,10 @@ QUERIES = [
     "snapshot_stats_pruned_read",
     "snapshot_incremental_read_parity",
     "snapshot_merge_upsert_parity",
+    # round 11: the new predicate forms (is_null / IN / OR) — same
+    # pruned-scan shape as snapshot_stats_pruned_read, so the curve
+    # should track the pruned band, not the table
+    "snapshot_null_in_pruned_read",
 ]
 
 SCALES = [(1, "/root/testdata/sf0.1"),
@@ -174,7 +178,8 @@ def main() -> None:
         # stats-derived dirty set, not a constant)
         from data_pipeline_stripe_spark.operators.snapshots import \
             _split_dirty
-        dirty, clean = _split_dirty(pre_manifest, "k", 401, 800)
+        dirty, clean = _split_dirty(pre_manifest, ["k"],
+                                    {"k": (401, 800)})
         dirty_paths = {e["path"] for e in dirty}
         clean_paths = {e["path"] for e in clean}
         if (not rewritten_src <= dirty_paths
@@ -195,15 +200,75 @@ def main() -> None:
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
 
-    # verb-only row: table build untimed, merge timed (see docstring)
-    row = {}
-    for n, d in SCALES:
-        row[f"x{n}"] = round(min(partial_merge_verb(d) for _ in range(2)),
-                             3)
-    row["ratio_10"] = round(row["x10"] / row["x1"], 2)
-    row["ratio_100"] = round(row["x100"] / row["x1"], 2)
-    results["snapshot_partial_merge_verb"] = row
-    print(f"# snapshot_partial_merge_verb: {row}", file=sys.stderr)
+    def replace_where_verb(sf_dir: str) -> float:
+        """r11's OVERWRITE WHERE claim, measured the same way as the
+        merge verb: the table is the full orders projection (grows ×N,
+        three key-band appends built UNTIMED), the timed region is
+        snapshot_overwrite_where replacing the fixed (400, 800]
+        replica-0 band. A plain overwrite (or an unscoped rewrite)
+        would grow ×N; the predicate-scoped backfill must stay
+        near-flat, and raises if any file outside the dirty band was
+        rewritten (carried entries checked by identity)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from data_pipeline_stripe_spark.operators.snapshots import (
+            _entry_may_match, _read_manifest, snapshot_commit,
+            snapshot_current_version, snapshot_overwrite_where)
+        from data_pipeline_stripe_spark.sources import load_table
+
+        table_dir = os.path.join(
+            REPO, ".scratch", "scaling_replace_where",
+            os.path.basename(os.path.normpath(sf_dir)))
+        shutil.rmtree(table_dir, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        for band in (F.col("k") <= 400,
+                     (F.col("k") > 400) & (F.col("k") <= 800),
+                     F.col("k") > 800):
+            snapshot_commit(spark, table_dir, base.filter(band),
+                            mode="append")
+        repl = base.filter(
+            (F.col("k") > 400) & (F.col("k") <= 800)
+            & (F.col("k") % 3 == 0)).withColumn(
+            "cents", F.col("cents") * 2)
+        preds = [("k", ">", 400), ("k", "<=", 800)]
+        pre_manifest = _read_manifest(table_dir,
+                                      snapshot_current_version(table_dir))
+        pre = {e["path"] for e in pre_manifest["files"]}
+        t0 = time.time()
+        version, _ = snapshot_overwrite_where(spark, table_dir, preds,
+                                              repl, key="k")
+        dt = time.time() - t0
+        post = {e["path"] for e in _read_manifest(table_dir,
+                                                  version)["files"]}
+        dirty_paths = {e["path"] for e in pre_manifest["files"]
+                       if all(_entry_may_match(e, t) for t in preds)}
+        clean_paths = pre - dirty_paths
+        if (not (pre - post) <= dirty_paths
+                or not clean_paths <= post or not clean_paths):
+            raise RuntimeError(
+                f"replaceWhere rewrote {len(pre - post)} of {len(pre)} "
+                f"files but only {len(dirty_paths)} intersect the "
+                "predicate — not predicate-scoped")
+        return dt
+
+    # verb-only rows: table build untimed, the verb timed (docstrings)
+    for verb_name, verb_fn in (
+            ("snapshot_partial_merge_verb", partial_merge_verb),
+            ("snapshot_replace_where_verb", replace_where_verb)):
+        row = {}
+        for n, d in SCALES:
+            row[f"x{n}"] = round(min(verb_fn(d) for _ in range(2)), 3)
+        row["ratio_10"] = round(row["x10"] / row["x1"], 2)
+        row["ratio_100"] = round(row["x100"] / row["x1"], 2)
+        results[verb_name] = row
+        print(f"# {verb_name}: {row}", file=sys.stderr)
 
     print(json.dumps({"metric": "scaling_bench", "cpus": cpus,
                       "queries": results}))
