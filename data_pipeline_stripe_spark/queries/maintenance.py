@@ -2271,6 +2271,10 @@ def snapshot_null_in_pruned_read(spark: SparkSession,
     SELECT 'sql_head' AS section, * FROM head
     UNION ALL SELECT 'api_head', * FROM head
     UNION ALL SELECT 'sql_v0', * FROM v0
+    UNION ALL
+    SELECT 'sql_pruned', event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM ev WHERE day >= '2024-01-15' GROUP BY 2
     """,
 )
 def snapshot_sql_surface_parity(spark: SparkSession,
@@ -2284,8 +2288,20 @@ def snapshot_sql_surface_parity(spark: SparkSession,
     version)`` makes ``spark.sql`` read any committed version with no
     Python API in sight. Three gated sections: the head version via
     SQL, the head via ``snapshot_read`` (both must agree — the oracle
-    states them as the same select twice), and TIME TRAVEL via the
-    view's ``version '0'`` option (the first band alone)."""
+    states them as the same select twice), TIME TRAVEL via the view's
+    ``version '0'`` option (the first band alone), and FILTER PUSHDOWN:
+    with ``OPTIONS (pushdown 'true')`` the reader implements
+    ``pushFilters`` (Spark 4.1 Python DataSource pushdown), so the
+    ``sql_pruned`` section's WHERE clause prunes on the manifest stats
+    — the query raises unless the reader, probed directly with the
+    same predicate, plans strictly fewer files than the table holds —
+    while every filter is handed back to Spark for exact row-level
+    evaluation (the hash checks that). Pushdown is OPT-IN and the
+    pruned view carries exactly ONE filter shape: Spark 4.1 caches the
+    planned scan on the relation, so a pushdown relation reused across
+    filter shapes would re-serve the first shape's file set (measured;
+    the default pushdown-free reader is immune — the plain head view
+    here is queried both filtered and unfiltered and stays exact)."""
     from ..operators.snapshots import snapshot_commit, snapshot_read
     from ..sources.snapshot_source import register_snapshot_source
 
@@ -2324,4 +2340,37 @@ def snapshot_sql_surface_parity(spark: SparkSession,
              F.sum("cents").alias("cents"))
         .select(F.lit("api_head").alias("section"), "event_type",
                 "n_events", "cents"))
-    return sql_head.unionByName(api_head).unionByName(sql_v0)
+
+    # pushdown pin: the reader, probed with the section's predicate,
+    # must plan strictly fewer files than the table holds
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from ..sources.snapshot_source import SnapshotTablePushdownReader
+
+    schema = snapshot_read(spark, table_dir).schema
+    probe = SnapshotTablePushdownReader({"path": table_dir}, schema)
+    total_files = sum(1 for p in probe.partitions()
+                      if p.abs_path is not None)
+    probe2 = SnapshotTablePushdownReader({"path": table_dir}, schema)
+    list(probe2.pushFilters([GreaterThanOrEqual(("day",), cut)]))
+    pruned_files = sum(1 for p in probe2.partitions()
+                       if p.abs_path is not None)
+    if not (0 < pruned_files < total_files):
+        raise RuntimeError(
+            f"snapshot_sql_surface_parity: pushFilters planned "
+            f"{pruned_files}/{total_files} files for day >= {cut} — "
+            "the SQL surface is not stats-pruning")
+    # single-filter-shape pushdown view (see docstring: opt-in, one
+    # shape per relation — re-executions of this same plan re-prune
+    # the same shape, which is exact)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_sql_pruned "
+        f"USING snapshot_table OPTIONS (path '{table_dir}', "
+        f"pushdown 'true')")
+    sql_pruned = spark.sql(
+        "SELECT 'sql_pruned' AS section, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(cents) AS BIGINT) AS cents "
+        f"FROM snap_sql_pruned WHERE day >= '{cut}' GROUP BY event_type")
+    return (sql_head.unionByName(api_head).unionByName(sql_v0)
+            .unionByName(sql_pruned))

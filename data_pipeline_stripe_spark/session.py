@@ -48,6 +48,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # so co-located sort-merge joins skip BOTH the exchange AND the
     # per-bucket sort.
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    # Python DataSource filter pushdown (off by default in 4.1): lets
+    # the snapshot_table batch reader route WHERE clauses into
+    # manifest-stats file pruning (sources/snapshot_source.py
+    # pushFilters) — without it Spark refuses to plan a reader that
+    # implements pushFilters at all.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -168,25 +168,36 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
     return slices
 
 
-def _version_delta_count(table_dir: str, v: int, cdf: bool) -> int:
-    """How many file entries version ``v`` contributes to its consumer
-    — the admission-control unit. Appends: their new data-file entries
-    (set difference against the parent). Rewrites: the recorded
-    change-log entries in CDF mode (None — plain overwrite — counts 0
-    here; ``partitions`` raises the real contract error when the range
-    is actually served), or the new data entries in plain mode (same:
-    the error belongs to ``partitions``). Manifest-only reads — no
-    data file is opened."""
+def _version_delta_size(table_dir: str, v: int,
+                        cdf: bool) -> tuple[int, int]:
+    """(files, rows) version ``v`` contributes to its consumer — the
+    admission-control units. Appends: their new data-file entries (set
+    difference against the parent). Rewrites: the recorded change-log
+    entries in CDF mode (None — plain overwrite — counts 0 here;
+    ``partitions`` raises the real contract error when the range is
+    actually served), or the new data entries in plain mode (same: the
+    error belongs to ``partitions``). Row counts come from the footer
+    counts harvested into every manifest entry at commit time (0 when
+    an old entry predates them — then only the file budget binds).
+    Manifest-only reads — no data file is opened."""
     from ..operators.snapshots import _read_manifest
 
     m = _read_manifest(table_dir, v)
     if m["mode"] != "append" and cdf:
-        return len(m.get("changes") or [])
-    if m["parent"] is None:
-        return len(m["files"])
-    parent = _read_manifest(table_dir, m["parent"])
-    base = {e["path"] for e in parent["files"]}
-    return sum(1 for e in m["files"] if e["path"] not in base)
+        entries = m.get("changes") or []
+    elif m["parent"] is None:
+        entries = m["files"]
+    else:
+        parent = _read_manifest(table_dir, m["parent"])
+        base = {e["path"] for e in parent["files"]}
+        entries = [e for e in m["files"] if e["path"] not in base]
+    return len(entries), sum(e.get("rows") or 0 for e in entries)
+
+
+def _version_delta_count(table_dir: str, v: int, cdf: bool) -> int:
+    """File count of ``_version_delta_size`` (kept as the simple unit
+    the tests and the default budget use)."""
+    return _version_delta_size(table_dir, v, cdf)[0]
 
 
 def _read_slice(partition: SnapshotFileSlice):
@@ -258,12 +269,8 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.schema_json = schema.json()
         start = int(options.get("startingVersion", 0))
         self._initial = start - 1
-        raw = options.get("maxFilesPerTrigger")
-        self.max_files = int(raw) if raw is not None else None
-        if self.max_files is not None and self.max_files < 1:
-            raise ValueError(
-                "snapshot stream source: maxFilesPerTrigger must be "
-                f">= 1, got {self.max_files}")
+        self.max_files = self._pos_int(options, "maxFilesPerTrigger")
+        self.max_rows = self._pos_int(options, "maxRowsPerTrigger")
         self.cursor_dir = options.get("cursorLocation")
         # the admission-control high-water mark: the highest version
         # this reader has RETURNED as an offset or SEEN in a
@@ -275,6 +282,18 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         persisted = self._read_cursor()
         if persisted is not None:
             self._cursor = max(self._cursor, persisted)
+
+    @staticmethod
+    def _pos_int(options, name: str) -> int | None:
+        raw = options.get(name)
+        if raw is None:
+            return None
+        val = int(raw)
+        if val < 1:
+            raise ValueError(
+                f"snapshot stream source: {name} must be >= 1, "
+                f"got {val}")
+        return val
 
     # -- cursor persistence (exact admission control across restarts) --
     def _cursor_path(self) -> str:
@@ -310,20 +329,30 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         head = snapshot_current_version(self.table_dir)
         if head is None:
             return {"version": -1}
-        if self.max_files is None or head <= self._cursor:
+        if (self.max_files is None and self.max_rows is None) \
+                or head <= self._cursor:
             self._sync(head)
             return {"version": head}
-        # bounded catch-up: admit whole versions until the file budget
-        # is spent — always at least one (a single oversized commit
-        # still arrives whole; version boundaries are never split)
-        v, total = self._cursor, 0
+        # bounded catch-up: admit whole versions until either budget
+        # (files and/or rows) is spent — always at least one (a single
+        # oversized commit still arrives whole; version boundaries are
+        # never split, Delta's own contract)
+        v, tot_f, tot_r = self._cursor, 0, 0
         while v < head:
-            n = _version_delta_count(self.table_dir, v + 1, self.cdf)
-            if total > 0 and total + n > self.max_files:
+            nf, nr = _version_delta_size(self.table_dir, v + 1, self.cdf)
+            admitted = tot_f > 0 or tot_r > 0
+            if admitted and (
+                    (self.max_files is not None
+                     and tot_f + nf > self.max_files)
+                    or (self.max_rows is not None
+                        and tot_r + nr > self.max_rows)):
                 break
-            total += n
+            tot_f += nf
+            tot_r += nr
             v += 1
-            if total >= self.max_files:
+            if (self.max_files is not None and tot_f >= self.max_files) \
+                    or (self.max_rows is not None
+                        and tot_r >= self.max_rows):
                 break
         self._sync(v)
         return {"version": v}
@@ -360,13 +389,46 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self._persist_cursor()
 
 
+def _filter_to_term(f):
+    """Map a Spark DataSource Filter to a ``snapshot_scan`` stats term
+    (col, op, value) — or None when the filter shape has no
+    manifest-stats form (nested column, unsupported class, NULL inside
+    an IN list). Stats pruning stays conservative by construction:
+    incomparable literal/stat type pairs never prune
+    (``_file_may_match``), and the reader hands EVERY filter back to
+    Spark for row-level evaluation, so a term mapped here only ever
+    REMOVES provably-unmatchable files."""
+    from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                        GreaterThanOrEqual, In, IsNull,
+                                        LessThan, LessThanOrEqual)
+
+    ops = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
+           LessThan: "<", LessThanOrEqual: "<="}
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None  # nested path — not a top-level prunable column
+    col = attr[0]
+    for cls, op in ops.items():
+        if isinstance(f, cls):
+            return (col, op, f.value)
+    if isinstance(f, IsNull):
+        return (col, "is_null", None)
+    if isinstance(f, In):
+        members = list(f.value)
+        if any(v is None for v in members):
+            return None  # SQL IN (NULL) never matches; leave to Spark
+        return (col, "in", members)
+    return None
+
+
 class SnapshotTableBatchReader(DataSourceReader):
     """Batch read of one committed version — the SQL surface
     (``CREATE TEMPORARY VIEW ... USING snapshot_table``): the manifest
     is resolved ONCE here on the driver; each file entry becomes one
     executor-side Arrow slice read under the manifest's schema (the
     same aligned read as the stream, so evolution/widening behave
-    identically)."""
+    identically). This base reader deliberately does NOT implement
+    ``pushFilters`` — see ``SnapshotTablePushdownReader``."""
 
     def __init__(self, options, schema):
         from ..operators.snapshots import _resolve_version
@@ -378,21 +440,56 @@ class SnapshotTableBatchReader(DataSourceReader):
             self.table_dir,
             int(version) if version is not None else None,
             float(as_of) if as_of is not None else None)
-        self.entries = [e["path"] for e in m["files"]]
+        self.entries = list(m["files"])
         self.columns = [f.name for f in schema.fields]
         self.schema_json = schema.json()
+        self.pushed_terms: list[tuple] = []
 
     def partitions(self):
-        if not self.entries:
+        from ..operators.snapshots import _entry_may_match
+
+        entries = [e for e in self.entries
+                   if all(_entry_may_match(e, t)
+                          for t in self.pushed_terms)]
+        if not entries:
             return [SnapshotFileSlice(None, self.columns)]
         return [
-            SnapshotFileSlice(os.path.join(self.table_dir, rel),
+            SnapshotFileSlice(os.path.join(self.table_dir, e["path"]),
                               self.columns, schema_json=self.schema_json)
-            for rel in self.entries
+            for e in entries
         ]
 
     def read(self, partition: SnapshotFileSlice):
         return _read_slice(partition)
+
+
+class SnapshotTablePushdownReader(SnapshotTableBatchReader):
+    """The OPT-IN pushdown form (``option("pushdown", "true")``):
+    ``pushFilters`` (Spark 4.1 Python DataSource pushdown) routes
+    WHERE clauses into the SAME manifest-stats pruning as
+    ``snapshot_scan`` — the query plans only the files its predicate
+    may match — while handing every filter back to Spark for exact
+    row-level evaluation (pruning is file-granular, so the residual
+    row filter keeps semantics exact).
+
+    Why opt-in and not the default: Spark 4.1 caches the planned scan
+    (reader + pushed state + partitions) ON THE RELATION instance, so
+    reusing one loaded DataFrame / temp view across differently-
+    filtered queries re-serves the FIRST query's pruned file set —
+    measured: ``v.count()`` after ``v.filter(..).count()`` returned
+    the filtered count. A pushdown read must therefore be a FRESH
+    ``spark.read.format("snapshot_table").option("pushdown", "true")
+    .load(path)`` (or a view used by exactly one query shape); the
+    default reader has no ``pushFilters`` at all, so the shared-view
+    surface can never over-prune."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            term = _filter_to_term(f)
+            if term is not None:
+                self.pushed_terms.append(term)
+        # every filter still evaluates in Spark
+        return filters
 
 
 class SnapshotTableDataSource(DataSource):
@@ -457,6 +554,8 @@ class SnapshotTableDataSource(DataSource):
                 "snapshot source: the change feed is a STREAMING "
                 "surface (readStream) or snapshot_read_cdf — the batch "
                 "reader serves table states, not change rows")
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return SnapshotTablePushdownReader(self.options, schema)
         return SnapshotTableBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> SnapshotTableStreamReader:
@@ -468,5 +567,13 @@ def register_snapshot_source(spark) -> None:
     ``spark.dataSource.register`` is replace-on-reregister (verified),
     so no exception guard — a guard here would swallow REAL failures
     (e.g. a build without the Python DataSource API) and defer them to
-    a confusing DATA_SOURCE_NOT_FOUND at stream start."""
+    a confusing DATA_SOURCE_NOT_FOUND at stream start.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    conf, off by default in Spark 4.1): with it OFF, Spark refuses to
+    plan ANY batch reader that implements ``pushFilters`` — so the
+    registration that introduces the reader is the right place to pin
+    the conf it requires (sessions built by ``get_session`` already
+    carry it)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotTableDataSource)

@@ -537,3 +537,26 @@ def test_shipped_session_keeps_aqe_skew_join_effective(spark):
     finally:
         for k, v in prior.items():
             spark.conf.set(k, v)
+
+
+def test_ntile_global_rank_avoids_full_table_single_partition(spark, sf_dir):
+    """r11 (VERDICT r10 item 7): ntile_customer_quartiles routes
+    through the two-phase global rank. The plan must range-partition
+    the table (each bucket ranks in its own task) and keep exactly ONE
+    single-partition exchange — the B-row bucket-offsets window, whose
+    child is the tiny per-bucket count AGGREGATE, never the table
+    scan. The old plan was one SinglePartition exchange feeding a
+    Window over the whole customer table."""
+    plan = plan_of(spark, sf_dir, "ntile_customer_quartiles")
+    assert "rangepartitioning" in plan, "two-phase bucketing missing"
+    assert plan.count("Exchange SinglePartition") == 1
+    # the single-partition segment must be the offsets frame: its
+    # subtree (printed below it) aggregates before any file scan
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    agg_pos = below.find("HashAggregate")
+    scan_pos = below.find("FileScan")
+    assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), (
+        "the SinglePartition exchange feeds the table, not the B-row "
+        "offsets aggregate")
+    # and the full-table window is partitioned (by the range bucket id)
+    assert "windowspecdefinition(_pid" in plan

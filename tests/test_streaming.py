@@ -1224,9 +1224,20 @@ def test_stream_source_admission_control_units(spark, tmp_path):
     r3.partitions({"version": -1}, {"version": 1})
     assert r3.latestOffset() == {"version": 2}
 
+    # row-budget form: v0 holds 4 rows, v0+v1 holds 8 — budget 4 admits
+    # exactly v0, budget 8 admits both, budget 1 still a whole version
+    assert reader(maxRowsPerTrigger=4).latestOffset() == {"version": 0}
+    assert reader(maxRowsPerTrigger=8).latestOffset() == {"version": 1}
+    assert reader(maxRowsPerTrigger=1).latestOffset() == {"version": 0}
+    # both budgets: the tighter one binds
+    assert reader(maxFilesPerTrigger=99,
+                  maxRowsPerTrigger=4).latestOffset() == {"version": 0}
+
     import pytest
     with pytest.raises(ValueError, match="maxFilesPerTrigger"):
         reader(maxFilesPerTrigger=0)
+    with pytest.raises(ValueError, match="maxRowsPerTrigger"):
+        reader(maxRowsPerTrigger=-1)
 
 
 def test_plain_stream_serves_real_cdf_named_columns(spark, tmp_path):
