@@ -1029,6 +1029,23 @@ def _write_change_log(spark: SparkSession, table_dir: str,
     return _file_entries(table_dir, rel)
 
 
+def _rewrite_layout(df: DataFrame, manifest: dict, n_dirty: int) -> DataFrame:
+    """Layout for a copy-on-write rewrite's replacement files: when the
+    table carries a clustering lineage, range-cluster the rewritten
+    band on it (as many files as were dirty, min 1) so the new files'
+    footer stats stay tight and later ``snapshot_scan``s keep pruning
+    — without this, every MERGE/CDC/replaceWhere would slowly
+    de-cluster the table the same way round-robin compaction used to
+    (r11). Unclustered tables write the plan's natural partitioning
+    unchanged."""
+    cols = manifest.get("cluster_cols")
+    if not cols:
+        return df
+    n = max(n_dirty, 1)
+    return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+
+
 def _update_bands(updates: DataFrame, keys: list[str], verb: str):
     """(per-key {col: (lo, hi)}, n_rows) over the update/change batch —
     ONE tiny agg job. Fails closed when a key column carries no
@@ -1235,7 +1252,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
 
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
-    new_state.write.mode("error").parquet(os.path.join(table_dir, rel))
+    _rewrite_layout(new_state, manifest, len(dirty)).write \
+        .mode("error").parquet(os.path.join(table_dir, rel))
     new_entries = _file_entries(table_dir, rel)
     # diff against the COMMITTED files, not the lazy plan: re-executing
     # the merge plan for the log could evaluate nondeterministic SET
@@ -1304,7 +1322,8 @@ def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
 
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
-    new_state.write.mode("error").parquet(os.path.join(table_dir, rel))
+    _rewrite_layout(new_state, manifest, len(dirty)).write \
+        .mode("error").parquet(os.path.join(table_dir, rel))
     new_entries = _file_entries(table_dir, rel)
     # diff against the committed files (see snapshot_merge): one
     # evaluation of the CDC plan, and the feed records what was written
@@ -1549,7 +1568,8 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
     new_state = kept.unionByName(replacement.select(*dirty_df.columns))
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
-    new_state.write.mode("error").parquet(os.path.join(table_dir, rel))
+    _rewrite_layout(new_state, manifest, max(len(dirty), 1)).write \
+        .mode("error").parquet(os.path.join(table_dir, rel))
     new_entries = _file_entries(table_dir, rel)
     changes_entries = None
     if key is not None:

@@ -90,6 +90,13 @@ PRIORITY_THIS_ROUND = [
     # lineage in every manifest), and sources/snapshot_source.py was
     # restructured (shared _read_slice, CDF-gated synthesis, cursor
     # admission control)
+    "snapshot_time_travel_roundtrip",
+    "stream_snapshot_sink_parity",
+    "snapshot_concurrent_commit_parity",
+    "snapshot_incremental_read_parity",
+    "snapshot_schema_evolution_parity",
+    "snapshot_as_of_read_parity",
+    "snapshot_history_parity",
     "snapshot_merge_upsert_parity",
     "snapshot_partial_merge_parity",
     "snapshot_merge_delete_unmatched_parity",
@@ -103,9 +110,9 @@ PRIORITY_THIS_ROUND = [
     "stream_snapshot_replication_parity",
     "snapshot_restore_parity",
     "merge_upsert_customers",
-    "cdc_apply_changes_orders",
+    "cdc_apply_order_status",
+    "cdc_snapshot_diff_orders",
     "merge_upsert_write_roundtrip",
-    "scd2_history_rebuild",
     # oracle-construction path changed (assert -> raise, ADVICE r10):
     "embedding_semantic_dedup_sampled",
     "embedding_rp_lsh_recall_audit_sampled",
@@ -120,7 +127,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     "events_json_blob_agg",
     "winsorized_value_stats",
 ]
-# Rotation note: with the r11 head (25 pins + 3 debt), 22 rotating
+# Rotation note: with the r11 head (32 pins + 3 debt), 15 rotating
 # slots resume the tile over the remaining queries.
 
 

@@ -45,9 +45,11 @@ batch read).
 ADMISSION CONTROL (r11, VERDICT r10 item 1):
 ``option("maxFilesPerTrigger", N)`` bounds each micro-batch to at most
 N new file entries (data files for the plain source, change-log files
-for the CDF source), always admitting at least one full version —
-Delta's own contract (version boundaries are never split, so a single
-huge commit still arrives whole). Without it, ``latestOffset`` jumps
+for the CDF source) and ``option("maxRowsPerTrigger", N)`` to at most
+N rows (footer row counts harvested into every manifest entry; the
+tighter of the two binds), always admitting at least one full version
+— Delta's own contract (version boundaries are never split, so a
+single huge commit still arrives whole). Without it, ``latestOffset`` jumps
 straight to the table head and a consumer starting on (or catching up
 to) a large table gets EVERY pending version as ONE batch — unbounded
 work through one trigger, the 100 TB scale-killer. The Python
@@ -65,6 +67,15 @@ checkpoint itself on shared storage) to persist the cursor at every
 ``availableNow`` snapshots the head offset once up front, so
 per-batch admission applies to ``processingTime`` triggers (use the
 gated query's drain-until-caught-up loop for bounded full drains).
+
+BATCH + SQL SURFACE (r11, VERDICT r10 item 6): the same format name
+serves batch reads — ``spark.read.format("snapshot_table")
+.option("version", N | "asOf", epoch).load(path)`` — and therefore
+pure SQL via ``CREATE TEMPORARY VIEW t USING snapshot_table OPTIONS
+(path '...', version 'N')``; with ``OPTIONS (pushdown 'true')`` the
+reader additionally routes WHERE clauses into manifest-stats file
+pruning (opt-in; see ``SnapshotTablePushdownReader`` for the
+relation-reuse sharp edge that keeps it off the default path).
 """
 
 from __future__ import annotations

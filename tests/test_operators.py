@@ -3039,3 +3039,28 @@ def test_global_row_number_and_ntile_match_naive(spark):
     tiny = spark.range(3).select(F.col("id").alias("b"))
     tiled = global_ntile(tiny, ["b"], 10, n_buckets=4)
     assert sorted(r.tile for r in tiled.collect()) == [1, 2, 3]
+
+
+def test_rewrite_verbs_preserve_clustered_layout(spark, tmp_path):
+    """MERGE (and by the same _rewrite_layout path, CDC and
+    replaceWhere) into a CLUSTERED table re-clusters the rewritten
+    band, so the post-merge file stats still prune — without it every
+    copy-on-write verb would slowly round-robin the layout away."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators import snapshots as S
+
+    t = str(tmp_path / "cl_merge")
+    df = spark.range(1000).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v"))
+    S.snapshot_commit_clustered(spark, t, df, ["k"], 8)
+    # merge touches the whole key span -> every file dirty -> full
+    # rewrite; layout preservation is what keeps pruning alive
+    upd = df.filter(F.col("k") % 100 == 0).withColumn("v", F.lit(0))
+    v, _ = S.snapshot_merge(spark, t, upd, "k")
+    kept, total = S.snapshot_pruned_files(t, [("k", "<", 100)])
+    assert total >= 4 and len(kept) < total, (len(kept), total)
+    assert S._read_manifest(t, v)["cluster_cols"] == ["k"]
+    got = S.snapshot_read(spark, t)
+    assert got.filter("v = 0").count() == 10
+    assert got.count() == 1000
