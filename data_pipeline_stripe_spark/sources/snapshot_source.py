@@ -112,13 +112,19 @@ class SnapshotFileSlice(InputPartition):
         self.cdf = cdf
 
 
-def _delta_entries(table_dir: str, start_v: int, end_v: int) -> list[dict]:
+def _delta_entries(table_dir: str, start_v: int, end_v: int,
+                   skip_change_commits: bool = False) -> list[dict]:
     """File entries ADDED in (start_v, end_v] — ``start_v == -1`` means
     the full file set of ``end_v`` (initial load, no history walk).
     Append-only classification over the SHARED chain walk
     (``_manifest_chain`` — one place owns the expired/ancestor
     contract); raises ValueError on an overwrite/rewrite in range (the
-    caller must restart from a full re-read)."""
+    caller must restart from a full re-read) UNLESS
+    ``skip_change_commits`` (Delta's ``skipChangeCommits``): then
+    rewrite commits contribute NOTHING — only appends' deltas are
+    served, so the stream survives merges/compactions/backfills at the
+    documented cost that updated/deleted rows are never re-served
+    (the CDF source is the exact form)."""
     from ..operators.snapshots import _manifest_chain, _read_manifest
 
     if start_v < 0:
@@ -131,15 +137,21 @@ def _delta_entries(table_dir: str, start_v: int, end_v: int) -> list[dict]:
                 "consumer's checkpoint lag") from exc
     chain = _manifest_chain(table_dir, start_v, end_v,
                             "snapshot stream source")
-    for m in chain[1:]:
+    entries: list[dict] = []
+    for parent_m, m in zip(chain, chain[1:]):
         if m["mode"] != "append":
+            if skip_change_commits:
+                continue
             raise ValueError(
                 f"snapshot stream source: version {m['version']} of "
                 f"{table_dir} is a {m['mode']} — the offset range has "
                 "no append-only delta; restart the stream from a fresh "
-                "checkpoint (full re-read)")
-    base = {e["path"] for e in chain[0]["files"]}
-    return [e for e in chain[-1]["files"] if e["path"] not in base]
+                "checkpoint (full re-read), or pass "
+                "option('skipChangeCommits', 'true') to serve appends "
+                "only")
+        base = {e["path"] for e in parent_m["files"]}
+        entries.extend(e for e in m["files"] if e["path"] not in base)
+    return entries
 
 
 def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
@@ -282,6 +294,13 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self._initial = start - 1
         self.max_files = self._pos_int(options, "maxFilesPerTrigger")
         self.max_rows = self._pos_int(options, "maxRowsPerTrigger")
+        self.skip_change_commits = str(
+            options.get("skipChangeCommits", "false")).lower() == "true"
+        if self.skip_change_commits and self.cdf:
+            raise ValueError(
+                "snapshot stream source: skipChangeCommits contradicts "
+                "cdf=true — the change feed EXISTS to serve rewrite "
+                "commits; drop one of the options")
         self.cursor_dir = options.get("cursorLocation")
         # the admission-control high-water mark: the highest version
         # this reader has RETURNED as an offset or SEEN in a
@@ -383,7 +402,8 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                                   schema_json=self.schema_json, cdf=True)
                 for (rel, kind, v) in slices
             ]
-        entries = _delta_entries(self.table_dir, s, e)
+        entries = _delta_entries(self.table_dir, s, e,
+                                 self.skip_change_commits)
         if not entries:
             return [SnapshotFileSlice(None, self.columns)]
         return [

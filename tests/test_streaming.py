@@ -1276,3 +1276,64 @@ def test_plain_stream_serves_real_cdf_named_columns(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     assert rows[2] == ("real-label", 777)   # stored values, not labels
     assert rows[1] == (None, None)          # pre-evolution file: NULLs
+
+
+def test_plain_stream_skip_change_commits(spark, tmp_path):
+    """option('skipChangeCommits','true') — Delta's escape hatch for
+    plain streams crossing a rewrite: appends' deltas are served,
+    rewrite commits contribute nothing (updated/deleted rows are never
+    re-served — the CDF source is the exact form), and combining it
+    with cdf=true is refused up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_apply_cdc, snapshot_commit)
+    from data_pipeline_stripe_spark.sources.snapshot_source import (
+        _delta_entries, register_snapshot_source)
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "skipcc")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "k int, cents int")
+    snapshot_commit(spark, t, base.filter("k <= 4").coalesce(1))  # v0
+    snapshot_commit(spark, t, base.filter("k > 4").coalesce(1))   # v1
+    cdc = spark.createDataFrame(
+        [(2, 999, 1, "U"), (5, 0, 1, "D")],
+        "k int, cents int, seq int, op string")
+    snapshot_apply_cdc(spark, t, cdc, "k")                        # v2
+    snapshot_commit(spark, t,
+                    spark.createDataFrame([(9, 90)], "k int, cents int")
+                    .coalesce(1))                                 # v3
+
+    with pytest.raises(ValueError, match="skipChangeCommits"):
+        _delta_entries(t, 1, 3)  # the error now names the option
+    skipped = _delta_entries(t, 1, 3, skip_change_commits=True)
+    assert len(skipped) == 1  # only v3's append file; v2 contributes 0
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("skipChangeCommits", "true").load(t)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start(out, format="parquet")
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.k: r.cents for r in spark.read.parquet(out).collect()}
+    # initial load = v3's FULL state (start -1): merged values visible,
+    # deleted key absent, later appends present
+    assert rows[2] == 999 and 5 not in rows and rows[9] == 90
+
+    # the contradiction check lives in the reader (constructed at
+    # stream START, not at the lazy .load()) — probe it directly
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        SnapshotTableStreamReader
+
+    schema = spark.read.parquet(out).schema  # any schema works here
+    with pytest.raises(ValueError, match="contradicts"):
+        SnapshotTableStreamReader(
+            {"path": t, "skipChangeCommits": "true", "cdf": "true"},
+            schema)
