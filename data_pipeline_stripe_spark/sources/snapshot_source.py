@@ -369,7 +369,24 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         # never split, Delta's own contract)
         v, tot_f, tot_r = self._cursor, 0, 0
         while v < head:
-            nf, nr = _version_delta_size(self.table_dir, v + 1, self.cdf)
+            try:
+                nf, nr = _version_delta_size(self.table_dir, v + 1,
+                                             self.cdf)
+            except FileNotFoundError:
+                # a manifest in the catch-up range (or its parent) was
+                # expired: budget accounting is impossible. A FRESH
+                # consumer (nothing consumed yet) falls back to the
+                # unbounded initial load — the start<0 path reads the
+                # head manifest alone and never walks the expired
+                # prefix. A resuming consumer advances one version and
+                # lets partitions() raise the real retention contract
+                # error with its hint (admission is an optimization,
+                # never the error surface).
+                if self._cursor < 0:
+                    v = head
+                else:
+                    v += 1
+                break
             admitted = tot_f > 0 or tot_r > 0
             if admitted and (
                     (self.max_files is not None

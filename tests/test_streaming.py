@@ -1337,3 +1337,41 @@ def test_plain_stream_skip_change_commits(spark, tmp_path):
         SnapshotTableStreamReader(
             {"path": t, "skipChangeCommits": "true", "cdf": "true"},
             schema)
+
+
+def test_admission_control_survives_expired_prefix(spark, tmp_path):
+    """latestOffset under rate limiting when retention expired part of
+    the catch-up range: a FRESH consumer falls back to the unbounded
+    initial load (the start<0 path never walks the expired prefix); a
+    RESUMING consumer still advances so partitions() raises the real
+    retention error — admission control is never the error surface."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.operators.snapshots import (
+        snapshot_commit, snapshot_expire, snapshot_read)
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        SnapshotTableStreamReader
+
+    t = str(tmp_path / "expired")
+    df = spark.range(8).select(F.col("id").alias("k"))
+    for i in range(4):
+        snapshot_commit(spark, t, df.filter(F.col("k") % 4 == i)
+                        .coalesce(1))
+    snapshot_expire(t, keep_last=2, tmp_grace_seconds=0)  # v0, v1 gone
+
+    schema = snapshot_read(spark, t).schema
+    fresh = SnapshotTableStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}, schema)
+    assert fresh.latestOffset() == {"version": 3}  # unbounded fallback
+    # and the initial-load partitions plan the full head fine
+    slices = fresh.partitions({"version": -1}, {"version": 3})
+    assert sum(1 for p in slices if p.abs_path is not None) == 4
+
+    import pytest
+    resuming = SnapshotTableStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}, schema)
+    resuming.partitions({"version": 0}, {"version": 0})  # checkpoint @0
+    end = resuming.latestOffset()
+    assert end["version"] >= 1
+    with pytest.raises(ValueError, match="expired"):
+        resuming.partitions({"version": 0}, end)
