@@ -2195,8 +2195,12 @@ def snapshot_null_in_pruned_read(spark: SparkSession,
       the two outer bands and drop the middle one.
 
     Every leg's rows then hash against the plain-predicate oracle —
-    pruning that dropped a matching file would flip the counts."""
-    from ..operators.snapshots import (snapshot_commit,
+    pruning that dropped a matching file would flip the counts.
+    Scale note: each band commits with the plan's natural parallel
+    partitioning (no coalesce — a 1-task write would serialize the
+    ×100 fixture's 2M-row bands), so the planned-file pins are derived
+    from each band commit's OWN manifest file count, not constants."""
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
                                        snapshot_pruned_files,
                                        snapshot_scan)
 
@@ -2216,23 +2220,31 @@ def snapshot_null_in_pruned_read(spark: SparkSession,
         (F.col("day") >= _NIP_C1) & (F.col("day") < _NIP_C2),
         F.col("day") >= _NIP_C2,
     ]
-    for band in bands:
-        snapshot_commit(spark, table_dir, ev.filter(band).coalesce(1),
-                        mode="append")
+    band_files = []  # per-band manifest file counts
+    seen = 0
+    for i, band in enumerate(bands):
+        v = snapshot_commit(spark, table_dir, ev.filter(band),
+                            mode="append")
+        n = len(_read_manifest(table_dir, v)["files"])
+        band_files.append(n - seen)
+        seen = n
 
     legs = {
-        "is_null": ([("ref", "is_null", None)], 1),
-        "in_list": ([("day", "in", ["2024-01-02", "2024-01-05"])], 1),
+        "is_null": ([("ref", "is_null", None)], band_files[1]),
+        "in_list": ([("day", "in", ["2024-01-02", "2024-01-05"])],
+                    band_files[0]),
         "disjunct": ([[("day", "<", "2024-01-03"),
-                       ("day", ">=", "2024-01-25")]], 2),
+                       ("day", ">=", "2024-01-25")]],
+                     band_files[0] + band_files[2]),
     }
     frames = []
     for section, (preds, expect_kept) in legs.items():
         kept, total = snapshot_pruned_files(table_dir, preds)
-        if len(kept) != expect_kept or total != 3:
+        if len(kept) != expect_kept or total != seen \
+                or expect_kept >= total:
             raise RuntimeError(
                 f"snapshot_null_in_pruned_read[{section}]: expected "
-                f"{expect_kept}/3 files planned, got {len(kept)}/"
+                f"{expect_kept}/{seen} files planned, got {len(kept)}/"
                 f"{total} — the {section} pruning form is broken")
         frames.append(
             snapshot_scan(spark, table_dir, preds)
