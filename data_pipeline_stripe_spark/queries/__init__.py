@@ -77,6 +77,10 @@ PRIORITY_THIS_ROUND = [
     "snapshot_null_in_pruned_read",
     # 6. the batch Python DataSource + CREATE VIEW ... USING SQL surface
     "snapshot_sql_surface_parity",
+    # 8 (beyond the agenda): skipChangeCommits on the plain stream —
+    # the restarted drain skips a CDC rewrite and consumes exactly the
+    # next append (the refusal without the option is pinned in-gate)
+    "stream_snapshot_source_skip_changes_parity",
     # 7. ntile re-routed through the two-phase global rank
     # (operators/packing.py:global_ntile) — no more single-partition
     # window exchange
@@ -127,7 +131,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     "events_json_blob_agg",
     "winsorized_value_stats",
 ]
-# Rotation note: with the r11 head (32 pins + 3 debt), 15 rotating
+# Rotation note: with the r11 head (33 pins + 3 debt), 14 rotating
 # slots resume the tile over the remaining queries.
 
 

@@ -1057,3 +1057,131 @@ def stream_snapshot_source_ratelimited_parity(spark: SparkSession,
         .agg(F.count("*").alias("n_events"),
              F.sum("cents").alias("total_value_cents"))
     )
+
+
+@query(
+    "stream_snapshot_source_skip_changes_parity",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, event_id % 7 AS k7,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM ev GROUP BY 1
+    """,
+)
+def stream_snapshot_source_skip_changes_parity(spark: SparkSession,
+                                               sf_dir: str) -> DataFrame:
+    """``skipChangeCommits`` on the PLAIN snapshot stream source
+    (Delta's escape hatch, r11): two appends drain and the query
+    stops; a CDC rewrite (updates + deletes) and a third append land
+    while no stream runs; the restarted query — which WITHOUT the
+    option refuses the range (pinned: the refusal error fires first)
+    — must skip the rewrite commit entirely and consume EXACTLY the
+    new append. The sink therefore holds the ORIGINAL appended rows
+    untouched (the documented semantics: updated/deleted rows are
+    never re-served — the CDF source is the exact form), which is
+    precisely what the whole-events oracle states; the query
+    additionally raises unless the head state genuinely DIFFERS from
+    the sink by the CDC's row count, so a silently-ignored CDC commit
+    cannot fake the pass."""
+    import glob
+
+    from ..operators.snapshots import (snapshot_apply_cdc,
+                                       snapshot_commit, snapshot_read)
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    scratch = _scratch(sf_dir, "stream_snapshot_skipcc")
+    table_dir = os.path.join(scratch, "table")
+    out_dir = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "_ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("event_id"), F.lit(7)).alias("k7"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("slot"),
+    )
+    for s in (0, 1):
+        snapshot_commit(spark, table_dir,
+                        ev.filter(F.col("slot") == s).drop("slot"),
+                        mode="append")
+
+    def drain(skip: bool) -> None:
+        stream = (spark.readStream.format("snapshot_table")
+                  .option("skipChangeCommits", str(skip).lower())
+                  .load(table_dir))
+
+        def sink(bdf: DataFrame, epoch_id: int) -> None:
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    drain(skip=True)
+    got1 = (spark.read.parquet(out_dir).count()
+            if glob.glob(os.path.join(out_dir, "*.parquet")) else 0)
+    expect1 = ev.filter(F.col("slot") < 2).count()
+    if got1 != expect1:
+        raise RuntimeError(
+            f"stream_snapshot_source_skip_changes_parity: first drain "
+            f"served {got1} rows, expected {expect1}")
+
+    # a CDC rewrite + a third append land while NO stream runs
+    changes = (ev.filter((F.col("slot") < 2) & (F.col("k7").isin(2, 3)))
+               .drop("slot")
+               .withColumn("cents",
+                           F.when(F.col("k7") == 2,
+                                  F.col("cents") * 2 + 1)
+                           .otherwise(F.col("cents")))
+               .withColumn("seq", F.lit(1))
+               .withColumn("op", F.when(F.col("k7") == 3, F.lit("D"))
+                           .otherwise(F.lit("U"))))
+    n_deleted = changes.filter(F.col("op") == "D").count()
+    snapshot_apply_cdc(spark, table_dir, changes, "event_id")
+    snapshot_commit(spark, table_dir,
+                    ev.filter(F.col("slot") == 2).drop("slot"),
+                    mode="append")
+
+    # pinned: WITHOUT the option the restarted stream refuses the range
+    try:
+        drain(skip=False)
+        raise RuntimeError(
+            "stream_snapshot_source_skip_changes_parity: the plain "
+            "source consumed a rewrite commit without "
+            "skipChangeCommits — the append-only contract is broken")
+    except Exception as exc:
+        if "skipChangeCommits" not in str(exc):
+            raise RuntimeError(
+                "stream_snapshot_source_skip_changes_parity: expected "
+                "the append-only refusal naming the option, got: "
+                f"{exc}") from exc
+
+    drain(skip=True)
+    sink_df = spark.read.parquet(out_dir)
+    total = ev.count()
+    if sink_df.count() != total:
+        raise RuntimeError(
+            f"stream_snapshot_source_skip_changes_parity: sink holds "
+            f"{sink_df.count()} rows, expected {total} — the skipped "
+            "drain re-served or lost rows")
+    # the head state must genuinely differ (deletes applied there)
+    head_n = snapshot_read(spark, table_dir).count()
+    if head_n != total - n_deleted:
+        raise RuntimeError(
+            f"stream_snapshot_source_skip_changes_parity: head holds "
+            f"{head_n} rows, expected {total - n_deleted} — the CDC "
+            "commit did not actually change the table")
+    return (sink_df.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("total_cents")))
