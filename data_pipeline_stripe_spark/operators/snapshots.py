@@ -745,6 +745,13 @@ def _file_may_match(stats: dict, col: str, op: str, value) -> bool:
         return True  # incomparable stat/literal types: never prune
     if op == "=":
         return lo <= value <= hi
+    if op == "!=":
+        # only a CONSTANT column (min == max == value, null-free) can
+        # prove no row differs; the null check matters because != never
+        # matches NULL but min/max exclude nulls — a constant column
+        # WITH nulls still matches nothing for !=, so nulls can be
+        # ignored here (NULL rows don't satisfy != either way)
+        return not (lo == value and hi == value)
     if op == ">=":
         return hi >= value
     if op == ">":
@@ -754,6 +761,16 @@ def _file_may_match(stats: dict, col: str, op: str, value) -> bool:
     if op == "<":
         return lo < value
     raise ValueError(f"snapshot_scan: unsupported operator {op!r}")
+
+
+def _entry_not_null_may_match(entry: dict, col: str) -> bool:
+    """``col IS NOT NULL`` against one entry: prunable only when the
+    file is provably ALL-NULL in that column — complete null count ==
+    footer row count (an all-null column usually carries no min/max,
+    so this is the one probe that needs the entry-level row count)."""
+    nulls = (entry.get("stats", {}).get(col) or {}).get("nulls")
+    rows = entry.get("rows")
+    return not (nulls is not None and rows is not None and nulls == rows)
 
 
 def _entry_may_match(entry: dict, term) -> bool:
@@ -768,8 +785,13 @@ def _entry_may_match(entry: dict, term) -> bool:
             raise ValueError(
                 "snapshot_scan: an empty OR-list matches nothing — "
                 "drop the term or pass an impossible triple explicitly")
-        return any(_file_may_match(stats, c, op, v) for (c, op, v) in term)
+        return any(_entry_may_match(entry, sub) for sub in term)
     c, op, v = term
+    if op == "is_not_null":
+        if v is not None:
+            raise ValueError(
+                f"snapshot_scan: is_not_null takes value None, got {v!r}")
+        return _entry_not_null_may_match(entry, c)
     return _file_may_match(stats, c, op, v)
 
 
@@ -816,12 +838,14 @@ def _term_filter(term):
     col, op, value = term
     if op == "is_null":
         return F.col(col).isNull()
+    if op == "is_not_null":
+        return F.col(col).isNotNull()
     if op == "in":
         members = list(value)
         if not members:
             return F.lit(False)
         return F.col(col).isin(*members)
-    py_ops = {"=": _op.eq, ">=": _op.ge, ">": _op.gt,
+    py_ops = {"=": _op.eq, "!=": _op.ne, ">=": _op.ge, ">": _op.gt,
               "<=": _op.le, "<": _op.lt}
     if op not in py_ops:
         raise ValueError(f"snapshot_scan: unsupported operator {op!r}")
@@ -836,7 +860,8 @@ def snapshot_scan(spark: SparkSession, table_dir: str,
     apply the same predicate as a row filter (pruning is file-granular;
     the residual filter keeps exact semantics). ``predicates`` is a
     CONJUNCTION of terms; each term is ``(column, op, literal)`` with
-    op in {=, >=, >, <=, <, is_null, in} or a LIST of such triples
+    op in {=, !=, >=, >, <=, <, is_null, is_not_null, in} or a LIST of
+    such triples
     meaning their DISJUNCTION (CNF). is_null prunes on the harvested
     per-file null counts; IN prunes each member like ``=``. Equivalent
     to ``snapshot_read().filter(...)`` by construction — just with

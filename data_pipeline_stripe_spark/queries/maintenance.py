@@ -2177,6 +2177,10 @@ _NIP_C1, _NIP_C2 = "2024-01-08", "2024-01-15"
     SELECT 'disjunct', event_type,
            CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
     FROM ev WHERE day < '2024-01-03' OR day >= '2024-01-25' GROUP BY 2
+    UNION ALL
+    SELECT 'not_null', event_type,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM ev WHERE ref IS NOT NULL GROUP BY 2
     """,
 )
 def snapshot_null_in_pruned_read(spark: SparkSession,
@@ -2192,7 +2196,11 @@ def snapshot_null_in_pruned_read(spark: SparkSession,
     - ``in_list``: ``day IN (d1, d2)`` with both members in the first
       band must plan only that band (each member probed like ``=``);
     - ``disjunct``: ``day < a OR day >= b`` (a CNF OR-term) must plan
-      the two outer bands and drop the middle one.
+      the two outer bands and drop the middle one;
+    - ``not_null``: ``ref IS NOT NULL`` must drop the middle band —
+      its files are provably ALL-NULL (complete null count == footer
+      row count, the one probe that needs the entry's row count,
+      since an all-null column carries no min/max stats at all).
 
     Every leg's rows then hash against the plain-predicate oracle —
     pruning that dropped a matching file would flip the counts.
@@ -2235,6 +2243,8 @@ def snapshot_null_in_pruned_read(spark: SparkSession,
                     band_files[0]),
         "disjunct": ([[("day", "<", "2024-01-03"),
                        ("day", ">=", "2024-01-25")]],
+                     band_files[0] + band_files[2]),
+        "not_null": ([("ref", "is_not_null", None)],
                      band_files[0] + band_files[2]),
     }
     frames = []

@@ -3064,3 +3064,37 @@ def test_rewrite_verbs_preserve_clustered_layout(spark, tmp_path):
     got = S.snapshot_read(spark, t)
     assert got.filter("v = 0").count() == 10
     assert got.count() == 1000
+
+
+def test_not_null_and_neq_pruning_forms():
+    """r11 late additions: IS NOT NULL prunes only a provably all-NULL
+    file (complete nulls == rows); != prunes only a constant column
+    equal to the literal."""
+    import pytest
+
+    from data_pipeline_stripe_spark.operators.snapshots import \
+        _entry_may_match
+
+    all_null = {"rows": 10, "stats": {"c": {"min": None, "max": None,
+                                            "nulls": 10}}}
+    some_null = {"rows": 10, "stats": {"c": {"min": 1, "max": 5,
+                                             "nulls": 3}}}
+    unknown = {"rows": 10, "stats": {"c": {"min": 1, "max": 5,
+                                           "nulls": None}}}
+    no_rows = {"stats": {"c": {"min": None, "max": None, "nulls": 10}}}
+    assert _entry_may_match(all_null, ("c", "is_not_null", None)) is False
+    assert _entry_may_match(some_null, ("c", "is_not_null", None)) is True
+    assert _entry_may_match(unknown, ("c", "is_not_null", None)) is True
+    assert _entry_may_match(no_rows, ("c", "is_not_null", None)) is True
+    with pytest.raises(ValueError, match="is_not_null takes"):
+        _entry_may_match(all_null, ("c", "is_not_null", 1))
+
+    const = {"rows": 4, "stats": {"c": {"min": 7, "max": 7, "nulls": 0}}}
+    banded = {"rows": 4, "stats": {"c": {"min": 1, "max": 9, "nulls": 0}}}
+    assert _entry_may_match(const, ("c", "!=", 7)) is False
+    assert _entry_may_match(const, ("c", "!=", 8)) is True
+    assert _entry_may_match(banded, ("c", "!=", 7)) is True
+    # OR-terms recurse through the entry-level probes too
+    assert _entry_may_match(
+        all_null, [("c", "is_not_null", None), ("c", "is_null", None)]
+    ) is True
