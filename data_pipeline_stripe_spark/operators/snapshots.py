@@ -384,8 +384,14 @@ def _file_entries(table_dir: str, rel_dir: str) -> list[dict]:
         if not f.endswith(".parquet"):
             continue
         rel = os.path.join(rel_dir, f)
-        stats, rows = _collect_file_stats(os.path.join(table_dir, rel))
-        entries.append({"path": rel, "stats": stats, "rows": rows})
+        abs_path = os.path.join(table_dir, rel)
+        stats, rows = _collect_file_stats(abs_path)
+        entries.append({"path": rel, "stats": stats, "rows": rows,
+                        # on-disk size — the admission-control byte
+                        # budget's unit (maxBytesPerTrigger, r11);
+                        # entries written before this field read as 0
+                        # and only the other budgets bind
+                        "bytes": os.path.getsize(abs_path)})
     return entries
 
 

@@ -46,8 +46,10 @@ ADMISSION CONTROL (r11, VERDICT r10 item 1):
 ``option("maxFilesPerTrigger", N)`` bounds each micro-batch to at most
 N new file entries (data files for the plain source, change-log files
 for the CDF source) and ``option("maxRowsPerTrigger", N)`` to at most
-N rows (footer row counts harvested into every manifest entry; the
-tighter of the two binds), always admitting at least one full version
+N rows and ``option("maxBytesPerTrigger", N)`` to at most N on-disk
+bytes (footer row counts and file sizes harvested into every manifest
+entry; the tightest configured budget binds), always admitting at
+least one full version
 — Delta's own contract (version boundaries are never split, so a
 single huge commit still arrives whole). Without it, ``latestOffset`` jumps
 straight to the table head and a consumer starting on (or catching up
@@ -192,16 +194,17 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
 
 
 def _version_delta_size(table_dir: str, v: int,
-                        cdf: bool) -> tuple[int, int]:
-    """(files, rows) version ``v`` contributes to its consumer — the
-    admission-control units. Appends: their new data-file entries (set
-    difference against the parent). Rewrites: the recorded change-log
-    entries in CDF mode (None — plain overwrite — counts 0 here;
-    ``partitions`` raises the real contract error when the range is
-    actually served), or the new data entries in plain mode (same: the
-    error belongs to ``partitions``). Row counts come from the footer
-    counts harvested into every manifest entry at commit time (0 when
-    an old entry predates them — then only the file budget binds).
+                        cdf: bool) -> tuple[int, int, int]:
+    """(files, rows, bytes) version ``v`` contributes to its consumer
+    — the admission-control units. Appends: their new data-file
+    entries (set difference against the parent). Rewrites: the
+    recorded change-log entries in CDF mode (None — plain overwrite —
+    counts 0 here; ``partitions`` raises the real contract error when
+    the range is actually served), or the new data entries in plain
+    mode (same: the error belongs to ``partitions``). Row counts come
+    from the footer counts and byte sizes from the on-disk sizes, both
+    harvested into every manifest entry at commit time (0 when an old
+    entry predates them — then only the other budgets bind).
     Manifest-only reads — no data file is opened."""
     from ..operators.snapshots import _read_manifest
 
@@ -214,13 +217,25 @@ def _version_delta_size(table_dir: str, v: int,
         parent = _read_manifest(table_dir, m["parent"])
         base = {e["path"] for e in parent["files"]}
         entries = [e for e in m["files"] if e["path"] not in base]
-    return len(entries), sum(e.get("rows") or 0 for e in entries)
+    return (len(entries), sum(e.get("rows") or 0 for e in entries),
+            sum(e.get("bytes") or 0 for e in entries))
 
 
 def _version_delta_count(table_dir: str, v: int, cdf: bool) -> int:
     """File count of ``_version_delta_size`` (kept as the simple unit
     the tests and the default budget use)."""
     return _version_delta_size(table_dir, v, cdf)[0]
+
+
+def _budget_spent(totals: tuple, budgets: tuple) -> bool:
+    """Any configured budget reached? (None = unbounded dimension.)"""
+    return any(b is not None and t >= b for t, b in zip(totals, budgets))
+
+
+def _budget_exceeded(totals: tuple, deltas: tuple, budgets: tuple) -> bool:
+    """Would admitting ``deltas`` overflow any configured budget?"""
+    return any(b is not None and t + d > b
+               for t, d, b in zip(totals, deltas, budgets))
 
 
 def _read_slice(partition: SnapshotFileSlice):
@@ -294,6 +309,7 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self._initial = start - 1
         self.max_files = self._pos_int(options, "maxFilesPerTrigger")
         self.max_rows = self._pos_int(options, "maxRowsPerTrigger")
+        self.max_bytes = self._pos_int(options, "maxBytesPerTrigger")
         self.skip_change_commits = str(
             options.get("skipChangeCommits", "false")).lower() == "true"
         if self.skip_change_commits and self.cdf:
@@ -359,18 +375,18 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         head = snapshot_current_version(self.table_dir)
         if head is None:
             return {"version": -1}
-        if (self.max_files is None and self.max_rows is None) \
-                or head <= self._cursor:
+        budgets = (self.max_files, self.max_rows, self.max_bytes)
+        if all(b is None for b in budgets) or head <= self._cursor:
             self._sync(head)
             return {"version": head}
-        # bounded catch-up: admit whole versions until either budget
-        # (files and/or rows) is spent — always at least one (a single
-        # oversized commit still arrives whole; version boundaries are
-        # never split, Delta's own contract)
-        v, tot_f, tot_r = self._cursor, 0, 0
+        # bounded catch-up: admit whole versions until any configured
+        # budget (files / rows / bytes) is spent — always at least one
+        # (a single oversized commit still arrives whole; version
+        # boundaries are never split, Delta's own contract)
+        v, totals = self._cursor, (0, 0, 0)
         while v < head:
             try:
-                nf, nr = _version_delta_size(self.table_dir, v + 1,
+                deltas = _version_delta_size(self.table_dir, v + 1,
                                              self.cdf)
             except FileNotFoundError:
                 # a manifest in the catch-up range (or its parent) was
@@ -387,19 +403,12 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
                 else:
                     v += 1
                 break
-            admitted = tot_f > 0 or tot_r > 0
-            if admitted and (
-                    (self.max_files is not None
-                     and tot_f + nf > self.max_files)
-                    or (self.max_rows is not None
-                        and tot_r + nr > self.max_rows)):
+            admitted = any(t > 0 for t in totals)
+            if admitted and _budget_exceeded(totals, deltas, budgets):
                 break
-            tot_f += nf
-            tot_r += nr
+            totals = tuple(t + d for t, d in zip(totals, deltas))
             v += 1
-            if (self.max_files is not None and tot_f >= self.max_files) \
-                    or (self.max_rows is not None
-                        and tot_r >= self.max_rows):
+            if _budget_spent(totals, budgets):
                 break
         self._sync(v)
         return {"version": v}

@@ -1233,11 +1233,28 @@ def test_stream_source_admission_control_units(spark, tmp_path):
     assert reader(maxFilesPerTrigger=99,
                   maxRowsPerTrigger=4).latestOffset() == {"version": 0}
 
+    # byte-budget form: budgets at/below v0's recorded size admit
+    # exactly v0; a budget covering both versions admits both
+    from data_pipeline_stripe_spark.operators.snapshots import \
+        _read_manifest as _rm
+    b0 = sum(e["bytes"] for e in _rm(t, 0)["files"])
+    b1 = sum(e["bytes"] for e in _rm(t, 1)["files"]) - b0
+    assert b0 > 0 and b1 > 0  # sizes really recorded
+    assert reader(maxBytesPerTrigger=b0).latestOffset() == {"version": 0}
+    assert reader(maxBytesPerTrigger=1).latestOffset() == {"version": 0}
+    assert reader(maxBytesPerTrigger=b0 + b1).latestOffset() == \
+        {"version": 1}
+    # combined: the tightest budget binds
+    assert reader(maxFilesPerTrigger=99, maxRowsPerTrigger=99,
+                  maxBytesPerTrigger=b0).latestOffset() == {"version": 0}
+
     import pytest
     with pytest.raises(ValueError, match="maxFilesPerTrigger"):
         reader(maxFilesPerTrigger=0)
     with pytest.raises(ValueError, match="maxRowsPerTrigger"):
         reader(maxRowsPerTrigger=-1)
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        reader(maxBytesPerTrigger=0)
 
 
 def test_plain_stream_serves_real_cdf_named_columns(spark, tmp_path):
