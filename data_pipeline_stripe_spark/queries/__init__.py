@@ -81,6 +81,9 @@ PRIORITY_THIS_ROUND = [
     # the restarted drain skips a CDC rewrite and consumes exactly the
     # next append (the refusal without the option is pinned in-gate)
     "stream_snapshot_source_skip_changes_parity",
+    # 8 (beyond the agenda): retention finally driver-gated — expire
+    # sweeps exactly the unreferenced pre-compact dirs, survivors stay
+    "snapshot_expire_retention_parity",
     # 7. ntile re-routed through the two-phase global rank
     # (operators/packing.py:global_ntile) — no more single-partition
     # window exchange
@@ -131,7 +134,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     "events_json_blob_agg",
     "winsorized_value_stats",
 ]
-# Rotation note: with the r11 head (33 pins + 3 debt), 14 rotating
+# Rotation note: with the r11 head (34 pins + 3 debt), 13 rotating
 # slots resume the tile over the remaining queries.
 
 

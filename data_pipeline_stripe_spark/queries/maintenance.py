@@ -2396,3 +2396,108 @@ def snapshot_sql_surface_parity(spark: SparkSession,
         f"FROM snap_sql_pruned WHERE day >= '{cut}' GROUP BY event_type")
     return (sql_head.unionByName(api_head).unionByName(sql_v0)
             .unionByName(sql_pruned))
+
+
+# ---------------------------------------------------------------------------
+# r11: retention — expire old versions, sweep only unreferenced data.
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_expire_retention_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1
+    """,
+)
+def snapshot_expire_retention_parity(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """O(deleted) retention in the driver's hash gate (the one format
+    verb with no gated row until r11): three slot appends are folded
+    by a COMPACTION (v3 references only its own rewritten files), two
+    more appends land, then ``snapshot_expire(keep_last=3)`` drops
+    v0-v2. The query raises unless (a) exactly the three pre-compact
+    commit directories are swept — they are unreferenced by any
+    surviving manifest, while every survivor-referenced directory must
+    remain on disk untouched; (b) the expired version is no longer
+    readable and the retained ones are; (c) the incremental read over
+    the surviving range still works (expire never breaks retained
+    lineage). The head read then hash-matches the whole events fixture
+    — retention deleted history, never data."""
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
+                                       snapshot_compact, snapshot_expire,
+                                       snapshot_read,
+                                       snapshot_read_incremental,
+                                       snapshot_versions)
+
+    table_dir = _scratch(sf_dir, "snapshot_expire_retention")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(5)).alias("slot"),
+    )
+    for s in range(3):
+        snapshot_commit(spark, table_dir,
+                        ev.filter(F.col("slot") == s).drop("slot"),
+                        mode="append")
+    snapshot_compact(spark, table_dir, target_files=2)        # v3
+    for s in (3, 4):
+        snapshot_commit(spark, table_dir,
+                        ev.filter(F.col("slot") == s).drop("slot"),
+                        mode="append")                        # v4, v5
+
+    pre_dirs = {os.path.dirname(e["path"])
+                for v in (0, 1, 2)
+                for e in _read_manifest(table_dir, v)["files"]}
+    keep_dirs = {os.path.dirname(e["path"])
+                 for v in (3, 4, 5)
+                 for e in _read_manifest(table_dir, v)["files"]}
+    doomed_dirs = pre_dirs - keep_dirs
+    if len(doomed_dirs) != 3:
+        raise RuntimeError(
+            f"snapshot_expire_retention_parity: expected the 3 "
+            f"pre-compact commit dirs to be unreferenced, got "
+            f"{len(doomed_dirs)} — the compaction did not fold them")
+
+    report = snapshot_expire(table_dir, keep_last=3,
+                             tmp_grace_seconds=0.0)
+    if sorted(report["expired_versions"]) != [0, 1, 2]:
+        raise RuntimeError(
+            f"snapshot_expire_retention_parity: expired "
+            f"{report['expired_versions']}, expected [0, 1, 2]")
+    if sorted(report["deleted_dirs"]) != sorted(doomed_dirs):
+        raise RuntimeError(
+            f"snapshot_expire_retention_parity: swept "
+            f"{report['deleted_dirs']} but exactly the unreferenced "
+            f"dirs {sorted(doomed_dirs)} must go — a referenced dir "
+            "swept = data loss; an unreferenced dir kept = leak")
+    for d in keep_dirs:
+        if not os.path.isdir(os.path.join(table_dir, d)):
+            raise RuntimeError(
+                f"snapshot_expire_retention_parity: survivor-referenced "
+                f"dir {d} was deleted — retention destroyed live data")
+    if snapshot_versions(table_dir) != [3, 4, 5]:
+        raise RuntimeError(
+            f"snapshot_expire_retention_parity: retained versions "
+            f"{snapshot_versions(table_dir)}, expected [3, 4, 5]")
+    try:
+        snapshot_read(spark, table_dir, version=2)
+        raise RuntimeError(
+            "snapshot_expire_retention_parity: an expired version is "
+            "still readable — retention did not take")
+    except FileNotFoundError:
+        pass
+    # retained lineage still serves incremental consumers
+    delta_n = snapshot_read_incremental(spark, table_dir, 3).count()
+    expect_delta = ev.filter(F.col("slot").isin(3, 4)).count()
+    if delta_n != expect_delta:
+        raise RuntimeError(
+            f"snapshot_expire_retention_parity: post-expire incremental "
+            f"read served {delta_n} rows, expected {expect_delta}")
+    return (
+        snapshot_read(spark, table_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("cents"))
+    )
