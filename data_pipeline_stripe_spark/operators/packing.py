@@ -105,6 +105,19 @@ def global_row_number(df: DataFrame, order_cols: list,
        task) + per-partition counts → a B-row offsets frame (the only
        single-partition window left, over B rows);
     3. broadcast the offsets back: global rn = offset + local rn."""
+    return _global_rn_with_total(df, order_cols, n_buckets, out_col) \
+        .drop("_total")
+
+
+def _global_rn_with_total(df: DataFrame, order_cols: list,
+                          n_buckets: int, out_col: str) -> DataFrame:
+    """The two-phase core: global row number in ``out_col`` PLUS the
+    total row count in ``_total`` — both derived from the SAME B-row
+    per-bucket counts frame inside one plan (``_off`` is the running
+    sum over preceding buckets, ``_total`` the sum over all buckets,
+    computed in the one O(B) single-partition window), so a
+    nondeterministic input cannot make the total disagree with the
+    ranking and the input is scanned once (ADVICE r11)."""
     from pyspark.sql import functions as F
 
     part = df.repartitionByRange(n_buckets, *order_cols)
@@ -113,9 +126,12 @@ def global_row_number(df: DataFrame, order_cols: list,
     local = pid.withColumn("_lrn", F.row_number().over(w_local))
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("_pid").rowsBetween(W.unboundedPreceding,
+                                         W.unboundedFollowing)
     offsets = counts.select(
         "_pid",
-        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_n").over(wall).alias("_total"))
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
@@ -136,27 +152,28 @@ def global_ntile(df: DataFrame, order_cols: list, n_tiles: int,
     in rank math)."""
     from pyspark.sql import functions as F
 
-    ranked = global_row_number(df, order_cols, n_buckets, out_col="_grn")
-    # total row count from one tiny agg over the ranked frame's lineage
-    # would re-run the scan; max(_grn) over a 1-row broadcast does too.
-    # Cheapest exact form: count() on the input ONCE (metadata-cheap
-    # for columnar sources, one light job otherwise).
-    total = df.count()
-    base, rem = divmod(total, n_tiles)
-    big = base + 1
-    if base == 0:
-        tile = F.col("_grn")  # fewer rows than tiles: tile i = row i
-    else:
-        # integer ceil without doubles: (r + big - 1) div big for the
-        # big tiles; rem + ceil((r - rem*big) / base) for the rest
-        tile = F.when(
-            F.col("_grn") <= rem * big,
-            F.expr(f"(_grn + {big - 1}) div {big}")
-        ).otherwise(
-            F.expr(f"{rem} + (_grn - {rem * big} + {base - 1}) "
-                   f"div {base}")
-        )
-    return ranked.withColumn(out_col, tile.cast("long")).drop("_grn")
+    # _total rides in from the SAME per-bucket counts frame the ranking
+    # uses (one plan, one scan, one O(B) window) — not a separate
+    # df.count() action, which would re-evaluate a nondeterministic
+    # input and could disagree with the ranked frame, yielding wrong or
+    # out-of-range tiles (ADVICE r11).
+    with_total = _global_rn_with_total(df, order_cols, n_buckets,
+                                       out_col="_grn")
+    # NTILE's exact spec in integer arithmetic (no double rounding —
+    # DIV, never '/'): base = N div n, rem = N % n; the first rem tiles
+    # get base+1 rows. With base == 0 (fewer rows than tiles) tile = rn.
+    base = F.expr(f"_total div {n_tiles}")
+    rem = F.expr(f"_total % {n_tiles}")
+    big_expr = f"((_total div {n_tiles}) + 1)"
+    tile = F.when(base == F.lit(0), F.col("_grn")) \
+        .when(F.col("_grn") <= rem * F.expr(big_expr),
+              F.expr(f"(_grn + (_total div {n_tiles})) div {big_expr}")) \
+        .otherwise(F.expr(
+            f"(_total % {n_tiles}) + "
+            f"(_grn - (_total % {n_tiles}) * {big_expr} "
+            f"+ (_total div {n_tiles}) - 1) div (_total div {n_tiles})"))
+    return (with_total.withColumn(out_col, tile.cast("long"))
+            .drop("_grn", "_total"))
 
 
 def assign_token_shards(df: DataFrame, order_col: str, weight_col: str,

@@ -1544,9 +1544,14 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
     byte-identical, so backfilling one partition of a 100 TB table is
     O(that partition). Fails CLOSED if any replacement row falls
     OUTSIDE the predicate (Delta's replaceWhere constraint — such a row
-    could shadow a key in a carried-forward clean file); the check is
-    one O(replacement) job, never O(table). A commit landing between
-    read and publish aborts with ``SnapshotConflictError``.
+    could shadow a key in a carried-forward clean file); the check runs
+    against the WRITTEN replacement files (read back before
+    publication, ADVICE r11 — a nondeterministic replacement plan
+    cannot pass a separate pre-check evaluation yet write stray rows),
+    is one O(replacement) job, never O(table), and an abort leaves only
+    an unreferenced commit dir for ``snapshot_expire``. A commit
+    landing between read and publish aborts with
+    ``SnapshotConflictError``.
 
     With ``key`` (column name or list), the commit records the exact
     row-level change log (``snapshot_diff`` over the dirty subset:
@@ -1555,7 +1560,9 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
     source ride THROUGH the backfill; with ``key=None`` no log is
     recorded and CDF consumers raise across it (Delta's rule when the
     feed is off). Returns (new version, {"files_rewritten",
-    "files_carried", "rows_inserted"})."""
+    "files_carried", "rows_written"}) — ``rows_written`` is the TOTAL
+    row count of the rewrite (kept straddling rows + replacement
+    inserts), not the insert count alone."""
     from pyspark.sql import functions as F
 
     if not predicates:
@@ -1577,30 +1584,42 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
     cond = F.lit(True)
     for term in predicates:
         cond = cond & _term_filter(term)
-    # fail closed BEFORE writing anything: a replacement row outside
-    # the predicate is not an overwrite of the scoped region
-    stray = replacement.filter(~F.coalesce(cond, F.lit(False))).limit(1)
+    dirty = [e for e in manifest["files"]
+             if all(_entry_may_match(e, term) for term in predicates)]
+    dirty_paths = {e["path"] for e in dirty}
+    clean = [e for e in manifest["files"] if e["path"] not in dirty_paths]
+    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"])
+    commit_id = uuid.uuid4().hex[:12]
+    rel = os.path.join("data", commit_id)
+    abs_dir = os.path.join(table_dir, rel)
+    # Write the REPLACEMENT first, alone, then stray-check the WRITTEN
+    # files (ADVICE r11): the check must see the same evaluation the
+    # commit publishes — a nondeterministic replacement plan could pass
+    # a separate pre-check job yet write rows outside the predicate,
+    # shadowing keys in carried-forward clean files. One evaluation
+    # total (the write); the read-back is O(replacement). An abort here
+    # leaves only this unreferenced dir — snapshot_expire's garbage.
+    replacement_cols = dirty_df.columns
+    _rewrite_layout(replacement.select(*replacement_cols), manifest,
+                    max(len(dirty), 1)).write \
+        .mode("error").parquet(abs_dir)
+    written = spark.read.schema(dirty_df.schema).parquet(abs_dir)
+    stray = written.filter(~F.coalesce(cond, F.lit(False))).limit(1)
     if not stray.isEmpty():
         raise ValueError(
             "snapshot_overwrite_where: replacement rows fall outside "
             "the predicate (or evaluate it to NULL) — replaceWhere "
             "inserts must satisfy the predicate they replace "
             f"(first stray: {stray.first().asDict()})")
-    dirty = [e for e in manifest["files"]
-             if all(_entry_may_match(e, term) for term in predicates)]
-    dirty_paths = {e["path"] for e in dirty}
-    clean = [e for e in manifest["files"] if e["path"] not in dirty_paths]
-    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"])
     # keep the dirty files' NON-matching rows: stats are file-granular,
     # so a dirty file may straddle the predicate boundary. NULL
     # predicate values are KEPT (they do not match, so they are not
-    # replaced) — coalesce pins the tri-state to a boolean.
+    # replaced) — coalesce pins the tri-state to a boolean. Appended
+    # into the same fresh commit dir (distinct part-file names).
     kept = dirty_df.filter(~F.coalesce(cond, F.lit(False)))
-    new_state = kept.unionByName(replacement.select(*dirty_df.columns))
-    commit_id = uuid.uuid4().hex[:12]
-    rel = os.path.join("data", commit_id)
-    _rewrite_layout(new_state, manifest, max(len(dirty), 1)).write \
-        .mode("error").parquet(os.path.join(table_dir, rel))
+    _rewrite_layout(kept, manifest, max(len(dirty), 1)).write \
+        .mode("append").parquet(abs_dir)
+    new_state = kept.unionByName(replacement.select(*replacement_cols))
     new_entries = _file_entries(table_dir, rel)
     changes_entries = None
     if key is not None:

@@ -59,13 +59,18 @@ DataSource API has no ``ReadLimit`` (the Scala
 ``latestOffset(start, limit)`` form), so the reader tracks its own
 high-water cursor: synced from every ``partitions``/``commit`` call
 (authoritative — those carry Spark's checkpointed offsets) and from
-its own returns. Within one query lifetime the bound is exact. Across
-a RESTART the first ``latestOffset`` has no checkpoint to consult, so
-by default it serves the remaining backlog in one batch (correct —
-offsets never regress — but unbounded once); pass
-``option("cursorLocation", <dir>)`` (one per checkpoint, like the
-checkpoint itself on shared storage) to persist the cursor at every
-``commit`` and keep the bound exact across restarts. Trigger note:
+its own returns. Pair budgets with ``option("cursorLocation", <dir>)``
+(one per checkpoint, like the checkpoint itself on shared storage):
+every ``commit`` persists the cursor, so the bound is exact for the
+initial load AND across restarts. WITHOUT cursorLocation the first
+``latestOffset`` of a process cannot tell a fresh start from a
+restart (Spark's checkpoint is invisible here, and budget-walking
+from the startingVersion default on a restart would return an offset
+BELOW the checkpoint — Spark records that as the batch end and
+re-serves consumed versions, duplicate rows; ADVICE r11), so it
+serves head ONCE — unbounded but correct, offsets never regress —
+and the bound resumes from the first partitions/commit sync.
+Trigger note:
 ``availableNow`` snapshots the head offset once up front, so
 per-batch admission applies to ``processingTime`` triggers (use the
 gated query's drain-until-caught-up loop for bounded full drains).
@@ -324,7 +329,28 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         # offsets, so a replayed batch re-syncs it). Never consulted
         # for correctness — partitions() is a pure function of its
         # offset pair — only for how far latestOffset may advance.
+        #
+        # _cursor_known tracks whether the cursor reflects REAL consumer
+        # state. With ``cursorLocation`` configured it always does:
+        # every commit() persists the cursor, so a PRESENT file is the
+        # exact high-water mark and an ABSENT file proves no batch was
+        # ever committed (fresh start — budget-walking from the
+        # startingVersion default is correct; a crashed-uncommitted
+        # batch replays through partitions(), which syncs first).
+        # WITHOUT cursorLocation the first latestOffset of a process
+        # cannot distinguish fresh start from restart: on a restart,
+        # budget-walking from the startingVersion default returns a
+        # version BELOW Spark's checkpointed offset, which Spark
+        # records as the batch END, re-serving already-consumed
+        # versions (duplicate rows — ADVICE r11). Unknown cursor →
+        # serve head once (the documented unbounded-once behavior);
+        # initialOffset (fresh query) or the first partitions/commit
+        # (Spark's checkpointed offsets) then make it known and the
+        # bound resumes. The cost is that the INITIAL load is bounded
+        # only when cursorLocation is set — the documented pairing for
+        # exact admission control.
         self._cursor = self._initial
+        self._cursor_known = self.cursor_dir is not None
         persisted = self._read_cursor()
         if persisted is not None:
             self._cursor = max(self._cursor, persisted)
@@ -365,8 +391,13 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
 
     def _sync(self, *versions: int) -> None:
         self._cursor = max(self._cursor, *versions)
+        self._cursor_known = True
 
     def initialOffset(self) -> dict:
+        # only called when no checkpoint exists: "nothing consumed yet"
+        # IS the consumer's real state, so the cursor is now known and
+        # the very first batch budget-walks from it
+        self._cursor_known = True
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
@@ -376,6 +407,16 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         if head is None:
             return {"version": -1}
         budgets = (self.max_files, self.max_rows, self.max_bytes)
+        if not self._cursor_known:
+            # restart with no persisted cursor: Spark's checkpointed
+            # offset is invisible here, and budget-walking from the
+            # startingVersion default could return a version BELOW it —
+            # Spark would log that regressed offset as the batch end and
+            # re-serve consumed versions (duplicates, ADVICE r11). Serve
+            # head once instead (documented unbounded-once behavior);
+            # partitions()/commit() sync the true offsets right after.
+            self._sync(head)
+            return {"version": head}
         if all(b is None for b in budgets) or head <= self._cursor:
             self._sync(head)
             return {"version": head}

@@ -1194,9 +1194,18 @@ def test_stream_source_admission_control_units(spark, tmp_path):
     sch = StructType(schema.fields)
 
     def reader(**opts):
+        # models Spark's fresh-query driver sequence: a brand-new query
+        # (no checkpoint) always sees initialOffset() before the first
+        # latestOffset(), which is what makes the cursor KNOWN and the
+        # first batch budget-walkable (ADVICE r11: on a RESTART — no
+        # initialOffset call — the cursor is unknown and latestOffset
+        # must serve head once rather than regress below Spark's
+        # checkpointed offset; see restart assertions below)
         o = {"path": t}
         o.update({k: str(v) for k, v in opts.items()})
-        return SnapshotTableStreamReader(o, sch)
+        r = SnapshotTableStreamReader(o, sch)
+        r.initialOffset()
+        return r
 
     # budget n0: v0 alone fills it; budget n0+n1: v0+v1; budget 1:
     # still a whole version (never split)
@@ -1211,16 +1220,35 @@ def test_stream_source_admission_control_units(spark, tmp_path):
     assert r.latestOffset() == {"version": 0}
     assert r.latestOffset()["version"] >= 1
 
+    # RESTART with a budget but NO persisted cursor (ADVICE r11): Spark
+    # skips initialOffset, so the first latestOffset must NOT
+    # budget-walk from the startingVersion default (it would return a
+    # version below the checkpointed offset — Spark records that
+    # regressed offset as the batch end and re-serves consumed
+    # versions). It serves head once (documented unbounded-once).
+    restarted = SnapshotTableStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}, sch)
+    assert restarted.latestOffset() == {"version": 2}
+    # ... and once partitions/commit sync real offsets, the bound is
+    # back for any NEWER versions (none here — head stays 2)
+    assert restarted.latestOffset() == {"version": 2}
+
     # persistence: commit() writes the floor a NEW reader starts from
     cur = str(tmp_path / "cursor")
     r1 = reader(maxFilesPerTrigger=n0, cursorLocation=cur)
     assert r1.latestOffset() == {"version": 0}
     r1.commit({"version": 0})
-    r2 = reader(maxFilesPerTrigger=999, cursorLocation=cur)
+    # restart WITH a persisted cursor: no initialOffset fires, but the
+    # cursor file makes the consumer state known — the bound stays exact
+    r2 = SnapshotTableStreamReader(
+        {"path": t, "maxFilesPerTrigger": "999", "cursorLocation": cur},
+        sch)
     assert r2.latestOffset() == {"version": 2}
     assert r2.initialOffset() == {"version": -1}  # offsets stay Spark's
     # and partitions() syncs the cursor from Spark's own offsets
-    r3 = reader(maxFilesPerTrigger=1)
+    # (restart without cursor file: the replayed batch makes it known)
+    r3 = SnapshotTableStreamReader(
+        {"path": t, "maxFilesPerTrigger": "1"}, sch)
     r3.partitions({"version": -1}, {"version": 1})
     assert r3.latestOffset() == {"version": 2}
 
@@ -1379,6 +1407,7 @@ def test_admission_control_survives_expired_prefix(spark, tmp_path):
     schema = snapshot_read(spark, t).schema
     fresh = SnapshotTableStreamReader(
         {"path": t, "maxFilesPerTrigger": "1"}, schema)
+    assert fresh.initialOffset() == {"version": -1}  # fresh query
     assert fresh.latestOffset() == {"version": 3}  # unbounded fallback
     # and the initial-load partitions plan the full head fine
     slices = fresh.partitions({"version": -1}, {"version": 3})
