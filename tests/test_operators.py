@@ -2170,37 +2170,55 @@ def test_snapshot_merge_read_validation(spark, tmp_path):
     assert acts[0] == "kept" and acts[3] == "updated" and acts[6] == "inserted"
     assert S.snapshot_read(spark, t).count() == 7
 
-    # interleaved commit between read and publish → conflict abort.
-    # The interleave point is the dirty/clean split — the moment the
-    # merge has committed to a view of the manifest it read.
-    real_split = S._split_dirty
+    # interleaved commit between read and publish. The interleave point
+    # is the dirty/clean split — the moment the merge has committed to
+    # a view of the manifest it read.
+    real_split = S._split_dirty_by_probe
 
-    def split_then_interleave(manifest, keys, bands):
-        out = real_split(manifest, keys, bands)
-        # a foreign writer lands AFTER the merge's read
-        S.snapshot_commit(
-            spark, t,
-            spark.range(100, 101).select(F.col("id").alias("k"),
-                                         F.lit("foreign").alias("v")))
-        return out
+    def make_interleaver(foreign_key: int):
+        def split_then_interleave(table_dir, manifest, probe):
+            out = real_split(table_dir, manifest, probe)
+            # a foreign writer lands AFTER the merge's read
+            S.snapshot_commit(
+                spark, t,
+                spark.range(foreign_key, foreign_key + 1)
+                .select(F.col("id").alias("k"),
+                        F.lit("foreign").alias("v")))
+            return out
+        return split_then_interleave
 
     from unittest import mock
 
-    with mock.patch.object(S, "_split_dirty",
-                           side_effect=split_then_interleave):
-        with pytest.raises(S.SnapshotConflictError, match="derived"):
-            S.snapshot_merge(
-                spark, t,
-                spark.range(1).select(F.col("id").alias("k"),
-                                      F.lit("late").alias("v")), "k")
-    # the foreign commit survived; a fresh merge now succeeds
-    assert {r.k for r in S.snapshot_read(spark, t).collect()} >= {100}
-    v3, _ = S.snapshot_merge(
-        spark, t,
-        spark.range(1).select(F.col("id").alias("k"),
-                              F.lit("late").alias("v")), "k")
+    # r12 CONFLICT NARROWING: a DISJOINT interleaved append (k=100,
+    # far outside the merge band [0,0]) no longer aborts — the merge
+    # REBASES, carrying the appended files verbatim, and the committed
+    # state equals the serial order append→merge.
+    with mock.patch.object(S, "_split_dirty_by_probe",
+                           side_effect=make_interleaver(100)):
+        v2, _ = S.snapshot_merge(
+            spark, t,
+            spark.range(1).select(F.col("id").alias("k"),
+                                  F.lit("late").alias("v")), "k")
     rows = {r.k: r.v for r in S.snapshot_read(spark, t).collect()}
     assert rows[100] == "foreign" and rows[0] == "late"
+    assert v2 == S.snapshot_current_version(t)
+    # ... but an interleaved append INSIDE the dirty band still aborts
+    # (the rebase cannot reproduce the serial order: the merge would
+    # have had to consider the foreign row a match candidate). Band
+    # [10, 12] with foreign k=11 — in-band but not an existing key.
+    upd2 = spark.createDataFrame([(10, "late2"), (12, "late2")],
+                                 "k long, v string")
+    with mock.patch.object(S, "_split_dirty_by_probe",
+                           side_effect=make_interleaver(11)):
+        with pytest.raises(S.SnapshotConflictError,
+                           match="inside the band"):
+            S.snapshot_merge(spark, t, upd2, "k")
+    # the foreign in-band commit survived; a fresh merge now succeeds
+    assert {r.k for r in S.snapshot_read(spark, t).collect()} >= {11}
+    S.snapshot_merge(spark, t, upd2, "k")
+    rows = {r.k: r.v for r in S.snapshot_read(spark, t).collect()}
+    assert rows[10] == "late2" and rows[11] == "foreign" \
+        and rows[100] == "foreign"
 
 
 def test_snapshot_evolution_case_insensitive_and_merge_collision(
@@ -2702,11 +2720,12 @@ def test_snapshot_history_reports_modes_rows_and_legacy_null(spark,
     assert not hist[0].from_stream_epoch and not hist[2].from_stream_epoch
     assert hist[2].n_change_files >= 1
     assert hist[2].parent == 1 and hist[0].parent is None
-    # legacy manifest without per-file row counts → n_rows NULL
+    # legacy manifest without row counts (segment descriptor carries
+    # rows=None) → n_rows NULL
     p = os.path.join(t, "_snapshots", "v2.json")
     m = js.load(open(p))
-    for e in m["files"]:
-        e.pop("rows", None)
+    for seg in m["segments"]:
+        seg["rows"] = None
     js.dump(m, open(p, "w"))
     hist2 = {r.version: r for r in
              S.snapshot_history(spark, t).collect()}
@@ -3098,3 +3117,79 @@ def test_not_null_and_neq_pruning_forms():
     assert _entry_may_match(
         all_null, [("c", "is_not_null", None), ("c", "is_null", None)]
     ) is True
+
+
+def test_manifest_segments_chunking_rollup_and_expire(spark, tmp_path):
+    """r12 hierarchical manifests, the metadata-layer units:
+    _write_segments chunks at _SEGMENT_MAX_ENTRIES and rolls up
+    column stats under the same completeness rules as file stats
+    (one statless member kills the band; one None null-count kills
+    the null sum); snapshot_expire sweeps exactly the segment files
+    no surviving manifest references; snapshot_restore ADOPTS the
+    target's segments by reference (zero re-serialization)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "segs")
+    os.makedirs(t)
+
+    # chunking + rollup on synthetic entries (no parquet needed)
+    entries = [{"path": f"data/x/{i}.parquet",
+                "stats": {"k": {"min": i, "max": i + 1, "nulls": 0}},
+                "rows": 10, "bytes": 100}
+               for i in range(S._SEGMENT_MAX_ENTRIES + 3)]
+    descs = S._write_segments(t, entries)
+    assert [d["n_files"] for d in descs] == [S._SEGMENT_MAX_ENTRIES, 3]
+    assert descs[0]["stats"]["k"]["min"] == 0
+    assert descs[0]["stats"]["k"]["max"] == S._SEGMENT_MAX_ENTRIES
+    assert descs[1]["rows"] == 30 and descs[1]["bytes"] == 300
+    back = [e for d in descs for e in S._segment_entries(t, d)]
+    assert back == entries
+
+    # rollup completeness: a statless member kills the band, a None
+    # null count kills the sum — never a wrong tighter rollup
+    r = S._segment_rollup([
+        {"stats": {"k": {"min": 1, "max": 2, "nulls": 3}}},
+        {"stats": {"k": {"min": None, "max": None, "nulls": None}}},
+    ])
+    assert "k" not in r or (r["k"]["min"] is None
+                            and r["k"]["nulls"] is None)
+    r2 = S._segment_rollup([
+        {"stats": {"k": {"min": 1, "max": 2, "nulls": 3}}},
+        {"stats": {}},  # column absent entirely
+    ])
+    assert "k" not in r2 or (r2["k"]["min"] is None
+                             and r2["k"]["nulls"] is None)
+
+    # expire: segments of expired-only versions swept, survivors kept
+    t2 = str(tmp_path / "table")
+    df = spark.range(9).select(F.col("id").alias("k"))
+    for i in range(3):
+        S.snapshot_commit(spark, t2, df.filter(F.col("k") % 3 == i)
+                          .coalesce(1))
+    # an overwrite makes v0/v1's segments unreferenced by v3+
+    S.snapshot_commit(spark, t2, df.coalesce(1), mode="overwrite")
+    segs_before = set(os.listdir(os.path.join(t2, S._SEGMENT_DIR)))
+    out = S.snapshot_expire(t2, keep_last=1, tmp_grace_seconds=0)
+    head = S.snapshot_current_version(t2)
+    live = {os.path.basename(s["path"]) for s in
+            S._read_manifest_meta(t2, head)["segments"]}
+    segs_after = set(os.listdir(os.path.join(t2, S._SEGMENT_DIR)))
+    assert segs_after == live  # exactly the referenced ones survive
+    assert out["deleted_segments"] and segs_before - segs_after
+    assert S.snapshot_read(spark, t2).count() == 9
+
+    # restore adopts the target's segment descriptors verbatim
+    t3 = str(tmp_path / "restore")
+    S.snapshot_commit(spark, t3, df.filter("k < 5").coalesce(1))
+    S.snapshot_commit(spark, t3, df.filter("k >= 5").coalesce(1))
+    target_segs = [s["path"] for s in S._read_manifest_meta(t3, 0)
+                   ["segments"]]
+    v = S.snapshot_restore(spark, t3, 0)
+    restored = [s["path"] for s in S._read_manifest_meta(t3, v)
+                ["segments"]]
+    assert restored == target_segs
+    assert S.snapshot_read(spark, t3).count() == 5

@@ -1421,3 +1421,52 @@ def test_admission_control_survives_expired_prefix(spark, tmp_path):
     assert end["version"] >= 1
     with pytest.raises(ValueError, match="expired"):
         resuming.partitions({"version": 0}, end)
+
+
+def test_admission_probe_is_manifest_list_only(spark, tmp_path):
+    """VERDICT r11 item 7: latestOffset's budget walk must read ONE
+    manifest LIST per probed backlog version (the stored delta/
+    cdf_delta summaries) — never a parent manifest, never a segment
+    file, never a materialized entry list. Counted by monkeypatching
+    the snapshots module the source delegates to."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        SnapshotTableStreamReader
+
+    t = str(tmp_path / "probe")
+    df = spark.range(12).select(F.col("id").alias("k"))
+    for i in range(6):
+        S.snapshot_commit(spark, t, df.filter(F.col("k") % 6 == i)
+                          .coalesce(1))
+
+    meta_calls = []
+    seg_calls = []
+    real_meta = S._read_manifest_meta
+    real_segs = S._segment_entries
+
+    def count_meta(table_dir, version):
+        meta_calls.append(version)
+        return real_meta(table_dir, version)
+
+    def count_segs(table_dir, desc):
+        seg_calls.append(desc["path"])
+        return real_segs(table_dir, desc)
+
+    r = SnapshotTableStreamReader(
+        {"path": t, "maxFilesPerTrigger": "2"},
+        S.snapshot_read(spark, t).schema)
+    r.initialOffset()
+    with mock.patch.object(S, "_read_manifest_meta",
+                           side_effect=count_meta), \
+            mock.patch.object(S, "_segment_entries",
+                              side_effect=count_segs):
+        end = r.latestOffset()
+    assert end == {"version": 1}  # 2-file budget admits v0+v1
+    # one manifest-list read per probed version, nothing else: the walk
+    # probed v0..v2 (v2 overflowed the budget) = at most 3 reads
+    assert len(meta_calls) <= 3, meta_calls
+    assert not seg_calls, "the admission probe opened segment files"
