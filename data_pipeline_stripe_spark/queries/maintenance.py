@@ -2297,6 +2297,7 @@ def snapshot_null_in_pruned_read(spark: SparkSession,
     SELECT 'sql_pruned', event_type, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(cents) AS BIGINT)
     FROM ev WHERE day >= '2024-01-15' GROUP BY 2
+    UNION ALL SELECT 'sql_notnull', * FROM head
     """,
 )
 def snapshot_sql_surface_parity(spark: SparkSession,
@@ -2339,6 +2340,18 @@ def snapshot_sql_surface_parity(spark: SparkSession,
                     mode="append")
     snapshot_commit(spark, table_dir, ev.filter(F.col("day") >= cut),
                     mode="append")
+    # a provably-ALL-NULL band (constant event_type, cents NULL, day
+    # before the cut) so the r12 pushdown legs have something only the
+    # null-count / constant-column probes can prune: IS NOT NULL must
+    # drop this file, != on the constant must drop this file, <=> NULL
+    # must KEEP ONLY this file. Head-version sections filter it out by
+    # name (and the oracle never sees it).
+    null_band = (spark.range(64)
+                 .select(F.lit("__null_band__").alias("event_type"),
+                         F.lit("2000-01-01").alias("day"),
+                         F.lit(None).cast("long").alias("cents")))
+    snapshot_commit(spark, table_dir, null_band.coalesce(1),
+                    mode="append")
 
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY VIEW snap_sql_head "
@@ -2350,38 +2363,61 @@ def snapshot_sql_surface_parity(spark: SparkSession,
     agg_sql = ("SELECT {sec} AS section, event_type, "
                "CAST(COUNT(*) AS BIGINT) AS n_events, "
                "CAST(SUM(cents) AS BIGINT) AS cents "
-               "FROM {view} GROUP BY event_type")
+               "FROM {view} {where} GROUP BY event_type")
+    not_band = "WHERE event_type <> '__null_band__'"
     sql_head = spark.sql(agg_sql.format(sec="'sql_head'",
-                                        view="snap_sql_head"))
+                                        view="snap_sql_head",
+                                        where=not_band))
     sql_v0 = spark.sql(agg_sql.format(sec="'sql_v0'",
-                                      view="snap_sql_v0"))
+                                      view="snap_sql_v0", where=""))
     api_head = (
         snapshot_read(spark, table_dir)
+        .filter(F.col("event_type") != "__null_band__")
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"),
              F.sum("cents").alias("cents"))
         .select(F.lit("api_head").alias("section"), "event_type",
                 "n_events", "cents"))
 
-    # pushdown pin: the reader, probed with the section's predicate,
-    # must plan strictly fewer files than the table holds
-    from pyspark.sql.datasource import GreaterThanOrEqual
+    # pushdown pins: the reader, probed with each predicate shape,
+    # must plan strictly fewer files than the table holds (and the
+    # null-safe-NULL probe exactly the null band)
+    from pyspark.sql.datasource import (EqualNullSafe, EqualTo,
+                                        GreaterThanOrEqual, IsNotNull,
+                                        Not)
 
     from ..sources.snapshot_source import SnapshotTablePushdownReader
 
     schema = snapshot_read(spark, table_dir).schema
-    probe = SnapshotTablePushdownReader({"path": table_dir}, schema)
-    total_files = sum(1 for p in probe.partitions()
-                      if p.abs_path is not None)
-    probe2 = SnapshotTablePushdownReader({"path": table_dir}, schema)
-    list(probe2.pushFilters([GreaterThanOrEqual(("day",), cut)]))
-    pruned_files = sum(1 for p in probe2.partitions()
-                       if p.abs_path is not None)
-    if not (0 < pruned_files < total_files):
-        raise RuntimeError(
-            f"snapshot_sql_surface_parity: pushFilters planned "
-            f"{pruned_files}/{total_files} files for day >= {cut} — "
-            "the SQL surface is not stats-pruning")
+
+    def planned(filters) -> int:
+        probe = SnapshotTablePushdownReader({"path": table_dir}, schema)
+        list(probe.pushFilters(filters))
+        return sum(1 for p in probe.partitions()
+                   if p.abs_path is not None)
+
+    total_files = planned([])
+    for label, filters, expect in [
+        # band predicate → drops the pre-cut band and the null band
+        ("day >= cut", [GreaterThanOrEqual(("day",), cut)],
+         lambda n: 0 < n < total_files),
+        # r12: IS NOT NULL prunes the provably-all-NULL band file
+        ("cents IS NOT NULL", [IsNotNull(("cents",))],
+         lambda n: 0 < n < total_files),
+        # r12: NOT(=) prunes the constant-column band file
+        ("event_type != band", [Not(EqualTo(("event_type",),
+                                            "__null_band__"))],
+         lambda n: 0 < n < total_files),
+        # r12: <=> NULL keeps ONLY files that may hold a null
+        ("cents <=> NULL", [EqualNullSafe(("cents",), None)],
+         lambda n: 0 < n < total_files),
+    ]:
+        n = planned(filters)
+        if not expect(n):
+            raise RuntimeError(
+                f"snapshot_sql_surface_parity: pushFilters planned "
+                f"{n}/{total_files} files for {label} — the SQL "
+                "surface is not stats-pruning that shape")
     # single-filter-shape pushdown view (see docstring: opt-in, one
     # shape per relation — re-executions of this same plan re-prune
     # the same shape, which is exact)
@@ -2394,8 +2430,22 @@ def snapshot_sql_surface_parity(spark: SparkSession,
         "CAST(COUNT(*) AS BIGINT) AS n_events, "
         "CAST(SUM(cents) AS BIGINT) AS cents "
         f"FROM snap_sql_pruned WHERE day >= '{cut}' GROUP BY event_type")
+    # r12: IS NOT NULL through PURE SQL on its own single-shape
+    # pushdown view — the null band must vanish without its group ever
+    # existing (the fixture holds no NULL cents, so the remaining
+    # groups equal head exactly; the oracle restates head)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_sql_notnull "
+        f"USING snapshot_table OPTIONS (path '{table_dir}', "
+        f"pushdown 'true')")
+    sql_notnull = spark.sql(
+        "SELECT 'sql_notnull' AS section, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(cents) AS BIGINT) AS cents "
+        "FROM snap_sql_notnull WHERE cents IS NOT NULL "
+        "GROUP BY event_type")
     return (sql_head.unionByName(api_head).unionByName(sql_v0)
-            .unionByName(sql_pruned))
+            .unionByName(sql_pruned).unionByName(sql_notnull))
 
 
 # ---------------------------------------------------------------------------

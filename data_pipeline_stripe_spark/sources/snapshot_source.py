@@ -497,10 +497,21 @@ def _filter_to_term(f):
     (``_file_may_match``), and the reader hands EVERY filter back to
     Spark for row-level evaluation, so a term mapped here only ever
     REMOVES provably-unmatchable files."""
-    from pyspark.sql.datasource import (EqualTo, GreaterThan,
-                                        GreaterThanOrEqual, In, IsNull,
-                                        LessThan, LessThanOrEqual)
+    from pyspark.sql.datasource import (EqualNullSafe, EqualTo,
+                                        GreaterThan, GreaterThanOrEqual,
+                                        In, IsNotNull, IsNull, LessThan,
+                                        LessThanOrEqual, Not)
 
+    if isinstance(f, Not):
+        # NOT (col = v) is the one negation with a manifest-stats form
+        # (a constant column equal to v, null-free, proves no match);
+        # every other NOT stays row-level in Spark
+        child = f.child
+        if isinstance(child, EqualTo):
+            cattr = getattr(child, "attribute", None)
+            if cattr is not None and len(cattr) == 1:
+                return (cattr[0], "!=", child.value)
+        return None
     ops = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
            LessThan: "<", LessThanOrEqual: "<="}
     attr = getattr(f, "attribute", None)
@@ -510,8 +521,18 @@ def _filter_to_term(f):
     for cls, op in ops.items():
         if isinstance(f, cls):
             return (col, op, f.value)
+    if isinstance(f, EqualNullSafe):
+        # col <=> NULL matches exactly the null rows (prune on null
+        # counts); col <=> v otherwise prunes like '=' (min/max exclude
+        # nulls, and null rows cannot equal a non-null literal)
+        return ((col, "is_null", None) if f.value is None
+                else (col, "=", f.value))
     if isinstance(f, IsNull):
         return (col, "is_null", None)
+    if isinstance(f, IsNotNull):
+        # prunes a provably all-NULL file — the r11 scan-side probe the
+        # SQL surface could not reach before (VERDICT r11 item 6)
+        return (col, "is_not_null", None)
     if isinstance(f, In):
         members = list(f.value)
         if any(v is None for v in members):
