@@ -2701,3 +2701,272 @@ def snapshot_manifest_scale_parity(spark: SparkSession,
     cdf = agg(feed.unionByName(cdf0, allowMissingColumns=True)
               .drop("_commit_version", "_change_type", "slot"), "cdf")
     return head.unionByName(v0).unionByName(cdf)
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: merge-on-read DELETE WHERE (r12, VERDICT r11 item 2).
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_deletion_vector_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1200
+    ),
+    del1 AS (
+        SELECT * FROM base
+        WHERE k > 400 AND k <= 600 AND pri = '1-URGENT'
+    ),
+    del2 AS (
+        SELECT * FROM base
+        WHERE k > 500 AND k <= 900 AND pri IN ('1-URGENT', '2-HIGH')
+          AND k NOT IN (SELECT k FROM del1)
+    )
+    SELECT 'final' AS section, k, pri, cents FROM base
+    WHERE k NOT IN (SELECT k FROM del1)
+      AND k NOT IN (SELECT k FROM del2)
+    UNION ALL SELECT 'deleted', k, pri, cents FROM del1
+    UNION ALL SELECT 'deleted', k, pri, cents FROM del2
+    UNION ALL SELECT 'base', k, pri, cents FROM base
+    """,
+)
+def snapshot_deletion_vector_parity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """DELETION VECTORS — merge-on-read deletes
+    (operators/snapshots.py:snapshot_delete_where; VERDICT r11 item 2:
+    copy-on-write rewrites whole bands for a k-row delete; at 100 TB a
+    trickle of CDC deletes rewrites the table daily). Three key-band
+    appends, then TWO predicate deletes (the second overlaps the first,
+    exercising vector SUPERSESSION — old ∪ new positions), then an
+    OPTIMIZE. Pinned in-gate:
+
+    (a) O(delete), not O(band): across BOTH delete commits every data
+        file on disk stays BYTE-IDENTICAL (sha1 compared) and the head
+        manifest references exactly the same data paths — the property
+        copy-on-write cannot give (its gate pins carried-file identity
+        for UNTOUCHED files only; here even the touched files never
+        rewrite).
+    (b) The delete is scoped: only the dirty band's files gain a
+        vector (files_touched < table files).
+    (c) OPTIMIZE materializes the vectors away: the compacted manifest
+        carries no ``dv`` entries and the data is unchanged.
+
+    Hash sections: ``final`` (head after both deletes + compaction,
+    which must equal the COW-twin semantics the oracle states as plain
+    NOT IN filters), ``deleted`` (the CDF's D rows across both delete
+    commits — old values, already-deleted rows never re-logged, zero
+    rows from the compaction), ``base`` (time travel to the pre-delete
+    version — vectors never touch history)."""
+    import hashlib
+
+    from ..operators.snapshots import (_read_manifest, snapshot_commit,
+                                       snapshot_compact,
+                                       snapshot_current_version,
+                                       snapshot_delete_where,
+                                       snapshot_read, snapshot_read_cdf)
+
+    table_dir = _scratch(sf_dir, "snapshot_deletion_vector")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 1200).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    for band in [F.col("k") <= 400,
+                 (F.col("k") > 400) & (F.col("k") <= 800),
+                 F.col("k") > 800]:
+        snapshot_commit(spark, table_dir, base.filter(band).coalesce(1),
+                        mode="append")
+    base_version = snapshot_current_version(table_dir)
+
+    def data_shas() -> dict:
+        out = {}
+        for root, _, files in os.walk(os.path.join(table_dir, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[p] = hashlib.sha1(fh.read()).hexdigest()
+        return out
+
+    pre_shas = data_shas()
+    pre_paths = {e["path"]
+                 for e in _read_manifest(table_dir, base_version)["files"]}
+    v1, info1 = snapshot_delete_where(
+        spark, table_dir,
+        [("k", ">", 400), ("k", "<=", 600), ("pri", "=", "1-URGENT")],
+        key="k")
+    v2, info2 = snapshot_delete_where(
+        spark, table_dir,
+        [("k", ">", 500), ("k", "<=", 900),
+         ("pri", "in", ["1-URGENT", "2-HIGH"])],
+        key="k")
+    # (a) zero data-file rewrites — byte identity across both deletes
+    if data_shas() != pre_shas:
+        raise RuntimeError(
+            "snapshot_deletion_vector_parity: a data file changed on "
+            "disk — the merge-on-read delete copy-on-wrote")
+    post = _read_manifest(table_dir, v2)["files"]
+    if {e["path"] for e in post} != pre_paths:
+        raise RuntimeError(
+            "snapshot_deletion_vector_parity: the delete commit "
+            "changed the data file set — expected vectors only")
+    if info1["files_rewritten"] or info2["files_rewritten"]:
+        raise RuntimeError(
+            "snapshot_deletion_vector_parity: the verb reported "
+            "rewritten files")
+    # (b) scoped: only the dirty band gained vectors
+    dv_files = [e for e in post if e.get("dv")]
+    if not (0 < len(dv_files) < len(post)):
+        raise RuntimeError(
+            f"snapshot_deletion_vector_parity: {len(dv_files)} of "
+            f"{len(post)} files carry vectors — the delete was not "
+            "band-scoped")
+    if info1["rows_deleted"] == 0 or info2["rows_deleted"] == 0:
+        raise RuntimeError(
+            "snapshot_deletion_vector_parity: a delete matched no rows "
+            "— the fixture bands are wrong")
+    # the CDF rides through BOTH deletes (captured before compaction
+    # only by range: compaction contributes zero rows by contract)
+    feed = snapshot_read_cdf(spark, table_dir, base_version)
+    # (c) OPTIMIZE materializes vectors away
+    v3, _, _ = snapshot_compact(spark, table_dir, target_files=2)
+    if any(e.get("dv") for e in _read_manifest(table_dir, v3)["files"]):
+        raise RuntimeError(
+            "snapshot_deletion_vector_parity: compaction carried "
+            "deletion vectors forward instead of materializing them")
+    bad = feed.filter(F.col("_change_type") != "D").count()
+    if bad:
+        raise RuntimeError(
+            f"snapshot_deletion_vector_parity: the delete feed served "
+            f"{bad} non-D rows")
+    final = snapshot_read(spark, table_dir).select(
+        F.lit("final").alias("section"), "k", "pri", "cents")
+    deleted = feed.select(F.lit("deleted").alias("section"),
+                          "k", "pri", "cents")
+    base_tt = snapshot_read(spark, table_dir,
+                            version=base_version).select(
+        F.lit("base").alias("section"), "k", "pri", "cents")
+    return final.unionByName(deleted).unionByName(base_tt)
+
+
+# ---------------------------------------------------------------------------
+# Conflict narrowing: rewrites rebase over disjoint appends (r12,
+# VERDICT r11 item 3).
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_conflict_rebase_parity",
+    oracle="""
+    WITH ord AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    keys AS (
+        SELECT DISTINCT k FROM ord
+        WHERE (k <= 1200 AND k % 4 != 1)
+           OR (k > 1200 AND k <= 1400)
+           OR (k > 300 AND k <= 400 AND k % 4 = 1)
+           OR (k > 100 AND k <= 300)
+           OR (k > 300 AND k <= 500)
+    )
+    SELECT o.k, o.pri,
+           CASE WHEN o.k > 100 AND o.k <= 300 THEN o.cents * 2
+                WHEN o.k > 300 AND o.k <= 500 THEN o.cents * 3
+                ELSE o.cents END AS cents
+    FROM ord o JOIN keys USING (k)
+    """,
+)
+def snapshot_conflict_rebase_parity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """CONFLICT NARROWING for rewrite verbs (operators/snapshots.py
+    :_publish_commit + _disjoint_append_segments; VERDICT r11 item 3:
+    the OCC loop aborted a merge when ANY commit interleaved, even a
+    provably-disjoint append — at high commit rates that serializes
+    all writers; Iceberg validates and rebases instead). Deterministic
+    interleave through the real API (``snapshot_merge(base_version=N)``
+    — the long-running-job shape where commits land between read and
+    publish):
+
+    1. Two band appends (k ≤ 600, 600 < k ≤ 1200; every 4th key
+       withheld so merges also insert). A DISJOINT append
+       (1200 < k ≤ 1400) lands, then a merge DERIVED FROM THE
+       PRE-APPEND READ ((100,300] doubled) publishes: it must REBASE —
+       no abort, exactly one new version, and the interleaved append's
+       files present in the committed manifest — because carrying a
+       disjoint append reproduces the serial order append→merge.
+    2. An append INSIDE the next merge's band lands ((300,400] of the
+       withheld keys); a merge derived from the pre-append read
+       ((300,500] tripled) must ABORT with SnapshotConflictError (the
+       serial merge would have matched those rows); the re-read merge
+       then succeeds.
+
+    The hash compares the final table against the oracle's serial
+    restatement — a rebase that dropped the append, resurrected a
+    replaced file, or mis-scoped the band flips it."""
+    from ..operators.snapshots import (SnapshotConflictError,
+                                       _read_manifest, snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_merge, snapshot_read)
+
+    table_dir = _scratch(sf_dir, "snapshot_conflict_rebase")
+    orders = load_table(spark, sf_dir, "orders")
+    ord_all = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = ord_all.filter((F.col("k") <= 1200) & (F.col("k") % 4 != 1))
+    snapshot_commit(spark, table_dir,
+                    base.filter(F.col("k") <= 600).coalesce(1))
+    snapshot_commit(spark, table_dir,
+                    base.filter(F.col("k") > 600).coalesce(1),
+                    mode="append")
+    read_v = snapshot_current_version(table_dir)          # = 1
+
+    # the disjoint interleaver (its file paths must survive the rebase)
+    ext = ord_all.filter((F.col("k") > 1200) & (F.col("k") <= 1400))
+    snapshot_commit(spark, table_dir, ext.coalesce(1), mode="append")
+    ext_paths = ({e["path"] for e in
+                  _read_manifest(table_dir, read_v + 1)["files"]}
+                 - {e["path"] for e in
+                    _read_manifest(table_dir, read_v)["files"]})
+
+    upd1 = ord_all.filter((F.col("k") > 100) & (F.col("k") <= 300)) \
+        .withColumn("cents", F.col("cents") * 2)
+    v_merge, _ = snapshot_merge(spark, table_dir, upd1, "k",
+                                base_version=read_v)
+    if v_merge != read_v + 2:
+        raise RuntimeError(
+            f"snapshot_conflict_rebase_parity: the rebased merge "
+            f"committed version {v_merge}, expected {read_v + 2} "
+            "(exactly one version on top of the interleaved append)")
+    head_paths = {e["path"]
+                  for e in _read_manifest(table_dir, v_merge)["files"]}
+    if not ext_paths <= head_paths:
+        raise RuntimeError(
+            "snapshot_conflict_rebase_parity: the rebase DROPPED the "
+            "interleaved append's files — lost update")
+
+    # in-band interleaver → the stale-read merge must abort
+    inband = ord_all.filter(
+        (F.col("k") > 300) & (F.col("k") <= 400) & (F.col("k") % 4 == 1))
+    if inband.isEmpty():
+        raise RuntimeError(
+            "snapshot_conflict_rebase_parity: fixture holds no "
+            "withheld keys in (300, 400] — the abort leg is vacuous")
+    stale_v = snapshot_current_version(table_dir)
+    snapshot_commit(spark, table_dir, inband.coalesce(1), mode="append")
+    upd2 = ord_all.filter((F.col("k") > 300) & (F.col("k") <= 500)) \
+        .withColumn("cents", F.col("cents") * 3)
+    try:
+        snapshot_merge(spark, table_dir, upd2, "k", base_version=stale_v)
+        raise RuntimeError(
+            "snapshot_conflict_rebase_parity: a merge derived from a "
+            "stale read published over an IN-BAND append — the narrow "
+            "check is not narrow enough (lost rows)")
+    except SnapshotConflictError:
+        pass
+    snapshot_merge(spark, table_dir, upd2, "k")  # fresh read succeeds
+    return snapshot_read(spark, table_dir)

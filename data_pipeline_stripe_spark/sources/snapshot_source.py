@@ -101,9 +101,16 @@ from pyspark.sql.datasource import (
 class SnapshotFileSlice(InputPartition):
     def __init__(self, abs_path: str | None, columns: list[str],
                  kind: str = "data", version: int = -1,
-                 schema_json: str | None = None, cdf: bool = False):
+                 schema_json: str | None = None, cdf: bool = False,
+                 dv_abs: str | None = None, rel_path: str | None = None):
         self.abs_path = abs_path
         self.columns = columns
+        # deletion vector (r12): dv_abs points at the commit's DV
+        # parquet dir, rel_path is this file's manifest path — the
+        # executor drops the recorded row positions while streaming
+        # Arrow batches (merge-on-read; the data file is untouched)
+        self.dv_abs = dv_abs
+        self.rel_path = rel_path
         # CDF fields: kind 'data' (append delta — synthesize 'I') or
         # 'log' (recorded change-log file — _change_type comes from the
         # file); version stamps _commit_version; schema_json carries the
@@ -244,12 +251,57 @@ def _budget_exceeded(totals: tuple, deltas: tuple, budgets: tuple) -> bool:
                for t, d, b in zip(totals, deltas, budgets))
 
 
+def _dv_positions(partition: SnapshotFileSlice):
+    """The deleted row positions recorded for this slice's file, as a
+    sorted numpy array (None when the slice carries no vector)."""
+    if partition.dv_abs is None:
+        return None
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dv = pq.read_table(partition.dv_abs, columns=["path", "pos"])
+    mask = pc.equal(dv.column("path"), partition.rel_path)
+    return np.sort(dv.filter(mask).column("pos").to_numpy())
+
+
+def _apply_dv(batches, positions):
+    """Drop the recorded positions while streaming record batches —
+    the running offset maps batch rows to file row positions (the same
+    physical order ``_metadata.row_index`` exposes JVM-side)."""
+    import numpy as np
+    import pyarrow as pa
+
+    offset = 0
+    for batch in batches:
+        n = batch.num_rows
+        hits = positions[(positions >= offset) & (positions < offset + n)]
+        if len(hits):
+            keep = np.ones(n, dtype=bool)
+            keep[hits - offset] = False
+            batch = batch.filter(pa.array(keep))
+        offset += n
+        yield batch
+
+
 def _read_slice(partition: SnapshotFileSlice):
     """Executor-side Arrow read of one file slice — shared by the
     streaming reader and the batch reader (one aligned-read
-    implementation, so the two surfaces cannot drift)."""
+    implementation, so the two surfaces cannot drift). Slices carrying
+    a deletion vector anti-filter their recorded row positions
+    in-stream (r12 merge-on-read deletes)."""
     if partition.abs_path is None:
         return
+    import pyarrow.parquet as pq
+
+    positions = _dv_positions(partition)
+    if positions is not None and len(positions):
+        yield from _apply_dv(_read_slice_raw(partition), positions)
+        return
+    yield from _read_slice_raw(partition)
+
+
+def _read_slice_raw(partition: SnapshotFileSlice):
     import pyarrow.parquet as pq
 
     if partition.schema_json is None:
@@ -475,8 +527,15 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         if not entries:
             return [SnapshotFileSlice(None, self.columns)]
         return [
-            SnapshotFileSlice(os.path.join(self.table_dir, en["path"]),
-                              self.columns, schema_json=self.schema_json)
+            SnapshotFileSlice(
+                os.path.join(self.table_dir, en["path"]),
+                self.columns, schema_json=self.schema_json,
+                # only the initial head load can see DV-carrying
+                # entries (append deltas are fresh files); the live
+                # state must serve post-delete rows
+                dv_abs=(os.path.join(self.table_dir, en["dv"]["path"])
+                        if en.get("dv") else None),
+                rel_path=en["path"])
             for en in entries
         ]
 
@@ -585,8 +644,12 @@ class SnapshotTableBatchReader(DataSourceReader):
         if not entries:
             return [SnapshotFileSlice(None, self.columns)]
         return [
-            SnapshotFileSlice(os.path.join(self.table_dir, e["path"]),
-                              self.columns, schema_json=self.schema_json)
+            SnapshotFileSlice(
+                os.path.join(self.table_dir, e["path"]),
+                self.columns, schema_json=self.schema_json,
+                dv_abs=(os.path.join(self.table_dir, e["dv"]["path"])
+                        if e.get("dv") else None),
+                rel_path=e["path"])
             for e in entries
         ]
 

@@ -3193,3 +3193,72 @@ def test_manifest_segments_chunking_rollup_and_expire(spark, tmp_path):
                 ["segments"]]
     assert restored == target_segs
     assert S.snapshot_read(spark, t3).count() == 5
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """r12 deletion vectors, the unit legs under the gated query:
+    byte-identity of every data file across deletes, supersession on
+    overlapping deletes, plan-level anti-filtering through
+    snapshot_scan, CDF D-rows, compaction materialization, and the
+    empty-match no-op (no version burned)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "dv")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") % 7).alias("v"))
+    S.snapshot_commit(spark, t, df.filter("k < 50").coalesce(2))
+    S.snapshot_commit(spark, t, df.filter("k >= 50").coalesce(2))
+
+    def shas():
+        out = {}
+        for root, _, files in os.walk(os.path.join(t, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = hashlib.sha1(open(p, "rb").read()).hexdigest()
+        return out
+
+    pre = shas()
+    v, info = S.snapshot_delete_where(
+        spark, t, [("k", ">=", 10), ("k", "<", 20)], key="k")
+    assert info["rows_deleted"] == 10 and info["files_rewritten"] == 0
+    assert shas() == pre
+    assert S.snapshot_read(spark, t).count() == 90
+    assert S.snapshot_read(spark, t, version=1).count() == 100
+
+    # overlapping second delete: superseded vector = old ∪ new
+    v2, info2 = S.snapshot_delete_where(
+        spark, t, [("k", ">=", 15), ("k", "<", 60)], key="k")
+    assert info2["rows_deleted"] == 40
+    assert S.snapshot_read(spark, t).count() == 50
+    assert shas() == pre
+    # an entry carries at most ONE vector
+    for e in S._read_manifest(t, v2)["files"]:
+        assert isinstance(e.get("dv"), (dict, type(None)))
+
+    # scan applies vectors after stats pruning
+    assert S.snapshot_scan(
+        spark, t, [("k", ">=", 0), ("k", "<", 70)]).count() == 20
+
+    # CDF: exactly the 50 deleted rows as D, old values, no re-logs
+    feed = S.snapshot_read_cdf(spark, t, 1)
+    assert feed.count() == 50
+    assert feed.filter(F.col("_change_type") != "D").count() == 0
+    assert {r.k for r in feed.collect()} == set(range(10, 60))
+
+    # empty-match delete: no commit
+    head = S.snapshot_current_version(t)
+    v3, info3 = S.snapshot_delete_where(
+        spark, t, [("k", ">=", 5000)], key="k")
+    assert v3 == head and info3["rows_deleted"] == 0
+
+    # compaction materializes the vectors away
+    v4, _, _ = S.snapshot_compact(spark, t, target_files=2)
+    assert all(not e.get("dv")
+               for e in S._read_manifest(t, v4)["files"])
+    assert S.snapshot_read(spark, t).count() == 50

@@ -1470,3 +1470,32 @@ def test_admission_probe_is_manifest_list_only(spark, tmp_path):
     # probed v0..v2 (v2 overflowed the budget) = at most 3 reads
     assert len(meta_calls) <= 3, meta_calls
     assert not seg_calls, "the admission probe opened segment files"
+
+
+def test_stream_initial_load_applies_deletion_vectors(spark, tmp_path):
+    """A plain stream STARTING on a table with deletion vectors must
+    serve the live (post-delete) state in its initial load — the
+    executor-side Arrow slice drops the recorded positions. The DV
+    commit itself is a rewrite, so a stream that consumed the
+    PRE-delete state still refuses to cross it (unchanged contract)."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "dvstream")
+    df = spark.range(40).select(F.col("id").alias("k"))
+    S.snapshot_commit(spark, t, df.coalesce(2))
+    S.snapshot_delete_where(spark, t, [("k", "<", 10)], key="k")
+
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("snapshot_table").load(t)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.k for r in spark.read.parquet(out).collect()}
+    assert got == set(range(10, 40))
