@@ -1185,3 +1185,222 @@ def stream_snapshot_source_skip_changes_parity(spark: SparkSession,
     return (sink_df.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum("cents").alias("total_cents")))
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 item 5): streaming LSH index maintenance over the
+# snapshot source — the training-corpus loop (new docs land -> the
+# persisted index updates -> near-dups vs the whole corpus are flagged).
+# ---------------------------------------------------------------------------
+def _lsh_stream_oracle() -> str:
+    from ..llm import dedup as _d
+    from .llm_text import _EST_MATCHES, _SHINGLES_CTE, _SIG_AGGS
+
+    from .llm_text import _BAND_SELECTS  # noqa: I001  (same module)
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id,
+           {_SIG_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands0 AS (
+{_BAND_SELECTS}
+    ),
+    bands AS (
+        SELECT doc_id, band_id, band_key, doc_id % 4 AS batch
+        FROM bands0
+    ),
+    bcum AS (
+        SELECT band_id, band_key, batch,
+               SUM(COUNT(*)) OVER (PARTITION BY band_id, band_key
+                                   ORDER BY batch) AS cum
+        FROM bands GROUP BY band_id, band_key, batch
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id
+                    AND a.band_key = b.band_key
+                    AND a.doc_id != b.doc_id
+        JOIN bcum c ON c.band_id = a.band_id
+                   AND c.band_key = a.band_key
+                   AND c.batch = greatest(a.batch, b.batch)
+        WHERE c.cum <= {_d.MAX_BUCKET_SIZE}
+    )
+    SELECT doc_a, doc_b,
+           ROUND(({_EST_MATCHES}) / {float(_d.N_HASHES)}, 4)
+               AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ROUND(({_EST_MATCHES}) / {float(_d.N_HASHES)}, 4) >= 0.5
+    """
+
+
+@query("stream_lsh_index_maintenance_parity", oracle=_lsh_stream_oracle())
+def stream_lsh_index_maintenance_parity(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """STREAMING LSH INDEX MAINTENANCE (VERDICT r11 item 5 — both
+    halves existed, nothing composed them): documents land in a source
+    snapshot table as four batches; a rate-limited snapshot-source
+    stream (maxFilesPerTrigger=1 + cursorLocation: one ingest batch
+    per trigger) drives a ``foreachBatch`` consumer that (1) probes
+    the new batch against the PERSISTED index tables
+    (llm/dedup.py:probe_lsh_index — new-vs-corpus and new-vs-new,
+    never old-vs-old), (2) appends the emitted pairs, the batch
+    signatures, and the batch's band rows into three snapshot tables
+    — every commit EPOCH-KEYED, so a replayed micro-batch applies
+    exactly once (an applied epoch short-circuits before the probe:
+    re-probing against an index that already holds the batch would be
+    the classic replay corruption). The drain STOPS after two ingest
+    batches, two more land, and the restarted stream (same checkpoint
+    + cursor) finishes the corpus — cross-restart exactly-once.
+
+    Pinned in-gate: the final index tables hash-match the ONE-SHOT
+    batch build on the whole corpus (build_lsh_index — signatures and
+    band rows, both directions of exceptAll empty), at least one pair
+    CROSSES ingest batches, and at least one pair is discovered after
+    the restart. The returned pair table hashes against the oracle's
+    incremental restatement: a pair (a, b) exists iff some band
+    bucket joins them while the bucket's CUMULATIVE size at
+    ingest-time max(batch_a, batch_b) is within the hot-bucket cap —
+    exactly probe_lsh_index's cap-at-probe-time semantics (cite:
+    minhash_lsh_pairs caps on the FULL corpus instead, so a one-shot
+    pair restatement would be wrong whenever a bucket crosses the cap
+    mid-stream)."""
+    import glob
+
+    from ..llm import dedup
+    from ..operators.snapshots import (_epoch_sort_key,
+                                       _read_manifest_meta,
+                                       snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_read)
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    scratch = _scratch(sf_dir, "stream_lsh_index")
+    src = os.path.join(scratch, "src")
+    sig_t = os.path.join(scratch, "index_sig")
+    bands_t = os.path.join(scratch, "index_bands")
+    pairs_t = os.path.join(scratch, "pairs")
+    ckpt = os.path.join(scratch, "_ckpt")
+    cursor = os.path.join(scratch, "_cursor")
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.pmod(F.col("doc_id"), F.lit(4)).alias("slot"))
+    n_docs = docs.count()
+    slot_counts = {r["slot"]: r["n"] for r in
+                   docs.groupBy("slot").agg(F.count("*").alias("n"))
+                   .collect()}
+
+    # empty index tables up front: the first probe is against an empty
+    # corpus (probe == in-batch pairs), so the sink has ONE shape
+    empty_docs = docs.drop("slot").limit(0)
+    sig0, bands0 = dedup.build_lsh_index(empty_docs)
+    snapshot_commit(spark, sig_t, sig0, mode="append")
+    snapshot_commit(spark, bands_t, bands0, mode="append")
+    snapshot_commit(
+        spark, pairs_t,
+        spark.createDataFrame([],
+                              "doc_a long, doc_b long, est_jaccard double"),
+        mode="append")
+
+    def commit_slot(s: int) -> None:
+        snapshot_commit(spark, src,
+                        docs.filter(F.col("slot") == s).drop("slot")
+                        .coalesce(1), mode="append")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # exactly-once: an applied epoch must short-circuit BEFORE the
+        # probe — the index already holds this batch's ids, and
+        # probe_lsh_index (correctly) refuses overlapping ids
+        cur = snapshot_current_version(sig_t)
+        last = (_read_manifest_meta(sig_t, cur).get("last_epoch")
+                if cur is not None else None)
+        if last is not None and (
+                _epoch_sort_key(str(epoch_id)) <= _epoch_sort_key(last)):
+            return
+        batch = batch_df.localCheckpoint(eager=True)
+        idx_sig = snapshot_read(spark, sig_t)
+        idx_bands = snapshot_read(spark, bands_t)
+        pairs = dedup.probe_lsh_index(idx_sig, idx_bands, batch)
+        new_sig, new_bands = dedup.build_lsh_index(batch)
+        # pairs first: a crash after it leaves the index WITHOUT the
+        # batch, so the replayed probe recomputes the identical pairs
+        # (its commit then no-ops); index commits go bands-then-sig so
+        # the sig table's epoch is the LAST thing to advance — the
+        # short-circuit above can never skip a half-applied epoch
+        snapshot_commit(spark, pairs_t, pairs, mode="append",
+                        epoch_key=str(epoch_id))
+        snapshot_commit(spark, bands_t, new_bands, mode="append",
+                        epoch_key=str(epoch_id))
+        snapshot_commit(spark, sig_t, new_sig, mode="append",
+                        epoch_key=str(epoch_id))
+
+    def drain(expect_sigs: int, label: str) -> None:
+        q = (spark.readStream.format("snapshot_table")
+             .option("maxFilesPerTrigger", "1")
+             .option("cursorLocation", cursor)
+             .load(src)
+             .writeStream.outputMode("append")
+             .foreachBatch(sink)
+             .trigger(processingTime="50 milliseconds")
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                if snapshot_read(spark, sig_t).count() >= expect_sigs:
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        got = snapshot_read(spark, sig_t).count()
+        if got != expect_sigs:
+            raise RuntimeError(
+                f"stream_lsh_index_maintenance_parity[{label}]: index "
+                f"holds {got} signatures, expected {expect_sigs} — "
+                + ("a replayed batch re-applied"
+                   if got > expect_sigs else "the drain lost a batch"))
+
+    commit_slot(0)
+    commit_slot(1)
+    drain(slot_counts[0] + slot_counts[1], "first")
+    pairs_mid = snapshot_read(spark, pairs_t).count()
+    commit_slot(2)
+    commit_slot(3)
+    drain(n_docs, "restart")
+
+    # the one-shot batch build must equal the streamed index exactly
+    full_sig, full_bands = dedup.build_lsh_index(docs.drop("slot"))
+    got_sig = snapshot_read(spark, sig_t)
+    got_bands = snapshot_read(spark, bands_t)
+    if (got_sig.exceptAll(full_sig).limit(1).count()
+            or full_sig.exceptAll(got_sig).limit(1).count()):
+        raise RuntimeError(
+            "stream_lsh_index_maintenance_parity: the streamed "
+            "signature index diverged from the one-shot batch build")
+    if (got_bands.exceptAll(full_bands).limit(1).count()
+            or full_bands.exceptAll(got_bands).limit(1).count()):
+        raise RuntimeError(
+            "stream_lsh_index_maintenance_parity: the streamed band "
+            "index diverged from the one-shot batch build")
+    pairs = snapshot_read(spark, pairs_t)
+    cross = pairs.filter(
+        F.pmod(F.col("doc_a"), F.lit(4)) != F.pmod(F.col("doc_b"),
+                                                   F.lit(4)))
+    if cross.isEmpty():
+        raise RuntimeError(
+            "stream_lsh_index_maintenance_parity: no pair crosses "
+            "ingest batches — the new-vs-corpus claim is vacuous")
+    if pairs.count() <= pairs_mid:
+        raise RuntimeError(
+            "stream_lsh_index_maintenance_parity: the restarted drain "
+            "discovered no pairs — the post-restart probe is vacuous")
+    return pairs
