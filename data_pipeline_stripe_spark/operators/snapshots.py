@@ -672,7 +672,11 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
         table_dir, mode=mode, new_entries=new_entries,
         batch_schema=df.schema, epoch_key=epoch_key,
         max_retries=max_retries, expected_version=expected_version,
-        cluster_cols=cluster_cols)
+        cluster_cols=cluster_cols,
+        # a plain overwrite replaces the table: the old partition spec
+        # describes files that are gone (appends keep it — their
+        # unpartitioned entries simply never partition-prune)
+        partition_spec=("inherit" if mode == "append" else None))
 
 
 def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
@@ -686,6 +690,7 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                     changes_entries: list[dict] | None = None,
                     cdf_key=None,
                     cluster_cols="inherit",
+                    partition_spec="inherit",
                     dirty_probe=None,
                     extra_commit_dirs: set[str] | None = None) -> int:
     """The OCC publish loop over ALREADY-WRITTEN immutable file entries
@@ -863,6 +868,13 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             "cluster_cols": (prev_manifest.get("cluster_cols")
                              if cluster_cols == "inherit"
                              else cluster_cols),
+            # the table's declared partition spec (r12) — same inherit
+            # semantics as the clustering lineage: appends/rewrites
+            # keep it, snapshot_commit_partitioned sets it, a plain
+            # overwrite clears it
+            "partition_spec": (prev_manifest.get("partition_spec")
+                               if partition_spec == "inherit"
+                               else partition_spec),
         }
         for d in sorted(commit_dirs):
             if not os.path.isdir(os.path.join(table_dir, d)):
@@ -1127,6 +1139,11 @@ def _entry_may_match(entry: dict, term) -> bool:
     if ANY branch may match). The predicate list as a whole stays a
     conjunction of terms, so arbitrary CNF is expressible."""
     stats = entry.get("stats", {})
+    # EXACT partition-tuple evaluation first (r12): a decided term
+    # needs no stats conservatism in either direction
+    exact = _partition_term_match(entry, term)
+    if exact is not None:
+        return exact
     if isinstance(term, list):
         if not term:
             raise ValueError(
@@ -1244,10 +1261,46 @@ def snapshot_scan(spark: SparkSession, table_dir: str,
     meaning their DISJUNCTION (CNF). is_null prunes on the harvested
     per-file null counts; IN prunes each member like ``=``. Equivalent
     to ``snapshot_read().filter(...)`` by construction — just with
-    fewer files planned."""
+    fewer files planned.
+
+    PARTITION FIELDS (r12): a term naming a partition-spec FIELD (a
+    hidden-partitioning name like ``day`` — not a data column) is
+    evaluated EXACTLY against each entry's partition tuple: planned
+    files == the matching partitions' files, and no residual row
+    filter runs (there is no such data column; the tuple guarantees
+    every surviving row matches). Mixing partitioned and
+    UNPARTITIONED entries under a partition-field term raises — the
+    un-tupled entries' rows cannot be filtered by a metadata-only
+    name; scan such tables by the SOURCE column instead."""
     kept, m, _ = _pruned_entries(table_dir, predicates, version)
-    df = _read_entries(spark, table_dir, kept, m["schema"])
+    spec_names = {f["name"] for f in m.get("partition_spec") or []}
+
+    def term_cols(t) -> set:
+        return ({sub[0] for sub in t} if isinstance(t, list)
+                else {t[0]})
+
+    residual = []
     for term in predicates:
+        cols = term_cols(term)
+        if cols & spec_names:
+            if not cols <= spec_names:
+                raise ValueError(
+                    "snapshot_scan: a term mixes partition fields "
+                    f"{sorted(cols & spec_names)} with data columns "
+                    f"{sorted(cols - spec_names)} — split the term")
+            undecided = [e["path"] for e in kept
+                         if _partition_term_match(e, term) is not True]
+            if undecided:
+                raise ValueError(
+                    "snapshot_scan: partition-field term on "
+                    f"{sorted(cols)} but {len(undecided)} surviving "
+                    "file(s) carry no partition tuple for it (plain "
+                    "appends or pre-spec history) — scan by the source "
+                    "column instead")
+        else:
+            residual.append(term)
+    df = _read_entries(spark, table_dir, kept, m["schema"])
+    for term in residual:
         df = df.filter(_term_filter(term))
     return df
 
@@ -1357,6 +1410,7 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
     survivors = [v for v in committed if v not in doomed]
     referenced = set()  # (root, commit_id) pairs a survivor references
     referenced_segs = set()  # segment file names survivors reference
+    referenced_files = set()  # exact rel paths (file-level GC, r12)
     for v in survivors:
         m = _read_manifest(table_dir, v)
         for seg in m["segments"]:
@@ -1364,6 +1418,7 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
         for e in m["files"] + (m.get("changes") or []):
             parts = e["path"].split(os.sep)  # data/<id>/file.parquet
             referenced.add((parts[0], parts[1]))
+            referenced_files.add(e["path"])
             dv = e.get("dv")
             if dv:  # deletion-vector sidecar dirs (r12)
                 dparts = dv["path"].split(os.sep)  # dv/<id>
@@ -1401,8 +1456,32 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
                     and now - e.stat().st_mtime >= tmp_grace_seconds):
                 shutil.rmtree(e.path)
                 deleted.append(os.path.join(root, e.name))
+    # file-level GC inside REFERENCED data dirs (r12): a
+    # snapshot_drop_partitions commit drops some of a commit dir's
+    # files while siblings stay live — once the dropping version is
+    # the only retained lineage, the dropped files are unreferenced by
+    # every survivor and sweep individually (same grace window; an
+    # in-flight commit always writes a FRESH dir, so its files are
+    # covered by the dir-level rule above, never this one)
+    deleted_files = []
+    abs_data = os.path.join(table_dir, "data")
+    if os.path.isdir(abs_data):
+        for droot, _dirs, files in sorted(os.walk(abs_data)):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(droot, f)
+                rel = os.path.relpath(p, table_dir)
+                cid = rel.split(os.sep)[1]
+                if (("data", cid) in referenced
+                        and rel not in referenced_files
+                        and now - os.path.getmtime(p)
+                        >= tmp_grace_seconds):
+                    os.remove(p)
+                    deleted_files.append(rel)
     return {"expired_versions": doomed, "deleted_dirs": deleted,
-            "deleted_segments": deleted_segs}
+            "deleted_segments": deleted_segs,
+            "deleted_files": deleted_files}
 
 
 # reserved by the change-data-feed surface; a table carrying one of
@@ -2140,6 +2219,294 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
     return version, {"files_rewritten": len(dirty),
                      "files_carried": n_carried,
                      "rows_written": n_written}
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec transforms (r12, VERDICT r11 item 4): explicit
+# Iceberg-style partition tuples in the manifest, so partition
+# predicates prune EXACTLY (not conservatively via footer stats) and
+# retention can drop whole partitions as a metadata-only commit.
+# ---------------------------------------------------------------------------
+
+_PART_PREFIX = "__part_"
+
+
+def _partition_exprs(spec: list[dict]):
+    """(written column name, Column) per spec field. Transforms are the
+    Iceberg identity/day/month/bucket[N] subset; values are written as
+    the partition-directory strings (what the manifest stores). The
+    SOURCE columns stay in the data files untouched — only the derived
+    ``__part_*`` columns are consumed by partitionBy (hidden
+    partitioning: Iceberg's rule that readers never see transform
+    columns)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for f in spec:
+        name, src, tr = f["name"], f["source"], f["transform"]
+        col = _PART_PREFIX + name
+        if tr == "identity":
+            expr = F.col(src).cast("string")
+        elif tr == "day":
+            expr = F.date_format(F.col(src), "yyyy-MM-dd")
+        elif tr == "month":
+            expr = F.date_format(F.col(src), "yyyy-MM")
+        elif tr.startswith("bucket:"):
+            n = int(tr.split(":", 1)[1])
+            if n < 1:
+                raise ValueError(
+                    f"snapshot partition spec: bucket:{n} needs n >= 1")
+            # crc32 of the string form: deterministic across runs,
+            # sessions and engines (the oracle can restate it)
+            expr = F.pmod(F.crc32(F.col(src).cast("string")),
+                          F.lit(n)).cast("string")
+        else:
+            raise ValueError(
+                f"snapshot partition spec: unknown transform {tr!r} "
+                "(identity, day, month, bucket:<n>)")
+        out.append((col, expr))
+    return out
+
+
+def _file_entries_partitioned(table_dir: str, rel_dir: str,
+                              spec: list[dict]) -> list[dict]:
+    """Manifest entries for a partitionBy layout: walk
+    ``rel_dir/__part_a=.../__part_b=.../*.parquet`` recursively and
+    record each file's PARTITION TUPLE (decoded directory values) next
+    to its footer stats."""
+    from urllib.parse import unquote
+
+    entries = []
+    for root, _dirs, files in sorted(os.walk(
+            os.path.join(table_dir, rel_dir))):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), table_dir)
+            tuple_vals = {}
+            for comp in rel.split(os.sep):
+                if comp.startswith(_PART_PREFIX) and "=" in comp:
+                    k, v = comp.split("=", 1)
+                    tuple_vals[k[len(_PART_PREFIX):]] = unquote(v)
+            if sorted(tuple_vals) != sorted(f2["name"] for f2 in spec):
+                raise ValueError(
+                    f"snapshot_commit_partitioned: file {rel!r} is "
+                    f"missing partition components for spec "
+                    f"{[f2['name'] for f2 in spec]}")
+            stats, rows = _collect_file_stats(
+                os.path.join(table_dir, rel))
+            entries.append({"path": rel, "stats": stats, "rows": rows,
+                            "bytes": os.path.getsize(
+                                os.path.join(table_dir, rel)),
+                            "partition": tuple_vals})
+    return entries
+
+
+def snapshot_commit_partitioned(spark: SparkSession, table_dir: str,
+                                df: DataFrame, spec: list[dict],
+                                mode: str = "append",
+                                **kwargs) -> int:
+    """Commit under an EXPLICIT PARTITION SPEC (r12): ``spec`` is a
+    list of ``{"name", "source", "transform"}`` fields (transforms:
+    identity / day / month / bucket:<n> — the reference's own date and
+    month output partitioning, reference top10.py:266 and
+    platform_usage.py:210, made a first-class table property). The
+    batch is written ``partitionBy`` the derived transform columns
+    (hidden partitioning: data files keep every source column and none
+    of the derived ones), each file's manifest entry records its exact
+    partition TUPLE, and the manifest records the spec. A scan term on
+    a partition FIELD NAME then prunes EXACTLY — planned files == the
+    matching partitions' files, no stats conservatism — and
+    ``snapshot_drop_partitions`` retires whole partitions as a
+    metadata-only commit. Rows with a NULL transform value are
+    refused (a NULL partition dir would round-trip as the string
+    'null'); commits from OTHER writers (plain appends) may interleave
+    — their entries carry no tuple and partition terms simply never
+    prune or drop them (Iceberg's spec-evolution rule: pruning exact
+    per entry, conservative across generations)."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(
+            f"snapshot_commit_partitioned: unknown mode {mode!r}")
+    if not spec:
+        raise ValueError(
+            "snapshot_commit_partitioned: empty partition spec — use "
+            "snapshot_commit")
+    names = [f["name"] for f in spec]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"snapshot_commit_partitioned: duplicate field names {names}")
+    overlap = set(names) & {c for c in df.columns}
+    if overlap:
+        raise ValueError(
+            f"snapshot_commit_partitioned: partition field name(s) "
+            f"{sorted(overlap)} collide with data columns — partition "
+            "fields are metadata-only names (Iceberg hidden "
+            "partitioning); rename the field")
+    os.makedirs(os.path.join(table_dir, _SNAPDIR), exist_ok=True)
+    early_prev = snapshot_current_version(table_dir)
+    if mode == "append" and early_prev is not None:
+        _evolved_schema_json(
+            _read_manifest_meta(table_dir, early_prev)["schema"],
+            df.schema)
+    exprs = _partition_exprs(spec)
+    staged = df
+    null_cond = F.lit(False)
+    for col, expr in exprs:
+        staged = staged.withColumn(col, expr)
+        null_cond = null_cond | F.col(col).isNull()
+    bad = staged.filter(null_cond).limit(1)
+    if not bad.isEmpty():
+        raise ValueError(
+            "snapshot_commit_partitioned: a row has a NULL partition "
+            f"value (first: {bad.drop(*df.columns).first().asDict()}) — "
+            "partition transform sources must be non-NULL")
+    commit_id = uuid.uuid4().hex[:12]
+    rel = os.path.join("data", commit_id)
+    staged.write.mode("error").partitionBy(*[c for c, _ in exprs]) \
+        .parquet(os.path.join(table_dir, rel))
+    new_entries = _file_entries_partitioned(table_dir, rel, spec)
+    return _publish_commit(
+        table_dir, mode=mode, new_entries=new_entries,
+        batch_schema=df.schema,
+        cluster_cols=("inherit" if mode == "append" else None),
+        partition_spec=spec, **kwargs)
+
+
+def _partition_term_match(entry: dict, term) -> bool | None:
+    """EXACT evaluation of one scan term against an entry's partition
+    tuple: True (every row matches — no residual filter needed), False
+    (no row matches — prune), or None (the term is not decidable from
+    this entry's tuple: not a partition field of this entry, e.g. a
+    plain-append entry or pre-spec history). String compares are exact
+    for day/month (ISO forms order lexicographically) and
+    identity-over-strings; identity and bucket values with an integer
+    literal compare numerically."""
+    if isinstance(term, list):
+        votes = [_partition_term_match(entry, sub) for sub in term]
+        if any(v is True for v in votes):
+            return True
+        if votes and all(v is False for v in votes):
+            return False
+        return None
+    col, op, value = term
+    tuple_vals = entry.get("partition") or {}
+    if col not in tuple_vals:
+        return None  # not partition-decidable for this entry
+    raw = tuple_vals[col]
+    if op in ("is_null", "is_not_null"):
+        # partition values are non-NULL by construction
+        return op == "is_not_null"
+    if isinstance(value, int) and not isinstance(value, bool):
+        try:
+            have: object = int(raw)
+        except ValueError:
+            return None
+    else:
+        have = raw
+        if not isinstance(value, str):
+            return None  # incomparable literal type: undecidable
+    if op == "in":
+        members = list(value)
+        if any(v is None for v in members):
+            raise ValueError(
+                "snapshot_scan: NULL inside an IN list never matches — "
+                "drop it (or add an is_null disjunct)")
+        return have in members
+    import operator as _op
+
+    py_ops = {"=": _op.eq, "!=": _op.ne, ">=": _op.ge, ">": _op.gt,
+              "<=": _op.le, "<": _op.lt}
+    if op not in py_ops:
+        raise ValueError(f"snapshot_scan: unsupported operator {op!r}")
+    return py_ops[op](have, value)
+
+
+def snapshot_drop_partitions(spark: SparkSession, table_dir: str,
+                             predicates: list[tuple],
+                             key=None) -> tuple[int, dict]:
+    """Retire whole partitions as a METADATA-ONLY commit (r12): every
+    entry whose partition tuple PROVABLY matches all ``predicates``
+    (terms on partition FIELD names — exact evaluation, never stats
+    guessing) is dropped from the new version; nothing is read or
+    rewritten, O(metadata). Entries without a tuple for a term's field
+    (plain appends, pre-spec history) are NEVER dropped — the verb
+    deletes only what it can prove. Files stay on disk for time travel
+    until ``snapshot_expire`` sweeps them (file-level GC once no
+    surviving manifest references them). With ``key``, the dropped
+    rows are read ONCE to record the D-row change log (O(dropped)) so
+    CDF consumers ride through; with ``key=None`` the commit records
+    no log and CDF raises across it. A drop matching nothing commits
+    nothing. Conflict narrowing applies: interleaved appends whose
+    entries provably match the drop abort (the serial drop would have
+    removed them); others rebase."""
+    from pyspark.sql import functions as F
+
+    if not predicates:
+        raise ValueError(
+            "snapshot_drop_partitions: empty predicate drops the whole "
+            "table — use snapshot_commit(mode='overwrite')")
+    base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(
+            f"snapshot_drop_partitions: {table_dir} has no commits")
+    manifest = _read_manifest_meta(table_dir, base_version)
+    spec = manifest.get("partition_spec") or []
+    spec_fields = {f["name"]: f for f in spec}
+    for term in predicates:
+        cols = [t[0] for t in (term if isinstance(term, list) else [term])]
+        unknown = [c for c in cols if c not in spec_fields]
+        if unknown:
+            raise ValueError(
+                f"snapshot_drop_partitions: {unknown} are not partition "
+                f"fields of {sorted(spec_fields)} — partition retirement "
+                "is exact by charter; use snapshot_delete_where for "
+                "row-level predicates")
+
+    def probe(entry: dict) -> bool:
+        if "path" not in entry:
+            # segment rollup pseudo-entry: descriptors carry no
+            # partition tuples, so the split must OPEN every segment
+            # and decide per file (exactness over segment pruning —
+            # the drop is a metadata verb, O(segments) reads is its
+            # natural cost)
+            return True
+        return all(_partition_term_match(entry, t) is True
+                   for t in predicates)
+
+    dropped, keep_segs, keep_entries = _split_dirty_by_probe(
+        table_dir, manifest, probe)
+    if not dropped:
+        return base_version, {"files_dropped": 0, "rows_dropped": 0}
+    changes_entries = None
+    cols = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+    if key is not None and not (
+            {c.casefold() for c in cols}
+            & {c.casefold() for c in _CDF_COLS}):
+        chg_rel = os.path.join("changes", uuid.uuid4().hex[:12])
+        _read_entries(spark, table_dir, dropped, manifest["schema"]) \
+            .select(F.lit("D").alias("_change_type"), *cols) \
+            .write.mode("error").parquet(os.path.join(table_dir, chg_rel))
+        changes_entries = _file_entries(table_dir, chg_rel)
+    from pyspark.sql.types import StructType
+
+    rows = [e.get("rows") if e.get("rows") is None
+            else e["rows"] - (e.get("dv") or {}).get("rows", 0)
+            for e in dropped]
+    version = _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=[],
+        batch_schema=StructType.fromJson(json.loads(manifest["schema"])),
+        expected_version=base_version,
+        keep_segments=keep_segs,
+        keep_entries=keep_entries,
+        changes_entries=changes_entries, cdf_key=key,
+        dirty_probe=probe)
+    return version, {
+        "files_dropped": len(dropped),
+        "rows_dropped": (sum(rows)
+                         if all(r is not None for r in rows) else None)}
 
 
 def snapshot_delete_where(spark: SparkSession, table_dir: str,

@@ -2970,3 +2970,151 @@ def snapshot_conflict_rebase_parity(spark: SparkSession,
         pass
     snapshot_merge(spark, table_dir, upd2, "k")  # fresh read succeeds
     return snapshot_read(spark, table_dir)
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec transforms: exact partition pruning + whole-partition
+# retirement (r12, VERDICT r11 item 4).
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_partition_spec_parity",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT 'day' AS section, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM ev WHERE day = '2024-01-20' GROUP BY 1, 2
+    UNION ALL
+    SELECT 'head', event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM ev WHERE day >= '2024-01-15' GROUP BY 1, 2
+    UNION ALL
+    SELECT 'base', event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM ev GROUP BY 1, 2
+    """,
+)
+def snapshot_partition_spec_parity(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC TRANSFORMS in the manifest (operators/snapshots
+    .py:snapshot_commit_partitioned / snapshot_drop_partitions; VERDICT
+    r11 item 4: entries pruned only by footer stats; the reference's
+    own date/month output partitioning, reference top10.py:266-268 and
+    platform_usage.py:210, deserved a first-class spec). Events commit
+    under a hidden ``day = day(ts)`` spec as TWO interleaving appends
+    (both span all 30 days — a day's files live in both commits), then:
+
+    (a) EXACT pruning: ``snapshot_scan(day = '2024-01-10')`` must plan
+        EXACTLY the files whose manifest partition tuple is that day —
+        across both commits, strictly fewer than the table, with NO
+        residual row filter (the field is metadata-only; the tuple
+        guarantees every surviving row — hashed as the ``day``
+        section).
+    (b) WHOLE-PARTITION RETIREMENT: ``snapshot_drop_partitions(day <
+        '2024-01-15')`` is a metadata-only commit — exactly the
+        matching files drop (no data file read except the O(dropped)
+        D-row change log), the CDF serves those D rows, time travel
+        still reads the full fixture (``base`` section), and the head
+        (``head`` section) hashes as the surviving days.
+    (c) FILE-LEVEL GC: after ``snapshot_expire`` retires the pre-drop
+        versions, EXACTLY the dropped day's files are swept from the
+        shared commit dirs (file-granular — the dirs still hold live
+        siblings) and every surviving file remains on disk."""
+    from ..operators.snapshots import (_read_manifest,
+                                       snapshot_commit_partitioned,
+                                       snapshot_current_version,
+                                       snapshot_drop_partitions,
+                                       snapshot_expire,
+                                       snapshot_pruned_files,
+                                       snapshot_read, snapshot_read_cdf,
+                                       snapshot_scan)
+
+    table_dir = _scratch(sf_dir, "snapshot_partition_spec")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    spec = [{"name": "day", "source": "ts", "transform": "day"}]
+    snapshot_commit_partitioned(
+        spark, table_dir, ev.filter(F.col("event_id") % 2 == 0), spec)
+    snapshot_commit_partitioned(
+        spark, table_dir, ev.filter(F.col("event_id") % 2 == 1), spec,
+        mode="append")
+    base_version = snapshot_current_version(table_dir)
+    entries = _read_manifest(table_dir, base_version)["files"]
+    the_day = "2024-01-20"
+    day_paths = {e["path"] for e in entries
+                 if e["partition"]["day"] == the_day}
+    if not day_paths or len(day_paths) >= len(entries):
+        raise RuntimeError(
+            "snapshot_partition_spec_parity: the fixture day split is "
+            "degenerate — no pruning to pin")
+    kept, total = snapshot_pruned_files(table_dir,
+                                        [("day", "=", the_day)])
+    if set(kept) != day_paths:
+        raise RuntimeError(
+            f"snapshot_partition_spec_parity: the day scan planned "
+            f"{len(kept)} files, expected exactly the {len(day_paths)} "
+            "files of that partition — partition pruning is not exact")
+    day_df = snapshot_scan(spark, table_dir, [("day", "=", the_day)])
+
+    cut = "2024-01-15"
+    drop_paths = {e["path"] for e in entries
+                  if e["partition"]["day"] < cut}
+    v_drop, info = snapshot_drop_partitions(
+        spark, table_dir, [("day", "<", cut)], key="event_id")
+    if info["files_dropped"] != len(drop_paths):
+        raise RuntimeError(
+            f"snapshot_partition_spec_parity: dropped "
+            f"{info['files_dropped']} files, expected {len(drop_paths)}")
+    expect_dropped_rows = ev.filter(
+        F.date_format("ts", "yyyy-MM-dd") < cut).count()
+    if info["rows_dropped"] != expect_dropped_rows:
+        raise RuntimeError(
+            f"snapshot_partition_spec_parity: dropped "
+            f"{info['rows_dropped']} rows, expected "
+            f"{expect_dropped_rows}")
+    feed = snapshot_read_cdf(spark, table_dir, base_version)
+    if (feed.count() != expect_dropped_rows
+            or feed.filter(F.col("_change_type") != "D").count()):
+        raise RuntimeError(
+            "snapshot_partition_spec_parity: the drop's change feed "
+            "is not exactly the dropped rows as D")
+    # materialize the time-travel section BEFORE retention sweeps the
+    # dropped files (the pre-drop manifests are about to expire)
+    base_agg = (snapshot_read(spark, table_dir, version=base_version)
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("cents").alias("cents"))
+                .select(F.lit("base").alias("section"), "event_type",
+                        "n", "cents")
+                .localCheckpoint(eager=True))
+
+    swept = snapshot_expire(table_dir, keep_last=1,
+                            tmp_grace_seconds=0)
+    if set(swept["deleted_files"]) != drop_paths:
+        raise RuntimeError(
+            f"snapshot_partition_spec_parity: expire swept "
+            f"{len(swept['deleted_files'])} files, expected exactly "
+            f"the {len(drop_paths)} dropped partition files")
+    for e in entries:
+        if e["path"] not in drop_paths and not os.path.isfile(
+                os.path.join(table_dir, e["path"])):
+            raise RuntimeError(
+                "snapshot_partition_spec_parity: expire deleted a "
+                f"LIVE file {e['path']} — data loss")
+
+    def agg(df: DataFrame, section: str) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("cents").alias("cents"))
+                .select(F.lit(section).alias("section"), "event_type",
+                        "n", "cents"))
+
+    return (agg(day_df, "day")
+            .unionByName(agg(snapshot_read(spark, table_dir), "head"))
+            .unionByName(base_agg))

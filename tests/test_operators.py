@@ -3262,3 +3262,89 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     assert all(not e.get("dv")
                for e in S._read_manifest(t, v4)["files"])
     assert S.snapshot_read(spark, t).count() == 50
+
+
+def test_partition_spec_commit_prune_drop_and_gc(spark, tmp_path):
+    """r12 partition specs: hidden-partitioning commit (source columns
+    stay in data, derived __part_* dirs carry the tuple), exact scan
+    pruning on partition fields (including bucket:<n>), metadata-only
+    snapshot_drop_partitions, file-level expire GC, and the
+    mixed-generation refusal."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "pt")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.expr("timestamp'2024-01-01 00:00:00' + "
+               "make_interval(0,0,0,CAST(id % 5 AS INT),0,0,0)")
+        .alias("ts"),
+        (F.col("id") % 7).alias("v"))
+    spec = [{"name": "day", "source": "ts", "transform": "day"}]
+    S.snapshot_commit_partitioned(spark, t, df.filter("k < 150"), spec)
+    S.snapshot_commit_partitioned(spark, t, df.filter("k >= 150"),
+                                  spec, mode="append")
+    m = S._read_manifest(t, 1)
+    assert m["partition_spec"] == spec
+    # data files keep the source columns, not the derived one
+    assert set(S.snapshot_read(spark, t).columns) == {"k", "ts", "v"}
+    day3 = {e["path"] for e in m["files"]
+            if e["partition"]["day"] == "2024-01-03"}
+    kept, total = S.snapshot_pruned_files(t, [("day", "=",
+                                               "2024-01-03")])
+    assert set(kept) == day3 and len(kept) < total
+    expect = df.filter(
+        F.date_format("ts", "yyyy-MM-dd") == "2024-01-03").count()
+    assert S.snapshot_scan(
+        spark, t, [("day", "=", "2024-01-03")]).count() == expect
+    # range terms are exact too (ISO day strings order)
+    assert S.snapshot_scan(spark, t, [("day", ">=", "2024-01-04")]) \
+        .count() == df.filter(
+            F.date_format("ts", "yyyy-MM-dd") >= "2024-01-04").count()
+
+    # metadata-only retirement + CDF + file-level GC
+    v, info = S.snapshot_drop_partitions(
+        spark, t, [("day", "<", "2024-01-03")], key="k")
+    assert info["files_dropped"] > 0
+    assert S.snapshot_read(spark, t).count() == df.filter(
+        F.date_format("ts", "yyyy-MM-dd") >= "2024-01-03").count()
+    assert S.snapshot_read(spark, t, version=1).count() == 300
+    feed = S.snapshot_read_cdf(spark, t, 1)
+    assert feed.count() == info["rows_dropped"]
+    out = S.snapshot_expire(t, keep_last=1, tmp_grace_seconds=0)
+    assert len(out["deleted_files"]) == info["files_dropped"]
+    assert S.snapshot_read(spark, t).count() == df.filter(
+        F.date_format("ts", "yyyy-MM-dd") >= "2024-01-03").count()
+
+    # a plain (un-tupled) append poisons partition-field scans: refuse
+    S.snapshot_commit(spark, t, df.filter("k < 10").coalesce(1),
+                      mode="append")
+    with pytest.raises(ValueError, match="no partition tuple"):
+        S.snapshot_scan(spark, t, [("day", "=", "2024-01-04")]).count()
+    # ... and drop never touches what it cannot prove: the TUPLED
+    # day-04 rows all drop; the plain append's (duplicate, un-tupled)
+    # day-04 rows survive
+    v2, info2 = S.snapshot_drop_partitions(
+        spark, t, [("day", "=", "2024-01-04")])
+    all_day4 = df.filter(
+        F.date_format("ts", "yyyy-MM-dd") == "2024-01-04").count()
+    untupled_day4 = df.filter(
+        (F.date_format("ts", "yyyy-MM-dd") == "2024-01-04")
+        & (F.col("k") < 10)).count()
+    assert info2["rows_dropped"] == all_day4
+    assert S.snapshot_read(spark, t).filter(
+        F.date_format("ts", "yyyy-MM-dd") == "2024-01-04"
+    ).count() == untupled_day4
+
+    # bucket transform: deterministic crc32 buckets, exact equality
+    t2 = str(tmp_path / "ptb")
+    S.snapshot_commit_partitioned(
+        spark, t2, df, [{"name": "kb", "source": "k",
+                         "transform": "bucket:4"}])
+    kept2, total2 = S.snapshot_pruned_files(t2, [("kb", "=", 2)])
+    assert 0 < len(kept2) < total2
+    assert S.snapshot_scan(spark, t2, [("kb", "=", 2)]).count() == \
+        df.filter(F.pmod(F.crc32(F.col("k").cast("string")),
+                         F.lit(4)) == 2).count()
