@@ -117,6 +117,15 @@ HEADLINE = [
     "snapshot_null_in_pruned_read",
     "snapshot_sql_surface_parity",
     "stream_snapshot_source_ratelimited_parity",
+    # round 12: the metadata layer — hierarchical manifests (O(new)
+    # commit metadata + segment-pruned scans), merge-on-read deletion
+    # vectors, conflict-narrowed rebase, partition-spec pruning +
+    # retirement, and the streaming LSH index maintenance loop
+    "snapshot_manifest_scale_parity",
+    "snapshot_deletion_vector_parity",
+    "snapshot_conflict_rebase_parity",
+    "snapshot_partition_spec_parity",
+    "stream_lsh_index_maintenance_parity",
 ]
 
 

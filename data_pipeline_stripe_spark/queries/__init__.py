@@ -59,44 +59,51 @@ from . import maintenance  # noqa: E402,F401
 _WINDOW = 50
 
 PRIORITY_THIS_ROUND = [
-    # round 11 pins: all 21 r10 pins pruned as pins (every one green in
-    # the r10 driver window) — but most re-enter below because r11
-    # refactored the code they gate. Pinned here = code changed THIS
-    # round (rule 1).
+    # round 12 pins: all 34 r11 pins + 3 debt rows pruned (every one
+    # green in the r11 driver window) — most snapshot/stream rows
+    # re-enter below because r12 rewrote the format core they gate.
+    # Pinned here = code changed THIS round (rule 1).
     #
-    # r11 NEW verbs/surfaces (VERDICT r10's ranked agenda):
-    # 1. admission control on the snapshot streaming source
-    "stream_snapshot_source_ratelimited_parity",
-    # 2. OVERWRITE WHERE (replaceWhere) with CDF riding through
-    "snapshot_replace_where_parity",
-    # 3. clustering-preserving OPTIMIZE (lineage recorded in manifest)
-    "snapshot_clustered_compact_parity",
-    # 4. composite merge keys (band-box dirty split, composite CDF log)
-    "snapshot_merge_composite_key_parity",
-    # 5. IS NULL / IN / OR pruning over the harvested footer stats
-    "snapshot_null_in_pruned_read",
-    # 6. the batch Python DataSource + CREATE VIEW ... USING SQL surface
+    # r12 NEW surfaces (VERDICT r11's ranked agenda):
+    # 1. hierarchical manifests: segment files + manifest lists,
+    #    O(new) commit metadata, segment-rollup scan pruning, O(1)
+    #    admission probes (delta summaries in every manifest)
+    "snapshot_manifest_scale_parity",
+    # 2. deletion vectors: merge-on-read DELETE WHERE, byte-identical
+    #    data files, OPTIMIZE materializes, CDF rides through
+    "snapshot_deletion_vector_parity",
+    # 3. conflict narrowing: rewrites rebase over disjoint interleaved
+    #    appends (base_version API), in-band appends still abort
+    "snapshot_conflict_rebase_parity",
+    # 4. partition-spec transforms: exact partition pruning,
+    #    metadata-only partition retirement, file-level expire GC
+    "snapshot_partition_spec_parity",
+    # 5. streaming LSH index maintenance over the rate-limited source
+    #    (epoch-keyed exactly-once probe/append loop)
+    "stream_lsh_index_maintenance_parity",
+    # 6. pushdown completeness: IsNotNull / Not(EqualTo) /
+    #    EqualNullSafe legs on the SQL surface
     "snapshot_sql_surface_parity",
-    # 8 (beyond the agenda): skipChangeCommits on the plain stream —
-    # the restarted drain skips a CDC rewrite and consumes exactly the
-    # next append (the refusal without the option is pinned in-gate)
-    "stream_snapshot_source_skip_changes_parity",
-    # 8 (beyond the agenda): retention finally driver-gated — expire
-    # sweeps exactly the unreferenced pre-compact dirs, survivors stay
-    "snapshot_expire_retention_parity",
-    # 7. ntile re-routed through the two-phase global rank
-    # (operators/packing.py:global_ntile) — no more single-partition
-    # window exchange
+    # ADVICE r11 (high): cursor-unknown restart serves head once
+    # instead of regressing offsets below Spark's checkpoint
+    "stream_snapshot_source_ratelimited_parity",
+    # ADVICE r11 (low): ntile total now rides the same B-row counts
+    # frame as the ranking (one plan, one scan)
     "ntile_customer_quartiles",
     #
-    # r11 REFACTORED code paths re-gating (rule 1): operators/merge.py
-    # went composite-key (every verb's join/window/diff rebuilt on key
-    # lists), operators/snapshots.py's split/band/stats/pruning core
-    # changed (_split_dirty signature, _update_bands, null-count
-    # completeness in _collect_file_stats, _entry_may_match, cluster
-    # lineage in every manifest), and sources/snapshot_source.py was
-    # restructured (shared _read_slice, CDF-gated synthesis, cursor
-    # admission control)
+    # r12 REFACTORED code paths re-gating (rule 1): the ENTIRE
+    # manifest core moved to format v3 (segments, delta summaries,
+    # probe-based dirty splits, _read_entries DV anti-join, expire
+    # segment/file GC) and sources/snapshot_source.py restructured
+    # (segment-based deltas, O(1) admission probes, DV slices,
+    # pushdown mapping) — every snapshot/stream gate's substrate
+    # changed, so the whole family re-gates this round
+    "snapshot_replace_where_parity",
+    "snapshot_merge_composite_key_parity",
+    "snapshot_clustered_compact_parity",
+    "snapshot_null_in_pruned_read",
+    "stream_snapshot_source_skip_changes_parity",
+    "snapshot_expire_retention_parity",
     "snapshot_time_travel_roundtrip",
     "stream_snapshot_sink_parity",
     "snapshot_concurrent_commit_parity",
@@ -116,25 +123,14 @@ PRIORITY_THIS_ROUND = [
     "stream_snapshot_cdf_source_parity",
     "stream_snapshot_replication_parity",
     "snapshot_restore_parity",
-    "merge_upsert_customers",
-    "cdc_apply_order_status",
-    "cdc_snapshot_diff_orders",
-    "merge_upsert_write_roundtrip",
-    # oracle-construction path changed (assert -> raise, ADVICE r10):
-    "embedding_semantic_dedup_sampled",
-    "embedding_rp_lsh_recall_audit_sampled",
 ]
 
 COVERAGE_DEBT_THIS_ROUND: list[str] = [
-    # r11 (VERDICT r10 item 8): these three rows' only driver record
-    # was CORRECTNESS_r06.json, which is gone from disk — they are
-    # judge-verified green but the ON-DISK window union no longer
-    # covers them; re-window them so it is self-contained again.
-    "approx_percentiles_price",
-    "events_json_blob_agg",
-    "winsorized_value_stats",
+    # r11's three debt rows landed in the r11 window
+    # (CORRECTNESS_r11.json on disk) — the union is self-contained;
+    # no new debt this round.
 ]
-# Rotation note: with the r11 head (34 pins + 3 debt), 13 rotating
+# Rotation note: with the r12 head (33 pins + 0 debt), 17 rotating
 # slots resume the tile over the remaining queries.
 
 

@@ -258,13 +258,153 @@ def main() -> None:
                 "predicate — not predicate-scoped")
         return dt
 
+    def _orders_band_table(sf_dir: str, tag: str,
+                           files_per_band: int | None = None) -> str:
+        """The shared untimed build: full orders projection as three
+        key-band appends (grows ×N with the fixture)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from data_pipeline_stripe_spark.operators.snapshots import \
+            snapshot_commit
+        from data_pipeline_stripe_spark.sources import load_table
+
+        table_dir = os.path.join(
+            REPO, ".scratch", tag,
+            os.path.basename(os.path.normpath(sf_dir)))
+        shutil.rmtree(table_dir, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"))
+        for band in (F.col("k") <= 400,
+                     (F.col("k") > 400) & (F.col("k") <= 800),
+                     F.col("k") > 800):
+            part = base.filter(band)
+            if files_per_band:
+                part = part.repartition(files_per_band)
+            snapshot_commit(spark, table_dir, part, mode="append")
+        return table_dir
+
+    def deletion_vector_verb(n: int, sf_dir: str) -> float:
+        """r12's merge-on-read claim, measured: the table is the full
+        orders projection (grows ×N untimed), the timed region is
+        snapshot_delete_where over the fixed (400, 800] replica-0 band
+        — a copy-on-write delete would rewrite the whole band's files
+        (×N rows); the vectorized delete writes only the DV sidecar +
+        D-log and must stay near-flat. Raises if ANY data file path
+        changed (the byte-identity property)."""
+        from data_pipeline_stripe_spark.operators.snapshots import (
+            _read_manifest, snapshot_current_version,
+            snapshot_delete_where)
+
+        table_dir = _orders_band_table(sf_dir, "scaling_delete_vector")
+        pre = {e["path"] for e in _read_manifest(
+            table_dir, snapshot_current_version(table_dir))["files"]}
+        t0 = time.time()
+        version, info = snapshot_delete_where(
+            spark, table_dir,
+            [("k", ">", 400), ("k", "<=", 800),
+             ("pri", "=", "1-URGENT")], key="k")
+        dt = time.time() - t0
+        post = {e["path"] for e in _read_manifest(table_dir,
+                                                  version)["files"]}
+        if post != pre or info["rows_deleted"] == 0:
+            raise RuntimeError(
+                "deletion-vector delete changed the data file set "
+                f"({len(pre - post)} gone, {len(post - pre)} new) or "
+                "deleted nothing — not merge-on-read")
+        return dt
+
+    def manifest_append_verb(n: int, sf_dir: str) -> float:
+        """r12's O(new)-commit-metadata claim, measured: the table's
+        FILE COUNT grows ×N (each band append repartitioned to 32·N
+        files — ~10k files at ×100, the shape where the old flat
+        manifest serialized the whole entry list per commit), the
+        timed region is ONE small fixed-size append. O(new) metadata
+        must stay near-flat; O(table-files) metadata grows ×N. Raises
+        unless the append's newly-written segments hold exactly its
+        own entries."""
+        from pyspark.sql import functions as F
+
+        from data_pipeline_stripe_spark.operators.snapshots import (
+            _read_manifest_meta, _segment_entries, snapshot_commit)
+        from data_pipeline_stripe_spark.sources import load_table
+
+        table_dir = _orders_band_table(sf_dir, "scaling_manifest_append",
+                                       files_per_band=32 * n)
+        orders = load_table(spark, sf_dir, "orders")
+        small = orders.filter(
+            (F.col("o_orderkey") <= 400)
+            & (F.col("o_orderkey") % 50 == 0)).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents")).coalesce(1).localCheckpoint(eager=True)
+        prev_segs = {s["path"] for s in _read_manifest_meta(
+            table_dir, 2)["segments"]}
+        t0 = time.time()
+        v = snapshot_commit(spark, table_dir, small, mode="append")
+        dt = time.time() - t0
+        m = _read_manifest_meta(table_dir, v)
+        new_segs = [s for s in m["segments"]
+                    if s["path"] not in prev_segs]
+        serialized = sum(len(_segment_entries(table_dir, s))
+                         for s in new_segs)
+        if serialized != m["delta"]["files"]:
+            raise RuntimeError(
+                f"append serialized {serialized} entries for "
+                f"{m['delta']['files']} new files — O(table) metadata")
+        return dt
+
+    def partition_drop_verb(n: int, sf_dir: str) -> float:
+        """r12's whole-partition retirement, measured: events commit
+        under the day spec (grows ×N untimed, 30 day partitions), the
+        timed region is snapshot_drop_partitions of ONE fixed day —
+        metadata-only (no change log requested), so the curve must be
+        near-flat while a read-and-rewrite retirement would grow ×N."""
+        import shutil
+
+        from data_pipeline_stripe_spark.operators.snapshots import (
+            snapshot_commit_partitioned, snapshot_drop_partitions,
+            snapshot_read)
+        from data_pipeline_stripe_spark.sources import load_table
+
+        table_dir = os.path.join(
+            REPO, ".scratch", "scaling_partition_drop",
+            os.path.basename(os.path.normpath(sf_dir)))
+        shutil.rmtree(table_dir, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type")
+        snapshot_commit_partitioned(
+            spark, table_dir, ev,
+            [{"name": "day", "source": "ts", "transform": "day"}])
+        t0 = time.time()
+        version, info = snapshot_drop_partitions(
+            spark, table_dir, [("day", "=", "2024-01-10")])
+        dt = time.time() - t0
+        if not info["files_dropped"]:
+            raise RuntimeError("partition drop retired nothing")
+        # correctness spot-check outside the timed region
+        left = snapshot_read(spark, table_dir).limit(1)
+        left.collect()
+        return dt
+
     # verb-only rows: table build untimed, the verb timed (docstrings)
     for verb_name, verb_fn in (
-            ("snapshot_partial_merge_verb", partial_merge_verb),
-            ("snapshot_replace_where_verb", replace_where_verb)):
+            ("snapshot_partial_merge_verb",
+             lambda n, d: partial_merge_verb(d)),
+            ("snapshot_replace_where_verb",
+             lambda n, d: replace_where_verb(d)),
+            ("snapshot_delete_vector_verb", deletion_vector_verb),
+            ("snapshot_manifest_append_verb", manifest_append_verb),
+            ("snapshot_partition_drop_verb", partition_drop_verb)):
         row = {}
         for n, d in SCALES:
-            row[f"x{n}"] = round(min(verb_fn(d) for _ in range(2)), 3)
+            row[f"x{n}"] = round(min(verb_fn(n, d) for _ in range(2)), 3)
         row["ratio_10"] = round(row["x10"] / row["x1"], 2)
         row["ratio_100"] = round(row["x100"] / row["x1"], 2)
         results[verb_name] = row
