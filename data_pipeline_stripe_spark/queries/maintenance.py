@@ -3039,11 +3039,19 @@ def snapshot_partition_spec_parity(spark: SparkSession,
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     spec = [{"name": "day", "source": "ts", "transform": "day"}]
+    # pre-partition each batch BY THE TRANSFORM so partitionBy writes
+    # one file per day per commit (30 × 2), not one per day per task
+    # (~2000 tiny files — measured 4× slower end-to-end); production
+    # would do exactly this repartition before a partitioned write
+    day_expr = F.date_format("ts", "yyyy-MM-dd")
     snapshot_commit_partitioned(
-        spark, table_dir, ev.filter(F.col("event_id") % 2 == 0), spec)
+        spark, table_dir,
+        ev.filter(F.col("event_id") % 2 == 0).repartition(30, day_expr),
+        spec)
     snapshot_commit_partitioned(
-        spark, table_dir, ev.filter(F.col("event_id") % 2 == 1), spec,
-        mode="append")
+        spark, table_dir,
+        ev.filter(F.col("event_id") % 2 == 1).repartition(30, day_expr),
+        spec, mode="append")
     base_version = snapshot_current_version(table_dir)
     entries = _read_manifest(table_dir, base_version)["files"]
     the_day = "2024-01-20"

@@ -1378,7 +1378,10 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
     drain(n_docs, "restart")
 
     # the one-shot batch build must equal the streamed index exactly
+    # (materialized once: each side feeds two exceptAll directions)
     full_sig, full_bands = dedup.build_lsh_index(docs.drop("slot"))
+    full_sig = full_sig.localCheckpoint(eager=True)
+    full_bands = full_bands.localCheckpoint(eager=True)
     got_sig = snapshot_read(spark, sig_t)
     got_bands = snapshot_read(spark, bands_t)
     if (got_sig.exceptAll(full_sig).limit(1).count()

@@ -377,8 +377,13 @@ def main() -> None:
             REPO, ".scratch", "scaling_partition_drop",
             os.path.basename(os.path.normpath(sf_dir)))
         shutil.rmtree(table_dir, ignore_errors=True)
+        from pyspark.sql import functions as F
+
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type")
+        # one file per day (see the gate: partitionBy without this
+        # writes one tiny file per day per task)
+        ev = ev.repartition(30, F.date_format("ts", "yyyy-MM-dd"))
         snapshot_commit_partitioned(
             spark, table_dir, ev,
             [{"name": "day", "source": "ts", "transform": "day"}])
