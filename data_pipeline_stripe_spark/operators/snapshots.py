@@ -306,21 +306,95 @@ def _write_segments(table_dir: str, entries: list[dict]) -> list[dict]:
         rows = [e.get("rows") if e.get("rows") is None
                 else e["rows"] - (e.get("dv") or {}).get("rows", 0)
                 for e in chunk]
-        descs.append({
+        desc = {
             "path": rel,
             "n_files": len(chunk),
             "rows": (sum(rows) if all(r is not None for r in rows)
                      else None),
             "bytes": sum(e.get("bytes") or 0 for e in chunk),
             "stats": _segment_rollup(chunk),
-        })
+        }
+        # partition-tuple BANDS (r12): when every member carries the
+        # same partition fields, record per-field [min, max] of the
+        # directory strings so partition-field terms can skip whole
+        # segments without opening them (ISO day/month strings order
+        # lexicographically; numeric fields stay undecidable at this
+        # level — _segment_partition_vote only trusts string compares)
+        if chunk and all(e.get("partition") for e in chunk):
+            fields = set(chunk[0]["partition"])
+            if all(set(e["partition"]) == fields for e in chunk):
+                desc["partition_bands"] = {
+                    f: [min(e["partition"][f] for e in chunk),
+                        max(e["partition"][f] for e in chunk)]
+                    for f in fields}
+        descs.append(desc)
     return descs
 
 
 def _segment_pseudo_entry(desc: dict) -> dict:
     """A segment descriptor viewed as one big file entry, so the SAME
-    ``_entry_may_match`` probes drive segment-level pruning."""
-    return {"stats": desc.get("stats", {}), "rows": desc.get("rows")}
+    ``_entry_may_match`` probes drive segment-level pruning (partition
+    bands ride along for the r12 partition-field fast path)."""
+    out = {"stats": desc.get("stats", {}), "rows": desc.get("rows")}
+    if "partition_bands" in desc:
+        out["partition_bands"] = desc["partition_bands"]
+    return out
+
+
+def _segment_partition_vote(entry: dict, term) -> bool | None:
+    """Partition-band check for a SEGMENT-level entry: True (every
+    member file provably matches the term), False (no member can
+    match — skip the segment unopened), None (mixed / undecidable /
+    not a partition field / non-string literal). Only string literals
+    vote: the bands are the directory strings' lexicographic min/max,
+    which is semantic order for day/month/identity-over-strings but
+    NOT for numeric fields ('10' < '9')."""
+    bands = entry.get("partition_bands")
+    if not bands:
+        return None
+    if isinstance(term, list):
+        votes = [_segment_partition_vote(entry, sub) for sub in term]
+        if any(v is True for v in votes):
+            return True  # some disjunct matches every member
+        if votes and all(v is False for v in votes):
+            return False
+        return None
+    col, op, v = term
+    if col not in bands:
+        return None
+    lo, hi = bands[col]
+    if op == "is_null":
+        return False  # partition values are non-NULL by construction
+    if op == "is_not_null":
+        return True
+    if op == "in":
+        members = list(v)
+        if not all(isinstance(m, str) for m in members):
+            return None
+        if all(m < lo or m > hi for m in members):
+            return False
+        if lo == hi and lo in members:
+            return True
+        return None
+    if not isinstance(v, str):
+        return None
+    if op == "=":
+        if v < lo or v > hi:
+            return False
+        return True if lo == hi == v else None
+    if op == "!=":
+        if lo == hi == v:
+            return False
+        return True if (v < lo or v > hi) else None
+    if op == "<":
+        return True if hi < v else (False if lo >= v else None)
+    if op == "<=":
+        return True if hi <= v else (False if lo > v else None)
+    if op == ">":
+        return True if lo > v else (False if hi <= v else None)
+    if op == ">=":
+        return True if lo >= v else (False if hi < v else None)
+    return None
 
 
 def _disjoint_append_segments(table_dir: str, from_v: int, to_v: int,
@@ -1162,6 +1236,11 @@ def _entry_may_match(entry: dict, term) -> bool:
     exact = _partition_term_match(entry, term)
     if exact is not None:
         return exact
+    # segment-level partition bands (r12): skip a whole segment when
+    # no member's tuple can match (string-ordered fields only)
+    vote = _segment_partition_vote(entry, term)
+    if vote is not None:
+        return vote
     if isinstance(term, list):
         if not term:
             raise ValueError(
@@ -2484,12 +2563,12 @@ def snapshot_drop_partitions(spark: SparkSession, table_dir: str,
 
     def probe(entry: dict) -> bool:
         if "path" not in entry:
-            # segment rollup pseudo-entry: descriptors carry no
-            # partition tuples, so the split must OPEN every segment
-            # and decide per file (exactness over segment pruning —
-            # the drop is a metadata verb, O(segments) reads is its
-            # natural cost)
-            return True
+            # segment rollup pseudo-entry: a segment whose partition
+            # BANDS prove no member matches is carried clean unopened
+            # (r12 band fast path); anything else opens and decides
+            # per file — exactness over segment guessing
+            return not any(_segment_partition_vote(entry, t) is False
+                           for t in predicates)
         return all(_partition_term_match(entry, t) is True
                    for t in predicates)
 

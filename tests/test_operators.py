@@ -3348,3 +3348,67 @@ def test_partition_spec_commit_prune_drop_and_gc(spark, tmp_path):
     assert S.snapshot_scan(spark, t2, [("kb", "=", 2)]).count() == \
         df.filter(F.pmod(F.crc32(F.col("k").cast("string")),
                          F.lit(4)) == 2).count()
+
+
+def test_segment_partition_bands_skip_unopened(spark, tmp_path):
+    """r12 partition-band fast path: a partition-field scan must skip
+    whole segments whose recorded tuple bands prove no member matches
+    — counted by monkeypatching the segment reader — while numeric
+    bucket fields stay undecidable at segment level (lexicographic
+    strings) and open conservatively."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    # force one segment per small group of files
+    t = str(tmp_path / "bands")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.expr("timestamp'2024-01-01 00:00:00' + "
+               "make_interval(0,0,0,CAST(id % 6 AS INT),0,0,0)")
+        .alias("ts"))
+    spec = [{"name": "day", "source": "ts", "transform": "day"}]
+    day = F.date_format("ts", "yyyy-MM-dd")
+    # three appends of two days each -> three segments with disjoint
+    # day bands
+    for lo, hi in (("2024-01-01", "2024-01-02"),
+                   ("2024-01-03", "2024-01-04"),
+                   ("2024-01-05", "2024-01-06")):
+        S.snapshot_commit_partitioned(
+            spark, t,
+            df.filter(day.between(lo, hi)).repartition(2, day), spec)
+    m = S._read_manifest_meta(t, 2)
+    assert all("partition_bands" in s for s in m["segments"])
+
+    opens = []
+    real = S._segment_entries
+
+    def count(table_dir, desc):
+        opens.append(desc["path"])
+        return real(table_dir, desc)
+
+    with mock.patch.object(S, "_segment_entries", side_effect=count):
+        stats = S.snapshot_plan_stats(t, [("day", "=", "2024-01-03")])
+    assert stats["segments_opened"] == 1 and stats["segments_total"] == 3
+    assert len(opens) == 1  # the two out-of-band segments never opened
+    n = S.snapshot_scan(spark, t, [("day", "=", "2024-01-03")]).count()
+    assert n == df.filter(day == "2024-01-03").count()
+
+    # the metadata-only drop also skips unopened segments
+    opens.clear()
+    with mock.patch.object(S, "_segment_entries", side_effect=count):
+        v, info = S.snapshot_drop_partitions(
+            spark, t, [("day", "<", "2024-01-03")])
+    assert info["files_dropped"] > 0
+    assert len(opens) == 1, opens
+
+    # numeric bucket fields: undecidable bands -> opened, still exact
+    t2 = str(tmp_path / "bandsb")
+    S.snapshot_commit_partitioned(
+        spark, t2, df, [{"name": "kb", "source": "k",
+                         "transform": "bucket:4"}])
+    assert S.snapshot_scan(spark, t2, [("kb", "=", 2)]).count() == \
+        df.filter(F.pmod(F.crc32(F.col("k").cast("string")),
+                         F.lit(4)) == 2).count()
