@@ -1354,7 +1354,13 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
              .option("checkpointLocation", ckpt)
              .start())
         try:
-            deadline = time.time() + 300
+            # the per-batch probe is genuine LSH work that grows with
+            # the corpus (quadratically in pair OUTPUT on replicated
+            # scale fixtures) — scale the watchdog with the input so a
+            # strict ×100 run is bounded by compute, not by a constant
+            # (the count check below still fails closed on a lost or
+            # re-applied batch)
+            deadline = time.time() + 300 + n_docs // 250
             while time.time() < deadline:
                 if snapshot_read(spark, sig_t).count() >= expect_sigs:
                     break
