@@ -3412,3 +3412,39 @@ def test_segment_partition_bands_skip_unopened(spark, tmp_path):
     assert S.snapshot_scan(spark, t2, [("kb", "=", 2)]).count() == \
         df.filter(F.pmod(F.crc32(F.col("k").cast("string")),
                          F.lit(4)) == 2).count()
+
+
+def test_segment_partition_vote_pure_logic():
+    """_segment_partition_vote truth table (no Spark): True = every
+    member matches, False = none can, None = mixed / undecidable /
+    non-string literal (lexicographic bands are not numeric order)."""
+    from data_pipeline_stripe_spark.operators.snapshots import \
+        _segment_partition_vote as vote
+
+    seg = {"partition_bands": {"day": ["2024-01-03", "2024-01-05"]}}
+    assert vote(seg, ("day", "=", "2024-01-01")) is False
+    assert vote(seg, ("day", "=", "2024-01-04")) is None  # mixed
+    assert vote({"partition_bands": {"day": ["d", "d"]}},
+                ("day", "=", "d")) is True
+    assert vote(seg, ("day", "<", "2024-01-03")) is False
+    assert vote(seg, ("day", "<", "2024-01-06")) is True
+    assert vote(seg, ("day", ">=", "2024-01-03")) is True
+    assert vote(seg, ("day", ">", "2024-01-05")) is False
+    assert vote(seg, ("day", "!=", "2024-01-09")) is True
+    assert vote({"partition_bands": {"day": ["d", "d"]}},
+                ("day", "!=", "d")) is False
+    assert vote(seg, ("day", "in", ["2024-01-01", "2024-01-09"])) is False
+    assert vote(seg, ("day", "in", ["2024-01-04"])) is None
+    assert vote(seg, ("day", "is_null", None)) is False
+    assert vote(seg, ("day", "is_not_null", None)) is True
+    # OR-list: any True disjunct -> True; all False -> False; else None
+    assert vote(seg, [("day", "<", "2024-01-01"),
+                      ("day", ">=", "2024-01-02")]) is True
+    assert vote(seg, [("day", "<", "2024-01-01"),
+                      ("day", ">", "2024-01-09")]) is False
+    assert vote(seg, [("day", "<", "2024-01-01"),
+                      ("day", "=", "2024-01-04")]) is None
+    # undecidable shapes: not a band field, numeric literal, no bands
+    assert vote(seg, ("other", "=", "x")) is None
+    assert vote(seg, ("day", "=", 5)) is None
+    assert vote({}, ("day", "=", "x")) is None
