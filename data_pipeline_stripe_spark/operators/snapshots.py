@@ -1272,18 +1272,24 @@ def _pruned_entries(table_dir: str, predicates: list[tuple],
     stats record {files_kept, files_total, segments_opened,
     segments_total} so gates can pin that segment pruning happened."""
     m = _resolve_version(table_dir, version)
+    # hidden partitioning (r12): source-column terms imply
+    # partition-field terms, used for PRUNING only — the caller's
+    # original terms stay the row filter, so this can only drop
+    # provably-unmatchable files
+    probes = list(predicates) + _derived_partition_terms(
+        m.get("partition_spec"), predicates)
     kept: list[dict] = []
     files_total = 0
     opened = 0
     for seg in m["segments"]:
         files_total += seg["n_files"]
         pseudo = _segment_pseudo_entry(seg)
-        if not all(_entry_may_match(pseudo, term) for term in predicates):
+        if not all(_entry_may_match(pseudo, term) for term in probes):
             continue
         opened += 1
         kept.extend(
             e for e in _segment_entries(table_dir, seg)
-            if all(_entry_may_match(e, term) for term in predicates))
+            if all(_entry_may_match(e, term) for term in probes))
     stats = {"files_kept": len(kept), "files_total": files_total,
              "segments_opened": opened,
              "segments_total": len(m["segments"])}
@@ -2469,6 +2475,72 @@ def snapshot_commit_partitioned(spark: SparkSession, table_dir: str,
         batch_schema=df.schema,
         cluster_cols=("inherit" if mode == "append" else None),
         partition_spec=spec, **kwargs)
+
+
+def _derived_partition_terms(spec, predicates: list[tuple]) -> list:
+    """HIDDEN-PARTITIONING predicate derivation (r12, the Iceberg
+    behavior that makes transforms usable without naming them): a
+    SOURCE-column term implies a partition-field term — day/month are
+    monotone in their source (``ts >= X`` ⟹ ``day >= day(X)``;
+    strict bounds widen to inclusive), identity is the string form,
+    and bucket maps equality/IN through the same crc32 the writer
+    used. Derived terms are used ONLY for pruning (the original term
+    remains the exact row filter), so over-approximation is safe and
+    entries without tuples are simply not pruned by them."""
+    import zlib
+
+    if not spec:
+        return []
+    by_source: dict[str, list[dict]] = {}
+    for f in spec:
+        by_source.setdefault(f["source"], []).append(f)
+
+    def slice_of(v, n: int):
+        return v[:n] if isinstance(v, str) and len(v) >= n else None
+
+    out: list = []
+    for term in predicates:
+        if isinstance(term, list):
+            continue  # OR-lists stay stats-side (conservative)
+        col, op, val = term
+        for f in by_source.get(col, []):
+            tr, name = f["transform"], f["name"]
+            if tr in ("day", "month"):
+                width = 10 if tr == "day" else 7
+                if op in ("=", "<=", ">="):
+                    c = slice_of(val, width)
+                    if c is not None:
+                        out.append((name, op, c))
+                elif op == "<":
+                    c = slice_of(val, width)
+                    if c is not None:  # ts < X ⟹ day <= day(X)
+                        out.append((name, "<=", c))
+                elif op == ">":
+                    c = slice_of(val, width)
+                    if c is not None:  # ts > X ⟹ day >= day(X)
+                        out.append((name, ">=", c))
+                elif op == "in":
+                    cs = [slice_of(v, width) for v in val]
+                    if cs and all(c is not None for c in cs):
+                        out.append((name, "in", sorted(set(cs))))
+            elif tr == "identity":
+                if op == "in":
+                    if all(isinstance(v, (str, int))
+                           and not isinstance(v, bool) for v in val):
+                        out.append((name, op, list(val)))
+                elif op in ("=", "!=", "<", "<=", ">", ">=") and (
+                        isinstance(val, (str, int))
+                        and not isinstance(val, bool)):
+                    out.append((name, op, val))
+            elif isinstance(tr, str) and tr.startswith("bucket:"):
+                n = int(tr.split(":", 1)[1])
+                if op == "=":
+                    out.append((name, "=",
+                                zlib.crc32(str(val).encode()) % n))
+                elif op == "in":
+                    out.append((name, "in", sorted(
+                        {zlib.crc32(str(v).encode()) % n for v in val})))
+    return out
 
 
 def _partition_term_match(entry: dict, term) -> bool | None:

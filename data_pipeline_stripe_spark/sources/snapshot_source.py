@@ -627,20 +627,26 @@ class SnapshotTableBatchReader(DataSourceReader):
         self.pushed_terms: list[tuple] = []
 
     def partitions(self):
-        from ..operators.snapshots import (_entry_may_match,
+        from ..operators.snapshots import (_derived_partition_terms,
+                                           _entry_may_match,
                                            _segment_entries,
                                            _segment_pseudo_entry)
 
+        # hidden partitioning (r12): SQL predicates on SOURCE columns
+        # imply partition-field terms — pure-SQL reads of a
+        # bucket/day-partitioned table prune without ever naming the
+        # hidden field (every pushed filter still re-evaluates in
+        # Spark, so derivation can only remove unmatchable files)
+        probes = self.pushed_terms + _derived_partition_terms(
+            self.manifest.get("partition_spec"), self.pushed_terms)
         entries = []
         for seg in self.manifest["segments"]:
             pseudo = _segment_pseudo_entry(seg)
-            if not all(_entry_may_match(pseudo, t)
-                       for t in self.pushed_terms):
+            if not all(_entry_may_match(pseudo, t) for t in probes):
                 continue  # whole segment provably unmatchable
             entries.extend(
                 e for e in _segment_entries(self.table_dir, seg)
-                if all(_entry_may_match(e, t)
-                       for t in self.pushed_terms))
+                if all(_entry_may_match(e, t) for t in probes))
         if not entries:
             return [SnapshotFileSlice(None, self.columns)]
         return [
