@@ -1975,7 +1975,9 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
 
 def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
                        changes: DataFrame, key, seq: str = "seq",
-                       op: str = "op") -> tuple[int, DataFrame]:
+                       op: str = "op",
+                       base_version: int | None = None
+                       ) -> tuple[int, DataFrame]:
     """Row-level UPSERTS **and DELETES** against the snapshot table —
     the WHEN MATCHED DELETE verb ``snapshot_merge`` (update/insert
     only) cannot express: apply a CDC change batch (base columns +
@@ -1990,11 +1992,12 @@ def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
     of column names (composite key — the dirty split becomes the
     per-column band box, see ``snapshot_merge``). Returns (new version,
     the applied frame including its ``cdc_action`` audit column over
-    the dirty scope)."""
+    the dirty scope). ``base_version`` (r12) lets a long-running job derive against the version it actually READ (default: current at call time); publication then rebases over provably-disjoint interleaved appends and aborts on genuine overlap — see ``snapshot_merge``."""
     from .merge import _key_cols
 
     keys = _key_cols(key)
-    base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(f"snapshot_apply_cdc: {table_dir} has no commits")
     manifest = _read_manifest_meta(table_dir, base_version)
@@ -2128,7 +2131,8 @@ def snapshot_read_cdf(spark: SparkSession, table_dir: str,
 def snapshot_compact(spark: SparkSession, table_dir: str,
                      target_files: int = 1,
                      predicates: list[tuple] | None = None,
-                     cluster_cols: list[str] | None = None
+                     cluster_cols: list[str] | None = None,
+                     base_version: int | None = None
                      ) -> tuple[int, int, int]:
     """OPTIMIZE / small-file compaction as a snapshot commit: rewrite
     the current version's files as ``target_files`` files and commit
@@ -2155,8 +2159,9 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
     ``repartition(n)`` round-robined a clustered table into wide-stats
     files: OPTIMIZE destroyed what clustering built. Pass
     ``cluster_cols=[]`` to force the round-robin layout explicitly.
-    Returns (new_version, files_before, files_after)."""
-    base_version = snapshot_current_version(table_dir)
+    Returns (new_version, files_before, files_after). ``base_version`` (r12) lets a long-running job derive against the version it actually READ (default: current at call time); publication then rebases over provably-disjoint interleaved appends and aborts on genuine overlap — see ``snapshot_merge``."""
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(f"snapshot_compact: {table_dir} has no commits")
     manifest = _read_manifest_meta(table_dir, base_version)
@@ -2209,7 +2214,9 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
 def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
                              predicates: list[tuple],
                              replacement: DataFrame,
-                             key=None) -> tuple[int, dict]:
+                             key=None,
+                             base_version: int | None = None
+                             ) -> tuple[int, dict]:
     """OVERWRITE WHERE (Delta's ``replaceWhere``) as a snapshot verb —
     the predicate-scoped overwrite a partition backfill actually needs,
     where a PLAIN overwrite would strand every CDF/incremental consumer
@@ -2243,7 +2250,7 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
     feed is off). Returns (new version, {"files_rewritten",
     "files_carried", "rows_written"}) — ``rows_written`` is the TOTAL
     row count of the rewrite (kept straddling rows + replacement
-    inserts), not the insert count alone."""
+    inserts), not the insert count alone. ``base_version`` (r12) lets a long-running job derive against the version it actually READ (default: current at call time); publication then rebases over provably-disjoint interleaved appends and aborts on genuine overlap — see ``snapshot_merge``."""
     from pyspark.sql import functions as F
 
     if not predicates:
@@ -2251,7 +2258,8 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
             "snapshot_overwrite_where: an empty predicate replaces the "
             "whole table — use snapshot_commit(mode='overwrite') for "
             "that (it is the documented CDF/stream barrier)")
-    base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(
             f"snapshot_overwrite_where: {table_dir} has no commits")
@@ -2594,7 +2602,9 @@ def _partition_term_match(entry: dict, term) -> bool | None:
 
 def snapshot_drop_partitions(spark: SparkSession, table_dir: str,
                              predicates: list[tuple],
-                             key=None) -> tuple[int, dict]:
+                             key=None,
+                             base_version: int | None = None
+                             ) -> tuple[int, dict]:
     """Retire whole partitions as a METADATA-ONLY commit (r12): every
     entry whose partition tuple PROVABLY matches all ``predicates``
     (terms on partition FIELD names — exact evaluation, never stats
@@ -2609,14 +2619,15 @@ def snapshot_drop_partitions(spark: SparkSession, table_dir: str,
     no log and CDF raises across it. A drop matching nothing commits
     nothing. Conflict narrowing applies: interleaved appends whose
     entries provably match the drop abort (the serial drop would have
-    removed them); others rebase."""
+    removed them); others rebase. ``base_version`` (r12) lets a long-running job derive against the version it actually READ (default: current at call time); publication then rebases over provably-disjoint interleaved appends and aborts on genuine overlap — see ``snapshot_merge``."""
     from pyspark.sql import functions as F
 
     if not predicates:
         raise ValueError(
             "snapshot_drop_partitions: empty predicate drops the whole "
             "table — use snapshot_commit(mode='overwrite')")
-    base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(
             f"snapshot_drop_partitions: {table_dir} has no commits")
@@ -2680,7 +2691,9 @@ def snapshot_drop_partitions(spark: SparkSession, table_dir: str,
 
 def snapshot_delete_where(spark: SparkSession, table_dir: str,
                           predicates: list[tuple],
-                          key=None) -> tuple[int, dict]:
+                          key=None,
+                          base_version: int | None = None
+                          ) -> tuple[int, dict]:
     """DELETE WHERE via DELETION VECTORS — merge-on-read (r12, VERDICT
     r11 item 2: ``snapshot_apply_cdc``/``snapshot_merge`` copy-on-write
     every dirty file for even a k-row delete; at 100 TB a trickle of
@@ -2710,7 +2723,7 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
     ``key`` is recorded as ``cdf_key`` metadata only (positions, not
     keys, drive the delete). A delete matching NOTHING commits nothing
     and returns the current version. Returns (version,
-    {"files_touched", "rows_deleted", "files_rewritten": 0})."""
+    {"files_touched", "rows_deleted", "files_rewritten": 0}). ``base_version`` (r12) lets a long-running job derive against the version it actually READ (default: current at call time); publication then rebases over provably-disjoint interleaved appends and aborts on genuine overlap — see ``snapshot_merge``."""
     from pyspark.sql import functions as F
 
     if not predicates:
@@ -2718,7 +2731,8 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
             "snapshot_delete_where: an empty predicate deletes the "
             "whole table — use snapshot_commit(mode='overwrite') with "
             "an empty frame for that")
-    base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(
             f"snapshot_delete_where: {table_dir} has no commits")

@@ -3528,3 +3528,62 @@ def test_hidden_partitioning_source_predicate_derivation(spark, tmp_path):
     rows = spark.sql(
         f"SELECT k, v FROM hp_sql WHERE k = {target}").collect()
     assert len(rows) == 1 and rows[0]["k"] == target
+
+
+def test_base_version_rebase_across_rewrite_verbs(spark, tmp_path):
+    """r12 conflict narrowing through every rewrite verb's
+    base_version API: a delete derived from a stale read rebases over
+    a disjoint interleaved append (the appended rows survive, the
+    deleted band drops), and an in-band interleave still aborts; a
+    stale predicate-scoped compact rebases too."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "bv")
+    df = spark.range(100).select(F.col("k") if False else
+                                 F.col("id").alias("k"),
+                                 (F.col("id") % 5).alias("v"))
+    S.snapshot_commit(spark, t, df.filter("k < 50").coalesce(1))
+    S.snapshot_commit(spark, t, df.filter("k >= 50").coalesce(1))
+    read_v = S.snapshot_current_version(t)
+
+    # disjoint append interleaves; the stale-read DV delete rebases
+    S.snapshot_commit(
+        spark, t,
+        spark.range(1000, 1010).select(F.col("id").alias("k"),
+                                       F.lit(9).alias("v")).coalesce(1))
+    v, info = S.snapshot_delete_where(
+        spark, t, [("k", ">=", 10), ("k", "<", 20)], key="k",
+        base_version=read_v)
+    assert v == read_v + 2 and info["rows_deleted"] == 10
+    got = S.snapshot_read(spark, t)
+    assert got.count() == 100  # 100 base - 10 deleted + 10 appended
+    assert got.filter("k >= 1000").count() == 10
+
+    # in-band interleave -> the stale delete aborts (the predicate is
+    # dirty at its base — k >= 1000 matches the appended 1000s band —
+    # AND the interleaved 2000s append falls inside it, so the serial
+    # order cannot be reproduced by carrying it)
+    stale = S.snapshot_current_version(t)
+    S.snapshot_commit(
+        spark, t,
+        spark.range(2000, 2005).select(F.col("id").alias("k"),
+                                       F.lit(8).alias("v")).coalesce(1))
+    with pytest.raises(S.SnapshotConflictError):
+        S.snapshot_delete_where(spark, t, [("k", ">=", 1000)],
+                                key="k", base_version=stale)
+
+    # stale predicate-scoped compact rebases over the disjoint append
+    stale2 = S.snapshot_current_version(t)
+    S.snapshot_commit(
+        spark, t,
+        spark.range(3000, 3005).select(F.col("id").alias("k"),
+                                       F.lit(7).alias("v")).coalesce(1))
+    v2, before, after = S.snapshot_compact(
+        spark, t, target_files=2, predicates=[("k", "<", 100)],
+        base_version=stale2)
+    assert v2 == S.snapshot_current_version(t)
+    assert S.snapshot_read(spark, t).filter("k >= 3000").count() == 5
+    assert S.snapshot_read(spark, t).count() == 110
