@@ -132,7 +132,11 @@ aborting; ``snapshot_merge(base_version=...)`` is the long-running-job
 surface), and PARTITION-SPEC TRANSFORMS
 (``snapshot_commit_partitioned`` — identity/day/month/bucket tuples in
 the manifest, exact partition pruning, ``snapshot_drop_partitions``
-metadata-only retirement with file-level expire GC). See SCALING.md
+metadata-only retirement with file-level expire GC), plus
+REWRITE MANIFESTS (``snapshot_compact_manifests`` — per-epoch tiny
+segments collapse into full-size ones as a pure metadata commit) and
+HIDDEN-PARTITIONING predicate derivation (source-column terms imply
+partition-field pruning terms). See SCALING.md
 "Table-format mapping" for the production swap-in.
 
 The reference has no table format at all (its top10.py:260-278 rewrites
@@ -2811,6 +2815,50 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
     return version, {"files_touched": len(total_counts),
                      "rows_deleted": rows_deleted,
                      "files_rewritten": 0}
+
+
+def snapshot_compact_manifests(table_dir: str,
+                               base_version: int | None = None) -> int:
+    """REWRITE MANIFESTS (Iceberg's ``rewrite_manifests`` — the
+    metadata twin of ``snapshot_compact``): re-chunk the current
+    version's file entries into full-size segments and publish the
+    result as a layout-only rewrite. A streaming sink committing every
+    micro-batch leaves one tiny segment per epoch — after 10k epochs
+    the manifest LIST carries 10k descriptors (O(MB) per resolve) even
+    though the entries would fit in ~40 full segments; this verb
+    collapses them WITHOUT touching a single data file (entries —
+    including deletion-vector refs and partition tuples — are carried
+    verbatim; rollups and partition bands are recomputed per new
+    segment, typically TIGHTER because entries re-chunk in manifest
+    order). The commit records an EMPTY change log, so CDF consumers
+    pass through with zero rows; the plain stream treats it like any
+    rewrite (skipChangeCommits crosses it). Read-validated
+    (``base_version`` defaults to current; interleaved commits abort —
+    a metadata sweep is always safe to re-run). No-op (returns the
+    current version) when the table already has no undersized
+    segments to merge."""
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(
+            f"snapshot_compact_manifests: {table_dir} has no commits")
+    manifest = _read_manifest_meta(table_dir, base_version)
+    segs = manifest["segments"]
+    undersized = [s for s in segs
+                  if s["n_files"] < _SEGMENT_MAX_ENTRIES]
+    if len(undersized) <= 1:
+        return base_version  # nothing worth merging
+    from pyspark.sql.types import StructType
+
+    entries = _manifest_files(table_dir, manifest)
+    new_segs = _write_segments(table_dir, entries)
+    return _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=[],
+        batch_schema=StructType.fromJson(json.loads(manifest["schema"])),
+        expected_version=base_version,
+        reuse_segments=new_segs,
+        changes_entries=[])
 
 
 def snapshot_commit_clustered(spark: SparkSession, table_dir: str,

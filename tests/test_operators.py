@@ -3587,3 +3587,54 @@ def test_base_version_rebase_across_rewrite_verbs(spark, tmp_path):
     assert v2 == S.snapshot_current_version(t)
     assert S.snapshot_read(spark, t).filter("k >= 3000").count() == 5
     assert S.snapshot_read(spark, t).count() == 110
+
+
+def test_compact_manifests_collapses_segments_without_touching_data(
+        spark, tmp_path):
+    """r12 rewrite-manifests: many tiny per-epoch segments collapse
+    into full-size ones as a pure metadata commit — every data file
+    byte-identical, the entry SET identical (dv refs and partition
+    tuples carried), CDF passes through with zero rows, reads exact,
+    and expire sweeps the orphaned tiny segment files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "cm")
+    df = spark.range(120).select(F.col("id").alias("k"),
+                                 (F.col("id") % 3).alias("v"))
+    for i in range(12):  # 12 tiny band appends -> 12 tiny segments
+        S.snapshot_commit(
+            spark, t,
+            df.filter((F.col("k") >= i * 10) & (F.col("k") < (i + 1) * 10))
+            .coalesce(1), mode="append", epoch_key=str(i))
+    # a DV so carried entries include a vector reference
+    S.snapshot_delete_where(spark, t, [("k", ">=", 100)], key="k")
+    head = S.snapshot_current_version(t)
+    pre = S._read_manifest(t, head)
+    pre_entries = {e["path"]: e for e in pre["files"]}
+    n_segs_before = len(pre["segments"])
+    assert n_segs_before >= 10  # tiny appends minus the delete's merge
+
+    v = S.snapshot_compact_manifests(t)
+    assert v == head + 1
+    post = S._read_manifest(t, v)
+    assert len(post["segments"]) < n_segs_before
+    assert {e["path"]: e for e in post["files"]} == pre_entries
+    assert S.snapshot_read(spark, t).count() == 100  # 120 - 20 deleted
+    # epoch idempotence high-water mark survives the metadata rewrite
+    assert post["last_epoch"] == pre["last_epoch"]
+    # CDF passes through with zero rows from the metadata commit
+    assert S.snapshot_read_cdf(spark, t, head).count() == 0
+    # re-running is a no-op (single full segment + remainder at most)
+    assert S.snapshot_compact_manifests(t) in (v, v + 1)
+    # expire sweeps the orphaned tiny segment files, keeps the new ones
+    out = S.snapshot_expire(t, keep_last=1, tmp_grace_seconds=0)
+    live = {os.path.basename(s["path"])
+            for s in S._read_manifest_meta(
+                t, S.snapshot_current_version(t))["segments"]}
+    on_disk = set(os.listdir(os.path.join(t, S._SEGMENT_DIR)))
+    assert on_disk == live and out["deleted_segments"]
+    assert S.snapshot_read(spark, t).count() == 100
