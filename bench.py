@@ -126,6 +126,7 @@ HEADLINE = [
     "snapshot_conflict_rebase_parity",
     "snapshot_partition_spec_parity",
     "stream_lsh_index_maintenance_parity",
+    "snapshot_check_constraint_parity",
 ]
 
 

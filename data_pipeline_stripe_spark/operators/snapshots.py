@@ -758,6 +758,11 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
     new_entries = _file_entries(table_dir, os.path.join("data", commit_id))
+    if early_prev is not None:
+        _enforce_constraints(
+            spark, table_dir,
+            _read_manifest_meta(table_dir, early_prev).get("constraints"),
+            new_entries, df.schema.json(), "snapshot_commit")
     if cluster_cols == "auto":
         # appends inherit the table's clustering lineage (the batch may
         # not be clustered, but the declared layout intent stands);
@@ -787,6 +792,7 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                     cdf_key=None,
                     cluster_cols="inherit",
                     partition_spec="inherit",
+                    constraints="inherit",
                     dirty_probe=None,
                     extra_commit_dirs: set[str] | None = None) -> int:
     """The OCC publish loop over ALREADY-WRITTEN immutable file entries
@@ -971,6 +977,13 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             "partition_spec": (prev_manifest.get("partition_spec")
                                if partition_spec == "inherit"
                                else partition_spec),
+            # CHECK constraints are TABLE properties (r12): they
+            # survive every commit shape including plain overwrites
+            # (the data changed; the contract did not) — only the
+            # add/drop verbs replace the dict
+            "constraints": (prev_manifest.get("constraints")
+                            if constraints == "inherit"
+                            else constraints),
         }
         for d in sorted(commit_dirs):
             if not os.path.isdir(os.path.join(table_dir, d)):
@@ -1961,6 +1974,9 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
                                   new_state.schema.json())
     changes_entries = _write_change_log(
         spark, table_dir, dirty_df, committed_new, keys, cols)
+    _enforce_constraints(spark, table_dir, manifest.get("constraints"),
+                         new_entries, new_state.schema.json(),
+                         "snapshot_merge")
     version = _publish_commit(
         table_dir, mode="rewrite",
         new_entries=new_entries,
@@ -2036,6 +2052,9 @@ def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
                                   new_state.schema.json())
     changes_entries = _write_change_log(
         spark, table_dir, dirty_df, committed_new, keys, cols)
+    _enforce_constraints(spark, table_dir, manifest.get("constraints"),
+                         new_entries, new_state.schema.json(),
+                         "snapshot_apply_cdc")
     version = _publish_commit(
         table_dir, mode="rewrite",
         new_entries=new_entries,
@@ -2319,6 +2338,9 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
                                       new_state.schema.json())
         changes_entries = _write_change_log(
             spark, table_dir, dirty_df, committed_new, key, cols)
+    _enforce_constraints(spark, table_dir, manifest.get("constraints"),
+                         new_entries, new_state.schema.json(),
+                         "snapshot_overwrite_where")
     version = _publish_commit(
         table_dir, mode="rewrite",
         new_entries=new_entries,
@@ -2482,6 +2504,11 @@ def snapshot_commit_partitioned(spark: SparkSession, table_dir: str,
     staged.write.mode("error").partitionBy(*[c for c, _ in exprs]) \
         .parquet(os.path.join(table_dir, rel))
     new_entries = _file_entries_partitioned(table_dir, rel, spec)
+    if early_prev is not None:
+        _enforce_constraints(
+            spark, table_dir,
+            _read_manifest_meta(table_dir, early_prev).get("constraints"),
+            new_entries, df.schema.json(), "snapshot_commit_partitioned")
     return _publish_commit(
         table_dir, mode=mode, new_entries=new_entries,
         batch_schema=df.schema,
@@ -2815,6 +2842,125 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
     return version, {"files_touched": len(total_counts),
                      "rows_deleted": rows_deleted,
                      "files_rewritten": 0}
+
+
+def _enforce_constraints(spark: SparkSession, table_dir: str,
+                         constraints: dict | None,
+                         entries: list[dict], schema_json: str,
+                         verb: str) -> None:
+    """CHECK-constraint enforcement (r12, Delta's ``ADD CONSTRAINT``
+    semantics): every data-ADDING verb validates its WRITTEN files
+    (read back — single-evaluation, same rationale as replaceWhere's
+    stray check) against the table's recorded constraints before
+    publication. A row where the expression is FALSE aborts the
+    commit (the unpublished dir is expire's garbage); NULL passes —
+    SQL CHECK's unknown-passes rule, Delta's too. Verbs that add no
+    rows (compact, delete, drop, restore, rewrite-manifests) skip
+    enforcement: carried rows were validated when written, and
+    ``snapshot_add_constraint`` validates the whole head when a
+    constraint lands later. O(new data) per constraint, with a
+    limit(1) short-circuit."""
+    if not constraints or not entries:
+        return
+    from pyspark.sql import functions as F
+
+    df = _read_entries(spark, table_dir, entries, schema_json)
+    for nm in sorted(constraints):
+        expr = constraints[nm]
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
+        if not bad.isEmpty():
+            raise ValueError(
+                f"{verb}: CHECK constraint {nm!r} ({expr}) is violated "
+                f"by a written row ({bad.first().asDict()}) — commit "
+                "aborted before publication")
+
+
+def snapshot_add_constraint(spark: SparkSession, table_dir: str,
+                            name: str, expr: str,
+                            base_version: int | None = None) -> int:
+    """ADD CONSTRAINT (Delta's ``ALTER TABLE ... ADD CONSTRAINT ...
+    CHECK``): record a named SQL boolean expression as a TABLE
+    property; every subsequent data-adding commit (append, partitioned
+    append, overwrite, MERGE, CDC, replaceWhere) validates its written
+    rows against it and ABORTS on a FALSE row (NULL passes — SQL
+    CHECK's rule). The existing HEAD is validated first, fail-closed
+    (a constraint the current data violates is refused — Delta does
+    exactly this), and the constraint lands as a METADATA-ONLY commit
+    (prior segments adopted by reference, empty change log, CDF passes
+    through). Constraints survive overwrites (they describe the TABLE,
+    not a data generation); ``snapshot_drop_constraint`` removes one.
+    Race note: an append IN FLIGHT while the constraint lands
+    validated against the constraint set it read at write time — the
+    one commit window Delta closes with metadata-conflict detection
+    and this format documents instead (the add's own head validation
+    covers everything committed before it)."""
+    from pyspark.sql import functions as F
+
+    if not name or not isinstance(expr, str) or not expr.strip():
+        raise ValueError(
+            "snapshot_add_constraint: pass a non-empty name and a SQL "
+            "boolean expression")
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(
+            f"snapshot_add_constraint: {table_dir} has no commits")
+    manifest = _read_manifest_meta(table_dir, base_version)
+    constraints = dict(manifest.get("constraints") or {})
+    if name in constraints:
+        raise ValueError(
+            f"snapshot_add_constraint: constraint {name!r} already "
+            f"exists ({constraints[name]!r}) — drop it first")
+    head = _read_entries(spark, table_dir,
+                         _manifest_files(table_dir, manifest),
+                         manifest["schema"])
+    bad = head.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
+    if not bad.isEmpty():
+        raise ValueError(
+            f"snapshot_add_constraint: the current head violates "
+            f"{name!r} ({expr}) — e.g. {bad.first().asDict()}; clean "
+            "the data first (Delta refuses exactly this)")
+    constraints[name] = expr
+    from pyspark.sql.types import StructType
+
+    return _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=[],
+        batch_schema=StructType.fromJson(json.loads(manifest["schema"])),
+        expected_version=base_version,
+        reuse_segments=list(manifest["segments"]),
+        changes_entries=[],
+        constraints=constraints)
+
+
+def snapshot_drop_constraint(table_dir: str, name: str,
+                             base_version: int | None = None) -> int:
+    """DROP CONSTRAINT: metadata-only removal of a named CHECK
+    (raises if the name is unknown — a silent no-op would let a typo
+    leave the constraint enforced)."""
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(
+            f"snapshot_drop_constraint: {table_dir} has no commits")
+    manifest = _read_manifest_meta(table_dir, base_version)
+    constraints = dict(manifest.get("constraints") or {})
+    if name not in constraints:
+        raise ValueError(
+            f"snapshot_drop_constraint: no constraint {name!r} on "
+            f"{table_dir} (have {sorted(constraints)})")
+    del constraints[name]
+    from pyspark.sql.types import StructType
+
+    return _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=[],
+        batch_schema=StructType.fromJson(json.loads(manifest["schema"])),
+        expected_version=base_version,
+        reuse_segments=list(manifest["segments"]),
+        changes_entries=[],
+        constraints=constraints)
 
 
 def snapshot_compact_manifests(table_dir: str,

@@ -84,6 +84,10 @@ PRIORITY_THIS_ROUND = [
     # 6. pushdown completeness: IsNotNull / Not(EqualTo) /
     #    EqualNullSafe legs on the SQL surface
     "snapshot_sql_surface_parity",
+    # beyond the agenda: CHECK constraints as table properties
+    # (metadata-only add/drop, enforced fail-closed on every
+    # data-adding verb)
+    "snapshot_check_constraint_parity",
     # ADVICE r11 (high): cursor-unknown restart serves head once
     # instead of regressing offsets below Spark's checkpoint
     "stream_snapshot_source_ratelimited_parity",
@@ -130,7 +134,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     # (CORRECTNESS_r11.json on disk) — the union is self-contained;
     # no new debt this round.
 ]
-# Rotation note: with the r12 head (33 pins + 0 debt), 17 rotating
+# Rotation note: with the r12 head (34 pins + 0 debt), 16 rotating
 # slots resume the tile over the remaining queries.
 
 

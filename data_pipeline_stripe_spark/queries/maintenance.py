@@ -3126,3 +3126,119 @@ def snapshot_partition_spec_parity(spark: SparkSession,
     return (agg(day_df, "day")
             .unionByName(agg(snapshot_read(spark, table_dir), "head"))
             .unionByName(base_agg))
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: Delta's ADD CONSTRAINT as a table property (r12).
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_check_constraint_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 800
+    ),
+    upd AS (
+        SELECT k, pri, cents * 2 AS cents FROM base
+        WHERE k > 200 AND k <= 400
+    )
+    SELECT COALESCE(u.k, b.k) AS k,
+           COALESCE(u.pri, b.pri) AS pri,
+           COALESCE(u.cents, b.cents) AS cents
+    FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+    """,
+)
+def snapshot_check_constraint_parity(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS as table properties
+    (operators/snapshots.py:snapshot_add_constraint /
+    _enforce_constraints — Delta's ``ALTER TABLE ... ADD CONSTRAINT
+    ... CHECK``, a governance surface the format lacked): the
+    constraint lands as a METADATA-ONLY commit (pinned: the manifest
+    adopts the prior segments by reference and the CDF serves zero
+    rows across it) after validating the existing head fail-closed
+    (pinned: a constraint the head violates is refused). Every
+    data-adding verb then enforces it against its WRITTEN files
+    before publication: the gate pins that a violating APPEND and a
+    violating MERGE both abort with NO version published (an
+    unreferenced dir is the only residue — expire's garbage), that a
+    NULL-evaluating row passes (SQL CHECK's unknown-passes rule,
+    Delta's too), and that a clean merge lands normally. The hash
+    compares the final table against the oracle's restatement — an
+    enforcement path that silently dropped or mangled the clean
+    merge's rows flips it."""
+    from ..operators.snapshots import (_read_manifest_meta,
+                                       snapshot_add_constraint,
+                                       snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_merge, snapshot_read,
+                                       snapshot_read_cdf)
+
+    table_dir = _scratch(sf_dir, "snapshot_check_constraint")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 800).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snapshot_commit(spark, table_dir,
+                    base.filter(F.col("k") <= 400).coalesce(1))
+    snapshot_commit(spark, table_dir,
+                    base.filter(F.col("k") > 400).coalesce(1),
+                    mode="append")
+    pre = _read_manifest_meta(table_dir,
+                              snapshot_current_version(table_dir))
+    v_add = snapshot_add_constraint(spark, table_dir, "valid_row",
+                                    "cents >= 0 AND pri IS NOT NULL")
+    m_add = _read_manifest_meta(table_dir, v_add)
+    if [s["path"] for s in m_add["segments"]] != \
+            [s["path"] for s in pre["segments"]]:
+        raise RuntimeError(
+            "snapshot_check_constraint_parity: ADD CONSTRAINT "
+            "re-serialized segments — not metadata-only")
+    if snapshot_read_cdf(spark, table_dir, v_add - 1).count():
+        raise RuntimeError(
+            "snapshot_check_constraint_parity: the constraint commit "
+            "emitted change rows")
+
+    # violating APPEND and MERGE must abort with NO version published
+    bad_append = spark.createDataFrame([(9001, "1-URGENT", -5)],
+                                       "k long, pri string, cents long")
+    bad_merge = spark.createDataFrame([(10, None, 123)],
+                                      "k long, pri string, cents long")
+    for label, attempt in [
+        ("append", lambda: snapshot_commit(spark, table_dir,
+                                           bad_append.coalesce(1))),
+        ("merge", lambda: snapshot_merge(spark, table_dir,
+                                         bad_merge, "k")),
+    ]:
+        head = snapshot_current_version(table_dir)
+        try:
+            attempt()
+            raise RuntimeError(
+                f"snapshot_check_constraint_parity: a violating "
+                f"{label} published — the constraint is not enforced")
+        except ValueError as exc:
+            if "valid_row" not in str(exc):
+                raise
+        if snapshot_current_version(table_dir) != head:
+            raise RuntimeError(
+                f"snapshot_check_constraint_parity: the aborted "
+                f"{label} still advanced the version")
+
+    # a constraint the HEAD violates is refused (fail-closed add)
+    try:
+        snapshot_add_constraint(spark, table_dir, "tiny", "cents < 100")
+        raise RuntimeError(
+            "snapshot_check_constraint_parity: a head-violating "
+            "constraint was accepted")
+    except ValueError as exc:
+        if "violates" not in str(exc):
+            raise
+
+    # the clean merge lands and the final state hashes
+    upd = base.filter((F.col("k") > 200) & (F.col("k") <= 400)) \
+        .withColumn("cents", F.col("cents") * 2)
+    snapshot_merge(spark, table_dir, upd, "k")
+    return snapshot_read(spark, table_dir)

@@ -3638,3 +3638,67 @@ def test_compact_manifests_collapses_segments_without_touching_data(
     on_disk = set(os.listdir(os.path.join(t, S._SEGMENT_DIR)))
     assert on_disk == live and out["deleted_segments"]
     assert S.snapshot_read(spark, t).count() == 100
+
+
+def test_check_constraints_enforced_across_verbs(spark, tmp_path):
+    """r12 CHECK constraints (Delta ADD CONSTRAINT semantics): the add
+    is a metadata-only commit that validates the existing head
+    fail-closed; every data-adding verb then aborts on a FALSE row
+    (NULL passes — SQL CHECK's unknown-passes rule); drop removes
+    enforcement; constraints survive overwrites."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "ck")
+    df = spark.range(50).select(F.col("id").alias("k"),
+                                (F.col("id") * 10).alias("cents"))
+    S.snapshot_commit(spark, t, df.coalesce(1))
+    pre_segs = [s["path"] for s in S._read_manifest_meta(t, 0)["segments"]]
+    v = S.snapshot_add_constraint(spark, t, "nonneg", "cents >= 0")
+    m = S._read_manifest_meta(t, v)
+    assert m["constraints"] == {"nonneg": "cents >= 0"}
+    assert [s["path"] for s in m["segments"]] == pre_segs  # metadata-only
+    assert S.snapshot_read_cdf(spark, t, 0).count() == 0
+
+    # a violating append aborts BEFORE publication — no new version
+    bad = spark.createDataFrame([(999, -5)], "k long, cents long")
+    with pytest.raises(ValueError, match="nonneg"):
+        S.snapshot_commit(spark, t, bad.coalesce(1))
+    assert S.snapshot_current_version(t) == v
+    # NULL passes (SQL CHECK unknown-passes)
+    nullish = spark.createDataFrame([(1000, None)], "k long, cents long")
+    v2 = S.snapshot_commit(spark, t, nullish.coalesce(1))
+    assert v2 == v + 1
+
+    # MERGE with a violating update aborts; a clean one passes
+    with pytest.raises(ValueError, match="nonneg"):
+        S.snapshot_merge(
+            spark, t,
+            spark.createDataFrame([(3, -1)], "k long, cents long"), "k")
+    S.snapshot_merge(
+        spark, t,
+        spark.createDataFrame([(3, 777)], "k long, cents long"), "k")
+
+    # a second constraint whose head already violates is refused
+    with pytest.raises(ValueError, match="violates"):
+        S.snapshot_add_constraint(spark, t, "small", "cents < 100")
+    # duplicate name refused; unknown drop refused
+    with pytest.raises(ValueError, match="already exists"):
+        S.snapshot_add_constraint(spark, t, "nonneg", "cents >= 0")
+    with pytest.raises(ValueError, match="no constraint"):
+        S.snapshot_drop_constraint(t, "nope")
+
+    # constraints survive a plain overwrite (table property) and
+    # the overwrite itself is validated
+    with pytest.raises(ValueError, match="nonneg"):
+        S.snapshot_commit(spark, t, bad.coalesce(1), mode="overwrite")
+    S.snapshot_commit(spark, t, df.coalesce(1), mode="overwrite")
+    head_m = S._read_manifest_meta(t, S.snapshot_current_version(t))
+    assert head_m["constraints"] == {"nonneg": "cents >= 0"}
+
+    # drop -> the violating append now lands
+    S.snapshot_drop_constraint(t, "nonneg")
+    S.snapshot_commit(spark, t, bad.coalesce(1))
+    assert S.snapshot_read(spark, t).filter("cents < 0").count() == 1
