@@ -401,6 +401,41 @@ def _segment_partition_vote(entry: dict, term) -> bool | None:
     return None
 
 
+def _is_metadata_only_commit(table_dir: str, parent_m: dict,
+                             m: dict) -> bool:
+    """True iff commit ``m`` changed NO data relative to its parent —
+    its live entry set is identical (constraint add/drop adopt the
+    parent's segments by reference; ``snapshot_compact_manifests``
+    re-chunks the same entries into new segment files). Such commits
+    are safe to rebase a rewrite THROUGH (r13, VERDICT r12 item 1b):
+    carrying the rewrite's base segments over them reproduces the
+    serial order for data, and the publish loop's inherit rules +
+    constraint re-validation reproduce it for metadata. Deletes,
+    drops, and anything with a recorded change log or a file delta
+    are NOT metadata-only."""
+    if m.get("delta", {}).get("files") or m.get("changes"):
+        return False
+    p_segs, c_segs = parent_m["segments"], m["segments"]
+    if [s["path"] for s in p_segs] == [s["path"] for s in c_segs]:
+        return True  # adopted by reference: trivially identical
+    # re-chunked (manifest compaction): totals first (cheap reject),
+    # then exact FULL-ENTRY equality — path-only comparison would let
+    # a delete that re-points dv refs masquerade as metadata-only
+    def totals(segs):
+        rows = [s.get("rows") for s in segs]
+        return (sum(s["n_files"] for s in segs),
+                None if any(r is None for r in rows) else sum(rows))
+    if totals(p_segs) != totals(c_segs):
+        return False
+    def entry_key(e):
+        return json.dumps(e, sort_keys=True)
+    p_entries = sorted(entry_key(e) for s in p_segs
+                       for e in _segment_entries(table_dir, s))
+    c_entries = sorted(entry_key(e) for s in c_segs
+                       for e in _segment_entries(table_dir, s))
+    return p_entries == c_entries
+
+
 def _disjoint_append_segments(table_dir: str, from_v: int, to_v: int,
                               dirty_probe) -> list[dict]:
     """Validate the commits interleaved in ``(from_v, to_v]`` for a
@@ -424,6 +459,11 @@ def _disjoint_append_segments(table_dir: str, from_v: int, to_v: int,
     out: list[dict] = []
     for parent_m, m in zip(chain, chain[1:]):
         if m["mode"] != "append":
+            if _is_metadata_only_commit(table_dir, parent_m, m):
+                # constraint add/drop or manifest re-chunk: no data
+                # moved — rebase straight through (r13); the publish
+                # loop re-validates grown constraints separately
+                continue
             raise SnapshotConflictError(
                 f"snapshot_commit: version {m['version']} of {table_dir} "
                 f"is a concurrent {m['mode']} — a rewrite derived from "
@@ -758,11 +798,11 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.mode("error").parquet(data_dir)
     new_entries = _file_entries(table_dir, os.path.join("data", commit_id))
-    if early_prev is not None:
-        _enforce_constraints(
-            spark, table_dir,
-            _read_manifest_meta(table_dir, early_prev).get("constraints"),
-            new_entries, df.schema.json(), "snapshot_commit")
+    validated = (None if early_prev is None else
+                 _read_manifest_meta(table_dir,
+                                     early_prev).get("constraints"))
+    _enforce_constraints(spark, table_dir, validated, new_entries,
+                         df.schema.json(), "snapshot_commit")
     if cluster_cols == "auto":
         # appends inherit the table's clustering lineage (the batch may
         # not be clustered, but the declared layout intent stands);
@@ -777,7 +817,11 @@ def snapshot_commit(spark: SparkSession, table_dir: str, df: DataFrame,
         # a plain overwrite replaces the table: the old partition spec
         # describes files that are gone (appends keep it — their
         # unpartitioned entries simply never partition-prune)
-        partition_spec=("inherit" if mode == "append" else None))
+        partition_spec=("inherit" if mode == "append" else None),
+        validated_constraints=validated,
+        revalidate=lambda c: _enforce_constraints(
+            spark, table_dir, c, new_entries, df.schema.json(),
+            "snapshot_commit"))
 
 
 def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
@@ -794,7 +838,9 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                     partition_spec="inherit",
                     constraints="inherit",
                     dirty_probe=None,
-                    extra_commit_dirs: set[str] | None = None) -> int:
+                    extra_commit_dirs: set[str] | None = None,
+                    validated_constraints="skip",
+                    revalidate=None) -> int:
     """The OCC publish loop over ALREADY-WRITTEN immutable file entries
     — the Spark-free core of the commit protocol. ``snapshot_commit``
     writes its data via Spark and then calls this; the multi-process
@@ -851,7 +897,30 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
     ``None`` (plain overwrite: the old layout is gone with the old
     files) sets or clears it. ``snapshot_compact`` reads the lineage
     so OPTIMIZE re-clusters instead of round-robining the sorted
-    layout away (VERDICT r10's compaction wart)."""
+    layout away (VERDICT r10's compaction wart).
+
+    METADATA-CONFLICT DETECTION (r13, VERDICT r12 item 1): the OCC
+    loop used to validate DATA disjointness only — a CHECK constraint
+    landing between a commit's data write and its publish was
+    inherited without re-validating the already-written files (the
+    race ``snapshot_add_constraint``'s docstring documented). Now
+    every data-adding verb passes ``validated_constraints`` (the
+    constraint dict it enforced its written files against, possibly
+    None) and ``revalidate`` (a callable that re-runs the enforcement
+    against a given dict, raising ValueError on a violating row). On
+    every publish attempt the loop diffs the EFFECTIVE inherited
+    constraints against the validated set; a grown/changed constraint
+    triggers ``revalidate`` — O(new files), runs at most once per
+    distinct constraint state — and the ValueError aborts the commit
+    before publication. The legacy ``"skip"`` sentinel (direct/test
+    callers, and verbs whose carried rows are provably
+    already-validated: compaction, delete, drop, restore) preserves
+    the old inherit-without-revalidation behavior. Rewrites can also
+    REBASE THROUGH interleaved METADATA-ONLY commits (constraint
+    add/drop, manifest compaction — commits whose entry set is
+    byte-identical to their parent's): carrying the base's segments
+    over them reproduces the serial order for data while the inherit
+    rules + re-validation reproduce it for metadata."""
     snapdir = os.path.join(table_dir, _SNAPDIR)
     os.makedirs(snapdir, exist_ok=True)
     if mode == "rewrite" and expected_version is None:
@@ -880,6 +949,8 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
     #                                      expected_version)
     rebase_segs: list[dict] = []  # interleaved appends carried by a
     #                               narrowed-conflict rebase
+    revalidated_state: dict | None = None  # last constraint set the
+    #                                        revalidate hook cleared
 
     for attempt in range(max_retries + 1):
         prev = snapshot_current_version(table_dir)
@@ -888,8 +959,16 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                     and prev is not None
                     and prev > expected_version):
                 # CONFLICT NARROWING: rebase over interleaved appends
-                # that are provably disjoint from the dirty band
-                rebase_segs = _disjoint_append_segments(
+                # that are provably disjoint from the dirty band.
+                # ACCUMULATE across retries (ADVICE r12 medium): if a
+                # first narrowing is followed by a retry (e.g. the
+                # expire-swept-manifest `continue` below) and ANOTHER
+                # append lands, the second narrowing covers only
+                # (new expected, prev] — overwriting would drop the
+                # first narrowing's carried segments, a lost update.
+                # The ranges are disjoint because expected_version
+                # advances to prev after each narrowing.
+                rebase_segs += _disjoint_append_segments(
                     table_dir, expected_version, prev, dirty_probe)
                 expected_version = prev
             else:
@@ -940,6 +1019,28 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
         else:
             segments = new_segs
             schema_json = batch_schema.json()
+        # METADATA-CONFLICT DETECTION (r13): a constraint that landed
+        # after this commit's files were written and validated must be
+        # re-enforced on them (or the commit must abort) — inheriting
+        # it unchecked would publish data the table's contract was
+        # never allowed to see
+        eff_constraints = (prev_manifest.get("constraints")
+                           if constraints == "inherit" else constraints)
+        if (new_entries and constraints == "inherit"
+                and validated_constraints != "skip"):
+            base_c = validated_constraints or {}
+            grown = {k: v for k, v in (eff_constraints or {}).items()
+                     if base_c.get(k) != v}
+            if grown and grown != revalidated_state:
+                if revalidate is None:
+                    raise SnapshotConflictError(
+                        f"snapshot_commit: constraint(s) "
+                        f"{sorted(grown)} landed on {table_dir} while "
+                        "this commit was in flight and its written "
+                        "files were validated against an older set — "
+                        "re-run the commit")
+                revalidate(eff_constraints)  # ValueError on violation
+                revalidated_state = dict(grown)
         delta = _entry_totals(new_entries)
         version = (prev if prev is not None else -1) + 1
         manifest = {
@@ -981,9 +1082,7 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             # survive every commit shape including plain overwrites
             # (the data changed; the contract did not) — only the
             # add/drop verbs replace the dict
-            "constraints": (prev_manifest.get("constraints")
-                            if constraints == "inherit"
-                            else constraints),
+            "constraints": eff_constraints,
         }
         for d in sorted(commit_dirs):
             if not os.path.isdir(os.path.join(table_dir, d)):
@@ -1122,14 +1221,22 @@ def _read_entries(spark: SparkSession, table_dir: str,
             + [StructField(_DV_PATH_COL, StringType(), True),
                StructField(_DV_POS_COL, LongType(), True)])
 
+    # table-relative path of each row's source file. Marker-based, not
+    # a fixed-depth regex: partitioned commits nest files at
+    # data/<cid>/__part_x=v/…/file.parquet (ADVICE r12 high — the old
+    # 3-component regex yielded '' there, so a delete on a partitioned
+    # table recorded positions under path '' and silently deleted
+    # nothing while still logging D rows).
+    marker = os.path.abspath(table_dir).rstrip("/") + "/"
+
     def with_meta(paths: list[str]) -> DataFrame:
+        fp = F.col("_metadata.file_path")
         return (
             spark.read.schema(schema).parquet(*paths)
             .select(
                 "*",
-                F.regexp_extract(F.col("_metadata.file_path"),
-                                 r"((?:data|changes)/[^/]+/[^/]+)$", 1)
-                .alias(_DV_PATH_COL),
+                F.substring(fp, F.locate(marker, fp) + len(marker),
+                            2_000_000_000).alias(_DV_PATH_COL),
                 F.col("_metadata.row_index").alias(_DV_POS_COL)))
 
     dved = [e for e in entries if e.get("dv")]
@@ -1986,7 +2093,11 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
         keep_entries=keep_entries,
         changes_entries=changes_entries,
         cdf_key=keys[0] if len(keys) == 1 else keys,
-        dirty_probe=probe)
+        dirty_probe=probe,
+        validated_constraints=manifest.get("constraints"),
+        revalidate=lambda c: _enforce_constraints(
+            spark, table_dir, c, new_entries,
+            new_state.schema.json(), "snapshot_merge"))
     clean_df = _read_entries(
         spark, table_dir, clean, manifest["schema"]).withColumn(
         "merge_action", F.lit("kept"))
@@ -2057,6 +2168,10 @@ def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
                          "snapshot_apply_cdc")
     version = _publish_commit(
         table_dir, mode="rewrite",
+        validated_constraints=manifest.get("constraints"),
+        revalidate=lambda c: _enforce_constraints(
+            spark, table_dir, c, new_entries,
+            new_state.schema.json(), "snapshot_apply_cdc"),
         new_entries=new_entries,
         batch_schema=new_state.schema,
         expected_version=base_version,
@@ -2182,6 +2297,15 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
     ``repartition(n)`` round-robined a clustered table into wide-stats
     files: OPTIMIZE destroyed what clustering built. Pass
     ``cluster_cols=[]`` to force the round-robin layout explicitly.
+
+    PARTITION-SPEC-PRESERVING (r13, ADVICE r12): when the table
+    records a partition spec, the rewrite re-derives the transform
+    columns from the source columns, writes ``partitionBy``, and
+    records each compacted file's exact partition tuple — OPTIMIZE no
+    longer demotes a partitioned table to stats-only pruning, and
+    ``snapshot_drop_partitions`` keeps working on compacted files. A
+    side effect: un-tupled plain-append history gets UPGRADED to
+    tupled entries (generation unification).
     Returns (new_version, files_before, files_after). ``base_version`` (r12) lets a long-running job derive against the version it actually READ (default: current at call time); publication then rebases over provably-disjoint interleaved appends and aborts on genuine overlap — see ``snapshot_merge``."""
     if base_version is None:
         base_version = snapshot_current_version(table_dir)
@@ -2211,17 +2335,49 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
     df = _read_entries(spark, table_dir, dirty, manifest["schema"])
     if cluster_cols is None:
         cluster_cols = manifest.get("cluster_cols")
-    if cluster_cols:
-        compacted = (df.repartitionByRange(target_files, *cluster_cols)
-                     .sortWithinPartitions(*cluster_cols))
-    else:
-        compacted = df.repartition(target_files)
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
-    compacted.write.mode("error").parquet(os.path.join(table_dir, rel))
+    spec = manifest.get("partition_spec")
+    if spec:
+        # PARTITION-SPEC-PRESERVING (r13, ADVICE r12 low: harvesting
+        # via _file_entries recorded no partition tuple, so OPTIMIZE
+        # silently demoted a partitioned table to stats-only pruning
+        # and broke snapshot_drop_partitions for the rewritten files).
+        # Re-derive the transform columns from the SOURCE columns —
+        # they live in every data file regardless of whether the
+        # source entry carried a tuple — write partitionBy, and record
+        # each compacted file's exact tuple. Rows whose transform is
+        # NULL (possible only via plain-append history; the partitioned
+        # commit verb refuses them) land in the default dir and their
+        # entries carry a PARTIAL tuple. Pre-repartition BY THE
+        # TRANSFORM COLUMNS so each partition's rows co-locate instead
+        # of every task writing one file per partition it happens to
+        # hold (the r12 first-measurement catch).
+        exprs = _partition_exprs(spec)
+        pcols = [c for c, _ in exprs]
+        staged = df
+        for c, ex in exprs:
+            staged = staged.withColumn(c, ex)
+        staged = staged.repartition(max(target_files, 1), *pcols)
+        if cluster_cols:
+            staged = staged.sortWithinPartitions(*pcols, *cluster_cols)
+        staged.write.mode("error").partitionBy(*pcols).parquet(
+            os.path.join(table_dir, rel))
+        new_entries = _file_entries_partitioned(
+            table_dir, rel, spec, tolerate_default=True)
+    else:
+        if cluster_cols:
+            compacted = (df.repartitionByRange(target_files,
+                                               *cluster_cols)
+                         .sortWithinPartitions(*cluster_cols))
+        else:
+            compacted = df.repartition(target_files)
+        compacted.write.mode("error").parquet(
+            os.path.join(table_dir, rel))
+        new_entries = _file_entries(table_dir, rel)
     version = _publish_commit(
         table_dir, mode="rewrite",
-        new_entries=_file_entries(table_dir, rel),
+        new_entries=new_entries,
         batch_schema=df.schema,
         expected_version=base_version,
         keep_segments=keep_segs,
@@ -2343,6 +2499,10 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
                          "snapshot_overwrite_where")
     version = _publish_commit(
         table_dir, mode="rewrite",
+        validated_constraints=manifest.get("constraints"),
+        revalidate=lambda c: _enforce_constraints(
+            spark, table_dir, c, new_entries,
+            new_state.schema.json(), "snapshot_overwrite_where"),
         new_entries=new_entries,
         batch_schema=new_state.schema,
         expected_version=base_version,
@@ -2406,11 +2566,20 @@ def _partition_exprs(spec: list[dict]):
 
 
 def _file_entries_partitioned(table_dir: str, rel_dir: str,
-                              spec: list[dict]) -> list[dict]:
+                              spec: list[dict],
+                              tolerate_default: bool = False
+                              ) -> list[dict]:
     """Manifest entries for a partitionBy layout: walk
     ``rel_dir/__part_a=.../__part_b=.../*.parquet`` recursively and
     record each file's PARTITION TUPLE (decoded directory values) next
-    to its footer stats."""
+    to its footer stats. ``tolerate_default`` (the compaction path,
+    ADVICE r12 low): a ``__HIVE_DEFAULT_PARTITION__`` component — a
+    NULL transform value from rows that entered via a PLAIN append —
+    records no value for that field (a PARTIAL tuple: sound, because
+    every recorded component is still exact for the file's rows and
+    ``_partition_term_match`` answers None for absent fields);
+    ``snapshot_commit_partitioned`` itself refuses NULLs up front and
+    keeps the strict complete-tuple invariant."""
     from urllib.parse import unquote
 
     entries = []
@@ -2424,18 +2593,30 @@ def _file_entries_partitioned(table_dir: str, rel_dir: str,
             for comp in rel.split(os.sep):
                 if comp.startswith(_PART_PREFIX) and "=" in comp:
                     k, v = comp.split("=", 1)
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        if not tolerate_default:
+                            raise ValueError(
+                                f"snapshot_commit_partitioned: file "
+                                f"{rel!r} landed in a NULL partition "
+                                "directory — transform sources must be "
+                                "non-NULL")
+                        continue
                     tuple_vals[k[len(_PART_PREFIX):]] = unquote(v)
-            if sorted(tuple_vals) != sorted(f2["name"] for f2 in spec):
+            if (not tolerate_default and
+                    sorted(tuple_vals) != sorted(
+                        f2["name"] for f2 in spec)):
                 raise ValueError(
                     f"snapshot_commit_partitioned: file {rel!r} is "
                     f"missing partition components for spec "
                     f"{[f2['name'] for f2 in spec]}")
             stats, rows = _collect_file_stats(
                 os.path.join(table_dir, rel))
-            entries.append({"path": rel, "stats": stats, "rows": rows,
-                            "bytes": os.path.getsize(
-                                os.path.join(table_dir, rel)),
-                            "partition": tuple_vals})
+            entry = {"path": rel, "stats": stats, "rows": rows,
+                     "bytes": os.path.getsize(
+                         os.path.join(table_dir, rel))}
+            if tuple_vals:
+                entry["partition"] = tuple_vals
+            entries.append(entry)
     return entries
 
 
@@ -2456,13 +2637,11 @@ def snapshot_commit_partitioned(spark: SparkSession, table_dir: str,
     matching partitions' files, no stats conservatism — and
     ``snapshot_drop_partitions`` retires whole partitions as a
     metadata-only commit. Rows with a NULL transform value are
-    refused (a NULL partition dir would round-trip as the string
-    'null'); commits from OTHER writers (plain appends) may interleave
+    refused — validated on the WRITTEN output before publication, one
+    evaluation (r13); commits from OTHER writers (plain appends) may interleave
     — their entries carry no tuple and partition terms simply never
     prune or drop them (Iceberg's spec-evolution rule: pruning exact
     per entry, conservative across generations)."""
-    from pyspark.sql import functions as F
-
     if mode not in ("append", "overwrite"):
         raise ValueError(
             f"snapshot_commit_partitioned: unknown mode {mode!r}")
@@ -2489,31 +2668,36 @@ def snapshot_commit_partitioned(spark: SparkSession, table_dir: str,
             df.schema)
     exprs = _partition_exprs(spec)
     staged = df
-    null_cond = F.lit(False)
     for col, expr in exprs:
         staged = staged.withColumn(col, expr)
-        null_cond = null_cond | F.col(col).isNull()
-    bad = staged.filter(null_cond).limit(1)
-    if not bad.isEmpty():
-        raise ValueError(
-            "snapshot_commit_partitioned: a row has a NULL partition "
-            f"value (first: {bad.drop(*df.columns).first().asDict()}) — "
-            "partition transform sources must be non-NULL")
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
+    # NULL transform values are validated on the WRITTEN output, not by
+    # a pre-check job (r13, VERDICT r12 item 6 — the same
+    # double-evaluation class ADVICE r11 flagged for replaceWhere: a
+    # nondeterministic batch could pass a separate pre-check evaluation
+    # yet write a NULL partition dir). A NULL value lands in
+    # __HIVE_DEFAULT_PARTITION__ and the strict harvest below raises
+    # BEFORE publication; the unreferenced dir is snapshot_expire's
+    # garbage. One evaluation total (the write).
     staged.write.mode("error").partitionBy(*[c for c, _ in exprs]) \
         .parquet(os.path.join(table_dir, rel))
     new_entries = _file_entries_partitioned(table_dir, rel, spec)
-    if early_prev is not None:
-        _enforce_constraints(
-            spark, table_dir,
-            _read_manifest_meta(table_dir, early_prev).get("constraints"),
-            new_entries, df.schema.json(), "snapshot_commit_partitioned")
+    validated = (None if early_prev is None else
+                 _read_manifest_meta(table_dir,
+                                     early_prev).get("constraints"))
+    _enforce_constraints(spark, table_dir, validated, new_entries,
+                         df.schema.json(), "snapshot_commit_partitioned")
     return _publish_commit(
         table_dir, mode=mode, new_entries=new_entries,
         batch_schema=df.schema,
         cluster_cols=("inherit" if mode == "append" else None),
-        partition_spec=spec, **kwargs)
+        partition_spec=spec,
+        validated_constraints=validated,
+        revalidate=lambda c: _enforce_constraints(
+            spark, table_dir, c, new_entries, df.schema.json(),
+            "snapshot_commit_partitioned"),
+        **kwargs)
 
 
 def _derived_partition_terms(spec, predicates: list[tuple]) -> list:
@@ -2573,10 +2757,21 @@ def _derived_partition_terms(spec, predicates: list[tuple]) -> list:
                     out.append((name, op, val))
             elif isinstance(tr, str) and tr.startswith("bucket:"):
                 n = int(tr.split(":", 1)[1])
-                if op == "=":
+                # only literals whose Python str() is IDENTICAL to
+                # Spark's CAST(col AS STRING) rendering may derive a
+                # bucket (ADVICE r12 low: booleans render 'True' vs
+                # 'true', decimals/floats diverge too — a wrong bucket
+                # number EXACT-prunes the matching files away). str and
+                # non-bool int are the two safe classes.
+
+                def _hashable(v) -> bool:
+                    return (isinstance(v, (str, int))
+                            and not isinstance(v, bool))
+
+                if op == "=" and _hashable(val):
                     out.append((name, "=",
                                 zlib.crc32(str(val).encode()) % n))
-                elif op == "in":
+                elif op == "in" and all(_hashable(v) for v in val):
                     out.append((name, "in", sorted(
                         {zlib.crc32(str(v).encode()) % n for v in val})))
     return out
@@ -2606,6 +2801,35 @@ def _partition_term_match(entry: dict, term) -> bool | None:
     if op in ("is_null", "is_not_null"):
         # partition values are non-NULL by construction
         return op == "is_not_null"
+    if op == "in":
+        # BEFORE the scalar coercion (ADVICE r12 medium: an IN term's
+        # value is a list, so the old scalar-type guard returned None
+        # unconditionally and this branch was unreachable — drop/scan
+        # with partition-field IN never pruned). Coerce per member:
+        # int members compare via int(raw), str members via raw; any
+        # member of another type (or an unparseable raw for an int
+        # member) makes a definitive False unreachable.
+        members = list(value)
+        if any(v is None for v in members):
+            raise ValueError(
+                "snapshot_scan: NULL inside an IN list never matches — "
+                "drop it (or add an is_null disjunct)")
+        undecidable = False
+        for v in members:
+            if isinstance(v, bool):
+                undecidable = True
+            elif isinstance(v, int):
+                try:
+                    if int(raw) == v:
+                        return True
+                except ValueError:
+                    undecidable = True
+            elif isinstance(v, str):
+                if raw == v:
+                    return True
+            else:
+                undecidable = True
+        return None if undecidable else False
     if isinstance(value, int) and not isinstance(value, bool):
         try:
             have: object = int(raw)
@@ -2615,13 +2839,6 @@ def _partition_term_match(entry: dict, term) -> bool | None:
         have = raw
         if not isinstance(value, str):
             return None  # incomparable literal type: undecidable
-    if op == "in":
-        members = list(value)
-        if any(v is None for v in members):
-            raise ValueError(
-                "snapshot_scan: NULL inside an IN list never matches — "
-                "drop it (or add an is_null disjunct)")
-        return have in members
     import operator as _op
 
     py_ops = {"=": _op.eq, "!=": _op.ne, ">=": _op.ge, ">": _op.gt,
@@ -2811,6 +3028,18 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
                     spark.read.parquet(os.path.join(table_dir, dv_rel))
                     .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
                     .collect()}
+    # fail CLOSED on any extraction mismatch: every DV path must name a
+    # dirty entry — a position recorded under a path no entry carries
+    # would "delete" rows no reader ever filters (the ADVICE r12 bug
+    # shape: the old fixed-depth regex yielded '' for partitioned
+    # layouts and the delete silently became a no-op with a D-row log)
+    unknown = set(total_counts) - {e["path"] for e in dirty}
+    if unknown:
+        raise RuntimeError(
+            "snapshot_delete_where: deletion-vector positions recorded "
+            f"under path(s) {sorted(unknown)[:3]} that match no manifest "
+            "entry — file-path extraction is inconsistent with entry "
+            "paths; aborting before publishing a no-op delete")
     updated = []
     for e in dirty:
         if e["path"] in total_counts:
@@ -2890,11 +3119,15 @@ def snapshot_add_constraint(spark: SparkSession, table_dir: str,
     (prior segments adopted by reference, empty change log, CDF passes
     through). Constraints survive overwrites (they describe the TABLE,
     not a data generation); ``snapshot_drop_constraint`` removes one.
-    Race note: an append IN FLIGHT while the constraint lands
-    validated against the constraint set it read at write time — the
-    one commit window Delta closes with metadata-conflict detection
-    and this format documents instead (the add's own head validation
-    covers everything committed before it)."""
+    Race note (CLOSED in r13, VERDICT r12 item 1): an append in
+    flight while the constraint lands validated against the set it
+    read at write time, but the publish loop now diffs the inherited
+    constraints against that validated set and RE-VALIDATES the
+    commit's written files against any grown constraint before
+    publication (``_publish_commit`` metadata-conflict detection —
+    Delta's rule); a violating in-flight commit aborts instead of
+    silently escaping the contract. The add's own head validation
+    covers everything committed before it."""
     from pyspark.sql import functions as F
 
     if not name or not isinstance(expr, str) or not expr.strip():

@@ -3242,3 +3242,182 @@ def snapshot_check_constraint_parity(spark: SparkSession,
         .withColumn("cents", F.col("cents") * 2)
     snapshot_merge(spark, table_dir, upd, "k")
     return snapshot_read(spark, table_dir)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned deletion vectors + IN pruning + spec-preserving OPTIMIZE
+# (r13, ADVICE r12: the DV path regex silently no-op'ed deletes on
+# partitioned tables; partition-field IN was unreachable; compaction
+# stripped partition tuples).
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_partitioned_delete_parity",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT 'base' AS section, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM ev GROUP BY 1, 2
+    UNION ALL
+    SELECT 'in_days', event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM ev WHERE day IN ('2024-01-10', '2024-01-20')
+      AND event_type <> 'purchase' GROUP BY 1, 2
+    UNION ALL
+    SELECT 'head', event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM ev WHERE event_type <> 'purchase' AND day >= '2024-01-05'
+    GROUP BY 1, 2
+    """,
+)
+def snapshot_partitioned_delete_parity(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The three ADVICE r12 partition-surface fixes, composed as one
+    lifecycle on a hidden-partitioned events table
+    (operators/snapshots.py:snapshot_delete_where /
+    _partition_term_match / snapshot_compact):
+
+    (a) DELETE on a PARTITIONED table via deletion vectors — the r12
+        path regex only matched flat 3-component layouts, so positions
+        recorded under path '', the vector attached to NO entry, and
+        the delete silently no-op'ed while publishing rows_deleted>0
+        and a D-row log. Pinned: rows really gone from every read,
+        every data file BYTE-IDENTICAL (sha1), vectors attached to
+        real entries, D-feed == deleted rows.
+    (b) Partition-field IN — previously unreachable (the scalar type
+        guard ran first), so IN either raised or never pruned.
+        Pinned: the planned file set is EXACTLY the two days' tupled
+        files (hashed as the ``in_days`` section, read THROUGH the
+        vectors).
+    (c) OPTIMIZE preserves the partition spec — previously the
+        compacted entries lost their tuples, demoting the table to
+        stats-only pruning and breaking snapshot_drop_partitions.
+        Pinned: every compacted entry carries a complete tuple, and a
+        post-compact metadata-only drop retires exact days (``head``
+        section). ``base`` is pre-delete time travel."""
+    import hashlib
+
+    from ..operators.snapshots import (_read_manifest,
+                                       snapshot_commit_partitioned,
+                                       snapshot_compact,
+                                       snapshot_current_version,
+                                       snapshot_delete_where,
+                                       snapshot_drop_partitions,
+                                       snapshot_pruned_files,
+                                       snapshot_read, snapshot_read_cdf,
+                                       snapshot_scan)
+
+    table_dir = _scratch(sf_dir, "snapshot_partitioned_delete")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    day_of = F.date_format("ts", "yyyy-MM-dd")
+    spec = [{"name": "day", "source": "ts", "transform": "day"}]
+    snapshot_commit_partitioned(
+        spark, table_dir,
+        ev.filter(F.col("event_id") % 2 == 0).repartition(30, day_of),
+        spec)
+    snapshot_commit_partitioned(
+        spark, table_dir,
+        ev.filter(F.col("event_id") % 2 == 1).repartition(30, day_of),
+        spec, mode="append")
+    base_version = snapshot_current_version(table_dir)
+
+    def data_shas() -> dict:
+        out = {}
+        for root, _, files in os.walk(os.path.join(table_dir, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[p] = hashlib.sha1(fh.read()).hexdigest()
+        return out
+
+    pre_shas = data_shas()
+    expect_deleted = ev.filter(F.col("event_type") == "purchase").count()
+    v_del, info = snapshot_delete_where(
+        spark, table_dir, [("event_type", "=", "purchase")],
+        key="event_id")
+    if info["rows_deleted"] != expect_deleted or info["files_rewritten"]:
+        raise RuntimeError(
+            f"snapshot_partitioned_delete_parity: delete reported "
+            f"{info} — expected {expect_deleted} rows, 0 rewrites")
+    if data_shas() != pre_shas:
+        raise RuntimeError(
+            "snapshot_partitioned_delete_parity: a data file changed "
+            "on disk — the partitioned delete copy-on-wrote")
+    m_del = _read_manifest(table_dir, v_del)
+    dv_entries = [e for e in m_del["files"] if e.get("dv")]
+    if not dv_entries or not all(e["path"] for e in m_del["files"]):
+        raise RuntimeError(
+            "snapshot_partitioned_delete_parity: no vector attached "
+            "to a real entry — the path-extraction bug shape")
+    left = snapshot_read(spark, table_dir).filter(
+        F.col("event_type") == "purchase").count()
+    if left:
+        raise RuntimeError(
+            f"snapshot_partitioned_delete_parity: {left} deleted rows "
+            "still readable — the delete silently no-op'ed")
+    feed = snapshot_read_cdf(spark, table_dir, base_version)
+    if (feed.count() != expect_deleted
+            or feed.filter(F.col("_change_type") != "D").count()):
+        raise RuntimeError(
+            "snapshot_partitioned_delete_parity: the delete feed is "
+            "not exactly the deleted rows as D")
+
+    # (b) partition-field IN: exact planned files, through the vectors
+    days = ["2024-01-10", "2024-01-20"]
+    want = {e["path"] for e in m_del["files"]
+            if e["partition"]["day"] in days}
+    kept, total = snapshot_pruned_files(table_dir, [("day", "in", days)])
+    if set(kept) != want or not (0 < len(kept) < total):
+        raise RuntimeError(
+            f"snapshot_partitioned_delete_parity: IN planned "
+            f"{len(kept)} files, expected exactly {len(want)} of "
+            f"{total}")
+    in_days_df = snapshot_scan(spark, table_dir, [("day", "in", days)])
+
+    # (c) OPTIMIZE keeps the spec and the tuples
+    v_c, before, after = snapshot_compact(spark, table_dir,
+                                          target_files=4)
+    m_c = _read_manifest(table_dir, v_c)
+    if m_c["partition_spec"] != spec:
+        raise RuntimeError(
+            "snapshot_partitioned_delete_parity: compaction dropped "
+            "the partition spec")
+    if not all(e.get("partition", {}).get("day") for e in m_c["files"]):
+        raise RuntimeError(
+            "snapshot_partitioned_delete_parity: a compacted entry "
+            "lost its partition tuple — OPTIMIZE demoted the table")
+    if any(e.get("dv") for e in m_c["files"]):
+        raise RuntimeError(
+            "snapshot_partitioned_delete_parity: compaction carried "
+            "vectors instead of materializing them")
+    cut = "2024-01-05"
+    expect_drop = ev.filter((day_of < cut)
+                            & (F.col("event_type") != "purchase")
+                            ).count()
+    v_d, dinfo = snapshot_drop_partitions(spark, table_dir,
+                                          [("day", "<", cut)])
+    if dinfo["rows_dropped"] != expect_drop:
+        raise RuntimeError(
+            f"snapshot_partitioned_delete_parity: post-compact drop "
+            f"retired {dinfo['rows_dropped']} rows, expected "
+            f"{expect_drop}")
+
+    def agg(df: DataFrame, section: str) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("cents").alias("cents"))
+                .select(F.lit(section).alias("section"), "event_type",
+                        "n", "cents"))
+
+    return (agg(snapshot_read(spark, table_dir, version=base_version),
+                "base")
+            .unionByName(agg(in_days_df, "in_days"))
+            .unionByName(agg(snapshot_read(spark, table_dir), "head")))

@@ -3702,3 +3702,357 @@ def test_check_constraints_enforced_across_verbs(spark, tmp_path):
     S.snapshot_drop_constraint(t, "nonneg")
     S.snapshot_commit(spark, t, bad.coalesce(1))
     assert S.snapshot_read(spark, t).filter("cents < 0").count() == 1
+
+
+def test_delete_where_on_partitioned_table(spark, tmp_path):
+    """Regression (ADVICE r12 high): deletion-vector path extraction
+    must handle partitioned layouts, whose files live at
+    data/<cid>/__part_x=v/part-*.parquet (4+ components). The old
+    fixed-depth regex yielded '' there, recorded positions under path
+    '', attached the vector to NO entry — and still published with
+    rows_deleted > 0 and a D-row log while every row silently
+    survived."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "pdv")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.expr("timestamp'2024-01-01 00:00:00' + "
+               "make_interval(0,0,0,CAST(id % 4 AS INT),0,0,0)")
+        .alias("ts"),
+        (F.col("id") * 10).alias("v"))
+    spec = [{"name": "day", "source": "ts", "transform": "day"}]
+    S.snapshot_commit_partitioned(spark, t, df, spec)
+    v, info = S.snapshot_delete_where(
+        spark, t, [("k", ">=", 50), ("k", "<", 80)], key="k")
+    assert info["rows_deleted"] == 30
+    assert info["files_rewritten"] == 0
+    # rows are REALLY gone from every read path
+    assert S.snapshot_read(spark, t).count() == 170
+    assert S.snapshot_read(spark, t).filter(
+        (F.col("k") >= 50) & (F.col("k") < 80)).count() == 0
+    # the vector attached to real entries (not to path '')
+    m = S._read_manifest(t, v)
+    assert all(e["path"] for e in m["files"])
+    dv_entries = [e for e in m["files"] if e.get("dv")]
+    assert dv_entries
+    # CDF D rows match, partition-field pruning still exact after
+    feed = S.snapshot_read_cdf(spark, t, v - 1)
+    assert feed.count() == 30
+    assert set(feed.select("_change_type").distinct().toPandas()
+               ["_change_type"]) == {"D"}
+    # a second, overlapping delete supersedes cleanly on the same files
+    v2, info2 = S.snapshot_delete_where(
+        spark, t, [("k", ">=", 70), ("k", "<", 90)], key="k")
+    assert info2["rows_deleted"] == 10  # 70..79 already gone
+    assert S.snapshot_read(spark, t).count() == 160
+
+
+def test_partition_term_match_in_reachable(spark, tmp_path):
+    """Regression (ADVICE r12 medium): the IN branch of
+    _partition_term_match ran after a scalar-type guard that returned
+    None for lists — so partition-field IN never pruned, never
+    dropped, and snapshot_scan always raised the no-tuple error."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    # pure-function checks
+    e = {"partition": {"day": "2024-01-03", "b": "2"}}
+    assert S._partition_term_match(e, ("day", "in",
+                                       ["2024-01-03", "x"])) is True
+    assert S._partition_term_match(e, ("day", "in", ["nope"])) is False
+    assert S._partition_term_match(e, ("b", "in", [2, 7])) is True
+    assert S._partition_term_match(e, ("b", "in", [3, 7])) is False
+    # a bool member is undecidable, never a definitive False
+    assert S._partition_term_match(e, ("b", "in", [True])) is None
+
+    t = str(tmp_path / "pin")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.expr("timestamp'2024-01-01 00:00:00' + "
+               "make_interval(0,0,0,CAST(id % 5 AS INT),0,0,0)")
+        .alias("ts"))
+    spec = [{"name": "day", "source": "ts", "transform": "day"}]
+    S.snapshot_commit_partitioned(spark, t, df, spec)
+    days = ["2024-01-02", "2024-01-04"]
+    expect = df.filter(
+        F.date_format("ts", "yyyy-MM-dd").isin(days)).count()
+    assert expect > 0
+    # scan with partition-field IN: exact files planned, exact rows
+    kept, total = S.snapshot_pruned_files(t, [("day", "in", days)])
+    assert 0 < len(kept) < total
+    assert S.snapshot_scan(spark, t, [("day", "in", days)]) \
+        .count() == expect
+    # drop with IN retires exactly those partitions, metadata-only
+    v, info = S.snapshot_drop_partitions(spark, t,
+                                         [("day", "in", days)])
+    assert info["rows_dropped"] == expect
+    assert S.snapshot_read(spark, t).count() == 300 - expect
+
+
+def test_bucket_predicate_skips_unhashable_literals(spark, tmp_path):
+    """Regression (ADVICE r12 low): bucket derivation hashed Python
+    str(val) while the writer hashes Spark CAST(col AS STRING) — for
+    booleans ('True' vs 'true') and floats the renderings differ, the
+    derived bucket number is wrong, and exact tuple evaluation PRUNED
+    the matching files. Such literals must not derive a bucket term at
+    all (underivable -> no pruning -> correct rows)."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    # derivation: bool and float literals produce NO bucket term
+    spec = [{"name": "bb", "source": "flag", "transform": "bucket:4"}]
+    assert S._derived_partition_terms(spec, [("flag", "=", True)]) == []
+    assert S._derived_partition_terms(spec, [("flag", "=", 1.5)]) == []
+    assert S._derived_partition_terms(
+        spec, [("flag", "in", [True, False])]) == []
+    # str/int still derive
+    assert S._derived_partition_terms(spec, [("flag", "=", "x")]) \
+        == [("bb", "=", __import__("zlib").crc32(b"x") % 4)]
+
+    t = str(tmp_path / "pbool")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("flag"))
+    S.snapshot_commit_partitioned(spark, t, df, spec)
+    # equality on the SOURCE column with a bool literal: full rows back
+    assert S.snapshot_scan(spark, t, [("flag", "=", True)]) \
+        .count() == 50
+
+
+def test_compact_preserves_partition_spec(spark, tmp_path):
+    """Regression (ADVICE r12 low): OPTIMIZE on a partitioned table
+    harvested entries without partition tuples, silently demoting the
+    table to stats-only pruning and breaking snapshot_drop_partitions
+    for compacted files. The rewrite now re-derives the transform
+    columns, writes partitionBy, and records exact tuples — and
+    UPGRADES un-tupled plain-append history on the way."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "pcomp")
+    df = spark.range(240).select(
+        F.col("id").alias("k"),
+        F.expr("timestamp'2024-01-01 00:00:00' + "
+               "make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0)")
+        .alias("ts"),
+        (F.col("id") % 11).alias("v"))
+    spec = [{"name": "day", "source": "ts", "transform": "day"}]
+    S.snapshot_commit_partitioned(spark, t, df.filter("k < 100"), spec)
+    S.snapshot_commit_partitioned(spark, t, df.filter("k >= 100"),
+                                  spec, mode="append")
+    # plain (un-tupled) append interleaves — compaction must ABSORB it
+    S.snapshot_commit(spark, t, df.filter("k < 5").coalesce(1),
+                      mode="append")
+    v, before, after = S.snapshot_compact(spark, t, target_files=2)
+    m = S._read_manifest(t, v)
+    assert after < before
+    # every compacted entry carries a complete tuple again
+    assert all(e.get("partition", {}).get("day") for e in m["files"])
+    assert m["partition_spec"] == spec
+    total = 240 + 5
+    assert S.snapshot_read(spark, t).count() == total
+    # partition-field scans work again (no un-tupled survivors)
+    day2 = df.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-02")
+    expect = day2.count() + day2.filter("k < 5").count()
+    assert S.snapshot_scan(spark, t, [("day", "=", "2024-01-02")]) \
+        .count() == expect
+    # ... and metadata-only drops too
+    v2, info = S.snapshot_drop_partitions(
+        spark, t, [("day", "=", "2024-01-01")])
+    d1 = df.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-01")
+    assert info["rows_dropped"] == d1.count() + d1.filter("k < 5").count()
+
+
+def test_rebase_segments_accumulate_across_retries(spark, tmp_path):
+    """Regression (ADVICE r12 medium): in _publish_commit's retry
+    loop, a SECOND conflict narrowing (after a FileNotFoundError
+    retry) overwrote the first narrowing's carried segments instead of
+    accumulating — a lost update of committed rows. Injected race:
+    append A lands before a merge's publish (narrowing #1), the
+    prev-manifest read is forced to fail once while append B lands
+    (narrowing #2 on retry); the final manifest must carry BOTH."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "acc")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"))
+    a = spark.range(1000, 1100).select(
+        F.col("id").alias("k"), F.lit(2).alias("v"))
+    b = spark.range(2000, 2100).select(
+        F.col("id").alias("k"), F.lit(3).alias("v"))
+    S.snapshot_commit(spark, t, base.coalesce(1))          # v0
+    S.snapshot_commit(spark, t, a.coalesce(1), mode="append")  # v1
+
+    real = S._read_manifest_meta
+    state = {"v1_reads": 0, "fired": False, "armed": True}
+
+    def wrapper(td, v):
+        if (td == t and v == 1 and state["armed"]
+                and not state["fired"]):
+            state["v1_reads"] += 1
+            # 1st v1 read: the narrowing chain walk; 2nd: the loop's
+            # prev_manifest read — fire there
+            if state["v1_reads"] == 2:
+                state["fired"] = True
+                state["armed"] = False
+                S.snapshot_commit(spark, t, b.coalesce(1),
+                                  mode="append")  # v2 lands mid-race
+                state["armed"] = True
+                raise FileNotFoundError("injected: expired between "
+                                        "listing and read")
+        return real(td, v)
+
+    updates = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit(99).alias("v"))
+    try:
+        S._read_manifest_meta = wrapper
+        # derived from v0: append A (already at v1) is narrowing #1's
+        # carry; append B (landing mid-retry) is narrowing #2's — the
+        # buggy overwrite would drop A's segments from the manifest
+        S.snapshot_merge(spark, t, updates, "k", base_version=0)
+    finally:
+        S._read_manifest_meta = real
+    assert state["fired"], "the injected race never fired"
+    out = S.snapshot_read(spark, t)
+    # both interleaved appends survived the double narrowing
+    assert out.filter("v = 2").count() == 100
+    assert out.filter("v = 3").count() == 100
+    assert out.filter("v = 99").count() == 10
+    assert out.count() == 300
+
+
+def test_constraint_landing_mid_append_aborts_violating_commit(
+        spark, tmp_path):
+    """Metadata-conflict detection (r13, VERDICT r12 item 1a): a CHECK
+    constraint landing between an append's data write (validated
+    against the OLD constraint set) and its publish must be re-enforced
+    on the written files — the violating append ABORTS instead of
+    silently escaping the contract (the race the r12 docstring only
+    documented)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "mc")
+    df = spark.range(50).select(F.col("id").alias("k"),
+                                (F.col("id") * 10).alias("v"))
+    S.snapshot_commit(spark, t, df.coalesce(1))
+
+    real_enf = S._enforce_constraints
+    state = {"fired": False}
+
+    def wrapper(spark_, td, c, entries, sj, verb):
+        real_enf(spark_, td, c, entries, sj, verb)
+        if not state["fired"]:
+            # the append just validated its written files against the
+            # PRE-ADD constraint set; land the constraint now, inside
+            # the write->publish window
+            state["fired"] = True
+            S.snapshot_add_constraint(spark_, td, "nonneg", "v >= 0")
+
+    bad = spark.createDataFrame([(900, -5)], "k long, v long")
+    try:
+        S._enforce_constraints = wrapper
+        with pytest.raises(ValueError, match="nonneg"):
+            S.snapshot_commit(spark, t, bad.coalesce(1), mode="append")
+    finally:
+        S._enforce_constraints = real_enf
+    assert state["fired"]
+    # no version published beyond the constraint add itself
+    head = S.snapshot_current_version(t)
+    m = S._read_manifest_meta(t, head)
+    assert m["constraints"] == {"nonneg": "v >= 0"}
+    assert S.snapshot_read(spark, t).filter("v < 0").count() == 0
+
+    # the same race with a CLEAN batch publishes (revalidation passes)
+    state["fired"] = False
+
+    def wrapper2(spark_, td, c, entries, sj, verb):
+        real_enf(spark_, td, c, entries, sj, verb)
+        if not state["fired"]:
+            state["fired"] = True
+            S.snapshot_add_constraint(spark_, td, "small", "v < 10000")
+
+    good = spark.createDataFrame([(901, 7)], "k long, v long")
+    try:
+        S._enforce_constraints = wrapper2
+        v = S.snapshot_commit(spark, t, good.coalesce(1), mode="append")
+    finally:
+        S._enforce_constraints = real_enf
+    assert state["fired"]
+    m2 = S._read_manifest_meta(t, v)
+    assert set(m2["constraints"]) == {"nonneg", "small"}
+    assert S.snapshot_read(spark, t).filter("k = 901").count() == 1
+
+
+def test_rewrite_rebases_through_constraint_add(spark, tmp_path):
+    """Metadata-conflict detection (r13, VERDICT r12 item 1b): a merge
+    derived from a pre-add read must REBASE through the interleaved
+    metadata-only constraint commit (previously: unconditional
+    SnapshotConflictError) — and enforce the new constraint on its own
+    rewritten files: the violating merge aborts, the clean one
+    publishes with the constraint recorded."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "mrc")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("v"))
+    S.snapshot_commit(spark, t, df.coalesce(1))
+    stale = S.snapshot_current_version(t)
+    S.snapshot_add_constraint(spark, t, "nonneg", "v >= 0")
+
+    bad_upd = spark.createDataFrame([(5, -1)], "k long, v long")
+    with pytest.raises(ValueError, match="nonneg"):
+        S.snapshot_merge(spark, t, bad_upd, "k", base_version=stale)
+    good_upd = spark.createDataFrame([(5, 777)], "k long, v long")
+    v = S.snapshot_merge(spark, t, good_upd, "k", base_version=stale)[0]
+    m = S._read_manifest_meta(t, v)
+    assert m["constraints"] == {"nonneg": "v >= 0"}
+    out = S.snapshot_read(spark, t)
+    assert out.filter("k = 5").first()["v"] == 777
+    assert out.count() == 100
+
+
+def test_rewrite_rebases_through_manifest_compaction(spark, tmp_path):
+    """r13: REWRITE MANIFESTS re-chunks the same entries into new
+    segments — a rewrite derived from a pre-compaction read must
+    rebase through it (the entry set is byte-identical), not abort."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "mrm")
+    df = spark.range(60).select(F.col("id").alias("k"),
+                                (F.col("id") * 10).alias("v"))
+    for lo in range(0, 60, 10):  # six tiny segments
+        S.snapshot_commit(
+            spark, t, df.filter((F.col("k") >= lo)
+                                & (F.col("k") < lo + 10)).coalesce(1),
+            mode="append" if lo else "overwrite")
+    stale = S.snapshot_current_version(t)
+    vc = S.snapshot_compact_manifests(t)
+    assert vc == stale + 1
+    upd = spark.createDataFrame([(7, 999)], "k long, v long")
+    v = S.snapshot_merge(spark, t, upd, "k", base_version=stale)[0]
+    out = S.snapshot_read(spark, t)
+    assert out.count() == 60
+    assert out.filter("k = 7").first()["v"] == 999
+    # a DELETE interleaved the same way still aborts (not metadata-only)
+    import pytest
+
+    stale2 = v
+    S.snapshot_delete_where(spark, t, [("k", ">=", 50)], key="k")
+    upd2 = spark.createDataFrame([(8, 111)], "k long, v long")
+    with pytest.raises(S.SnapshotConflictError):
+        S.snapshot_merge(spark, t, upd2, "k", base_version=stale2)
