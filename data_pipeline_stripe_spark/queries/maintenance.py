@@ -3421,3 +3421,158 @@ def snapshot_partitioned_delete_parity(spark: SparkSession,
                 "base")
             .unionByName(agg(in_days_df, "in_days"))
             .unionByName(agg(snapshot_read(spark, table_dir), "head")))
+
+
+# ---------------------------------------------------------------------------
+# Metadata-conflict detection in the OCC loop (r13, VERDICT r12 item 1).
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_metadata_conflict_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 900
+    )
+    SELECT k, pri,
+           CASE WHEN k > 100 AND k <= 300 THEN cents * 2
+                WHEN k > 300 AND k <= 500 THEN cents * 3
+                ELSE cents END AS cents
+    FROM base
+    """,
+)
+def snapshot_metadata_conflict_parity(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """METADATA-CONFLICT DETECTION (operators/snapshots.py
+    :_publish_commit + _is_metadata_only_commit; VERDICT r12 item 1:
+    the OCC loop validated DATA disjointness only — a CHECK constraint
+    landing between a commit's write and publish was inherited without
+    re-validating the already-written files, and any interleaved
+    non-append commit aborted a rewrite even when it moved no data).
+    Deterministic interleaves through the real API:
+
+    (a) VIOLATING REWRITE through a constraint add: a merge DERIVED
+        from the pre-add read whose rewritten files violate the new
+        constraint must ABORT (ValueError, no version published) —
+        before r13 it would rebase and publish contract-breaking rows.
+    (b) CLEAN REWRITE through the add: same stale read, clean rows —
+        REBASES through the metadata-only commit, publishes exactly
+        one version, and the published manifest carries the
+        constraint.
+    (c) MID-FLIGHT APPEND WINDOW: a constraint lands inside an
+        append's write->publish window (injected at the enforcement
+        seam); the append's rows violate it -> the publish loop
+        re-validates and ABORTS (the r12 docstring-only race, closed).
+    (d) REBASE THROUGH MANIFEST COMPACTION: a merge derived before a
+        ``snapshot_compact_manifests`` re-chunk publishes through it
+        (byte-identical entry set), where r12 aborted.
+
+    The hash compares the final table against the oracle's serial
+    restatement — any leak of an aborted commit's rows flips it."""
+    from ..operators import snapshots as S
+
+    table_dir = _scratch(sf_dir, "snapshot_metadata_conflict")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 900).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    S.snapshot_commit(spark, table_dir,
+                      base.filter(F.col("k") <= 400).coalesce(1))
+    S.snapshot_commit(spark, table_dir,
+                      base.filter((F.col("k") > 400)
+                                  & (F.col("k") <= 800)).coalesce(1),
+                      mode="append")
+    stale = S.snapshot_current_version(table_dir)
+    v_add = S.snapshot_add_constraint(spark, table_dir, "nonneg",
+                                      "cents >= 0")
+
+    # (a) violating rewrite derived from the pre-add read: abort
+    bad_upd = base.filter((F.col("k") > 200) & (F.col("k") <= 300)) \
+        .withColumn("cents", F.lit(-1).cast("long"))
+    try:
+        S.snapshot_merge(spark, table_dir, bad_upd, "k",
+                         base_version=stale)
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: a merge whose rows "
+            "violate the interleaved constraint PUBLISHED — the "
+            "inherited contract was not re-validated")
+    except ValueError as exc:
+        if "nonneg" not in str(exc):
+            raise
+    if S.snapshot_current_version(table_dir) != v_add:
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: the aborted merge "
+            "still advanced the version")
+
+    # (b) clean rewrite rebases THROUGH the metadata-only add
+    upd = base.filter((F.col("k") > 100) & (F.col("k") <= 300)) \
+        .withColumn("cents", F.col("cents") * 2)
+    v_merge, _ = S.snapshot_merge(spark, table_dir, upd, "k",
+                                  base_version=stale)
+    if v_merge != v_add + 1:
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: the clean rebase "
+            f"published {v_merge}, expected {v_add + 1}")
+    if S._read_manifest_meta(table_dir, v_merge)["constraints"] != \
+            {"nonneg": "cents >= 0"}:
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: the rebased merge "
+            "dropped the interleaved constraint from the manifest")
+
+    # (c) a constraint landing INSIDE an append's write->publish
+    # window: the publish loop must re-validate the written files
+    real_enf = S._enforce_constraints
+    state = {"fired": False}
+
+    def inject(spark_, td, c, entries, sj, verb):
+        real_enf(spark_, td, c, entries, sj, verb)
+        if not state["fired"] and td == table_dir:
+            state["fired"] = True
+            S.snapshot_add_constraint(spark_, td, "cap_k", "k <= 940")
+
+    stray = spark.createDataFrame([(950, "1-URGENT", 10)],
+                                  "k long, pri string, cents long")
+    head_before = S.snapshot_current_version(table_dir)
+    try:
+        S._enforce_constraints = inject
+        S.snapshot_commit(spark, table_dir, stray.coalesce(1),
+                          mode="append")
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: an append violating "
+            "the mid-flight constraint PUBLISHED")
+    except ValueError as exc:
+        if "cap_k" not in str(exc):
+            raise
+    finally:
+        S._enforce_constraints = real_enf
+    if not state["fired"]:
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: the mid-flight "
+            "injection never fired — the leg tested nothing")
+    if S.snapshot_current_version(table_dir) != head_before + 1:
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: expected exactly the "
+            "constraint add to land during the aborted append")
+    if S.snapshot_read(spark, table_dir).filter("k = 950").count():
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: the aborted append's "
+            "rows are readable")
+
+    # (d) rebase through a manifest re-chunk
+    third = base.filter((F.col("k") > 800) & (F.col("k") <= 900))
+    for i in range(3):
+        S.snapshot_commit(spark, table_dir,
+                          third.filter(F.col("k") % 3 == i).coalesce(1),
+                          mode="append")
+    stale2 = S.snapshot_current_version(table_dir)
+    vc = S.snapshot_compact_manifests(table_dir)
+    if vc == stale2:
+        raise RuntimeError(
+            "snapshot_metadata_conflict_parity: manifest compaction "
+            "no-op'ed — the fixture has nothing to re-chunk")
+    upd2 = base.filter((F.col("k") > 300) & (F.col("k") <= 500)) \
+        .withColumn("cents", F.col("cents") * 3)
+    S.snapshot_merge(spark, table_dir, upd2, "k", base_version=stale2)
+    return S.snapshot_read(spark, table_dir)
