@@ -206,13 +206,24 @@ def main() -> None:
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf_dir
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sinks": sinks,
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf_dir,
+        "sf": sf_val,
+    }))
+    # tiny summary LAST: the driver's bounded stdout tail cut the full
+    # per-query line mid-object at r12 (parsed: null despite rc 0) —
+    # the final line must always fit and parse on its own
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n": len(timings),
     }))
     spark.stop()
 

@@ -214,11 +214,21 @@ def _manifest_files(table_dir: str, m: dict) -> list[dict]:
     """Materialize a manifest's full file-entry list from its segments
     — the O(table-files) form. Full reads need it anyway (they are
     about to read every data file); pruned scans and delta walks go
-    through the segment descriptors instead and never call this."""
+    through the segment descriptors instead and never call this.
+    Each entry is annotated with its segment's SEQUENCE NUMBER
+    (``_seq``, r13 — the commit version that first wrote the data;
+    0 for pre-r13 segments) so equality-delete application and
+    rewrite re-serialization can scope by data age; ``_write_segments``
+    strips the transient key before persisting."""
     if "files" in m:
         return m["files"]
-    return [e for seg in m["segments"]
-            for e in _segment_entries(table_dir, seg)]
+    out = []
+    for seg in m["segments"]:
+        seq = seg.get("seq", 0)
+        for e in _segment_entries(table_dir, seg):
+            e["_seq"] = seq
+            out.append(e)
+    return out
 
 
 def _read_manifest(table_dir: str, version: int) -> dict:
@@ -294,6 +304,11 @@ def _write_segments(table_dir: str, entries: list[dict]) -> list[dict]:
     manifest never published) is unreferenced garbage for
     ``snapshot_expire``, exactly like an unpublished data dir."""
     os.makedirs(os.path.join(table_dir, _SEGMENT_DIR), exist_ok=True)
+    # the transient _seq annotation (see _manifest_files) never
+    # persists inside a segment file — sequence numbers live on the
+    # segment DESCRIPTOR
+    entries = [({k: v for k, v in e.items() if k != "_seq"}
+                if "_seq" in e else e) for e in entries]
     descs = []
     for i in range(0, len(entries), _SEGMENT_MAX_ENTRIES):
         chunk = entries[i:i + _SEGMENT_MAX_ENTRIES]
@@ -333,6 +348,44 @@ def _write_segments(table_dir: str, entries: list[dict]) -> list[dict]:
                     for f in fields}
         descs.append(desc)
     return descs
+
+
+def _write_segments_grouped(table_dir: str, entries: list[dict],
+                            eq_deletes: list[dict] | None = None
+                            ) -> list[dict]:
+    """Re-serialize carried entries into fresh segments WITHOUT
+    changing which equality deletes apply to them (r13): a rewrite
+    that re-chunks a partially-dirty segment must not let its clean,
+    unread members inherit the rewrite's own (new) sequence number —
+    an equality delete older than the data would stop applying
+    (resurrected rows) — nor stamp newer data old (wrongly deleted).
+
+    Entries group by their DELETE-APPLICABILITY CLASS against the
+    table's active ``eq_deletes`` (the set of descriptors whose seq
+    exceeds the entry's), not by raw seq: raw-seq grouping would keep
+    one segment per historical commit and make manifest compaction a
+    no-op on exactly the streaming-sink tables it exists for. Each
+    group's descriptors carry the group's MINIMUM source seq — class
+    membership is preserved (same comparisons against every active
+    descriptor), and any FUTURE delete's seq exceeds every current
+    one, so relative order inside a class can never matter again."""
+    eq = eq_deletes or []
+
+    def klass(seq: int) -> tuple:
+        return tuple(d["seq"] for d in eq if seq < d["seq"])
+
+    by_class: dict[tuple, list[dict]] = {}
+    for e in entries:
+        by_class.setdefault(klass(e.get("_seq", 0)), []).append(e)
+    out: list[dict] = []
+    for key in sorted(by_class):
+        group = by_class[key]
+        seq = min(e.get("_seq", 0) for e in group)
+        descs = _write_segments(table_dir, group)
+        for d in descs:
+            d["seq"] = seq
+        out.extend(descs)
+    return out
 
 
 def _segment_pseudo_entry(desc: dict) -> dict:
@@ -414,6 +467,11 @@ def _is_metadata_only_commit(table_dir: str, parent_m: dict,
     drops, and anything with a recorded change log or a file delta
     are NOT metadata-only."""
     if m.get("delta", {}).get("files") or m.get("changes"):
+        return False
+    if (m.get("eq_deletes") or []) != (parent_m.get("eq_deletes") or []):
+        # an equality delete changes data VISIBILITY without touching
+        # a segment — a rewrite rebased through it would re-materialize
+        # pre-delete rows it read under the old state (resurrection)
         return False
     p_segs, c_segs = parent_m["segments"], m["segments"]
     if [s["path"] for s in p_segs] == [s["path"] for s in c_segs]:
@@ -503,10 +561,49 @@ def _all_manifest_versions(table_dir: str) -> list[int]:
     )
 
 
+_LATEST_HINT = "_latest"
+
+
+def _write_latest_hint(table_dir: str, version: int) -> None:
+    """ADVISORY head pointer (r13, VERDICT r12 item 7b): written after
+    every successful publish so ``snapshot_current_version`` stops
+    paying an O(versions) directory listing per probe — on local FS a
+    noise term, but a streaming trigger against object storage would
+    pay a LIST per 50 ms poll. Best-effort and NEVER trusted alone:
+    the reader verifies the hinted manifest exists and walks forward
+    past it, falling back to the full listing on any inconsistency —
+    a lost or stale hint can cost extra stats, never a wrong answer
+    (the put-if-absent link remains the only commit point)."""
+    try:
+        p = os.path.join(table_dir, _SNAPDIR, _LATEST_HINT)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, p)
+    except OSError:
+        pass  # advisory only
+
+
 def snapshot_current_version(table_dir: str) -> int | None:
     """The newest committed version, or None for an empty table. Under
     the put-if-absent protocol every manifest on disk IS committed, so
-    current = max manifest version — no pointer file to race with."""
+    current = max manifest version — no pointer file to race with.
+    O(1) in the common case (r13): the advisory ``_latest`` hint is
+    VERIFIED (hinted manifest must exist) then walked forward past any
+    newer commits whose hint write lost a race; full listing only when
+    the hint is absent or stale-invalid."""
+    try:
+        with open(os.path.join(table_dir, _SNAPDIR,
+                               _LATEST_HINT)) as fh:
+            hinted = int(fh.read().strip())
+    except (OSError, ValueError):
+        hinted = None
+    if hinted is not None and os.path.isfile(
+            _manifest_path(table_dir, hinted)):
+        nxt = hinted + 1
+        while os.path.isfile(_manifest_path(table_dir, nxt)):
+            nxt += 1
+        return nxt - 1
     versions = _all_manifest_versions(table_dir)
     return versions[-1] if versions else None
 
@@ -840,7 +937,8 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                     dirty_probe=None,
                     extra_commit_dirs: set[str] | None = None,
                     validated_constraints="skip",
-                    revalidate=None) -> int:
+                    revalidate=None,
+                    eq_deletes="inherit") -> int:
     """The OCC publish loop over ALREADY-WRITTEN immutable file entries
     — the Spark-free core of the commit protocol. ``snapshot_commit``
     writes its data via Spark and then calls this; the multi-process
@@ -1007,12 +1105,15 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                                                  expected_version)
                     kept = [e for e in _manifest_files(table_dir, base_m)
                             if e["path"] in keep_paths]
-                    base_segs = _write_segments(table_dir, kept)
+                    base_segs = _write_segments_grouped(
+                        table_dir, kept,
+                        prev_manifest.get("eq_deletes"))
                 else:
                     base_segs = list(keep_segments or [])
                     if keep_entries:
-                        base_segs += _write_segments(table_dir,
-                                                     keep_entries)
+                        base_segs += _write_segments_grouped(
+                            table_dir, keep_entries,
+                            prev_manifest.get("eq_deletes"))
             segments = base_segs + rebase_segs + new_segs
             schema_json = _evolved_schema_json(
                 prev_manifest["schema"], batch_schema)
@@ -1043,6 +1144,29 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                 revalidated_state = dict(grown)
         delta = _entry_totals(new_entries)
         version = (prev if prev is not None else -1) + 1
+        # SEQUENCE NUMBERS (r13): segments of THIS commit's new data
+        # are stamped with the publishing version — the age scope
+        # equality deletes apply under (a delete at seq D touches only
+        # segments with seq < D, so a key re-inserted after the delete
+        # survives it). Re-stamped per attempt: a rebase moves the
+        # version.
+        for d in new_segs:
+            d["seq"] = version
+        # EQUALITY DELETES (r13): a manifest-level list of key-value
+        # sidecar descriptors, inherited like constraints; descriptors
+        # SELF-CLEAN — one no segment is old enough to need anymore
+        # (every seg seq >= its seq: rewrites/compaction materialized
+        # the delete into the data) drops off the list
+        eff_eq = (prev_manifest.get("eq_deletes")
+                  if eq_deletes == "inherit" else eq_deletes) or []
+        # a descriptor WITHOUT a seq is the one THIS commit adds
+        # (snapshot_delete_keys): its scope is everything before the
+        # version that actually publishes — stamped per attempt, since
+        # a rebase moves the version
+        eff_eq = [dict(d, seq=version) if "seq" not in d else d
+                  for d in eff_eq]
+        eff_eq = [d for d in eff_eq
+                  if any(s.get("seq", 0) < d["seq"] for s in segments)]
         manifest = {
             "format_version": _FORMAT_VERSION,
             "version": version,
@@ -1083,6 +1207,7 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             # (the data changed; the contract did not) — only the
             # add/drop verbs replace the dict
             "constraints": eff_constraints,
+            "eq_deletes": eff_eq,
         }
         for d in sorted(commit_dirs):
             if not os.path.isdir(os.path.join(table_dir, d)):
@@ -1140,6 +1265,7 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             os.fsync(dir_fd)
         finally:
             os.close(dir_fd)
+        _write_latest_hint(table_dir, version)
         return version
     raise SnapshotConflictError(
         f"snapshot_commit: lost the commit race {max_retries + 1} times "
@@ -1190,7 +1316,8 @@ _DV_POS_COL = "__dv_pos"
 
 def _read_entries(spark: SparkSession, table_dir: str,
                   entries: list[dict], schema_json: str,
-                  with_pos: bool = False) -> DataFrame:
+                  with_pos: bool = False,
+                  eq_deletes: list[dict] | None = None) -> DataFrame:
     """Plan a read of the given manifest file entries UNDER THE
     MANIFEST'S SCHEMA (all-nullable): files written before a column was
     added read it as NULL — how every table format serves an evolved
@@ -1206,7 +1333,16 @@ def _read_entries(spark: SparkSession, table_dir: str,
     byte-identical). ``with_pos=True`` returns the live rows PLUS
     their (file-relative-path, row-position) under ``__dv_path`` /
     ``__dv_pos`` — what ``snapshot_delete_where`` uses to compute new
-    vectors against the already-deleted state."""
+    vectors against the already-deleted state.
+
+    EQUALITY DELETES (r13, VERDICT r12 item 2 — Iceberg v2's second
+    delete shape): each descriptor in ``eq_deletes`` ({path, cols,
+    seq}) anti-joins its key sidecar against every entry whose
+    sequence number (``_seq``, from the segment descriptor) is OLDER
+    than the delete — a key re-inserted after the delete survives it.
+    Entries are grouped by their applicable-descriptor set, so the
+    common cases (no deletes; all data older than all deletes) stay
+    single-frame. The sidecars are broadcast (O(keys) each)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
@@ -1239,31 +1375,58 @@ def _read_entries(spark: SparkSession, table_dir: str,
                             2_000_000_000).alias(_DV_PATH_COL),
                 F.col("_metadata.row_index").alias(_DV_POS_COL)))
 
-    dved = [e for e in entries if e.get("dv")]
-    plain = [e for e in entries if not e.get("dv")]
-    frames: list[DataFrame] = []
-    if plain:
-        paths = [os.path.join(table_dir, e["path"]) for e in plain]
-        frames.append(with_meta(paths) if with_pos
-                      else spark.read.schema(schema).parquet(*paths))
-    if dved:
-        raw = with_meta([os.path.join(table_dir, e["path"])
-                         for e in dved])
-        dv_df = spark.read.parquet(
-            *sorted({os.path.join(table_dir, e["dv"]["path"])
-                     for e in dved})).select("path", "pos")
-        alive = raw.join(
-            F.broadcast(dv_df),
-            (raw[_DV_PATH_COL] == dv_df["path"])
-            & (raw[_DV_POS_COL] == dv_df["pos"]),
-            "left_anti")
-        if not with_pos:
-            alive = alive.drop(_DV_PATH_COL, _DV_POS_COL)
-        frames.append(alive)
-    if not frames:
+    def read_subset(subset: list[dict]) -> DataFrame | None:
+        dved = [e for e in subset if e.get("dv")]
+        plain = [e for e in subset if not e.get("dv")]
+        frames: list[DataFrame] = []
+        if plain:
+            paths = [os.path.join(table_dir, e["path"]) for e in plain]
+            frames.append(with_meta(paths) if with_pos
+                          else spark.read.schema(schema).parquet(*paths))
+        if dved:
+            raw = with_meta([os.path.join(table_dir, e["path"])
+                             for e in dved])
+            dv_df = spark.read.parquet(
+                *sorted({os.path.join(table_dir, e["dv"]["path"])
+                         for e in dved})).select("path", "pos")
+            alive = raw.join(
+                F.broadcast(dv_df),
+                (raw[_DV_PATH_COL] == dv_df["path"])
+                & (raw[_DV_POS_COL] == dv_df["pos"]),
+                "left_anti")
+            if not with_pos:
+                alive = alive.drop(_DV_PATH_COL, _DV_POS_COL)
+            frames.append(alive)
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    eq = eq_deletes or []
+    groups: dict[tuple, list[dict]] = {}
+    for e in entries:
+        key = tuple(i for i, d in enumerate(eq)
+                    if e.get("_seq", 0) < d["seq"])
+        groups.setdefault(key, []).append(e)
+    outs: list[DataFrame] = []
+    for key, subset in groups.items():
+        df = read_subset(subset)
+        if df is None:
+            continue
+        for i in key:
+            d = eq[i]
+            keys_df = spark.read.parquet(
+                os.path.join(table_dir, d["path"])) \
+                .select(*d["cols"]).dropDuplicates()
+            df = df.join(F.broadcast(keys_df), on=list(d["cols"]),
+                         how="left_anti")
+        outs.append(df)
+    if not outs:
         return spark.createDataFrame([], out_schema)
-    out = frames[0]
-    for f in frames[1:]:
+    out = outs[0]
+    for f in outs[1:]:
         out = out.unionByName(f)
     return out
 
@@ -1278,7 +1441,7 @@ def snapshot_read(spark: SparkSession, table_dir: str,
     directories are invisible."""
     m = _resolve_version(table_dir, version, as_of)
     return _read_entries(spark, table_dir, _manifest_files(table_dir, m),
-                         m["schema"])
+                         m["schema"], eq_deletes=m.get("eq_deletes"))
 
 
 def _file_may_match(stats: dict, col: str, op: str, value) -> bool:
@@ -1412,7 +1575,9 @@ def _pruned_entries(table_dir: str, predicates: list[tuple],
             continue
         opened += 1
         kept.extend(
-            e for e in _segment_entries(table_dir, seg)
+            dict(e, _seq=seg.get("seq", 0))  # data-age annotation for
+            #                                  equality-delete scoping
+            for e in _segment_entries(table_dir, seg)
             if all(_entry_may_match(e, term) for term in probes))
     stats = {"files_kept": len(kept), "files_total": files_total,
              "segments_opened": opened,
@@ -1526,7 +1691,8 @@ def snapshot_scan(spark: SparkSession, table_dir: str,
                     "column instead")
         else:
             residual.append(term)
-    df = _read_entries(spark, table_dir, kept, m["schema"])
+    df = _read_entries(spark, table_dir, kept, m["schema"],
+                       eq_deletes=m.get("eq_deletes"))
     for term in residual:
         df = df.filter(_term_filter(term))
     return df
@@ -1650,6 +1816,9 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
             if dv:  # deletion-vector sidecar dirs (r12)
                 dparts = dv["path"].split(os.sep)  # dv/<id>
                 referenced.add((dparts[0], dparts[1]))
+        for d in m.get("eq_deletes") or []:  # equality sidecars (r13)
+            qparts = d["path"].split(os.sep)  # eqdel/<id>
+            referenced.add((qparts[0], qparts[1]))
     for v in doomed:
         os.remove(_manifest_path(table_dir, v))
     snapdir = os.path.join(table_dir, _SNAPDIR)
@@ -1674,7 +1843,7 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
                     and now - e.stat().st_mtime >= tmp_grace_seconds):
                 os.remove(e.path)
                 deleted_segs.append(os.path.join(_SEGMENT_DIR, e.name))
-    for root in ("data", "changes", "dv"):
+    for root in ("data", "changes", "dv", "eqdel"):
         abs_root = os.path.join(table_dir, root)
         if not os.path.isdir(abs_root):
             continue
@@ -1758,6 +1927,8 @@ def _split_dirty_by_probe(table_dir: str, m: dict, probe
             keep_segs.append(seg)
             continue
         entries = _segment_entries(table_dir, seg)
+        for e in entries:  # data-age annotation (see _manifest_files)
+            e["_seq"] = seg.get("seq", 0)
         # zero-row files (empty partitions) hold nothing to rewrite;
         # their missing stats would otherwise probe conservatively
         # dirty and drag whole-file rewrites in for no row
@@ -2038,9 +2209,11 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
         table_dir, manifest, probe)
     # clean entries materialized only for the returned audit frame's
     # read plan — the COMMIT carries untouched segments by descriptor
-    clean = keep_entries + [e for s in keep_segs
+    clean = keep_entries + [dict(e, _seq=s.get("seq", 0))
+                            for s in keep_segs
                             for e in _segment_entries(table_dir, s)]
-    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"])
+    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"],
+                             eq_deletes=manifest.get("eq_deletes"))
     merged = merge_upsert(dirty_df, updates, keys)
     if not_matched_by_source is not None:
         in_scope = F.lit(True)
@@ -2099,7 +2272,8 @@ def snapshot_merge(spark: SparkSession, table_dir: str,
             spark, table_dir, c, new_entries,
             new_state.schema.json(), "snapshot_merge"))
     clean_df = _read_entries(
-        spark, table_dir, clean, manifest["schema"]).withColumn(
+        spark, table_dir, clean, manifest["schema"],
+        eq_deletes=manifest.get("eq_deletes")).withColumn(
         "merge_action", F.lit("kept"))
     return version, merged.unionByName(clean_df)
 
@@ -2148,7 +2322,8 @@ def snapshot_apply_cdc(spark: SparkSession, table_dir: str,
     probe = _band_probe(keys, bands)
     dirty, keep_segs, keep_entries = _split_dirty_by_probe(
         table_dir, manifest, probe)
-    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"])
+    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"],
+                             eq_deletes=manifest.get("eq_deletes"))
     applied = apply_cdc(dirty_df, changes, keys, seq=seq, op=op)
     new_state = applied.drop("cdc_action")
 
@@ -2236,6 +2411,41 @@ def snapshot_read_cdf(spark: SparkSession, table_dir: str,
                 .withColumn("_change_type", F.lit("I"))
         else:
             entries = m.get("changes")
+            new_eq = [d for d in (m.get("eq_deletes") or [])
+                      if d not in (parent_m.get("eq_deletes") or [])]
+            if entries is None and new_eq:
+                # EQUALITY-DELETE commit (r13): the commit recorded
+                # O(keys) and NO change log by design — the D rows are
+                # computed LAZILY here, at first CDF read of the range
+                # (the read pays the band scan the commit refused to).
+                # Within one commit every parent segment precedes the
+                # delete, so the seq scope is vacuous; folding
+                # descriptor-by-descriptor keeps a row matched by two
+                # descriptors a single D.
+                remaining = _read_entries(
+                    spark, table_dir,
+                    _manifest_files(table_dir, parent_m),
+                    parent_m["schema"],
+                    eq_deletes=parent_m.get("eq_deletes"))
+                dead: list[DataFrame] = []
+                for d in new_eq:
+                    keys_df = spark.read.parquet(
+                        os.path.join(table_dir, d["path"])) \
+                        .select(*d["cols"]).dropDuplicates()
+                    dead.append(remaining.join(
+                        F.broadcast(keys_df), on=list(d["cols"]),
+                        how="left_semi"))
+                    remaining = remaining.join(
+                        F.broadcast(keys_df), on=list(d["cols"]),
+                        how="left_anti")
+                f = dead[0]
+                for extra in dead[1:]:
+                    f = f.unionByName(extra)
+                f = f.withColumn("_change_type", F.lit("D"))
+                frames.append(f.withColumn(
+                    "_commit_version",
+                    F.lit(m["version"]).cast("long")))
+                continue
             if entries is None:
                 raise ValueError(
                     f"snapshot_read_cdf: version {m['version']} is a "
@@ -2332,7 +2542,8 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
         # predicates matched no files: a periodic OPTIMIZE over a cold
         # partition must not burn a version on an empty rewrite
         return base_version, files_before, files_before
-    df = _read_entries(spark, table_dir, dirty, manifest["schema"])
+    df = _read_entries(spark, table_dir, dirty, manifest["schema"],
+                       eq_deletes=manifest.get("eq_deletes"))
     if cluster_cols is None:
         cluster_cols = manifest.get("cluster_cols")
     commit_id = uuid.uuid4().hex[:12]
@@ -2455,7 +2666,8 @@ def snapshot_overwrite_where(spark: SparkSession, table_dir: str,
     probe = _predicate_probe(predicates)
     dirty, keep_segs, keep_entries = _split_dirty_by_probe(
         table_dir, manifest, probe)
-    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"])
+    dirty_df = _read_entries(spark, table_dir, dirty, manifest["schema"],
+                             eq_deletes=manifest.get("eq_deletes"))
     commit_id = uuid.uuid4().hex[:12]
     rel = os.path.join("data", commit_id)
     abs_dir = os.path.join(table_dir, rel)
@@ -2913,7 +3125,8 @@ def snapshot_drop_partitions(spark: SparkSession, table_dir: str,
             {c.casefold() for c in cols}
             & {c.casefold() for c in _CDF_COLS}):
         chg_rel = os.path.join("changes", uuid.uuid4().hex[:12])
-        _read_entries(spark, table_dir, dropped, manifest["schema"]) \
+        _read_entries(spark, table_dir, dropped, manifest["schema"],
+                      eq_deletes=manifest.get("eq_deletes")) \
             .select(F.lit("D").alias("_change_type"), *cols) \
             .write.mode("error").parquet(os.path.join(table_dir, chg_rel))
         changes_entries = _file_entries(table_dir, chg_rel)
@@ -2999,7 +3212,8 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
     # existing DVs applied, so already-deleted rows neither re-match
     # nor re-log
     live = _read_entries(spark, table_dir, dirty, manifest["schema"],
-                         with_pos=True)
+                         with_pos=True,
+                         eq_deletes=manifest.get("eq_deletes"))
     matched = live.filter(F.coalesce(cond, F.lit(False)))
     new_counts = {r["path"]: r["n"] for r in
                   matched.groupBy(F.col(_DV_PATH_COL).alias("path"))
@@ -3071,6 +3285,104 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
     return version, {"files_touched": len(total_counts),
                      "rows_deleted": rows_deleted,
                      "files_rewritten": 0}
+
+
+def snapshot_delete_keys(spark: SparkSession, table_dir: str,
+                         keys: DataFrame, key_cols,
+                         base_version: int | None = None
+                         ) -> tuple[int, dict]:
+    """EQUALITY DELETE (r13, VERDICT r12 item 2 — Iceberg v2's second
+    delete shape): DELETE WHERE ``key_cols IN keys`` as an
+    **O(keys) commit that opens ZERO data files**. The streaming-CDC
+    trickle shape ``snapshot_delete_where`` cannot serve cheaply: the
+    position-delete verb READS the dirty band to resolve row positions
+    (O(band) per delete, every delete); this verb writes the key
+    values as a sidecar parquet (``eqdel/<id>``) and attaches a
+    manifest-level descriptor ``{path, cols, seq}`` — readers
+    broadcast-anti-join it against every entry whose segment sequence
+    number is OLDER than the delete, so a key re-inserted afterwards
+    survives (Iceberg's sequence-number rule). Commit metadata and
+    commit I/O are O(keys): flat in table size AND in band size — the
+    claim deletion vectors cannot make.
+
+    Application points: ``snapshot_read`` / ``snapshot_scan`` / the
+    merge-family dirty reads / the batch+streaming Python DataSource.
+    ``snapshot_compact`` reads THROUGH the deletes and rewrites, so
+    OPTIMIZE materializes them away; descriptors self-clean from the
+    manifest once no segment is old enough to need them. Batch CDF
+    computes the delete's D rows LAZILY at first read of the range
+    (the read pays the O(band) scan the commit refused to); the
+    streaming CDF source refuses the commit with the standard
+    non-expressible error. Time travel is untouched (older manifests
+    carry the shorter descriptor list).
+
+    ``keys`` is a DataFrame of exactly ``key_cols`` (extra columns are
+    projected away; duplicates collapsed); NULL key values are refused
+    (an anti-join NULL never matches — the delete would silently skip
+    them). Interleaved DISJOINT appends rebase (the delete applies to
+    them — exactly the serial order, since their sequence numbers
+    precede the delete's); interleaved rewrites abort. Returns
+    (version, {"keys": n}). A key set matching nothing still commits
+    (the descriptor is dropped once provably useless) — resolving
+    matches would require the band read this verb exists to avoid."""
+    from pyspark.sql import functions as F
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not key_cols:
+        raise ValueError("snapshot_delete_keys: key_cols is empty")
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(
+            f"snapshot_delete_keys: {table_dir} has no commits")
+    manifest = _read_manifest_meta(table_dir, base_version)
+    cols = {f["name"] for f in json.loads(manifest["schema"])["fields"]}
+    missing = [c for c in key_cols if c not in cols]
+    if missing:
+        raise ValueError(
+            f"snapshot_delete_keys: key column(s) {missing} not in the "
+            f"table schema {sorted(cols)}")
+    key_df = keys.select(*key_cols).dropDuplicates()
+    null_cond = F.lit(False)
+    for c in key_cols:
+        null_cond = null_cond | F.col(c).isNull()
+    eq_rel = os.path.join("eqdel", uuid.uuid4().hex[:12])
+    # one evaluation: write, then validate the WRITTEN keys (the same
+    # nondeterminism rationale as replaceWhere's stray check)
+    key_df.coalesce(1).write.mode("error").parquet(
+        os.path.join(table_dir, eq_rel))
+    written = spark.read.parquet(os.path.join(table_dir, eq_rel))
+    bad = written.filter(null_cond).limit(1)
+    if not bad.isEmpty():
+        raise ValueError(
+            "snapshot_delete_keys: a key row has a NULL key value "
+            f"({bad.first().asDict()}) — an equality delete can never "
+            "match NULL; filter such rows or use snapshot_delete_where "
+            "with an is_null term")
+    n_keys = written.count()
+    from pyspark.sql.types import StructType
+
+    # the delete's seq is the version it PUBLISHES at — not knowable
+    # before the OCC loop wins, so the descriptor records a seq the
+    # loop rewrites per attempt via the callback below
+    desc = {"path": eq_rel, "cols": key_cols, "rows": n_keys}
+    prev_eq = list(manifest.get("eq_deletes") or [])
+
+    version = _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=[],
+        batch_schema=StructType.fromJson(json.loads(manifest["schema"])),
+        expected_version=base_version,
+        reuse_segments=list(manifest["segments"]),
+        changes_entries=None,  # CDF is computed lazily at read time
+        cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
+        dirty_probe=lambda e: False,  # every append is provably
+        #                               disjoint: the delete applies to
+        #                               it by sequence number, exactly
+        #                               the serial restatement
+        eq_deletes=prev_eq + [desc],
+        extra_commit_dirs={eq_rel})
+    return version, {"keys": n_keys}
 
 
 def _enforce_constraints(spark: SparkSession, table_dir: str,
@@ -3147,7 +3459,8 @@ def snapshot_add_constraint(spark: SparkSession, table_dir: str,
             f"exists ({constraints[name]!r}) — drop it first")
     head = _read_entries(spark, table_dir,
                          _manifest_files(table_dir, manifest),
-                         manifest["schema"])
+                         manifest["schema"],
+                         eq_deletes=manifest.get("eq_deletes"))
     bad = head.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
     if not bad.isEmpty():
         raise ValueError(
@@ -3215,7 +3528,18 @@ def snapshot_compact_manifests(table_dir: str,
     (``base_version`` defaults to current; interleaved commits abort —
     a metadata sweep is always safe to re-run). No-op (returns the
     current version) when the table already has no undersized
-    segments to merge."""
+    segments to merge AND no deletion-vector sidecars to consolidate.
+
+    DV CONSOLIDATION (r13, VERDICT r12 item 7a): a trickle of
+    ``snapshot_delete_where`` commits leaves one tiny DV sidecar dir
+    per delete; this verb unions each entry's live vector rows into
+    ONE sidecar (pyarrow, O(total positions) — sidecars are
+    metadata-sized) and re-points every DV entry at it, so readers
+    broadcast one small frame instead of k. Data files untouched;
+    the superseded sidecar dirs become ``snapshot_expire`` garbage.
+    Stale rows (positions for a path whose entry moved to a newer
+    vector under supersession) are NOT carried — each entry
+    contributes exactly the rows recorded under its own path."""
     if base_version is None:
         base_version = snapshot_current_version(table_dir)
     if base_version is None:
@@ -3225,19 +3549,60 @@ def snapshot_compact_manifests(table_dir: str,
     segs = manifest["segments"]
     undersized = [s for s in segs
                   if s["n_files"] < _SEGMENT_MAX_ENTRIES]
-    if len(undersized) <= 1:
+    entries = _manifest_files(table_dir, manifest)
+    dv_dirs = sorted({e["dv"]["path"] for e in entries if e.get("dv")})
+    if len(undersized) <= 1 and len(dv_dirs) <= 1:
         return base_version  # nothing worth merging
     from pyspark.sql.types import StructType
 
-    entries = _manifest_files(table_dir, manifest)
-    new_segs = _write_segments(table_dir, entries)
+    extra_dirs: set[str] = set()
+    if len(dv_dirs) > 1:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        dv_schema = pa.schema([("path", pa.string()),
+                               ("pos", pa.int64())])
+        loaded = {}
+        for p in dv_dirs:
+            loaded[p] = pa.concat_tables([
+                pq.read_table(os.path.join(table_dir, p, f),
+                              columns=["path", "pos"])
+                .select(["path", "pos"]).cast(dv_schema)
+                for f in sorted(os.listdir(
+                    os.path.join(table_dir, p)))
+                if f.endswith(".parquet")])
+        pieces = []
+        for e in entries:
+            if e.get("dv"):
+                t = loaded[e["dv"]["path"]]
+                pieces.append(t.filter(
+                    pc.equal(t.column("path"), e["path"])))
+        merged = pa.concat_tables(pieces)
+        dv_rel = os.path.join("dv", uuid.uuid4().hex[:12])
+        os.makedirs(os.path.join(table_dir, dv_rel))
+        out_path = os.path.join(table_dir, dv_rel, "part-0.parquet")
+        pq.write_table(merged, out_path)
+        with open(out_path, "rb") as fh:  # bytes before the manifest
+            os.fsync(fh.fileno())
+        entries = [
+            (dict(e, dv={"path": dv_rel, "rows": e["dv"]["rows"]})
+             if e.get("dv") else e)
+            for e in entries]
+        extra_dirs.add(dv_rel)
+    # grouped by delete-applicability class: the re-chunked segments
+    # must keep their data's age, or active equality deletes would
+    # stop/start applying to the wrong rows (r13)
+    new_segs = _write_segments_grouped(table_dir, entries,
+                                       manifest.get("eq_deletes"))
     return _publish_commit(
         table_dir, mode="rewrite",
         new_entries=[],
         batch_schema=StructType.fromJson(json.loads(manifest["schema"])),
         expected_version=base_version,
         reuse_segments=new_segs,
-        changes_entries=[])
+        changes_entries=[],
+        extra_commit_dirs=extra_dirs)
 
 
 def snapshot_commit_clustered(spark: SparkSession, table_dir: str,
@@ -3359,10 +3724,10 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int,
         cols = [f["name"] for f in json.loads(union_json)["fields"]]
         head_df = _read_entries(
             spark, table_dir, _manifest_files(table_dir, head_m),
-            union_json)
+            union_json, eq_deletes=head_m.get("eq_deletes"))
         target_df = _read_entries(
             spark, table_dir, _manifest_files(table_dir, target_m),
-            union_json)
+            union_json, eq_deletes=target_m.get("eq_deletes"))
         changes_entries = _write_change_log(
             spark, table_dir, head_df, target_df, key, cols)
     # the restore manifest ADOPTS the target's segment descriptors
@@ -3374,4 +3739,9 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int,
         batch_schema=target_schema,
         expected_version=head,
         reuse_segments=list(target_m["segments"]),
+        # restored state = the TARGET's data — including the equality
+        # deletes active at that version (inheriting the head's would
+        # delete keys the target never saw deleted, or resurrect ones
+        # it did)
+        eq_deletes=target_m.get("eq_deletes") or [],
         changes_entries=changes_entries, cdf_key=key)

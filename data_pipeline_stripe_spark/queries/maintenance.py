@@ -3576,3 +3576,140 @@ def snapshot_metadata_conflict_parity(spark: SparkSession,
         .withColumn("cents", F.col("cents") * 3)
     S.snapshot_merge(spark, table_dir, upd2, "k", base_version=stale2)
     return S.snapshot_read(spark, table_dir)
+
+
+# ---------------------------------------------------------------------------
+# Equality deletes: O(keys) CDC-trickle deletes (r13, VERDICT r12 item 2).
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_equality_delete_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1200
+    ),
+    final AS (
+        SELECT k, pri, cents FROM base WHERE k <= 300 OR k > 500
+        UNION ALL SELECT 350, 'REINSERT', 1
+    )
+    SELECT 'head' AS section, k, pri, cents FROM final
+    UNION ALL
+    SELECT 'deleted', k, pri, cents FROM base
+    WHERE k > 300 AND k <= 500
+    UNION ALL
+    SELECT 'base', k, pri, cents FROM base
+    """,
+)
+def snapshot_equality_delete_parity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """EQUALITY DELETES (operators/snapshots.py:snapshot_delete_keys;
+    VERDICT r12 item 2: snapshot_delete_where resolves row positions
+    by READING the dirty band — O(band) per delete — so a trickle of
+    keyed CDC deletes re-scans the band daily; Iceberg v2's
+    equality-delete sidecar commits O(keys) with no data-file open).
+    Two twin tables get the SAME logical delete (keys k in
+    (300, 500]): one via snapshot_delete_keys, one via
+    snapshot_delete_where. Pinned in-gate:
+
+    (a) O(keys) commit: during snapshot_delete_keys the entry reader
+        is TRIPWIRED — the verb may touch only its key sidecar, never
+        a data file or entry list.
+    (b) Read parity: head reads of the two twins are row-identical
+        (both exceptAll directions), and both serve a key RE-INSERTED
+        after the delete (sequence-number scoping).
+    (c) CDF parity: the eq twin's LAZILY-computed D rows equal the
+        position twin's recorded ones (hashed as ``deleted``).
+    (d) OPTIMIZE materializes: after compaction the eq twin's
+        manifest carries zero descriptors and the data still reads
+        post-delete. ``base`` is pre-delete time travel."""
+    from ..operators import snapshots as S
+
+    eq_dir = _scratch(sf_dir, "snapshot_eq_delete")
+    pos_dir = _scratch(sf_dir, "snapshot_eq_delete_twin")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 1200).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    for d in (eq_dir, pos_dir):
+        S.snapshot_commit(spark, d,
+                          base.filter(F.col("k") <= 600).coalesce(1))
+        S.snapshot_commit(spark, d,
+                          base.filter(F.col("k") > 600).coalesce(1),
+                          mode="append")
+    base_version = S.snapshot_current_version(eq_dir)
+
+    # (a) the eq delete commits without opening any data file
+    keys = base.filter((F.col("k") > 300) & (F.col("k") <= 500)) \
+        .select("k")
+    real = S._read_entries
+
+    def tripwire(*a, **kw):
+        raise RuntimeError(
+            "snapshot_equality_delete_parity: snapshot_delete_keys "
+            "read table entries — the commit must be O(keys)")
+
+    try:
+        S._read_entries = tripwire
+        v_eq, info = S.snapshot_delete_keys(spark, eq_dir, keys, "k")
+    finally:
+        S._read_entries = real
+    if info["keys"] == 0:
+        raise RuntimeError(
+            "snapshot_equality_delete_parity: empty key set — fixture "
+            "degenerate")
+    S.snapshot_delete_where(spark, pos_dir,
+                            [("k", ">", 300), ("k", "<=", 500)],
+                            key="k")
+
+    # re-insert one deleted key AFTER both deletes
+    re_row = spark.createDataFrame([(350, "REINSERT", 1)],
+                                   "k long, pri string, cents long")
+    for d in (eq_dir, pos_dir):
+        S.snapshot_commit(spark, d, re_row.coalesce(1), mode="append")
+
+    # (b) twin parity, both directions
+    eq_head = S.snapshot_read(spark, eq_dir)
+    pos_head = S.snapshot_read(spark, pos_dir)
+    if (eq_head.exceptAll(pos_head).count()
+            or pos_head.exceptAll(eq_head).count()):
+        raise RuntimeError(
+            "snapshot_equality_delete_parity: the equality-delete twin "
+            "diverged from the position-delete twin")
+    if eq_head.filter("k = 350 AND pri = 'REINSERT'").count() != 1:
+        raise RuntimeError(
+            "snapshot_equality_delete_parity: the post-delete "
+            "re-insert did not survive — sequence scoping is broken")
+
+    # (c) lazy CDF D rows == the position twin's recorded ones
+    eq_feed = S.snapshot_read_cdf(spark, eq_dir, base_version,
+                                  to_version=v_eq)
+    if eq_feed.filter(F.col("_change_type") != "D").count():
+        raise RuntimeError(
+            "snapshot_equality_delete_parity: the eq delete's feed "
+            "served non-D rows")
+    deleted = eq_feed.select("k", "pri", "cents")
+
+    # (d) OPTIMIZE materializes the sidecars away
+    v_c, _, _ = S.snapshot_compact(spark, eq_dir, target_files=2)
+    if S._read_manifest_meta(eq_dir, v_c)["eq_deletes"]:
+        raise RuntimeError(
+            "snapshot_equality_delete_parity: compaction carried "
+            "equality-delete descriptors instead of materializing")
+    final = S.snapshot_read(spark, eq_dir)
+    if final.exceptAll(eq_head).count() or \
+            eq_head.exceptAll(final).count():
+        raise RuntimeError(
+            "snapshot_equality_delete_parity: compaction changed the "
+            "table contents")
+
+    def sec(df: DataFrame, s: str) -> DataFrame:
+        return df.select(F.lit(s).alias("section"), "k", "pri", "cents")
+
+    return (sec(final, "head")
+            .unionByName(sec(deleted, "deleted"))
+            .unionByName(sec(S.snapshot_read(spark, eq_dir,
+                                             version=base_version),
+                             "base")))

@@ -102,7 +102,8 @@ class SnapshotFileSlice(InputPartition):
     def __init__(self, abs_path: str | None, columns: list[str],
                  kind: str = "data", version: int = -1,
                  schema_json: str | None = None, cdf: bool = False,
-                 dv_abs: str | None = None, rel_path: str | None = None):
+                 dv_abs: str | None = None, rel_path: str | None = None,
+                 eq_abs: list | None = None):
         self.abs_path = abs_path
         self.columns = columns
         # deletion vector (r12): dv_abs points at the commit's DV
@@ -111,6 +112,10 @@ class SnapshotFileSlice(InputPartition):
         # Arrow batches (merge-on-read; the data file is untouched)
         self.dv_abs = dv_abs
         self.rel_path = rel_path
+        # equality deletes (r13): [(abs sidecar path, (key cols,))]
+        # applicable to THIS slice (delete seq newer than the file's
+        # segment seq) — anti-filtered batch-wise after any DV
+        self.eq_abs = eq_abs
         # CDF fields: kind 'data' (append delta — synthesize 'I') or
         # 'log' (recorded change-log file — _change_type comes from the
         # file); version stamps _commit_version; schema_json carries the
@@ -284,21 +289,63 @@ def _apply_dv(batches, positions):
         yield batch
 
 
+def _apply_eq(batches, eq_abs):
+    """Anti-filter equality-delete keys while streaming record
+    batches (r13): each sidecar's key set loads once per slice
+    (O(keys), the sidecars are small by construction) and every batch
+    drops its matching rows. Single-column keys go through vectorized
+    ``pc.is_in``; composite keys fall back to a python tuple set —
+    acceptable because eq sidecars are CDC-trickle sized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    filters = []
+    for path, cols in eq_abs:
+        tbl = pq.read_table(path, columns=list(cols))
+        if len(cols) == 1:
+            filters.append((cols, tbl.column(cols[0]).combine_chunks()))
+        else:
+            filters.append((cols, set(zip(
+                *[tbl.column(c).to_pylist() for c in cols]))))
+    for batch in batches:
+        for cols, keys in filters:
+            if batch.num_rows == 0:
+                break
+            if len(cols) == 1:
+                arr = batch.column(
+                    batch.schema.get_field_index(cols[0]))
+                hit = pc.is_in(arr, value_set=pc.cast(keys, arr.type))
+                keep = pc.invert(pc.fill_null(hit, False))
+            else:
+                vals = zip(*[batch.column(
+                    batch.schema.get_field_index(c)).to_pylist()
+                    for c in cols])
+                keep = pa.array([v not in keys for v in vals])
+            batch = batch.filter(keep)
+        yield batch
+
+
 def _read_slice(partition: SnapshotFileSlice):
     """Executor-side Arrow read of one file slice — shared by the
     streaming reader and the batch reader (one aligned-read
     implementation, so the two surfaces cannot drift). Slices carrying
     a deletion vector anti-filter their recorded row positions
-    in-stream (r12 merge-on-read deletes)."""
+    in-stream (r12 merge-on-read deletes); equality-delete sidecars
+    (r13) anti-filter by key AFTER the vector (both are "live rows
+    only" transforms, so the order only matters for position
+    accounting, which the DV step owns)."""
     if partition.abs_path is None:
         return
     import pyarrow.parquet as pq
 
+    gen = _read_slice_raw(partition)
     positions = _dv_positions(partition)
     if positions is not None and len(positions):
-        yield from _apply_dv(_read_slice_raw(partition), positions)
-        return
-    yield from _read_slice_raw(partition)
+        gen = _apply_dv(gen, positions)
+    if getattr(partition, "eq_abs", None):
+        gen = _apply_eq(gen, partition.eq_abs)
+    yield from gen
 
 
 def _read_slice_raw(partition: SnapshotFileSlice):
@@ -639,13 +686,21 @@ class SnapshotTableBatchReader(DataSourceReader):
         # Spark, so derivation can only remove unmatchable files)
         probes = self.pushed_terms + _derived_partition_terms(
             self.manifest.get("partition_spec"), self.pushed_terms)
+        eq = self.manifest.get("eq_deletes") or []
         entries = []
         for seg in self.manifest["segments"]:
             pseudo = _segment_pseudo_entry(seg)
             if not all(_entry_may_match(pseudo, t) for t in probes):
                 continue  # whole segment provably unmatchable
+            seq = seg.get("seq", 0)
+            # equality deletes scoped by data age (r13): only deletes
+            # NEWER than this segment's data apply to its files
+            eq_abs = [(os.path.join(self.table_dir, d["path"]),
+                       tuple(d["cols"]))
+                      for d in eq if seq < d["seq"]] or None
             entries.extend(
-                e for e in _segment_entries(self.table_dir, seg)
+                (e, eq_abs)
+                for e in _segment_entries(self.table_dir, seg)
                 if all(_entry_may_match(e, t) for t in probes))
         if not entries:
             return [SnapshotFileSlice(None, self.columns)]
@@ -655,8 +710,8 @@ class SnapshotTableBatchReader(DataSourceReader):
                 self.columns, schema_json=self.schema_json,
                 dv_abs=(os.path.join(self.table_dir, e["dv"]["path"])
                         if e.get("dv") else None),
-                rel_path=e["path"])
-            for e in entries
+                rel_path=e["path"], eq_abs=eq_abs)
+            for e, eq_abs in entries
         ]
 
     def read(self, partition: SnapshotFileSlice):

@@ -398,6 +398,46 @@ def main() -> None:
         left.collect()
         return dt
 
+    def equality_delete_verb(n: int, sf_dir: str) -> float:
+        """r13's O(keys) delete claim, measured: the table AND the
+        dirty band grow ×N (untimed build), the timed region is
+        snapshot_delete_keys with a FIXED 200-key set — the commit
+        writes only the key sidecar + manifest, opening ZERO data
+        files, so the curve must stay flat in BOTH table size and
+        band size (the claim the position-delete verb, which reads
+        the band to resolve positions, cannot make). Raises if the
+        entry reader is ever called inside the timed region."""
+        from pyspark.sql import functions as F
+
+        import data_pipeline_stripe_spark.operators.snapshots as S
+
+        table_dir = _orders_band_table(sf_dir, "scaling_eq_delete")
+        keys = spark.range(401, 801, 2).limit(200) \
+            .select(F.col("id").alias("k")).localCheckpoint(eager=True)
+        real = S._read_entries
+
+        def tripwire(*a, **kw):
+            raise RuntimeError(
+                "snapshot_delete_keys opened table entries — the "
+                "commit is supposed to be O(keys)")
+
+        t0 = time.time()
+        try:
+            S._read_entries = tripwire
+            version, info = S.snapshot_delete_keys(
+                spark, table_dir, keys, "k")
+        finally:
+            S._read_entries = real
+        dt = time.time() - t0
+        if info["keys"] != 200:
+            raise RuntimeError(
+                f"equality delete recorded {info['keys']} keys")
+        # correctness spot-check outside the timed region
+        if S.snapshot_read(spark, table_dir) \
+                .filter("k = 401").count():
+            raise RuntimeError("equality delete left a deleted key")
+        return dt
+
     # verb-only rows: table build untimed, the verb timed (docstrings)
     for verb_name, verb_fn in (
             ("snapshot_partial_merge_verb",
@@ -406,7 +446,8 @@ def main() -> None:
              lambda n, d: replace_where_verb(d)),
             ("snapshot_delete_vector_verb", deletion_vector_verb),
             ("snapshot_manifest_append_verb", manifest_append_verb),
-            ("snapshot_partition_drop_verb", partition_drop_verb)):
+            ("snapshot_partition_drop_verb", partition_drop_verb),
+            ("snapshot_equality_delete_verb", equality_delete_verb)):
         row = {}
         for n, d in SCALES:
             row[f"x{n}"] = round(min(verb_fn(n, d) for _ in range(2)), 3)
