@@ -1640,6 +1640,56 @@ def _term_filter(term):
     return py_ops[op](F.col(col), F.lit(value))
 
 
+def _field_term_filter(spec: list[dict], term):
+    """Row-level Column filter equivalent to a PARTITION-FIELD term,
+    expressed on the SOURCE column via the spec transform (r13,
+    VERDICT r12 item 4: mixed-generation scans). Exactly mirrors
+    ``_partition_term_match``'s tuple semantics: day/month compare the
+    formatted string, identity compares the cast string (numerically
+    when the literal is an int), bucket recomputes the crc32 bucket.
+    Literal types the tuple evaluation cannot decide (bool, float)
+    raise — same exactness-over-conservatism rule, now scoped to the
+    literal instead of the whole table."""
+    from pyspark.sql import functions as F
+
+    by_name = {f["name"]: f for f in spec or []}
+    if isinstance(term, list):
+        cond = F.lit(False)
+        for sub in term:
+            cond = cond | _field_term_filter(spec, sub)
+        return cond
+    col, op, value = term
+    expr = _partition_exprs([by_name[col]])[0][1]  # derived string
+
+    def one(v):
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            raise ValueError(
+                f"snapshot_scan: partition-field term on {col!r} with "
+                f"a {type(v).__name__} literal is not decidable "
+                "against un-tupled entries — use str or int")
+        lhs = expr if isinstance(v, str) else expr.cast("bigint")
+        return lhs, F.lit(v)
+
+    if op == "is_null":
+        return expr.isNull()
+    if op == "is_not_null":
+        return expr.isNotNull()
+    if op == "in":
+        cond = F.lit(False)
+        for v in value:
+            lhs, rhs = one(v)
+            cond = cond | (lhs == rhs)
+        return cond
+    lhs, rhs = one(value)
+    import operator as _op
+
+    py_ops = {"=": _op.eq, "!=": _op.ne, ">=": _op.ge, ">": _op.gt,
+              "<=": _op.le, "<": _op.lt}
+    if op not in py_ops:
+        raise ValueError(f"snapshot_scan: unsupported operator {op!r}")
+    return py_ops[op](lhs, rhs)
+
+
 def snapshot_scan(spark: SparkSession, table_dir: str,
                   predicates: list[tuple],
                   version: int | None = None) -> DataFrame:
@@ -1660,10 +1710,13 @@ def snapshot_scan(spark: SparkSession, table_dir: str,
     evaluated EXACTLY against each entry's partition tuple: planned
     files == the matching partitions' files, and no residual row
     filter runs (there is no such data column; the tuple guarantees
-    every surviving row matches). Mixing partitioned and
-    UNPARTITIONED entries under a partition-field term raises — the
-    un-tupled entries' rows cannot be filtered by a metadata-only
-    name; scan such tables by the SOURCE column instead."""
+    every surviving row matches). MIXED GENERATIONS (r13): when
+    un-tupled entries (plain appends, pre-spec history) survive the
+    prune, the term is additionally applied as a row filter on the
+    SOURCE column via the spec's inverse (``_field_term_filter``) —
+    Iceberg's serve-both-generations rule, replacing the r12 refusal;
+    only bool/float literals (undecidable against tuples) still
+    raise."""
     kept, m, _ = _pruned_entries(table_dir, predicates, version)
     spec_names = {f["name"] for f in m.get("partition_spec") or []}
 
@@ -1672,6 +1725,7 @@ def snapshot_scan(spark: SparkSession, table_dir: str,
                 else {t[0]})
 
     residual = []
+    field_residual = []
     for term in predicates:
         cols = term_cols(term)
         if cols & spec_names:
@@ -1680,21 +1734,29 @@ def snapshot_scan(spark: SparkSession, table_dir: str,
                     "snapshot_scan: a term mixes partition fields "
                     f"{sorted(cols & spec_names)} with data columns "
                     f"{sorted(cols - spec_names)} — split the term")
-            undecided = [e["path"] for e in kept
+            # MIXED GENERATIONS (r13, VERDICT r12 item 4 — the r12
+            # code RAISED here): entries whose tuple decides the term
+            # True need no row filter; surviving un-tupled entries
+            # (plain appends, pre-spec history) get the term
+            # re-expressed on the SOURCE column via the spec's inverse
+            # — exact, because the derivation IS the tuple definition.
+            # Applied to the whole frame: provably-True rows satisfy
+            # it by construction, so only the expression cost is paid,
+            # and ONLY when mixed generations actually survive the
+            # prune (all-tupled scans keep the no-residual plan).
+            undecided = [e for e in kept
                          if _partition_term_match(e, term) is not True]
             if undecided:
-                raise ValueError(
-                    "snapshot_scan: partition-field term on "
-                    f"{sorted(cols)} but {len(undecided)} surviving "
-                    "file(s) carry no partition tuple for it (plain "
-                    "appends or pre-spec history) — scan by the source "
-                    "column instead")
+                field_residual.append(_field_term_filter(
+                    m.get("partition_spec"), term))
         else:
             residual.append(term)
     df = _read_entries(spark, table_dir, kept, m["schema"],
                        eq_deletes=m.get("eq_deletes"))
     for term in residual:
         df = df.filter(_term_filter(term))
+    for cond in field_residual:
+        df = df.filter(cond)
     return df
 
 

@@ -2980,7 +2980,7 @@ def snapshot_conflict_rebase_parity(spark: SparkSession,
     "snapshot_partition_spec_parity",
     oracle="""
     WITH ev AS (
-        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
                CAST(ROUND(value * 100) AS BIGINT) AS cents
         FROM events
     )
@@ -2996,6 +2996,15 @@ def snapshot_conflict_rebase_parity(spark: SparkSession,
     SELECT 'base', event_type, CAST(COUNT(*) AS BIGINT),
            CAST(SUM(cents) AS BIGINT)
     FROM ev GROUP BY 1, 2
+    UNION ALL
+    SELECT 'mixed', event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM (
+        SELECT event_type, cents FROM ev WHERE day = '2024-01-20'
+        UNION ALL
+        SELECT event_type, cents FROM ev
+        WHERE day = '2024-01-20' AND event_id % 7 = 0
+    ) GROUP BY 1, 2
     """,
 )
 def snapshot_partition_spec_parity(spark: SparkSession,
@@ -3023,7 +3032,13 @@ def snapshot_partition_spec_parity(spark: SparkSession,
     (c) FILE-LEVEL GC: after ``snapshot_expire`` retires the pre-drop
         versions, EXACTLY the dropped day's files are swept from the
         shared commit dirs (file-granular — the dirs still hold live
-        siblings) and every surviving file remains on disk."""
+        siblings) and every surviving file remains on disk.
+    (d) MIXED GENERATIONS (r13, VERDICT r12 item 4 — replacing the
+        r12 refusal): a PLAIN (un-tupled) append interleaves, then a
+        partition-field scan serves BOTH generations — exact file
+        pruning for the tupled one, the spec's inverse as a row
+        filter for the other — pinned to plan exactly (tupled
+        day files + all un-tupled files) and hashed as ``mixed``."""
     from ..operators.snapshots import (_read_manifest,
                                        snapshot_commit_partitioned,
                                        snapshot_current_version,
@@ -3123,9 +3138,35 @@ def snapshot_partition_spec_parity(spark: SparkSession,
                 .select(F.lit(section).alias("section"), "event_type",
                         "n", "cents"))
 
+    head_agg = agg(snapshot_read(spark, table_dir), "head")
+
+    # (d) mixed generations: a plain un-tupled append, then a
+    # partition-field scan across BOTH generations
+    from ..operators.snapshots import (snapshot_commit,
+                                       snapshot_current_version)
+    from ..operators.snapshots import _read_manifest as _rm
+
+    extra = ev.filter((F.col("event_id") % 7 == 0)
+                      & (F.date_format("ts", "yyyy-MM-dd") == the_day))
+    snapshot_commit(spark, table_dir, extra.coalesce(1), mode="append")
+    mixed_m = _rm(table_dir, snapshot_current_version(table_dir))
+    want_mixed = {e["path"] for e in mixed_m["files"]
+                  if e.get("partition", {}).get("day") == the_day
+                  or not e.get("partition")}
+    kept_mixed, _total = snapshot_pruned_files(
+        table_dir, [("day", "=", the_day)])
+    if set(kept_mixed) != want_mixed:
+        raise RuntimeError(
+            "snapshot_partition_spec_parity: mixed-generation scan "
+            f"planned {len(kept_mixed)} files, expected the tupled "
+            f"day files plus every un-tupled file "
+            f"({len(want_mixed)})")
+    mixed_df = snapshot_scan(spark, table_dir, [("day", "=", the_day)])
+
     return (agg(day_df, "day")
-            .unionByName(agg(snapshot_read(spark, table_dir), "head"))
-            .unionByName(base_agg))
+            .unionByName(head_agg)
+            .unionByName(base_agg)
+            .unionByName(agg(mixed_df, "mixed")))
 
 
 # ---------------------------------------------------------------------------

@@ -3318,11 +3318,20 @@ def test_partition_spec_commit_prune_drop_and_gc(spark, tmp_path):
     assert S.snapshot_read(spark, t).count() == df.filter(
         F.date_format("ts", "yyyy-MM-dd") >= "2024-01-03").count()
 
-    # a plain (un-tupled) append poisons partition-field scans: refuse
+    # a plain (un-tupled) append makes the scan MIXED-GENERATION
+    # (r13): tupled entries prune exactly, the un-tupled generation is
+    # row-filtered through the spec's inverse on the source column
     S.snapshot_commit(spark, t, df.filter("k < 10").coalesce(1),
                       mode="append")
-    with pytest.raises(ValueError, match="no partition tuple"):
-        S.snapshot_scan(spark, t, [("day", "=", "2024-01-04")]).count()
+    mixed_expect = (df.filter(
+        F.date_format("ts", "yyyy-MM-dd") == "2024-01-04").count()
+        + df.filter((F.date_format("ts", "yyyy-MM-dd") == "2024-01-04")
+                    & (F.col("k") < 10)).count())
+    assert S.snapshot_scan(
+        spark, t, [("day", "=", "2024-01-04")]).count() == mixed_expect
+    # undecidable literal types still refuse
+    with pytest.raises(ValueError, match="not decidable"):
+        S.snapshot_scan(spark, t, [("day", "=", 1.5)]).count()
     # ... and drop never touches what it cannot prove: the TUPLED
     # day-04 rows all drop; the plain append's (duplicate, un-tupled)
     # day-04 rows survive
