@@ -938,7 +938,8 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                     extra_commit_dirs: set[str] | None = None,
                     validated_constraints="skip",
                     revalidate=None,
-                    eq_deletes="inherit") -> int:
+                    eq_deletes="inherit",
+                    extra_segments: list[dict] | None = None) -> int:
     """The OCC publish loop over ALREADY-WRITTEN immutable file entries
     — the Spark-free core of the commit protocol. ``snapshot_commit``
     writes its data via Spark and then calls this; the multi-process
@@ -1089,7 +1090,11 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                     _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
                 return prev  # a racing writer applied this epoch first
         if mode == "append" and prev is not None:
-            segments = prev_manifest["segments"] + new_segs
+            # extra_segments: ALREADY-SERIALIZED descriptors appended
+            # by reference (fast-forward of an append-only branch) —
+            # they keep their own seq stamps
+            segments = (prev_manifest["segments"] + new_segs
+                        + (extra_segments or []))
             # additive schema evolution — recomputed per rebase because
             # the base (and so the evolved union) may have moved
             schema_json = _evolved_schema_json(
@@ -1143,6 +1148,15 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                 revalidate(eff_constraints)  # ValueError on violation
                 revalidated_state = dict(grown)
         delta = _entry_totals(new_entries)
+        if extra_segments:
+            delta = {
+                "files": delta["files"] + sum(
+                    s["n_files"] for s in extra_segments),
+                "rows": delta["rows"] + sum(
+                    s.get("rows") or 0 for s in extra_segments),
+                "bytes": delta["bytes"] + sum(
+                    s.get("bytes") or 0 for s in extra_segments),
+            }
         version = (prev if prev is not None else -1) + 1
         # SEQUENCE NUMBERS (r13): segments of THIS commit's new data
         # are stamped with the publishing version — the age scope
@@ -1860,12 +1874,45 @@ def snapshot_expire(table_dir: str, keep_last: int = 2,
         raise ValueError("snapshot_expire: keep_last must be >= 1 — "
                          "expiring every version leaves an unreadable "
                          "table")
+    if os.path.isfile(os.path.join(table_dir, _FORK_FILE)):
+        raise ValueError(
+            "snapshot_expire: refusing to run on a BRANCH directory — "
+            "its storage roots are symlinks into the parent table; "
+            "run expire on the parent (branch manifests count as "
+            "references there)")
     committed = snapshot_versions(table_dir)
-    doomed = committed[:-keep_last] if len(committed) > keep_last else []
+    # tags are retention pins (r13): a tagged version never expires
+    tagged = set(snapshot_tags(table_dir).values())
+    doomed = [v for v in
+              (committed[:-keep_last]
+               if len(committed) > keep_last else [])
+              if v not in tagged]
     survivors = [v for v in committed if v not in doomed]
+    # branch manifests reference shared storage (r13 WAP): collect
+    # their references alongside the main lineage's
+    branch_manifests = []
+    broot = os.path.join(table_dir, _BRANCH_ROOT)
+    if os.path.isdir(broot):
+        for b in sorted(os.scandir(broot), key=lambda e: e.name):
+            bdir = os.path.join(broot, b.name)
+            for bv in _all_manifest_versions(bdir):
+                branch_manifests.append(_read_manifest(bdir, bv))
     referenced = set()  # (root, commit_id) pairs a survivor references
     referenced_segs = set()  # segment file names survivors reference
     referenced_files = set()  # exact rel paths (file-level GC, r12)
+    for m in branch_manifests:
+        for seg in m["segments"]:
+            referenced_segs.add(os.path.basename(seg["path"]))
+        for e in m["files"] + (m.get("changes") or []):
+            parts = e["path"].split(os.sep)
+            referenced.add((parts[0], parts[1]))
+            referenced_files.add(e["path"])
+            if e.get("dv"):
+                dparts = e["dv"]["path"].split(os.sep)
+                referenced.add((dparts[0], dparts[1]))
+        for d in m.get("eq_deletes") or []:
+            qparts = d["path"].split(os.sep)
+            referenced.add((qparts[0], qparts[1]))
     for v in survivors:
         m = _read_manifest(table_dir, v)
         for seg in m["segments"]:
@@ -3807,3 +3854,215 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int,
         # it did)
         eq_deletes=target_m.get("eq_deletes") or [],
         changes_entries=changes_entries, cdf_key=key)
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish: branches + tags (r13, VERDICT r12 item 5).
+# ---------------------------------------------------------------------------
+_BRANCH_ROOT = "_branches"
+_TAG_DIR = os.path.join(_SNAPDIR, "tags")
+_FORK_FILE = "FORK"
+
+
+def _branch_dir(table_dir: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(
+            f"snapshot branch: bad branch name {name!r}")
+    return os.path.join(table_dir, _BRANCH_ROOT, name)
+
+
+def snapshot_create_branch(table_dir: str, name: str,
+                           base_version: int | None = None) -> str:
+    """CREATE BRANCH (the write-audit-publish pattern's staging leg —
+    Iceberg's ``CREATE BRANCH`` + WAP): returns a BRANCH DIRECTORY
+    that is a fully functional snapshot table (every verb — commit,
+    merge, delete, scan, stream — works on it unchanged) whose
+    storage roots (``data/ changes/ dv/ eqdel/`` and the segment dir)
+    are SYMLINKS into the parent table, and whose v0 manifest adopts
+    the parent head's segments by reference. Commits to the branch
+    land their data files in the SHARED storage (immutable,
+    uuid-named — no collision with main writers) but publish only to
+    the branch's private version chain: main readers cannot see them
+    until ``snapshot_fast_forward`` publishes the branch head onto
+    main. A failed audit = simply never fast-forwarding (the branch
+    dir and its commit dirs are garbage once removed/expired from
+    main). The FORK file records the main version the branch was cut
+    from — fast-forward validates main has not moved past it.
+    ``snapshot_expire`` on the parent counts branch manifests as
+    references (a branch commit's files are protected) and REFUSES to
+    run on a branch dir itself (its storage roots belong to the
+    parent)."""
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(
+            f"snapshot_create_branch: {table_dir} has no commits")
+    bdir = _branch_dir(table_dir, name)
+    if os.path.isdir(bdir):
+        raise ValueError(
+            f"snapshot_create_branch: branch {name!r} already exists")
+    m = _read_manifest_meta(table_dir, base_version)
+    os.makedirs(os.path.join(bdir, _SNAPDIR))
+    for root in ("data", "changes", "dv", "eqdel"):
+        os.makedirs(os.path.join(table_dir, root), exist_ok=True)
+        os.symlink(os.path.join("..", "..", root),
+                   os.path.join(bdir, root))
+    os.makedirs(os.path.join(table_dir, _SEGMENT_DIR), exist_ok=True)
+    os.symlink(os.path.join("..", "..", "..", _SEGMENT_DIR),
+               os.path.join(bdir, _SEGMENT_DIR))
+    v0 = dict(
+        m, version=0, parent=None, mode="rewrite",
+        committed_at=time.time(),
+        delta={"files": 0, "rows": 0, "bytes": 0},
+        cdf_delta={"files": 0, "rows": 0, "bytes": 0},
+        changes=[], cdf_key=None, epoch_key=None)
+    p = _manifest_path(bdir, 0)
+    tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(v0, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, p)
+    with open(os.path.join(bdir, _FORK_FILE), "w") as fh:
+        json.dump({"from_version": base_version,
+                   "branch": name}, fh)
+    _write_latest_hint(bdir, 0)
+    return bdir
+
+
+def snapshot_fast_forward(table_dir: str, name: str) -> int:
+    """FAST-FORWARD main to a branch head (the WAP publish leg) as a
+    METADATA-ONLY commit: the branch's audited state becomes main's
+    next version by adopting its segments — zero data movement (the
+    branch's data files already live in the shared storage). Strict
+    Iceberg semantics: if main moved past the branch's fork point the
+    fast-forward ABORTS with ``SnapshotConflictError`` (re-branch and
+    re-apply — a silent merge here could drop main's interleaved
+    rows).
+
+    CDF/incremental friendliness: if every branch commit since the
+    fork was an APPEND, the publish is itself an APPEND carrying the
+    branch's delta segments by reference — downstream CDF and
+    incremental consumers see one ordinary append delta. Otherwise it
+    publishes as a rewrite with no change log (CDF consumers raise
+    across it, exactly like a plain overwrite — Delta's rule when the
+    feed cannot be expressed)."""
+    bdir = _branch_dir(table_dir, name)
+    try:
+        with open(os.path.join(bdir, _FORK_FILE)) as fh:
+            fork = json.load(fh)
+    except OSError:
+        raise ValueError(
+            f"snapshot_fast_forward: no branch {name!r} on {table_dir}")
+    head = snapshot_current_version(table_dir)
+    if head != fork["from_version"]:
+        raise SnapshotConflictError(
+            f"snapshot_fast_forward: {table_dir} moved to version "
+            f"{head} but branch {name!r} forked from "
+            f"{fork['from_version']} — re-branch and re-apply the "
+            "audited changes")
+    bhead = snapshot_current_version(bdir)
+    bm = _read_manifest_meta(bdir, bhead)
+    if bhead == 0:
+        return head  # nothing to publish
+    append_only = True
+    chain = _manifest_chain(bdir, 0, bhead, "snapshot_fast_forward")
+    for m in chain[1:]:
+        if m["mode"] != "append":
+            append_only = False
+            break
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(bm["schema"]))
+    if append_only:
+        base_paths = {s["path"] for s in chain[0]["segments"]}
+        delta_segs = [s for s in bm["segments"]
+                      if s["path"] not in base_paths]
+        return _publish_commit(
+            table_dir, mode="append", new_entries=[],
+            batch_schema=schema,
+            expected_version=head,
+            extra_segments=delta_segs,
+            eq_deletes=bm.get("eq_deletes") or [],
+            constraints=bm.get("constraints"),
+            partition_spec=bm.get("partition_spec"),
+            cluster_cols=bm.get("cluster_cols"))
+    return _publish_commit(
+        table_dir, mode="rewrite", new_entries=[],
+        batch_schema=schema,
+        expected_version=head,
+        reuse_segments=list(bm["segments"]),
+        changes_entries=None,
+        eq_deletes=bm.get("eq_deletes") or [],
+        constraints=bm.get("constraints"),
+        partition_spec=bm.get("partition_spec"),
+        cluster_cols=bm.get("cluster_cols"))
+
+
+def snapshot_drop_branch(table_dir: str, name: str) -> None:
+    """Drop a branch (the failed-audit leg): removes the branch's
+    private version chain and FORK marker. Data dirs its commits
+    wrote in the shared storage become unreferenced garbage for the
+    parent's ``snapshot_expire`` (grace-windowed, like any aborted
+    commit)."""
+    import shutil
+
+    bdir = _branch_dir(table_dir, name)
+    if not os.path.isdir(bdir):
+        raise ValueError(
+            f"snapshot_drop_branch: no branch {name!r} on {table_dir}")
+    shutil.rmtree(bdir)
+
+
+def snapshot_create_tag(table_dir: str, name: str,
+                        version: int | None = None) -> int:
+    """CREATE TAG: a named immutable pointer to a version, for time
+    travel by name (``snapshot_tag_version`` resolves it) — and a
+    RETENTION PIN: ``snapshot_expire`` never expires a tagged
+    version's manifest or sweeps its files, regardless of
+    ``keep_last`` (Iceberg's tag retention)."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"snapshot_create_tag: bad tag name {name!r}")
+    if version is None:
+        version = snapshot_current_version(table_dir)
+    if version is None or not os.path.isfile(
+            _manifest_path(table_dir, version)):
+        raise ValueError(
+            f"snapshot_create_tag: version {version} of {table_dir} "
+            "does not exist")
+    tag_dir = os.path.join(table_dir, _TAG_DIR)
+    os.makedirs(tag_dir, exist_ok=True)
+    p = os.path.join(tag_dir, name)
+    if os.path.isfile(p):
+        raise ValueError(
+            f"snapshot_create_tag: tag {name!r} already exists "
+            f"(tags are immutable — delete the file to retire it)")
+    tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, p)
+    return version
+
+
+def snapshot_tag_version(table_dir: str, name: str) -> int:
+    """Resolve a tag to its pinned version (for
+    ``snapshot_read(version=...)`` time travel by name)."""
+    try:
+        with open(os.path.join(table_dir, _TAG_DIR, name)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        raise ValueError(
+            f"snapshot_tag_version: no tag {name!r} on {table_dir}")
+
+
+def snapshot_tags(table_dir: str) -> dict:
+    """{tag name: version} of every tag on the table."""
+    tag_dir = os.path.join(table_dir, _TAG_DIR)
+    if not os.path.isdir(tag_dir):
+        return {}
+    out = {}
+    for e in sorted(os.scandir(tag_dir), key=lambda e: e.name):
+        if e.is_file() and ".tmp." not in e.name:
+            with open(e.path) as fh:
+                out[e.name] = int(fh.read().strip())
+    return out

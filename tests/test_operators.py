@@ -4346,3 +4346,124 @@ def test_compact_manifests_consolidates_dv_sidecars(spark, tmp_path):
     swept = {d for d in out["deleted_dirs"] if d.startswith("dv")}
     assert dv_dirs <= swept  # superseded intermediates sweep too
     assert S.snapshot_read(spark, t).count() == expect
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """WAP (r13): a branch commit is invisible to main; a failed
+    audit (drop_branch) leaves main untouched; a fast-forward of an
+    append-only branch publishes as one ordinary APPEND (CDF and
+    incremental consumers ride through); a moved main refuses the
+    fast-forward; tags pin versions against expire."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "wap")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("v"))
+    S.snapshot_commit(spark, t, df.coalesce(1))          # main v0
+    fork_v = S.snapshot_current_version(t)
+
+    bdir = S.snapshot_create_branch(t, "audit")
+    # every verb works on the branch dir unchanged
+    add = spark.range(100, 150).select(F.col("id").alias("k"),
+                                       (F.col("id") * 10).alias("v"))
+    S.snapshot_commit(spark, bdir, add.coalesce(1), mode="append")
+    assert S.snapshot_read(spark, bdir).count() == 150
+    # invisible to main
+    assert S.snapshot_read(spark, t).count() == 100
+    assert S.snapshot_current_version(t) == fork_v
+
+    # failed audit: drop the branch; main untouched
+    S.snapshot_drop_branch(t, "audit")
+    assert not os.path.isdir(bdir)
+    assert S.snapshot_read(spark, t).count() == 100
+
+    # WAP round 2: audit passes, fast-forward as an APPEND
+    bdir = S.snapshot_create_branch(t, "audit2")
+    S.snapshot_commit(spark, bdir, add.coalesce(1), mode="append")
+    v = S.snapshot_fast_forward(t, "audit2")
+    assert v == fork_v + 1
+    m = S._read_manifest_meta(t, v)
+    assert m["mode"] == "append"
+    out = S.snapshot_read(spark, t)
+    assert out.count() == 150
+    # CDF across the fast-forward: one plain append delta
+    feed = S.snapshot_read_cdf(spark, t, fork_v)
+    assert feed.count() == 50
+    assert feed.filter(F.col("_change_type") != "I").count() == 0
+    # incremental consumers too
+    assert S.snapshot_read_incremental(spark, t, fork_v).count() == 50
+
+    # a moved main refuses the stale branch
+    bdir3 = S.snapshot_create_branch(t, "stale")
+    S.snapshot_commit(spark, bdir3,
+                      spark.createDataFrame([(999, 1)],
+                                            "k long, v long")
+                      .coalesce(1), mode="append")
+    S.snapshot_commit(spark, t,
+                      spark.createDataFrame([(500, 5)],
+                                            "k long, v long")
+                      .coalesce(1), mode="append")
+    with pytest.raises(S.SnapshotConflictError, match="forked from"):
+        S.snapshot_fast_forward(t, "stale")
+    S.snapshot_drop_branch(t, "stale")
+
+    # a NON-append branch fast-forwards as a rewrite (CDF raises)
+    bdir4 = S.snapshot_create_branch(t, "fix")
+    S.snapshot_merge(spark, bdir4,
+                     spark.createDataFrame([(0, 12345)],
+                                           "k long, v long"), "k")
+    head_before = S.snapshot_current_version(t)
+    v2 = S.snapshot_fast_forward(t, "fix")
+    assert v2 == head_before + 1
+    assert S.snapshot_read(spark, t).filter("k = 0").first()["v"] \
+        == 12345
+    with pytest.raises(ValueError, match="no recorded change log"):
+        S.snapshot_read_cdf(spark, t, head_before).count()
+
+    # tags: name-addressed time travel + retention pin
+    S.snapshot_create_tag(t, "prod", version=fork_v)
+    assert S.snapshot_tag_version(t, "prod") == fork_v
+    assert S.snapshot_read(
+        spark, t, version=S.snapshot_tag_version(t, "prod")).count() \
+        == 100
+    S.snapshot_expire(t, keep_last=1, tmp_grace_seconds=0)
+    # the tagged version survives keep_last=1
+    assert S.snapshot_read(
+        spark, t, version=fork_v).count() == 100
+    with pytest.raises(ValueError, match="already exists"):
+        S.snapshot_create_tag(t, "prod")
+    # expire refuses branch dirs
+    bdir5 = S.snapshot_create_branch(t, "guard")
+    with pytest.raises(ValueError, match="BRANCH directory"):
+        S.snapshot_expire(bdir5, keep_last=1)
+
+
+def test_branch_commit_files_survive_parent_expire(spark, tmp_path):
+    """A branch's commit dirs live in the SHARED storage — the
+    parent's expire must count branch manifests as references and
+    never sweep a branch commit's files."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "wexp")
+    df = spark.range(50).select(F.col("id").alias("k"))
+    S.snapshot_commit(spark, t, df.coalesce(1))
+    bdir = S.snapshot_create_branch(t, "b")
+    S.snapshot_commit(spark, bdir,
+                      spark.range(50, 80).select(F.col("id").alias("k"))
+                      .coalesce(1), mode="append")
+    # main churns a few versions, then expires aggressively
+    for i in range(3):
+        S.snapshot_commit(spark, t,
+                          spark.range(100 + i, 101 + i)
+                          .select(F.col("id").alias("k")).coalesce(1),
+                          mode="append")
+    S.snapshot_expire(t, keep_last=1, tmp_grace_seconds=0)
+    # the branch still reads completely
+    assert S.snapshot_read(spark, bdir).count() == 80
