@@ -1413,3 +1413,326 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
             "stream_lsh_index_maintenance_parity: the restarted drain "
             "discovered no pairs — the post-restart probe is vacuous")
     return pairs
+
+
+def _ivf_stream_oracle() -> str:
+    """Serial restatement of the streaming IVF maintenance lifecycle
+    (r13): ingest transform (slots 0-1 all-positive |v|, slots 2-3
+    all-negative -|v|), seed centroids (slot-0 ids < 32), the ONE
+    drift retrain (a single Lloyd step over slots 0-2 seeded with the
+    current centroids plus the triggering batch's first 8 ids), the
+    final full reassignment against the retrained centroids, and the
+    cluster-scoped top-3 probe. Everything rounds at 6 digits exactly
+    where the Spark side does."""
+    cos = ("ROUND(list_inner_product({a}, {b}) / "
+           "sqrt(list_inner_product({a}, {a}) * "
+           "list_inner_product({b}, {b})), 6)")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ing AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 4 < 2
+                    THEN list_transform(v, x -> abs(x))
+                    ELSE list_transform(v, x -> -abs(x)) END AS v
+        FROM e
+    ),
+    seeds AS (
+        SELECT vec_id AS cid, v FROM ing
+        WHERE vec_id < 32 AND vec_id % 4 IN (0, 2)
+    ),
+    corpus012 AS (SELECT * FROM ing WHERE vec_id % 4 IN (0, 1, 2)),
+    scored0 AS (
+        SELECT t.vec_id, s.cid,
+               {cos.format(a='s.v', b='t.v')} AS sim
+        FROM corpus012 t CROSS JOIN seeds s
+    ),
+    assign0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM scored0) WHERE rn = 1
+    ),
+    c1_rows AS (
+        SELECT a.cid AS cluster_id,
+               generate_subscripts(t.v, 1) AS pos, unnest(t.v) AS val
+        FROM corpus012 t JOIN assign0 a ON t.vec_id = a.vec_id
+    ),
+    c1_flat AS (
+        SELECT cluster_id, CAST(pos AS BIGINT) AS pos,
+               ROUND(AVG(val), 6) AS c
+        FROM c1_rows GROUP BY 1, 2
+    ),
+    c1 AS (
+        SELECT cluster_id, list(c ORDER BY pos) AS v
+        FROM c1_flat GROUP BY 1
+    ),
+    scored1 AS (
+        SELECT t.vec_id, c.cluster_id,
+               {cos.format(a='c.v', b='t.v')} AS sim
+        FROM ing t CROSS JOIN c1 c
+    ),
+    final_assign AS (
+        SELECT vec_id, cluster_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cluster_id) AS rn
+            FROM scored1) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT i.vec_id AS qid, i.v AS qv, fa.cluster_id
+        FROM ing i JOIN final_assign fa ON i.vec_id = fa.vec_id
+        WHERE i.vec_id < 4
+    ),
+    cand AS (
+        SELECT q.qid, t.vec_id AS nid,
+               {cos.format(a='q.qv', b='t.v')} AS sim
+        FROM queries q
+        JOIN final_assign fa ON fa.cluster_id = q.cluster_id
+        JOIN ing t ON t.vec_id = fa.vec_id
+        WHERE t.vec_id <> q.qid
+    ),
+    topk AS (
+        SELECT qid, nid, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM cand) WHERE rn <= 3
+    )
+    SELECT 'assign' AS section, vec_id AS id_a,
+           cluster_id AS id_b, sim AS val FROM final_assign
+    UNION ALL
+    SELECT 'cent', cluster_id, pos, c FROM c1_flat
+    UNION ALL
+    SELECT 'topk', qid, nid, sim FROM topk
+    """
+
+
+@query("stream_ivf_index_maintenance_parity",
+       oracle=_ivf_stream_oracle())
+def stream_ivf_index_maintenance_parity(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """STREAMING IVF INDEX MAINTENANCE (r13, VERDICT r12 item 3 —
+    compose the ANN half the way r12 composed LSH): embedding batches
+    land in a source snapshot table; a rate-limited snapshot-source
+    stream drives a ``foreachBatch`` maintainer that (1) assigns each
+    new batch against the PERSISTED centroid table
+    (llm/similarity.py:ivf_assign), (2) appends the assignments to the
+    index — every commit EPOCH-KEYED for exactly-once — and (3)
+    watches ASSIGNMENT ENERGY (the batch's mean max-cosine): a batch
+    whose energy degrades below 0.5 triggers a RETRAIN — one Lloyd
+    step (kmeans_step/centroids_from_rows) over the indexed corpus
+    seeded with the current centroids plus the batch's first 8
+    vectors (codebook growth on drift), then a FULL reassignment, as
+    epoch-keyed overwrites ordered so a replay at any crash point
+    converges (centroids commit before the reassignment; a replay
+    that finds the centroid epoch already applied skips straight to
+    the reassignment).
+
+    Fixture: slots 0-1 are |v| (all-positive — energy ~0.72 against
+    the slot-0 seed centroids), slots 2-3 are -|v| (all-negative —
+    energy ~-0.57 against them, far below the 0.5 threshold, and
+    ~+0.8 after the retrain, far above it) — the drift fires exactly
+    once, at slot 2, at ANY scale factor. The drain stops after two
+    slots, two more land, the restarted stream (same checkpoint +
+    cursor) finishes — the retrain happens in the POST-RESTART half.
+
+    Pinned in-gate: the maintained index equals the ONE-SHOT
+    ivf_assign of the full ingested corpus against the final
+    centroids (both exceptAll directions), exactly one retrain
+    happened (centroid generation 1, centroid-table version 1), and
+    the probe leg answers cluster-scoped top-3 from the MAINTAINED
+    tables. Hash sections: ``assign`` (the index), ``cent`` (the
+    retrained centroids as scalar rows), ``topk`` (the probe)."""
+    from ..llm import similarity as sim
+    from ..operators.snapshots import (_epoch_sort_key,
+                                       _read_manifest_meta,
+                                       snapshot_commit,
+                                       snapshot_current_version,
+                                       snapshot_read)
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    scratch = _scratch(sf_dir, "stream_ivf_index")
+    src = os.path.join(scratch, "src")
+    vecs_t = os.path.join(scratch, "index_vecs")
+    cent_t = os.path.join(scratch, "index_cent")
+    assign_t = os.path.join(scratch, "index_assign")
+    ckpt = os.path.join(scratch, "_ckpt")
+    cursor = os.path.join(scratch, "_cursor")
+    ENERGY_FLOOR = 0.5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ing = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 4 < 2,
+               F.expr("transform(embedding, x -> abs(x))"))
+        .otherwise(F.expr("transform(embedding, x -> -abs(x))"))
+        .alias("embedding"))
+    n_vecs = ing.count()
+    slot_counts = {r["slot"]: r["n"] for r in
+                   ing.groupBy(F.pmod(F.col("vec_id"), F.lit(4))
+                               .alias("slot"))
+                   .agg(F.count("*").alias("n")).collect()}
+
+    c0 = ing.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 32)) \
+        .select(F.col("vec_id").alias("centroid_id"), "embedding",
+                F.lit(0).cast("long").alias("generation"))
+    snapshot_commit(spark, cent_t, c0.coalesce(1))
+    snapshot_commit(spark, vecs_t, ing.limit(0), mode="append")
+    snapshot_commit(
+        spark, assign_t,
+        spark.createDataFrame(
+            [], "vec_id long, cluster_id long, similarity double"),
+        mode="append")
+
+    def commit_slot(s: int) -> None:
+        snapshot_commit(spark, src,
+                        ing.filter(F.col("vec_id") % 4 == s)
+                        .coalesce(1), mode="append")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # exactly-once: the ASSIGN table's epoch is the last thing any
+        # path advances, so an applied epoch short-circuits everything
+        cur = snapshot_current_version(assign_t)
+        last = (_read_manifest_meta(assign_t, cur).get("last_epoch")
+                if cur is not None else None)
+        if last is not None and (
+                _epoch_sort_key(str(epoch_id)) <= _epoch_sort_key(last)):
+            return
+        batch = batch_df.localCheckpoint(eager=True)
+        cents = snapshot_read(spark, cent_t)
+        cvers = snapshot_current_version(cent_t)
+        cent_epoch = _read_manifest_meta(cent_t, cvers).get("last_epoch")
+        if cent_epoch is not None and (
+                _epoch_sort_key(str(epoch_id))
+                <= _epoch_sort_key(cent_epoch)):
+            # replay after a crash BETWEEN the centroid overwrite and
+            # the reassignment: centroids are current for this epoch —
+            # skip straight to the full reassignment
+            snapshot_commit(spark, vecs_t, batch, mode="append",
+                            epoch_key=str(epoch_id))
+            corpus = snapshot_read(spark, vecs_t)
+            full = sim.ivf_assign(
+                corpus, cents.select("centroid_id", "embedding"))
+            snapshot_commit(spark, assign_t, full, mode="overwrite",
+                            epoch_key=str(epoch_id))
+            return
+        assign_b = sim.ivf_assign(
+            batch, cents.select("centroid_id", "embedding")) \
+            .localCheckpoint(eager=True)
+        energy = assign_b.agg(F.avg("similarity")).first()[0]
+        if energy is not None and energy >= ENERGY_FLOOR:
+            snapshot_commit(spark, vecs_t, batch, mode="append",
+                            epoch_key=str(epoch_id))
+            snapshot_commit(spark, assign_t, assign_b, mode="append",
+                            epoch_key=str(epoch_id))
+            return
+        # DRIFT: retrain. vecs first (the corpus the retrain sees),
+        # then centroids, then the reassignment — every commit keyed,
+        # so a replay at any crash point converges on this state.
+        snapshot_commit(spark, vecs_t, batch, mode="append",
+                        epoch_key=str(epoch_id))
+        corpus = snapshot_read(spark, vecs_t)
+        gen = cents.agg(F.max("generation")).first()[0]
+        grow = batch.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding")
+        seeds = cents.select("centroid_id", "embedding") \
+            .unionByName(grow)
+        new_cents = sim.centroids_from_rows(
+            sim.kmeans_step(corpus, seeds)).withColumn(
+            "generation", F.lit(gen + 1).cast("long"))
+        snapshot_commit(spark, cent_t, new_cents.coalesce(1),
+                        mode="overwrite", epoch_key=str(epoch_id))
+        full = sim.ivf_assign(
+            corpus, new_cents.select("centroid_id", "embedding"))
+        snapshot_commit(spark, assign_t, full, mode="overwrite",
+                        epoch_key=str(epoch_id))
+
+    def drain(expect: int, label: str) -> None:
+        q = (spark.readStream.format("snapshot_table")
+             .option("maxFilesPerTrigger", "1")
+             .option("cursorLocation", cursor)
+             .load(src)
+             .writeStream.outputMode("append")
+             .foreachBatch(sink)
+             .trigger(processingTime="50 milliseconds")
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            deadline = time.time() + 300 + n_vecs // 250
+            while time.time() < deadline:
+                if snapshot_read(spark, assign_t).count() >= expect:
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+        got = snapshot_read(spark, assign_t).count()
+        if got != expect:
+            raise RuntimeError(
+                f"stream_ivf_index_maintenance_parity[{label}]: index "
+                f"holds {got} assignments, expected {expect}")
+
+    commit_slot(0)
+    commit_slot(1)
+    drain(slot_counts[0] + slot_counts[1], "first")
+    if snapshot_current_version(cent_t) != 0:
+        raise RuntimeError(
+            "stream_ivf_index_maintenance_parity: the pre-drift half "
+            "retrained — the energy floor fired early")
+    commit_slot(2)
+    commit_slot(3)
+    drain(n_vecs, "restart")
+
+    cents = snapshot_read(spark, cent_t).localCheckpoint(eager=True)
+    gen = cents.agg(F.max("generation")).first()[0]
+    if gen != 1 or snapshot_current_version(cent_t) != 1:
+        raise RuntimeError(
+            f"stream_ivf_index_maintenance_parity: expected exactly "
+            f"one drift retrain (generation 1, centroid version 1), "
+            f"got generation {gen}, version "
+            f"{snapshot_current_version(cent_t)}")
+    # the maintained index == the one-shot assignment of the full
+    # ingested corpus against the final centroids
+    got = snapshot_read(spark, assign_t).localCheckpoint(eager=True)
+    oneshot = sim.ivf_assign(
+        ing, cents.select("centroid_id", "embedding")) \
+        .localCheckpoint(eager=True)
+    if (got.exceptAll(oneshot).limit(1).count()
+            or oneshot.exceptAll(got).limit(1).count()):
+        raise RuntimeError(
+            "stream_ivf_index_maintenance_parity: the maintained "
+            "index diverged from the one-shot build")
+
+    # probe leg from the MAINTAINED tables: cluster-scoped top-3
+    vecs = snapshot_read(spark, vecs_t)
+    q = (vecs.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv"))
+         .join(got.select(F.col("vec_id").alias("qid"), "cluster_id"),
+               "qid"))
+    cand = (q.join(got.select(F.col("vec_id").alias("nid"),
+                              "cluster_id"), "cluster_id")
+            .filter(F.col("nid") != F.col("qid"))
+            .join(vecs.select(F.col("vec_id").alias("nid"),
+                              F.col("embedding").alias("nv")), "nid")
+            .withColumn("val", F.round(
+                sim.cosine(F.col("qv"), F.col("nv")), 6)))
+    wq = W.partitionBy("qid").orderBy(F.col("val").desc(), F.col("nid"))
+    topk = (cand.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= 3).select("qid", "nid", "val"))
+
+    cent_rows = cents.select(
+        F.col("centroid_id").alias("id_a"),
+        F.posexplode("embedding").alias("pos0", "val")) \
+        .select("id_a", (F.col("pos0") + 1).cast("long").alias("id_b"),
+                F.round(F.col("val"), 6).alias("val"))
+    return (got.select(F.lit("assign").alias("section"),
+                       F.col("vec_id").alias("id_a"),
+                       F.col("cluster_id").alias("id_b"),
+                       F.col("similarity").alias("val"))
+            .unionByName(cent_rows.select(
+                F.lit("cent").alias("section"), "id_a", "id_b", "val"))
+            .unionByName(topk.select(
+                F.lit("topk").alias("section"),
+                F.col("qid").alias("id_a"),
+                F.col("nid").alias("id_b"), "val")))
