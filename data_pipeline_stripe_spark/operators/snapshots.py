@@ -337,15 +337,26 @@ def _write_segments(table_dir: str, entries: list[dict]) -> list[dict]:
         # same partition fields, record per-field [min, max] of the
         # directory strings so partition-field terms can skip whole
         # segments without opening them (ISO day/month strings order
-        # lexicographically; numeric fields stay undecidable at this
-        # level — _segment_partition_vote only trusts string compares)
+        # lexicographically). NUMERIC bands (r13, VERDICT r12
+        # advice-grade d): a field whose every member value parses as
+        # an int records an INT [min, max] instead — lexicographic
+        # min/max of digit strings is not numeric order ('10' < '9'),
+        # which is why bucket:<n> fields could never vote at segment
+        # level before; _segment_partition_vote compares int bands
+        # only against int literals (exactly what bucket derivation
+        # emits) and string bands only against strings.
         if chunk and all(e.get("partition") for e in chunk):
             fields = set(chunk[0]["partition"])
             if all(set(e["partition"]) == fields for e in chunk):
-                desc["partition_bands"] = {
-                    f: [min(e["partition"][f] for e in chunk),
-                        max(e["partition"][f] for e in chunk)]
-                    for f in fields}
+                bands = {}
+                for f in fields:
+                    vals = [e["partition"][f] for e in chunk]
+                    try:
+                        ints = [int(v) for v in vals]
+                        bands[f] = [min(ints), max(ints)]
+                    except ValueError:
+                        bands[f] = [min(vals), max(vals)]
+                desc["partition_bands"] = bands
         descs.append(desc)
     return descs
 
@@ -402,10 +413,12 @@ def _segment_partition_vote(entry: dict, term) -> bool | None:
     """Partition-band check for a SEGMENT-level entry: True (every
     member file provably matches the term), False (no member can
     match — skip the segment unopened), None (mixed / undecidable /
-    not a partition field / non-string literal). Only string literals
-    vote: the bands are the directory strings' lexicographic min/max,
-    which is semantic order for day/month/identity-over-strings but
-    NOT for numeric fields ('10' < '9')."""
+    not a partition field / type-mismatched literal). String bands
+    (lexicographic min/max — semantic order for day/month/
+    identity-over-strings) vote against string literals; INT bands
+    (r13 — recorded when every member value parses, the bucket:<n>
+    case lexicographic order breaks: '10' < '9') vote against int
+    literals."""
     bands = entry.get("partition_bands")
     if not bands:
         return None
@@ -424,16 +437,25 @@ def _segment_partition_vote(entry: dict, term) -> bool | None:
         return False  # partition values are non-NULL by construction
     if op == "is_not_null":
         return True
+    # int bands (r13) compare only against int literals; string bands
+    # only against strings — same-type comparisons are semantic order
+    # in both cases (see the band-recording comment)
+    band_is_int = isinstance(lo, int)
+
+    def comparable(m) -> bool:
+        return (isinstance(m, int) and not isinstance(m, bool)
+                if band_is_int else isinstance(m, str))
+
     if op == "in":
         members = list(v)
-        if not all(isinstance(m, str) for m in members):
+        if not all(comparable(m) for m in members):
             return None
         if all(m < lo or m > hi for m in members):
             return False
         if lo == hi and lo in members:
             return True
         return None
-    if not isinstance(v, str):
+    if not comparable(v):
         return None
     if op == "=":
         if v < lo or v > hi:

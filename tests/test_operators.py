@@ -3413,7 +3413,8 @@ def test_segment_partition_bands_skip_unopened(spark, tmp_path):
     assert info["files_dropped"] > 0
     assert len(opens) == 1, opens
 
-    # numeric bucket fields: undecidable bands -> opened, still exact
+    # numeric bucket fields: INT bands (r13) vote too — an
+    # out-of-range bucket literal skips segments unopened
     t2 = str(tmp_path / "bandsb")
     S.snapshot_commit_partitioned(
         spark, t2, df, [{"name": "kb", "source": "k",
@@ -3421,12 +3422,18 @@ def test_segment_partition_bands_skip_unopened(spark, tmp_path):
     assert S.snapshot_scan(spark, t2, [("kb", "=", 2)]).count() == \
         df.filter(F.pmod(F.crc32(F.col("k").cast("string")),
                          F.lit(4)) == 2).count()
+    m2 = S._read_manifest_meta(t2, 0)
+    assert all(isinstance(s["partition_bands"]["kb"][0], int)
+               for s in m2["segments"])
+    stats2 = S.snapshot_plan_stats(t2, [("kb", "=", 99)])
+    assert stats2["segments_opened"] == 0 and stats2["files_kept"] == 0
 
 
 def test_segment_partition_vote_pure_logic():
     """_segment_partition_vote truth table (no Spark): True = every
     member matches, False = none can, None = mixed / undecidable /
-    non-string literal (lexicographic bands are not numeric order)."""
+    type-mismatched literal (string bands vote on strings, r13 int
+    bands vote on ints)."""
     from data_pipeline_stripe_spark.operators.snapshots import \
         _segment_partition_vote as vote
 
@@ -3453,10 +3460,24 @@ def test_segment_partition_vote_pure_logic():
                       ("day", ">", "2024-01-09")]) is False
     assert vote(seg, [("day", "<", "2024-01-01"),
                       ("day", "=", "2024-01-04")]) is None
-    # undecidable shapes: not a band field, numeric literal, no bands
+    # undecidable shapes: not a band field, type-mismatched literal,
+    # no bands
     assert vote(seg, ("other", "=", "x")) is None
     assert vote(seg, ("day", "=", 5)) is None
     assert vote({}, ("day", "=", "x")) is None
+    # int bands (r13): numeric interval logic against int literals;
+    # string literals are the mismatched type there
+    iseg = {"partition_bands": {"kb": [2, 5]}}
+    assert vote(iseg, ("kb", "=", 9)) is False
+    assert vote(iseg, ("kb", "=", 3)) is None
+    assert vote({"partition_bands": {"kb": [4, 4]}},
+                ("kb", "=", 4)) is True
+    assert vote(iseg, ("kb", "<", 2)) is False
+    assert vote(iseg, ("kb", ">=", 2)) is True
+    assert vote(iseg, ("kb", "in", [0, 1])) is False
+    assert vote(iseg, ("kb", "in", [0, 3])) is None
+    assert vote(iseg, ("kb", "=", "3")) is None
+    assert vote(iseg, ("kb", "=", True)) is None
 
 
 def test_hidden_partitioning_source_predicate_derivation(spark, tmp_path):
