@@ -127,6 +127,17 @@ HEADLINE = [
     "snapshot_partition_spec_parity",
     "stream_lsh_index_maintenance_parity",
     "snapshot_check_constraint_parity",
+    # round 13: the concurrency seam + O(keys) deletes + WAP + the
+    # streaming IVF composition — equality deletes (zero-data-file
+    # commits), metadata-conflict detection (constraint races),
+    # partitioned deletion vectors + spec-preserving OPTIMIZE,
+    # write-audit-publish branches, and the drift-retrained IVF
+    # maintenance loop (lifecycle-dominated like the LSH row above)
+    "snapshot_equality_delete_parity",
+    "snapshot_metadata_conflict_parity",
+    "snapshot_partitioned_delete_parity",
+    "snapshot_wap_parity",
+    "stream_ivf_index_maintenance_parity",
 ]
 
 

@@ -1469,12 +1469,20 @@ def _read_entries(spark: SparkSession, table_dir: str,
 
 def snapshot_read(spark: SparkSession, table_dir: str,
                   version: int | None = None,
-                  as_of: float | None = None) -> DataFrame:
+                  as_of: float | None = None,
+                  tag: str | None = None) -> DataFrame:
     """Read a committed version (default: current; ``version=N`` for
     exact time travel, ``as_of=<epoch seconds>`` for timestamp travel
-    via ``snapshot_version_at``). Plans directly from the manifest's
-    file list — no directory listing, so unreferenced in-flight commit
-    directories are invisible."""
+    via ``snapshot_version_at``, ``tag=<name>`` for name-addressed
+    travel via ``snapshot_tag_version`` — r13). Plans directly from
+    the manifest's file list — no directory listing, so unreferenced
+    in-flight commit directories are invisible."""
+    if tag is not None:
+        if version is not None or as_of is not None:
+            raise ValueError(
+                "snapshot_read: pass exactly one of version / as_of / "
+                "tag")
+        version = snapshot_tag_version(table_dir, tag)
     m = _resolve_version(table_dir, version, as_of)
     return _read_entries(spark, table_dir, _manifest_files(table_dir, m),
                          m["schema"], eq_deletes=m.get("eq_deletes"))

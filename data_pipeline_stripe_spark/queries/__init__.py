@@ -59,73 +59,69 @@ from . import maintenance  # noqa: E402,F401
 _WINDOW = 50
 
 PRIORITY_THIS_ROUND = [
-    # round 12 pins: all 34 r11 pins + 3 debt rows pruned (every one
-    # green in the r11 driver window) — most snapshot/stream rows
-    # re-enter below because r12 rewrote the format core they gate.
-    # Pinned here = code changed THIS round (rule 1).
+    # round 13 pins. Pinned here = code changed THIS round (rule 1).
     #
-    # r12 NEW surfaces (VERDICT r11's ranked agenda):
-    # 1. hierarchical manifests: segment files + manifest lists,
-    #    O(new) commit metadata, segment-rollup scan pruning, O(1)
-    #    admission probes (delta summaries in every manifest)
-    "snapshot_manifest_scale_parity",
-    # 2. deletion vectors: merge-on-read DELETE WHERE, byte-identical
-    #    data files, OPTIMIZE materializes, CDF rides through
-    "snapshot_deletion_vector_parity",
-    # 3. conflict narrowing: rewrites rebase over disjoint interleaved
-    #    appends (base_version API), in-band appends still abort
-    "snapshot_conflict_rebase_parity",
-    # 4. partition-spec transforms: exact partition pruning,
-    #    metadata-only partition retirement, file-level expire GC
+    # r13 NEW surfaces (VERDICT r12's ranked agenda + ADVICE r12):
+    # 2. equality deletes: O(keys) commits (zero data files opened),
+    #    sequence-number scoping, lazy CDF, OPTIMIZE materializes
+    "snapshot_equality_delete_parity",
+    # 1. metadata-conflict detection: constraints landing mid-commit
+    #    re-validate or abort; rewrites rebase through metadata-only
+    #    commits (constraint add/drop, manifest re-chunks)
+    "snapshot_metadata_conflict_parity",
+    # 5. write-audit-publish: branches over symlinked shared storage,
+    #    fast-forward publish, tags as retention pins
+    "snapshot_wap_parity",
+    # 3. streaming IVF index maintenance: epoch-keyed assignment
+    #    appends + drift-triggered one-step retrain + probe leg
+    "stream_ivf_index_maintenance_parity",
+    # ADVICE r12 (high): deletion vectors on PARTITIONED layouts
+    #    (marker-based path extraction), partition-field IN, and
+    #    spec-preserving OPTIMIZE — composed in one lifecycle
+    "snapshot_partitioned_delete_parity",
+    # 4. mixed-generation partition scans (new gate leg) + numeric
+    #    segment bands (bucket fields vote at segment level)
     "snapshot_partition_spec_parity",
-    # 5. streaming LSH index maintenance over the rate-limited source
-    #    (epoch-keyed exactly-once probe/append loop)
-    "stream_lsh_index_maintenance_parity",
-    # 6. pushdown completeness: IsNotNull / Not(EqualTo) /
-    #    EqualNullSafe legs on the SQL surface
-    "snapshot_sql_surface_parity",
-    # beyond the agenda: CHECK constraints as table properties
-    # (metadata-only add/drop, enforced fail-closed on every
-    # data-adding verb)
-    "snapshot_check_constraint_parity",
-    # ADVICE r11 (high): cursor-unknown restart serves head once
-    # instead of regressing offsets below Spark's checkpoint
-    "stream_snapshot_source_ratelimited_parity",
-    # ADVICE r11 (low): ntile total now rides the same B-row counts
-    # frame as the ranking (one plan, one scan)
-    "ntile_customer_quartiles",
     #
-    # r12 REFACTORED code paths re-gating (rule 1): the ENTIRE
-    # manifest core moved to format v3 (segments, delta summaries,
-    # probe-based dirty splits, _read_entries DV anti-join, expire
-    # segment/file GC) and sources/snapshot_source.py restructured
-    # (segment-based deltas, O(1) admission probes, DV slices,
-    # pushdown mapping) — every snapshot/stream gate's substrate
-    # changed, so the whole family re-gates this round
+    # r13 REFACTORED code paths re-gating (rule 1): the publish loop
+    # gained sequence stamping + eq-delete resolution + constraint
+    # re-validation; _read_entries gained eq-delete grouping; expire
+    # gained tag pins / branch references / eqdel GC;
+    # snapshot_current_version answers from the _latest hint; the
+    # batch DataSource slices carry eq sidecars; compact re-derives
+    # partition tuples; compact_manifests consolidates DVs — the
+    # whole snapshot/stream family's substrate changed again
+    "snapshot_manifest_scale_parity",
+    "snapshot_deletion_vector_parity",
+    "snapshot_conflict_rebase_parity",
+    "snapshot_check_constraint_parity",
+    "snapshot_sql_surface_parity",
+    "stream_lsh_index_maintenance_parity",
+    "stream_snapshot_source_ratelimited_parity",
+    "stream_snapshot_cdf_source_parity",
+    "stream_snapshot_source_parity",
+    "stream_snapshot_source_skip_changes_parity",
+    "stream_snapshot_sink_parity",
+    "stream_snapshot_replication_parity",
     "snapshot_replace_where_parity",
     "snapshot_merge_composite_key_parity",
-    "snapshot_clustered_compact_parity",
-    "snapshot_null_in_pruned_read",
-    "stream_snapshot_source_skip_changes_parity",
-    "snapshot_expire_retention_parity",
-    "snapshot_time_travel_roundtrip",
-    "stream_snapshot_sink_parity",
-    "snapshot_concurrent_commit_parity",
-    "snapshot_incremental_read_parity",
-    "snapshot_schema_evolution_parity",
-    "snapshot_as_of_read_parity",
-    "snapshot_history_parity",
     "snapshot_merge_upsert_parity",
     "snapshot_partial_merge_parity",
     "snapshot_merge_delete_unmatched_parity",
     "snapshot_merge_update_unmatched_parity",
     "snapshot_cdf_read_parity",
     "snapshot_compact_parity",
+    "snapshot_clustered_compact_parity",
     "snapshot_stats_pruned_read",
+    "snapshot_null_in_pruned_read",
     "snapshot_clustered_write_parity",
-    "stream_snapshot_source_parity",
-    "stream_snapshot_cdf_source_parity",
-    "stream_snapshot_replication_parity",
+    "snapshot_expire_retention_parity",
+    "snapshot_time_travel_roundtrip",
+    "snapshot_concurrent_commit_parity",
+    "snapshot_incremental_read_parity",
+    "snapshot_schema_evolution_parity",
+    "snapshot_as_of_read_parity",
+    "snapshot_history_parity",
     "snapshot_restore_parity",
 ]
 
@@ -134,7 +130,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     # (CORRECTNESS_r11.json on disk) — the union is self-contained;
     # no new debt this round.
 ]
-# Rotation note: with the r12 head (34 pins + 0 debt), 16 rotating
+# Rotation note: with the r13 head (38 pins + 0 debt), 12 rotating
 # slots resume the tile over the remaining queries.
 
 

@@ -4449,9 +4449,7 @@ def test_branch_write_audit_publish(spark, tmp_path):
     # tags: name-addressed time travel + retention pin
     S.snapshot_create_tag(t, "prod", version=fork_v)
     assert S.snapshot_tag_version(t, "prod") == fork_v
-    assert S.snapshot_read(
-        spark, t, version=S.snapshot_tag_version(t, "prod")).count() \
-        == 100
+    assert S.snapshot_read(spark, t, tag="prod").count() == 100
     S.snapshot_expire(t, keep_last=1, tmp_grace_seconds=0)
     # the tagged version survives keep_last=1
     assert S.snapshot_read(
