@@ -210,6 +210,26 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
         else:
             entries = m.get("changes")
             if entries is None:
+                new_eq = [d for d in (m.get("eq_deletes") or [])
+                          if d not in ((parent_m or {})
+                                       .get("eq_deletes") or [])]
+                if new_eq:
+                    # equality deletes commit O(keys) with no change
+                    # log BY DESIGN; the batch CDF computes the D rows
+                    # lazily (snapshot_read_cdf), but this executor-
+                    # side Arrow reader cannot run the band scan —
+                    # name the cause precisely so the operator knows
+                    # the batch path works (r13)
+                    raise ValueError(
+                        f"snapshot CDF source: version {v} of "
+                        f"{table_dir} is an EQUALITY DELETE "
+                        "(snapshot_delete_keys) — its D rows are "
+                        "computed lazily by the batch CDF "
+                        "(snapshot_read_cdf), which this streaming "
+                        "source cannot do executor-side; read the "
+                        "range with the batch API or use "
+                        "snapshot_delete_where for stream-friendly "
+                        "deletes")
                 raise ValueError(
                     f"snapshot CDF source: version {v} of {table_dir} "
                     f"is a {m['mode']} with no recorded change log — "

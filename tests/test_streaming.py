@@ -1499,3 +1499,30 @@ def test_stream_initial_load_applies_deletion_vectors(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k for r in spark.read.parquet(out).collect()}
     assert got == set(range(10, 40))
+
+
+def test_cdf_stream_refuses_equality_delete_with_named_error(
+        spark, tmp_path):
+    """r13: the streaming CDF source cannot compute an equality
+    delete's lazy D rows executor-side — the refusal must NAME the
+    cause and the batch alternative instead of the generic
+    no-change-log error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        _cdf_slices
+
+    t = str(tmp_path / "eqcdf")
+    df = spark.range(40).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("v"))
+    S.snapshot_commit(spark, t, df.coalesce(1))
+    v, _ = S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(3,)], "k long"), "k")
+    with pytest.raises(ValueError, match="EQUALITY DELETE"):
+        _cdf_slices(t, 0, v)
+    # the batch CDF serves the same range fine (lazy D rows)
+    feed = S.snapshot_read_cdf(spark, t, 0, to_version=v)
+    assert [(r["k"], r["_change_type"]) for r in feed.collect()] \
+        == [(3, "D")]
