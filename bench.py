@@ -138,6 +138,11 @@ HEADLINE = [
     "snapshot_partitioned_delete_parity",
     "snapshot_wap_parity",
     "stream_ivf_index_maintenance_parity",
+    # round 13 (cont.): the streaming CDF source riding equality-delete
+    # commits — executor-side lazy D rows ('eqdead' Arrow slices), the
+    # shape the r13 seal still refused (lifecycle-dominated: two full
+    # streaming drains)
+    "stream_cdf_equality_delete_parity",
 ]
 
 

@@ -1072,6 +1072,15 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
     #                               narrowed-conflict rebase
     revalidated_state: dict | None = None  # last constraint set the
     #                                        revalidate hook cleared
+    # does THIS commit add an equality-delete descriptor? (a descriptor
+    # without a seq is the one being added — snapshot_delete_keys) —
+    # drives the cdf_delta unit below
+    new_eq_delete = (eq_deletes != "inherit"
+                     and any("seq" not in d for d in (eq_deletes or [])))
+    # adopted-by-reference segments lacking a seq stamp (cherry-pick:
+    # the data is logically NEW at this publish) — stamped per attempt
+    unstamped_extra = [d for d in (extra_segments or [])
+                       if "seq" not in d]
 
     for attempt in range(max_retries + 1):
         prev = snapshot_current_version(table_dir)
@@ -1154,7 +1163,7 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
         # never allowed to see
         eff_constraints = (prev_manifest.get("constraints")
                            if constraints == "inherit" else constraints)
-        if (new_entries and constraints == "inherit"
+        if ((new_entries or extra_segments) and constraints == "inherit"
                 and validated_constraints != "skip"):
             base_c = validated_constraints or {}
             grown = {k: v for k, v in (eff_constraints or {}).items()
@@ -1181,13 +1190,27 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             }
         version = (prev if prev is not None else -1) + 1
         # SEQUENCE NUMBERS (r13): segments of THIS commit's new data
-        # are stamped with the publishing version — the age scope
-        # equality deletes apply under (a delete at seq D touches only
-        # segments with seq < D, so a key re-inserted after the delete
-        # survives it). Re-stamped per attempt: a rebase moves the
-        # version.
+        # are stamped with the table's MONOTONIC sequence counter
+        # (``last_seq`` + 1, carried manifest-to-manifest; legacy
+        # manifests default to their version — seq == version held
+        # before branches existed) — the age scope equality deletes
+        # apply under (a delete at seq D touches only segments with
+        # seq < D, so a key re-inserted after the delete survives it).
+        # A COUNTER, not the version, because a BRANCH adopts its
+        # parent's segments (seqs up to the fork) while its own
+        # versions restart at 1 — stamping the branch-local version
+        # made a branch delete's seq collide below adopted segments'
+        # and silently skip them; inheriting the parent's counter
+        # keeps every new branch commit strictly newer than everything
+        # it adopted. Re-stamped per attempt: a rebase moves the seq.
+        seq = prev_manifest.get(
+            "last_seq", prev if prev is not None else -1) + 1
         for d in new_segs:
-            d["seq"] = version
+            d["seq"] = seq
+        # adopted segments WITHOUT a seq stamp are cherry-picked data:
+        # logically new at THIS publish (re-stamped per attempt too)
+        for d in unstamped_extra:
+            d["seq"] = seq
         # EQUALITY DELETES (r13): a manifest-level list of key-value
         # sidecar descriptors, inherited like constraints; descriptors
         # SELF-CLEAN — one no segment is old enough to need anymore
@@ -1197,9 +1220,9 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
                   if eq_deletes == "inherit" else eq_deletes) or []
         # a descriptor WITHOUT a seq is the one THIS commit adds
         # (snapshot_delete_keys): its scope is everything before the
-        # version that actually publishes — stamped per attempt, since
-        # a rebase moves the version
-        eff_eq = [dict(d, seq=version) if "seq" not in d else d
+        # sequence number that actually publishes — stamped per
+        # attempt, since a rebase moves the seq
+        eff_eq = [dict(d, seq=seq) if "seq" not in d else d
                   for d in eff_eq]
         eff_eq = [d for d in eff_eq
                   if any(s.get("seq", 0) < d["seq"] for s in segments)]
@@ -1210,13 +1233,34 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             "mode": mode,
             "committed_at": time.time(),
             "segments": segments,
+            # the monotonic sequence counter: covers this commit's own
+            # seq AND every adopted seq (a strict fast-forward adopts
+            # branch segments whose counter ran ahead of main's
+            # version — the max keeps future main commits newer)
+            "last_seq": max(
+                [seq] + [s.get("seq", 0) for s in segments]
+                + [d["seq"] for d in eff_eq]),
             # per-version delta summaries: what this commit ADDS for a
             # plain consumer (new data entries) and for a CDF consumer
             # (appends: same; rewrites: their recorded change log) — the
             # O(1) admission-probe units (VERDICT r11 item 7)
             "delta": delta,
-            "cdf_delta": (delta if mode == "append"
-                          else _entry_totals(changes_entries or [])),
+            # an EQUALITY-DELETE commit records its PARENT's live band
+            # as the CDF unit: that is exactly the scan a CDF consumer
+            # pays to compute the commit's lazy D rows (the 'eqdead'
+            # slices of the streaming source / the batch CDF's
+            # remaining-join) — 0 would let admission control admit an
+            # unbounded band scan as free (r13)
+            "cdf_delta": (
+                delta if mode == "append"
+                else {"files": sum(s["n_files"]
+                                   for s in prev_manifest["segments"]),
+                      "rows": sum(s.get("rows") or 0
+                                  for s in prev_manifest["segments"]),
+                      "bytes": sum(s.get("bytes") or 0
+                                   for s in prev_manifest["segments"])}
+                if new_eq_delete and prev_manifest.get("segments")
+                else _entry_totals(changes_entries or [])),
             "schema": schema_json,
             "last_epoch": (
                 epoch_key if epoch_key is not None
@@ -3448,12 +3492,13 @@ def snapshot_delete_keys(spark: SparkSession, table_dir: str,
     merge-family dirty reads / the batch+streaming Python DataSource.
     ``snapshot_compact`` reads THROUGH the deletes and rewrites, so
     OPTIMIZE materializes them away; descriptors self-clean from the
-    manifest once no segment is old enough to need them. Batch CDF
-    computes the delete's D rows LAZILY at first read of the range
-    (the read pays the O(band) scan the commit refused to); the
-    streaming CDF source refuses the commit with the standard
-    non-expressible error. Time travel is untouched (older manifests
-    carry the shorter descriptor list).
+    manifest once no segment is old enough to need them. Batch AND
+    streaming CDF compute the delete's D rows LAZILY at first read of
+    the range (the read pays the O(band) scan the commit refused to —
+    the streaming source distributes it as per-parent-file 'eqdead'
+    Arrow slices; the commit's ``cdf_delta`` records the parent band
+    so admission control prices that scan honestly). Time travel is
+    untouched (older manifests carry the shorter descriptor list).
 
     ``keys`` is a DataFrame of exactly ``key_cols`` (extra columns are
     projected away; duplicates collapsed); NULL key values are refused
@@ -3777,12 +3822,20 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
     n_files, n_rows, n_change_files) — assembled from the manifests
     alone (footer row counts are harvested at commit time into each
     file entry, so history never opens a data file). ``n_rows`` is NULL
-    for versions committed before row counts were recorded;
-    ``n_change_files`` is NULL for commits with no recorded change log
-    (appends synthesize their feed, plain overwrites have none) and 0
-    for layout-only commits (compaction). O(versions) manifest reads,
-    driver-side — the operational surface Delta exposes as DESCRIBE
-    HISTORY and Iceberg as the snapshots metadata table."""
+    for versions committed before row counts were recorded — and it is
+    the PHYSICAL count (footer-based): under active equality deletes
+    the live count is lower until OPTIMIZE materializes them, which is
+    why ``n_eq_deletes`` (active descriptors) and
+    ``n_pending_delete_keys`` (sum of their key counts — an UPPER
+    bound on pending deletions, since a key may match 0..n rows) are
+    reported alongside: a consumer can see exactness is pending
+    without history ever paying the band scan (Iceberg's
+    total-delete-files column, same honesty). ``n_change_files`` is
+    NULL for commits with no recorded change log (appends synthesize
+    their feed, plain overwrites have none) and 0 for layout-only
+    commits (compaction). O(versions) manifest reads, driver-side —
+    the operational surface Delta exposes as DESCRIBE HISTORY and
+    Iceberg as the snapshots metadata table."""
     from pyspark.sql.types import (BooleanType, DoubleType, LongType,
                                    StringType, StructField, StructType)
 
@@ -3791,6 +3844,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         m = _read_manifest_meta(table_dir, v)
         seg_rows = [s.get("rows") for s in m["segments"]]
         changes = m.get("changes")
+        eq = m.get("eq_deletes") or []
         rows.append((
             v,
             m["parent"],
@@ -3801,6 +3855,8 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
              else None),
             len(changes) if changes is not None else None,
             m.get("epoch_key") is not None,
+            len(eq),
+            (sum(d.get("rows") or 0 for d in eq) if eq else 0),
         ))
     schema = StructType([
         StructField("version", LongType(), False),
@@ -3811,6 +3867,8 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         StructField("n_rows", LongType(), True),
         StructField("n_change_files", LongType(), True),
         StructField("from_stream_epoch", BooleanType(), False),
+        StructField("n_eq_deletes", LongType(), False),
+        StructField("n_pending_delete_keys", LongType(), False),
     ])
     return spark.createDataFrame(rows, schema)
 
@@ -3945,7 +4003,13 @@ def snapshot_create_branch(table_dir: str, name: str,
         committed_at=time.time(),
         delta={"files": 0, "rows": 0, "bytes": 0},
         cdf_delta={"files": 0, "rows": 0, "bytes": 0},
-        changes=[], cdf_key=None, epoch_key=None)
+        changes=[], cdf_key=None, epoch_key=None,
+        # the branch INHERITS the parent's sequence counter: its own
+        # versions restart at 0, but its commits must stamp seqs
+        # strictly newer than every adopted segment — a branch delete
+        # stamped with the branch-local version silently skipped
+        # adopted segments whose parent seq was >= it
+        last_seq=m.get("last_seq", base_version))
     p = _manifest_path(bdir, 0)
     tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -4027,6 +4091,93 @@ def snapshot_fast_forward(table_dir: str, name: str) -> int:
         constraints=bm.get("constraints"),
         partition_spec=bm.get("partition_spec"),
         cluster_cols=bm.get("cluster_cols"))
+
+
+def snapshot_cherry_pick(spark: SparkSession, table_dir: str,
+                         name: str) -> int:
+    """CHERRY-PICK an append-only branch onto a MOVED main head
+    (Iceberg's ``cherrypick_snapshot`` shape; the rebase variant of
+    ``snapshot_fast_forward``, which is strict and aborts the moment
+    main leaves the fork point). Sound exactly when the branch's
+    changes commute with main's interleavers, which this verb
+    verifies rather than assumes:
+
+    - the branch chain since the fork must be APPEND-ONLY (its delta
+      is fresh files main never saw — disjoint from anything a main
+      rewrite/delete touched, so carrying them is the serial order
+      "main's commits, then the branch's appends");
+    - the branch must not have changed TABLE METADATA (constraints /
+      partition spec / clustering lineage / equality-delete
+      descriptors all equal to their fork state) — a cherry-pick
+      carries data, not metadata;
+    - the branch's rows are RE-VALIDATED against main's CURRENT
+      constraints before publication (they may have grown since the
+      fork — the same seam the r13 OCC loop closes for in-flight
+      appends), inside the publish loop so a constraint landing
+      mid-pick re-validates or aborts too.
+
+    The delta segments are adopted BY REFERENCE (metadata-only, zero
+    data movement — branch storage is the parent's) but RE-STAMPED to
+    the publishing commit's sequence number: the rows are logically
+    new at publish time, so a main equality delete committed while
+    the branch was open does NOT apply to them (serial order again).
+    Publishes as an ordinary APPEND — CDF and incremental consumers
+    ride through. Returns the new main version; the branch is left
+    for the caller to drop."""
+    bdir = _branch_dir(table_dir, name)
+    try:
+        with open(os.path.join(bdir, _FORK_FILE)) as fh:
+            json.load(fh)
+    except OSError:
+        raise ValueError(
+            f"snapshot_cherry_pick: no branch {name!r} on {table_dir}")
+    bhead = snapshot_current_version(bdir)
+    head = snapshot_current_version(table_dir)
+    if bhead == 0:
+        return head  # nothing to publish
+    chain = _manifest_chain(bdir, 0, bhead, "snapshot_cherry_pick")
+    for m in chain[1:]:
+        if m["mode"] != "append":
+            raise SnapshotConflictError(
+                f"snapshot_cherry_pick: branch {name!r} version "
+                f"{m['version']} is a {m['mode']} — only append-only "
+                "branches commute with a moved main; use "
+                "snapshot_fast_forward from an unmoved fork point, or "
+                "re-branch and re-apply")
+    fork_m, bm = chain[0], chain[-1]
+    for field in ("constraints", "partition_spec", "cluster_cols",
+                  "eq_deletes"):
+        if (bm.get(field) or None) != (fork_m.get(field) or None):
+            raise SnapshotConflictError(
+                f"snapshot_cherry_pick: branch {name!r} changed table "
+                f"metadata ({field}) since the fork — a cherry-pick "
+                "carries data only; use snapshot_fast_forward from an "
+                "unmoved fork point")
+    base_paths = {s["path"] for s in fork_m["segments"]}
+    # strip the branch-chain seq stamps: the publish loop re-stamps
+    # them with ITS winning sequence number per attempt
+    delta_segs = [{k: v for k, v in s.items() if k != "seq"}
+                  for s in bm["segments"] if s["path"] not in base_paths]
+    if not delta_segs:
+        return head
+    delta_entries = [e for s in delta_segs
+                     for e in _segment_entries(table_dir, s)]
+    head_m = (_read_manifest_meta(table_dir, head)
+              if head is not None else {})
+
+    def revalidate(cset):
+        _enforce_constraints(spark, table_dir, cset, delta_entries,
+                             bm["schema"], "snapshot_cherry_pick")
+
+    revalidate(head_m.get("constraints"))
+    from pyspark.sql.types import StructType
+
+    return _publish_commit(
+        table_dir, mode="append", new_entries=[],
+        batch_schema=StructType.fromJson(json.loads(bm["schema"])),
+        extra_segments=delta_segs,
+        validated_constraints=head_m.get("constraints") or {},
+        revalidate=revalidate)
 
 
 def snapshot_drop_branch(table_dir: str, name: str) -> None:

@@ -79,6 +79,11 @@ PRIORITY_THIS_ROUND = [
     #    (marker-based path extraction), partition-field IN, and
     #    spec-preserving OPTIMIZE — composed in one lifecycle
     "snapshot_partitioned_delete_parity",
+    # r13 second half: the streaming CDF source rides equality-delete
+    #    commits (executor-side 'eqdead' Arrow slices compute the lazy
+    #    D rows — the seal's one refused shape), seq becomes the
+    #    last_seq table counter (branch-delete soundness), cherry-pick
+    "stream_cdf_equality_delete_parity",
     # 4. mixed-generation partition scans (new gate leg) + numeric
     #    segment bands (bucket fields vote at segment level)
     "snapshot_partition_spec_parity",
@@ -130,7 +135,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     # (CORRECTNESS_r11.json on disk) — the union is self-contained;
     # no new debt this round.
 ]
-# Rotation note: with the r13 head (38 pins + 0 debt), 12 rotating
+# Rotation note: with the r13 head (39 pins + 0 debt), 11 rotating
 # slots resume the tile over the remaining queries.
 
 

@@ -3765,13 +3765,16 @@ def snapshot_equality_delete_parity(spark: SparkSession,
     WITH base AS (
         SELECT o_orderkey AS k, o_orderpriority AS pri,
                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders WHERE o_orderkey <= 1000
+        FROM orders WHERE o_orderkey <= 1300
     )
-    SELECT 'head' AS section, k, pri, cents FROM base
+    SELECT 'head' AS section, k, pri, cents FROM base WHERE k <= 1000
     UNION ALL
-    SELECT 'delta', k, pri, cents FROM base WHERE k > 800
+    SELECT 'delta', k, pri, cents FROM base
+    WHERE k > 800 AND k <= 1000
     UNION ALL
     SELECT 'base', k, pri, cents FROM base WHERE k <= 800
+    UNION ALL
+    SELECT 'pick', k, pri, cents FROM base
     """,
 )
 def snapshot_wap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3793,12 +3796,24 @@ def snapshot_wap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (``head``), and the CDF across the publish is exactly the
         branch's rows as I (``delta``).
     (d) TAG: the pre-publish version is tagged and read back by name
-        after an aggressive expire (``base`` — the retention pin)."""
+        after an aggressive expire (``base`` — the retention pin).
+    (e) CHERRY-PICK (r13 second half): a branch staged while main
+        MOVES past the fork — an interleaved append AND an equality
+        delete of exactly the branch's key range — refuses the strict
+        fast-forward but lands via ``snapshot_cherry_pick`` as one
+        append whose re-stamped rows SURVIVE the interleaved delete
+        (serial order: the pick publishes after it), with the pick's
+        CDF serving the branch rows as I (``pick``)."""
     from ..operators import snapshots as S
 
     table_dir = _scratch(sf_dir, "snapshot_wap")
     twin_dir = _scratch(sf_dir, "snapshot_wap_twin")
     orders = load_table(spark, sf_dir, "orders")
+    wide = orders.filter(F.col("o_orderkey") <= 1300).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
     base = orders.filter(F.col("o_orderkey") <= 1000).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -3875,9 +3890,52 @@ def snapshot_wap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table_dir,
         version=S.snapshot_tag_version(table_dir, "pre_publish"))
 
+    # (e) cherry-pick onto a moved main: branch stages (1000, 1200];
+    # main interleaves an append of (1200, 1300] AND an equality
+    # delete of keys (1000, 1100] — currently matching nothing, but
+    # exactly the picked range (a mis-scoped pick would lose them)
+    late = wide.filter(F.col("k") > 1000) \
+        .filter(F.col("k") <= 1200)
+    pdir = S.snapshot_create_branch(table_dir, "late")
+    S.snapshot_commit(spark, pdir, late.coalesce(1), mode="append")
+    S.snapshot_commit(spark, table_dir,
+                      wide.filter(F.col("k") > 1200).coalesce(1),
+                      mode="append")
+    S.snapshot_delete_keys(
+        spark, table_dir,
+        late.filter(F.col("k") <= 1100).select("k"), "k")
+    head_before_pick = S.snapshot_current_version(table_dir)
+    try:
+        S.snapshot_fast_forward(table_dir, "late")
+        raise RuntimeError(
+            "snapshot_wap_parity: a moved main accepted the strict "
+            "fast-forward")
+    except S.SnapshotConflictError:
+        pass
+    v_pick = S.snapshot_cherry_pick(spark, table_dir, "late")
+    S.snapshot_drop_branch(table_dir, "late")
+    if S._read_manifest_meta(table_dir, v_pick)["mode"] != "append":
+        raise RuntimeError(
+            "snapshot_wap_parity: the cherry-pick did not publish as "
+            "an append")
+    pick_feed = S.snapshot_read_cdf(spark, table_dir, head_before_pick)
+    if (pick_feed.filter(F.col("_change_type") != "I").count()
+            or pick_feed.count() != late.count()):
+        raise RuntimeError(
+            "snapshot_wap_parity: the pick CDF is not exactly the "
+            "branch rows as I")
+    pick_head = S.snapshot_read(spark, table_dir)
+    survivors = pick_head.filter(
+        (F.col("k") > 1000) & (F.col("k") <= 1100)).count()
+    if survivors != late.filter(F.col("k") <= 1100).count():
+        raise RuntimeError(
+            "snapshot_wap_parity: the interleaved equality delete ate "
+            "the cherry-picked rows — sequence re-stamping is broken")
+
     def sec(df: DataFrame, s: str) -> DataFrame:
         return df.select(F.lit(s).alias("section"), "k", "pri", "cents")
 
     return (sec(main_head, "head")
             .unionByName(sec(feed.select("k", "pri", "cents"), "delta"))
-            .unionByName(sec(tagged, "base")))
+            .unionByName(sec(tagged, "base"))
+            .unionByName(sec(pick_head, "pick")))

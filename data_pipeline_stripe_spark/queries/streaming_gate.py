@@ -809,6 +809,170 @@ def stream_snapshot_cdf_source_parity(spark: SparkSession,
 
 
 @query(
+    "stream_cdf_equality_delete_parity",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id AS k, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               event_id % 3 AS slot
+        FROM events
+    ),
+    final AS (
+        -- slots 0/1 predate BOTH deletes
+        SELECT k, event_type, cents FROM ev
+        WHERE slot < 2 AND k % 7 <> 3 AND k % 5 <> 4
+        UNION ALL
+        -- slot 2 lands AFTER the first delete (seq-scoped: k%7=3
+        -- survives it) but before the second
+        SELECT k, event_type, cents FROM ev
+        WHERE slot = 2 AND k % 5 <> 4
+        UNION ALL
+        -- re-inserts land after both deletes: survive unconditionally
+        SELECT k, event_type, cents * 10 + 5 FROM ev
+        WHERE slot = 0 AND k % 7 = 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY 1
+    """,
+)
+def stream_cdf_equality_delete_parity(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The streaming CDF source RIDING THROUGH equality-delete commits
+    (r13 second half; sources/snapshot_source.py kind='eqdead' slices
+    — the r13 seal's one refused shape). snapshot_delete_keys commits
+    O(keys) with NO change log; its D rows are computed lazily. The
+    batch CDF pays that band scan driver-declared; this gate proves
+    the STREAMING source now distributes it: each parent data file
+    becomes an executor-side Arrow slice that drops rows a DV or an
+    OLDER descriptor already deleted and keeps the new sidecar's
+    matches as 'D' rows.
+
+    Lifecycle: two appends drain as 'I' (checkpoint established);
+    while NO stream runs, an equality delete (k%7==3), a third append
+    (whose k%7==3 rows must SURVIVE that earlier delete —
+    sequence-number scoping inside the stream), a second equality
+    delete (k%5==4, applying to all three slots), and a re-insert of
+    the first delete's slot-0 keys (cents*10+5 — newer than both
+    deletes) land. The restarted stream must consume exactly that
+    delta; per-version D counts are pinned in-gate; the drained feed
+    replays over an empty base (apply_cdc, seq=_commit_version) and
+    must reproduce the head table, which the oracle restates
+    directly."""
+    import glob
+
+    from ..operators.merge import apply_cdc
+    from ..operators.snapshots import (snapshot_commit,
+                                       snapshot_delete_keys,
+                                       snapshot_read)
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    scratch = _scratch(sf_dir, "stream_cdf_eq_delete")
+    table_dir = os.path.join(scratch, "table")
+    out_dir = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "_ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("slot"),
+    )
+    snapshot_commit(spark, table_dir,
+                    ev.filter(F.col("slot") == 0).drop("slot"),
+                    mode="append")                               # v0
+    snapshot_commit(spark, table_dir,
+                    ev.filter(F.col("slot") == 1).drop("slot"),
+                    mode="append")                               # v1
+
+    def drain() -> None:
+        stream = (spark.readStream.format("snapshot_table")
+                  .option("cdf", "true").load(table_dir))
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (stream.writeStream.outputMode("append")
+             .foreachBatch(sink)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    base_rows = ev.filter(F.col("slot") < 2).count()
+    got1 = (spark.read.parquet(out_dir).count()
+            if glob.glob(os.path.join(out_dir, "*.parquet")) else 0)
+    if got1 != base_rows:
+        raise RuntimeError(
+            f"stream_cdf_equality_delete_parity: first drain served "
+            f"{got1} change rows, expected {base_rows} 'I' rows")
+
+    # while NO stream runs: delete #1, append, delete #2, re-insert
+    k7 = ev.filter(F.pmod(F.col("k"), F.lit(7)) == 3).select("k") \
+        .dropDuplicates()
+    snapshot_delete_keys(spark, table_dir, k7, "k")              # v2
+    snapshot_commit(spark, table_dir,
+                    ev.filter(F.col("slot") == 2).drop("slot"),
+                    mode="append")                               # v3
+    k5 = ev.filter(F.pmod(F.col("k"), F.lit(5)) == 4).select("k") \
+        .dropDuplicates()
+    snapshot_delete_keys(spark, table_dir, k5, "k")              # v4
+    reins = ev.filter((F.col("slot") == 0)
+                      & (F.pmod(F.col("k"), F.lit(7)) == 3)) \
+        .select("k", "event_type",
+                (F.col("cents") * 10 + 5).alias("cents"))
+    snapshot_commit(spark, table_dir, reins, mode="append")      # v5
+    drain()
+
+    feed = spark.read.parquet(out_dir)
+    # per-version D pins: delete #1 touches slots 0/1 only; delete #2
+    # touches the live remainder of all three slots
+    d_by_v = {r["_commit_version"]: r["n"] for r in
+              feed.filter(F.col("_change_type") == "D")
+              .groupBy("_commit_version").agg(F.count("*").alias("n"))
+              .collect()}
+    exp_d2 = ev.filter((F.col("slot") < 2)
+                       & (F.pmod(F.col("k"), F.lit(7)) == 3)).count()
+    exp_d4 = ev.filter(
+        (F.pmod(F.col("k"), F.lit(5)) == 4)
+        & ((F.col("slot") == 2)
+           | (F.pmod(F.col("k"), F.lit(7)) != 3))).count()
+    if d_by_v.get(2) != exp_d2 or d_by_v.get(4) != exp_d4:
+        raise RuntimeError(
+            f"stream_cdf_equality_delete_parity: D rows per version "
+            f"{d_by_v} != expected {{2: {exp_d2}, 4: {exp_d4}}} — the "
+            "eqdead slices mis-scope the descriptors")
+    # replay the feed over an empty base: must reproduce the head
+    empty = spark.createDataFrame(
+        [], "k long, event_type string, cents long")
+    replayed = apply_cdc(
+        empty,
+        feed.select(
+            "k", "event_type", "cents",
+            F.col("_commit_version").alias("seq"),
+            F.when(F.col("_change_type") == "D", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+        ),
+        "k").drop("cdc_action")
+    head_rows = snapshot_read(spark, table_dir).count()
+    replay_rows = replayed.count()
+    if replay_rows != head_rows:
+        raise RuntimeError(
+            f"stream_cdf_equality_delete_parity: replaying the feed "
+            f"yields {replay_rows} rows but the table head has "
+            f"{head_rows} — the feed is not a faithful delta")
+    return (
+        replayed.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("total_cents"))
+    )
+
+
+@query(
     "stream_snapshot_replication_parity",
     oracle="""
     SELECT o_orderkey AS k, o_orderpriority AS pri,

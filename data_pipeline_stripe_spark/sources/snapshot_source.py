@@ -103,7 +103,8 @@ class SnapshotFileSlice(InputPartition):
                  kind: str = "data", version: int = -1,
                  schema_json: str | None = None, cdf: bool = False,
                  dv_abs: str | None = None, rel_path: str | None = None,
-                 eq_abs: list | None = None):
+                 eq_abs: list | None = None,
+                 eq_dead_abs: list | None = None):
         self.abs_path = abs_path
         self.columns = columns
         # deletion vector (r12): dv_abs points at the commit's DV
@@ -116,6 +117,11 @@ class SnapshotFileSlice(InputPartition):
         # applicable to THIS slice (delete seq newer than the file's
         # segment seq) — anti-filtered batch-wise after any DV
         self.eq_abs = eq_abs
+        # CDF over an equality-delete commit (r13, second half): the
+        # NEW descriptors of the commit — kind 'eqdead' slices KEEP the
+        # matching rows (they are the commit's D rows, computed
+        # executor-side with pyarrow instead of refusing the range)
+        self.eq_dead_abs = eq_dead_abs
         # CDF fields: kind 'data' (append delta — synthesize 'I') or
         # 'log' (recorded change-log file — _change_type comes from the
         # file); version stamps _commit_version; schema_json carries the
@@ -181,13 +187,21 @@ def _delta_entries(table_dir: str, start_v: int, end_v: int,
 
 
 def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
-    """(rel_path, kind, version) change slices for the feed over
-    ``(start_v, end_v]`` — ``start_v == -1`` includes version 0's
-    initial commit as 'I' rows. Appends contribute their delta data
-    files (kind 'data'); rewrites contribute their recorded change-log
-    files (kind 'log' — empty log = compaction = nothing); a rewrite
-    with NO recorded log (plain overwrite) raises, Delta's own CDF
-    rule."""
+    """(rel_path, kind, version, dv_rel, prior_eq, dead_eq) change
+    slices for the feed over ``(start_v, end_v]`` — ``start_v == -1``
+    includes version 0's initial commit as 'I' rows. Appends
+    contribute their delta data files (kind 'data'); rewrites
+    contribute their recorded change-log files (kind 'log' — empty log
+    = compaction = nothing); an EQUALITY-DELETE commit
+    (``snapshot_delete_keys`` — O(keys) metadata, NO recorded log by
+    design) contributes its parent's live data files as kind 'eqdead'
+    slices whose executors compute the D rows lazily (read the file,
+    drop rows a DV or an older descriptor already deleted, KEEP the
+    rows the commit's new key sidecars match) — the same lazy
+    semantics as the batch CDF (``snapshot_read_cdf``), distributed
+    per-file instead of refusing the range (r13). Only a rewrite with
+    NO recorded log and no new descriptors (plain overwrite) still
+    raises, Delta's own CDF rule."""
     from ..operators.snapshots import _manifest_chain, _segment_entries
 
     chain = _manifest_chain(table_dir, start_v, end_v,
@@ -204,7 +218,7 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
             base = ({s["path"] for s in parent_m["segments"]}
                     if parent_m is not None else set())
             slices.extend(
-                (e["path"], "data", v)
+                (e["path"], "data", v, None, None, None)
                 for seg in m["segments"] if seg["path"] not in base
                 for e in _segment_entries(table_dir, seg))
         else:
@@ -213,29 +227,35 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
                 new_eq = [d for d in (m.get("eq_deletes") or [])
                           if d not in ((parent_m or {})
                                        .get("eq_deletes") or [])]
-                if new_eq:
-                    # equality deletes commit O(keys) with no change
-                    # log BY DESIGN; the batch CDF computes the D rows
-                    # lazily (snapshot_read_cdf), but this executor-
-                    # side Arrow reader cannot run the band scan —
-                    # name the cause precisely so the operator knows
-                    # the batch path works (r13)
-                    raise ValueError(
-                        f"snapshot CDF source: version {v} of "
-                        f"{table_dir} is an EQUALITY DELETE "
-                        "(snapshot_delete_keys) — its D rows are "
-                        "computed lazily by the batch CDF "
-                        "(snapshot_read_cdf), which this streaming "
-                        "source cannot do executor-side; read the "
-                        "range with the batch API or use "
-                        "snapshot_delete_where for stream-friendly "
-                        "deletes")
+                if new_eq and parent_m is not None:
+                    # the D rows are the PARENT's live rows matching
+                    # the new key sidecars: per parent file, drop what
+                    # a DV / an OLDER descriptor (seq-scoped, exactly
+                    # _read_entries' rule) already deleted, keep the
+                    # new-descriptor matches. Every parent segment
+                    # precedes the delete, so the new descriptors'
+                    # seq scope is vacuous (batch CDF's own note).
+                    prior = parent_m.get("eq_deletes") or []
+                    dead_eq = [(d["path"], list(d["cols"]))
+                               for d in new_eq]
+                    for seg in parent_m["segments"]:
+                        seq = seg.get("seq", 0)
+                        prior_eq = [(d["path"], list(d["cols"]))
+                                    for d in prior
+                                    if seq < d["seq"]] or None
+                        slices.extend(
+                            (e["path"], "eqdead", v,
+                             (e["dv"]["path"] if e.get("dv") else None),
+                             prior_eq, dead_eq)
+                            for e in _segment_entries(table_dir, seg))
+                    continue
                 raise ValueError(
                     f"snapshot CDF source: version {v} of {table_dir} "
                     f"is a {m['mode']} with no recorded change log — "
                     "its delta is not expressible; restart the "
                     "consumer from a full re-read")
-            slices.extend((e["path"], "log", v) for e in entries)
+            slices.extend((e["path"], "log", v, None, None, None)
+                          for e in entries)
     return slices
 
 
@@ -248,10 +268,12 @@ def _version_delta_size(table_dir: str, v: int,
     version, no parent read, no file-entry list parsed — a deep
     catch-up's ``latestOffset`` walk is O(backlog) tiny JSON reads
     instead of O(backlog × table files). Appends: their new data-file
-    entries. Rewrites: the recorded change log in CDF mode (a plain
-    overwrite counts 0 here; ``partitions`` raises the real contract
-    error when the range is actually served), the new data entries in
-    plain mode (same: the error belongs to ``partitions``)."""
+    entries. Rewrites: the recorded change log in CDF mode (an
+    equality-delete commit records its PARENT band — the lazy D-row
+    scan the consumer actually pays; a plain overwrite counts 0 here
+    and ``partitions`` raises the real contract error when the range
+    is actually served), the new data entries in plain mode (same:
+    the error belongs to ``partitions``)."""
     from ..operators.snapshots import _read_manifest_meta
 
     m = _read_manifest_meta(table_dir, v)
@@ -309,15 +331,12 @@ def _apply_dv(batches, positions):
         yield batch
 
 
-def _apply_eq(batches, eq_abs):
-    """Anti-filter equality-delete keys while streaming record
-    batches (r13): each sidecar's key set loads once per slice
-    (O(keys), the sidecars are small by construction) and every batch
-    drops its matching rows. Single-column keys go through vectorized
-    ``pc.is_in``; composite keys fall back to a python tuple set —
-    acceptable because eq sidecars are CDC-trickle sized."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+def _eq_key_filters(eq_abs):
+    """Load each sidecar's key set once per slice (O(keys), the
+    sidecars are small by construction). Single-column keys stay an
+    Arrow array for vectorized ``pc.is_in``; composite keys fall back
+    to a python tuple set — acceptable because eq sidecars are
+    CDC-trickle sized."""
     import pyarrow.parquet as pq
 
     filters = []
@@ -328,22 +347,55 @@ def _apply_eq(batches, eq_abs):
         else:
             filters.append((cols, set(zip(
                 *[tbl.column(c).to_pylist() for c in cols]))))
+    return filters
+
+
+def _eq_hit_mask(batch, cols, keys):
+    """Boolean mask of rows matching one descriptor's key set (NULL
+    key values never match — an equality delete is an anti-join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(cols) == 1:
+        arr = batch.column(batch.schema.get_field_index(cols[0]))
+        hit = pc.is_in(arr, value_set=pc.cast(keys, arr.type))
+        return pc.fill_null(hit, False)
+    vals = zip(*[batch.column(
+        batch.schema.get_field_index(c)).to_pylist() for c in cols])
+    return pa.array([v in keys for v in vals])
+
+
+def _apply_eq(batches, eq_abs):
+    """Anti-filter equality-delete keys while streaming record
+    batches (r13): every batch drops its matching rows."""
+    import pyarrow.compute as pc
+
+    filters = _eq_key_filters(eq_abs)
     for batch in batches:
         for cols, keys in filters:
             if batch.num_rows == 0:
                 break
-            if len(cols) == 1:
-                arr = batch.column(
-                    batch.schema.get_field_index(cols[0]))
-                hit = pc.is_in(arr, value_set=pc.cast(keys, arr.type))
-                keep = pc.invert(pc.fill_null(hit, False))
-            else:
-                vals = zip(*[batch.column(
-                    batch.schema.get_field_index(c)).to_pylist()
-                    for c in cols])
-                keep = pa.array([v not in keys for v in vals])
-            batch = batch.filter(keep)
+            batch = batch.filter(
+                pc.invert(_eq_hit_mask(batch, cols, keys)))
         yield batch
+
+
+def _apply_eq_semi(batches, eq_abs):
+    """KEEP the rows matching ANY descriptor (r13, CDF over an
+    equality-delete commit): these are the commit's D rows. Masks OR
+    across descriptors on the ORIGINAL batch — a row matched by two
+    descriptors is one D, the batch CDF's fold semantics."""
+    import pyarrow.compute as pc
+
+    filters = _eq_key_filters(eq_abs)
+    for batch in batches:
+        if batch.num_rows == 0:
+            yield batch
+            continue
+        mask = _eq_hit_mask(batch, *filters[0])
+        for cols, keys in filters[1:]:
+            mask = pc.or_(mask, _eq_hit_mask(batch, cols, keys))
+        yield batch.filter(mask)
 
 
 def _read_slice(partition: SnapshotFileSlice):
@@ -365,6 +417,11 @@ def _read_slice(partition: SnapshotFileSlice):
         gen = _apply_dv(gen, positions)
     if getattr(partition, "eq_abs", None):
         gen = _apply_eq(gen, partition.eq_abs)
+    if getattr(partition, "eq_dead_abs", None):
+        # kind 'eqdead' (CDF over an equality-delete commit): after
+        # dropping everything already dead, what REMAINS AND MATCHES
+        # the commit's new key sidecars is exactly its D rows
+        gen = _apply_eq_semi(gen, partition.eq_dead_abs)
     yield from gen
 
 
@@ -410,7 +467,12 @@ def _read_slice_raw(partition: SnapshotFileSlice):
                 if arr.type != field.type:
                     arr = pc.cast(arr, field.type)
             elif partition.cdf and field.name == "_change_type":
-                arr = pa.array(["I"] * n, type=field.type)
+                # append deltas synthesize 'I'; eq-delete parent files
+                # synthesize 'D' (the filter downstream keeps only the
+                # rows the commit actually deleted); log files carry
+                # the column in-file (never reach this branch)
+                label = "D" if partition.kind == "eqdead" else "I"
+                arr = pa.array([label] * n, type=field.type)
             elif partition.cdf and field.name == "_commit_version":
                 arr = pa.array([partition.version] * n,
                                type=field.type)
@@ -583,11 +645,22 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             slices = _cdf_slices(self.table_dir, s, e)
             if not slices:
                 return [SnapshotFileSlice(None, self.columns)]
+            join = os.path.join
             return [
-                SnapshotFileSlice(os.path.join(self.table_dir, rel),
-                                  self.columns, kind=kind, version=v,
-                                  schema_json=self.schema_json, cdf=True)
-                for (rel, kind, v) in slices
+                SnapshotFileSlice(
+                    join(self.table_dir, rel),
+                    self.columns, kind=kind, version=v,
+                    schema_json=self.schema_json, cdf=True,
+                    dv_abs=(join(self.table_dir, dv_rel)
+                            if dv_rel else None),
+                    rel_path=rel,
+                    eq_abs=([(join(self.table_dir, p), tuple(c))
+                             for p, c in prior_eq]
+                            if prior_eq else None),
+                    eq_dead_abs=([(join(self.table_dir, p), tuple(c))
+                                  for p, c in dead_eq]
+                                 if dead_eq else None))
+                for (rel, kind, v, dv_rel, prior_eq, dead_eq) in slices
             ]
         entries = _delta_entries(self.table_dir, s, e,
                                  self.skip_change_commits)

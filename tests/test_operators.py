@@ -4197,6 +4197,33 @@ def test_equality_delete_semantics(spark, tmp_path):
             "nope")
 
 
+def test_history_reports_pending_equality_deletes(spark, tmp_path):
+    """snapshot_history under active equality deletes (r13 carry-over):
+    n_rows stays the honest PHYSICAL count while n_eq_deletes /
+    n_pending_delete_keys expose that exactness is pending — and both
+    drop to 0 after OPTIMIZE materializes the deletes (n_rows becomes
+    live again). History still opens zero data files."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "histeq")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    S.snapshot_commit(spark, t, df.coalesce(1))
+    S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(i,) for i in range(7)],
+                                        "k long"), "k")
+    S.snapshot_compact(spark, t, target_files=1)
+    hist = {r.version: r for r in S.snapshot_history(spark, t).collect()}
+    assert hist[0].n_eq_deletes == 0
+    assert hist[1].n_eq_deletes == 1
+    assert hist[1].n_pending_delete_keys == 7
+    assert hist[1].n_rows == 100  # physical, documented
+    assert hist[2].n_eq_deletes == 0  # OPTIMIZE materialized
+    assert hist[2].n_pending_delete_keys == 0
+    assert hist[2].n_rows == 93  # exact again
+
+
 def test_equality_delete_cdf_restore_expire(spark, tmp_path):
     """Lazy CDF D rows, RESTORE adopting the target's delete list, and
     expire GC of unreferenced eqdel sidecars."""
@@ -4486,3 +4513,122 @@ def test_branch_commit_files_survive_parent_expire(spark, tmp_path):
     S.snapshot_expire(t, keep_last=1, tmp_grace_seconds=0)
     # the branch still reads completely
     assert S.snapshot_read(spark, bdir).count() == 80
+
+
+def test_branch_equality_delete_covers_adopted_segments(spark, tmp_path):
+    """Regression (r13): sequence numbers are a TABLE-LEVEL monotonic
+    counter, not the (branch-local) version. A branch adopts its
+    parent's segments with parent seqs up to the fork; a branch
+    equality delete stamped with the branch-local version (1) was <=
+    the second adopted segment's seq (1), so the delete silently
+    skipped keys living there — verified failing before the last_seq
+    counter landed."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "bseq")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    S.snapshot_commit(spark, t, df.filter(F.col("k") < 5).coalesce(1))
+    S.snapshot_commit(spark, t, df.filter(F.col("k") >= 5).coalesce(1),
+                      mode="append")
+    bdir = S.snapshot_create_branch(t, "audit")
+    # k=2 lives in the seq-0 segment, k=7 in the seq-1 segment — both
+    # must die on the branch
+    S.snapshot_delete_keys(
+        spark, bdir, spark.createDataFrame([(2,), (7,)], "k long"), "k")
+    got = sorted(r.k for r in S.snapshot_read(spark, bdir).collect())
+    assert got == [0, 1, 3, 4, 5, 6, 8, 9], got
+    # re-insert on the branch: newer than the delete, must survive
+    S.snapshot_commit(spark, bdir,
+                      spark.createDataFrame([(7,)], "k long"),
+                      mode="append")
+    assert sorted(r.k for r in S.snapshot_read(spark, bdir).collect()) \
+        == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_branch_cherry_pick_onto_moved_main(spark, tmp_path):
+    """snapshot_cherry_pick (r13): an append-only branch lands on a
+    main that MOVED past the fork point — where the strict
+    fast-forward aborts — as one ordinary append: branch delta
+    adopted by reference, re-stamped to the pick's sequence number
+    (so a main equality delete committed while the branch was open
+    does NOT apply to the cherry-picked rows — serial order), rows
+    re-validated against main's CURRENT constraints, CDF riding
+    through. Non-append branches and branches that changed table
+    metadata abort."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "cpick")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("v"))
+    S.snapshot_commit(spark, t, df.coalesce(1))          # main v0
+    bdir = S.snapshot_create_branch(t, "feature")
+    # branch appends rows 100..149 — k=120 will ALSO be eq-deleted on
+    # main while the branch is open (the pick's rows must survive it)
+    S.snapshot_commit(spark, bdir,
+                      spark.range(100, 150)
+                      .select(F.col("id").alias("k"),
+                              (F.col("id") * 10).alias("v"))
+                      .coalesce(1), mode="append")
+    # main moves: an append AND an equality delete of {50, 120}
+    S.snapshot_commit(spark, t,
+                      spark.createDataFrame([(500, 5000)],
+                                            "k long, v long"),
+                      mode="append")
+    S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(50,), (120,)], "k long"), "k")
+    head_before = S.snapshot_current_version(t)
+
+    with pytest.raises(S.SnapshotConflictError, match="forked from"):
+        S.snapshot_fast_forward(t, "feature")
+    v = S.snapshot_cherry_pick(spark, t, "feature")
+    assert v == head_before + 1
+    m = S._read_manifest_meta(t, v)
+    assert m["mode"] == "append"
+    got = {r.k for r in S.snapshot_read(spark, t).collect()}
+    # main's 100 minus eq-deleted 50, plus 500, plus branch 100..149
+    # INCLUDING 120 (the pick is serially AFTER the delete)
+    expect = (set(range(100)) - {50}) | {500} | set(range(100, 150))
+    assert got == expect
+    # CDF rides through: the pick version serves 50 I rows
+    feed = S.snapshot_read_cdf(spark, t, head_before)
+    assert feed.count() == 50
+    assert feed.filter(F.col("_change_type") != "I").count() == 0
+    S.snapshot_drop_branch(t, "feature")
+
+    # a constraint that lands on main AFTER the fork re-validates the
+    # picked rows: a violating branch aborts before publication
+    bdir2 = S.snapshot_create_branch(t, "bad")
+    S.snapshot_commit(spark, bdir2,
+                      spark.createDataFrame([(9000, 9999)],
+                                            "k long, v long"),
+                      mode="append")
+    # head max v is 5000, so the add passes — only the branch violates
+    S.snapshot_add_constraint(spark, t, "v_cap", "v <= 5000")
+    with pytest.raises(ValueError, match="v_cap"):
+        S.snapshot_cherry_pick(spark, t, "bad")
+    S.snapshot_drop_branch(t, "bad")
+    S.snapshot_drop_constraint(t, "v_cap")
+
+    # a non-append branch refuses the pick
+    bdir3 = S.snapshot_create_branch(t, "rw")
+    S.snapshot_merge(spark, bdir3,
+                     spark.createDataFrame([(0, 111)], "k long, v long"),
+                     "k")
+    with pytest.raises(S.SnapshotConflictError, match="append-only"):
+        S.snapshot_cherry_pick(spark, t, "rw")
+    S.snapshot_drop_branch(t, "rw")
+
+    # a branch that changed table metadata refuses the pick (the
+    # constraint add is itself a rewrite commit, so the append-only
+    # guard fires first; the explicit metadata diff stays as
+    # belt-and-braces behind it)
+    bdir4 = S.snapshot_create_branch(t, "meta")
+    S.snapshot_add_constraint(spark, bdir4, "k_pos", "k >= 0")
+    with pytest.raises(S.SnapshotConflictError, match="append-only"):
+        S.snapshot_cherry_pick(spark, t, "meta")
+    S.snapshot_drop_branch(t, "meta")

@@ -1046,7 +1046,7 @@ def test_cdf_stream_source_slices_and_starting_version(spark, tmp_path):
         _delta_entries(t, 1, 4)
     # ... the CDF source classifies it: v2 log slices, v3 nothing,
     # v4 data slices
-    kinds = {v: {k for (_, k, vv) in _cdf_slices(t, 1, 4) if vv == v}
+    kinds = {v: {s[1] for s in _cdf_slices(t, 1, 4) if s[2] == v}
              for v in (2, 3, 4)}
     assert kinds[2] == {"log"} and kinds[3] == set() \
         and kinds[4] == {"data"}
@@ -1501,28 +1501,72 @@ def test_stream_initial_load_applies_deletion_vectors(spark, tmp_path):
     assert got == set(range(10, 40))
 
 
-def test_cdf_stream_refuses_equality_delete_with_named_error(
-        spark, tmp_path):
-    """r13: the streaming CDF source cannot compute an equality
-    delete's lazy D rows executor-side — the refusal must NAME the
-    cause and the batch alternative instead of the generic
-    no-change-log error."""
-    import pytest
+def test_cdf_stream_serves_equality_delete_d_rows(spark, tmp_path):
+    """r13 (second half): the streaming CDF source computes an
+    equality delete's lazy D rows EXECUTOR-SIDE — per-parent-file
+    'eqdead' Arrow slices that drop what a DV or an OLDER descriptor
+    already deleted and keep the new sidecar's matches — instead of
+    refusing the range. The drained feed must hash-match the batch
+    CDF (snapshot_read_cdf) over the same range, including: a D row
+    for a key a DV had NOT already deleted, NO duplicate D for a row
+    two descriptors both match, and a re-inserted key surviving (its
+    segment is newer than the delete)."""
     from pyspark.sql import functions as F
 
     import data_pipeline_stripe_spark.operators.snapshots as S
     from data_pipeline_stripe_spark.sources.snapshot_source import \
-        _cdf_slices
+        _cdf_slices, register_snapshot_source
 
+    register_snapshot_source(spark)
     t = str(tmp_path / "eqcdf")
     df = spark.range(40).select(F.col("id").alias("k"),
                                 (F.col("id") * 2).alias("v"))
-    S.snapshot_commit(spark, t, df.coalesce(1))
-    v, _ = S.snapshot_delete_keys(
-        spark, t, spark.createDataFrame([(3,)], "k long"), "k")
-    with pytest.raises(ValueError, match="EQUALITY DELETE"):
-        _cdf_slices(t, 0, v)
-    # the batch CDF serves the same range fine (lazy D rows)
-    feed = S.snapshot_read_cdf(spark, t, 0, to_version=v)
-    assert [(r["k"], r["_change_type"]) for r in feed.collect()] \
-        == [(3, "D")]
+    S.snapshot_commit(spark, t, df.coalesce(2))
+    # a position delete first: rows k<5 carry a DV — they are ALREADY
+    # dead, so the later equality delete must not re-emit them as D
+    S.snapshot_delete_where(spark, t, [("k", "<", 5)], key="k")
+    # first equality delete: k in {3, 7} — 3 is DV-dead (no D), 7 dies
+    S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(3,), (7,)], "k long"), "k")
+    # re-insert k=7 (newer segment: the NEXT delete may kill it, the
+    # PREVIOUS one must not)
+    S.snapshot_commit(spark, t, spark.createDataFrame(
+        [(7, 777)], "k long, v long"), mode="append")
+    # second equality delete: {7, 11} — kills the re-inserted 7 AND
+    # the original 11; 7's ORIGINAL row is already dead (older
+    # descriptor), so exactly one D for each of the two live rows
+    v_last, _ = S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(7,), (11,)], "k long"), "k")
+
+    # driver-side slice shape: the eq-delete versions contribute
+    # 'eqdead' slices (no refusal)
+    kinds = {s[1] for s in _cdf_slices(t, 0, v_last)}
+    assert "eqdead" in kinds, kinds
+
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("snapshot_table")
+         .option("cdf", "true")
+         # version 1 onward — the batch CDF range below is (0, last]
+         .option("startingVersion", "1").load(t)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    streamed = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in S.snapshot_read_cdf(spark, t, 0,
+                                     to_version=v_last).collect())
+    assert streamed == batch
+    # the eq-delete commits' D rows (the DV delete at version 1 logs
+    # its own k<5 Ds): first eq delete → one D (k=7 original; k=3 is
+    # DV-dead); second → two Ds (re-inserted 7 with v=777, original
+    # 11 with v=22) — never a duplicate for the doubly-matched key 7
+    d_rows = [(cv, k, v) for cv, ct, k, v in streamed
+              if ct == "D" and cv > 1]
+    assert [(k, v) for cv, k, v in d_rows] == [(7, 14), (7, 777),
+                                               (11, 22)], d_rows
