@@ -1487,8 +1487,12 @@ def _read_entries(spark: SparkSession, table_dir: str,
     eq = eq_deletes or []
     groups: dict[tuple, list[dict]] = {}
     for e in entries:
+        # a descriptor applies iff the data is OLDER than the delete
+        # AND its key band may intersect the file (band-pruned — files
+        # outside every band keep the exact no-delete plan)
         key = tuple(i for i, d in enumerate(eq)
-                    if e.get("_seq", 0) < d["seq"])
+                    if e.get("_seq", 0) < d["seq"]
+                    and _eq_desc_may_touch(e, d))
         groups.setdefault(key, []).append(e)
     outs: list[DataFrame] = []
     for key, subset in groups.items():
@@ -1597,6 +1601,25 @@ def _entry_not_null_may_match(entry: dict, col: str) -> bool:
     nulls = (entry.get("stats", {}).get(col) or {}).get("nulls")
     rows = entry.get("rows")
     return not (nulls is not None and rows is not None and nulls == rows)
+
+
+def _eq_desc_may_touch(entry: dict, desc: dict) -> bool:
+    """Can this equality-delete descriptor's key set match ANY row of
+    this entry? Decided from the descriptor's recorded per-column key
+    min/max (``bands`` — harvested by ``snapshot_delete_keys`` for
+    str/int keys) against the entry's footer stats: a file whose
+    column range cannot intersect the key band provably contains no
+    matching row, so readers skip its anti-join entirely and CDF
+    D-computation never opens it — a keyed CDC delete over a narrow
+    recent band touches the band, not the table. Missing bands or
+    stats → True (conservative; correctness never depends on this).
+    Multi-column keys: a key row must match EVERY column, so any one
+    excluded band excludes the descriptor."""
+    for col, (lo, hi) in (desc.get("bands") or {}).items():
+        if not (_entry_may_match(entry, (col, ">=", lo))
+                and _entry_may_match(entry, (col, "<=", hi))):
+            return False
+    return True
 
 
 def _entry_may_match(entry: dict, term) -> bool:
@@ -2604,10 +2627,15 @@ def snapshot_read_cdf(spark: SparkSession, table_dir: str,
                 # Within one commit every parent segment precedes the
                 # delete, so the seq scope is vacuous; folding
                 # descriptor-by-descriptor keeps a row matched by two
-                # descriptors a single D.
+                # descriptors a single D. Key-band pruning first:
+                # files no new descriptor can touch contribute no D
+                # rows, so the scan covers the delete's band, not the
+                # table.
+                touched = [
+                    e for e in _manifest_files(table_dir, parent_m)
+                    if any(_eq_desc_may_touch(e, d) for d in new_eq)]
                 remaining = _read_entries(
-                    spark, table_dir,
-                    _manifest_files(table_dir, parent_m),
+                    spark, table_dir, touched,
                     parent_m["schema"],
                     eq_deletes=parent_m.get("eq_deletes"))
                 dead: list[DataFrame] = []
@@ -3546,10 +3574,27 @@ def snapshot_delete_keys(spark: SparkSession, table_dir: str,
     n_keys = written.count()
     from pyspark.sql.types import StructType
 
+    # KEY BANDS (r13 second half): per-column key min/max, recorded in
+    # the descriptor so readers / CDF skip files whose footer stats
+    # cannot intersect them (_eq_desc_may_touch). Restricted to
+    # str/int (non-bool) keys — the types whose Python ordering agrees
+    # with Spark's (the bucket-derivation rationale); other types just
+    # skip the band (conservative, never wrong).
+    aggs = [f for c in key_cols
+            for f in (F.min(c).alias(f"__lo_{c}"),
+                      F.max(c).alias(f"__hi_{c}"))]
+    row = written.agg(*aggs).first().asDict()
+    bands = {}
+    for c in key_cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if (type(lo) in (int, str) and type(hi) in (int, str)
+                and lo is not None):
+            bands[c] = [lo, hi]
     # the delete's seq is the version it PUBLISHES at — not knowable
     # before the OCC loop wins, so the descriptor records a seq the
     # loop rewrites per attempt via the callback below
-    desc = {"path": eq_rel, "cols": key_cols, "rows": n_keys}
+    desc = {"path": eq_rel, "cols": key_cols, "rows": n_keys,
+            "bands": bands}
     prev_eq = list(manifest.get("eq_deletes") or [])
 
     version = _publish_commit(

@@ -157,12 +157,30 @@ def _delta_entries(table_dir: str, start_v: int, end_v: int,
     if start_v < 0:
         try:
             m = _read_manifest_meta(table_dir, end_v)
-            return _manifest_files(table_dir, m)
+            entries = _manifest_files(table_dir, m)
         except FileNotFoundError as exc:
             raise ValueError(
                 f"snapshot stream source: version {end_v} of {table_dir} "
                 "is expired — widen snapshot_expire retention past the "
                 "consumer's checkpoint lag") from exc
+        # the initial load serves the LIVE state: active equality
+        # deletes apply (seq- and key-band-scoped per entry, exactly
+        # _read_entries' rule) — without this the first batch served
+        # rows the table had already deleted. In-range append deltas
+        # below never need this: an eq-delete in range is a rewrite
+        # (the plain source raises or, under skipChangeCommits,
+        # documents that already-served rows are not retracted), and
+        # files appended after it are newer than its seq.
+        from ..operators.snapshots import _eq_desc_may_touch
+
+        for e in entries:
+            eq = [(d["path"], list(d["cols"]))
+                  for d in (m.get("eq_deletes") or [])
+                  if e.get("_seq", 0) < d["seq"]
+                  and _eq_desc_may_touch(e, d)]
+            if eq:
+                e["_eq"] = eq
+        return entries
     chain = _manifest_chain(table_dir, start_v, end_v,
                             "snapshot stream source")
     entries: list[dict] = []
@@ -235,19 +253,30 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
                     # new-descriptor matches. Every parent segment
                     # precedes the delete, so the new descriptors'
                     # seq scope is vacuous (batch CDF's own note).
+                    # Key-band pruning: a file no new descriptor can
+                    # touch contributes no D rows and gets NO slice —
+                    # the D scan covers the band, not the table.
+                    from ..operators.snapshots import _eq_desc_may_touch
+
                     prior = parent_m.get("eq_deletes") or []
-                    dead_eq = [(d["path"], list(d["cols"]))
-                               for d in new_eq]
                     for seg in parent_m["segments"]:
                         seq = seg.get("seq", 0)
-                        prior_eq = [(d["path"], list(d["cols"]))
-                                    for d in prior
-                                    if seq < d["seq"]] or None
-                        slices.extend(
-                            (e["path"], "eqdead", v,
-                             (e["dv"]["path"] if e.get("dv") else None),
-                             prior_eq, dead_eq)
-                            for e in _segment_entries(table_dir, seg))
+                        for e in _segment_entries(table_dir, seg):
+                            dead_eq = [(d["path"], list(d["cols"]))
+                                       for d in new_eq
+                                       if _eq_desc_may_touch(e, d)]
+                            if not dead_eq:
+                                continue
+                            prior_eq = [(d["path"], list(d["cols"]))
+                                        for d in prior
+                                        if seq < d["seq"]
+                                        and _eq_desc_may_touch(e, d)] \
+                                or None
+                            slices.append(
+                                (e["path"], "eqdead", v,
+                                 (e["dv"]["path"] if e.get("dv")
+                                  else None),
+                                 prior_eq, dead_eq))
                     continue
                 raise ValueError(
                     f"snapshot CDF source: version {v} of {table_dir} "
@@ -670,12 +699,15 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
             SnapshotFileSlice(
                 os.path.join(self.table_dir, en["path"]),
                 self.columns, schema_json=self.schema_json,
-                # only the initial head load can see DV-carrying
-                # entries (append deltas are fresh files); the live
-                # state must serve post-delete rows
+                # only the initial head load can see DV-carrying or
+                # eq-delete-scoped entries (append deltas are fresh
+                # files); the live state must serve post-delete rows
                 dv_abs=(os.path.join(self.table_dir, en["dv"]["path"])
                         if en.get("dv") else None),
-                rel_path=en["path"])
+                rel_path=en["path"],
+                eq_abs=([(os.path.join(self.table_dir, p), tuple(c))
+                         for p, c in en["_eq"]]
+                        if en.get("_eq") else None))
             for en in entries
         ]
 
@@ -777,6 +809,8 @@ class SnapshotTableBatchReader(DataSourceReader):
         # bucket/day-partitioned table prune without ever naming the
         # hidden field (every pushed filter still re-evaluates in
         # Spark, so derivation can only remove unmatchable files)
+        from ..operators.snapshots import _eq_desc_may_touch
+
         probes = self.pushed_terms + _derived_partition_terms(
             self.manifest.get("partition_spec"), self.pushed_terms)
         eq = self.manifest.get("eq_deletes") or []
@@ -786,15 +820,19 @@ class SnapshotTableBatchReader(DataSourceReader):
             if not all(_entry_may_match(pseudo, t) for t in probes):
                 continue  # whole segment provably unmatchable
             seq = seg.get("seq", 0)
-            # equality deletes scoped by data age (r13): only deletes
-            # NEWER than this segment's data apply to its files
-            eq_abs = [(os.path.join(self.table_dir, d["path"]),
-                       tuple(d["cols"]))
-                      for d in eq if seq < d["seq"]] or None
-            entries.extend(
-                (e, eq_abs)
-                for e in _segment_entries(self.table_dir, seg)
-                if all(_entry_may_match(e, t) for t in probes))
+            # equality deletes scoped by data age (r13) AND key band
+            # (r13 second half): only deletes NEWER than this
+            # segment's data, whose recorded key min/max may intersect
+            # the file's stats, anti-filter its rows
+            for e in _segment_entries(self.table_dir, seg):
+                if not all(_entry_may_match(e, t) for t in probes):
+                    continue
+                eq_abs = [(os.path.join(self.table_dir, d["path"]),
+                           tuple(d["cols"]))
+                          for d in eq
+                          if seq < d["seq"]
+                          and _eq_desc_may_touch(e, d)] or None
+                entries.append((e, eq_abs))
         if not entries:
             return [SnapshotFileSlice(None, self.columns)]
         return [

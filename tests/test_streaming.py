@@ -1501,6 +1501,78 @@ def test_stream_initial_load_applies_deletion_vectors(spark, tmp_path):
     assert got == set(range(10, 40))
 
 
+def test_stream_initial_load_applies_equality_deletes(spark, tmp_path):
+    """Regression (r13 second half): the plain stream's INITIAL load
+    must serve the live state under ACTIVE equality deletes — the
+    slice builder passed dv_abs but no eq sidecars, so a consumer
+    starting on a table with pending keyed deletes got the deleted
+    rows back. Scoping matches _read_entries: seq (a re-insert newer
+    than the delete is served) and key band."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "eqstream")
+    df = spark.range(40).select(F.col("id").alias("k"))
+    S.snapshot_commit(spark, t, df.coalesce(2))
+    S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(3,), (7,)], "k long"), "k")
+    # re-insert k=7 AFTER the delete: newer seq, must be served
+    S.snapshot_commit(spark, t, spark.createDataFrame([(7,)], "k long"),
+                      mode="append")
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("snapshot_table").load(t)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == sorted(set(range(40)) - {3}), got
+
+
+def test_equality_delete_key_band_pruning(spark, tmp_path):
+    """Key-band pruning (r13 second half): snapshot_delete_keys
+    records per-column key min/max in the descriptor; files whose
+    footer stats cannot intersect the band are PROVABLY untouched, so
+    (a) the streaming CDF's eqdead slices cover only the band's files,
+    (b) the batch DataSource attaches the sidecar only to in-band
+    slices, and (c) reads stay correct either way."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import (
+        SnapshotTableBatchReader, _cdf_slices)
+
+    t = str(tmp_path / "eqband")
+    df = spark.range(40).select(F.col("id").alias("k"))
+    # two files with disjoint k ranges: [0,20) and [20,40)
+    S.snapshot_commit(spark, t, df.filter(F.col("k") < 20).coalesce(1))
+    S.snapshot_commit(spark, t, df.filter(F.col("k") >= 20).coalesce(1),
+                      mode="append")
+    v, _ = S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(3,), (7,)], "k long"), "k")
+    m = S._read_manifest_meta(t, v)
+    assert m["eq_deletes"][0]["bands"] == {"k": [3, 7]}
+
+    # (a) the CDF D scan opens only the in-band file
+    eqdead = [s for s in _cdf_slices(t, 1, v) if s[1] == "eqdead"]
+    assert len(eqdead) == 1, eqdead
+    # (b) the batch DataSource attaches the sidecar only in-band
+    reader = SnapshotTableBatchReader(
+        {"path": t}, S.snapshot_read(spark, t).schema)
+    parts = reader.partitions()
+    with_eq = [p for p in parts if p.eq_abs]
+    without = [p for p in parts if not p.eq_abs]
+    assert len(with_eq) == 1 and len(without) == 1
+    # (c) reads are exact
+    assert sorted(r.k for r in S.snapshot_read(spark, t).collect()) \
+        == sorted(set(range(40)) - {3, 7})
+
+
 def test_cdf_stream_serves_equality_delete_d_rows(spark, tmp_path):
     """r13 (second half): the streaming CDF source computes an
     equality delete's lazy D rows EXECUTOR-SIDE — per-parent-file
