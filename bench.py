@@ -141,8 +141,10 @@ HEADLINE = [
     # round 13 (cont.): the streaming CDF source riding equality-delete
     # commits — executor-side lazy D rows ('eqdead' Arrow slices), the
     # shape the r13 seal still refused (lifecycle-dominated: two full
-    # streaming drains)
+    # streaming drains) — and the history/files metadata tables
+    # through pure SQL
     "stream_cdf_equality_delete_parity",
+    "snapshot_metadata_tables_parity",
 ]
 
 

@@ -3881,9 +3881,40 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
     commits (compaction). O(versions) manifest reads, driver-side —
     the operational surface Delta exposes as DESCRIBE HISTORY and
     Iceberg as the snapshots metadata table."""
-    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
-                                   StringType, StructField, StructType)
+    from pyspark.sql.types import StructType
 
+    return spark.createDataFrame(
+        _history_rows(table_dir),
+        StructType.fromJson(json.loads(_HISTORY_SCHEMA_JSON)))
+
+
+_HISTORY_SCHEMA_JSON = json.dumps({"type": "struct", "fields": [
+    {"name": "version", "type": "long", "nullable": False,
+     "metadata": {}},
+    {"name": "parent", "type": "long", "nullable": True, "metadata": {}},
+    {"name": "mode", "type": "string", "nullable": False,
+     "metadata": {}},
+    {"name": "committed_at", "type": "double", "nullable": False,
+     "metadata": {}},
+    {"name": "n_files", "type": "long", "nullable": False,
+     "metadata": {}},
+    {"name": "n_rows", "type": "long", "nullable": True,
+     "metadata": {}},
+    {"name": "n_change_files", "type": "long", "nullable": True,
+     "metadata": {}},
+    {"name": "from_stream_epoch", "type": "boolean", "nullable": False,
+     "metadata": {}},
+    {"name": "n_eq_deletes", "type": "long", "nullable": False,
+     "metadata": {}},
+    {"name": "n_pending_delete_keys", "type": "long", "nullable": False,
+     "metadata": {}},
+]})
+
+
+def _history_rows(table_dir: str) -> list[tuple]:
+    """The DESCRIBE HISTORY rows, Spark-free (shared by the operator
+    above and the DataSource metadata table ``metadata 'history'``) —
+    O(versions) manifest-list reads, zero data files."""
     rows = []
     for v in snapshot_versions(table_dir):
         m = _read_manifest_meta(table_dir, v)
@@ -3903,19 +3934,55 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
             len(eq),
             (sum(d.get("rows") or 0 for d in eq) if eq else 0),
         ))
-    schema = StructType([
-        StructField("version", LongType(), False),
-        StructField("parent", LongType(), True),
-        StructField("mode", StringType(), False),
-        StructField("committed_at", DoubleType(), False),
-        StructField("n_files", LongType(), False),
-        StructField("n_rows", LongType(), True),
-        StructField("n_change_files", LongType(), True),
-        StructField("from_stream_epoch", BooleanType(), False),
-        StructField("n_eq_deletes", LongType(), False),
-        StructField("n_pending_delete_keys", LongType(), False),
-    ])
-    return spark.createDataFrame(rows, schema)
+    return rows
+
+
+_FILES_SCHEMA_JSON = json.dumps({"type": "struct", "fields": [
+    {"name": "path", "type": "string", "nullable": False,
+     "metadata": {}},
+    {"name": "seq", "type": "long", "nullable": False, "metadata": {}},
+    {"name": "n_rows", "type": "long", "nullable": True,
+     "metadata": {}},
+    {"name": "n_bytes", "type": "long", "nullable": True,
+     "metadata": {}},
+    {"name": "has_delete_vector", "type": "boolean", "nullable": False,
+     "metadata": {}},
+    {"name": "n_eq_deletes_applicable", "type": "long",
+     "nullable": False, "metadata": {}},
+    {"name": "partition", "type": "string", "nullable": True,
+     "metadata": {}},
+    {"name": "stats", "type": "string", "nullable": True,
+     "metadata": {}},
+]})
+
+
+def _files_rows(table_dir: str, manifest: dict) -> list[tuple]:
+    """One row per LIVE data file of a resolved version (Iceberg's
+    ``files`` metadata table; Spark-free — manifest + segment reads
+    only): path, sequence number, footer row/byte counts, whether a
+    deletion vector is attached, how many equality-delete descriptors
+    still apply (seq- and band-scoped, exactly the read path's rule),
+    the partition tuple and the column stats as JSON strings."""
+    eq = manifest.get("eq_deletes") or []
+    rows = []
+    for e in _manifest_files(table_dir, manifest):
+        seq = e.get("_seq", 0)
+        n_eq = sum(1 for d in eq
+                   if seq < d["seq"] and _eq_desc_may_touch(e, d))
+        part = e.get("partition")
+        stats = e.get("stats")
+        rows.append((
+            e["path"],
+            seq,
+            e.get("rows"),
+            e.get("bytes"),
+            bool(e.get("dv")),
+            n_eq,
+            json.dumps(part, sort_keys=True) if part is not None
+            else None,
+            json.dumps(stats, sort_keys=True) if stats else None,
+        ))
+    return rows
 
 
 def snapshot_restore(spark: SparkSession, table_dir: str, version: int,

@@ -84,6 +84,9 @@ PRIORITY_THIS_ROUND = [
     #    D rows — the seal's one refused shape), seq becomes the
     #    last_seq table counter (branch-delete soundness), cherry-pick
     "stream_cdf_equality_delete_parity",
+    # r13 second half: history/files METADATA tables through pure SQL
+    #    (band-scoped delete applicability visible per file)
+    "snapshot_metadata_tables_parity",
     # 4. mixed-generation partition scans (new gate leg) + numeric
     #    segment bands (bucket fields vote at segment level)
     "snapshot_partition_spec_parity",
@@ -135,7 +138,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     # (CORRECTNESS_r11.json on disk) — the union is self-contained;
     # no new debt this round.
 ]
-# Rotation note: with the r13 head (39 pins + 0 debt), 11 rotating
+# Rotation note: with the r13 head (40 pins + 0 debt), 10 rotating
 # slots resume the tile over the remaining queries.
 
 

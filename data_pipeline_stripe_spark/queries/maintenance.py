@@ -3939,3 +3939,131 @@ def snapshot_wap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(sec(feed.select("k", "pri", "cents"), "delta"))
             .unionByName(sec(tagged, "base"))
             .unionByName(sec(pick_head, "pick")))
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables through the SQL surface (r13 second half).
+# ---------------------------------------------------------------------------
+@query(
+    "snapshot_metadata_tables_parity",
+    oracle="""
+    WITH c AS (SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 500) AS c0,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_orderkey > 500 AND o_orderkey <= 1000) AS c1,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_orderkey > 1000 AND o_orderkey <= 1200) AS c2,
+      (SELECT COUNT(*) FROM orders
+       WHERE o_orderkey > 200 AND o_orderkey <= 300) AS k)
+    SELECT 'history' AS section, CAST(0 AS BIGINT) AS v,
+           'append' AS mode, CAST(1 AS BIGINT) AS a,
+           CAST(c0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c FROM c
+    UNION ALL SELECT 'history', 1, 'append', 2, c0 + c1, 0 FROM c
+    UNION ALL SELECT 'history', 2, 'rewrite', 2, c0 + c1, k FROM c
+    UNION ALL SELECT 'history', 3, 'append', 3, c0 + c1 + c2, k FROM c
+    UNION ALL SELECT 'files', 0, NULL, 1, CAST(c0 AS BIGINT), NULL FROM c
+    UNION ALL SELECT 'files', 1, NULL, 0, CAST(c1 AS BIGINT), NULL FROM c
+    UNION ALL SELECT 'files', 3, NULL, 0, CAST(c2 AS BIGINT), NULL FROM c
+    """,
+)
+def snapshot_metadata_tables_parity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """METADATA TABLES through pure SQL (r13 second half —
+    sources/snapshot_source.py:SnapshotMetadataReader; Iceberg's
+    ``history``/``files`` metadata tables): ``CREATE TEMPORARY VIEW …
+    USING snapshot_table OPTIONS (path '…', metadata 'history')``.
+    Lifecycle: two appends, an equality delete of keys (200, 300]
+    (O(keys) — no change log, physical counts unchanged), a third
+    append. Pinned in-gate: the SQL ``history`` view row-matches the
+    ``snapshot_history`` operator exactly; the ``files`` view is
+    manifest-truth — one row per live file with its sequence number,
+    footer row count, and the number of equality-delete descriptors
+    STILL APPLICABLE to it (seq- AND key-band-scoped: the delete's
+    recorded key band [201..300] provably cannot touch the second
+    file, and the third append is NEWER than the delete, so only the
+    first file counts 1); ``files`` time travel (version '0') plans
+    one file; ``metadata`` composed with ``cdf`` refuses. The hash
+    gates both sections against the oracle's direct reconstruction
+    from orders counts."""
+    from ..operators import snapshots as S
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    table_dir = _scratch(sf_dir, "snapshot_metadata_tables")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 1200).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    S.snapshot_commit(spark, table_dir,
+                      base.filter(F.col("k") <= 500).coalesce(1),
+                      mode="append")                               # v0
+    S.snapshot_commit(
+        spark, table_dir,
+        base.filter((F.col("k") > 500) & (F.col("k") <= 1000))
+        .coalesce(1), mode="append")                               # v1
+    S.snapshot_delete_keys(
+        spark, table_dir,
+        base.filter((F.col("k") > 200) & (F.col("k") <= 300))
+        .select("k"), "k")                                         # v2
+    S.snapshot_commit(spark, table_dir,
+                      base.filter(F.col("k") > 1000).coalesce(1),
+                      mode="append")                               # v3
+
+    hist_view = f"meta_hist_{abs(hash(table_dir)) % 10 ** 8}"
+    files_view = f"meta_files_{abs(hash(table_dir)) % 10 ** 8}"
+    spark.sql(f"DROP VIEW IF EXISTS {hist_view}")
+    spark.sql(f"DROP VIEW IF EXISTS {files_view}")
+    spark.sql(
+        f"CREATE TEMPORARY VIEW {hist_view} USING snapshot_table "
+        f"OPTIONS (path '{table_dir}', metadata 'history')")
+    spark.sql(
+        f"CREATE TEMPORARY VIEW {files_view} USING snapshot_table "
+        f"OPTIONS (path '{table_dir}', metadata 'files')")
+
+    # the SQL surface must agree with the operator row-for-row
+    op_rows = sorted(tuple(r) for r in
+                     S.snapshot_history(spark, table_dir).collect())
+    sql_rows = sorted(tuple(r) for r in
+                      spark.table(hist_view).collect())
+    if op_rows != sql_rows:
+        raise RuntimeError(
+            "snapshot_metadata_tables_parity: the SQL history view "
+            "diverged from the snapshot_history operator")
+    # files time travel plans exactly the v0 manifest
+    v0_files = (spark.read.format("snapshot_table")
+                .option("version", "0").option("metadata", "files")
+                .load(table_dir).count())
+    if v0_files != 1:
+        raise RuntimeError(
+            f"snapshot_metadata_tables_parity: version-0 files "
+            f"metadata has {v0_files} rows, expected 1")
+    # metadata has no change feed
+    try:
+        (spark.read.format("snapshot_table").option("cdf", "true")
+         .option("metadata", "files").load(table_dir).count())
+        raise RuntimeError(
+            "snapshot_metadata_tables_parity: metadata+cdf did not "
+            "refuse")
+    except Exception as exc:
+        if "metadata" not in str(exc):
+            raise
+
+    hist = spark.table(hist_view).select(
+        F.lit("history").alias("section"),
+        F.col("version").alias("v"),
+        "mode",
+        F.col("n_files").alias("a"),
+        F.col("n_rows").alias("b"),
+        F.col("n_pending_delete_keys").alias("c"),
+    )
+    files = spark.table(files_view).select(
+        F.lit("files").alias("section"),
+        F.col("seq").alias("v"),
+        F.lit(None).cast("string").alias("mode"),
+        F.col("n_eq_deletes_applicable").alias("a"),
+        F.col("n_rows").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+    return hist.unionByName(files)

@@ -878,6 +878,60 @@ class SnapshotTablePushdownReader(SnapshotTableBatchReader):
         return filters
 
 
+class SnapshotMetadataReader(DataSourceReader):
+    """METADATA TABLES (r13 second half — Iceberg's ``history`` /
+    ``files`` metadata tables, reached through pure SQL):
+    ``CREATE TEMPORARY VIEW h USING snapshot_table OPTIONS (path '…',
+    metadata 'history')``. ``history`` serves one row per retained
+    version (the DESCRIBE HISTORY surface — manifest-list reads only);
+    ``files`` one row per live data file of the resolved
+    ``version``/``asOf`` target (path, seq, footer counts, delete
+    attachments, partition tuple + stats as JSON). Metadata-sized by
+    construction, served as one Arrow batch from a single partition —
+    never a data-file open."""
+
+    def __init__(self, options, kind: str):
+        from ..operators.snapshots import _resolve_version
+
+        self.kind = kind
+        self.table_dir = options.get("path")
+        version = options.get("version")
+        as_of = options.get("asOf")
+        self.manifest = (
+            _resolve_version(
+                self.table_dir,
+                int(version) if version is not None else None,
+                float(as_of) if as_of is not None else None)
+            if kind == "files" else None)
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        from ..operators.snapshots import (_FILES_SCHEMA_JSON,
+                                           _HISTORY_SCHEMA_JSON,
+                                           _files_rows, _history_rows)
+
+        if self.kind == "history":
+            rows, sj = _history_rows(self.table_dir), _HISTORY_SCHEMA_JSON
+        else:
+            rows = _files_rows(self.table_dir, self.manifest)
+            sj = _FILES_SCHEMA_JSON
+        target = to_arrow_schema(StructType.fromJson(json.loads(sj)))
+        cols = list(zip(*rows)) if rows else [[] for _ in target]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(list(c), type=f.type)
+             for c, f in zip(cols, target)], schema=target)
+
+
+_METADATA_KINDS = ("history", "files")
+
+
 class SnapshotTableDataSource(DataSource):
     """``spark.readStream.format("snapshot_table").load(<table_dir>)``
     (streaming) and ``spark.read.format("snapshot_table")
@@ -890,23 +944,45 @@ class SnapshotTableDataSource(DataSource):
     narrower-written columns upcast in the Arrow batch), so a stream
     survives additive evolution in its range; columns ADDED after the
     stream started only appear after a restart re-resolves the schema
-    (Delta's rule too)."""
+    (Delta's rule too). ``option("metadata", "history"|"files")``
+    serves the table's METADATA instead (``SnapshotMetadataReader``)."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_table"
 
+    def _metadata_kind(self) -> str | None:
+        kind = self.options.get("metadata")
+        if kind is None:
+            return None
+        if kind not in _METADATA_KINDS:
+            raise ValueError(
+                f"snapshot source: unknown metadata table {kind!r} — "
+                f"one of {list(_METADATA_KINDS)}")
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            raise ValueError(
+                "snapshot source: metadata tables have no change feed "
+                "— drop one of the options")
+        return kind
+
     def schema(self):
         from pyspark.sql.types import (LongType, StringType, StructField,
                                        StructType)
 
-        from ..operators.snapshots import _resolve_version
+        from ..operators.snapshots import (_FILES_SCHEMA_JSON,
+                                           _HISTORY_SCHEMA_JSON,
+                                           _resolve_version)
 
         table_dir = self.options.get("path")
         if not table_dir:
             raise ValueError(
                 "snapshot source: pass the table directory as "
                 ".load(<path>)")
+        kind = self._metadata_kind()
+        if kind is not None:
+            return StructType.fromJson(json.loads(
+                _HISTORY_SCHEMA_JSON if kind == "history"
+                else _FILES_SCHEMA_JSON))
         version = self.options.get("version")
         as_of = self.options.get("asOf")
         try:
@@ -934,7 +1010,10 @@ class SnapshotTableDataSource(DataSource):
                        StructField("_commit_version", LongType(), True)]
         return StructType(fields)
 
-    def reader(self, schema) -> SnapshotTableBatchReader:
+    def reader(self, schema) -> DataSourceReader:
+        kind = self._metadata_kind()
+        if kind is not None:
+            return SnapshotMetadataReader(self.options, kind)
         if str(self.options.get("cdf", "false")).lower() == "true":
             raise ValueError(
                 "snapshot source: the change feed is a STREAMING "
@@ -945,6 +1024,10 @@ class SnapshotTableDataSource(DataSource):
         return SnapshotTableBatchReader(self.options, schema)
 
     def streamReader(self, schema) -> SnapshotTableStreamReader:
+        if self._metadata_kind() is not None:
+            raise ValueError(
+                "snapshot source: metadata tables are a BATCH surface "
+                "— drop the metadata option to stream the table")
         return SnapshotTableStreamReader(self.options, schema)
 
 

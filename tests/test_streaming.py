@@ -1501,6 +1501,31 @@ def test_stream_initial_load_applies_deletion_vectors(spark, tmp_path):
     assert got == set(range(10, 40))
 
 
+def test_admission_prices_equality_delete_band(spark, tmp_path):
+    """An EQUALITY-DELETE version prices the parent band it makes a
+    CDF consumer scan (the eqdead slices) — not 0, which would admit
+    an unbounded band scan as free (r13 second half). The plain
+    source still counts 0 (no new data files; the contract error
+    belongs to partitions(), not admission)."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        _version_delta_count
+
+    t = str(tmp_path / "eqadm")
+    df = spark.range(8).select(F.col("id").alias("k"))
+    S.snapshot_commit(spark, t, df.filter("k < 4").repartition(2))
+    S.snapshot_commit(spark, t, df.filter("k >= 4").repartition(3),
+                      mode="append")
+    n_files = len(S._manifest_files(
+        t, S._read_manifest_meta(t, 1)))
+    v_eq, _ = S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(2,)], "k long"), "k")
+    assert _version_delta_count(t, v_eq, cdf=True) == n_files
+    assert _version_delta_count(t, v_eq, cdf=False) == 0
+
+
 def test_stream_initial_load_applies_equality_deletes(spark, tmp_path):
     """Regression (r13 second half): the plain stream's INITIAL load
     must serve the live state under ACTIVE equality deletes — the

@@ -438,6 +438,34 @@ def main() -> None:
             raise RuntimeError("equality delete left a deleted key")
         return dt
 
+    def equality_delete_cdf_band_verb(n: int, sf_dir: str) -> float:
+        """The band-pruned lazy D-scan (r13 second half), measured:
+        the table grows ×N (the k>800 band rides the replicated
+        fixture) but the delete's key band is FIXED (200 keys in
+        (400, 800] — replica-0 only at every scale), so the batch
+        CDF's D computation, which opens only files whose footer
+        stats intersect the descriptor's recorded key band, must
+        stay ~flat while the parent table grows ×N. Without band
+        pruning this scan is O(table) — exactly the curve this row
+        exists to refute."""
+        from pyspark.sql import functions as F
+
+        import data_pipeline_stripe_spark.operators.snapshots as S
+
+        table_dir = _orders_band_table(sf_dir, "scaling_eq_cdf_band")
+        keys = spark.range(401, 801, 2).limit(200) \
+            .select(F.col("id").alias("k")).localCheckpoint(eager=True)
+        v_del, info = S.snapshot_delete_keys(spark, table_dir, keys, "k")
+        t0 = time.time()
+        n_d = S.snapshot_read_cdf(spark, table_dir, v_del - 1,
+                                  to_version=v_del) \
+            .filter(F.col("_change_type") == "D").count()
+        dt = time.time() - t0
+        if n_d == 0:
+            raise RuntimeError(
+                "the equality-delete CDF range produced no D rows")
+        return dt
+
     # verb-only rows: table build untimed, the verb timed (docstrings)
     for verb_name, verb_fn in (
             ("snapshot_partial_merge_verb",
@@ -447,7 +475,8 @@ def main() -> None:
             ("snapshot_delete_vector_verb", deletion_vector_verb),
             ("snapshot_manifest_append_verb", manifest_append_verb),
             ("snapshot_partition_drop_verb", partition_drop_verb),
-            ("snapshot_equality_delete_verb", equality_delete_verb)):
+            ("snapshot_equality_delete_verb", equality_delete_verb),
+            ("snapshot_eq_cdf_band_verb", equality_delete_cdf_band_verb)):
         row = {}
         for n, d in SCALES:
             row[f"x{n}"] = round(min(verb_fn(n, d) for _ in range(2)), 3)
