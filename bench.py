@@ -145,6 +145,7 @@ HEADLINE = [
     # through pure SQL
     "stream_cdf_equality_delete_parity",
     "snapshot_metadata_tables_parity",
+    "snapshot_upsert_keys_parity",
 ]
 
 

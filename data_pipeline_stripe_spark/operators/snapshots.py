@@ -1250,9 +1250,12 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             # pays to compute the commit's lazy D rows (the 'eqdead'
             # slices of the streaming source / the batch CDF's
             # remaining-join) — 0 would let admission control admit an
-            # unbounded band scan as free (r13)
+            # unbounded band scan as free (r13). An UPSERT commit
+            # (descriptor + new entries) serves only its delta as U
+            # rows, so its unit is the delta.
             "cdf_delta": (
                 delta if mode == "append"
+                else delta if new_eq_delete and new_entries
                 else {"files": sum(s["n_files"]
                                    for s in prev_manifest["segments"]),
                       "rows": sum(s.get("rows") or 0
@@ -2620,6 +2623,23 @@ def snapshot_read_cdf(spark: SparkSession, table_dir: str,
             new_eq = [d for d in (m.get("eq_deletes") or [])
                       if d not in (parent_m.get("eq_deletes") or [])]
             if entries is None and new_eq:
+                parent_segs = {s["path"] for s in parent_m["segments"]}
+                up_delta = [e for s in m["segments"]
+                            if s["path"] not in parent_segs
+                            for e in _segment_entries(table_dir, s)]
+                if up_delta:
+                    # MERGE-ON-READ UPSERT (snapshot_upsert_keys): the
+                    # descriptor covers exactly the new rows' keys, so
+                    # the feed is the delta as 'U' — replay-exact with
+                    # no band scan (the commit's whole point); the
+                    # replaced rows need no D (the U replaces them)
+                    f = _read_entries(spark, table_dir, up_delta,
+                                      m["schema"]) \
+                        .withColumn("_change_type", F.lit("U"))
+                    frames.append(f.withColumn(
+                        "_commit_version",
+                        F.lit(m["version"]).cast("long")))
+                    continue
                 # EQUALITY-DELETE commit (r13): the commit recorded
                 # O(keys) and NO change log by design — the D rows are
                 # computed LAZILY here, at first CDF read of the range
@@ -3612,6 +3632,131 @@ def snapshot_delete_keys(spark: SparkSession, table_dir: str,
         eq_deletes=prev_eq + [desc],
         extra_commit_dirs={eq_rel})
     return version, {"keys": n_keys}
+
+
+def snapshot_upsert_keys(spark: SparkSession, table_dir: str,
+                         df: DataFrame, key_cols,
+                         epoch_key: str | None = None,
+                         base_version: int | None = None
+                         ) -> tuple[int, dict]:
+    """MERGE-ON-READ UPSERT (r13 second half — Iceberg v2's streaming
+    CDC upsert shape): one commit = the new rows appended + an
+    equality-delete descriptor for exactly their keys, scoped (by
+    sequence number) to everything older. The old matching rows are
+    REPLACED at read time by the broadcast anti-join every reader
+    already runs for equality deletes — so the commit is **O(new
+    rows), opens ZERO existing data files**, where the copy-on-write
+    twins (``snapshot_merge`` / ``snapshot_apply_cdc``) read and
+    rewrite the dirty band on every batch. The trickle-upsert shape a
+    streaming ``foreachBatch`` CDC sink needs at 100 TB: pass
+    ``epoch_key`` for the exactly-once no-op replay contract
+    (``snapshot_commit``'s idempotence, unchanged).
+
+    CDF: the commit records no change log; batch and streaming CDF
+    serve its delta files as 'U' rows (synthesized, like appends' 'I')
+    — exact for replay (``apply_cdc``: U upserts whether or not the
+    key existed), with the documented limit that the feed does not
+    distinguish insert-vs-update (knowing that would require the band
+    read this verb exists to avoid; the copy-on-write verbs remain
+    the exact-I/U/D form). The plain stream refuses the commit (rows
+    are replaced — Delta's non-append rule; ``skipChangeCommits``
+    skips it).
+
+    OPTIMIZE materializes the replacement and drops the descriptor;
+    reads/time-travel/conflict rules follow ``snapshot_delete_keys``
+    (interleaved disjoint appends rebase — the descriptor re-stamps
+    above them, the serial order; interleaved rewrites abort). NULL
+    key values are refused (an anti-join NULL never matches — the old
+    row would survive next to its replacement). Returns
+    (version, {"rows": n, "keys": n_distinct})."""
+    from pyspark.sql import functions as F
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not key_cols:
+        raise ValueError("snapshot_upsert_keys: key_cols is empty")
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(
+            f"snapshot_upsert_keys: {table_dir} has no commits — use "
+            "snapshot_commit for the initial load")
+    manifest = _read_manifest_meta(table_dir, base_version)
+    if epoch_key is not None:
+        last = manifest.get("last_epoch")
+        if last is not None and (
+                _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
+            return base_version, {"rows": 0, "keys": 0}
+    cols = {f["name"] for f in json.loads(manifest["schema"])["fields"]}
+    missing = [c for c in key_cols if c not in cols]
+    if missing:
+        raise ValueError(
+            f"snapshot_upsert_keys: key column(s) {missing} not in the "
+            f"table schema {sorted(cols)}")
+    # additive evolution allowed, incompatible types refused — before
+    # paying the data write
+    _evolved_schema_json(manifest["schema"], df.schema)
+
+    commit_id = uuid.uuid4().hex[:12]
+    data_rel = os.path.join("data", commit_id)
+    df.write.mode("error").parquet(os.path.join(table_dir, data_rel))
+    new_entries = _file_entries(table_dir, data_rel)
+    # single evaluation: keys come from the WRITTEN rows (the same
+    # nondeterminism rationale as replaceWhere's stray check)
+    written = spark.read.parquet(os.path.join(table_dir, data_rel))
+    null_cond = F.lit(False)
+    for c in key_cols:
+        null_cond = null_cond | F.col(c).isNull()
+    bad = written.filter(null_cond).limit(1)
+    if not bad.isEmpty():
+        raise ValueError(
+            "snapshot_upsert_keys: an upsert row has a NULL key value "
+            f"({bad.first().asDict()}) — the replaced row would "
+            "survive next to its replacement; filter such rows")
+    key_df = written.select(*key_cols).dropDuplicates()
+    eq_rel = os.path.join("eqdel", uuid.uuid4().hex[:12])
+    key_df.coalesce(1).write.mode("error").parquet(
+        os.path.join(table_dir, eq_rel))
+    keyed = spark.read.parquet(os.path.join(table_dir, eq_rel))
+    n_keys = keyed.count()
+    aggs = [f for c in key_cols
+            for f in (F.min(c).alias(f"__lo_{c}"),
+                      F.max(c).alias(f"__hi_{c}"))]
+    row = keyed.agg(*aggs).first().asDict()
+    bands = {}
+    for c in key_cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if (type(lo) in (int, str) and type(hi) in (int, str)
+                and lo is not None):
+            bands[c] = [lo, hi]
+    desc = {"path": eq_rel, "cols": key_cols,
+            "rows": n_keys, "bands": bands}
+    prev_eq = list(manifest.get("eq_deletes") or [])
+    validated = manifest.get("constraints")
+    _enforce_constraints(spark, table_dir, validated, new_entries,
+                         df.schema.json(), "snapshot_upsert_keys")
+
+    from pyspark.sql.types import StructType
+
+    version = _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=new_entries,
+        batch_schema=df.schema,
+        epoch_key=epoch_key,
+        expected_version=base_version,
+        reuse_segments=list(manifest["segments"]),
+        changes_entries=None,  # CDF synthesizes the delta as U rows
+        cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
+        dirty_probe=lambda e: False,  # disjoint appends commute: the
+        #                               descriptor re-stamps above
+        #                               them (serial restatement)
+        eq_deletes=prev_eq + [desc],
+        extra_commit_dirs={eq_rel},
+        validated_constraints=validated,
+        revalidate=lambda c: _enforce_constraints(
+            spark, table_dir, c, new_entries, df.schema.json(),
+            "snapshot_upsert_keys"))
+    n_rows = sum(e.get("rows") or 0 for e in new_entries)
+    return version, {"rows": n_rows, "keys": n_keys}
 
 
 def _enforce_constraints(spark: SparkSession, table_dir: str,

@@ -87,6 +87,10 @@ PRIORITY_THIS_ROUND = [
     # r13 second half: history/files METADATA tables through pure SQL
     #    (band-scoped delete applicability visible per file)
     "snapshot_metadata_tables_parity",
+    # r13 second half: merge-on-read upserts (one commit = new rows +
+    #    eq-delete descriptor for their keys; O(new), zero band reads;
+    #    CDF serves the delta as U)
+    "snapshot_upsert_keys_parity",
     # 4. mixed-generation partition scans (new gate leg) + numeric
     #    segment bands (bucket fields vote at segment level)
     "snapshot_partition_spec_parity",
@@ -138,7 +142,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     # (CORRECTNESS_r11.json on disk) — the union is self-contained;
     # no new debt this round.
 ]
-# Rotation note: with the r13 head (40 pins + 0 debt), 10 rotating
+# Rotation note: with the r13 head (41 pins + 0 debt), 9 rotating
 # slots resume the tile over the remaining queries.
 
 

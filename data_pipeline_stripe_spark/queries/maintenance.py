@@ -4067,3 +4067,118 @@ def snapshot_metadata_tables_parity(spark: SparkSession,
         F.lit(None).cast("long").alias("c"),
     )
     return hist.unionByName(files)
+
+
+@query(
+    "snapshot_upsert_keys_parity",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1200
+    )
+    SELECT k, pri, cents FROM base WHERE k <= 300
+    UNION ALL
+    SELECT k, pri, cents * 2 + 1 FROM base
+    WHERE k > 300 AND k <= 600
+    UNION ALL
+    SELECT k, pri, cents * 3 + 2 FROM base WHERE k > 600
+    """,
+)
+def snapshot_upsert_keys_parity(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPSERT (operators/snapshots.py
+    :snapshot_upsert_keys; r13 second half — Iceberg v2's streaming
+    CDC upsert): one commit = new rows + an equality-delete descriptor
+    for exactly their keys, O(new) with ZERO existing data files
+    opened, where the copy-on-write twin re-reads the dirty band per
+    batch. Two chained upserts land on a two-file base — the first
+    updates (300, 600] (cents*2+1), the second OVERLAPS it and
+    inserts: (600, 1200] at cents*3+2 of the ORIGINAL cents, so
+    latest-wins layering across three generations is what the hash
+    gates. Pinned in-gate: (a) both upsert commits are tripwired
+    against any table-entry read; (b) head parity with the
+    copy-on-write snapshot_apply_cdc twin, both exceptAll directions;
+    (c) the batch CDF serves each upsert version as exactly its delta
+    rows, all 'U'; (d) replaying the full feed from version 0
+    reproduces the head. The oracle restates the final layering
+    directly from orders."""
+    from ..operators import snapshots as S
+    from ..operators.merge import apply_cdc
+
+    table_dir = _scratch(sf_dir, "snapshot_upsert_keys")
+    twin_dir = _scratch(sf_dir, "snapshot_upsert_keys_twin")
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.filter(F.col("o_orderkey") <= 1200).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = wide.filter(F.col("k") <= 1000)
+    up1 = wide.filter((F.col("k") > 300) & (F.col("k") <= 600)) \
+        .withColumn("cents", F.col("cents") * 2 + 1)
+    up2 = wide.filter(F.col("k") > 600) \
+        .withColumn("cents", F.col("cents") * 3 + 2)
+    for d in (table_dir, twin_dir):
+        S.snapshot_commit(spark, d,
+                          base.filter(F.col("k") <= 500).coalesce(1),
+                          mode="append")
+        S.snapshot_commit(spark, d,
+                          base.filter(F.col("k") > 500).coalesce(1),
+                          mode="append")
+
+    real = S._read_entries
+
+    def tripwire(*a, **kw):
+        raise RuntimeError(
+            "snapshot_upsert_keys_parity: the upsert read table "
+            "entries — the commit must be O(new), zero band reads")
+
+    try:
+        S._read_entries = tripwire
+        v1, info1 = S.snapshot_upsert_keys(spark, table_dir, up1, "k")
+        v2, info2 = S.snapshot_upsert_keys(spark, table_dir, up2, "k")
+    finally:
+        S._read_entries = real
+    if info1["rows"] != up1.count() or info2["rows"] != up2.count():
+        raise RuntimeError(
+            "snapshot_upsert_keys_parity: row accounting diverged")
+
+    # (b) copy-on-write twin
+    for up in (up1, up2):
+        S.snapshot_apply_cdc(
+            spark, twin_dir,
+            up.select("k", "pri", "cents", F.lit(1).alias("seq"),
+                      F.lit("U").alias("op")), "k")
+    head = S.snapshot_read(spark, table_dir)
+    twin = S.snapshot_read(spark, twin_dir)
+    if head.exceptAll(twin).count() or twin.exceptAll(head).count():
+        raise RuntimeError(
+            "snapshot_upsert_keys_parity: merge-on-read head diverged "
+            "from the copy-on-write twin")
+
+    # (c) each upsert version's feed = its delta as U
+    for v, up in ((v1, up1), (v2, up2)):
+        feed = S.snapshot_read_cdf(spark, table_dir, v - 1,
+                                   to_version=v)
+        n_u = feed.filter(F.col("_change_type") == "U").count()
+        if feed.count() != up.count() or n_u != feed.count():
+            raise RuntimeError(
+                f"snapshot_upsert_keys_parity: version {v} feed is "
+                "not exactly its delta as U rows")
+
+    # (d) full-range replay from version 0 reproduces the head
+    replayed = apply_cdc(
+        S.snapshot_read(spark, table_dir, version=0),
+        S.snapshot_read_cdf(spark, table_dir, 0, to_version=v2)
+        .select("k", "pri", "cents",
+                F.col("_commit_version").alias("seq"),
+                F.when(F.col("_change_type") == "D", F.lit("D"))
+                .otherwise(F.lit("U")).alias("op")),
+        "k").drop("cdc_action")
+    if (replayed.exceptAll(head).count()
+            or head.exceptAll(replayed).count()):
+        raise RuntimeError(
+            "snapshot_upsert_keys_parity: replaying the feed did not "
+            "reproduce the head")
+    return head

@@ -217,9 +217,12 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
     drop rows a DV or an older descriptor already deleted, KEEP the
     rows the commit's new key sidecars match) — the same lazy
     semantics as the batch CDF (``snapshot_read_cdf``), distributed
-    per-file instead of refusing the range (r13). Only a rewrite with
-    NO recorded log and no new descriptors (plain overwrite) still
-    raises, Delta's own CDF rule."""
+    per-file instead of refusing the range (r13); a MERGE-ON-READ
+    UPSERT (``snapshot_upsert_keys`` — descriptor + new files in one
+    commit) contributes its delta files as kind 'upsert' ('U' rows,
+    no band scan). Only a rewrite with NO recorded log and no new
+    descriptors (plain overwrite) still raises, Delta's own CDF
+    rule."""
     from ..operators.snapshots import _manifest_chain, _segment_entries
 
     chain = _manifest_chain(table_dir, start_v, end_v,
@@ -246,6 +249,21 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
                           if d not in ((parent_m or {})
                                        .get("eq_deletes") or [])]
                 if new_eq and parent_m is not None:
+                    # MERGE-ON-READ UPSERT (snapshot_upsert_keys —
+                    # descriptor + new data files in ONE commit): the
+                    # feed is the delta as 'U' rows, no band scan (the
+                    # descriptor covers exactly the new rows' keys)
+                    parent_segs = {s["path"]
+                                   for s in parent_m["segments"]}
+                    up_delta = [
+                        e for s in m["segments"]
+                        if s["path"] not in parent_segs
+                        for e in _segment_entries(table_dir, s)]
+                    if up_delta:
+                        slices.extend(
+                            (e["path"], "upsert", v, None, None, None)
+                            for e in up_delta)
+                        continue
                     # the D rows are the PARENT's live rows matching
                     # the new key sidecars: per parent file, drop what
                     # a DV / an OLDER descriptor (seq-scoped, exactly
@@ -496,11 +514,13 @@ def _read_slice_raw(partition: SnapshotFileSlice):
                 if arr.type != field.type:
                     arr = pc.cast(arr, field.type)
             elif partition.cdf and field.name == "_change_type":
-                # append deltas synthesize 'I'; eq-delete parent files
-                # synthesize 'D' (the filter downstream keeps only the
-                # rows the commit actually deleted); log files carry
-                # the column in-file (never reach this branch)
-                label = "D" if partition.kind == "eqdead" else "I"
+                # append deltas synthesize 'I'; upsert deltas 'U';
+                # eq-delete parent files 'D' (the filter downstream
+                # keeps only the rows the commit actually deleted);
+                # log files carry the column in-file (never reach
+                # this branch)
+                label = {"eqdead": "D", "upsert": "U"}.get(
+                    partition.kind, "I")
                 arr = pa.array([label] * n, type=field.type)
             elif partition.cdf and field.name == "_commit_version":
                 arr = pa.array([partition.version] * n,

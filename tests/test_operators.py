@@ -4224,6 +4224,125 @@ def test_history_reports_pending_equality_deletes(spark, tmp_path):
     assert hist[2].n_rows == 93  # exact again
 
 
+def test_upsert_keys_merge_on_read(spark, tmp_path):
+    """snapshot_upsert_keys (r13 second half — Iceberg v2's streaming
+    CDC upsert): one commit = new rows + an equality-delete descriptor
+    for exactly their keys. Pins: zero band read (tripwire), read
+    parity with the copy-on-write apply_cdc twin, CDF serves the delta
+    as U (batch AND streaming hash-match; replay reproduces the head),
+    epoch idempotence, NULL key refusal, chained upserts dedupe, and
+    OPTIMIZE materializes the descriptor away."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.operators.merge import apply_cdc
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "upsert")
+    twin = str(tmp_path / "upsert_twin")
+    base = spark.range(100).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("v"))
+    for d in (t, twin):
+        S.snapshot_commit(spark, d, base.filter("k < 50").coalesce(1),
+                          mode="append")
+        S.snapshot_commit(spark, d, base.filter("k >= 50").coalesce(1),
+                          mode="append")
+    # upsert: update keys 40..59 (spans both files), insert 100..119
+    up = spark.range(40, 120).filter(
+        (F.col("id") < 60) | (F.col("id") >= 100)).select(
+        F.col("id").alias("k"), (F.col("id") * 1000).alias("v"))
+    real = S._read_entries
+
+    def tripwire(*a, **kw):
+        raise AssertionError(
+            "snapshot_upsert_keys read table entries — the commit is "
+            "supposed to be O(new), zero band reads")
+
+    try:
+        S._read_entries = tripwire
+        v_up, info = S.snapshot_upsert_keys(spark, t, up, "k",
+                                            epoch_key="e1")
+    finally:
+        S._read_entries = real
+    assert info["rows"] == 40 and info["keys"] == 40
+    # epoch replay: no-op
+    v_again, info2 = S.snapshot_upsert_keys(spark, t, up, "k",
+                                            epoch_key="e1")
+    assert v_again == v_up and info2 == {"rows": 0, "keys": 0}
+
+    # copy-on-write twin via apply_cdc
+    S.snapshot_apply_cdc(
+        spark, twin,
+        up.select("k", "v", F.lit(1).alias("seq"),
+                  F.lit("U").alias("op")), "k")
+    a = S.snapshot_read(spark, t)
+    b = S.snapshot_read(spark, twin)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == 120
+    assert a.filter("k = 45").first()["v"] == 45000
+
+    # batch CDF: the upsert version is its delta as U rows
+    feed = S.snapshot_read_cdf(spark, t, v_up - 1, to_version=v_up)
+    assert feed.count() == 40
+    assert feed.filter(F.col("_change_type") != "U").count() == 0
+    # streaming CDF hash-matches the batch feed over the full range
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("snapshot_table")
+         .option("cdf", "true").option("startingVersion", "1").load(t)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    streamed = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in S.snapshot_read_cdf(spark, t, 0,
+                                     to_version=v_up).collect())
+    assert streamed == batch
+    # replay the feed from version 0's state: must reproduce the head
+    base_state = S.snapshot_read(spark, t, version=0)
+    replayed = apply_cdc(
+        base_state,
+        spark.read.parquet(out).select(
+            "k", "v", F.col("_commit_version").alias("seq"),
+            F.when(F.col("_change_type") == "D", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op")),
+        "k").drop("cdc_action")
+    ra = replayed
+    assert ra.exceptAll(a).count() == 0 and a.exceptAll(ra).count() == 0
+
+    # chained upsert of an overlapping key: latest wins
+    S.snapshot_upsert_keys(
+        spark, t, spark.createDataFrame([(45, 7)], "k long, v long"),
+        "k")
+    assert S.snapshot_read(spark, t).filter("k = 45").first()["v"] == 7
+    assert S.snapshot_read(spark, t).count() == 120
+
+    # NULL keys refused; the failed write leaves no committed version
+    head = S.snapshot_current_version(t)
+    with pytest.raises(ValueError, match="NULL key"):
+        S.snapshot_upsert_keys(
+            spark, t,
+            spark.createDataFrame([(None, 1)], "k long, v long"), "k")
+    assert S.snapshot_current_version(t) == head
+
+    # OPTIMIZE materializes: descriptors gone, reads identical
+    before = sorted(tuple(r) for r in S.snapshot_read(spark, t)
+                    .collect())
+    S.snapshot_compact(spark, t, target_files=1)
+    m = S._read_manifest_meta(t, S.snapshot_current_version(t))
+    assert not m.get("eq_deletes")
+    after = sorted(tuple(r) for r in S.snapshot_read(spark, t)
+                   .collect())
+    assert before == after
+
+
 def test_equality_delete_cdf_restore_expire(spark, tmp_path):
     """Lazy CDF D rows, RESTORE adopting the target's delete list, and
     expire GC of unreferenced eqdel sidecars."""

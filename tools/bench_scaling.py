@@ -466,6 +466,49 @@ def main() -> None:
                 "the equality-delete CDF range produced no D rows")
         return dt
 
+    def upsert_keys_verb(n: int, sf_dir: str) -> float:
+        """r13-second-half's merge-on-read upsert claim, measured: the
+        table grows ×N (untimed build), the timed region is
+        snapshot_upsert_keys with a FIXED 200-row batch — one commit
+        writes the rows + their key sidecar and opens ZERO existing
+        data files (tripwired), so the curve must stay flat in table
+        size, where the copy-on-write apply_cdc re-reads the dirty
+        band per batch (its curve is the partial-merge row above)."""
+        from pyspark.sql import functions as F
+
+        import data_pipeline_stripe_spark.operators.snapshots as S
+
+        table_dir = _orders_band_table(sf_dir, "scaling_upsert_keys")
+        batch = spark.range(401, 801, 2).limit(200).select(
+            F.col("id").alias("k"),
+            F.lit("9-UPSERT").alias("pri"),
+            (F.col("id") * 7).alias("cents")).localCheckpoint(
+            eager=True)
+        real = S._read_entries
+
+        def tripwire(*a, **kw):
+            raise RuntimeError(
+                "snapshot_upsert_keys opened table entries — the "
+                "commit is supposed to be O(new)")
+
+        t0 = time.time()
+        try:
+            S._read_entries = tripwire
+            version, info = S.snapshot_upsert_keys(
+                spark, table_dir, batch, "k")
+        finally:
+            S._read_entries = real
+        dt = time.time() - t0
+        if info["keys"] != 200:
+            raise RuntimeError(
+                f"upsert recorded {info['keys']} keys")
+        # correctness spot-check outside the timed region
+        got = S.snapshot_read(spark, table_dir) \
+            .filter("k = 401").collect()
+        if len(got) != 1 or got[0]["pri"] != "9-UPSERT":
+            raise RuntimeError("upsert did not replace the old row")
+        return dt
+
     # verb-only rows: table build untimed, the verb timed (docstrings)
     for verb_name, verb_fn in (
             ("snapshot_partial_merge_verb",
@@ -476,7 +519,8 @@ def main() -> None:
             ("snapshot_manifest_append_verb", manifest_append_verb),
             ("snapshot_partition_drop_verb", partition_drop_verb),
             ("snapshot_equality_delete_verb", equality_delete_verb),
-            ("snapshot_eq_cdf_band_verb", equality_delete_cdf_band_verb)):
+            ("snapshot_eq_cdf_band_verb", equality_delete_cdf_band_verb),
+            ("snapshot_upsert_keys_verb", upsert_keys_verb)):
         row = {}
         for n, d in SCALES:
             row[f"x{n}"] = round(min(verb_fn(n, d) for _ in range(2)), 3)
