@@ -146,6 +146,7 @@ HEADLINE = [
     "stream_cdf_equality_delete_parity",
     "snapshot_metadata_tables_parity",
     "snapshot_upsert_keys_parity",
+    "stream_snapshot_replication_mor_parity",
 ]
 
 

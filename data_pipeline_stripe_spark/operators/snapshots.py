@@ -1077,6 +1077,12 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
     # drives the cdf_delta unit below
     new_eq_delete = (eq_deletes != "inherit"
                      and any("seq" not in d for d in (eq_deletes or [])))
+    # ...and does any of them need a lazy D band scan? (covered
+    # descriptors are replaced by their own delta — U rows only)
+    new_uncovered_eq = (
+        eq_deletes != "inherit"
+        and any("seq" not in d and not d.get("covered")
+                for d in (eq_deletes or [])))
     # adopted-by-reference segments lacking a seq stamp (cherry-pick:
     # the data is logically NEW at this publish) — stamped per attempt
     unstamped_extra = [d for d in (extra_segments or [])
@@ -1246,23 +1252,27 @@ def _publish_commit(table_dir: str, *, mode: str, new_entries: list[dict],
             # O(1) admission-probe units (VERDICT r11 item 7)
             "delta": delta,
             # an EQUALITY-DELETE commit records its PARENT's live band
-            # as the CDF unit: that is exactly the scan a CDF consumer
-            # pays to compute the commit's lazy D rows (the 'eqdead'
-            # slices of the streaming source / the batch CDF's
-            # remaining-join) — 0 would let admission control admit an
-            # unbounded band scan as free (r13). An UPSERT commit
-            # (descriptor + new entries) serves only its delta as U
-            # rows, so its unit is the delta.
+            # (+ its own delta) as the CDF unit: that is exactly the
+            # scan a CDF consumer pays to compute the commit's lazy D
+            # rows (the 'eqdead' slices of the streaming source / the
+            # batch CDF's remaining-join) — 0 would let admission
+            # control admit an unbounded band scan as free (r13). A
+            # covered-only commit (upsert: the descriptor is replaced
+            # by its own delta) serves only U rows — its unit is just
+            # the delta.
             "cdf_delta": (
                 delta if mode == "append"
+                else {"files": delta["files"] + sum(
+                          s["n_files"]
+                          for s in prev_manifest["segments"]),
+                      "rows": delta["rows"] + sum(
+                          s.get("rows") or 0
+                          for s in prev_manifest["segments"]),
+                      "bytes": delta["bytes"] + sum(
+                          s.get("bytes") or 0
+                          for s in prev_manifest["segments"])}
+                if new_uncovered_eq and prev_manifest.get("segments")
                 else delta if new_eq_delete and new_entries
-                else {"files": sum(s["n_files"]
-                                   for s in prev_manifest["segments"]),
-                      "rows": sum(s.get("rows") or 0
-                                  for s in prev_manifest["segments"]),
-                      "bytes": sum(s.get("bytes") or 0
-                                   for s in prev_manifest["segments"])}
-                if new_eq_delete and prev_manifest.get("segments")
                 else _entry_totals(changes_entries or [])),
             "schema": schema_json,
             "last_epoch": (
@@ -2623,59 +2633,61 @@ def snapshot_read_cdf(spark: SparkSession, table_dir: str,
             new_eq = [d for d in (m.get("eq_deletes") or [])
                       if d not in (parent_m.get("eq_deletes") or [])]
             if entries is None and new_eq:
+                # MERGE-ON-READ commit family (r13): no change log by
+                # design. The delta files (snapshot_upsert_keys /
+                # snapshot_apply_cdc_mor upserts) serve as 'U' rows —
+                # their keys are COVERED by their descriptor, no D
+                # needed (the U replaces the old row in any replay).
                 parent_segs = {s["path"] for s in parent_m["segments"]}
                 up_delta = [e for s in m["segments"]
                             if s["path"] not in parent_segs
                             for e in _segment_entries(table_dir, s)]
                 if up_delta:
-                    # MERGE-ON-READ UPSERT (snapshot_upsert_keys): the
-                    # descriptor covers exactly the new rows' keys, so
-                    # the feed is the delta as 'U' — replay-exact with
-                    # no band scan (the commit's whole point); the
-                    # replaced rows need no D (the U replaces them)
                     f = _read_entries(spark, table_dir, up_delta,
                                       m["schema"]) \
                         .withColumn("_change_type", F.lit("U"))
                     frames.append(f.withColumn(
                         "_commit_version",
                         F.lit(m["version"]).cast("long")))
-                    continue
-                # EQUALITY-DELETE commit (r13): the commit recorded
-                # O(keys) and NO change log by design — the D rows are
-                # computed LAZILY here, at first CDF read of the range
-                # (the read pays the band scan the commit refused to).
+                # UNCOVERED descriptors (snapshot_delete_keys / the
+                # mor-apply's final-D keys): their D rows are computed
+                # LAZILY here, at first CDF read of the range (the
+                # read pays the band scan the commit refused to).
                 # Within one commit every parent segment precedes the
                 # delete, so the seq scope is vacuous; folding
                 # descriptor-by-descriptor keeps a row matched by two
                 # descriptors a single D. Key-band pruning first:
-                # files no new descriptor can touch contribute no D
-                # rows, so the scan covers the delete's band, not the
-                # table.
-                touched = [
-                    e for e in _manifest_files(table_dir, parent_m)
-                    if any(_eq_desc_may_touch(e, d) for d in new_eq)]
-                remaining = _read_entries(
-                    spark, table_dir, touched,
-                    parent_m["schema"],
-                    eq_deletes=parent_m.get("eq_deletes"))
-                dead: list[DataFrame] = []
-                for d in new_eq:
-                    keys_df = spark.read.parquet(
-                        os.path.join(table_dir, d["path"])) \
-                        .select(*d["cols"]).dropDuplicates()
-                    dead.append(remaining.join(
-                        F.broadcast(keys_df), on=list(d["cols"]),
-                        how="left_semi"))
-                    remaining = remaining.join(
-                        F.broadcast(keys_df), on=list(d["cols"]),
-                        how="left_anti")
-                f = dead[0]
-                for extra in dead[1:]:
-                    f = f.unionByName(extra)
-                f = f.withColumn("_change_type", F.lit("D"))
-                frames.append(f.withColumn(
-                    "_commit_version",
-                    F.lit(m["version"]).cast("long")))
+                # files no uncovered descriptor can touch contribute
+                # no D rows, so the scan covers the delete's band,
+                # not the table.
+                uncovered = [d for d in new_eq if not d.get("covered")]
+                if uncovered:
+                    touched = [
+                        e for e in _manifest_files(table_dir, parent_m)
+                        if any(_eq_desc_may_touch(e, d)
+                               for d in uncovered)]
+                    remaining = _read_entries(
+                        spark, table_dir, touched,
+                        parent_m["schema"],
+                        eq_deletes=parent_m.get("eq_deletes"))
+                    dead: list[DataFrame] = []
+                    for d in uncovered:
+                        keys_df = spark.read.parquet(
+                            os.path.join(table_dir, d["path"])) \
+                            .select(*d["cols"]).dropDuplicates()
+                        dead.append(remaining.join(
+                            F.broadcast(keys_df), on=list(d["cols"]),
+                            how="left_semi"))
+                        remaining = remaining.join(
+                            F.broadcast(keys_df), on=list(d["cols"]),
+                            how="left_anti")
+                    f = dead[0]
+                    for extra in dead[1:]:
+                        f = f.unionByName(extra)
+                    f = f.withColumn("_change_type", F.lit("D"))
+                    frames.append(f.withColumn(
+                        "_commit_version",
+                        F.lit(m["version"]).cast("long")))
                 continue
             if entries is None:
                 raise ValueError(
@@ -3728,8 +3740,11 @@ def snapshot_upsert_keys(spark: SparkSession, table_dir: str,
         if (type(lo) in (int, str) and type(hi) in (int, str)
                 and lo is not None):
             bands[c] = [lo, hi]
+    # covered: every key in this descriptor has a replacement row in
+    # the SAME commit's delta — CDF needs no D rows for it (the U
+    # replaces the old row in any replay)
     desc = {"path": eq_rel, "cols": key_cols,
-            "rows": n_keys, "bands": bands}
+            "rows": n_keys, "bands": bands, "covered": True}
     prev_eq = list(manifest.get("eq_deletes") or [])
     validated = manifest.get("constraints")
     _enforce_constraints(spark, table_dir, validated, new_entries,
@@ -3757,6 +3772,164 @@ def snapshot_upsert_keys(spark: SparkSession, table_dir: str,
             "snapshot_upsert_keys"))
     n_rows = sum(e.get("rows") or 0 for e in new_entries)
     return version, {"rows": n_rows, "keys": n_keys}
+
+
+def snapshot_apply_cdc_mor(spark: SparkSession, table_dir: str,
+                           changes: DataFrame, key,
+                           seq: str = "seq", op: str = "op",
+                           epoch_key: str | None = None,
+                           base_version: int | None = None
+                           ) -> tuple[int, dict]:
+    """MERGE-ON-READ CDC APPLY (r13 second half): the full
+    upsert-AND-delete change-stream contract of ``apply_cdc`` /
+    ``snapshot_apply_cdc`` (per key the highest-``seq`` change wins;
+    final 'U' upserts, final 'D' removes — seq must be unique per key,
+    enforced upstream) as ONE **O(batch) commit that opens ZERO
+    existing data files**: the final U rows are appended and covered
+    by one equality-delete descriptor (``covered`` — their keys are
+    replaced, CDF needs no D for them); the final D keys land in a
+    second, uncovered descriptor (the ``snapshot_delete_keys`` shape —
+    CDF computes its D rows lazily, band-pruned). This is the
+    production ``foreachBatch`` CDC sink at 100 TB: the copy-on-write
+    ``snapshot_apply_cdc`` re-reads and rewrites the dirty band every
+    batch; this verb's commit cost is the batch, and the read-side
+    anti-joins are priced per read where they can be amortized,
+    batched, and eventually OPTIMIZEd away.
+
+    The two final key sets are disjoint by construction (one winning
+    action per key), so a replay of the commit's feed (delta as 'U',
+    lazy D rows for the delete descriptor, same ``_commit_version``)
+    is unambiguous. NULL change keys are refused; op values outside
+    {'U','D'} are refused on the winning change per key (fail-closed,
+    ``apply_cdc``'s rule). ``epoch_key`` gives the exactly-once
+    replay no-op. An empty batch is a no-op returning the current
+    version. Returns (version, {"upserts": n, "deletes": n})."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    key_cols = [key] if isinstance(key, str) else list(key)
+    if not key_cols:
+        raise ValueError("snapshot_apply_cdc_mor: key is empty")
+    if base_version is None:
+        base_version = snapshot_current_version(table_dir)
+    if base_version is None:
+        raise ValueError(
+            f"snapshot_apply_cdc_mor: {table_dir} has no commits — "
+            "use snapshot_commit for the initial load")
+    manifest = _read_manifest_meta(table_dir, base_version)
+    if epoch_key is not None:
+        last = manifest.get("last_epoch")
+        if last is not None and (
+                _epoch_sort_key(epoch_key) <= _epoch_sort_key(last)):
+            return base_version, {"upserts": 0, "deletes": 0}
+    for c in (seq, op):
+        if c not in changes.columns:
+            raise ValueError(
+                f"snapshot_apply_cdc_mor: changes must carry the "
+                f"{c!r} column")
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq).desc())
+    last = (changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn", seq))
+    # fail CLOSED on junk ops — validated on the winning change per
+    # key, exactly apply_cdc's rule
+    last = last.withColumn(
+        op,
+        F.when(
+            F.col(op).isNull() | ~F.col(op).isin("U", "D"),
+            F.raise_error(F.concat(
+                F.lit("snapshot_apply_cdc_mor: op must be 'U' or "
+                      "'D', got "),
+                F.coalesce(F.col(op), F.lit("NULL")))),
+        ).otherwise(F.col(op)))
+    ups = last.filter(F.col(op) == "U").drop(op)
+    dels = last.filter(F.col(op) == "D").select(*key_cols)
+
+    null_cond = F.lit(False)
+    for c in key_cols:
+        null_cond = null_cond | F.col(c).isNull()
+
+    def key_sidecar(df: DataFrame, label: str):
+        """Write a key sidecar from ``df``'s WRITTEN keys — returns
+        (descriptor-or-None, commit dirs). Single evaluation: the
+        descriptor's content is read back from the written file."""
+        rel = os.path.join("eqdel", uuid.uuid4().hex[:12])
+        df.select(*key_cols).dropDuplicates().coalesce(1) \
+            .write.mode("error").parquet(os.path.join(table_dir, rel))
+        keyed = spark.read.parquet(os.path.join(table_dir, rel))
+        bad = keyed.filter(null_cond).limit(1)
+        if not bad.isEmpty():
+            raise ValueError(
+                f"snapshot_apply_cdc_mor: a {label} change has a NULL "
+                f"key value ({bad.first().asDict()}) — filter such "
+                "rows")
+        n = keyed.count()
+        if n == 0:
+            return None, set()
+        aggs = [f for c in key_cols
+                for f in (F.min(c).alias(f"__lo_{c}"),
+                          F.max(c).alias(f"__hi_{c}"))]
+        row = keyed.agg(*aggs).first().asDict()
+        bands = {}
+        for c in key_cols:
+            lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+            if (type(lo) in (int, str) and type(hi) in (int, str)
+                    and lo is not None):
+                bands[c] = [lo, hi]
+        return ({"path": rel, "cols": key_cols, "rows": n,
+                 "bands": bands}, {rel})
+
+    commit_dirs: set[str] = set()
+    new_entries: list[dict] = []
+    descs: list[dict] = []
+    n_up = 0
+    if not ups.isEmpty():
+        _evolved_schema_json(manifest["schema"], ups.schema)
+        commit_id = uuid.uuid4().hex[:12]
+        data_rel = os.path.join("data", commit_id)
+        ups.write.mode("error").parquet(
+            os.path.join(table_dir, data_rel))
+        new_entries = _file_entries(table_dir, data_rel)
+        n_up = sum(e.get("rows") or 0 for e in new_entries)
+        written = spark.read.parquet(os.path.join(table_dir, data_rel))
+        d_u, dirs = key_sidecar(written, "upsert")
+        if d_u is not None:
+            d_u["covered"] = True
+            descs.append(d_u)
+            commit_dirs |= dirs
+    d_d, dirs = key_sidecar(dels, "delete")
+    n_del = d_d["rows"] if d_d is not None else 0
+    if d_d is not None:
+        descs.append(d_d)
+        commit_dirs |= dirs
+    if not new_entries and d_d is None:
+        return base_version, {"upserts": 0, "deletes": 0}
+    validated = manifest.get("constraints")
+    if new_entries:
+        _enforce_constraints(spark, table_dir, validated, new_entries,
+                             ups.schema.json(), "snapshot_apply_cdc_mor")
+    from pyspark.sql.types import StructType
+
+    batch_schema = (ups.schema if new_entries else
+                    StructType.fromJson(json.loads(manifest["schema"])))
+    version = _publish_commit(
+        table_dir, mode="rewrite",
+        new_entries=new_entries,
+        batch_schema=batch_schema,
+        epoch_key=epoch_key,
+        expected_version=base_version,
+        reuse_segments=list(manifest["segments"]),
+        changes_entries=None,
+        cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
+        dirty_probe=lambda e: False,  # disjoint appends commute (the
+        #                               descriptors re-stamp above
+        #                               them — serial restatement)
+        eq_deletes=list(manifest.get("eq_deletes") or []) + descs,
+        extra_commit_dirs=commit_dirs,
+        validated_constraints=validated if new_entries else "skip",
+        revalidate=(lambda c: _enforce_constraints(
+            spark, table_dir, c, new_entries, batch_schema.json(),
+            "snapshot_apply_cdc_mor")) if new_entries else None)
+    return version, {"upserts": n_up, "deletes": n_del}
 
 
 def _enforce_constraints(spark: SparkSession, table_dir: str,

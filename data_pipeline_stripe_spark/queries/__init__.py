@@ -91,6 +91,10 @@ PRIORITY_THIS_ROUND = [
     #    eq-delete descriptor for their keys; O(new), zero band reads;
     #    CDF serves the delta as U)
     "snapshot_upsert_keys_parity",
+    # r13 second half: the full I/U/D CDC loop composed merge-on-read
+    #    (CDF stream -> foreachBatch snapshot_apply_cdc_mor, every
+    #    applied batch O(batch) with zero replica band reads)
+    "stream_snapshot_replication_mor_parity",
     # 4. mixed-generation partition scans (new gate leg) + numeric
     #    segment bands (bucket fields vote at segment level)
     "snapshot_partition_spec_parity",
@@ -142,7 +146,7 @@ COVERAGE_DEBT_THIS_ROUND: list[str] = [
     # (CORRECTNESS_r11.json on disk) — the union is self-contained;
     # no new debt this round.
 ]
-# Rotation note: with the r13 head (41 pins + 0 debt), 9 rotating
+# Rotation note: with the r13 head (42 pins + 0 debt), 8 rotating
 # slots resume the tile over the remaining queries.
 
 

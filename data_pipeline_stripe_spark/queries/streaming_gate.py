@@ -1089,6 +1089,180 @@ def stream_snapshot_replication_parity(spark: SparkSession,
 
 
 @query(
+    "stream_snapshot_replication_mor_parity",
+    oracle="""
+    SELECT k, pri, cents FROM (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               CAST(CASE WHEN o_orderkey > 550 AND o_orderkey <= 650
+                         THEN ROUND(o_totalprice * 100) * 5 + 3
+                         WHEN o_orderkey > 300 AND o_orderkey <= 500
+                              AND o_orderkey % 2 = 0
+                         THEN ROUND(o_totalprice * 100) * 2
+                         ELSE ROUND(o_totalprice * 100)
+                    END AS BIGINT) AS cents
+        FROM orders
+        WHERE NOT (o_orderkey > 300 AND o_orderkey <= 500
+                   AND o_orderkey % 2 = 1)
+          AND NOT (o_orderkey > 100 AND o_orderkey <= 200)
+    )
+    UNION ALL SELECT 9000001, 'NEW', 123
+    UNION ALL SELECT 9000002, 'MOR', 1
+    UNION ALL SELECT 9000003, 'MOR', 2
+    UNION ALL SELECT 9000004, 'MOR', 3
+    """,
+)
+def stream_snapshot_replication_mor_parity(spark: SparkSession,
+                                           sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ replication (r13 second half — the production
+    CDC sink at 100 TB): the same CDF→foreachBatch loop as
+    ``stream_snapshot_replication_parity``, but the replica is
+    maintained with ``snapshot_apply_cdc_mor`` — every applied batch
+    is ONE O(batch) commit (upserts + covered descriptor, final-D
+    keys in an uncovered descriptor) that opens ZERO replica data
+    files (tripwired per batch), where the copy-on-write twin
+    re-reads the replica's dirty band every epoch. The source takes
+    EVERY commit shape this round's feed can carry: a recorded-log
+    MERGE with row-level deletes, an equality delete (lazy 'eqdead'
+    D rows), a merge-on-read upsert ('U' delta with inserts), and a
+    plain append — the restarted drain must fold all four through
+    one epoch-keyed mor-apply. After parity, OPTIMIZE materializes
+    the replica's accumulated descriptors and the state must still
+    hash-match (the read-time anti-joins and the compacted layout
+    agree). The oracle reconstructs the final state directly."""
+    from ..operators.snapshots import (snapshot_apply_cdc_mor,
+                                       snapshot_commit, snapshot_compact,
+                                       snapshot_delete_keys,
+                                       snapshot_merge, snapshot_read,
+                                       snapshot_upsert_keys)
+    from ..operators import snapshots as S
+    from ..sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    scratch = _scratch(sf_dir, "stream_snapshot_replication_mor")
+    src_dir = os.path.join(scratch, "table_a")
+    dst_dir = os.path.join(scratch, "table_b")
+    ckpt = os.path.join(scratch, "_ckpt")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snapshot_commit(spark, src_dir,
+                    orders.filter(F.col("k") <= 600).coalesce(1),
+                    mode="append")                                  # v0
+    snapshot_commit(spark, src_dir,
+                    orders.filter(F.col("k") > 600).coalesce(1),
+                    mode="append")                                  # v1
+    snapshot_commit(
+        spark, dst_dir,
+        spark.createDataFrame([], "k long, pri string, cents long"),
+        mode="append")
+
+    def drain() -> None:
+        stream = (spark.readStream.format("snapshot_table")
+                  .option("cdf", "true").load(src_dir))
+
+        def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            changes = batch_df.select(
+                "k", "pri", "cents",
+                F.col("_commit_version").alias("seq"),
+                F.when(F.col("_change_type") == "D", F.lit("D"))
+                .otherwise(F.lit("U")).alias("op"),
+            ).localCheckpoint(eager=True)  # pin the batch before the
+            #                                tripwire (its lineage
+            #                                reads the SOURCE table)
+            real = S._read_entries
+
+            def tripwire(*a, **kw):
+                raise RuntimeError(
+                    "stream_snapshot_replication_mor_parity: the "
+                    "mor-apply read replica entries — each applied "
+                    "batch must be O(batch), zero band reads")
+
+            try:
+                S._read_entries = tripwire
+                snapshot_apply_cdc_mor(spark, dst_dir, changes, "k",
+                                       epoch_key=str(epoch_id))
+            finally:
+                S._read_entries = real
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    n_src = orders.count()
+    n_dst = snapshot_read(spark, dst_dir).count()
+    if n_dst != n_src:
+        raise RuntimeError(
+            f"stream_snapshot_replication_mor_parity: after the first "
+            f"drain the replica holds {n_dst} rows, the source {n_src}")
+
+    # while NO stream runs, every commit shape the feed can carry:
+    src_upd = orders.filter(
+        (F.col("k") > 300) & (F.col("k") <= 500)
+        & (F.col("k") % 2 == 0)
+    ).withColumn("cents", F.col("cents") * 2)
+    snapshot_merge(spark, src_dir, src_upd, "k",
+                   not_matched_by_source="delete",
+                   source_scope=(301, 500))                         # v2
+    snapshot_delete_keys(
+        spark, src_dir,
+        orders.filter((F.col("k") > 100) & (F.col("k") <= 200))
+        .select("k"), "k")                                          # v3
+    up = orders.filter((F.col("k") > 550) & (F.col("k") <= 650)) \
+        .withColumn("cents", F.col("cents") * 5 + 3) \
+        .unionByName(spark.createDataFrame(
+            [(9000002, "MOR", 1), (9000003, "MOR", 2),
+             (9000004, "MOR", 3)], "k long, pri string, cents long"))
+    snapshot_upsert_keys(spark, src_dir, up, "k")                   # v4
+    snapshot_commit(
+        spark, src_dir,
+        spark.createDataFrame([(9000001, "NEW", 123)],
+                              "k long, pri string, cents long"),
+        mode="append")                                              # v5
+    drain()
+
+    head = snapshot_read(spark, src_dir)
+    replica = snapshot_read(spark, dst_dir)
+    if (head.exceptAll(replica).count()
+            or replica.exceptAll(head).count()):
+        raise RuntimeError(
+            "stream_snapshot_replication_mor_parity: the replica "
+            "diverged from the source head after the restart drain")
+    # the replica really is merge-on-read: descriptors accumulated
+    m = S._read_manifest_meta(
+        dst_dir, S.snapshot_current_version(dst_dir))
+    if not m.get("eq_deletes"):
+        raise RuntimeError(
+            "stream_snapshot_replication_mor_parity: the replica has "
+            "no equality-delete descriptors — the mor path was not "
+            "exercised")
+    # OPTIMIZE materializes them; the state must be unchanged
+    snapshot_compact(spark, dst_dir, target_files=2)
+    m2 = S._read_manifest_meta(
+        dst_dir, S.snapshot_current_version(dst_dir))
+    if m2.get("eq_deletes"):
+        raise RuntimeError(
+            "stream_snapshot_replication_mor_parity: OPTIMIZE left "
+            "descriptors behind")
+    compacted = snapshot_read(spark, dst_dir)
+    if (compacted.exceptAll(head).count()
+            or head.exceptAll(compacted).count()):
+        raise RuntimeError(
+            "stream_snapshot_replication_mor_parity: compaction "
+            "changed the replica's state")
+    return compacted
+
+
+@query(
     "stream_snapshot_source_ratelimited_parity",
     oracle="""
     SELECT event_type,

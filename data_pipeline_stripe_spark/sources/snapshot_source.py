@@ -249,39 +249,38 @@ def _cdf_slices(table_dir: str, start_v: int, end_v: int) -> list[tuple]:
                           if d not in ((parent_m or {})
                                        .get("eq_deletes") or [])]
                 if new_eq and parent_m is not None:
-                    # MERGE-ON-READ UPSERT (snapshot_upsert_keys —
-                    # descriptor + new data files in ONE commit): the
-                    # feed is the delta as 'U' rows, no band scan (the
-                    # descriptor covers exactly the new rows' keys)
+                    # MERGE-ON-READ commit family (snapshot_upsert_keys
+                    # / snapshot_apply_cdc_mor / snapshot_delete_keys):
+                    # the delta files serve as 'U' rows — their keys
+                    # are COVERED by their descriptor, no band scan
                     parent_segs = {s["path"]
                                    for s in parent_m["segments"]}
-                    up_delta = [
-                        e for s in m["segments"]
+                    slices.extend(
+                        (e["path"], "upsert", v, None, None, None)
+                        for s in m["segments"]
                         if s["path"] not in parent_segs
-                        for e in _segment_entries(table_dir, s)]
-                    if up_delta:
-                        slices.extend(
-                            (e["path"], "upsert", v, None, None, None)
-                            for e in up_delta)
-                        continue
-                    # the D rows are the PARENT's live rows matching
-                    # the new key sidecars: per parent file, drop what
-                    # a DV / an OLDER descriptor (seq-scoped, exactly
+                        for e in _segment_entries(table_dir, s))
+                    # UNCOVERED descriptors (pure deletes): the D rows
+                    # are the PARENT's live rows matching their key
+                    # sidecars: per parent file, drop what a DV / an
+                    # OLDER descriptor (seq-scoped, exactly
                     # _read_entries' rule) already deleted, keep the
-                    # new-descriptor matches. Every parent segment
-                    # precedes the delete, so the new descriptors'
-                    # seq scope is vacuous (batch CDF's own note).
-                    # Key-band pruning: a file no new descriptor can
-                    # touch contributes no D rows and gets NO slice —
-                    # the D scan covers the band, not the table.
+                    # uncovered-descriptor matches. Every parent
+                    # segment precedes the delete, so those
+                    # descriptors' seq scope is vacuous (batch CDF's
+                    # own note). Key-band pruning: a file no uncovered
+                    # descriptor can touch contributes no D rows and
+                    # gets NO slice — the D scan covers the band, not
+                    # the table.
                     from ..operators.snapshots import _eq_desc_may_touch
 
+                    uncov = [d for d in new_eq if not d.get("covered")]
                     prior = parent_m.get("eq_deletes") or []
-                    for seg in parent_m["segments"]:
+                    for seg in parent_m["segments"] if uncov else ():
                         seq = seg.get("seq", 0)
                         for e in _segment_entries(table_dir, seg):
                             dead_eq = [(d["path"], list(d["cols"]))
-                                       for d in new_eq
+                                       for d in uncov
                                        if _eq_desc_may_touch(e, d)]
                             if not dead_eq:
                                 continue

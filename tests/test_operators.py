@@ -4343,6 +4343,130 @@ def test_upsert_keys_merge_on_read(spark, tmp_path):
     assert before == after
 
 
+def test_apply_cdc_mor_merge_on_read(spark, tmp_path):
+    """snapshot_apply_cdc_mor (r13 second half): the full I/U/D CDC
+    batch as ONE O(batch) commit — upserts appended + covered
+    descriptor, final-D keys in an uncovered descriptor. Pins: zero
+    band read (tripwire), latest-wins within the batch (unique seq per
+    key), head parity with the copy-on-write snapshot_apply_cdc twin,
+    CDF = delta as U plus lazy D rows for the delete keys (batch ==
+    streaming; replay reproduces the head), epoch idempotence,
+    delete-of-absent no-op, pure-delete and empty batches."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.operators.merge import apply_cdc
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "cdcmor")
+    twin = str(tmp_path / "cdcmor_twin")
+    base = spark.range(100).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("v"))
+    for d in (t, twin):
+        S.snapshot_commit(spark, d, base.filter("k < 50").coalesce(1),
+                          mode="append")
+        S.snapshot_commit(spark, d, base.filter("k >= 50").coalesce(1),
+                          mode="append")
+    # batch: update 10..19, delete 40..44 and 90..94 (spans both
+    # files), delete-of-absent 500, insert 200..204; key 10 gets TWO
+    # changes (seq 1 U loses to seq 2 U), key 40 U@1 then D@2
+    changes = (
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("v"),
+            F.lit(1).alias("seq"), F.lit("U").alias("op"))
+        .unionByName(spark.createDataFrame(
+            [(10, 777, 2, "U"), (40, 1, 1, "U"), (40, 0, 2, "D"),
+             (500, 0, 1, "D")],
+            "k long, v long, seq long, op string"))
+        .unionByName(spark.range(41, 45).unionByName(
+            spark.range(90, 95)).unionByName(spark.range(205, 206))
+            .select(F.col("id").alias("k"), F.lit(0).alias("v"),
+                    F.lit(1).alias("seq"), F.lit("D").alias("op")))
+        .unionByName(spark.range(200, 205).select(
+            F.col("id").alias("k"), (F.col("id") + 5).alias("v"),
+            F.lit(1).alias("seq"), F.lit("U").alias("op"))))
+    real = S._read_entries
+
+    def tripwire(*a, **kw):
+        raise AssertionError(
+            "snapshot_apply_cdc_mor read table entries — the commit "
+            "is supposed to be O(batch), zero band reads")
+
+    try:
+        S._read_entries = tripwire
+        v_mor, info = S.snapshot_apply_cdc_mor(spark, t, changes, "k",
+                                               epoch_key="e1")
+    finally:
+        S._read_entries = real
+    assert info == {"upserts": 15, "deletes": 12}, info
+    # epoch replay no-op
+    assert S.snapshot_apply_cdc_mor(
+        spark, t, changes, "k", epoch_key="e1") \
+        == (v_mor, {"upserts": 0, "deletes": 0})
+
+    # copy-on-write twin
+    S.snapshot_apply_cdc(spark, twin, changes, "k")
+    a, b = S.snapshot_read(spark, t), S.snapshot_read(spark, twin)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == 100 - 10 + 5  # 10 deleted present, 5 inserted
+    assert a.filter("k = 10").first()["v"] == 777
+    assert a.filter("k = 40").count() == 0
+
+    # CDF: U rows = the 15 upserts; D rows = the 10 PRESENT deletes
+    # (absent keys 500/205 produce no D) with pre-delete values
+    feed = S.snapshot_read_cdf(spark, t, v_mor - 1, to_version=v_mor)
+    by_type = {r["_change_type"]: r["n"] for r in
+               feed.groupBy("_change_type").agg(
+                   F.count("*").alias("n")).collect()}
+    assert by_type == {"U": 15, "D": 10}, by_type
+    assert feed.filter("_change_type = 'D' and k = 41").first()["v"] \
+        == 410
+
+    # streaming CDF hash-matches batch over the full range
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("snapshot_table")
+         .option("cdf", "true").option("startingVersion", "1").load(t)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    streamed = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in S.snapshot_read_cdf(spark, t, 0,
+                                     to_version=v_mor).collect())
+    assert streamed == batch
+    # replay from version 0 reproduces the head
+    replayed = apply_cdc(
+        S.snapshot_read(spark, t, version=0),
+        spark.read.parquet(out).select(
+            "k", "v", F.col("_commit_version").alias("seq"),
+            F.when(F.col("_change_type") == "D", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op")),
+        "k").drop("cdc_action")
+    assert replayed.exceptAll(a).count() == 0 \
+        and a.exceptAll(replayed).count() == 0
+
+    # pure-delete batch → uncovered descriptor only, no data files
+    v2, info2 = S.snapshot_apply_cdc_mor(
+        spark, t, spark.createDataFrame(
+            [(20, 0, 1, "D")], "k long, v long, seq long, op string"),
+        "k")
+    assert info2 == {"upserts": 0, "deletes": 1}
+    assert S.snapshot_read(spark, t).filter("k = 20").count() == 0
+    # empty batch → no-op, no version burned
+    head = S.snapshot_current_version(t)
+    v3, info3 = S.snapshot_apply_cdc_mor(
+        spark, t, changes.filter("k < 0"), "k")
+    assert v3 == head and info3 == {"upserts": 0, "deletes": 0}
+    assert S.snapshot_current_version(t) == head
+
+
 def test_equality_delete_cdf_restore_expire(spark, tmp_path):
     """Lazy CDF D rows, RESTORE adopting the target's delete list, and
     expire GC of unreferenced eqdel sidecars."""
