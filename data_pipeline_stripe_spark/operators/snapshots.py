@@ -3530,6 +3530,29 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
                      "files_rewritten": 0}
 
 
+def _key_sidecar_stats(written: DataFrame, key_cols: list[str]
+                       ) -> tuple[int, dict]:
+    """(row count, key bands) of a written key sidecar in ONE job:
+    count + per-column min/max together. Bands are recorded for
+    str/int (non-bool) keys only — the types whose Python ordering
+    agrees with Spark's (the bucket-derivation rationale); other
+    types just skip the band (conservative, never wrong)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        f for c in key_cols
+        for f in (F.min(c).alias(f"__lo_{c}"),
+                  F.max(c).alias(f"__hi_{c}"))]
+    row = written.agg(*aggs).first().asDict()
+    bands = {}
+    for c in key_cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if (type(lo) in (int, str) and type(hi) in (int, str)
+                and lo is not None):
+            bands[c] = [lo, hi]
+    return row["__n"], bands
+
+
 def snapshot_delete_keys(spark: SparkSession, table_dir: str,
                          keys: DataFrame, key_cols,
                          base_version: int | None = None
@@ -3603,25 +3626,13 @@ def snapshot_delete_keys(spark: SparkSession, table_dir: str,
             f"({bad.first().asDict()}) — an equality delete can never "
             "match NULL; filter such rows or use snapshot_delete_where "
             "with an is_null term")
-    n_keys = written.count()
     from pyspark.sql.types import StructType
 
     # KEY BANDS (r13 second half): per-column key min/max, recorded in
     # the descriptor so readers / CDF skip files whose footer stats
-    # cannot intersect them (_eq_desc_may_touch). Restricted to
-    # str/int (non-bool) keys — the types whose Python ordering agrees
-    # with Spark's (the bucket-derivation rationale); other types just
-    # skip the band (conservative, never wrong).
-    aggs = [f for c in key_cols
-            for f in (F.min(c).alias(f"__lo_{c}"),
-                      F.max(c).alias(f"__hi_{c}"))]
-    row = written.agg(*aggs).first().asDict()
-    bands = {}
-    for c in key_cols:
-        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
-        if (type(lo) in (int, str) and type(hi) in (int, str)
-                and lo is not None):
-            bands[c] = [lo, hi]
+    # cannot intersect them (_eq_desc_may_touch) — one job with the
+    # row count
+    n_keys, bands = _key_sidecar_stats(written, key_cols)
     # the delete's seq is the version it PUBLISHES at — not knowable
     # before the OCC loop wins, so the descriptor records a seq the
     # loop rewrites per attempt via the callback below
@@ -3729,17 +3740,7 @@ def snapshot_upsert_keys(spark: SparkSession, table_dir: str,
     key_df.coalesce(1).write.mode("error").parquet(
         os.path.join(table_dir, eq_rel))
     keyed = spark.read.parquet(os.path.join(table_dir, eq_rel))
-    n_keys = keyed.count()
-    aggs = [f for c in key_cols
-            for f in (F.min(c).alias(f"__lo_{c}"),
-                      F.max(c).alias(f"__hi_{c}"))]
-    row = keyed.agg(*aggs).first().asDict()
-    bands = {}
-    for c in key_cols:
-        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
-        if (type(lo) in (int, str) and type(hi) in (int, str)
-                and lo is not None):
-            bands[c] = [lo, hi]
+    n_keys, bands = _key_sidecar_stats(keyed, key_cols)
     # covered: every key in this descriptor has a replacement row in
     # the SAME commit's delta — CDF needs no D rows for it (the U
     # replaces the old row in any replay)
@@ -3862,19 +3863,9 @@ def snapshot_apply_cdc_mor(spark: SparkSession, table_dir: str,
                 f"snapshot_apply_cdc_mor: a {label} change has a NULL "
                 f"key value ({bad.first().asDict()}) — filter such "
                 "rows")
-        n = keyed.count()
+        n, bands = _key_sidecar_stats(keyed, key_cols)
         if n == 0:
             return None, set()
-        aggs = [f for c in key_cols
-                for f in (F.min(c).alias(f"__lo_{c}"),
-                          F.max(c).alias(f"__hi_{c}"))]
-        row = keyed.agg(*aggs).first().asDict()
-        bands = {}
-        for c in key_cols:
-            lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
-            if (type(lo) in (int, str) and type(hi) in (int, str)
-                    and lo is not None):
-                bands[c] = [lo, hi]
         return ({"path": rel, "cols": key_cols, "rows": n,
                  "bands": bands}, {rel})
 
@@ -4272,6 +4263,46 @@ _FILES_SCHEMA_JSON = json.dumps({"type": "struct", "fields": [
     {"name": "stats", "type": "string", "nullable": True,
      "metadata": {}},
 ]})
+
+
+_TAGS_SCHEMA_JSON = json.dumps({"type": "struct", "fields": [
+    {"name": "name", "type": "string", "nullable": False,
+     "metadata": {}},
+    {"name": "version", "type": "long", "nullable": False,
+     "metadata": {}},
+]})
+
+
+_BRANCHES_SCHEMA_JSON = json.dumps({"type": "struct", "fields": [
+    {"name": "name", "type": "string", "nullable": False,
+     "metadata": {}},
+    {"name": "fork_version", "type": "long", "nullable": False,
+     "metadata": {}},
+    {"name": "head_version", "type": "long", "nullable": True,
+     "metadata": {}},
+]})
+
+
+def _tags_rows(table_dir: str) -> list[tuple]:
+    """(name, pinned version) per tag — ``metadata 'tags'``."""
+    return sorted(snapshot_tags(table_dir).items())
+
+
+def _branches_rows(table_dir: str) -> list[tuple]:
+    """(name, fork version, branch head version) per live branch —
+    ``metadata 'branches'`` (the WAP operational surface)."""
+    root = os.path.join(table_dir, _BRANCH_ROOT)
+    rows = []
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            bdir = os.path.join(root, name)
+            try:
+                with open(os.path.join(bdir, _FORK_FILE)) as fh:
+                    fork = json.load(fh)["from_version"]
+            except (OSError, KeyError, ValueError):
+                continue  # not a branch dir (or mid-create)
+            rows.append((name, fork, snapshot_current_version(bdir)))
+    return rows
 
 
 def _files_rows(table_dir: str, manifest: dict) -> list[tuple]:

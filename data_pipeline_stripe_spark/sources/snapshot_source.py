@@ -899,13 +899,14 @@ class SnapshotTablePushdownReader(SnapshotTableBatchReader):
 
 class SnapshotMetadataReader(DataSourceReader):
     """METADATA TABLES (r13 second half — Iceberg's ``history`` /
-    ``files`` metadata tables, reached through pure SQL):
+    ``files`` / ``refs`` metadata tables, reached through pure SQL):
     ``CREATE TEMPORARY VIEW h USING snapshot_table OPTIONS (path '…',
     metadata 'history')``. ``history`` serves one row per retained
     version (the DESCRIBE HISTORY surface — manifest-list reads only);
     ``files`` one row per live data file of the resolved
     ``version``/``asOf`` target (path, seq, footer counts, delete
-    attachments, partition tuple + stats as JSON). Metadata-sized by
+    attachments, partition tuple + stats as JSON); ``tags`` and
+    ``branches`` the WAP reference surfaces. Metadata-sized by
     construction, served as one Arrow batch from a single partition —
     never a data-file open."""
 
@@ -932,15 +933,19 @@ class SnapshotMetadataReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
-        from ..operators.snapshots import (_FILES_SCHEMA_JSON,
-                                           _HISTORY_SCHEMA_JSON,
-                                           _files_rows, _history_rows)
+        from ..operators import snapshots as S
 
         if self.kind == "history":
-            rows, sj = _history_rows(self.table_dir), _HISTORY_SCHEMA_JSON
+            rows, sj = (S._history_rows(self.table_dir),
+                        S._HISTORY_SCHEMA_JSON)
+        elif self.kind == "tags":
+            rows, sj = S._tags_rows(self.table_dir), S._TAGS_SCHEMA_JSON
+        elif self.kind == "branches":
+            rows, sj = (S._branches_rows(self.table_dir),
+                        S._BRANCHES_SCHEMA_JSON)
         else:
-            rows = _files_rows(self.table_dir, self.manifest)
-            sj = _FILES_SCHEMA_JSON
+            rows = S._files_rows(self.table_dir, self.manifest)
+            sj = S._FILES_SCHEMA_JSON
         target = to_arrow_schema(StructType.fromJson(json.loads(sj)))
         cols = list(zip(*rows)) if rows else [[] for _ in target]
         yield pa.RecordBatch.from_arrays(
@@ -948,7 +953,7 @@ class SnapshotMetadataReader(DataSourceReader):
              for c, f in zip(cols, target)], schema=target)
 
 
-_METADATA_KINDS = ("history", "files")
+_METADATA_KINDS = ("history", "files", "tags", "branches")
 
 
 class SnapshotTableDataSource(DataSource):
@@ -988,9 +993,7 @@ class SnapshotTableDataSource(DataSource):
         from pyspark.sql.types import (LongType, StringType, StructField,
                                        StructType)
 
-        from ..operators.snapshots import (_FILES_SCHEMA_JSON,
-                                           _HISTORY_SCHEMA_JSON,
-                                           _resolve_version)
+        from ..operators.snapshots import _resolve_version
 
         table_dir = self.options.get("path")
         if not table_dir:
@@ -999,9 +1002,13 @@ class SnapshotTableDataSource(DataSource):
                 ".load(<path>)")
         kind = self._metadata_kind()
         if kind is not None:
-            return StructType.fromJson(json.loads(
-                _HISTORY_SCHEMA_JSON if kind == "history"
-                else _FILES_SCHEMA_JSON))
+            from ..operators import snapshots as S
+
+            sj = {"history": S._HISTORY_SCHEMA_JSON,
+                  "files": S._FILES_SCHEMA_JSON,
+                  "tags": S._TAGS_SCHEMA_JSON,
+                  "branches": S._BRANCHES_SCHEMA_JSON}[kind]
+            return StructType.fromJson(json.loads(sj))
         version = self.options.get("version")
         as_of = self.options.get("asOf")
         try:

@@ -1501,6 +1501,39 @@ def test_stream_initial_load_applies_deletion_vectors(spark, tmp_path):
     assert got == set(range(10, 40))
 
 
+def test_metadata_tags_and_branches_views(spark, tmp_path):
+    """metadata 'tags' / 'branches' (r13 second half): the WAP
+    reference surfaces as SQL views — one row per tag (name, pinned
+    version) and per live branch (name, fork version, branch head) —
+    manifest/marker reads only. Unknown kinds refuse with the list."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "refs")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    S.snapshot_commit(spark, t, df.coalesce(1))
+    S.snapshot_commit(spark, t, df.coalesce(1), mode="overwrite")
+    S.snapshot_create_tag(t, "v1_tag", version=1)
+    bdir = S.snapshot_create_branch(t, "audit")
+    S.snapshot_commit(spark, bdir, df.coalesce(1), mode="append")
+
+    tags = spark.read.format("snapshot_table") \
+        .option("metadata", "tags").load(t).collect()
+    assert [(r["name"], r["version"]) for r in tags] == [("v1_tag", 1)]
+    brs = spark.read.format("snapshot_table") \
+        .option("metadata", "branches").load(t).collect()
+    assert [(r["name"], r["fork_version"], r["head_version"])
+            for r in brs] == [("audit", 1, 1)]
+    with pytest.raises(Exception, match="unknown metadata"):
+        spark.read.format("snapshot_table") \
+            .option("metadata", "nope").load(t).collect()
+
+
 def test_admission_prices_equality_delete_band(spark, tmp_path):
     """An EQUALITY-DELETE version prices the parent band it makes a
     CDF consumer scan (the eqdead slices) — not 0, which would admit
