@@ -1501,6 +1501,49 @@ def test_stream_initial_load_applies_deletion_vectors(spark, tmp_path):
     assert got == set(range(10, 40))
 
 
+def test_cdf_stream_eq_delete_on_partitioned_parent(spark, tmp_path):
+    """Composition coverage (r13 second half): an equality delete on a
+    PARTITIONED table streams its lazy D rows too — the eqdead slices
+    carry the nested data/<cid>/__part_x=v/ paths (the ADVICE r12
+    marker-based layout) and the drained feed hash-matches the batch
+    CDF."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "eqpart")
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(3)).alias("bucket_src"))
+    S.snapshot_commit_partitioned(
+        spark, t, df.repartition(3, "bucket_src"),
+        [{"name": "bs", "source": "bucket_src",
+          "transform": "identity"}])
+    v, _ = S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(7,), (8,), (9,)], "k long"),
+        "k")
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("snapshot_table")
+         .option("cdf", "true").option("startingVersion", "1").load(t)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = sorted((r["_change_type"], r["k"])
+                      for r in spark.read.parquet(out).collect())
+    batch = sorted((r["_change_type"], r["k"])
+                   for r in S.snapshot_read_cdf(
+                       spark, t, 0, to_version=v).collect())
+    assert streamed == batch
+    assert streamed == [("D", 7), ("D", 8), ("D", 9)]
+    assert sorted(r.k for r in S.snapshot_read(spark, t).collect()) \
+        == sorted(set(range(60)) - {7, 8, 9})
+
+
 def test_metadata_tags_and_branches_views(spark, tmp_path):
     """metadata 'tags' / 'branches' (r13 second half): the WAP
     reference surfaces as SQL views — one row per tag (name, pinned
