@@ -3530,6 +3530,42 @@ def snapshot_delete_where(spark: SparkSession, table_dir: str,
                      "files_rewritten": 0}
 
 
+def _retry_unpinned_cdc(table_dir: str, pinned: bool, attempt_fn,
+                        refresh_fn, verb: str, max_retries: int = 20):
+    """Verb-level OCC retry for the merge-on-read CDC verbs
+    (``snapshot_delete_keys`` / ``snapshot_upsert_keys`` /
+    ``snapshot_apply_cdc_mor``, r13 second half): their semantic is
+    "apply this change to the table state AT PUBLISH TIME" — the
+    sidecars and data files are immutable and derive from the BATCH,
+    not from any read of the table — so when the caller did NOT pin
+    ``base_version``, losing a race to an interleaved REWRITE
+    (another trickle delete, a compaction, a merge) just means
+    re-reading the head manifest and re-publishing on top of it: the
+    serial restatement, no data re-written, no work lost. Racing
+    trickle CDC writers therefore never abort each other. A caller
+    who DID pin base_version keeps strict read-validation (the
+    mismatch aborts — they derived something from that read). Only
+    the version-moved conflict retries; every other conflict (e.g. a
+    concurrent expire swept the unpublished sidecar) is re-raised —
+    those need the caller to re-run the verb from scratch."""
+    # the three version-moved shapes: the plain mismatch, a narrowing
+    # range with an expired prefix, an interleaved rewrite the
+    # narrowing refuses — all mean only "the head moved", which these
+    # verbs re-derive over by definition
+    retryable = ("moved to version", "moved past the read version",
+                 "is a concurrent")
+    for _ in range(max_retries + 1):
+        try:
+            return attempt_fn()
+        except SnapshotConflictError as exc:
+            if pinned or not any(s in str(exc) for s in retryable):
+                raise
+            refresh_fn()
+    raise SnapshotConflictError(
+        f"{verb}: {table_dir} kept moving through {max_retries} "
+        "re-derivations — raise max_retries or quiesce the writers")
+
+
 def _key_sidecar_stats(written: DataFrame, key_cols: list[str]
                        ) -> tuple[int, dict]:
     """(row count, key bands) of a written key sidecar in ONE job:
@@ -3588,27 +3624,38 @@ def snapshot_delete_keys(spark: SparkSession, table_dir: str,
     (an anti-join NULL never matches — the delete would silently skip
     them). Interleaved DISJOINT appends rebase (the delete applies to
     them — exactly the serial order, since their sequence numbers
-    precede the delete's); interleaved rewrites abort. Returns
-    (version, {"keys": n}). A key set matching nothing still commits
-    (the descriptor is dropped once provably useless) — resolving
-    matches would require the band read this verb exists to avoid."""
+    precede the delete's); interleaved REWRITES (another trickle
+    delete, a compaction, a merge) RE-DERIVE when ``base_version``
+    was not pinned — the verb's semantic is "delete these keys from
+    the state at publish", the sidecar derives from the batch alone,
+    so racing trickle CDC writers never abort each other
+    (``_retry_unpinned_cdc``); a pinned base keeps strict
+    read-validation and aborts. Returns (version, {"keys": n}). A key
+    set matching nothing still commits (the descriptor is dropped
+    once provably useless) — resolving matches would require the band
+    read this verb exists to avoid."""
     from pyspark.sql import functions as F
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not key_cols:
         raise ValueError("snapshot_delete_keys: key_cols is empty")
+    pinned = base_version is not None
     if base_version is None:
         base_version = snapshot_current_version(table_dir)
     if base_version is None:
         raise ValueError(
             f"snapshot_delete_keys: {table_dir} has no commits")
     manifest = _read_manifest_meta(table_dir, base_version)
-    cols = {f["name"] for f in json.loads(manifest["schema"])["fields"]}
-    missing = [c for c in key_cols if c not in cols]
-    if missing:
-        raise ValueError(
-            f"snapshot_delete_keys: key column(s) {missing} not in the "
-            f"table schema {sorted(cols)}")
+
+    def check_key_cols(m: dict) -> None:
+        cols = {f["name"] for f in json.loads(m["schema"])["fields"]}
+        missing = [c for c in key_cols if c not in cols]
+        if missing:
+            raise ValueError(
+                f"snapshot_delete_keys: key column(s) {missing} not in "
+                f"the table schema {sorted(cols)}")
+
+    check_key_cols(manifest)
     key_df = keys.select(*key_cols).dropDuplicates()
     null_cond = F.lit(False)
     for c in key_cols:
@@ -3638,22 +3685,35 @@ def snapshot_delete_keys(spark: SparkSession, table_dir: str,
     # loop rewrites per attempt via the callback below
     desc = {"path": eq_rel, "cols": key_cols, "rows": n_keys,
             "bands": bands}
-    prev_eq = list(manifest.get("eq_deletes") or [])
 
-    version = _publish_commit(
-        table_dir, mode="rewrite",
-        new_entries=[],
-        batch_schema=StructType.fromJson(json.loads(manifest["schema"])),
-        expected_version=base_version,
-        reuse_segments=list(manifest["segments"]),
-        changes_entries=None,  # CDF is computed lazily at read time
-        cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
-        dirty_probe=lambda e: False,  # every append is provably
-        #                               disjoint: the delete applies to
-        #                               it by sequence number, exactly
-        #                               the serial restatement
-        eq_deletes=prev_eq + [desc],
-        extra_commit_dirs={eq_rel})
+    def attempt() -> int:
+        return _publish_commit(
+            table_dir, mode="rewrite",
+            new_entries=[],
+            batch_schema=StructType.fromJson(
+                json.loads(manifest["schema"])),
+            expected_version=base_version,
+            reuse_segments=list(manifest["segments"]),
+            changes_entries=None,  # CDF is computed lazily at read time
+            cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
+            dirty_probe=lambda e: False,  # every append is provably
+            #                               disjoint: the delete applies
+            #                               to it by sequence number,
+            #                               exactly the serial
+            #                               restatement
+            eq_deletes=list(manifest.get("eq_deletes") or []) + [desc],
+            extra_commit_dirs={eq_rel})
+
+    def refresh() -> None:
+        # unpinned semantics: "delete these keys from the state at
+        # publish" — re-derive on the moved head (sidecar unchanged)
+        nonlocal base_version, manifest
+        base_version = snapshot_current_version(table_dir)
+        manifest = _read_manifest_meta(table_dir, base_version)
+        check_key_cols(manifest)
+
+    version = _retry_unpinned_cdc(table_dir, pinned, attempt, refresh,
+                                  "snapshot_delete_keys")
     return version, {"keys": n_keys}
 
 
@@ -3688,15 +3748,18 @@ def snapshot_upsert_keys(spark: SparkSession, table_dir: str,
     OPTIMIZE materializes the replacement and drops the descriptor;
     reads/time-travel/conflict rules follow ``snapshot_delete_keys``
     (interleaved disjoint appends rebase — the descriptor re-stamps
-    above them, the serial order; interleaved rewrites abort). NULL
-    key values are refused (an anti-join NULL never matches — the old
-    row would survive next to its replacement). Returns
+    above them, the serial order; interleaved rewrites RE-DERIVE when
+    ``base_version`` was not pinned, abort when it was —
+    ``_retry_unpinned_cdc``). NULL key values are refused (an
+    anti-join NULL never matches — the old row would survive next to
+    its replacement). Returns
     (version, {"rows": n, "keys": n_distinct})."""
     from pyspark.sql import functions as F
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not key_cols:
         raise ValueError("snapshot_upsert_keys: key_cols is empty")
+    pinned = base_version is not None
     if base_version is None:
         base_version = snapshot_current_version(table_dir)
     if base_version is None:
@@ -3746,31 +3809,45 @@ def snapshot_upsert_keys(spark: SparkSession, table_dir: str,
     # replaces the old row in any replay)
     desc = {"path": eq_rel, "cols": key_cols,
             "rows": n_keys, "bands": bands, "covered": True}
-    prev_eq = list(manifest.get("eq_deletes") or [])
     validated = manifest.get("constraints")
     _enforce_constraints(spark, table_dir, validated, new_entries,
                          df.schema.json(), "snapshot_upsert_keys")
 
     from pyspark.sql.types import StructType
 
-    version = _publish_commit(
-        table_dir, mode="rewrite",
-        new_entries=new_entries,
-        batch_schema=df.schema,
-        epoch_key=epoch_key,
-        expected_version=base_version,
-        reuse_segments=list(manifest["segments"]),
-        changes_entries=None,  # CDF synthesizes the delta as U rows
-        cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
-        dirty_probe=lambda e: False,  # disjoint appends commute: the
-        #                               descriptor re-stamps above
-        #                               them (serial restatement)
-        eq_deletes=prev_eq + [desc],
-        extra_commit_dirs={eq_rel},
-        validated_constraints=validated,
-        revalidate=lambda c: _enforce_constraints(
-            spark, table_dir, c, new_entries, df.schema.json(),
-            "snapshot_upsert_keys"))
+    def attempt() -> int:
+        return _publish_commit(
+            table_dir, mode="rewrite",
+            new_entries=new_entries,
+            batch_schema=df.schema,
+            epoch_key=epoch_key,
+            expected_version=base_version,
+            reuse_segments=list(manifest["segments"]),
+            changes_entries=None,  # CDF synthesizes the delta as U
+            cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
+            dirty_probe=lambda e: False,  # disjoint appends commute:
+            #                               the descriptor re-stamps
+            #                               above them (serial
+            #                               restatement)
+            eq_deletes=list(manifest.get("eq_deletes") or []) + [desc],
+            extra_commit_dirs={eq_rel},
+            validated_constraints=validated,
+            revalidate=lambda c: _enforce_constraints(
+                spark, table_dir, c, new_entries, df.schema.json(),
+                "snapshot_upsert_keys"))
+
+    def refresh() -> None:
+        # unpinned semantics: "upsert these rows into the state at
+        # publish" — re-derive on the moved head (data + sidecar
+        # unchanged; constraints still re-validate against `validated`
+        # inside the publish loop)
+        nonlocal base_version, manifest
+        base_version = snapshot_current_version(table_dir)
+        manifest = _read_manifest_meta(table_dir, base_version)
+        _evolved_schema_json(manifest["schema"], df.schema)
+
+    version = _retry_unpinned_cdc(table_dir, pinned, attempt, refresh,
+                                  "snapshot_upsert_keys")
     n_rows = sum(e.get("rows") or 0 for e in new_entries)
     return version, {"rows": n_rows, "keys": n_keys}
 
@@ -3811,6 +3888,7 @@ def snapshot_apply_cdc_mor(spark: SparkSession, table_dir: str,
     key_cols = [key] if isinstance(key, str) else list(key)
     if not key_cols:
         raise ValueError("snapshot_apply_cdc_mor: key is empty")
+    pinned = base_version is not None
     if base_version is None:
         base_version = snapshot_current_version(table_dir)
     if base_version is None:
@@ -3900,26 +3978,42 @@ def snapshot_apply_cdc_mor(spark: SparkSession, table_dir: str,
                              ups.schema.json(), "snapshot_apply_cdc_mor")
     from pyspark.sql.types import StructType
 
-    batch_schema = (ups.schema if new_entries else
-                    StructType.fromJson(json.loads(manifest["schema"])))
-    version = _publish_commit(
-        table_dir, mode="rewrite",
-        new_entries=new_entries,
-        batch_schema=batch_schema,
-        epoch_key=epoch_key,
-        expected_version=base_version,
-        reuse_segments=list(manifest["segments"]),
-        changes_entries=None,
-        cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
-        dirty_probe=lambda e: False,  # disjoint appends commute (the
-        #                               descriptors re-stamp above
-        #                               them — serial restatement)
-        eq_deletes=list(manifest.get("eq_deletes") or []) + descs,
-        extra_commit_dirs=commit_dirs,
-        validated_constraints=validated if new_entries else "skip",
-        revalidate=(lambda c: _enforce_constraints(
-            spark, table_dir, c, new_entries, batch_schema.json(),
-            "snapshot_apply_cdc_mor")) if new_entries else None)
+    def attempt() -> int:
+        batch_schema = (ups.schema if new_entries else
+                        StructType.fromJson(
+                            json.loads(manifest["schema"])))
+        return _publish_commit(
+            table_dir, mode="rewrite",
+            new_entries=new_entries,
+            batch_schema=batch_schema,
+            epoch_key=epoch_key,
+            expected_version=base_version,
+            reuse_segments=list(manifest["segments"]),
+            changes_entries=None,
+            cdf_key=(key_cols[0] if len(key_cols) == 1 else key_cols),
+            dirty_probe=lambda e: False,  # disjoint appends commute
+            #                               (the descriptors re-stamp
+            #                               above them — serial
+            #                               restatement)
+            eq_deletes=list(manifest.get("eq_deletes") or []) + descs,
+            extra_commit_dirs=commit_dirs,
+            validated_constraints=validated if new_entries else "skip",
+            revalidate=(lambda c: _enforce_constraints(
+                spark, table_dir, c, new_entries, batch_schema.json(),
+                "snapshot_apply_cdc_mor")) if new_entries else None)
+
+    def refresh() -> None:
+        # unpinned semantics: "apply this CDC batch to the state at
+        # publish" — re-derive on the moved head (data + sidecars
+        # unchanged)
+        nonlocal base_version, manifest
+        base_version = snapshot_current_version(table_dir)
+        manifest = _read_manifest_meta(table_dir, base_version)
+        if new_entries:
+            _evolved_schema_json(manifest["schema"], ups.schema)
+
+    version = _retry_unpinned_cdc(table_dir, pinned, attempt, refresh,
+                                  "snapshot_apply_cdc_mor")
     return version, {"upserts": n_up, "deletes": n_del}
 
 

@@ -4467,6 +4467,82 @@ def test_apply_cdc_mor_merge_on_read(spark, tmp_path):
     assert S.snapshot_current_version(t) == head
 
 
+def test_trickle_cdc_verbs_rederive_on_interleaved_rewrite(
+        spark, tmp_path):
+    """Lock-free trickle writers (r13 second half —
+    _retry_unpinned_cdc): an UNPINNED snapshot_delete_keys /
+    snapshot_upsert_keys whose publish loses the race to an
+    interleaved REWRITE (here: another equality delete, injected
+    between the manifest read and the publish) re-derives on the
+    moved head and lands — BOTH changes applied, the serial order.
+    A PINNED base_version keeps strict read-validation and aborts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "trickle")
+    df = spark.range(50).select(F.col("id").alias("k"),
+                                (F.col("id") * 10).alias("v"))
+    S.snapshot_commit(spark, t, df.coalesce(1))
+
+    real_publish = S._publish_commit
+    fired = {"n": 0}
+
+    def racy_publish(*a, **kw):
+        # on the OUTER verb's first publish, interleave a competing
+        # eq-delete (which itself publishes through the real path)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            S.snapshot_delete_keys(
+                spark, t, spark.createDataFrame([(7,)], "k long"), "k")
+        return real_publish(*a, **kw)
+
+    S._publish_commit = racy_publish
+    try:
+        v, info = S.snapshot_delete_keys(
+            spark, t, spark.createDataFrame([(3,)], "k long"), "k")
+    finally:
+        S._publish_commit = real_publish
+    assert fired["n"] == 1
+    got = {r.k for r in S.snapshot_read(spark, t).collect()}
+    assert got == set(range(50)) - {3, 7}  # BOTH deletes applied
+
+    # upsert re-derives too: the interleaved delete kills k=9, the
+    # upsert (racing it) re-inserts k=9 at publish — serially after
+    fired["n"] = 0
+
+    def racy_publish2(*a, **kw):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            S.snapshot_delete_keys(
+                spark, t, spark.createDataFrame([(9,)], "k long"), "k")
+        return real_publish(*a, **kw)
+
+    S._publish_commit = racy_publish2
+    try:
+        S.snapshot_upsert_keys(
+            spark, t,
+            spark.createDataFrame([(9, 999)], "k long, v long"), "k")
+    finally:
+        S._publish_commit = real_publish
+    assert fired["n"] == 1
+    assert S.snapshot_read(spark, t).filter("k = 9").first()["v"] == 999
+
+    # a PINNED base aborts on the same race (strict read-validation)
+    head = S.snapshot_current_version(t)
+    fired["n"] = 0
+    S._publish_commit = racy_publish
+    try:
+        with pytest.raises(S.SnapshotConflictError,
+                           match="concurrent|moved"):
+            S.snapshot_delete_keys(
+                spark, t, spark.createDataFrame([(11,)], "k long"),
+                "k", base_version=head)
+    finally:
+        S._publish_commit = real_publish
+
+
 def test_equality_delete_cdf_restore_expire(spark, tmp_path):
     """Lazy CDF D rows, RESTORE adopting the target's delete list, and
     expire GC of unreferenced eqdel sidecars."""
