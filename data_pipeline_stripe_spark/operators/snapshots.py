@@ -2723,7 +2723,8 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
                      target_files: int = 1,
                      predicates: list[tuple] | None = None,
                      cluster_cols: list[str] | None = None,
-                     base_version: int | None = None
+                     base_version: int | None = None,
+                     only_with_deletes: bool = False
                      ) -> tuple[int, int, int]:
     """OPTIMIZE / small-file compaction as a snapshot commit: rewrite
     the current version's files as ``target_files`` files and commit
@@ -2759,6 +2760,12 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
     ``snapshot_drop_partitions`` keeps working on compacted files. A
     side effect: un-tupled plain-append history gets UPGRADED to
     tupled entries (generation unification).
+
+    ``only_with_deletes=True`` (r13 second half — Iceberg's
+    rewrite-files-with-deletes) compacts ONLY the files carrying
+    merge-on-read debt (a deletion vector, or an equality-delete
+    descriptor that is seq- and key-band-applicable): the trickle-CDC
+    maintenance pass is O(debt files), not O(table).
     Returns (new_version, files_before, files_after). ``base_version`` (r12) lets a long-running job derive against the version it actually READ (default: current at call time); publication then rebases over provably-disjoint interleaved appends and aborts on genuine overlap — see ``snapshot_merge``."""
     if base_version is None:
         base_version = snapshot_current_version(table_dir)
@@ -2766,7 +2773,38 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
         raise ValueError(f"snapshot_compact: {table_dir} has no commits")
     manifest = _read_manifest_meta(table_dir, base_version)
     files_before = sum(s["n_files"] for s in manifest["segments"])
-    if predicates is None:
+    if only_with_deletes:
+        # REWRITE FILES WITH DELETES (r13 second half — Iceberg's
+        # delete-debt maintenance action): compact ONLY the files a
+        # deletion vector or an applicable equality-delete descriptor
+        # (seq- AND key-band-scoped, the read path's rule) touches —
+        # O(debt files), never O(table). Untouched files carry
+        # forward by reference. A descriptor whose matching files
+        # were all rewritten may outlive the pass when OLDER clean
+        # segments remain (self-clean requires none older) — it is
+        # then INERT: the band check already skips it at plan time
+        # for every surviving file. Composes with ``predicates``
+        # (both must select a file).
+        eq = manifest.get("eq_deletes") or []
+        pred_probe = (_predicate_probe(predicates)
+                      if predicates is not None else None)
+
+        def probe(e):
+            if "path" not in e:
+                # segment rollup: descriptor files are metadata-sized
+                # — open and decide per file (DV refs are per-entry)
+                return True
+            if pred_probe is not None and not pred_probe(e):
+                return False
+            if e.get("dv"):
+                return True
+            seq = e.get("_seq", 0)
+            return any(seq < d["seq"] and _eq_desc_may_touch(e, d)
+                       for d in eq)
+
+        dirty, keep_segs, keep_entries = _split_dirty_by_probe(
+            table_dir, manifest, probe)
+    elif predicates is None:
         dirty = _manifest_files(table_dir, manifest)
         keep_segs: list[dict] = []
         keep_entries: list[dict] = []

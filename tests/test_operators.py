@@ -4467,6 +4467,49 @@ def test_apply_cdc_mor_merge_on_read(spark, tmp_path):
     assert S.snapshot_current_version(t) == head
 
 
+def test_compact_only_files_with_deletes(spark, tmp_path):
+    """OPTIMIZE only_with_deletes (r13 second half — Iceberg's
+    rewrite-files-with-deletes): three one-file appends; a DV lands on
+    file b (position delete) and an equality delete's key band touches
+    only file a. The debt-scoped compaction rewrites a and b, carries
+    c UNTOUCHED (same manifest path), and the post-state reads
+    exactly; the surviving descriptor (c's segment is older) is inert
+    — band-pruned for every remaining file."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+
+    t = str(tmp_path / "debt")
+    df = spark.range(60).select(F.col("id").alias("k"))
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        S.snapshot_commit(
+            spark, t,
+            df.filter((F.col("k") >= lo) & (F.col("k") < hi))
+            .coalesce(1), mode="append")
+    S.snapshot_delete_where(spark, t, [("k", "=", 25)], key="k")  # DV on b
+    S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(5,)], "k long"), "k")  # band→a
+    before = {e["path"] for e in S._manifest_files(
+        t, S._read_manifest_meta(t, S.snapshot_current_version(t)))}
+    v, n_before, n_after = S.snapshot_compact(
+        spark, t, target_files=1, only_with_deletes=True)
+    assert (n_before, n_after) == (3, 2), (n_before, n_after)
+    m = S._read_manifest_meta(t, v)
+    after = {e["path"] for e in S._manifest_files(t, m)}
+    # exactly one original file (c) survived by reference
+    assert len(after & before) == 1
+    # the DV and the matched eq debt are materialized
+    entries = S._manifest_files(t, m)
+    assert not any(e.get("dv") for e in entries)
+    got = sorted(r.k for r in S.snapshot_read(spark, t).collect())
+    assert got == sorted(set(range(60)) - {5, 25})
+    # a second pass is a no-op (no debt file remains — the surviving
+    # descriptor is inert for every file by band/seq)
+    v2, b2, a2 = S.snapshot_compact(spark, t, target_files=1,
+                                    only_with_deletes=True)
+    assert (v2, b2, a2) == (v, 2, 2)
+
+
 def test_trickle_cdc_verbs_rederive_on_interleaved_rewrite(
         spark, tmp_path):
     """Lock-free trickle writers (r13 second half —
