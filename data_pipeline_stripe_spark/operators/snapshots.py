@@ -332,6 +332,11 @@ def _write_segments(table_dir: str, entries: list[dict]) -> list[dict]:
                      else None),
             "bytes": sum(e.get("bytes") or 0 for e in chunk),
             "stats": _segment_rollup(chunk),
+            # members carrying a deletion vector (r13 second half):
+            # lets the delete-debt maintenance pass skip a clean
+            # segment WITHOUT opening it (legacy descriptors lack the
+            # field and are opened conservatively)
+            "n_dv": sum(1 for e in chunk if e.get("dv")),
         }
         # partition-tuple BANDS (r12): when every member carries the
         # same partition fields, record per-field [min, max] of the
@@ -402,8 +407,12 @@ def _write_segments_grouped(table_dir: str, entries: list[dict],
 def _segment_pseudo_entry(desc: dict) -> dict:
     """A segment descriptor viewed as one big file entry, so the SAME
     ``_entry_may_match`` probes drive segment-level pruning (partition
-    bands ride along for the r12 partition-field fast path)."""
-    out = {"stats": desc.get("stats", {}), "rows": desc.get("rows")}
+    bands ride along for the r12 partition-field fast path; the seq
+    and DV-member count ride along for the delete-debt probe)."""
+    out = {"stats": desc.get("stats", {}), "rows": desc.get("rows"),
+           "_seq": desc.get("seq", 0)}
+    if "n_dv" in desc:
+        out["_seg_n_dv"] = desc["n_dv"]
     if "partition_bands" in desc:
         out["partition_bands"] = desc["partition_bands"]
     return out
@@ -2791,9 +2800,18 @@ def snapshot_compact(spark: SparkSession, table_dir: str,
 
         def probe(e):
             if "path" not in e:
-                # segment rollup: descriptor files are metadata-sized
-                # — open and decide per file (DV refs are per-entry)
-                return True
+                # segment rollup: skip a provably-clean segment
+                # WITHOUT opening it — possible exactly when the
+                # descriptor recorded its DV-member count (r13 second
+                # half; legacy descriptors open conservatively) and
+                # no equality delete is seq+band-applicable to the
+                # rollup
+                n_dv = e.get("_seg_n_dv")
+                if n_dv is None or n_dv > 0:
+                    return True
+                seq = e.get("_seq", 0)
+                return any(seq < d["seq"] and _eq_desc_may_touch(e, d)
+                           for d in eq)
             if pred_probe is not None and not pred_probe(e):
                 return False
             if e.get("dv"):

@@ -4489,10 +4489,26 @@ def test_compact_only_files_with_deletes(spark, tmp_path):
     S.snapshot_delete_where(spark, t, [("k", "=", 25)], key="k")  # DV on b
     S.snapshot_delete_keys(
         spark, t, spark.createDataFrame([(5,)], "k long"), "k")  # band→a
-    before = {e["path"] for e in S._manifest_files(
-        t, S._read_manifest_meta(t, S.snapshot_current_version(t)))}
-    v, n_before, n_after = S.snapshot_compact(
-        spark, t, target_files=1, only_with_deletes=True)
+    head_m = S._read_manifest_meta(t, S.snapshot_current_version(t))
+    before = {e["path"] for e in S._manifest_files(t, head_m)}
+    # the clean segment (file c) must be skipped WITHOUT opening its
+    # descriptor file: its n_dv is 0 and the eq band cannot touch it
+    c_seg = next(s["path"] for s in head_m["segments"]
+                 if (s.get("stats", {}).get("k") or {}).get("min") == 40)
+    opened = []
+    real_seg = S._segment_entries
+
+    def counting_seg(table_dir, seg):
+        opened.append(seg["path"])
+        return real_seg(table_dir, seg)
+
+    S._segment_entries = counting_seg
+    try:
+        v, n_before, n_after = S.snapshot_compact(
+            spark, t, target_files=1, only_with_deletes=True)
+    finally:
+        S._segment_entries = real_seg
+    assert c_seg not in opened, "clean segment was opened"
     assert (n_before, n_after) == (3, 2), (n_before, n_after)
     m = S._read_manifest_meta(t, v)
     after = {e["path"] for e in S._manifest_files(t, m)}
