@@ -33,7 +33,10 @@ appended to the table schema. A CDF stream therefore SURVIVES the
 rewrite commits that stop the plain source: downstream state stays
 incremental across a MERGE. Only a plain overwrite (no recorded log)
 still raises. ``option("startingVersion", N)`` starts the feed at
-version N's changes (default 0 = the initial commit's rows as 'I').
+version N's changes (default 0 = the initial commit's rows as 'I');
+``option("startingTimestamp", epochSec)`` resolves the smallest
+retained version committed at or after the timestamp (Delta's
+``startingTimestamp``) — mutually exclusive with startingVersion.
 Retention note (ADVICE r10): startingVersion=N anchors the chain walk
 at manifest N-1 (the parent file set is what defines version N's
 append delta), so N-1 must still be RETAINED — starting at the oldest
@@ -540,7 +543,32 @@ class SnapshotTableStreamReader(DataSourceStreamReader):
         self.columns = [f.name for f in schema.fields]
         self.cdf = str(options.get("cdf", "false")).lower() == "true"
         self.schema_json = schema.json()
-        start = int(options.get("startingVersion", 0))
+        start_ts = options.get("startingTimestamp")
+        if start_ts is not None:
+            # Delta's startingTimestamp: serve changes committed AT OR
+            # AFTER the timestamp — the smallest retained version whose
+            # committed_at >= ts (O(versions) manifest-list reads,
+            # driver-side, once at reader construction). A timestamp
+            # past the head starts at head+1 (only future commits).
+            if options.get("startingVersion") is not None:
+                raise ValueError(
+                    "snapshot stream source: pass startingVersion OR "
+                    "startingTimestamp, not both")
+            from ..operators.snapshots import (_read_manifest_meta,
+                                               snapshot_versions)
+
+            ts = float(start_ts)
+            start = None
+            for v in snapshot_versions(self.table_dir):
+                if _read_manifest_meta(
+                        self.table_dir, v)["committed_at"] >= ts:
+                    start = v
+                    break
+            if start is None:
+                versions = snapshot_versions(self.table_dir)
+                start = (versions[-1] + 1) if versions else 0
+        else:
+            start = int(options.get("startingVersion", 0))
         self._initial = start - 1
         self.max_files = self._pos_int(options, "maxFilesPerTrigger")
         self.max_rows = self._pos_int(options, "maxRowsPerTrigger")

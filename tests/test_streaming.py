@@ -1544,6 +1544,56 @@ def test_cdf_stream_eq_delete_on_partitioned_parent(spark, tmp_path):
         == sorted(set(range(60)) - {7, 8, 9})
 
 
+def test_stream_starting_timestamp(spark, tmp_path):
+    """option("startingTimestamp", ts) — Delta's timestamp-anchored
+    start: the CDF stream serves changes committed AT OR AFTER ts (the
+    version boundary between two appends here), a ts past the head
+    starts empty (future commits only), and combining it with
+    startingVersion refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "sts")
+    df = spark.range(30).select(F.col("id").alias("k"))
+    S.snapshot_commit(spark, t, df.filter("k < 10").coalesce(1),
+                      mode="append")                              # v0
+    S.snapshot_commit(spark, t, df.filter("k >= 10").coalesce(1)
+                      .filter("k < 20"), mode="append")           # v1
+    ts_v1 = S._read_manifest_meta(t, 1)["committed_at"]
+    S.snapshot_commit(spark, t, df.filter("k >= 20").coalesce(1),
+                      mode="append")                              # v2
+
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("snapshot_table")
+         .option("cdf", "true")
+         .option("startingTimestamp", repr(ts_v1)).load(t)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == list(range(10, 30)), got  # v1 + v2, not v0
+
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        SnapshotTableStreamReader
+    with pytest.raises(ValueError, match="not both"):
+        SnapshotTableStreamReader(
+            {"path": t, "startingVersion": "1",
+             "startingTimestamp": "0"},
+            S.snapshot_read(spark, t).schema)
+    # a timestamp past the head starts empty (future commits only)
+    r = SnapshotTableStreamReader(
+        {"path": t, "startingTimestamp": repr(ts_v1 + 10 ** 6)},
+        S.snapshot_read(spark, t).schema)
+    assert r._initial == 2  # head is v2: nothing already-committed
+
+
 def test_metadata_tags_and_branches_views(spark, tmp_path):
     """metadata 'tags' / 'branches' (r13 second half): the WAP
     reference surfaces as SQL views — one row per tag (name, pinned
