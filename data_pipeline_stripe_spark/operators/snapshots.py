@@ -4455,6 +4455,53 @@ def _branches_rows(table_dir: str) -> list[tuple]:
     return rows
 
 
+_EQ_DELETES_SCHEMA_JSON = json.dumps({"type": "struct", "fields": [
+    {"name": "path", "type": "string", "nullable": False,
+     "metadata": {}},
+    {"name": "key_cols", "type": "string", "nullable": False,
+     "metadata": {}},
+    {"name": "seq", "type": "long", "nullable": False, "metadata": {}},
+    {"name": "n_keys", "type": "long", "nullable": True,
+     "metadata": {}},
+    {"name": "key_bands", "type": "string", "nullable": True,
+     "metadata": {}},
+    {"name": "covered", "type": "boolean", "nullable": False,
+     "metadata": {}},
+    {"name": "n_files_applicable", "type": "long", "nullable": False,
+     "metadata": {}},
+]})
+
+
+def _eq_deletes_rows(table_dir: str, manifest: dict) -> list[tuple]:
+    """One row per ACTIVE equality-delete descriptor of the resolved
+    version — the table's merge-on-read delete debt
+    (``metadata 'eq_deletes'``): sidecar path, key columns, sequence
+    number, key count, recorded key bands, whether the descriptor is
+    covered by its own commit's delta (upserts — no D rows pending),
+    and how many live files it still applies to (seq- and band-scoped
+    — the number a debt-scoped OPTIMIZE would rewrite)."""
+    eq = manifest.get("eq_deletes") or []
+    if not eq:
+        return []
+    entries = _manifest_files(table_dir, manifest)
+    rows = []
+    for d in eq:
+        n_app = sum(1 for e in entries
+                    if e.get("_seq", 0) < d["seq"]
+                    and _eq_desc_may_touch(e, d))
+        rows.append((
+            d["path"],
+            json.dumps(d["cols"]),
+            d["seq"],
+            d.get("rows"),
+            (json.dumps(d.get("bands"), sort_keys=True)
+             if d.get("bands") else None),
+            bool(d.get("covered")),
+            n_app,
+        ))
+    return rows
+
+
 def _files_rows(table_dir: str, manifest: dict) -> list[tuple]:
     """One row per LIVE data file of a resolved version (Iceberg's
     ``files`` metadata table; Spark-free — manifest + segment reads

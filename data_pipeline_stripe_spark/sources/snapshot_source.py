@@ -934,7 +934,9 @@ class SnapshotMetadataReader(DataSourceReader):
     ``files`` one row per live data file of the resolved
     ``version``/``asOf`` target (path, seq, footer counts, delete
     attachments, partition tuple + stats as JSON); ``tags`` and
-    ``branches`` the WAP reference surfaces. Metadata-sized by
+    ``branches`` the WAP reference surfaces; ``eq_deletes`` the
+    active descriptor list (merge-on-read delete debt, with per-
+    descriptor applicable-file counts). Metadata-sized by
     construction, served as one Arrow batch from a single partition —
     never a data-file open."""
 
@@ -950,7 +952,7 @@ class SnapshotMetadataReader(DataSourceReader):
                 self.table_dir,
                 int(version) if version is not None else None,
                 float(as_of) if as_of is not None else None)
-            if kind == "files" else None)
+            if kind in ("files", "eq_deletes") else None)
 
     def partitions(self):
         return [InputPartition(0)]
@@ -971,6 +973,9 @@ class SnapshotMetadataReader(DataSourceReader):
         elif self.kind == "branches":
             rows, sj = (S._branches_rows(self.table_dir),
                         S._BRANCHES_SCHEMA_JSON)
+        elif self.kind == "eq_deletes":
+            rows = S._eq_deletes_rows(self.table_dir, self.manifest)
+            sj = S._EQ_DELETES_SCHEMA_JSON
         else:
             rows = S._files_rows(self.table_dir, self.manifest)
             sj = S._FILES_SCHEMA_JSON
@@ -981,7 +986,8 @@ class SnapshotMetadataReader(DataSourceReader):
              for c, f in zip(cols, target)], schema=target)
 
 
-_METADATA_KINDS = ("history", "files", "tags", "branches")
+_METADATA_KINDS = ("history", "files", "tags", "branches",
+                   "eq_deletes")
 
 
 class SnapshotTableDataSource(DataSource):
@@ -1035,7 +1041,8 @@ class SnapshotTableDataSource(DataSource):
             sj = {"history": S._HISTORY_SCHEMA_JSON,
                   "files": S._FILES_SCHEMA_JSON,
                   "tags": S._TAGS_SCHEMA_JSON,
-                  "branches": S._BRANCHES_SCHEMA_JSON}[kind]
+                  "branches": S._BRANCHES_SCHEMA_JSON,
+                  "eq_deletes": S._EQ_DELETES_SCHEMA_JSON}[kind]
             return StructType.fromJson(json.loads(sj))
         version = self.options.get("version")
         as_of = self.options.get("asOf")

@@ -1627,6 +1627,43 @@ def test_metadata_tags_and_branches_views(spark, tmp_path):
             .option("metadata", "nope").load(t).collect()
 
 
+def test_metadata_eq_deletes_view(spark, tmp_path):
+    """metadata 'eq_deletes' (r13 second half): one row per active
+    descriptor — the table's merge-on-read delete debt — with the
+    covered flag (upserts) and the seq+band-scoped count of files it
+    still applies to (what a debt-scoped OPTIMIZE would rewrite)."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_stripe_spark.operators.snapshots as S
+    from data_pipeline_stripe_spark.sources.snapshot_source import \
+        register_snapshot_source
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "eqview")
+    df = spark.range(40).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("v"))
+    S.snapshot_commit(spark, t, df.filter("k < 20").coalesce(1))
+    S.snapshot_commit(spark, t, df.filter("k >= 20").coalesce(1),
+                      mode="append")
+    S.snapshot_delete_keys(
+        spark, t, spark.createDataFrame([(3,)], "k long"), "k")
+    S.snapshot_upsert_keys(
+        spark, t,
+        spark.createDataFrame([(25, 999)], "k long, v long"), "k")
+    rows = (spark.read.format("snapshot_table")
+            .option("metadata", "eq_deletes").load(t)
+            .orderBy("seq").collect())
+    assert [(r["covered"], r["n_keys"], r["n_files_applicable"],
+             r["key_bands"]) for r in rows] == [
+        (False, 1, 1, '{"k": [3, 3]}'),   # delete: band → file 1 only
+        (True, 1, 1, '{"k": [25, 25]}'),  # upsert: covered, file 2
+    ], rows
+    # OPTIMIZE materializes: the view empties
+    S.snapshot_compact(spark, t, target_files=1)
+    assert (spark.read.format("snapshot_table")
+            .option("metadata", "eq_deletes").load(t).count()) == 0
+
+
 def test_admission_prices_equality_delete_band(spark, tmp_path):
     """An EQUALITY-DELETE version prices the parent band it makes a
     CDF consumer scan (the eqdead slices) — not 0, which would admit
