@@ -38,6 +38,7 @@ from pyspark.sql.window import Window as W
 
 from ..operators._names import free_name, reject_reserved
 from ..operators.allocate import allocate_proportional
+from ..sources.readers import inline_dim
 
 
 def mixture_resample(docs: DataFrame, weights: DataFrame, k: int,
@@ -85,17 +86,16 @@ def mixture_resample(docs: DataFrame, weights: DataFrame, k: int,
         raise ValueError(
             f"mixture_resample: quota exceeds available rows for {over} "
             f"(quota, available) — lower k or the source's weight")
-    from pyspark.sql.types import LongType, StructField, StructType
-
     # The quota frame's source column must carry the CORPUS's type (an
     # integer source id hardcoded as string would silently type-coerce —
-    # or fail — at the selection join).
-    quotas = docs.sparkSession.createDataFrame(
+    # or fail — at the selection join). JVM VALUES form: a local list
+    # through createDataFrame costs seconds of Python tasks per
+    # materialization on a wide local master (sources/readers.inline_dim).
+    quotas = inline_dim(
+        docs.sparkSession,
         [(r[source_col], r[q_c]) for r in quota_rows],
-        StructType([
-            StructField(source_col, docs.schema[source_col].dataType),
-            StructField(q_c, LongType()),
-        ]),
+        f"{source_col} {docs.schema[source_col].dataType.simpleString()}, "
+        f"{q_c} bigint",
     )
 
     # Distributed prefilter (the pareto-prefilter pattern): rank per

@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..sources.readers import empty_frame
+
 
 def _as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -431,9 +433,10 @@ def brute_force_topk_pandas(emb: DataFrame, queries: DataFrame, k: int = 5,
             bc.destroy()
         q_src.unpersist()
     if not chunk_tops:
-        return emb.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, similarity double,"
-                " rank long")
+        return empty_frame(
+            emb.sparkSession,
+            "query_id long, neighbor_id long, similarity double,"
+            " rank long")
     out = chunk_tops[0]
     for extra in chunk_tops[1:]:
         out = out.unionByName(extra)

@@ -28,6 +28,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.readers import inline_dim
+
 
 @dataclass(frozen=True)
 class Check:
@@ -139,5 +141,8 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
             )
             rows.append((c.name, int(orphans), int(n_total)))
 
-    return spark.createDataFrame(
-        rows, "check string, violations long, total long")
+    # JVM VALUES form — a local list through createDataFrame costs
+    # seconds of Python tasks per materialization on a wide local master
+    # (sources/readers.inline_dim)
+    return inline_dim(spark, rows,
+                      "check string, violations long, total long")

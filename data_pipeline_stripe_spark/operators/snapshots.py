@@ -1530,7 +1530,9 @@ def _read_entries(spark: SparkSession, table_dir: str,
                          how="left_anti")
         outs.append(df)
     if not outs:
-        return spark.createDataFrame([], out_schema)
+        from ..sources.readers import empty_frame
+
+        return empty_frame(spark, out_schema)
     out = outs[0]
     for f in outs[1:]:
         out = out.unionByName(f)
@@ -2719,7 +2721,9 @@ def snapshot_read_cdf(spark: SparkSession, table_dir: str,
             + [StructField(f.name, f.dataType, True)
                for f in committed.fields]
             + [StructField("_commit_version", LongType(), True)])
-        return spark.createDataFrame([], empty)
+        from ..sources.readers import empty_frame
+
+        return empty_frame(spark, empty)
     out = frames[0]
     for f in frames[1:]:
         # evolution inside the range: later commits may carry added
@@ -4340,12 +4344,16 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
     commits (compaction). O(versions) manifest reads, driver-side —
     the operational surface Delta exposes as DESCRIBE HISTORY and
     Iceberg as the snapshots metadata table."""
-    from pyspark.sql.types import StructType
+    from ..sources.readers import inline_dim
 
-    return spark.createDataFrame(
-        _history_rows(table_dir),
-        StructType.fromJson(json.loads(_HISTORY_SCHEMA_JSON)))
+    return inline_dim(spark, _history_rows(table_dir), _HISTORY_COLS)
 
+
+_HISTORY_COLS = (
+    "version bigint, parent bigint, mode string, committed_at double, "
+    "n_files bigint, n_rows bigint, n_change_files bigint, "
+    "from_stream_epoch boolean, n_eq_deletes bigint, "
+    "n_pending_delete_keys bigint")
 
 _HISTORY_SCHEMA_JSON = json.dumps({"type": "struct", "fields": [
     {"name": "version", "type": "long", "nullable": False,

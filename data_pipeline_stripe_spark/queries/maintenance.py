@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..sources.readers import inline_dim
 from .io_roundtrip import _scratch
 from .registry import query
 
@@ -3244,10 +3245,10 @@ def snapshot_check_constraint_parity(spark: SparkSession,
             "emitted change rows")
 
     # violating APPEND and MERGE must abort with NO version published
-    bad_append = spark.createDataFrame([(9001, "1-URGENT", -5)],
-                                       "k long, pri string, cents long")
-    bad_merge = spark.createDataFrame([(10, None, 123)],
-                                      "k long, pri string, cents long")
+    bad_append = inline_dim(spark, [(9001, "1-URGENT", -5)],
+                            "k long, pri string, cents long")
+    bad_merge = inline_dim(spark, [(10, None, 123)],
+                           "k long, pri string, cents long")
     for label, attempt in [
         ("append", lambda: snapshot_commit(spark, table_dir,
                                            bad_append.coalesce(1))),
@@ -3573,8 +3574,8 @@ def snapshot_metadata_conflict_parity(spark: SparkSession,
             state["fired"] = True
             S.snapshot_add_constraint(spark_, td, "cap_k", "k <= 940")
 
-    stray = spark.createDataFrame([(950, "1-URGENT", 10)],
-                                  "k long, pri string, cents long")
+    stray = inline_dim(spark, [(950, "1-URGENT", 10)],
+                       "k long, pri string, cents long")
     head_before = S.snapshot_current_version(table_dir)
     try:
         S._enforce_constraints = inject
@@ -3706,8 +3707,8 @@ def snapshot_equality_delete_parity(spark: SparkSession,
                             key="k")
 
     # re-insert one deleted key AFTER both deletes
-    re_row = spark.createDataFrame([(350, "REINSERT", 1)],
-                                   "k long, pri string, cents long")
+    re_row = inline_dim(spark, [(350, "REINSERT", 1)],
+                        "k long, pri string, cents long")
     for d in (eq_dir, pos_dir):
         S.snapshot_commit(spark, d, re_row.coalesce(1), mode="append")
 

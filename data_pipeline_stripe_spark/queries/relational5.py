@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..sources import load_table
+from ..sources.readers import inline_dim
 from .registry import query
 
 
@@ -505,7 +506,7 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # kmeans_train in operators/graph.py)
         .localCheckpoint(eager=True)
     )
-    seed = spark.createDataFrame([("C", 1, 0)], "kind string, id long, dist long")
+    seed = inline_dim(spark, [("C", 1, 0)], "kind string, id long, dist long")
     visited, frontier = seed, seed
     for step in range(1, 4):
         from_c = frontier.filter(F.col("kind") == "C").join(

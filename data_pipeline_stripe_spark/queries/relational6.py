@@ -24,6 +24,7 @@ from ..operators.pareto import pareto_frontier, pareto_frontier_oracle_sql
 from ..operators.sweep import (interval_concurrency,
                                interval_concurrency_oracle_sql)
 from ..sources import load_table
+from ..sources.readers import inline_dim
 from .registry import query
 
 _EPOCH = "1970-01-01"
@@ -601,7 +602,7 @@ def feature_snapshot_user_weekly(spark: SparkSession,
         .agg(F.count("*").alias("n"), F.sum("cents").alias("cents_sum"))
     )
     cutoffs = F.broadcast(
-        spark.createDataFrame([(c,) for c in _FEATURE_CUTOFFS], "cutoff string")
+        inline_dim(spark, [(c,) for c in _FEATURE_CUTOFFS], "cutoff string")
         .withColumn(
             "win_start",
             F.date_format(

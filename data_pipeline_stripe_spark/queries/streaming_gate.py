@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..sources import load_table
+from ..sources.readers import empty_frame, inline_dim
 from .io_roundtrip import _scratch
 from .registry import query
 
@@ -783,8 +784,7 @@ def stream_snapshot_cdf_source_parity(spark: SparkSession,
 
     # replay the feed over an empty base: I/U upsert, D delete, ordered
     # by commit version — must reproduce the head table exactly
-    empty = spark.createDataFrame(
-        [], "k long, event_type string, cents long")
+    empty = empty_frame(spark, "k long, event_type string, cents long")
     replayed = apply_cdc(
         empty,
         feed.select(
@@ -947,8 +947,7 @@ def stream_cdf_equality_delete_parity(spark: SparkSession,
             f"{d_by_v} != expected {{2: {exp_d2}, 4: {exp_d4}}} — the "
             "eqdead slices mis-scope the descriptors")
     # replay the feed over an empty base: must reproduce the head
-    empty = spark.createDataFrame(
-        [], "k long, event_type string, cents long")
+    empty = empty_frame(spark, "k long, event_type string, cents long")
     replayed = apply_cdc(
         empty,
         feed.select(
@@ -1028,7 +1027,7 @@ def stream_snapshot_replication_parity(spark: SparkSession,
     # bootstrap the replica: an empty version 0 with the right schema
     snapshot_commit(
         spark, dst_dir,
-        spark.createDataFrame([], "k long, pri string, cents long"),
+        empty_frame(spark, "k long, pri string, cents long"),
         mode="append")
 
     def drain() -> None:
@@ -1074,8 +1073,8 @@ def stream_snapshot_replication_parity(spark: SparkSession,
                    source_scope=(301, 500))                         # v2
     snapshot_commit(
         spark, src_dir,
-        spark.createDataFrame([(9000001, "NEW", 123)],
-                              "k long, pri string, cents long"),
+        inline_dim(spark, [(9000001, "NEW", 123)],
+                   "k long, pri string, cents long"),
         mode="append")                                              # v3
     drain()
     n_head = snapshot_read(spark, src_dir).count()
@@ -1156,7 +1155,7 @@ def stream_snapshot_replication_mor_parity(spark: SparkSession,
                     mode="append")                                  # v1
     snapshot_commit(
         spark, dst_dir,
-        spark.createDataFrame([], "k long, pri string, cents long"),
+        empty_frame(spark, "k long, pri string, cents long"),
         mode="append")
 
     def drain() -> None:
@@ -1219,14 +1218,14 @@ def stream_snapshot_replication_mor_parity(spark: SparkSession,
         .select("k"), "k")                                          # v3
     up = orders.filter((F.col("k") > 550) & (F.col("k") <= 650)) \
         .withColumn("cents", F.col("cents") * 5 + 3) \
-        .unionByName(spark.createDataFrame(
-            [(9000002, "MOR", 1), (9000003, "MOR", 2),
-             (9000004, "MOR", 3)], "k long, pri string, cents long"))
+        .unionByName(inline_dim(
+            spark, [(9000002, "MOR", 1), (9000003, "MOR", 2),
+                    (9000004, "MOR", 3)], "k long, pri string, cents long"))
     snapshot_upsert_keys(spark, src_dir, up, "k")                   # v4
     snapshot_commit(
         spark, src_dir,
-        spark.createDataFrame([(9000001, "NEW", 123)],
-                              "k long, pri string, cents long"),
+        inline_dim(spark, [(9000001, "NEW", 123)],
+                   "k long, pri string, cents long"),
         mode="append")                                              # v5
     drain()
 
@@ -1289,8 +1288,6 @@ def stream_snapshot_source_ratelimited_parity(spark: SparkSession,
     exactly two more bounded batches — no re-serve, no loss. The final
     sink hash-matches the whole events fixture only if every version
     arrived exactly once across both drains."""
-    import glob
-
     from ..operators.snapshots import snapshot_commit
     from ..sources.snapshot_source import register_snapshot_source
 
@@ -1325,10 +1322,18 @@ def stream_snapshot_source_ratelimited_parity(spark: SparkSession,
         batch_rows: list[int] = []
 
         def sink(bdf: DataFrame, epoch_id: int) -> None:
-            n = bdf.count()
+            # single evaluation: count + write used to re-read the
+            # Python-source batch twice (numInputRows doubled in the
+            # stream progress — guide §1 measured the drain at 2× the
+            # write-only floor); persist for the batch's lifetime only
+            bdf.persist()
+            try:
+                n = bdf.count()
+                bdf.write.mode("append").parquet(out_dir)
+            finally:
+                bdf.unpersist()
             if n:
                 batch_rows.append(n)
-            bdf.write.mode("append").parquet(out_dir)
 
         q = (
             spark.readStream.format("snapshot_table")
@@ -1342,14 +1347,15 @@ def stream_snapshot_source_ratelimited_parity(spark: SparkSession,
             .start()
         )
         try:
-            deadline = time.time() + 300
-            while time.time() < deadline:
-                got = (spark.read.parquet(out_dir).count()
-                       if glob.glob(os.path.join(out_dir, "*.parquet"))
-                       else 0)
-                if got >= expected_rows:
-                    break
-                time.sleep(0.25)
+            # drain-until-caught-up: processAllAvailable blocks until
+            # every version available at call time has been served and
+            # its batch committed — one blocking call instead of the
+            # old 0.25 s poll loop whose every probe was a full Spark
+            # job (guide §1: half the gate's wall time was
+            # sleep+poll). The admission bound still applies per
+            # trigger (processingTime trigger, NOT availableNow, which
+            # would snapshot the head once and skip the cursor walk).
+            q.processAllAvailable()
         finally:
             q.stop()
         got = spark.read.parquet(out_dir).count()
@@ -1609,8 +1615,6 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
     minhash_lsh_pairs caps on the FULL corpus instead, so a one-shot
     pair restatement would be wrong whenever a bucket crosses the cap
     mid-stream)."""
-    import glob
-
     from ..llm import dedup
     from ..operators.snapshots import (_epoch_sort_key,
                                        _read_manifest_meta,
@@ -1643,8 +1647,7 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
     snapshot_commit(spark, bands_t, bands0, mode="append")
     snapshot_commit(
         spark, pairs_t,
-        spark.createDataFrame([],
-                              "doc_a long, doc_b long, est_jaccard double"),
+        empty_frame(spark, "doc_a long, doc_b long, est_jaccard double"),
         mode="append")
 
     def commit_slot(s: int) -> None:
@@ -1653,7 +1656,11 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
                         .coalesce(1), mode="append")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+        # one materialization: the old isEmpty() probe was its own
+        # Python-source scan before localCheckpoint re-read the batch
+        # (guide §4.1: pay the JVM↔Python boundary once per batch)
+        batch = batch_df.localCheckpoint(eager=True)
+        if batch.isEmpty():
             return
         # exactly-once: an applied epoch must short-circuit BEFORE the
         # probe — the index already holds this batch's ids, and
@@ -1664,7 +1671,6 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
         if last is not None and (
                 _epoch_sort_key(str(epoch_id)) <= _epoch_sort_key(last)):
             return
-        batch = batch_df.localCheckpoint(eager=True)
         idx_sig = snapshot_read(spark, sig_t)
         idx_bands = snapshot_read(spark, bands_t)
         pairs = dedup.probe_lsh_index(idx_sig, idx_bands, batch)
@@ -1692,17 +1698,17 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
              .option("checkpointLocation", ckpt)
              .start())
         try:
-            # the per-batch probe is genuine LSH work that grows with
-            # the corpus (quadratically in pair OUTPUT on replicated
-            # scale fixtures) — scale the watchdog with the input so a
-            # strict ×100 run is bounded by compute, not by a constant
-            # (the count check below still fails closed on a lost or
-            # re-applied batch)
-            deadline = time.time() + 300 + n_docs // 250
-            while time.time() < deadline:
-                if snapshot_read(spark, sig_t).count() >= expect_sigs:
-                    break
-                time.sleep(0.25)
+            # drain-until-caught-up: processAllAvailable blocks until
+            # every source version available at call time has been
+            # processed and its batch committed — replaces the 0.25 s
+            # poll loop whose every probe ran snapshot_read().count()
+            # as a full Spark job competing with the foreachBatch
+            # thread for the GIL (guide §1: measured 19 s of sleep +
+            # ~9 s of poll jobs in a 35 s gate). Naturally bounded by
+            # the probe compute itself, so a strict ×100 run needs no
+            # watchdog constant; the count check below still fails
+            # closed on a lost or re-applied batch.
+            q.processAllAvailable()
         finally:
             q.stop()
         got = snapshot_read(spark, sig_t).count()
@@ -1917,8 +1923,7 @@ def stream_ivf_index_maintenance_parity(spark: SparkSession,
     snapshot_commit(spark, vecs_t, ing.limit(0), mode="append")
     snapshot_commit(
         spark, assign_t,
-        spark.createDataFrame(
-            [], "vec_id long, cluster_id long, similarity double"),
+        empty_frame(spark, "vec_id long, cluster_id long, similarity double"),
         mode="append")
 
     def commit_slot(s: int) -> None:
@@ -1927,7 +1932,9 @@ def stream_ivf_index_maintenance_parity(spark: SparkSession,
                         .coalesce(1), mode="append")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+        # one materialization (see the LSH sink's note)
+        batch = batch_df.localCheckpoint(eager=True)
+        if batch.isEmpty():
             return
         # exactly-once: the ASSIGN table's epoch is the last thing any
         # path advances, so an applied epoch short-circuits everything
@@ -1937,7 +1944,6 @@ def stream_ivf_index_maintenance_parity(spark: SparkSession,
         if last is not None and (
                 _epoch_sort_key(str(epoch_id)) <= _epoch_sort_key(last)):
             return
-        batch = batch_df.localCheckpoint(eager=True)
         cents = snapshot_read(spark, cent_t)
         cvers = snapshot_current_version(cent_t)
         cent_epoch = _read_manifest_meta(cent_t, cvers).get("last_epoch")
@@ -1997,11 +2003,9 @@ def stream_ivf_index_maintenance_parity(spark: SparkSession,
              .option("checkpointLocation", ckpt)
              .start())
         try:
-            deadline = time.time() + 300 + n_vecs // 250
-            while time.time() < deadline:
-                if snapshot_read(spark, assign_t).count() >= expect:
-                    break
-                time.sleep(0.25)
+            # drain-until-caught-up without the poll loop (see the LSH
+            # gate's drain for the measurement rationale)
+            q.processAllAvailable()
         finally:
             q.stop()
         got = snapshot_read(spark, assign_t).count()
