@@ -40,6 +40,16 @@ from .stripe import (
 )
 
 
+def frames_differ(a, b) -> bool:
+    """Multiset inequality of two frames in ONE Spark job: the gates'
+    two-direction ``exceptAll().count() or exceptAll().count()`` form
+    paid two full job launches per parity check (guide §1 — at gate
+    scale the job overhead dominates the comparison itself); the union
+    of both directions under one isEmpty() answers the same question
+    and short-circuits on the first differing row."""
+    return not a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
+
+
 def _scratch(sf_dir: str, name: str) -> str:
     """Per-(query, SF) scratch dir under the repo (gitignored). Cleared on
     entry so every run writes fresh files — the write IS the thing under

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..sources.readers import inline_dim
-from .io_roundtrip import _scratch
+from .io_roundtrip import _scratch, frames_differ
 from .registry import query
 
 
@@ -89,7 +89,7 @@ def quality_gate_orders_report(spark: SparkSession,
                                      matches_regex, not_null, run_checks,
                                      unique)
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     customer = load_table(spark, sf_dir, "customer")
     return run_checks(orders, [
         not_null("o_custkey"),
@@ -139,7 +139,7 @@ def zorder_clustered_roundtrip(spark: SparkSession,
     from .relational5 import _Z_SPARK
 
     out = _scratch(sf_dir, "zorder_clustered")
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", rebalance=False).select(
         "o_orderkey", "o_custkey", "o_orderdate",
         F.expr(f"CAST({_Z_SPARK} AS BIGINT)").alias("zkey"),
     )
@@ -195,7 +195,7 @@ def maintenance_compact_vacuum_roundtrip(spark: SparkSession,
     table_dir = os.path.join(scratch, "table")
     compact_dir = os.path.join(scratch, "compacted")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_id", "user_id",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
         F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
@@ -290,7 +290,7 @@ def gapfill_user_daily_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (two exchanges, see gapfill.py docstring)."""
     from ..operators.gapfill import interpolate_daily
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    ev = load_table(spark, sf_dir, "events", rebalance=False).filter(F.col("user_id") < 30)
     daily = (
         ev.groupBy(
             "user_id", F.col("ts").cast("date").alias("day")
@@ -355,7 +355,7 @@ def events_weighted_sample_pps(spark: SparkSession,
     across strata); a single global stratum at 100 TB becomes the
     classic two-pass distributed prefix sum (per-partition totals
     broadcast as offsets). Returns ≈k rows per stratum."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", rebalance=False)
     from pyspark.sql.window import Window as W
 
     w = ev.select(
@@ -436,7 +436,7 @@ def cdc_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     output size is the churn, never the table."""
     from ..operators.merge import snapshot_diff
 
-    old = load_table(spark, sf_dir, "orders").select(
+    old = load_table(spark, sf_dir, "orders", rebalance=False).select(
         "o_orderkey", "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long")
         .alias("price_cents"),
@@ -495,12 +495,12 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     li_t, o_t = f"bjr_lineitem_{tag}", f"bjr_orders_{tag}"
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem", rebalance=False).select(
         "l_orderkey",
         F.round(F.col("l_extendedprice") * 100).cast("long")
         .alias("price_cents"),
     )
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", rebalance=False).select(
         "o_orderkey", "o_orderpriority"
     )
     write_bucketed_table(spark, li, li_t, "l_orderkey")
@@ -554,7 +554,7 @@ def backfill_partition_overwrite_roundtrip(spark: SparkSession,
     scratch = _scratch(sf_dir, "backfill_overwrite")
     table_dir = os.path.join(scratch, "table")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_id", "user_id", "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
         F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
@@ -644,7 +644,7 @@ def snapshot_time_travel_roundtrip(spark: SparkSession,
     from ..operators.snapshots import snapshot_commit, snapshot_read
 
     table_dir = _scratch(sf_dir, "snapshot_table")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("c"),
@@ -708,7 +708,7 @@ def snapshot_concurrent_commit_parity(spark: SparkSession,
                                        snapshot_versions)
 
     table_dir = _scratch(sf_dir, "snapshot_concurrent")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.pmod(F.col("event_id"), F.lit(8)).alias("slot"),
@@ -782,7 +782,7 @@ def snapshot_stats_pruned_read(spark: SparkSession,
                                        snapshot_scan)
 
     table_dir = _scratch(sf_dir, "snapshot_pruned")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -859,7 +859,7 @@ def snapshot_incremental_read_parity(spark: SparkSession,
                                        snapshot_read_incremental)
 
     table_dir = _scratch(sf_dir, "snapshot_incremental")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("c"),
@@ -938,7 +938,7 @@ def snapshot_schema_evolution_parity(spark: SparkSession,
     from ..operators.snapshots import snapshot_commit, snapshot_read
 
     table_dir = _scratch(sf_dir, "snapshot_evolution")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("c"),
@@ -1031,7 +1031,7 @@ def snapshot_merge_upsert_parity(spark: SparkSession,
                                        snapshot_read)
 
     table_dir = _scratch(sf_dir, "snapshot_merge")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(F.col("o_orderkey") <= 600).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -1085,7 +1085,7 @@ def snapshot_compact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        snapshot_read)
 
     table_dir = _scratch(sf_dir, "snapshot_compact")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.pmod(F.col("event_id"), F.lit(6)).alias("slot"),
@@ -1162,7 +1162,7 @@ def snapshot_partial_merge_parity(spark: SparkSession,
                                        snapshot_merge, snapshot_read)
 
     table_dir = _scratch(sf_dir, "snapshot_partial_merge")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(
         (F.col("o_orderkey") <= 1200) & (F.col("o_orderkey") % 4 != 1)
     ).select(
@@ -1257,7 +1257,7 @@ def snapshot_cdf_read_parity(spark: SparkSession,
                                        snapshot_read, snapshot_read_cdf)
 
     table_dir = _scratch(sf_dir, "snapshot_cdf")
-    ord_df = load_table(spark, sf_dir, "orders").select(
+    ord_df = load_table(spark, sf_dir, "orders", rebalance=False).select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
@@ -1359,7 +1359,7 @@ def snapshot_as_of_read_parity(spark: SparkSession,
                                        snapshot_version_at)
 
     table_dir = _scratch(sf_dir, "snapshot_asof")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("c"),
@@ -1448,7 +1448,7 @@ def snapshot_clustered_write_parity(spark: SparkSession,
 
     zx = f"({_ZC_X}) & 65535"
     zy = "CAST(pmod(CAST(ROUND(value * 100) AS BIGINT), 64) AS BIGINT)"
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.expr(_ZC_X).cast("long").alias("x"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -1527,7 +1527,7 @@ def snapshot_merge_delete_unmatched_parity(spark: SparkSession,
                                        snapshot_read_cdf)
 
     table_dir = _scratch(sf_dir, "snapshot_merge_delete")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(
         (F.col("o_orderkey") <= 1200) & (F.col("o_orderkey") % 5 != 1)
     ).select(
@@ -1625,7 +1625,7 @@ def snapshot_history_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        snapshot_history, snapshot_merge)
 
     table_dir = _scratch(sf_dir, "snapshot_history")
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", rebalance=False).select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
@@ -1689,7 +1689,7 @@ def snapshot_restore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        snapshot_read_cdf, snapshot_restore)
 
     table_dir = _scratch(sf_dir, "snapshot_restore")
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", rebalance=False).select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
@@ -1780,7 +1780,7 @@ def snapshot_merge_update_unmatched_parity(spark: SparkSession,
                                        snapshot_read_cdf)
 
     table_dir = _scratch(sf_dir, "snapshot_merge_update_unmatched")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(
         (F.col("o_orderkey") <= 1200) & (F.col("o_orderkey") % 5 != 1)
     ).select(
@@ -1885,7 +1885,7 @@ def snapshot_replace_where_parity(spark: SparkSession,
                                        snapshot_read, snapshot_read_cdf)
 
     table_dir = _scratch(sf_dir, "snapshot_replace_where")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(F.col("o_orderkey") <= 1200).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -1998,7 +1998,7 @@ def snapshot_merge_composite_key_parity(spark: SparkSession,
                                        snapshot_read_cdf)
 
     table_dir = _scratch(sf_dir, "snapshot_merge_composite")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     keyed = orders.filter(F.col("o_orderkey") <= 1200).select(
         F.expr("(o_orderkey - 1) div 400").alias("bucket"),
         (F.col("o_orderkey") % 400).alias("seq"),
@@ -2099,7 +2099,7 @@ def snapshot_clustered_compact_parity(spark: SparkSession,
                                        snapshot_scan)
 
     table_dir = _scratch(sf_dir, "snapshot_clustered_compact")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -2214,7 +2214,7 @@ def snapshot_null_in_pruned_read(spark: SparkSession,
                                        snapshot_scan)
 
     table_dir = _scratch(sf_dir, "snapshot_null_in_pruned")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.when(
@@ -2331,7 +2331,7 @@ def snapshot_sql_surface_parity(spark: SparkSession,
 
     register_snapshot_source(spark)
     table_dir = _scratch(sf_dir, "snapshot_sql_surface")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -2483,7 +2483,7 @@ def snapshot_expire_retention_parity(spark: SparkSession,
                                        snapshot_versions)
 
     table_dir = _scratch(sf_dir, "snapshot_expire_retention")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.pmod(F.col("event_id"), F.lit(5)).alias("slot"),
@@ -2610,7 +2610,7 @@ def snapshot_manifest_scale_parity(spark: SparkSession,
                                        snapshot_scan)
 
     table_dir = _scratch(sf_dir, "snapshot_manifest_scale")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.pmod(F.col("event_id"), F.lit(8)).alias("slot"),
@@ -2768,7 +2768,7 @@ def snapshot_deletion_vector_parity(spark: SparkSession,
                                        snapshot_read, snapshot_read_cdf)
 
     table_dir = _scratch(sf_dir, "snapshot_deletion_vector")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(F.col("o_orderkey") <= 1200).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -2912,7 +2912,7 @@ def snapshot_conflict_rebase_parity(spark: SparkSession,
                                        snapshot_merge, snapshot_read)
 
     table_dir = _scratch(sf_dir, "snapshot_conflict_rebase")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     ord_all = orders.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -3050,7 +3050,7 @@ def snapshot_partition_spec_parity(spark: SparkSession,
                                        snapshot_scan)
 
     table_dir = _scratch(sf_dir, "snapshot_partition_spec")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_id", "ts", "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
@@ -3218,7 +3218,7 @@ def snapshot_check_constraint_parity(spark: SparkSession,
                                        snapshot_read_cdf)
 
     table_dir = _scratch(sf_dir, "snapshot_check_constraint")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(F.col("o_orderkey") <= 800).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -3354,7 +3354,7 @@ def snapshot_partitioned_delete_parity(spark: SparkSession,
                                        snapshot_scan)
 
     table_dir = _scratch(sf_dir, "snapshot_partitioned_delete")
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_id", "ts", "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
@@ -3514,7 +3514,7 @@ def snapshot_metadata_conflict_parity(spark: SparkSession,
     from ..operators import snapshots as S
 
     table_dir = _scratch(sf_dir, "snapshot_metadata_conflict")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(F.col("o_orderkey") <= 900).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -3669,7 +3669,8 @@ def snapshot_equality_delete_parity(spark: SparkSession,
 
     eq_dir = _scratch(sf_dir, "snapshot_eq_delete")
     pos_dir = _scratch(sf_dir, "snapshot_eq_delete_twin")
-    orders = load_table(spark, sf_dir, "orders")
+    # tiny predicate band: the fact rebalance exchange is pure overhead
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(F.col("o_orderkey") <= 1200).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -3715,8 +3716,7 @@ def snapshot_equality_delete_parity(spark: SparkSession,
     # (b) twin parity, both directions
     eq_head = S.snapshot_read(spark, eq_dir)
     pos_head = S.snapshot_read(spark, pos_dir)
-    if (eq_head.exceptAll(pos_head).count()
-            or pos_head.exceptAll(eq_head).count()):
+    if frames_differ(eq_head, pos_head):
         raise RuntimeError(
             "snapshot_equality_delete_parity: the equality-delete twin "
             "diverged from the position-delete twin")
@@ -3741,8 +3741,7 @@ def snapshot_equality_delete_parity(spark: SparkSession,
             "snapshot_equality_delete_parity: compaction carried "
             "equality-delete descriptors instead of materializing")
     final = S.snapshot_read(spark, eq_dir)
-    if final.exceptAll(eq_head).count() or \
-            eq_head.exceptAll(final).count():
+    if frames_differ(final, eq_head):
         raise RuntimeError(
             "snapshot_equality_delete_parity: compaction changed the "
             "table contents")
@@ -3809,7 +3808,7 @@ def snapshot_wap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table_dir = _scratch(sf_dir, "snapshot_wap")
     twin_dir = _scratch(sf_dir, "snapshot_wap_twin")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     wide = orders.filter(F.col("o_orderkey") <= 1300).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -3875,8 +3874,7 @@ def snapshot_wap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       mode="append")
     main_head = S.snapshot_read(spark, table_dir)
     twin_head = S.snapshot_read(spark, twin_dir)
-    if (main_head.exceptAll(twin_head).count()
-            or twin_head.exceptAll(main_head).count()):
+    if frames_differ(main_head, twin_head):
         raise RuntimeError(
             "snapshot_wap_parity: the fast-forwarded state diverged "
             "from the direct-commit twin")
@@ -3991,7 +3989,7 @@ def snapshot_metadata_tables_parity(spark: SparkSession,
 
     register_snapshot_source(spark)
     table_dir = _scratch(sf_dir, "snapshot_metadata_tables")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     base = orders.filter(F.col("o_orderkey") <= 1200).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -4109,7 +4107,7 @@ def snapshot_upsert_keys_parity(spark: SparkSession,
 
     table_dir = _scratch(sf_dir, "snapshot_upsert_keys")
     twin_dir = _scratch(sf_dir, "snapshot_upsert_keys_twin")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders", rebalance=False)
     wide = orders.filter(F.col("o_orderkey") <= 1200).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
@@ -4153,7 +4151,7 @@ def snapshot_upsert_keys_parity(spark: SparkSession,
                       F.lit("U").alias("op")), "k")
     head = S.snapshot_read(spark, table_dir)
     twin = S.snapshot_read(spark, twin_dir)
-    if head.exceptAll(twin).count() or twin.exceptAll(head).count():
+    if frames_differ(head, twin):
         raise RuntimeError(
             "snapshot_upsert_keys_parity: merge-on-read head diverged "
             "from the copy-on-write twin")
@@ -4177,8 +4175,7 @@ def snapshot_upsert_keys_parity(spark: SparkSession,
                 F.when(F.col("_change_type") == "D", F.lit("D"))
                 .otherwise(F.lit("U")).alias("op")),
         "k").drop("cdc_action")
-    if (replayed.exceptAll(head).count()
-            or head.exceptAll(replayed).count()):
+    if frames_differ(replayed, head):
         raise RuntimeError(
             "snapshot_upsert_keys_parity: replaying the feed did not "
             "reproduce the head")

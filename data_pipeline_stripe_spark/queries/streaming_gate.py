@@ -27,7 +27,7 @@ from pyspark.sql.window import Window as W
 
 from ..sources import load_table
 from ..sources.readers import empty_frame, inline_dim
-from .io_roundtrip import _scratch
+from .io_roundtrip import _scratch, frames_differ
 from .registry import query
 
 
@@ -607,7 +607,7 @@ def stream_snapshot_source_parity(spark: SparkSession,
     out_dir = os.path.join(scratch, "out")
     ckpt = os.path.join(scratch, "_ckpt")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -716,7 +716,7 @@ def stream_snapshot_cdf_source_parity(spark: SparkSession,
     out_dir = os.path.join(scratch, "out")
     ckpt = os.path.join(scratch, "_ckpt")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         F.col("event_id").alias("k"),
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -874,7 +874,7 @@ def stream_cdf_equality_delete_parity(spark: SparkSession,
     out_dir = os.path.join(scratch, "out")
     ckpt = os.path.join(scratch, "_ckpt")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         F.col("event_id").alias("k"),
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -1013,7 +1013,7 @@ def stream_snapshot_replication_parity(spark: SparkSession,
     dst_dir = os.path.join(scratch, "table_b")
     ckpt = os.path.join(scratch, "_ckpt")
 
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", rebalance=False).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -1142,7 +1142,7 @@ def stream_snapshot_replication_mor_parity(spark: SparkSession,
     dst_dir = os.path.join(scratch, "table_b")
     ckpt = os.path.join(scratch, "_ckpt")
 
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", rebalance=False).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("pri"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -1231,8 +1231,7 @@ def stream_snapshot_replication_mor_parity(spark: SparkSession,
 
     head = snapshot_read(spark, src_dir)
     replica = snapshot_read(spark, dst_dir)
-    if (head.exceptAll(replica).count()
-            or replica.exceptAll(head).count()):
+    if frames_differ(head, replica):
         raise RuntimeError(
             "stream_snapshot_replication_mor_parity: the replica "
             "diverged from the source head after the restart drain")
@@ -1253,8 +1252,7 @@ def stream_snapshot_replication_mor_parity(spark: SparkSession,
             "stream_snapshot_replication_mor_parity: OPTIMIZE left "
             "descriptors behind")
     compacted = snapshot_read(spark, dst_dir)
-    if (compacted.exceptAll(head).count()
-            or head.exceptAll(compacted).count()):
+    if frames_differ(compacted, head):
         raise RuntimeError(
             "stream_snapshot_replication_mor_parity: compaction "
             "changed the replica's state")
@@ -1298,7 +1296,7 @@ def stream_snapshot_source_ratelimited_parity(spark: SparkSession,
     ckpt = os.path.join(scratch, "_ckpt")
     cursor = os.path.join(scratch, "_cursor")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.pmod(F.col("event_id"), F.lit(8)).alias("slot"),
@@ -1444,7 +1442,7 @@ def stream_snapshot_source_skip_changes_parity(spark: SparkSession,
     out_dir = os.path.join(scratch, "out")
     ckpt = os.path.join(scratch, "_ckpt")
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", rebalance=False).select(
         F.pmod(F.col("event_id"), F.lit(7)).alias("k7"),
         "event_id",
         "event_type",
@@ -1734,13 +1732,11 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
     full_bands = full_bands.localCheckpoint(eager=True)
     got_sig = snapshot_read(spark, sig_t)
     got_bands = snapshot_read(spark, bands_t)
-    if (got_sig.exceptAll(full_sig).limit(1).count()
-            or full_sig.exceptAll(got_sig).limit(1).count()):
+    if frames_differ(got_sig, full_sig):
         raise RuntimeError(
             "stream_lsh_index_maintenance_parity: the streamed "
             "signature index diverged from the one-shot batch build")
-    if (got_bands.exceptAll(full_bands).limit(1).count()
-            or full_bands.exceptAll(got_bands).limit(1).count()):
+    if frames_differ(got_bands, full_bands):
         raise RuntimeError(
             "stream_lsh_index_maintenance_parity: the streamed band "
             "index diverged from the one-shot batch build")
@@ -2039,8 +2035,7 @@ def stream_ivf_index_maintenance_parity(spark: SparkSession,
     oneshot = sim.ivf_assign(
         ing, cents.select("centroid_id", "embedding")) \
         .localCheckpoint(eager=True)
-    if (got.exceptAll(oneshot).limit(1).count()
-            or oneshot.exceptAll(got).limit(1).count()):
+    if frames_differ(got, oneshot):
         raise RuntimeError(
             "stream_ivf_index_maintenance_parity: the maintained "
             "index diverged from the one-shot build")

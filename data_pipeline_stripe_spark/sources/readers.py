@@ -192,13 +192,21 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               rebalance: bool = True) -> DataFrame:
     """One driver test table (TESTDATA.md) as a DataFrame.
 
     ``events.ts`` arrives as either epoch-nanos LongType (older fixtures,
     via ``spark.sql.legacy.parquet.nanosAsLong``) or TIMESTAMP_NTZ (current
     fixtures, timestamp[us]); ``normalize_event_ts`` maps both to the same
     session-zoned TimestampType.
+
+    ``rebalance=False`` skips the fact-table repartition below: callers
+    that slice a SMALL predicate band out of a fact (the snapshot
+    protocol gates) pay the full-width round-robin exchange on every
+    action for no compute benefit — a selective pushed filter leaves too
+    few rows for parallelism to matter (guide §2.4: remove shuffles
+    outright). Compute-heavy consumers keep the default.
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
@@ -206,7 +214,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
-    if name in FACT_TABLES:
+    if name in FACT_TABLES and rebalance:
         # The test fixtures are single-row-group files, so Spark scans them
         # as ONE partition and every map-side stage runs on one core. A
         # production layout (many files / row groups) wouldn't need this;
