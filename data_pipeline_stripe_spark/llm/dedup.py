@@ -475,14 +475,24 @@ def shared_passage_pairs(df: DataFrame, min_shared: int = WINNOW_MIN_SHARED,
 
 
 def build_lsh_index(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                    text_col: str = "text",
+                    checkpoint: bool = False) -> tuple[DataFrame, DataFrame]:
     """The persistable LSH index: (signatures, band index) — the two
     parquet artifacts a production corpus maintains so daily ingest
     never re-signatures the old corpus (incremental_minhash_pairs'
     docstring promise, made concrete). Signatures are one narrow row
     per doc; the band index is (id, band_id, band_key) — ids only,
-    exactly what the probe join shuffles on."""
+    exactly what the probe join shuffles on.
+
+    ``checkpoint=True`` eagerly materializes the signature frame so the
+    band explode (and every later reference) reads the computed rows
+    instead of re-running the shingle+MinHash pipeline — the right form
+    whenever BOTH returned frames are consumed (the streaming
+    maintenance loop commits both per micro-batch; measured: the lazy
+    form re-signatured each batch once per consumer)."""
     sig = minhash_signatures(df, id_col, text_col)
+    if checkpoint:
+        sig = sig.localCheckpoint(eager=True)
     return sig, _band_rows(sig, id_col)
 
 
@@ -490,6 +500,7 @@ def probe_lsh_index(index_signatures: DataFrame, index_bands: DataFrame,
                     new_docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", threshold: float = 0.5,
                     max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                    new_index: tuple[DataFrame, DataFrame] | None = None,
                     ) -> DataFrame:
     """Near-dup pairs touching a NEW batch, probed against a PERSISTED
     index (read back from parquet, or any DataFrame with
@@ -503,12 +514,23 @@ def probe_lsh_index(index_signatures: DataFrame, index_bands: DataFrame,
     duplicate pairs with conflicting estimates — vacuum the old rows
     first). Cost per ingest: signature the new batch ONCE (eagerly
     materialized — four plan branches reference it and Catalyst does
-    not CSE across branches), one bucket-count pass + one probe join
-    over the index keyed on (band_id, band_key), two id-keyed signature
-    joins on the survivors."""
-    new_sig, new_bands = build_lsh_index(new_docs, id_col, text_col)
-    new_sig = new_sig.localCheckpoint(eager=True)
-    new_bands = new_bands.localCheckpoint(eager=True)
+    not CSE across branches; the band rows re-derive from the
+    MATERIALIZED signatures, a per-row explode, where checkpointing
+    sig and bands independently used to run the MinHash pipeline
+    twice), one bucket-count pass + one probe join over the index
+    keyed on (band_id, band_key), two id-keyed signature joins on the
+    survivors.
+
+    ``new_index=(sig, bands)`` lets a caller that ALSO persists the
+    batch's index (the streaming maintenance loop commits pairs, bands
+    and signatures per micro-batch) hand in its already-materialized
+    frames so the batch is signatured exactly once end-to-end; the
+    frames must be build_lsh_index output for the same batch."""
+    if new_index is not None:
+        new_sig, new_bands = new_index
+    else:
+        new_sig, new_bands = build_lsh_index(new_docs, id_col, text_col,
+                                             checkpoint=True)
     overlap = (
         new_sig.select(id_col)
         .join(index_signatures.select(id_col), id_col, "left_semi")

@@ -98,5 +98,7 @@ def royalties_report(events: DataFrame, resources: DataFrame,
 
 
 def write_royalties_json(report: DataFrame, out_dir: str) -> None:
-    """K3 sink: JSON-lines, overwrite (royalties.py:317)."""
-    report.write.mode("overwrite").json(out_dir)
+    """K3 sink: JSON-lines, overwrite (royalties.py:317). Coalesced:
+    a monthly-currency report is bounded-small (guide §6 file sizing —
+    one JSONL file, not a sliver per shuffle partition)."""
+    report.coalesce(1).write.mode("overwrite").json(out_dir)

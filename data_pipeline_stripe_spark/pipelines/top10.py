@@ -94,9 +94,12 @@ def top10_report(events: DataFrame, resources: DataFrame,
 def write_top10_csv(report: DataFrame, out_dir: str) -> None:
     """One job, one directory per date — replaces the reference's
     collect-distinct-dates + per-date loop + per-date CSV write
-    (top10.py:260-278; K1 sink: header, '|' separator, overwrite)."""
+    (top10.py:260-278; K1 sink: header, '|' separator, overwrite).
+    Clustered by the partition column before the write (guide §6):
+    without it every task writes a sliver file into every date dir —
+    up to tasks × dates tiny files for a top-K-per-day report."""
     (
-        report.write.mode("overwrite")
+        report.repartition("date").write.mode("overwrite")
         .partitionBy("date")
         .option("header", True)
         .option("sep", "|")

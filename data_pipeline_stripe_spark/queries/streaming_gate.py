@@ -1671,8 +1671,14 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
             return
         idx_sig = snapshot_read(spark, sig_t)
         idx_bands = snapshot_read(spark, bands_t)
-        pairs = dedup.probe_lsh_index(idx_sig, idx_bands, batch)
-        new_sig, new_bands = dedup.build_lsh_index(batch)
+        # one signature pass per batch: the commits below and the probe
+        # share the materialized index frames (before, the probe
+        # checkpointed its own copies and each index commit re-ran the
+        # MinHash pipeline — four signature passes per micro-batch)
+        new_sig, new_bands = dedup.build_lsh_index(batch,
+                                                   checkpoint=True)
+        pairs = dedup.probe_lsh_index(idx_sig, idx_bands, batch,
+                                      new_index=(new_sig, new_bands))
         # pairs first: a crash after it leaves the index WITHOUT the
         # batch, so the replayed probe recomputes the identical pairs
         # (its commit then no-ops); index commits go bands-then-sig so
@@ -1727,9 +1733,8 @@ def stream_lsh_index_maintenance_parity(spark: SparkSession,
 
     # the one-shot batch build must equal the streamed index exactly
     # (materialized once: each side feeds two exceptAll directions)
-    full_sig, full_bands = dedup.build_lsh_index(docs.drop("slot"))
-    full_sig = full_sig.localCheckpoint(eager=True)
-    full_bands = full_bands.localCheckpoint(eager=True)
+    full_sig, full_bands = dedup.build_lsh_index(docs.drop("slot"),
+                                                 checkpoint=True)
     got_sig = snapshot_read(spark, sig_t)
     got_bands = snapshot_read(spark, bands_t)
     if frames_differ(got_sig, full_sig):

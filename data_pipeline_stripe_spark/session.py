@@ -73,6 +73,17 @@ def get_session(app_name: str = "data-pipeline-stripe-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Output-commit cost (guide §6): v2 commits task files straight
+        # into the destination at task commit (one rename pass instead
+        # of two) and the _SUCCESS marker is dead weight nothing here
+        # reads — ~20 ms per write, and the gates write hundreds of
+        # small commit dirs per bench run. Both are safe without
+        # speculative execution (off), and the snapshot format's own
+        # atomicity comes from its manifest publish, not the committer.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".marksuccessfuljobs", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -958,6 +958,42 @@ def test_persisted_lsh_index_probe_matches_incremental(spark, sf_dir,
     assert got == expect and len(expect) > 0
 
 
+def test_probe_lsh_index_caller_materialized_new_index(spark, sf_dir):
+    """The r13-opt single-signature-pass path: a caller that also
+    persists the batch's index hands probe_lsh_index its
+    checkpoint-materialized (sig, bands) via ``new_index`` — the pair
+    set must be IDENTICAL to the internal-build path, and the
+    checkpointed build must equal the lazy build row-for-row."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_stripe_spark.llm import dedup
+    from data_pipeline_stripe_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    idx_sig, idx_bands = dedup.build_lsh_index(old)
+
+    lazy_sig, lazy_bands = dedup.build_lsh_index(new)
+    ck_sig, ck_bands = dedup.build_lsh_index(new, checkpoint=True)
+    assert sorted(map(tuple, lazy_sig.collect())) == \
+        sorted(map(tuple, ck_sig.collect()))
+    assert sorted(map(tuple, lazy_bands.collect())) == \
+        sorted(map(tuple, ck_bands.collect()))
+
+    internal = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dedup.probe_lsh_index(idx_sig, idx_bands, new).collect()
+    }
+    shared = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dedup.probe_lsh_index(
+            idx_sig, idx_bands, new,
+            new_index=(ck_sig, ck_bands)).collect()
+    }
+    assert internal == shared and len(shared) > 0
+
+
 def test_probe_lsh_index_rejects_overlapping_ids(spark, sf_dir):
     """Re-ingesting an id without vacuuming must fail LOUDLY — a silent
     duplicate signature row would emit conflicting pair estimates."""
