@@ -1983,9 +1983,13 @@ def stream_ivf_index_maintenance_parity(spark: SparkSession,
             F.col("vec_id").alias("centroid_id"), "embedding")
         seeds = cents.select("centroid_id", "embedding") \
             .unionByName(grow)
+        # materialize once: the centroid commit AND the full
+        # reassignment below both consume this frame — lazy, each
+        # would re-run the Lloyd step's corpus join+aggregate
         new_cents = sim.centroids_from_rows(
             sim.kmeans_step(corpus, seeds)).withColumn(
-            "generation", F.lit(gen + 1).cast("long"))
+            "generation", F.lit(gen + 1).cast("long")) \
+            .localCheckpoint(eager=True)
         snapshot_commit(spark, cent_t, new_cents.coalesce(1),
                         mode="overwrite", epoch_key=str(epoch_id))
         full = sim.ivf_assign(

@@ -152,6 +152,15 @@ NONEQUI_OK = {
     # r10: the sampled twin composes the same O(n²) exact baseline +
     # 1-row count cross over the vec_id % 10 subsample
     "embedding_rp_lsh_recall_audit_sampled",
+    # r13-opt: the CDF replay legs full-outer-join the feed against a
+    # PROVABLY EMPTY base (the JVM empty_frame — LocalTableScan with
+    # known size 0, where the old python-RDD empty frame hid its size
+    # and planned a sort-merge join). A BNLJ whose BUILD side is the
+    # empty base streams the feed exactly once — cheaper than the SMJ
+    # it replaced, and the build side is O(0) by construction, never
+    # a fact
+    "stream_snapshot_cdf_source_parity",
+    "stream_cdf_equality_delete_parity",
 }
 
 
