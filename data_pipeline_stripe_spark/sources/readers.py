@@ -63,13 +63,26 @@ def read_dim_rows(spark: SparkSession, rows: Iterable[Mapping[str, Any]],
     ordered = [tuple(r.get(f.name) for f in schema.fields) for r in rows]
     # scalar payloads ride the JVM VALUES path (see inline_dim — a local
     # list costs seconds of Python tasks per materialization on a wide
-    # local master); anything non-scalar falls back to createDataFrame
+    # local master); anything non-scalar falls back to createDataFrame.
+    # VALUES relations of non-null literals infer nullable=false columns,
+    # so relax each too-strict column back to the DECLARED nullability
+    # with when(true, col) — nullable at analysis time, constant-folded
+    # to a bare column reference in the physical plan (pure JVM, no
+    # Python RDD). If the shape still cannot match (a NULL literal in a
+    # declared non-nullable column), let createDataFrame enforce the
+    # contract instead.
     if ordered and all(
             v is None or isinstance(v, (str, int, float, bool))
             for r in ordered for v in r):
-        cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        return inline_dim(spark, ordered, cols)
+        df = inline_dim(spark, ordered, schema)
+        if df.schema != schema:
+            df = df.select(*[
+                F.when(F.lit(True), F.col(f.name)).alias(f.name)
+                if f.nullable and not df.schema[f.name].nullable
+                else F.col(f.name)
+                for f in schema.fields])
+        if df.schema == schema:
+            return df
     return spark.createDataFrame(ordered, schema)
 
 
@@ -104,17 +117,29 @@ def inline_dim(spark: SparkSession, rows: list[tuple], columns: str) -> DataFram
     python-RDD frame on local[32] vs 0.2 s for the VALUES form, because
     the local list always lands in defaultParallelism partitions and every
     write task pays a Python worker); a SQL VALUES table stays entirely in
-    the JVM and costs nothing. ``columns`` is e.g. "name string, rate double".
+    the JVM and costs nothing. ``columns`` is a DDL string, e.g.
+    "name string, rate double" (comma-bearing types like decimal(10,2)
+    are fine — parsed with StructType.fromDDL, not string-split), or a
+    StructType.
     """
+    schema = (T.StructType.fromDDL(columns)
+              if isinstance(columns, str) else columns)
     if not rows:
-        return empty_frame(spark, columns)
-    col_defs = [c.strip().split()[0] for c in columns.split(",")]
+        return empty_frame(spark, schema)
+
+    import math
 
     def lit(v) -> str:
         if v is None:
             return "NULL"
         if isinstance(v, bool):
             return "true" if v else "false"
+        if isinstance(v, float) and not math.isfinite(v):
+            # repr() yields 'nan'/'inf' — invalid SQL tokens; route the
+            # IEEE specials through the string-cast form Spark accepts
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
         if isinstance(v, (int, float)):
             return repr(v)
         # escape the SQL string-literal metacharacters: backslash first
@@ -122,11 +147,13 @@ def inline_dim(spark: SparkSession, rows: list[tuple], columns: str) -> DataFram
         s = str(v).replace("\\", "\\\\").replace("'", "''")
         return "'" + s + "'"
 
+    names = [f.name for f in schema.fields]
     values = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
-    df = spark.sql(f"SELECT * FROM VALUES {values} AS t({', '.join(col_defs)})")
-    casts = [F.col(c.strip().split()[0]).cast(" ".join(c.strip().split()[1:])).alias(c.strip().split()[0])
-             for c in columns.split(",")]
-    return df.select(*casts)
+    quoted = ", ".join(f"`{n}`" for n in names)
+    df = spark.sql(f"SELECT * FROM VALUES {values} AS t({quoted})")
+    return df.select(
+        *[df[f"`{n}`"].cast(f.dataType).alias(n)
+          for n, f in zip(names, schema.fields)])
 
 
 def empty_frame(spark: SparkSession, schema) -> DataFrame:

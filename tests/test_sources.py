@@ -77,6 +77,47 @@ def test_quoting_in_inline_dim(spark):
     assert df.collect()[0].name == "O'Brien"
 
 
+def test_inline_dim_comma_bearing_types(spark):
+    """DDL types containing commas (decimal(10,2)) must parse — the
+    column list is a real DDL schema, not a comma-split string."""
+    df = inline_dim(spark, [(1.25, "x"), (None, "y")],
+                    "amt decimal(10,2), tag string")
+    assert df.schema["amt"].dataType.simpleString() == "decimal(10,2)"
+    rows = {r.tag: r.amt for r in df.collect()}
+    assert str(rows["x"]) == "1.25" and rows["y"] is None
+
+
+def test_inline_dim_nonfinite_floats(spark):
+    """IEEE specials survive the VALUES literal rendering (repr() would
+    emit invalid SQL tokens 'nan'/'inf')."""
+    import math
+
+    df = inline_dim(
+        spark,
+        [("a", float("nan")), ("b", float("inf")), ("c", float("-inf"))],
+        "k string, v double")
+    rows = {r.k: r.v for r in df.collect()}
+    assert math.isnan(rows["a"])
+    assert rows["b"] == float("inf") and rows["c"] == float("-inf")
+
+
+def test_read_dim_rows_preserves_declared_nullability(spark):
+    """The VALUES fast path must hand back the DECLARED schema verbatim —
+    non-null literals infer nullable=false, which read_dim_rows coerces
+    back (the r13 fetch_dim regression)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("code", T.StringType(), True),
+        T.StructField("rate", T.DoubleType(), True),
+    ])
+    df = read_dim_rows(spark, [{"code": "USD", "rate": 1.0}], schema)
+    assert df.schema == schema
+    # still the JVM path: no Python-RDD scan in the plan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" not in plan
+
+
 def test_typed_events_boundary(spark):
     """Stringly-typed raw events become typed at the boundary: offset
     timestamps normalize to UTC instants, itemPrice becomes decimal,
