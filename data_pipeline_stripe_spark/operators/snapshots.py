@@ -3649,6 +3649,79 @@ def _key_sidecar_stats(written: DataFrame, key_cols: list[str]
     return row["__n"], bands
 
 
+def _key_sidecar_footer(spark: SparkSession, table_dir: str, rel: str,
+                        key_cols: list[str], null_msg: str
+                        ) -> tuple[int, dict]:
+    """(row count, key bands) of a WRITTEN key sidecar from its parquet
+    FOOTERS — zero Spark jobs where ``_key_sidecar_stats`` paid one agg
+    job and the NULL-key probe a second (guide §1: at gate scale the
+    job launches dominate the tiny-frame compute). Identical output
+    contract: bands only for columns whose PHYSICAL type is integer or
+    string (the types whose Python ordering agrees with Spark's —
+    floats stay band-less exactly as before because footer min/max can
+    silently exclude NaN rows, and dates stay band-less because the
+    agg path never recorded them), min/max exact for those types
+    (Spark's parquet writer does not truncate row-group statistics).
+
+    NULL keys: footer null counts answer the refusal check driver-side;
+    only an actual violation (or a footer lacking null counts — not a
+    shape Spark's writer produces) pays a Spark probe, to fetch the
+    example row for ``null_msg``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    abs_dir = os.path.join(table_dir, rel)
+    n_total = 0
+    lo_hi: dict[str, list] = {}
+    bandable: dict[str, bool] = {c: True for c in key_cols}
+    nulls_known = True
+    n_nulls = 0
+    for f in sorted(os.listdir(abs_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(abs_dir, f))
+        n_total += pf.metadata.num_rows
+        arrow_schema = pf.schema_arrow
+        stats, _ = _collect_file_stats(os.path.join(abs_dir, f))
+        for c in key_cols:
+            field = arrow_schema.field(c) if c in arrow_schema.names \
+                else None
+            ok_type = field is not None and (
+                pa.types.is_integer(field.type)
+                or pa.types.is_string(field.type)
+                or pa.types.is_large_string(field.type))
+            st = stats.get(c) or {}
+            if st.get("nulls") is None:
+                nulls_known = False
+            else:
+                n_nulls += st["nulls"]
+            lo, hi = st.get("min"), st.get("max")
+            if (not ok_type or lo is None or hi is None
+                    or type(lo) not in (int, str)
+                    or type(hi) not in (int, str)):
+                bandable[c] = False
+                continue
+            if c in lo_hi:
+                lo_hi[c][0] = min(lo_hi[c][0], lo)
+                lo_hi[c][1] = max(lo_hi[c][1], hi)
+            else:
+                lo_hi[c] = [lo, hi]
+    if not nulls_known or n_nulls > 0:
+        # rare path: fetch the example row (and the authoritative
+        # answer when footers lacked null counts) with one Spark probe
+        written = spark.read.parquet(abs_dir)
+        null_cond = F.lit(False)
+        for c in key_cols:
+            null_cond = null_cond | F.col(c).isNull()
+        bad = written.filter(null_cond).limit(1)
+        if not bad.isEmpty():
+            raise ValueError(null_msg.format(row=bad.first().asDict()))
+    bands = {c: lo_hi[c] for c in key_cols
+             if bandable.get(c) and c in lo_hi and n_total > 0}
+    return n_total, bands
+
+
 def snapshot_delete_keys(spark: SparkSession, table_dir: str,
                          keys: DataFrame, key_cols,
                          base_version: int | None = None
@@ -3717,29 +3790,23 @@ def snapshot_delete_keys(spark: SparkSession, table_dir: str,
 
     check_key_cols(manifest)
     key_df = keys.select(*key_cols).dropDuplicates()
-    null_cond = F.lit(False)
-    for c in key_cols:
-        null_cond = null_cond | F.col(c).isNull()
     eq_rel = os.path.join("eqdel", uuid.uuid4().hex[:12])
     # one evaluation: write, then validate the WRITTEN keys (the same
     # nondeterminism rationale as replaceWhere's stray check)
     key_df.coalesce(1).write.mode("error").parquet(
         os.path.join(table_dir, eq_rel))
-    written = spark.read.parquet(os.path.join(table_dir, eq_rel))
-    bad = written.filter(null_cond).limit(1)
-    if not bad.isEmpty():
-        raise ValueError(
-            "snapshot_delete_keys: a key row has a NULL key value "
-            f"({bad.first().asDict()}) — an equality delete can never "
-            "match NULL; filter such rows or use snapshot_delete_where "
-            "with an is_null term")
     from pyspark.sql.types import StructType
 
     # KEY BANDS (r13 second half): per-column key min/max, recorded in
     # the descriptor so readers / CDF skip files whose footer stats
-    # cannot intersect them (_eq_desc_may_touch) — one job with the
-    # row count
-    n_keys, bands = _key_sidecar_stats(written, key_cols)
+    # cannot intersect them (_eq_desc_may_touch) — read from the
+    # written sidecar's FOOTERS with the NULL refusal, zero Spark jobs
+    # (r14: was one agg job + one null-probe job per delete)
+    n_keys, bands = _key_sidecar_footer(
+        spark, table_dir, eq_rel, key_cols,
+        "snapshot_delete_keys: a key row has a NULL key value "
+        "({row}) — an equality delete can never match NULL; filter "
+        "such rows or use snapshot_delete_where with an is_null term")
     # the delete's seq is the version it PUBLISHES at — not knowable
     # before the OCC loop wins, so the descriptor records a seq the
     # loop rewrites per attempt via the callback below
@@ -3847,23 +3914,38 @@ def snapshot_upsert_keys(spark: SparkSession, table_dir: str,
     df.write.mode("error").parquet(os.path.join(table_dir, data_rel))
     new_entries = _file_entries(table_dir, data_rel)
     # single evaluation: keys come from the WRITTEN rows (the same
-    # nondeterminism rationale as replaceWhere's stray check)
+    # nondeterminism rationale as replaceWhere's stray check). The
+    # NULL-key refusal answers from the data files' FOOTER null counts
+    # (already collected in new_entries) — a Spark probe runs only on
+    # an actual violation, to fetch the example row (r14, guide §1:
+    # was an unconditional probe job per upsert)
     written = spark.read.parquet(os.path.join(table_dir, data_rel))
-    null_cond = F.lit(False)
-    for c in key_cols:
-        null_cond = null_cond | F.col(c).isNull()
-    bad = written.filter(null_cond).limit(1)
-    if not bad.isEmpty():
-        raise ValueError(
-            "snapshot_upsert_keys: an upsert row has a NULL key value "
-            f"({bad.first().asDict()}) — the replaced row would "
-            "survive next to its replacement; filter such rows")
+    footer_nulls = 0
+    for e in new_entries:
+        for c in key_cols:
+            n = (e.get("stats") or {}).get(c, {}).get("nulls")
+            footer_nulls = (None if n is None or footer_nulls is None
+                            else footer_nulls + n)
+    if footer_nulls is None or footer_nulls > 0:
+        null_cond = F.lit(False)
+        for c in key_cols:
+            null_cond = null_cond | F.col(c).isNull()
+        bad = written.filter(null_cond).limit(1)
+        if not bad.isEmpty():
+            raise ValueError(
+                "snapshot_upsert_keys: an upsert row has a NULL key "
+                f"value ({bad.first().asDict()}) — the replaced row "
+                "would survive next to its replacement; filter such "
+                "rows")
     key_df = written.select(*key_cols).dropDuplicates()
     eq_rel = os.path.join("eqdel", uuid.uuid4().hex[:12])
     key_df.coalesce(1).write.mode("error").parquet(
         os.path.join(table_dir, eq_rel))
-    keyed = spark.read.parquet(os.path.join(table_dir, eq_rel))
-    n_keys, bands = _key_sidecar_stats(keyed, key_cols)
+    n_keys, bands = _key_sidecar_footer(
+        spark, table_dir, eq_rel, key_cols,
+        "snapshot_upsert_keys: an upsert row has a NULL key value "
+        "({row}) — the replaced row would survive next to its "
+        "replacement; filter such rows")
     # covered: every key in this descriptor has a replacement row in
     # the SAME commit's delta — CDF needs no D rows for it (the U
     # replaces the old row in any replay)
@@ -3983,25 +4065,21 @@ def snapshot_apply_cdc_mor(spark: SparkSession, table_dir: str,
     ups = last.filter(F.col(op) == "U").drop(op)
     dels = last.filter(F.col(op) == "D").select(*key_cols)
 
-    null_cond = F.lit(False)
-    for c in key_cols:
-        null_cond = null_cond | F.col(c).isNull()
-
     def key_sidecar(df: DataFrame, label: str):
         """Write a key sidecar from ``df``'s WRITTEN keys — returns
         (descriptor-or-None, commit dirs). Single evaluation: the
-        descriptor's content is read back from the written file."""
+        descriptor's stats come from the written file's FOOTER (row
+        count, bands, NULL refusal — zero Spark jobs; r14, was a
+        null-probe job + an agg job per sidecar). No dedup pass: the
+        row_number()==1 winner selection above already yields exactly
+        one row per key."""
         rel = os.path.join("eqdel", uuid.uuid4().hex[:12])
-        df.select(*key_cols).dropDuplicates().coalesce(1) \
+        df.select(*key_cols).coalesce(1) \
             .write.mode("error").parquet(os.path.join(table_dir, rel))
-        keyed = spark.read.parquet(os.path.join(table_dir, rel))
-        bad = keyed.filter(null_cond).limit(1)
-        if not bad.isEmpty():
-            raise ValueError(
-                f"snapshot_apply_cdc_mor: a {label} change has a NULL "
-                f"key value ({bad.first().asDict()}) — filter such "
-                "rows")
-        n, bands = _key_sidecar_stats(keyed, key_cols)
+        n, bands = _key_sidecar_footer(
+            spark, table_dir, rel, key_cols,
+            f"snapshot_apply_cdc_mor: a {label} change has a NULL "
+            "key value ({row}) — filter such rows")
         if n == 0:
             return None, set()
         return ({"path": rel, "cols": key_cols, "rows": n,
